@@ -1,0 +1,58 @@
+"""Table catalog over the driver's parquet fixtures.
+
+The reference's only "catalog" is the ``input_files=`` comma list in its job
+INI (``src/mapreduce_spec.h:78-80``) — newline-delimited text files. The new
+engine's sources are typed parquet tables (TESTDATA.md); schema-on-read is
+parquet-self-describing, with one normalization: ``events.ts`` is stored as
+parquet TIMESTAMP(NANOS), which Spark reads as epoch-nanos long (see
+session._RUNTIME_CONF) and we convert to a microsecond TIMESTAMP here.
+
+Scale note: at 100 TB these reads are partitioned scans; filters/projections
+composed on the returned DataFrames push down into the parquet reader
+(Catalyst `PushedFilters`/`ReadSchema`), so loading "the whole table" here
+costs nothing until an action.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import LongType
+
+from .session import tune
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table, normalizing types to engine conventions."""
+    tune(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        # epoch-nanos long -> TIMESTAMP (microsecond precision; truncation
+        # below 1 µs is irrelevant to any window/session/ordering semantics
+        # at second-level granularity, and matches the oracle's view).
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+        )
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for spark.sql queries."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,180 @@
+"""Scalar function surface (SURVEY.md §2B "Scalar functions").
+
+The reference's only scalar ops are tokenization by a delimiter set
+(``test/user_tasks.cc:15-20``), string→int parse (``test/user_tasks.cc:31``)
+and string hashing (``src/mr_tasks.h:65,72``). The new engine exposes the
+curated built-in surface below — string, date/time, math, JSON and array
+functions — all JVM-side expressions inside whole-stage codegen (no Python
+in the hot path, the 100 TB requirement).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..catalog import load_table
+from .exact import rnd
+from ..registry import query
+
+
+@query(
+    "scalar_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS uname,
+           lower(p_brand) AS lbrand,
+           substring(p_type, 1, 5) AS type5,
+           CAST(length(p_name) AS BIGINT) AS name_len,
+           concat(p_brand, '#', p_type) AS brand_type,
+           replace(p_type, ' ', '_') AS type_us
+    FROM part
+    """,
+    tags=("scalar", "string"),
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """upper/lower/substring/length/concat/replace."""
+    return load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.upper("p_name").alias("uname"),
+        F.lower("p_brand").alias("lbrand"),
+        F.substring("p_type", 1, 5).alias("type5"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias("brand_type"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_us"),
+    )
+
+
+@query(
+    "scalar_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS yr,
+           CAST(month(o_orderdate) AS INTEGER) AS mo,
+           CAST(day(o_orderdate) AS INTEGER) AS dy,
+           CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+           CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT) AS month_start_epoch,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INTEGER) AS days_to_2002
+    FROM orders
+    """,
+    tags=("scalar", "date"),
+)
+def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """year/month/day/quarter/date_trunc/datediff. Timestamps are emitted as
+    epoch seconds (BIGINT) so the differential check is precision-agnostic."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dy"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.unix_timestamp(F.date_trunc("month", F.col("o_orderdate")))
+        .cast("long")
+        .alias("month_start_epoch"),
+        F.datediff(F.lit("2002-01-01"), F.col("o_orderdate")).alias("days_to_2002"),
+    )
+
+
+@query(
+    "scalar_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           floor((abs(l_discount - 0.05)) * 100 + 0.5) / 100 AS disc_dev,
+           floor((sqrt(l_quantity)) * 10000 + 0.5) / 10000 AS qty_sqrt,
+           floor((ln(l_quantity)) * 10000 + 0.5) / 10000 AS qty_ln,
+           floor((l_discount * l_discount) * 10000 + 0.5) / 10000 AS disc_sq,
+           CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+           CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+           l_orderkey % 7 AS key_mod7
+    FROM lineitem
+    WHERE l_linenumber = 1
+    """,
+    tags=("scalar", "math"),
+)
+def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """abs/sqrt/ln/floor/ceil/modulo over stored doubles (IEEE-exact or
+    rounded to absorb last-ulp libm differences)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        rnd(F.abs(F.col("l_discount") - 0.05), 2).alias("disc_dev"),
+        rnd(F.sqrt("l_quantity"), 4).alias("qty_sqrt"),
+        rnd(F.log("l_quantity"), 4).alias("qty_ln"),
+        rnd(F.col("l_discount") * F.col("l_discount"), 4).alias("disc_sq"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        (F.col("l_orderkey") % 7).alias("key_mod7"),
+    )
+
+
+@query(
+    "json_extract_props",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+    FROM events
+    """,
+    tags=("scalar", "json"),
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read JSON extraction from the events.props string column
+    (reference analogue: user map() parsing opaque record text)."""
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+    )
+
+
+@query(
+    "json_agg_by_type",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("scalar", "json", "agg"),
+)
+def json_agg_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over JSON-extracted values (from_json would also work; the
+    path extraction stays codegen'd either way)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "array_functions",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           floor((CAST(embedding[1] AS DOUBLE)) * 10000 + 0.5) / 10000 AS first_val,
+           floor((sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))) * 10000 + 0.5) / 10000 AS l2_norm,
+           floor((CAST(list_sum(CAST(embedding AS DOUBLE[])) AS DOUBLE) / len(embedding)) * 10000 + 0.5) / 10000 AS mean_val
+    FROM embeddings
+    """,
+    tags=("scalar", "array"),
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array size / index / higher-order aggregate over ArrayType(Float) —
+    the base arithmetic for the similarity operators, all JVM-side."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    sq_sum = F.aggregate(
+        F.transform(as_double, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        rnd(F.element_at("embedding", 1).cast("double"), 4).alias("first_val"),
+        rnd(F.sqrt(sq_sum), 4).alias("l2_norm"),
+        rnd(
+            F.aggregate(as_double, F.lit(0.0), lambda a, x: a + x) / F.size("embedding"),
+            4,
+        ).alias("mean_val"),
+    )

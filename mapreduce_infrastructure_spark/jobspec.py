@@ -1,0 +1,86 @@
+"""Job specification: INI parsing + validation (reference parity).
+
+The reference's job config is a flat ``key=value`` INI with comma lists
+(``test/config.ini``), parsed into ``MapReduceSpec``
+(``src/mapreduce_spec.h:31-40``, parser ``:58-100``) and validated
+(``:104-141``: worker count matches address count, positive counts, input
+files exist). Same surface here, mapped onto Spark knobs:
+
+- ``n_workers``       → parallelism hint (local[N] threads / executors)
+- ``map_kilobytes``   → ``spark.sql.files.maxPartitionBytes`` (split size;
+                        the reference snaps shards to newlines,
+                        ``src/file_shard.h:73-83`` — Spark's text splits are
+                        newline-aligned natively)
+- ``n_output_files``  → number of reduce partitions / output files (R)
+- ``user_id``         → key into the mr.registry task registry
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+
+@dataclass
+class MapReduceSpec:
+    n_workers: int = 0
+    worker_ipaddr_ports: list[str] = field(default_factory=list)
+    input_files: list[str] = field(default_factory=list)
+    output_dir: str = ""
+    n_output_files: int = 0
+    map_kilobytes: int = 0
+    user_id: str = ""
+
+
+def parse_spec(config_path: str) -> MapReduceSpec:
+    """Parse the reference's INI format (``src/mapreduce_spec.h:58-100``):
+    one ``key=value`` per line, comma-separated lists, no sections."""
+    spec = MapReduceSpec()
+    with open(config_path, encoding="utf-8") as fh:
+        for raw in fh:
+            line = raw.strip()
+            if not line or line.startswith("#") or "=" not in line:
+                continue
+            key, _, value = line.partition("=")
+            key, value = key.strip(), value.strip()
+            if key == "n_workers":
+                spec.n_workers = int(value)
+            elif key == "worker_ipaddr_ports":
+                spec.worker_ipaddr_ports = [v for v in value.split(",") if v]
+            elif key == "input_files":
+                spec.input_files = [v for v in value.split(",") if v]
+            elif key == "output_dir":
+                spec.output_dir = value
+            elif key == "n_output_files":
+                spec.n_output_files = int(value)
+            elif key == "map_kilobytes":
+                spec.map_kilobytes = int(value)
+            elif key == "user_id":
+                spec.user_id = value
+    return spec
+
+
+def validate_spec(spec: MapReduceSpec) -> None:
+    """Reference validation rules (``src/mapreduce_spec.h:104-141``),
+    raising instead of returning false."""
+    if spec.n_workers <= 0:
+        raise ValueError("n_workers must be positive")
+    if len(spec.worker_ipaddr_ports) != spec.n_workers:
+        raise ValueError(
+            f"n_workers={spec.n_workers} does not match "
+            f"{len(spec.worker_ipaddr_ports)} worker addresses"
+        )
+    if spec.n_output_files <= 0 or spec.map_kilobytes <= 0:
+        raise ValueError("n_output_files and map_kilobytes must be positive")
+    if not spec.output_dir or not spec.user_id:
+        raise ValueError("output_dir and user_id are required")
+    missing = [p for p in spec.input_files if not os.path.exists(p)]
+    if not spec.input_files or missing:
+        raise ValueError(f"input files missing: {missing or 'none specified'}")
+
+
+def read_and_validate_spec(config_path: str) -> MapReduceSpec:
+    """Parse + validate (reference: ``src/mapreduce_impl.cc:30-32``)."""
+    spec = parse_spec(config_path)
+    validate_spec(spec)
+    return spec

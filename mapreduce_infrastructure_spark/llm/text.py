@@ -1,0 +1,228 @@
+"""Text analysis operators over the `documents` table.
+
+The flagship `wordcount` is the reference's one shipped query
+(``test/user_tasks.cc:9-35``: strtok on ``" ,.\"'"`` → emit(token, 1) →
+per-key sum), re-expressed as explode/split/groupBy — one scan, one shuffle,
+partial aggregation map-side, no Python.
+
+The rest is the text-quality toolkit a training-data pipeline needs
+(token counting, quality scoring, language-ID heuristic, fingerprinting),
+all as codegen'd column expressions: at 100 TB these run at scan speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..catalog import load_table
+from ..functions.exact import rnd
+from ..registry import query
+
+# Tokenizer contract shared by Spark and the DuckDB oracle. Equivalent to the
+# reference's strtok delimiter set on this corpus (lowercase words joined by
+# single spaces), but robust to punctuation.
+TOKEN_DELIM = "[^a-z0-9]+"
+
+
+def tokens_col(text_col: str = "text") -> F.Column:
+    """Non-empty lowercase tokens of a text column."""
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), TOKEN_DELIM), lambda t: t != F.lit("")
+    )
+
+
+@query(
+    "wordcount",
+    oracle=f"""
+    SELECT word, COUNT(*) AS cnt
+    FROM (SELECT unnest(regexp_split_to_array(lower(text), '{TOKEN_DELIM}')) AS word
+          FROM documents)
+    WHERE word <> ''
+    GROUP BY word
+    """,
+    tags=("text", "flagship"),
+)
+def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word count — the reference's demo query (``test/user_tasks.cc:9-35``).
+
+    Map phase ≙ explode(split(...)); in-mapper combine (``src/mr_tasks.h:55-62``)
+    ≙ partial HashAggregate; shuffle-by-key (``src/mr_tasks.h:64-80``) ≙ the
+    exchange; reduce (``test/user_tasks.cc:29-33``) ≙ final HashAggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens_col()).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@query(
+    "text_stats_by_lang",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           floor((CAST(SUM(n_chars) AS DOUBLE) / COUNT(*)) * 100 + 0.5) / 100 AS avg_chars,
+           CAST(SUM(len(list_filter(regexp_split_to_array(lower(text), '{TOKEN_DELIM}'),
+                                    t -> t <> ''))) AS BIGINT) AS total_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("text", "agg"),
+)
+def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics per language bucket (integer-exact aggregates)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        rnd(F.sum("n_chars").cast("double") / F.count(F.lit(1)), 2).alias(
+            "avg_chars"
+        ),
+        F.sum(F.size(tokens_col()).cast("long")).alias("total_tokens"),
+    )
+
+
+@query(
+    "doc_token_counts",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(list_filter(regexp_split_to_array(lower(text), '{TOKEN_DELIM}'),
+                                t -> t <> '')) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(list_filter(regexp_split_to_array(lower(text), '{TOKEN_DELIM}'),
+                                              t -> t <> ''))) AS BIGINT) AS n_unique_tokens
+    FROM documents
+    """,
+    tags=("text",),
+)
+def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token and type counts (whitespace/regex tokenizer —
+    the BPE-ish counting base; see also quality_scores)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id, md5(text) AS fp, md5(concat(lang, ':', source)) AS dim_fp
+    FROM documents
+    """,
+    tags=("text", "dedup"),
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic document fingerprints (md5 — identical across engines,
+    unlike engine-native hash functions). The exact-dedup key."""
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("fp"),
+        F.md5(F.concat_ws(":", "lang", "source").cast("binary")).alias("dim_fp"),
+    )
+
+
+@query(
+    "quality_scores",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             list_filter(regexp_split_to_array(lower(text), '{TOKEN_DELIM}'), x -> x <> '') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           floor((CAST(n_chars AS DOUBLE) / len(toks)) * 10000 + 0.5) / 10000 AS chars_per_token,
+           floor((CAST(len(list_filter(toks, x -> x = 'the' OR x = 'a')) AS DOUBLE)
+                 / len(toks)) * 10000 + 0.5) / 10000 AS stopword_ratio,
+           CASE WHEN len(toks) >= 20
+                 AND len(list_filter(toks, x -> x = 'the' OR x = 'a')) * 2 <= len(toks)
+                THEN 'ok' ELSE 'low' END AS quality_flag
+    FROM t
+    """,
+    tags=("text", "quality"),
+)
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: length, chars/token, stopword ratio and a
+    keep/drop flag — the standard pre-training corpus filter, computed with
+    integer-exact comparisons so the flag is engine-stable."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    is_stop = lambda x: (x == "the") | (x == "a")  # noqa: E731
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, is_stop))
+    return docs.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        rnd(F.col("n_chars").cast("double") / n_tokens, 4).alias("chars_per_token"),
+        rnd(n_stop.cast("double") / n_tokens, 4).alias("stopword_ratio"),
+        F.when((n_tokens >= 20) & (n_stop * 2 <= n_tokens), "ok")
+        .otherwise("low")
+        .alias("quality_flag"),
+    )
+
+
+# Marker vocabularies for the language-ID heuristic (argmax of marker hits
+# with a fixed preference order — integer counts, engine-stable).
+_LANG_MARKERS = {
+    "en": ("the", "a", "of"),
+    "tech": ("data", "table", "row", "column", "batch"),
+    "sql": ("query", "join", "filter", "agg", "sort"),
+}
+
+
+@query(
+    "lang_id_heuristic",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(lower(text), '{TOKEN_DELIM}'), x -> x <> '') AS toks
+      FROM documents
+    ), c AS (
+      SELECT doc_id, lang,
+             len(list_filter(toks, x -> x IN ('the','a','of'))) AS c_en,
+             len(list_filter(toks, x -> x IN ('data','table','row','column','batch'))) AS c_tech,
+             len(list_filter(toks, x -> x IN ('query','join','filter','agg','sort'))) AS c_sql
+      FROM t
+    )
+    SELECT doc_id, lang AS actual_lang,
+           CAST(c_en AS BIGINT) AS c_en, CAST(c_tech AS BIGINT) AS c_tech, CAST(c_sql AS BIGINT) AS c_sql,
+           CASE WHEN c_en >= c_tech AND c_en >= c_sql THEN 'en'
+                WHEN c_tech >= c_sql THEN 'tech'
+                ELSE 'sql' END AS predicted
+    FROM c
+    """,
+    tags=("text", "langid"),
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram/marker-vocabulary language ID: count marker hits per candidate
+    class, argmax with fixed tie order. (On this synthetic corpus the classes
+    are illustrative; the operator shape — token-set membership counting at
+    scan speed — is the real deliverable.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    def marker_count(words: tuple[str, ...]) -> F.Column:
+        return F.size(F.filter(toks, lambda x: x.isin(*words)))
+
+    counts = {k: marker_count(v) for k, v in _LANG_MARKERS.items()}
+    predicted = (
+        F.when(
+            (counts["en"] >= counts["tech"]) & (counts["en"] >= counts["sql"]), "en"
+        )
+        .when(counts["tech"] >= counts["sql"], "tech")
+        .otherwise("sql")
+    )
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        counts["en"].cast("long").alias("c_en"),
+        counts["tech"].cast("long").alias("c_tech"),
+        counts["sql"].cast("long").alias("c_sql"),
+        predicted.alias("predicted"),
+    )

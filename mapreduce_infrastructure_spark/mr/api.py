@@ -1,0 +1,80 @@
+"""MapReduce-compat user API (reference parity surface).
+
+Mirrors the reference's public UDF contract
+(``external/include/mr_task_factory.h:14-43``):
+
+- ``BaseMapper.map(record)`` is called once per input record and may call
+  ``self.emit(key, value)`` zero or more times (1→N, a UDTF).
+- ``BaseReducer.reduce(key, values)`` is called once per key with all its
+  values (a UDAF) and may ``emit`` output pairs.
+
+Keys and values are strings, exactly as in the reference (the only typed
+structure in the whole system, ``src/mr_tasks.h:55``). Numeric semantics are
+the user function's job — e.g. word count re-parses with int() like the
+reference's atoi (``test/user_tasks.cc:31``).
+
+Unlike the reference's internals, emit does NOT pre-group into an in-memory
+map per task (``src/mr_tasks.h:44`` — the structure that would OOM on a hot
+key); grouping belongs to Spark's shuffle, which spills.
+"""
+
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+from collections.abc import Iterable
+
+
+class _Emitter:
+    __slots__ = ("_out",)
+
+    def __init__(self) -> None:
+        self._out: list[tuple[str, str]] = []
+
+    def emit(self, key: str, value: str) -> None:
+        """Queue one output pair (reference: ``mr_task_factory.h:21,38``)."""
+        self._out.append((str(key), str(value)))
+
+    def _drain(self) -> list[tuple[str, str]]:
+        out, self._out = self._out, []
+        return out
+
+
+class BaseMapper(_Emitter, ABC):
+    """User mapper: one text record in, zero-or-more (key, value) out."""
+
+    @abstractmethod
+    def map(self, record: str) -> None: ...
+
+
+class BaseReducer(_Emitter, ABC):
+    """User reducer: (key, all values for key) in, zero-or-more pairs out."""
+
+    @abstractmethod
+    def reduce(self, key: str, values: Iterable[str]) -> None: ...
+
+
+class WordCountMapper(BaseMapper):
+    """The reference's demo mapper (``test/user_tasks.cc:12-22``): tokenize
+    on the delimiter set ``" ,.\"'"`` and emit (token, "1")."""
+
+    _DELIMS = " ,.\"'"
+
+    def map(self, record: str) -> None:
+        token = []
+        for ch in record:
+            if ch in self._DELIMS:
+                if token:
+                    self.emit("".join(token), "1")
+                    token = []
+            else:
+                token.append(ch)
+        if token:
+            self.emit("".join(token), "1")
+
+
+class WordCountReducer(BaseReducer):
+    """The reference's demo reducer (``test/user_tasks.cc:29-33``):
+    sum the integer values per token."""
+
+    def reduce(self, key: str, values: Iterable[str]) -> None:
+        self.emit(key, str(sum(int(v) for v in values)))

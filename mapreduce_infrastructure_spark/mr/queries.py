@@ -1,0 +1,38 @@
+"""Oracle-checked queries exercising the MR-compat layer."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..catalog import load_table
+from ..registry import query
+from .runner import run_mr_job
+
+
+@query(
+    "mr_wordcount",
+    oracle="""
+    SELECT word, cnt FROM (
+      SELECT word, COUNT(*) AS cnt
+      FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS word
+            FROM documents)
+      WHERE word <> ''
+      GROUP BY word
+    )
+    """,
+    tags=("mr-compat", "text"),
+)
+def mr_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word count through the reference-parity API: BaseMapper tokenizing on
+    the reference's delimiter set (``test/user_tasks.cc:12-22``) → hash
+    shuffle → BaseReducer integer sum (``:29-33``), via mr.runner.run_mr_job.
+
+    The oracle is plain SQL word count — on this corpus (lowercase words,
+    single spaces, no punctuation) the reference tokenizer and the regex
+    tokenizer agree, which the flagship `wordcount` query also pins.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    kv = run_mr_job(spark, docs, user_id="cs6210", num_output_files=8)
+    return kv.select(
+        F.col("key").alias("word"), F.col("value").cast("long").alias("cnt")
+    )

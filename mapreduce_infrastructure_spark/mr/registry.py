@@ -1,0 +1,48 @@
+"""User-task registry (reference parity: ``src/mr_task_factory.cc:28-88``).
+
+The reference maps a ``user_id`` string to mapper/reducer factory lambdas in
+a process-wide singleton, populated by static initializers before main
+(``test/user_tasks.cc:45-58``). Here it's a plain module-level dict;
+closures ship to executors automatically, so no worker-side registration
+step exists (the reference needed the same registration compiled into the
+worker binary).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from .api import BaseMapper, BaseReducer, WordCountMapper, WordCountReducer
+
+MapperFactory = Callable[[], BaseMapper]
+ReducerFactory = Callable[[], BaseReducer]
+
+_TASKS: dict[str, tuple[MapperFactory, ReducerFactory]] = {}
+
+
+def register_tasks(
+    user_id: str, mapper_factory: MapperFactory, reducer_factory: ReducerFactory
+) -> bool:
+    """Register a (mapper, reducer) pair under a user id
+    (reference: ``external/include/mr_task_factory.h:47``)."""
+    _TASKS[user_id] = (mapper_factory, reducer_factory)
+    return True
+
+
+def get_mapper(user_id: str) -> BaseMapper:
+    """Fresh mapper instance for a task (reference: ``mr_task_factory.cc:57-63``)."""
+    return _TASKS[user_id][0]()
+
+
+def get_reducer(user_id: str) -> BaseReducer:
+    """Fresh reducer instance for a task (reference: ``mr_task_factory.cc:65-70``)."""
+    return _TASKS[user_id][1]()
+
+
+def get_factories(user_id: str) -> tuple[MapperFactory, ReducerFactory]:
+    return _TASKS[user_id]
+
+
+# The reference registers its demo word-count task as "cs6210"
+# (test/config.ini:7, test/user_tasks.cc:45-58); same default here.
+register_tasks("cs6210", WordCountMapper, WordCountReducer)

@@ -1,0 +1,167 @@
+"""Window / analytic functions (SURVEY.md §2B "Window functions").
+
+Entirely absent in the reference (its only ordering guarantee is key-sorted
+reducer output via std::map iteration, ``src/mr_tasks.h:101``,
+``description.md:56``). Implemented on Spark's native window exec.
+
+Determinism rule used throughout: every ORDER BY carries a unique tie-break
+key (custkey/orderkey/event_id) so rank/lag/frame results are identical in
+any engine and at any parallelism. Frame sums use DECIMAL-exact arithmetic
+(see functions/exact.py).
+
+Scale note: window functions shuffle once on partitionBy keys and sort within
+partitions; a partition's rows must fit an executor's spill budget — the
+partition keys here (segment, custkey, user_id) are high-cardinality, so no
+single-partition hot spot. A global-ORDER-BY window with no partitionBy is
+the anti-pattern at 100 TB and does not appear here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..catalog import load_table
+from ..functions.exact import dec, rnd
+from ..registry import query
+
+
+@query(
+    "window_rank_acctbal",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           CAST(rank()       OVER w AS INTEGER) AS rnk,
+           CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+           CAST(row_number() OVER w AS INTEGER) AS rn
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+    tags=("window",),
+)
+def window_rank_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / row_number per market segment."""
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.col("c_custkey")
+    )
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.row_number().over(w).alias("rn"),
+    )
+
+
+@query(
+    "window_running_total",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           floor((CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)) * 100 + 0.5) / 100
+             AS running_spend
+    FROM orders
+    """,
+    tags=("window",),
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) sum per customer in order-date order."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        rnd(F.sum(dec("o_totalprice")).over(w).cast("double"), 2).alias(
+            "running_spend"
+        ),
+    )
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+    SELECT event_id, user_id, value,
+           lag(value)  OVER w AS prev_value,
+           lead(value) OVER w AS next_value,
+           floor((value - lag(value) OVER w) * 100 + 0.5) / 100 AS delta
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("window", "events"),
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead over each user's event-time-ordered stream (the batch
+    analogue of per-key stream state)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        rnd(F.col("value") - F.lag("value").over(w), 2).alias("delta"),
+    )
+
+
+@query(
+    "window_movavg_ntile",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           floor((CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w3 AS DOUBLE)
+                 / COUNT(*) OVER w3) * 100 + 0.5) / 100 AS movavg3,
+           CAST(ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS quartile
+    FROM orders
+    WINDOW w3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window",),
+)
+def window_movavg_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-row moving average (DECIMAL-exact sum / frame count) + ntile."""
+    order = [F.col("o_orderdate"), F.col("o_orderkey")]
+    w3 = Window.partitionBy("o_custkey").orderBy(*order).rowsBetween(-2, 0)
+    wn = Window.partitionBy("o_custkey").orderBy(*order)
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        rnd(
+            F.sum(dec("o_totalprice")).over(w3).cast("double")
+            / F.count(F.lit(1)).over(w3),
+            2,
+        ).alias("movavg3"),
+        F.ntile(4).over(wn).alias("quartile"),
+    )
+
+
+@query(
+    "window_first_last",
+    oracle="""
+    SELECT DISTINCT o_custkey,
+           first_value(o_totalprice) OVER w AS first_order_price,
+           last_value(o_totalprice)  OVER w AS last_order_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("window",),
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last order price per customer (full-partition frame)."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.first("o_totalprice").over(w).alias("first_order_price"),
+            F.last("o_totalprice").over(w).alias("last_order_price"),
+        )
+        .distinct()
+    )

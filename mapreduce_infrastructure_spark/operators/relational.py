@@ -1,0 +1,631 @@
+"""Relational operator inventory (SURVEY.md §2B), DataFrame-first.
+
+The reference expresses projection/filter/aggregation only as user map/reduce
+functions over text records (``external/include/mr_task_factory.h:20-43``);
+joins, windows, set ops and subqueries are absent entirely. Here each
+capability is a declarative DataFrame/SQL plan so Catalyst supplies predicate
+pushdown, column pruning, partial aggregation, join selection (broadcast for
+the dimension tables) and AQE runtime re-planning.
+
+Every query here is oracle-checked: the paired DuckDB SQL computes the same
+result with the same column names and — via DECIMAL-exact aggregation
+(functions/exact.py) — bitwise-identical doubles.
+
+Scale notes (100 TB):
+- Aggregations are algebraic (`HashAggregate(partial) -> shuffle -> final`);
+  nothing collects to the driver.
+- Dimension joins (region/nation/customer/supplier/part) are broadcast —
+  these stay broadcast-sized at any realistic SF while lineitem/orders/events
+  scale; fact-fact joins shuffle on their keys and AQE handles skew.
+- Filters are plain column predicates, so they push into the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..catalog import load_table, register_views
+from ..functions.exact import davg, dec, dsum, lcount, rnd
+from ..registry import query
+
+
+# --------------------------------------------------------------------------
+# Filter / projection / basic aggregation
+# --------------------------------------------------------------------------
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           floor((CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)) * 100 + 0.5) / 100 AS sum_qty,
+           floor((CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)) * 100 + 0.5) / 100 AS sum_base_price,
+           floor((CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)) * 100 + 0.5) / 100 AS sum_disc_price,
+           floor((CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE)) * 100 + 0.5) / 100 AS sum_charge,
+           floor((CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)) * 100 + 0.5) / 100 AS avg_qty,
+           floor((CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)) * 100 + 0.5) / 100 AS avg_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-31 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "filter"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: filter + multi-aggregate group-by.
+
+    Reference analogue: per-key fold in the reduce phase
+    (``src/mr_tasks.h:101``, ``test/user_tasks.cc:29-33``) — here a single
+    partial+final HashAggregate pass, no Python in the hot path.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    charge = disc_price.cast("decimal(18,4)") * (F.lit(1) + dec("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= "2000-12-31")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            rnd(F.sum(disc_price).cast("double"), 2).alias("sum_disc_price"),
+            rnd(F.sum(charge).cast("double"), 2).alias("sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            lcount("count_order"),
+        )
+    )
+
+
+@query(
+    "filter_project",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_linenumber,
+           floor((CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DOUBLE)) * 100 + 0.5) / 100 AS discount_amount
+    FROM lineitem
+    WHERE l_quantity >= 48 AND l_discount > 0.05 AND l_returnflag = 'R'
+    """,
+    tags=("filter", "project"),
+)
+def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + conjunctive predicates; all three filters push into the
+    parquet scan (reference analogue: a user map() that drops records,
+    ``external/include/mr_task_factory.h:20``)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_quantity") >= 48)
+            & (F.col("l_discount") > 0.05)
+            & (F.col("l_returnflag") == "R")
+        )
+        .select(
+            "l_orderkey",
+            "l_partkey",
+            "l_linenumber",
+            rnd((dec("l_extendedprice") * dec("l_discount")).cast("double"), 2).alias(
+                "discount_amount"
+            ),
+        )
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           floor((CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)) * 100 + 0.5) / 100 AS sum_price,
+           floor((CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)) * 100 + 0.5) / 100 AS avg_price,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("agg",),
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count/sum/avg/min/max in one pass (single shuffle)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            lcount("n_orders"),
+            dsum("o_totalprice", "sum_price"),
+            davg("o_totalprice", "avg_price"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+
+
+@query(
+    "distinct_pairs",
+    oracle="""
+    SELECT DISTINCT c_nationkey AS nationkey, c_mktsegment AS mktsegment FROM customer
+    """,
+    tags=("distinct",),
+)
+def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT = group-by-identity (absent in the reference; SURVEY §2B)."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_mktsegment").alias("mktsegment"),
+        )
+        .distinct()
+    )
+
+
+@query(
+    "count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "distinct"),
+)
+def count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-column distinct counts (Catalyst expands to two-phase
+    aggregate). The approximate variant is `approx_distinct_parts`."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            lcount("n_rows"),
+        )
+    )
+
+
+@query("approx_distinct_parts", tags=("agg", "approx"))
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct count — the 100 TB-scale path where exact
+    distinct would shuffle every key. No SQL oracle (approximate); bounds are
+    asserted in tests/test_relational.py."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Grouping sets / rollup / cube / having
+# --------------------------------------------------------------------------
+
+@query(
+    "rollup_returns",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows,
+           floor((CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)) * 100 + 0.5) / 100 AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "rollup"),
+)
+def rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (absent in reference; Spark built-in)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(lcount("n_rows"), dsum("l_quantity", "sum_qty"))
+    )
+
+
+@query(
+    "cube_orders",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE(o_orderpriority, o_orderstatus)
+    """,
+    tags=("agg", "cube"),
+)
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .cube("o_orderpriority", "o_orderstatus")
+        .agg(lcount("n_orders"))
+    )
+
+
+@query(
+    "grouping_sets_mix",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    tags=("agg", "grouping-sets", "sql"),
+)
+def grouping_sets_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL surface (spark.sql)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "having_heavy_customers",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           floor((CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)) * 100 + 0.5) / 100 AS total_spent
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 15
+    """,
+    tags=("agg", "having"),
+)
+def having_heavy_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(lcount("n_orders"), dsum("o_totalprice", "total_spent"))
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+@query(
+    "case_when_buckets",
+    oracle="""
+    SELECT l_returnflag,
+           SUM(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END) AS n_high_disc,
+           SUM(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS n_bulk,
+           floor((CAST(SUM(CASE WHEN l_discount >= 0.05 THEN CAST(l_extendedprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)) * 100 + 0.5) / 100 AS high_disc_revenue
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "case"),
+)
+def case_when_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (pivot-style bucketing in one scan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    high = F.col("l_discount") >= 0.05
+    return li.groupBy("l_returnflag").agg(
+        F.sum(F.when(high, 1).otherwise(0)).alias("n_high_disc"),
+        F.sum(F.when(F.col("l_quantity") >= 25, 1).otherwise(0)).alias("n_bulk"),
+        rnd(
+            F.sum(F.when(high, dec("l_extendedprice")).otherwise(dec(F.lit(0)))).cast(
+                "double"
+            ),
+            2,
+        ).alias("high_disc_revenue"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins (absent in the reference — SURVEY §2B "Joins")
+# --------------------------------------------------------------------------
+
+@query(
+    "join_region_customers",
+    oracle="""
+    SELECT r.r_name, COUNT(*) AS n_customers,
+           floor((CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)) * 100 + 0.5) / 100 AS sum_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    tags=("join", "broadcast"),
+)
+def join_region_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake chain customer→nation→region with explicit broadcast of the
+    dimensions — zero shuffle for the joins; only the final group-by shuffles
+    (5 regions). At 100 TB this is the canonical map-side join."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(lcount("n_customers"), dsum("c_acctbal", "sum_acctbal"))
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           floor((CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)) * 100 + 0.5) / 100 AS revenue,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    tags=("join", "topk"),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style 3-way join + agg + deterministic top-10 (ties broken by
+    orderkey; revenue is DECIMAL-exact so the top-10 set is engine-stable).
+    customer is broadcast; orders⋈lineitem shuffles on the order key."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
+    revenue = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(rnd(F.sum(revenue).cast("double"), 2).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "join_left_order_counts",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           COUNT(o.o_orderkey) AS n_orders
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+    tags=("join", "outer"),
+)
+def join_left_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join preserving customers with zero orders
+    (count of a nullable key counts only matches)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "join_semi_active",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+    tags=("join", "semi"),
+)
+def join_semi_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS): customers with at least one big order."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@query(
+    "join_anti_inactive",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+    tags=("join", "anti"),
+)
+def join_anti_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS): complement of join_semi_active."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@query(
+    "join_range_quantity_size",
+    oracle="""
+    SELECT p.p_brand, COUNT(*) AS n_matches,
+           floor((CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)) * 100 + 0.5) / 100 AS sum_price
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+               AND l.l_quantity BETWEEN p.p_size - 2 AND p.p_size + 2
+    GROUP BY p.p_brand
+    """,
+    tags=("join", "range"),
+)
+def join_range_quantity_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + band (range) join predicate: the equi key keeps it a hash join
+    with the band as a post-join filter — NOT a nested-loop join, which is
+    what a naive pure-theta formulation would cost at scale."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    cond = (
+        (l.l_partkey == p.p_partkey)
+        & (l.l_quantity >= p.p_size - 2)
+        & (l.l_quantity <= p.p_size + 2)
+    )
+    return (
+        l.join(F.broadcast(p), cond)
+        .groupBy("p_brand")
+        .agg(lcount("n_matches"), dsum("l_extendedprice", "sum_price"))
+    )
+
+
+@query(
+    "join_full_nation_counts",
+    oracle="""
+    WITH cc AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey),
+         ss AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY s_nationkey)
+    SELECT COALESCE(cc.nk, ss.nk) AS nationkey,
+           COALESCE(cc.n_cust, 0) AS n_customers,
+           COALESCE(ss.n_supp, 0) AS n_suppliers
+    FROM cc FULL OUTER JOIN ss ON cc.nk = ss.nk
+    """,
+    tags=("join", "outer"),
+)
+def join_full_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two aggregates with COALESCE null-filling."""
+    cc = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(lcount("n_cust"))
+    )
+    ss = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(lcount("n_supp"))
+    )
+    return cc.join(ss, cc.nk == ss.nk, "full_outer").select(
+        F.coalesce(cc.nk, ss.nk).alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_suppliers"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sorts / limits / top-k  (reference guarantees key-sorted output:
+# description.md:56, src/mr_tasks.h:101)
+# --------------------------------------------------------------------------
+
+@query(
+    "top10_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+    tags=("sort", "topk"),
+)
+def top10_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic top-k: Spark plans TakeOrderedAndProject — per-partition
+    heaps then a k-row driver merge, never a global sort. Ties broken by key.
+    (o_totalprice is a stored value — no arithmetic, exact in both engines.)"""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations (absent in reference; SURVEY §2B "Set ops")
+# --------------------------------------------------------------------------
+
+@query(
+    "set_union_nations",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier
+    """,
+    tags=("setop",),
+)
+def set_union_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.union(s).distinct()
+
+
+@query(
+    "set_intersect_nations",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+    tags=("setop",),
+)
+def set_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.intersect(s)
+
+
+@query(
+    "set_except_nations",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    """,
+    tags=("setop",),
+)
+def set_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct): nations with customers but no suppliers."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.subtract(s)
+
+
+# --------------------------------------------------------------------------
+# Subqueries (SQL surface)
+# --------------------------------------------------------------------------
+
+@query(
+    "in_subquery_parts",
+    oracle="""
+    SELECT p_partkey, p_brand, p_size FROM part
+    WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
+    """,
+    tags=("subquery", "sql"),
+)
+def in_subquery_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery (Catalyst rewrites to a left-semi join)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT p_partkey, p_brand, p_size FROM part
+        WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
+        """
+    )
+
+
+@query(
+    "correlated_max_acctbal",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal FROM customer c
+    WHERE c_acctbal = (SELECT MAX(c2.c_acctbal) FROM customer c2
+                       WHERE c2.c_mktsegment = c.c_mktsegment)
+    """,
+    tags=("subquery", "sql"),
+)
+def correlated_max_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: per-segment top customer (MAX is exact on
+    stored doubles, so the float equality is engine-stable)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment, c_acctbal FROM customer c
+        WHERE c_acctbal = (SELECT MAX(c2.c_acctbal) FROM customer c2
+                           WHERE c2.c_mktsegment = c.c_mktsegment)
+        """
+    )

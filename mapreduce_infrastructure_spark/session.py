@@ -1,0 +1,85 @@
+"""SparkSession construction and tuning.
+
+The reference configures its job from a flat INI (``src/mapreduce_spec.h:58-100``)
+— worker count, shard size, output-file count. The Spark-native equivalents:
+
+- ``n_workers``        → executor/thread count (``local[N]`` here)
+- ``map_kilobytes``    → ``spark.sql.files.maxPartitionBytes`` (input split size)
+- ``n_output_files``   → ``spark.sql.shuffle.partitions`` / explicit repartition(R)
+- straggler re-exec    → ``spark.speculation`` (reference ``src/master.h:131-138``)
+
+Scale posture (100 TB / 1000 executors): AQE is always on so skewed shuffle
+partitions are split and tiny ones coalesced at runtime; Arrow is on so any
+pandas-UDF boundary is vectorized, never row-at-a-time.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs applied to ANY session (including one the driver
+# owns). All are dynamic SQL confs — safe to set after session creation.
+_RUNTIME_CONF = {
+    # Deterministic timestamp semantics: parquet fixture timestamps are
+    # timezone-naive; interpreting them in UTC matches the DuckDB oracle.
+    "spark.sql.session.timeZone": "UTC",
+    # events.parquet stores TIMESTAMP(NANOS) which Spark refuses by default;
+    # read as epoch-nanos long, converted in catalog.load_table.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # AQE: runtime partition coalescing + skew-join splitting.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for every pandas_udf / applyInPandas / mapInPandas boundary.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply this engine's runtime confs to an externally-created session.
+
+    Idempotent; called at the top of every public query entry point so the
+    engine behaves identically under the driver's session and its own.
+    """
+    for k, v in _RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # A conf may be static in some deployments; never fail a query
+            # over a tuning knob.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "mapreduce-infrastructure-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) a tuned SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (all cores if the
+    env var is unset). ``shuffle_partitions`` defaults to the core count —
+    on a real cluster you would size this to data volume instead
+    (~128 MB of shuffle data per partition at 100 TB scale, with AQE
+    coalescing handling the long tail).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = 32 if cpus == "*" else max(int(cpus), 4)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in _RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return tune(spark)
