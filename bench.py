@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Headline benchmark: runs the engine's representative queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced through the noop sink (full materialization of every
+output column — .count() alone would let Catalyst prune the very work being
+measured).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mapreduce_infrastructure_spark.registry import all_queries
+from mapreduce_infrastructure_spark.session import get_spark
+
+# Representative slice of SURVEY §2: scan+agg, joins, window, top-k,
+# event-time windows, text, dedup (exact + LSH), similarity.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "join_range_quantity_size",
+    "join_region_customers",
+    "window_running_total",
+    "top10_orders",
+    "window_tumbling_hourly",
+    "session_window_30m",
+    "wordcount",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "knn_bruteforce",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark(app_name="mri-spark-bench")
+
+    queries = all_queries()
+    # JVM/codegen warmup on a trivial action so query 1 isn't billed for it.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name].fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

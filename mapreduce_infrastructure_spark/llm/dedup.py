@@ -37,15 +37,24 @@ from .text import tokens_col
 
 def shingles_col(toks: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a token-array column (empty array for
-    docs shorter than n). Pure codegen'd expression — no UDF."""
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.get(toks, i + j) for j in range(n)]
-    )
-    return F.array_distinct(
-        F.when(F.size(toks) >= n, F.transform(idx, gram)).otherwise(
-            F.array().cast("array<string>")
+    docs shorter than n). Pure codegen'd expression — no UDF.
+
+    Formulated as zip_with over n shifted slice() views of the token array.
+    The naive per-index form (transform(sequence(...), i -> concat(get(toks,
+    i), ...))) embeds the ``toks`` expression once per ELEMENT, and Spark
+    performs no common-subexpression elimination inside higher-order-function
+    lambdas — with toks = split(text) that is O(tokens²) re-splitting per
+    document (~20× slower end to end). Slices reference ``toks`` a constant
+    number of times per row instead.
+    """
+    m = F.size(toks) - (n - 1)  # shingle count
+    zipped = F.slice(toks, 1, m)
+    for j in range(1, n):
+        zipped = F.zip_with(
+            zipped, F.slice(toks, j + 1, m), lambda x, y: F.concat_ws(" ", x, y)
         )
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, zipped).otherwise(F.array().cast("array<string>"))
     )
 
 
@@ -122,7 +131,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is validated against. The `lang` block bounds the quadratic term; at
     100 TB the blocking key must be finer (LSH buckets — see
     minhash_lsh_pairs) but the verify step is this same expression."""
-    t = _doc_shingles(spark, sf_dir)
+    t = _doc_shingles(spark, sf_dir).persist()
     a, b = t.alias("a"), t.alias("b")
     inter = F.array_intersect(F.col("a.sh"), F.col("b.sh"))
     union = F.array_union(F.col("a.sh"), F.col("b.sh"))
@@ -153,16 +162,35 @@ LSH_ROWS = N_HASHES // LSH_BANDS
 VERIFY_THRESHOLD = 0.5
 
 
-def minhash_signature(sh: Column, n_hashes: int = N_HASHES) -> list[Column]:
-    """n seeded minhash values of a shingle-array column. Seeding = hashing
-    the shingle together with a literal seed via xxhash64 (deterministic,
-    JVM-side, no UDF)."""
-    return [
-        F.array_min(F.transform(sh, lambda x, s=s: F.xxhash64(x, F.lit(s)))).alias(
-            f"mh_{s}"
-        )
-        for s in range(n_hashes)
-    ]
+def minhash_signature(hashed: Column, n_hashes: int = N_HASHES) -> Column:
+    """array<long> MinHash signature from a PRE-HASHED (array<long>) shingle
+    column. Each shingle string is hashed to a long exactly once upstream;
+    the n "permutations" are cheap fixed-width long hashes (xxhash64 with the
+    signature index as seed) — no 64-bit multiply overflow under ANSI mode.
+
+    Built as ONE nested higher-order expression rather than n separate
+    aliased columns: n aliases made whole-stage codegen emit a ~megabyte
+    method whose Janino compile dominated small-scale runtime (~20 s);
+    this form compiles in milliseconds and runs identically.
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda s: F.array_min(F.transform(hashed, lambda h: F.xxhash64(h, s))),
+    )
+
+
+def _hashed_shingles(t: DataFrame) -> DataFrame:
+    """doc_id, sh (string shingles), hs (each shingle xxhash64'd once)."""
+    return t.select(
+        "doc_id", "sh", F.transform("sh", lambda x: F.xxhash64(x)).alias("hs")
+    )
+
+
+def _signatures(t: DataFrame) -> DataFrame:
+    """doc_id, sig: array<long> of N_HASHES minhash values."""
+    return _hashed_shingles(t).select(
+        "doc_id", minhash_signature(F.col("hs")).alias("sig")
+    )
 
 
 @query("minhash_signatures", tags=("dedup", "minhash"))
@@ -170,15 +198,14 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document 32-hash MinHash signature (first 4 exposed + full array).
     Deterministic but engine-specific hashing → no SQL oracle; invariants
     (signature equality tracks Jaccard) are asserted in tests/test_dedup.py."""
-    t = _doc_shingles(spark, sf_dir)
-    sig = t.select("doc_id", *minhash_signature(F.col("sh")))
+    sig = _signatures(_doc_shingles(spark, sf_dir))
     return sig.select(
         "doc_id",
-        "mh_0",
-        "mh_1",
-        "mh_2",
-        "mh_3",
-        F.array(*[F.col(f"mh_{s}") for s in range(N_HASHES)]).alias("signature"),
+        F.element_at("sig", 1).alias("mh_0"),
+        F.element_at("sig", 2).alias("mh_1"),
+        F.element_at("sig", 3).alias("mh_2"),
+        F.element_at("sig", 4).alias("mh_3"),
+        F.col("sig").alias("signature"),
     )
 
 
@@ -189,28 +216,29 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     This is the 100 TB dedup plan: candidate generation is a shuffle on
     (band_id, band_hash) — linear in corpus size — and only candidates pay
-    the exact comparison. No SQL oracle (LSH recall is probabilistic);
-    tests assert recall=1.0 against ngram ground truth ≥ 0.8 at fixture SF.
+    the exact comparison. The band table carries only (doc_id, band) — the
+    heavy shingle arrays are joined back solely for the (small) candidate
+    set, and the band/shingle tables are persisted so the self-join does not
+    recompute the pipeline per side. No SQL oracle (LSH recall is
+    probabilistic); tests assert recall vs the exact ngram ground truth.
     """
-    t = _doc_shingles(spark, sf_dir)
-    sig = t.select("doc_id", "sh", *minhash_signature(F.col("sh")))
+    t = _doc_shingles(spark, sf_dir).persist()
+    sig = _signatures(t)
     bands = sig.select(
         "doc_id",
-        "sh",
         F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.xxhash64(
-                            *[F.col(f"mh_{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
-                        ).alias("band_hash"),
-                    )
-                    for b in range(LSH_BANDS)
-                ]
+            F.transform(
+                F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.xxhash64(
+                        F.slice(F.col("sig"), b * LSH_ROWS + 1, LSH_ROWS)
+                    ).alias("band_hash"),
+                ),
             )
         ).alias("band"),
-    ).select("doc_id", "sh", "band.band_id", "band.band_hash")
+    ).select("doc_id", F.col("band.band_id").alias("band_id"),
+             F.col("band.band_hash").alias("band_hash")).persist()
 
     a, b = bands.alias("a"), bands.alias("b")
     candidates = (
@@ -223,18 +251,20 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    sh_a = t.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = t.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     jac = rnd(
         F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
         / F.size(F.array_union("sh_a", "sh_b")),
         4,
     )
     return (
-        candidates.select("doc_a", "doc_b", jac.alias("jaccard"))
+        candidates.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= VERIFY_THRESHOLD)
     )
 
@@ -272,13 +302,15 @@ def _simhash64(tokens: pd.Series) -> pd.Series:
 
 @query("simhash_neardup_pairs", tags=("dedup", "simhash"))
 def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 64-bit fingerprints, banded into 4×16-bit
-    chunks (a pair within Hamming distance 3 must agree on ≥1 chunk), bucket
-    join per chunk, Hamming verify via bit_count(xor) ≤ 16.
+    """SimHash near-dup pairs: 64-bit fingerprints, banded into 8×8-bit
+    chunks (pigeonhole: a pair within Hamming distance 7 must agree on ≥1
+    chunk), bucket join per chunk, Hamming verify via bit_count(xor) ≤ 7.
 
     Same LSH shape as minhash_lsh_pairs but constant-size state per doc —
-    the cheapest near-dup tier at 100 TB. No SQL oracle; tests assert the
-    planted near-dups are found and Hamming distances are symmetric."""
+    the cheapest near-dup tier at 100 TB. (On a shared-vocabulary corpus
+    like this fixture, simhashes crowd together — hence the tight verify
+    radius; the banding guarantee matches it exactly.) No SQL oracle; tests
+    assert the exact near-dup pairs are found."""
     docs = load_table(spark, sf_dir, "documents")
     fp = docs.select(
         "doc_id", _simhash64(tokens_col()).alias("simhash")
@@ -291,15 +323,15 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(i).alias("chunk_id"),
-                        F.shiftrightunsigned(F.col("simhash"), 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(F.col("simhash"), 8 * i)
+                        .bitwiseAND(F.lit(0xFF))
                         .alias("chunk"),
                     )
-                    for i in range(4)
+                    for i in range(8)
                 ]
             )
         ).alias("c"),
-    ).select("doc_id", "simhash", "c.chunk_id", "c.chunk")
+    ).select("doc_id", "simhash", "c.chunk_id", "c.chunk").persist()
     a, b = chunks.alias("a"), chunks.alias("b")
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
@@ -315,5 +347,5 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             hamming.cast("int").alias("hamming"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
-        .filter(F.col("hamming") <= 16)
+        .filter(F.col("hamming") <= 7)
     )

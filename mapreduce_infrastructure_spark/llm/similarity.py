@@ -142,8 +142,10 @@ def neardup_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Deterministic random hyperplanes (seed fixed; regenerated identically on
-# every call — never shipped through a closure at scale, just 8×64 literals).
-_N_PLANES = 8
+# every call — never shipped through a closure at scale, just 6×64 literals).
+# 6 planes → 64 buckets; with 1-bit multi-probe each query scans ~7/64 of the
+# corpus — the bucket-count / probe-count pair is the recall-vs-cost dial.
+_N_PLANES = 6
 _DIM = 64
 
 
@@ -155,13 +157,14 @@ def _hyperplanes() -> list[list[float]]:
 @query("ann_lsh_topk", tags=("similarity", "ann", "lsh"))
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-3 neighbors via random-hyperplane (sign) LSH:
-    bucket = 8 sign bits of plane dot products; candidates share the
-    query's bucket; exact cosine ranks within the bucket.
+    bucket = 6 sign bits of plane dot products; candidates come from the
+    query's bucket plus all 1-bit-flip probe buckets (multi-probe); exact
+    cosine ranks within the candidate set.
 
     Linear-shuffle ANN: at 100 TB the bucket join replaces the O(|Q|·N)
-    scan. No SQL oracle (approximate by construction); tests measure
-    recall against knn_bruteforce. Multi-probe (flipping low-margin bits)
-    is the standard recall lever left as a documented extension."""
+    scan — each query touches ~(probes/2^planes) of the corpus. No SQL
+    oracle (approximate by construction); tests measure recall against
+    knn_bruteforce."""
     from pyspark.sql import Window
 
     vecs = _vectors(spark, sf_dir)
@@ -173,11 +176,25 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket = bit if bucket is None else bucket + bit
     bucketed = vecs.withColumn("bucket", bucket)
 
-    q = bucketed.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("d").alias("qd"),
-        F.col("nrm").alias("qnrm"),
-        F.col("bucket").alias("qbucket"),
+    # Multi-probe: each query searches its own bucket plus every 1-bit-flip
+    # neighbor bucket (sign-LSH's standard recall lever — low-margin planes
+    # are the likeliest to flip for true neighbors).
+    probes = F.array(
+        F.col("qbucket"),
+        *[
+            F.col("qbucket").bitwiseXOR(F.lit(2**i)).alias(f"p{i}")
+            for i in range(_N_PLANES)
+        ],
+    )
+    q = (
+        bucketed.filter(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("d").alias("qd"),
+            F.col("nrm").alias("qnrm"),
+            F.col("bucket").alias("qbucket"),
+        )
+        .select("query_id", "qd", "qnrm", F.explode(probes).alias("probe"))
     )
     cosine = rnd(
         _dot(F.col("qd"), F.col("d")) / (F.col("qnrm") * F.col("nrm")), 4)
@@ -185,7 +202,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         bucketed.join(
             F.broadcast(q),
-            (F.col("bucket") == F.col("qbucket"))
+            (F.col("bucket") == F.col("probe"))
             & (F.col("query_id") != F.col("vec_id")),
         )
         .select(

@@ -1,0 +1,96 @@
+"""Semantic invariants for the approximate (non-oracle) operators:
+LSH recall vs exact ground truth, signature determinism, ANN recall."""
+
+from __future__ import annotations
+
+from mapreduce_infrastructure_spark.llm import dedup, similarity
+
+
+def test_minhash_lsh_recall_vs_exact(spark, sf_dir):
+    """Every strongly-similar pair (exact jaccard >= 0.8) must be found by
+    LSH (16 bands × 2 rows: P(miss at j=0.8) = (1-0.64)^16 ≈ 1e-7), and all
+    reported pairs must carry their exact (verified) jaccard >= 0.5."""
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(spark, sf_dir).collect()
+    }
+    strong = {p for p, j in exact.items() if j >= 0.8}
+    lsh = {(r.doc_a, r.doc_b): r.jaccard for r in dedup.minhash_lsh_pairs(spark, sf_dir).collect()}
+    missed = strong - set(lsh)
+    assert not missed, f"LSH missed strongly-similar pairs: {missed}"
+    assert all(j >= dedup.VERIFY_THRESHOLD for j in lsh.values())
+    # verified jaccard agrees with the exact computation where both exist
+    for p in set(lsh) & set(exact):
+        assert abs(lsh[p] - exact[p]) < 1e-9
+
+
+def test_minhash_signatures_deterministic(spark, sf_dir):
+    a = dedup.minhash_signatures(spark, sf_dir).orderBy("doc_id").collect()
+    b = dedup.minhash_signatures(spark, sf_dir).orderBy("doc_id").collect()
+    assert [r.signature for r in a] == [r.signature for r in b]
+    assert all(len(r.signature) == dedup.N_HASHES for r in a)
+
+
+def test_identical_docs_identical_signature(spark, sf_dir):
+    """Docs with identical shingle sets must have identical signatures and
+    be emitted by LSH with jaccard 1.0 (if any exist at this SF)."""
+    sig = dedup.minhash_signatures(spark, sf_dir)
+    t = dedup._doc_shingles(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    joined = (
+        t.alias("a")
+        .join(t.alias("b"), F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(F.size(F.array_except("a.sh", "b.sh")) == 0)
+        .filter(F.size(F.array_except("b.sh", "a.sh")) == 0)
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+    )
+    pairs = joined.collect()
+    if pairs:
+        sigs = {r.doc_id: r.signature for r in sig.collect()}
+        for p in pairs:
+            assert sigs[p.da] == sigs[p.db]
+
+
+def test_simhash_finds_neardups(spark, sf_dir):
+    """SimHash pairs at small Hamming distance must include the exact
+    near-dup pairs (jaccard >= 0.9 → few token differences → low distance)."""
+    exact_strong = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.ngram_jaccard_pairs(spark, sf_dir).collect()
+        if r.jaccard >= 0.9
+    }
+    sim = {(r.doc_a, r.doc_b): r.hamming for r in dedup.simhash_neardup_pairs(spark, sf_dir).collect()}
+    missed = exact_strong - set(sim)
+    assert not missed, f"simhash missed near-identical pairs: {missed}"
+    assert all(0 <= h <= 16 for h in sim.values())
+
+
+def test_ann_lsh_recall(spark, sf_dir):
+    """Bucketed ANN: every reported neighbor must be a true vector id, ranks
+    contiguous from 1, and recall@3 vs brute force > 0 on average (sign-LSH
+    with 8 planes is coarse; exactness is not the contract — usefulness is)."""
+    brute = {}
+    for r in similarity.knn_bruteforce(spark, sf_dir).collect():
+        brute.setdefault(r.query_id, []).append((r.rank, r.neighbor_id))
+    ann = {}
+    for r in similarity.ann_lsh_topk(spark, sf_dir).collect():
+        ann.setdefault(r.query_id, []).append((r.rank, r.neighbor_id))
+    assert ann, "ANN returned nothing"
+    hits = total = 0
+    for q, neigh in ann.items():
+        ranks = sorted(rk for rk, _ in neigh)
+        assert ranks == list(range(1, len(ranks) + 1))
+        top3 = {n for rk, n in brute.get(q, []) if rk <= 3}
+        hits += len({n for _, n in neigh} & top3)
+        total += min(3, len(top3))
+    assert total == 0 or hits / total > 0.1
+
+
+def test_approx_distinct_bounds(spark, sf_dir):
+    from mapreduce_infrastructure_spark.operators.relational import (
+        approx_distinct_parts,
+    )
+
+    row = approx_distinct_parts(spark, sf_dir).collect()[0]
+    assert abs(row.approx_parts - row.exact_parts) / row.exact_parts < 0.05

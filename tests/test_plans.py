@@ -1,0 +1,65 @@
+"""Physical-plan guardrails: the properties that keep these queries viable
+at 100 TB — predicate pushdown into the parquet scan, broadcast joins for
+dimensions, no cartesian products, codegen'd hot paths."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_infrastructure_spark.catalog import load_table
+from mapreduce_infrastructure_spark.llm.text import wordcount
+from mapreduce_infrastructure_spark.operators.relational import (
+    filter_project,
+    join_region_customers,
+    q1_pricing_summary,
+    q3_shipping_priority,
+)
+from mapreduce_infrastructure_spark.plans import checks
+
+
+def test_filters_push_to_parquet_scan(spark, sf_dir):
+    df = filter_project(spark, sf_dir)
+    checks.assert_pushed_filter(df, "GreaterThan(l_discount")
+    checks.assert_pushed_filter(df, "EqualTo(l_returnflag,R)")
+
+
+def test_scan_prunes_columns(spark, sf_dir):
+    """A 2-column projection must not read all 11 lineitem columns."""
+    df = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    plan = checks.explain_str(df)
+    assert "l_extendedprice" not in plan.split("ReadSchema")[-1]
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    checks.assert_broadcast_join(join_region_customers(spark, sf_dir))
+    checks.assert_broadcast_join(q3_shipping_priority(spark, sf_dir))
+    checks.assert_no_cartesian(q3_shipping_priority(spark, sf_dir))
+
+
+def test_agg_paths_codegen(spark, sf_dir):
+    checks.assert_whole_stage_codegen(q1_pricing_summary(spark, sf_dir))
+    checks.assert_whole_stage_codegen(wordcount(spark, sf_dir))
+
+
+def test_partial_aggregation_before_shuffle(spark, sf_dir):
+    """Word count must do map-side partial aggregation (the reference's
+    in-mapper combine, src/mr_tasks.h:55-62) — two HashAggregates around
+    one exchange."""
+    plan = checks.explain_str(wordcount(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_topk_avoids_global_sort(spark, sf_dir):
+    """orderBy().limit(k) must plan TakeOrderedAndProject, not a full sort."""
+    from mapreduce_infrastructure_spark.operators.relational import top10_orders
+
+    plan = checks.explain_str(top10_orders(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_events_ts_is_timestamp(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    assert ev.schema["ts"].dataType.typeName().startswith("timestamp")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    assert lo.year == 2024 and hi.year == 2024
