@@ -49,7 +49,8 @@ def all_queries() -> dict[str, Query]:
     # Import here, not at module top, to avoid circular imports.
     from .operators import relational, analytic  # noqa: F401
     from .functions import scalar  # noqa: F401
-    from .streaming import batch_windows  # noqa: F401
+    from .sources import formats  # noqa: F401
+    from .streaming import batch_windows, stream  # noqa: F401
     from .llm import text, dedup, similarity, multimodal  # noqa: F401
     from .mr import queries as mr_queries  # noqa: F401
 

@@ -4,7 +4,7 @@ The reference is strictly batch with a hard map→reduce barrier
 (``description.md:35``); it has no notion of time. The new engine supplies
 tumbling / sliding / session windows with Spark's native `window` /
 `session_window` expressions — identical semantics batch and streaming (the
-`readStream` variants live in streaming/stream_demo.py; correctness is
+`readStream` variants live in streaming/stream.py; correctness is
 oracle-checked here in batch mode, per SURVEY §2B).
 
 All window boundaries are emitted as epoch seconds (BIGINT) so the check is

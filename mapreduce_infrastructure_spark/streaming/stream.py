@@ -1,0 +1,189 @@
+"""Structured Streaming over the `events` table (SURVEY.md §2B "Streaming").
+
+The reference is strictly batch with a hard map→reduce barrier
+(``description.md:35``). The engine's streaming tier runs the SAME windowed
+aggregations under ``readStream`` — Spark's unified semantics mean the
+batch-mode queries in streaming/batch_windows.py and these incremental
+versions return identical results over identical input, which is exactly how
+they are oracle-checked: each stream runs to completion with
+``Trigger.AvailableNow`` into a memory sink and the materialized table is
+compared against the batch oracle SQL.
+
+Pieces:
+- file-source ``readStream`` over the fixture parquet (at scale: a
+  date-partitioned event-log directory or Kafka source — same plan),
+- tumbling event-time window aggregation (`stream_tumbling_hourly`),
+- a CUSTOM STATEFUL OPERATOR via ``applyInPandasWithState``
+  (`stream_user_totals`): per-user running totals kept in explicit
+  ``GroupState`` — the streaming analogue of the reference's per-key
+  reduce fold (``external/include/mr_task_factory.h:37``),
+- watermark/late-data semantics exercised in tests/test_streaming.py
+  (append mode only emits watermark-finalized windows).
+
+Scale notes (100 TB/day event firehose):
+- State lives in the state store keyed by (window, key) / user — bounded by
+  watermark eviction, partitioned by the shuffle, never on the driver.
+- ``availableNow`` is the batch-backfill trigger: the same query that tails
+  Kafka replays history in bounded increments.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..functions.exact import dec, rnd
+from ..registry import query
+from ..session import tune
+
+# Raw schema as the parquet reader sees it under nanosAsLong (session.py):
+# the fixture's TIMESTAMP(NANOS) column arrives as epoch-nanos BIGINT.
+_RAW_EVENTS = (
+    "event_id bigint, ts long, user_id bigint, event_type string,"
+    " value double, props string"
+)
+
+_CHECKPOINTS = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), ".scratch", "checkpoints")
+
+
+def _staged_events_dir(sf_dir: str) -> str:
+    """The file streaming source tails a DIRECTORY (new files = new data —
+    the event-log layout at scale); the fixture is a single parquet file, so
+    stage a symlink to it in a per-SF scratch directory."""
+    d = os.path.join(
+        os.path.dirname(_CHECKPOINTS), "stream_src",
+        os.path.basename(sf_dir.rstrip("/")), "events",
+    )
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(os.path.abspath(sf_dir), "events.parquet"), link)
+    return d
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source readStream over events.parquet, normalized like
+    catalog.load_table (epoch-nanos long → µs TIMESTAMP)."""
+    tune(spark)
+    src = spark.readStream.schema(_RAW_EVENTS).parquet(_staged_events_dir(sf_dir))
+    return src.withColumn(
+        "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+    )
+
+
+def run_to_table(stream_df: DataFrame, name: str, mode: str = "complete") -> DataFrame:
+    """Run a streaming frame to completion (AvailableNow) into an in-memory
+    sink and return the materialized result as a batch DataFrame.
+
+    This is the bridge that lets the driver's batch oracle check streaming
+    plans: same input, same answer, incremental execution."""
+    spark = stream_df.sparkSession
+    ckpt = os.path.join(_CHECKPOINTS, name)
+    import shutil
+
+    shutil.rmtree(ckpt, ignore_errors=True)
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@query(
+    "stream_tumbling_hourly",
+    oracle="""
+    SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS wstart,
+           event_type,
+           COUNT(*) AS n_events,
+           floor((CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)) * 100 + 0.5) / 100 AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "window-time"),
+)
+def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tumbling-window aggregation of batch_windows.window_tumbling_hourly
+    executed INCREMENTALLY under Structured Streaming (complete mode, run to
+    end-of-input). Identical oracle — unified batch/streaming semantics."""
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            rnd(F.sum(dec("value")).cast("double"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("long").alias("wstart"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_to_table(agg, "stream_tumbling_hourly", mode="complete")
+
+
+def _user_totals_fn(
+    key: Tuple[Any, ...],
+    pdf_iter: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Running (count, sum) per user held in explicit GroupState; emits the
+    updated cumulative totals each micro-batch (cents as int64 — exact)."""
+    n, cents = state.get if state.exists else (0, 0)
+    for pdf in pdf_iter:
+        n += len(pdf)
+        # Money arithmetic in integer cents: float sums would drift by
+        # partition order; the reference's integer word-count fold is the
+        # same exactness contract (test/user_tasks.cc:29-33).
+        cents += int(round(pdf["value"].mul(100).round().sum()))
+    state.update((n, cents))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "sum_value": [cents / 100.0]}
+    )
+
+
+@query(
+    "stream_user_totals",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           floor((CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)) * 100 + 0.5) / 100 AS sum_value
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("streaming", "stateful"),
+)
+def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator: per-user running totals via
+    ``applyInPandasWithState`` — explicit keyed state, the engine's escape
+    hatch for aggregations Spark's built-ins can't express (the reference's
+    arbitrary BaseReducer fold, kept incremental instead of batch).
+
+    Emits cumulative totals per micro-batch; the final per-user row (max
+    n_events) equals the batch group-by, which is what the oracle checks."""
+    ev = stream_events(spark, sf_dir).select("user_id", "value")
+    updated = ev.groupBy("user_id").applyInPandasWithState(
+        _user_totals_fn,
+        outputStructType="user_id bigint, n_events bigint, sum_value double",
+        stateStructType="n bigint, cents bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    per_batch = run_to_table(updated, "stream_user_totals", mode="update")
+    # Under multi-batch replay a user emits once per batch; the cumulative
+    # row with the highest n_events is the final state.
+    w = F.struct("n_events", "sum_value")
+    return per_batch.groupBy("user_id").agg(F.max(w).alias("s")).select(
+        "user_id", F.col("s.n_events").alias("n_events"),
+        F.col("s.sum_value").alias("sum_value"),
+    )

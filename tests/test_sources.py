@@ -1,0 +1,69 @@
+"""Source/sink connector tests: roundtrip fidelity + scan-plan shape.
+
+The oracle comparison (tests/test_oracle_queries.py) already checks the
+values of every sources query; this file asserts the *plan* properties the
+docstrings promise — partition pruning actually pruning, declared schemas
+actually skipping inference — which a value check can't see.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_infrastructure_spark.plans.checks import explain_str
+from mapreduce_infrastructure_spark.sources import formats
+
+
+def test_csv_roundtrip_preserves_rows(spark, sf_dir):
+    from mapreduce_infrastructure_spark.catalog import load_table
+
+    back = formats.csv_roundtrip_nation(spark, sf_dir)
+    orig = load_table(spark, sf_dir, "nation")
+    assert back.count() == orig.count()
+    assert sorted(back.columns) == sorted(orig.columns)
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in orig.collect()}
+
+
+def test_json_roundtrip_typed(spark, sf_dir):
+    out = formats.sink_dir(sf_dir, "events_json")
+    formats.json_roundtrip_events(spark, sf_dir).collect()  # writes the sink
+    back = spark.read.schema(formats.EVENTS_DDL).option(
+        "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    ).json(out)
+    # Timestamp and double types survive the JSON roundtrip exactly.
+    assert dict(back.dtypes)["ts"] == "timestamp"
+    from mapreduce_infrastructure_spark.catalog import load_table
+
+    orig = load_table(spark, sf_dir, "events")
+    o = orig.select(F.max("ts"), F.sum("event_id")).first()
+    b = back.select(F.max("ts"), F.sum("event_id")).first()
+    assert (b[0], b[1]) == (o[0], o[1])
+
+
+def test_partitioned_parquet_prunes(spark, sf_dir):
+    formats.parquet_partitioned_prune(spark, sf_dir).collect()  # writes sink
+    out = formats.sink_dir(sf_dir, "orders_part")
+    back = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F")
+    plan = explain_str(back)
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0], plan
+    # And the partition column never reaches the data files: scanning just
+    # the one hive directory yields exactly the filtered row set.
+    only_f = spark.read.parquet(out + "/o_orderstatus=F")
+    assert back.count() == only_f.count() > 0
+
+
+def test_text_scan_schema_on_read(spark, sf_dir):
+    parsed = formats.text_scan_doc_langs(spark, sf_dir)
+    rows = {r.lang: r.n_docs for r in parsed.collect()}
+    from mapreduce_infrastructure_spark.catalog import load_table
+
+    orig = {
+        r.lang: r.cnt
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert rows == orig

@@ -1,0 +1,64 @@
+"""Structured Streaming semantics: batch/stream equivalence and
+watermark-gated append output.
+
+The oracle harness (test_oracle_queries.py) already value-checks the
+streaming queries against DuckDB; here we check the streaming-only
+properties — incremental execution reaching the same answer as batch, and
+append mode emitting only watermark-finalized windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_infrastructure_spark.streaming import batch_windows, stream
+
+
+def _rows(df, cols):
+    return {tuple(r[c] for c in cols) for r in df.collect()}
+
+
+def test_stream_matches_batch_tumbling(spark, sf_dir):
+    got = stream.stream_tumbling_hourly(spark, sf_dir)
+    want = batch_windows.window_tumbling_hourly(spark, sf_dir)
+    cols = ["wstart", "event_type", "n_events", "sum_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_stream_user_totals_matches_groupby(spark, sf_dir):
+    got = stream.stream_user_totals(spark, sf_dir)
+    from mapreduce_infrastructure_spark.catalog import load_table
+
+    want = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    got_counts = {(r.user_id, r.n_events) for r in got.collect()}
+    want_counts = {(r.user_id, r.n_events) for r in want.collect()}
+    assert got_counts == want_counts
+
+
+def test_append_mode_emits_only_finalized_windows(spark, sf_dir):
+    """With a watermark, append mode may only emit windows whose end is
+    below the final watermark — a strict subset of the batch answer, and
+    every emitted row must match the batch row exactly (late-data contract:
+    what is emitted is final)."""
+    ev = stream.stream_events(spark, sf_dir).withWatermark("ts", "30 minutes")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("long").alias("wstart"),
+            "n_events",
+        )
+    )
+    emitted = stream.run_to_table(agg, "append_windows", mode="append")
+    batch = (
+        batch_windows.window_tumbling_hourly(spark, sf_dir)
+        .groupBy("wstart")
+        .agg(F.sum("n_events").alias("n_events"))
+    )
+    got = _rows(emitted, ["wstart", "n_events"])
+    want = _rows(batch, ["wstart", "n_events"])
+    assert got <= want  # finalized subset, values exact
