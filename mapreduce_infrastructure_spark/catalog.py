@@ -43,12 +43,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     tune(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        # epoch-nanos long -> TIMESTAMP (microsecond precision; truncation
-        # below 1 µs is irrelevant to any window/session/ordering semantics
-        # at second-level granularity, and matches the oracle's view).
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
-        )
+        # epoch-nanos long -> TIMESTAMP via INTEGER division: ns values
+        # (~1.7e18) exceed 2^53, so a double-typed `/ 1000` loses ulps and
+        # lands a microsecond off the oracle's truncation. `div` stays in
+        # 64-bit integer arithmetic.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

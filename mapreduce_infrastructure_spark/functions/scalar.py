@@ -178,3 +178,38 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("mean_val"),
     )
+
+
+@query(
+    "map_functions",
+    oracle="""
+    SELECT user_id,
+           COUNT(DISTINCT event_type) AS n_types,
+           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("scalar", "map"),
+)
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType construction and access: per-user event_type→count map built
+    with map_from_entries(collect_list(struct)), read back with element_at /
+    size — the typed-dictionary column pattern (feature maps, sparse stats)
+    carried through a relational plan. Output is plain columns so the oracle
+    can state the same facts as conditional aggregates."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    with_map = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "cnt"))
+        ).alias("m")
+    )
+    return with_map.select(
+        "user_id",
+        F.size("m").alias("n_types"),
+        F.coalesce(F.element_at("m", "click"), F.lit(0)).alias("clicks"),
+        F.coalesce(F.element_at("m", "purchase"), F.lit(0)).alias("purchases"),
+    )

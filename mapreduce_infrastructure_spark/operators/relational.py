@@ -629,3 +629,29 @@ def correlated_max_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
                            WHERE c2.c_mktsegment = c.c_mktsegment)
         """
     )
+
+
+@query(
+    "join_right_orders_customer",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           COUNT(o.o_orderkey) AS n_orders
+    FROM orders o
+    RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+    tags=("join", "right"),
+)
+def join_right_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join (every customer kept, order side nullable).
+
+    Catalyst plans this as the mirrored left-outer with the small side
+    broadcast; COUNT(column) counts only matched rows — the null-semantics
+    edge that distinguishes right-outer from inner in the oracle check."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "right")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )

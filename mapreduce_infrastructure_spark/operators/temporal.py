@@ -1,0 +1,121 @@
+"""Temporal / ordered-join operators: as-of join and pivot.
+
+The reference has no notion of time or joins at all (SURVEY.md §2B); these
+are the "custom operator" tier — semantics Spark has no single built-in for,
+composed from primitives instead of dropping to UDFs.
+
+The as-of join is THE canonical example: for each left row, the most recent
+right row at-or-before it per key. A correlated subquery would be a per-row
+nested-loop; the scale path used here is the union+window ("merge") form:
+union both sides tagged, one window sort per user, carry the latest
+right-side row forward with last(ignorenulls). One shuffle on the key, one
+sort — exactly the plan a dedicated as-of physical operator (e.g. a
+time-series DB's) would produce, and it degrades gracefully under skew via
+AQE because it is a plain window aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..catalog import load_table
+from ..functions.exact import rnd
+from ..registry import query
+
+
+@query(
+    "asof_join_purchase_click",
+    oracle="""
+    SELECT p.event_id,
+           p.user_id,
+           epoch_us(p.ts) AS purchase_us,
+           epoch_us(c.ts) AS click_us,
+           c.value AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    tags=("join", "asof", "temporal"),
+)
+def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent click at
+    or before it (inner — purchases with no prior click drop, matching
+    DuckDB's ASOF JOIN).
+
+    Union+window form: tag clicks side=0 / purchases side=1, sort per user
+    by (ts, side) so a same-instant click sorts before the purchase (>= in
+    the oracle), and carry the last click forward. Cost at 100 TB: ONE
+    shuffle on user_id and a per-user sort — no nested loop, no range-join
+    explosion; skewed users split by AQE."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts"),
+        F.lit(0).alias("side"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.struct(F.unix_micros("ts").alias("us"), "value").alias("click"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts"),
+        F.lit(1).alias("side"),
+        "event_id",
+        F.lit(None).cast("struct<us:bigint,value:double>").alias("click"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = clicks.unionByName(purchases).withColumn(
+        "last_click", F.last("click", ignorenulls=True).over(w)
+    )
+    return (
+        merged.filter((F.col("side") == 1) & F.col("last_click").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros("ts").alias("purchase_us"),
+            F.col("last_click.us").alias("click_us"),
+            F.col("last_click.value").alias("click_value"),
+        )
+    )
+
+
+@query(
+    "pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS F,
+           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS O,
+           SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS P,
+           floor((CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE)) * 100 + 0.5) / 100 AS f_total
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("agg", "pivot"),
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (cross-tab): order counts per priority × status, plus one
+    pivoted money sum. The status values are DECLARED (`pivot(col, values)`)
+    — omitting them makes Spark run an extra distinct-scan job to discover
+    the columns, a full pass you never want at 100 TB."""
+    o = load_table(spark, sf_dir, "orders")
+    counts = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["F", "O", "P"])
+    )
+    f_total = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderpriority")
+        .agg(
+            rnd(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("f_total")
+        )
+    )
+    return counts.join(f_total, "o_orderpriority", "left").na.fill(
+        {"f_total": 0.0}
+    )

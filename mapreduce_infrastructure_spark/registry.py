@@ -47,8 +47,8 @@ def all_queries() -> dict[str, Query]:
     """All registered queries (importing the operator modules as a side
     effect so their registrations run)."""
     # Import here, not at module top, to avoid circular imports.
-    from .operators import relational, analytic  # noqa: F401
-    from .functions import scalar  # noqa: F401
+    from .operators import relational, analytic, temporal  # noqa: F401
+    from .functions import scalar, udfs  # noqa: F401
     from .sources import formats  # noqa: F401
     from .streaming import batch_windows, stream  # noqa: F401
     from .llm import text, dedup, similarity, multimodal  # noqa: F401

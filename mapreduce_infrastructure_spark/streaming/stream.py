@@ -71,9 +71,9 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     catalog.load_table (epoch-nanos long → µs TIMESTAMP)."""
     tune(spark)
     src = spark.readStream.schema(_RAW_EVENTS).parquet(_staged_events_dir(sf_dir))
-    return src.withColumn(
-        "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
-    )
+    # Integer division (see catalog.load_table): double arithmetic on
+    # epoch-nanos longs loses microseconds.
+    return src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def run_to_table(stream_df: DataFrame, name: str, mode: str = "complete") -> DataFrame:

@@ -69,7 +69,8 @@ def test_simhash_finds_neardups(spark, sf_dir):
 def test_ann_lsh_recall(spark, sf_dir):
     """Bucketed ANN: every reported neighbor must be a true vector id, ranks
     contiguous from 1, and recall@3 vs brute force > 0 on average (sign-LSH
-    with 8 planes is coarse; exactness is not the contract — usefulness is)."""
+    is coarse on weakly-clustered vectors even with multi-probe; exactness
+    is not the contract — usefulness is)."""
     brute = {}
     for r in similarity.knn_bruteforce(spark, sf_dir).collect():
         brute.setdefault(r.query_id, []).append((r.rank, r.neighbor_id))
