@@ -37,6 +37,10 @@ HEADLINE = [
     "dedup_exact",
     "minhash_lsh_pairs",
     "knn_bruteforce",
+    "asof_join_purchase_click",
+    "stats_corr_qty_price",
+    "ann_ivf_topk",
+    "stream_tumbling_hourly",
 ]
 
 

@@ -1,0 +1,121 @@
+"""Statistical aggregates with DETERMINISTIC cross-engine results.
+
+Spark's built-in `corr`/`stddev`/`covar_samp` accumulate doubles in shuffle
+order, so two runs (or two engines) disagree in the last ulps — fine for
+analytics, fatal for a differential-correctness gate and for reproducible
+pipelines. This module computes the same statistics from EXACT decimal power
+sums (Σx, Σy, Σx², Σy², Σxy are associative in DECIMAL, so every
+partitioning yields identical bits), applying the textbook closed forms in
+double only at the very end:
+
+    var   = (n·Σx² − (Σx)²) / (n·(n−1))
+    corr  = (n·Σxy − Σx·Σy) / sqrt((n·Σx² − (Σx)²)·(n·Σy² − (Σy)²))
+
+The same expressions run in DuckDB over the same decimal sums → the check is
+exact, no rounding slop needed beyond display rounding.
+
+Scale note: a decimal power-sum aggregate is a single partial+final
+HashAggregate pass (one shuffle), identical cost to the double version; at
+100 TB the determinism additionally means re-runs and stragglers can't
+produce drifting results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..catalog import load_table
+from ..functions.exact import dec, rnd
+from ..registry import query
+
+# Power sums in DECIMAL(28,4): products of two DECIMAL(18,2) values are
+# DECIMAL(·,4); 28 integer digits absorb 100 TB-scale row counts.
+_PROD = "decimal(28,4)"
+
+
+@query(
+    "stats_moments_by_status",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderstatus,
+             COUNT(*) AS n,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sx,
+             SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS sxx
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, n,
+           floor((CAST(sx AS DOUBLE) / n) * 100 + 0.5) / 100 AS mean_price,
+           floor(sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / (CAST(n AS DOUBLE) * (n - 1))) * 100 + 0.5) / 100 AS stddev_price
+    FROM s
+    """,
+    tags=("agg", "stats"),
+)
+def stats_moments_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean and sample stddev of order totals per status, via exact decimal
+    power sums (see module docstring — bit-identical across partitionings
+    and engines, unlike the built-in stddev_samp)."""
+    o = load_table(spark, sf_dir, "orders")
+    x = dec("o_totalprice")
+    agg = o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum((x * x).cast(_PROD)).alias("sxx"),
+    )
+    n = F.col("n")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    return agg.select(
+        "o_orderstatus",
+        "n",
+        rnd(sx / n, 2).alias("mean_price"),
+        rnd(
+            F.sqrt((n * sxx - sx * sx) / (n.cast("double") * (n - 1))), 2
+        ).alias("stddev_price"),
+    )
+
+
+@query(
+    "stats_corr_qty_price",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+             SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS sxx,
+             SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS syy,
+             SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           floor(((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                       * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) * 1000000 + 0.5) / 1000000 AS corr_qty_price
+    FROM s
+    """,
+    tags=("agg", "stats"),
+)
+def stats_corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of quantity vs price per return flag, from exact
+    decimal power sums — the deterministic form of F.corr."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = dec("l_quantity"), dec("l_extendedprice")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum((x * x).cast(_PROD)).alias("sxx"),
+        F.sum((y * y).cast(_PROD)).alias("syy"),
+        F.sum((x * y).cast(_PROD)).alias("sxy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy, sxy = (
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+        F.col("sxy").cast("double"),
+    )
+    corr = (n * sxy - sx * sy) / F.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    return agg.select("l_returnflag", "n", rnd(corr, 6).alias("corr_qty_price"))

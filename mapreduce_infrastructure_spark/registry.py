@@ -47,9 +47,9 @@ def all_queries() -> dict[str, Query]:
     """All registered queries (importing the operator modules as a side
     effect so their registrations run)."""
     # Import here, not at module top, to avoid circular imports.
-    from .operators import relational, analytic, temporal  # noqa: F401
+    from .operators import relational, analytic, temporal, stats  # noqa: F401
     from .functions import scalar, udfs  # noqa: F401
-    from .sources import formats  # noqa: F401
+    from .sources import formats, bucketing  # noqa: F401
     from .streaming import batch_windows, stream  # noqa: F401
     from .llm import text, dedup, similarity, multimodal  # noqa: F401
     from .mr import queries as mr_queries  # noqa: F401

@@ -95,3 +95,18 @@ def test_approx_distinct_bounds(spark, sf_dir):
 
     row = approx_distinct_parts(spark, sf_dir).collect()[0]
     assert abs(row.approx_parts - row.exact_parts) / row.exact_parts < 0.05
+
+
+def test_ann_ivf_recall(spark, sf_dir):
+    """IVF (k-means cells, 3/16 probed) must beat sign-LSH's recall floor:
+    >= 0.4 recall@3 vs brute force on the fixtures (measured 0.6-0.7)."""
+    brute = {}
+    for r in similarity.knn_bruteforce(spark, sf_dir).collect():
+        if r.rank <= 3:
+            brute.setdefault(r.query_id, set()).add(r.neighbor_id)
+    ann = {}
+    for r in similarity.ann_ivf_topk(spark, sf_dir).collect():
+        ann.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(ann.get(q, set()) & s) for q, s in brute.items())
+    total = sum(len(s) for s in brute.values())
+    assert total > 0 and hits / total >= 0.4
