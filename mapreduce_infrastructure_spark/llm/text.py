@@ -226,3 +226,69 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts["sql"].cast("long").alias("c_sql"),
         predicted.alias("predicted"),
     )
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_filter(regexp_split_to_array(lower(text), '{TOKEN_DELIM}'), x -> x <> ''))) AS term,
+             list_filter(regexp_split_to_array(lower(text), '{TOKEN_DELIM}'), x -> x <> '') AS all_toks
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term,
+             CAST(len(list_filter(all_toks, x -> x = term)) AS BIGINT) AS tf
+      FROM toks
+    ), df AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             floor((tf.tf * ln(CAST(n.n AS DOUBLE) / df.df)) * 10000 + 0.5) / 10000 AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, tfidf, rnk FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                       ORDER BY tf DESC, df ASC, term) AS INTEGER) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3
+    """,
+    tags=("text", "tfidf"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by TF-IDF.
+
+    Plan shape at 100 TB: one explode+groupBy for term frequencies (shuffle
+    on (doc,term)), one groupBy for document frequencies (shuffle on term,
+    broadcast back — the DF table is vocabulary-sized), one per-doc window
+    for the top-k. Ranking uses INTEGER keys (tf desc, df asc, term) so the
+    cross-engine check can't flake on float ordering; the float tfidf score
+    is carried as a value column."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar, known at plan time (count at scale too)
+    tf = (
+        docs.select("doc_id", F.explode(tokens_col()).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("term")
+    )
+    return (
+        tf.join(F.broadcast(df), "term")
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            rnd(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4).alias(
+                "tfidf"
+            ),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+    )

@@ -655,3 +655,126 @@ def join_right_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name")
         .agg(F.count("o_orderkey").alias("n_orders"))
     )
+
+
+@query(
+    "q5_supplier_revenue",
+    oracle="""
+    SELECT n.n_name,
+           COUNT(*) AS n_items,
+           floor((CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                           * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)) * 100 + 0.5) / 100 AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def q5_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style six-table join chain: local-supplier revenue per Asian
+    nation.
+
+    Plan at 100 TB: region/nation/supplier/customer broadcast (all stay
+    dimension-sized); the only big shuffle is lineitem⋈orders on orderkey.
+    The region filter prunes before any fact work via the broadcast chain —
+    Catalyst pushes r_name = 'ASIA' through the join graph."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    revenue = F.sum(
+        dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    ).cast("double")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            rnd(revenue, 2).alias("revenue"),
+        )
+    )
+
+
+N_SALTS = 8
+
+
+@query(
+    "salted_agg_user_value",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           floor((CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)) * 100 + 0.5) / 100 AS sum_value
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("agg", "skew"),
+)
+def salted_agg_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage SALTED aggregation: groupBy(key, salt) → groupBy(key).
+
+    The skew pattern for hot keys at 100 TB: a single celebrity user_id
+    lands its entire partition on one reducer; salting splits each key into
+    N_SALTS sub-groups first, so no task sees more than 1/N of the hot key.
+    Both stages are algebraic (counts and decimal sums re-aggregate exactly)
+    — the result is identical to the direct group-by, which is what the
+    oracle checks. Spark's AQE skew handling covers JOIN skew at runtime;
+    aggregation skew needs this explicit rewrite (or partial-agg, which
+    salting generalizes to arbitrary depth)."""
+    ev = load_table(spark, sf_dir, "events")
+    salted = ev.withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(N_SALTS))
+    )
+    partial = salted.groupBy("user_id", "salt").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("value")).alias("s"),
+    )
+    return partial.groupBy("user_id").agg(
+        F.sum("n").alias("n_events"),
+        rnd(F.sum("s").cast("double"), 2).alias("sum_value"),
+    )
+
+
+@query(
+    "set_ops_all_variants",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n FROM (
+      SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+      UNION ALL
+      SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+      EXCEPT ALL
+      SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'P'
+    ) GROUP BY o_orderpriority
+    """,
+    tags=("setop", "multiset"),
+)
+def set_ops_all_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (bag) set operations — unionAll keeps duplicates, exceptAll
+    subtracts multiplicities (each 'P' occurrence cancels ONE retained row)
+    — semantics the distinct variants above cannot express. Multiplicity
+    bookkeeping is a per-key counter, exactly the reference's grouped-values
+    model (src/mr_tasks.h:101)."""
+    o = load_table(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    op = o.filter(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    p = o.filter(F.col("o_orderstatus") == "P").select("o_orderpriority")
+    return (
+        f.unionAll(op)
+        .exceptAll(p)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -63,3 +63,27 @@ def test_events_ts_is_timestamp(spark, sf_dir):
     assert ev.schema["ts"].dataType.typeName().startswith("timestamp")
     lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
     assert lo.year == 2024 and hi.year == 2024
+
+
+def test_q5_broadcasts_dimensions(spark, sf_dir):
+    """Q5's six-table chain: all four dimension joins broadcast; the only
+    shuffle join allowed is lineitem⋈orders."""
+    from mapreduce_infrastructure_spark.operators.relational import (
+        q5_supplier_revenue,
+    )
+
+    plan = checks.explain_str(q5_supplier_revenue(spark, sf_dir), "simple")
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert plan.count("SortMergeJoin") <= 1, plan
+
+
+def test_salted_agg_two_stages(spark, sf_dir):
+    """Salted aggregation must keep both stages algebraic: two groupBys,
+    the first keyed by (user_id, salt)."""
+    from mapreduce_infrastructure_spark.operators.relational import (
+        salted_agg_user_value,
+    )
+
+    plan = checks.explain_str(salted_agg_user_value(spark, sf_dir))
+    assert "salt" in plan
+    assert plan.count("HashAggregate") >= 3  # partial+final per stage
