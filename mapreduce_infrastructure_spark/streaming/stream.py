@@ -187,3 +187,61 @@ def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.col("s.n_events").alias("n_events"),
         F.col("s.sum_value").alias("sum_value"),
     )
+
+
+@query(
+    "stream_join_click_purchase",
+    oracle="""
+    SELECT c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           c.user_id,
+           epoch_us(c.ts) AS click_us,
+           epoch_us(p.ts) AS purchase_us
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL '30 minutes'
+    """,
+    tags=("streaming", "join"),
+)
+def stream_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM inner join: clicks joined to purchases by the same user
+    within the following 30 minutes. Both sides carry watermarks and the
+    join condition bounds event time in both directions, so Spark can evict
+    buffered state as the watermark advances — the only formulation whose
+    state stays bounded on an infinite stream. Run to end-of-input, the
+    result equals the equivalent batch interval join, which the oracle
+    states directly."""
+    ev = stream_events(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user").alias("user_id"),
+        F.unix_micros("c_ts").alias("click_us"),
+        F.unix_micros("p_ts").alias("purchase_us"),
+    )
+    return run_to_table(joined, "stream_join_click_purchase", mode="append")
