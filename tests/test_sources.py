@@ -67,3 +67,25 @@ def test_text_scan_schema_on_read(spark, sf_dir):
         .collect()
     }
     assert rows == orig
+
+
+def test_json_scan_malformed_rows_visible(spark, sf_dir, tmp_path):
+    """PERMISSIVE JSON scan: malformed lines must surface (corrupt-record
+    column), never silently drop — at 100 TB silent data loss is the worst
+    failure mode a connector can have."""
+    p = tmp_path / "mixed.json"
+    p.write_text(
+        '{"event_id": 1, "event_type": "click"}\n'
+        "this is not json\n"
+        '{"event_id": 2, "event_type": "purchase"}\n'
+        '{"event_id": "not a number", "event_type": "x"}\n'
+    )
+    df = spark.read.schema(
+        "event_id bigint, event_type string, _corrupt_record string"
+    ).json(str(p))
+    rows = df.collect()
+    assert len(rows) == 4  # nothing dropped
+    corrupt = [r for r in rows if r._corrupt_record is not None]
+    assert len(corrupt) == 2  # the non-JSON line and the type-mismatch line
+    good = {r.event_id for r in rows if r._corrupt_record is None}
+    assert good == {1, 2}
