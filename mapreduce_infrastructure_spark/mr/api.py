@@ -78,3 +78,25 @@ class WordCountReducer(BaseReducer):
 
     def reduce(self, key: str, values: Iterable[str]) -> None:
         self.emit(key, str(sum(int(v) for v in values)))
+
+
+class InvertedIndexMapper(BaseMapper):
+    """Inverted index mapper — the MapReduce paper's other canonical example
+    (OSDI'04 §2.3): records are ``doc_id<TAB>text``; emit (term, doc_id) per
+    occurrence. Registered as user_id "invidx" to show the registry carries
+    arbitrary tasks, not just the shipped demo
+    (``src/mr_task_factory.cc:28-88`` supports any number of user_ids)."""
+
+    def map(self, record: str) -> None:
+        doc_id, _, text = record.partition("\t")
+        for token in text.split(" "):
+            if token:
+                self.emit(token.lower(), doc_id)
+
+
+class InvertedIndexReducer(BaseReducer):
+    """Emit (term, comma-joined ascending distinct doc ids)."""
+
+    def reduce(self, key: str, values) -> None:
+        ids = sorted({int(v) for v in values})
+        self.emit(key, ",".join(str(i) for i in ids))

@@ -36,3 +36,28 @@ def mr_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kv.select(
         F.col("key").alias("word"), F.col("value").cast("long").alias("cnt")
     )
+
+
+@query(
+    "mr_inverted_index",
+    oracle="""
+    SELECT term, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS docs
+    FROM (SELECT DISTINCT doc_id,
+                 unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS term
+          FROM documents)
+    GROUP BY term
+    """,
+    tags=("mr-compat", "text", "index"),
+)
+def mr_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index through the MR-compat API under a SECOND user_id —
+    the registry carries arbitrary tasks (reference
+    ``src/mr_task_factory.cc:28-88``), not just the shipped demo. Mapper
+    emits (term, doc_id); reducer dedupes and joins ids ascending. The
+    corpus is space-separated lowercase words, so the whitespace split
+    matches the oracle's string_split exactly."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.concat_ws("\t", F.col("doc_id"), F.col("text")).alias("record")
+    )
+    kv = run_mr_job(spark, docs, user_id="invidx", num_output_files=8)
+    return kv.select(F.col("key").alias("term"), F.col("value").alias("docs"))

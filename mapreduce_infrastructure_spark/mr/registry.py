@@ -46,3 +46,8 @@ def get_factories(user_id: str) -> tuple[MapperFactory, ReducerFactory]:
 # The reference registers its demo word-count task as "cs6210"
 # (test/config.ini:7, test/user_tasks.cc:45-58); same default here.
 register_tasks("cs6210", WordCountMapper, WordCountReducer)
+# Second registered task: inverted index under "invidx" (shows the registry
+# is general — any (mapper, reducer) pair per user_id, like the reference).
+from .api import InvertedIndexMapper, InvertedIndexReducer  # noqa: E402
+
+register_tasks("invidx", InvertedIndexMapper, InvertedIndexReducer)
