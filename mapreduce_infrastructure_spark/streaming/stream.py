@@ -245,3 +245,28 @@ def stream_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("p_ts").alias("purchase_us"),
     )
     return run_to_table(joined, "stream_join_click_purchase", mode="append")
+
+
+@query(
+    "stream_dedup_events",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_unique
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("streaming", "dedup"),
+)
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EXACTLY-ONCE dedup: the stream unioned with itself (every
+    event arrives twice — the at-least-once delivery model of any real
+    event bus) then ``dropDuplicates`` on the event id with a watermark
+    bounding the dedup state. Counts per type equal the clean batch input —
+    duplicates are eliminated across micro-batches, not just within one.
+
+    At 100 TB/day this is the ingestion-front dedup: state is one id per
+    event inside the watermark horizon, evicted as event time advances."""
+    ev = stream_events(spark, sf_dir).select("event_id", "ts", "event_type")
+    doubled = ev.unionByName(ev).withWatermark("ts", "1 hour")
+    deduped = doubled.dropDuplicates(["event_id"])
+    agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_unique"))
+    return run_to_table(agg, "stream_dedup_events", mode="complete")
