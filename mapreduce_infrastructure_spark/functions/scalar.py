@@ -213,3 +213,31 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.element_at("m", "click"), F.lit(0)).alias("clicks"),
         F.coalesce(F.element_at("m", "purchase"), F.lit(0)).alias("purchases"),
     )
+
+
+@query(
+    "posexplode_tokens",
+    oracle="""
+    SELECT d.doc_id,
+           CAST(t.i - 1 AS INTEGER) AS pos,
+           d.toks[t.i] AS token
+    FROM (SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS toks
+          FROM documents WHERE doc_id < 20) d,
+         LATERAL unnest(generate_series(1, len(d.toks))) AS t(i)
+    """,
+    tags=("scalar", "udtf", "explode"),
+)
+def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional table function (UDTF with ordinality): token stream with
+    0-based positions for the first docs — the tokenize step of any
+    sequence-model pipeline, where position matters (n-gram windows,
+    truncation). posexplode is the generator form of the reference's
+    emit-N-rows mapper (external/include/mr_task_factory.h:20-21)."""
+    from ..llm.text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    return docs.select(
+        "doc_id", F.posexplode(tokens_col()).alias("pos", "token")
+    )

@@ -165,3 +165,40 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+@query(
+    "window_range_7day_sum",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(epoch(o_orderdate) AS BIGINT) AS od_epoch,
+           floor((CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                    PARTITION BY o_custkey ORDER BY o_orderdate
+                    RANGE BETWEEN INTERVAL '7 days' PRECEDING AND CURRENT ROW
+                  ) AS DOUBLE)) * 100 + 0.5) / 100 AS trailing_7d
+    FROM orders
+    """,
+    tags=("window", "range-frame"),
+)
+def window_range_7day_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed window: per customer, the trailing-7-day order total at
+    each order (event-TIME frame, not row count — rows with equal dates all
+    see the same frame, which a ROWS frame gets wrong). Spark expresses
+    interval range frames over the epoch-seconds ordering column.
+
+    At 100 TB this is the rolling-feature generator for training data; one
+    shuffle on the partition key, sorted within partitions."""
+    o = load_table(spark, sf_dir, "orders")
+    od_epoch = F.unix_timestamp("o_orderdate").cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(od_epoch)
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        od_epoch.alias("od_epoch"),
+        rnd(
+            F.sum(dec("o_totalprice")).over(w).cast("double"), 2
+        ).alias("trailing_7d"),
+    )
