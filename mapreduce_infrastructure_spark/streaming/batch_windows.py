@@ -155,3 +155,46 @@ def sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "session_start", "n_events", "sum_value")
     )
+
+
+@query(
+    "rollup_hierarchical_daily",
+    oracle="""
+    SELECT CAST(epoch(time_bucket(INTERVAL '1 day', ts)) AS BIGINT) AS dstart,
+           COUNT(*) AS n_events,
+           floor((CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)) * 100 + 0.5) / 100 AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("events", "window-time", "rollup"),
+)
+def rollup_hierarchical_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical time rollup (the hypertable/continuous-aggregate
+    pattern): minute buckets → hour buckets → day buckets, each level
+    re-aggregating the PREVIOUS level, not the raw table.
+
+    Equal to the direct daily aggregate (the oracle) because count and
+    DECIMAL sum are associative — and that is the point at 100 TB: the daily
+    job reads 24 hourly rows per key instead of rescanning a day of raw
+    events, and each level is a materializable incremental view. Window
+    starts are aligned (minute ⊂ hour ⊂ day), so re-bucketing is exact."""
+    ev = load_table(spark, sf_dir, "events")
+    minutely = ev.groupBy(F.window("ts", "1 minute").alias("w")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("value")).alias("s"),
+    ).select(F.col("w.start").alias("mstart"), "n", "s")
+    hourly = minutely.groupBy(
+        F.date_trunc("hour", "mstart").alias("hstart")
+    ).agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+    return (
+        hourly.groupBy(F.date_trunc("day", "hstart").alias("d"))
+        .agg(
+            F.sum("n").alias("n_events"),
+            rnd(F.sum("s").cast("double"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp("d").cast("long").alias("dstart"),
+            "n_events",
+            "sum_value",
+        )
+    )
