@@ -778,3 +778,41 @@ def set_ops_all_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "cross_join_region_status",
+    oracle="""
+    SELECT r.r_name, s.o_orderstatus,
+           COALESCE(o.n, 0) AS n_orders
+    FROM region r
+    CROSS JOIN (SELECT unnest(['F', 'O', 'P', 'X']) AS o_orderstatus) s
+    LEFT JOIN (SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus) o
+      ON s.o_orderstatus = o.o_orderstatus
+    """,
+    tags=("join", "cross"),
+)
+def cross_join_region_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cross join (the dense grid/scaffold pattern): every region ×
+    every status from an INDEPENDENT declared domain, zero-filled — 'X' has
+    no orders, so its grid cells exist with n_orders = 0, which only a
+    cross join + left join can produce (a plain group-by drops absent
+    combinations). The one join where a cartesian product is the intent;
+    safe at scale only because both sides are tiny — the engine's plan
+    checks treat any other cartesian as a bug
+    (plans/checks.assert_no_cartesian). One scan of orders total."""
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    o = load_table(spark, sf_dir, "orders")
+    statuses = spark.createDataFrame(
+        [("F",), ("O",), ("P",), ("X",)], "o_orderstatus string"
+    )
+    counts = o.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        r.crossJoin(statuses)
+        .join(counts, "o_orderstatus", "left")
+        .select(
+            "r_name",
+            "o_orderstatus",
+            F.coalesce("n", F.lit(0)).alias("n_orders"),
+        )
+    )
