@@ -30,6 +30,22 @@ from ..functions.exact import rnd
 from ..registry import query
 from .text import tokens_col
 
+# Persisted working sets, one slot per (query, sf_dir): re-invoking a query
+# unpersists the previous invocation's cache first, so session storage is
+# bounded at one copy per query instead of leaking a copy per call.
+_CACHE: dict[str, DataFrame] = {}
+
+
+def _tracked_persist(df: DataFrame, slot: str) -> DataFrame:
+    prev = _CACHE.get(slot)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass
+    _CACHE[slot] = df.persist()
+    return _CACHE[slot]
+
 # --------------------------------------------------------------------------
 # Shingling
 # --------------------------------------------------------------------------
@@ -131,7 +147,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is validated against. The `lang` block bounds the quadratic term; at
     100 TB the blocking key must be finer (LSH buckets — see
     minhash_lsh_pairs) but the verify step is this same expression."""
-    t = _doc_shingles(spark, sf_dir).persist()
+    t = _tracked_persist(_doc_shingles(spark, sf_dir), f"ngram:{sf_dir}")
     a, b = t.alias("a"), t.alias("b")
     inter = F.array_intersect(F.col("a.sh"), F.col("b.sh"))
     union = F.array_union(F.col("a.sh"), F.col("b.sh"))
@@ -222,7 +238,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     recompute the pipeline per side. No SQL oracle (LSH recall is
     probabilistic); tests assert recall vs the exact ngram ground truth.
     """
-    t = _doc_shingles(spark, sf_dir).persist()
+    t = _tracked_persist(_doc_shingles(spark, sf_dir), f"minhash_sh:{sf_dir}")
     sig = _signatures(t)
     bands = sig.select(
         "doc_id",
@@ -238,7 +254,8 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", F.col("band.band_id").alias("band_id"),
-             F.col("band.band_hash").alias("band_hash")).persist()
+             F.col("band.band_hash").alias("band_hash"))
+    bands = _tracked_persist(bands, f"minhash_bands:{sf_dir}")
 
     a, b = bands.alias("a"), bands.alias("b")
     candidates = (
@@ -331,7 +348,8 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("c"),
-    ).select("doc_id", "simhash", "c.chunk_id", "c.chunk").persist()
+    ).select("doc_id", "simhash", "c.chunk_id", "c.chunk")
+    chunks = _tracked_persist(chunks, f"simhash_chunks:{sf_dir}")
     a, b = chunks.alias("a"), chunks.alias("b")
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
@@ -346,6 +364,6 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("doc_b"),
             hamming.cast("int").alias("hamming"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
         .filter(F.col("hamming") <= 7)
+        .dropDuplicates(["doc_a", "doc_b"])
     )

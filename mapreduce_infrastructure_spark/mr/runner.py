@@ -121,6 +121,14 @@ def write_sorted_text(
         dest = os.path.join(output_dir, f"output_{i}")
         shutil.move(part, dest)
         outputs.append(dest)
+    # Exactly-R contract (reference: R files named output_{i},
+    # src/master.h:110-113): range partitions with no keys produce no part
+    # file, so pad with empty trailing files — a reducer with no keys still
+    # creates its (empty) output in the reference.
+    for i in range(len(outputs), max(int(num_files), 1)):
+        dest = os.path.join(output_dir, f"output_{i}")
+        open(dest, "w").close()
+        outputs.append(dest)
     shutil.rmtree(tmp, ignore_errors=True)
     return outputs
 
@@ -133,6 +141,8 @@ def run_job(spark: SparkSession, config_path: str) -> list[str]:
     spec: MapReduceSpec = read_and_validate_spec(config_path)
     # map_kilobytes → input split size (reference shard planning,
     # src/file_shard.h:37-114; Spark splits are newline-aligned natively).
+    # Save the caller's setting and RESTORE it — not a hardcoded default.
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
     spark.conf.set(
         "spark.sql.files.maxPartitionBytes", str(max(spec.map_kilobytes, 1) * 1024)
     )
@@ -142,4 +152,4 @@ def run_job(spark: SparkSession, config_path: str) -> list[str]:
         )
         return write_sorted_text(result, spec.output_dir, spec.n_output_files)
     finally:
-        spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)

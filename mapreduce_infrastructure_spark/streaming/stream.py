@@ -61,8 +61,15 @@ def _staged_events_dir(sf_dir: str) -> str:
     )
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(os.path.abspath(sf_dir), "events.parquet"), link)
+    target = os.path.join(os.path.abspath(sf_dir), "events.parquet")
+    # lexists (not exists): a broken symlink must be replaced, not trip
+    # FileExistsError; and a link left by a DIFFERENT fixture path with the
+    # same basename must be re-pointed, not silently served stale.
+    if os.path.lexists(link):
+        if os.path.realpath(link) == os.path.realpath(target):
+            return d
+        os.remove(link)
+    os.symlink(target, link)
     return d
 
 
@@ -267,6 +274,9 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     event inside the watermark horizon, evicted as event time advances."""
     ev = stream_events(spark, sf_dir).select("event_id", "ts", "event_type")
     doubled = ev.unionByName(ev).withWatermark("ts", "1 hour")
-    deduped = doubled.dropDuplicates(["event_id"])
+    # dropDuplicatesWithinWatermark, NOT dropDuplicates([id]): with a plain
+    # subset that excludes the event-time column the watermark never evicts
+    # dedup state (one entry per event forever on an unbounded stream).
+    deduped = doubled.dropDuplicatesWithinWatermark(["event_id"])
     agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_unique"))
     return run_to_table(agg, "stream_dedup_events", mode="complete")
