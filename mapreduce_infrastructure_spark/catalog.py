@@ -51,7 +51,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every fixture table as a temp view for spark.sql queries."""
-    for name in TABLES:
+def register_views(
+    spark: SparkSession, sf_dir: str, tables: list[str] | None = None
+) -> None:
+    """Register fixture tables as temp views for spark.sql queries.
+
+    Pass the tables the query actually reads — registering all 10 costs 10
+    parquet footer reads per call for queries that need 1-2."""
+    for name in tables if tables is not None else TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)

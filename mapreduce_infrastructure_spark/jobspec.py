@@ -46,9 +46,9 @@ def parse_spec(config_path: str) -> MapReduceSpec:
             if key == "n_workers":
                 spec.n_workers = int(value)
             elif key == "worker_ipaddr_ports":
-                spec.worker_ipaddr_ports = [v for v in value.split(",") if v]
+                spec.worker_ipaddr_ports = [v.strip() for v in value.split(",") if v.strip()]
             elif key == "input_files":
-                spec.input_files = [v for v in value.split(",") if v]
+                spec.input_files = [v.strip() for v in value.split(",") if v.strip()]
             elif key == "output_dir":
                 spec.output_dir = value
             elif key == "n_output_files":

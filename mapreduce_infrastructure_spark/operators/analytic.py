@@ -190,10 +190,13 @@ def window_range_7day_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on the partition key, sorted within partitions."""
     o = load_table(spark, sf_dir, "orders")
     od_epoch = F.unix_timestamp("o_orderdate").cast("long")
+    # Frame over MICROseconds: unix_timestamp() truncates to whole seconds,
+    # which would shift sub-second order dates in/out of the 7-day bound
+    # relative to the oracle's full-precision interval arithmetic.
     w = (
         Window.partitionBy("o_custkey")
-        .orderBy(od_epoch)
-        .rangeBetween(-7 * 86400, 0)
+        .orderBy(F.unix_micros(F.col("o_orderdate").cast("timestamp")))
+        .rangeBetween(-7 * 86400 * 1_000_000, 0)
     )
     return o.select(
         "o_orderkey",

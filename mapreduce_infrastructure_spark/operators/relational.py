@@ -248,7 +248,7 @@ def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def grouping_sets_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS via the SQL surface (spark.sql)."""
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, ["lineitem"])
     return spark.sql(
         """
         SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows
@@ -600,7 +600,7 @@ def set_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def in_subquery_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IN-subquery (Catalyst rewrites to a left-semi join)."""
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, ["part", "lineitem"])
     return spark.sql(
         """
         SELECT p_partkey, p_brand, p_size FROM part
@@ -621,7 +621,7 @@ def in_subquery_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def correlated_max_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated scalar subquery: per-segment top customer (MAX is exact on
     stored doubles, so the float equality is engine-stable)."""
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, ["customer"])
     return spark.sql(
         """
         SELECT c_custkey, c_mktsegment, c_acctbal FROM customer c
@@ -703,10 +703,7 @@ def q5_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .filter(F.col("r_name") == "ASIA")
         .groupBy("n_name")
-        .agg(
-            F.count(F.lit(1)).alias("n_items"),
-            rnd(revenue, 2).alias("revenue"),
-        )
+        .agg(lcount("n_items"), rnd(revenue, 2).alias("revenue"))
     )
 
 

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..catalog import load_table
-from ..functions.exact import rnd
+from ..functions.exact import dsum, rnd
 from ..registry import query
 
 
@@ -53,6 +53,7 @@ def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts"),
         F.lit(0).alias("side"),
         F.lit(None).cast("bigint").alias("event_id"),
+        F.col("event_id").alias("tiebreak"),
         F.struct(F.unix_micros("ts").alias("us"), "value").alias("click"),
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
@@ -60,11 +61,15 @@ def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts"),
         F.lit(1).alias("side"),
         "event_id",
+        F.col("event_id").alias("tiebreak"),
         F.lit(None).cast("struct<us:bigint,value:double>").alias("click"),
     )
+    # (ts, side, tiebreak): the unique event_id breaks ties among clicks
+    # sharing (user_id, ts) — without it last() picks whichever the sort
+    # happened to place last, varying across partitionings.
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "side")
+        .orderBy("ts", "side", "tiebreak")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     merged = clicks.unionByName(purchases).withColumn(
@@ -110,11 +115,7 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     f_total = (
         o.filter(F.col("o_orderstatus") == "F")
         .groupBy("o_orderpriority")
-        .agg(
-            rnd(
-                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
-            ).alias("f_total")
-        )
+        .agg(dsum("o_totalprice", "f_total"))
     )
     return counts.join(f_total, "o_orderpriority", "left").na.fill(
         {"f_total": 0.0}

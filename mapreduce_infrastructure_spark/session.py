@@ -67,6 +67,10 @@ def get_spark(
     coalescing handling the long tail).
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if cpus != "*" and not cpus.isdigit():
+        # Set-but-empty / non-numeric env (common CI plumbing): fall back to
+        # all cores rather than crashing on int() or an invalid master URL.
+        cpus = "*"
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
         shuffle_partitions = 32 if cpus == "*" else max(int(cpus), 4)

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..catalog import load_table
-from ..functions.exact import dec, rnd
+from ..functions.exact import dec, dsum, rnd
 from ..registry import query
 
 
@@ -48,7 +48,7 @@ def window_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            rnd(F.sum(dec("value")).cast("double"), 2).alias("sum_value"),
+            dsum("value", "sum_value"),
         )
         .select(_wstart_epoch(), "event_type", "n_events", "sum_value")
     )
@@ -74,7 +74,7 @@ def window_sliding_1h_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            rnd(F.sum(dec("value")).cast("double"), 2).alias("sum_value"),
+            dsum("value", "sum_value"),
         )
         .select(_wstart_epoch(), "n_events", "sum_value")
     )
@@ -118,7 +118,7 @@ def session_window_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            rnd(F.sum(dec("value")).cast("double"), 2).alias("sum_value"),
+            dsum("value", "sum_value"),
         )
         .select(
             "user_id",
@@ -151,7 +151,7 @@ def sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.unix_timestamp(F.min("ts")).cast("long").alias("session_start"),
             F.count(F.lit(1)).alias("n_events"),
-            rnd(F.sum(dec("value")).cast("double"), 2).alias("sum_value"),
+            dsum("value", "sum_value"),
         )
         .select("user_id", "session_start", "n_events", "sum_value")
     )

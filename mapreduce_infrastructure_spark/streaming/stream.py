@@ -36,7 +36,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from ..functions.exact import dec, rnd
+from ..functions.exact import dec, dsum, rnd
 from ..registry import query
 from ..session import tune
 
@@ -127,7 +127,7 @@ def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            rnd(F.sum(dec("value")).cast("double"), 2).alias("sum_value"),
+            dsum("value", "sum_value"),
         )
         .select(
             F.unix_timestamp(F.col("w.start")).cast("long").alias("wstart"),
