@@ -255,6 +255,37 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # _N_PLANES/_PROBE_PLANES for the hyperplane variant).
 _IVF_CELLS = 16
 _IVF_PROBES = 3
+_IVF_SAMPLE = 4096  # quantizer-fit sample size (driver-side)
+_IVF_ITERS = 5
+
+
+def _fit_centroids_sample(vecs: DataFrame) -> np.ndarray:
+    """Seeded Lloyd k-means on a DETERMINISTIC sample (lowest vec_ids):
+    returns (cells × dim) centroids. Empty cells keep their previous
+    centroid, so the result is stable for any sample."""
+    rows = vecs.orderBy("vec_id").limit(_IVF_SAMPLE).select("d").collect()
+    X = np.array([r.d for r in rows])
+    rng = np.random.default_rng(7)
+    # k-means++ seeding (seeded → deterministic): spread initial centroids
+    # by D² sampling — materially better cells than uniform picks at these
+    # few Lloyd iterations.
+    k = min(_IVF_CELLS, len(X))
+    C = [X[rng.integers(len(X))]]
+    for _ in range(k - 1):
+        d2 = np.min(
+            ((X[:, None, :] - np.array(C)[None, :, :]) ** 2).sum(axis=2), axis=1
+        )
+        p = d2 / d2.sum() if d2.sum() > 0 else None
+        C.append(X[rng.choice(len(X), p=p)])
+    C = np.array(C)
+    for _ in range(_IVF_ITERS):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        for j in range(len(C)):
+            pts = X[a == j]
+            if len(pts):
+                C[j] = pts.mean(axis=0)
+    return C
 
 
 @query("ann_ivf_topk", tags=("similarity", "ann", "ivf"))
@@ -270,23 +301,41 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, candidate search touches ~probes/cells of the data. No SQL
     oracle (k-means cells are engine-specific); tests measure recall vs
     knn_bruteforce."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
-
     vecs = _vectors(spark, sf_dir)
-    ml_input = vecs.select("vec_id", "d", "nrm", array_to_vector("d").alias("features"))
-    # Fixed seed + fixed maxIter → deterministic cells. At scale: fit on
-    # .sample(fraction) — the model is 16×64 doubles either way. 5 Lloyd
-    # iterations: recall@3 0.63 vs 0.70 at 10, at ~1/3 the fit cost — the
-    # quantizer only needs rough cells, not convergence.
-    model = KMeans(k=_IVF_CELLS, seed=7, maxIter=5).fit(ml_input)
-    assigned = model.transform(ml_input).select(
-        "vec_id", "d", "nrm", F.col("prediction").alias("cell")
-    )
+    # Quantizer fit DRIVER-SIDE on a deterministic sample (numpy Lloyd,
+    # seeded): the model is 16×64 doubles whatever the corpus size, and a
+    # distributed iterative fit pays one Spark job per iteration for work a
+    # single core finishes in milliseconds. This IS the 100 TB path — only
+    # the sample collection scans (a sliver of) the corpus.
+    C = _fit_centroids_sample(vecs)
 
+    # Cell assignment stays JVM-side: distance to each literal centroid as
+    # one expression, array_min over (dist, cell) structs picks the argmin.
+    def dists_to(col: str) -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            col,
+                            F.array(*[F.lit(float(x)) for x in C[j]]),
+                            lambda x, c: (x - c) * (x - c),
+                        ),
+                        F.lit(0.0),
+                        lambda s, x: s + x,
+                    ).alias("dist"),
+                    F.lit(j).alias("cell"),
+                )
+                for j in range(_IVF_CELLS)
+            ]
+        )
+
+    assigned = vecs.select(
+        "vec_id", "d", "nrm", F.array_min(dists_to("d"))["cell"].alias("cell")
+    )
     # Tiny centroid table (16 rows) — broadcast for query→cell ranking.
     centroids = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        [(j, [float(x) for x in C[j]]) for j in range(_IVF_CELLS)],
         "cell int, center array<double>",
     )
     from pyspark.sql import Window
