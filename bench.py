@@ -46,7 +46,7 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
+    m = re.search(r"sf([0-9]+(?:\.[0-9]+)?)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
     spark = get_spark(app_name="mri-spark-bench")
 

@@ -21,11 +21,19 @@ def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _norm_cell(v):
+    import decimal
+
     if v is None:
         return "NULL"
+    if isinstance(v, decimal.Decimal):
+        # One engine may type a column DECIMAL where the other uses DOUBLE;
+        # normalize through float so equal values compare equal.
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NULL"
+        if math.isinf(v):
+            return "inf" if v > 0 else "-inf"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
         return f"{v:.6f}"

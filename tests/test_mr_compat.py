@@ -120,7 +120,7 @@ def test_multimodal_features_deterministic(spark, sf_dir):
     )
     from mapreduce_infrastructure_spark.catalog import load_table
 
-    docs = load_table(spark, sf_dir, "documents").limit(5)
+    docs = load_table(spark, sf_dir, "documents").orderBy("doc_id").limit(5)
     rows = extract_features(attach_payload(docs)).collect()
     texts = {r.doc_id: r.text for r in docs.collect()}
     for r in rows:

@@ -61,4 +61,5 @@ def test_append_mode_emits_only_finalized_windows(spark, sf_dir):
     )
     got = _rows(emitted, ["wstart", "n_events"])
     want = _rows(batch, ["wstart", "n_events"])
+    assert got, "append mode emitted nothing — watermark never finalized"
     assert got <= want  # finalized subset, values exact
