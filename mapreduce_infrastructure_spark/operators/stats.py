@@ -119,3 +119,24 @@ def stats_corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n * sxx - sx * sx) * (n * syy - sy * sy)
     )
     return agg.select("l_returnflag", "n", rnd(corr, 6).alias("corr_qty_price"))
+
+
+@query("approx_percentiles_price", tags=("agg", "approx", "stats"))
+def approx_percentiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate p50/p95/p99 of order totals per priority via
+    percentile_approx (Greenwald-Khanna sketch, accuracy 10000).
+
+    The sketch tier for quantiles at 100 TB: mergeable per-partition state,
+    one shuffle, no global sort — exact percentile_disc would sort the
+    column. No SQL oracle (sketch results are engine-specific);
+    tests/test_stats.py bounds the error against the exact quantiles."""
+    o = load_table(spark, sf_dir, "orders")
+    pct = F.percentile_approx(
+        "o_totalprice", [0.5, 0.95, 0.99], 10000
+    )
+    return o.groupBy("o_orderpriority").agg(
+        pct.getItem(0).alias("p50"),
+        pct.getItem(1).alias("p95"),
+        pct.getItem(2).alias("p99"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
