@@ -292,3 +292,101 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
     )
+
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation — the
+# shape GPT-style pre-tokenization uses before merges. Same regex both
+# engines (no lookaheads; Java and RE2-compatible).
+BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+@query(
+    "token_counts_bpe",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '{BPE_PATTERN}')) AS BIGINT) AS n_subwords,
+           CAST(len(list_distinct(regexp_extract_all(lower(text), '{BPE_PATTERN}'))) AS BIGINT) AS n_unique,
+           CAST(len(list_filter(regexp_extract_all(lower(text), '{BPE_PATTERN}'),
+                                t -> regexp_matches(t, '^[0-9]+$'))) AS BIGINT) AS n_number_runs
+    FROM documents
+    """,
+    tags=("text", "tokenize", "bpe"),
+)
+def token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword-style token counting with a BPE-ish pre-tokenizer regex
+    (letter runs / digit runs / single punctuation) — the cost model for
+    training-token budgets, computed at scan speed with regexp_extract_all
+    (identical regex in the DuckDB oracle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    # idx=0 = whole match (the default idx=1 expects a capture group).
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(BPE_PATTERN), 0)
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_subwords"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique"),
+        F.size(
+            F.filter(toks, lambda t: t.rlike("^[0-9]+$"))
+        ).cast("long").alias("n_number_runs"),
+    )
+
+
+@query(
+    "corpus_clean_pipeline",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang, text, n_chars,
+             list_filter(regexp_split_to_array(lower(text), '{{TD}}'), x -> x <> '') AS toks,
+             md5(text) AS fp
+      FROM documents
+    ), kept AS (
+      SELECT *,
+             len(toks) AS n_tokens,
+             len(list_filter(toks, x -> x = 'the' OR x = 'a')) AS n_stop
+      FROM scored
+      WHERE len(toks) >= 20
+        AND len(list_filter(toks, x -> x = 'the' OR x = 'a')) * 2 <= len(toks)
+    ), deduped AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM kept
+      ) WHERE rn = 1
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           floor((CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*)) * 100 + 0.5) / 100 AS avg_tokens
+    FROM deduped
+    GROUP BY lang
+    """.replace("{TD}", TOKEN_DELIM),
+    tags=("text", "pipeline", "dedup", "quality"),
+)
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data pipeline end to end as ONE declarative plan:
+    quality filter (length + stopword ratio) → exact dedup (keep lowest
+    doc_id per content fingerprint) → per-language token accounting.
+
+    Catalyst fuses the filter into the scan, the dedup is one shuffle on the
+    16-byte fingerprint, the final rollup one more — at 100 TB this whole
+    cleanup is two shuffles over the corpus, no Python anywhere."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    is_stop = lambda x: (x == "the") | (x == "a")  # noqa: E731
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, is_stop))
+    kept = docs.select(
+        "doc_id",
+        "lang",
+        F.md5(F.col("text").cast("binary")).alias("fp"),
+        n_tokens.alias("n_tokens"),
+    ).filter((n_tokens >= 20) & (n_stop * 2 <= n_tokens))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    deduped = kept.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return deduped.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        rnd(F.sum("n_tokens").cast("double") / F.count(F.lit(1)), 2).alias(
+            "avg_tokens"
+        ),
+    )
