@@ -310,28 +310,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     C = _fit_centroids_sample(vecs)
 
     # Cell assignment stays JVM-side: distance to each literal centroid as
-    # one expression, array_min over (dist, cell) structs picks the argmin.
-    def dists_to(col: str) -> Column:
-        return F.array(
-            *[
-                F.struct(
-                    F.aggregate(
-                        F.zip_with(
-                            col,
-                            F.array(*[F.lit(float(x)) for x in C[j]]),
-                            lambda x, c: (x - c) * (x - c),
-                        ),
-                        F.lit(0.0),
-                        lambda s, x: s + x,
-                    ).alias("dist"),
-                    F.lit(j).alias("cell"),
-                )
-                for j in range(_IVF_CELLS)
-            ]
-        )
-
+    # one expression (_cell_dists), array_min over (dist, cell) structs
+    # picks the argmin.
     assigned = vecs.select(
-        "vec_id", "d", "nrm", F.array_min(dists_to("d"))["cell"].alias("cell")
+        "vec_id", "d", "nrm", F.array_min(_cell_dists(C, "d"))["cell"].alias("cell")
     )
     # Tiny centroid table (16 rows) — broadcast for query→cell ranking.
     centroids = spark.createDataFrame(
@@ -376,4 +358,68 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
+    )
+
+
+def _cell_dists(C: np.ndarray, col: str) -> Column:
+    """array<struct<dist,cell>> of squared L2 distance to each centroid."""
+    return F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        col,
+                        F.array(*[F.lit(float(x)) for x in C[j]]),
+                        lambda x, c: (x - c) * (x - c),
+                    ),
+                    F.lit(0.0),
+                    lambda s, x: s + x,
+                ).alias("dist"),
+                F.lit(j).alias("cell"),
+            )
+            for j in range(len(C))
+        ]
+    )
+
+
+@query("neardup_cosine_ivf", tags=("similarity", "dedup", "ivf"))
+def neardup_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs AT SCALE: every vector is assigned to
+    its 2 nearest IVF cells (multi-assignment catches boundary pairs), cells
+    become the blocking key of a bucket self-join, and only same-cell pairs
+    pay the exact cosine verify (threshold 0.4 — same contract as the exact
+    neardup_cosine_pairs, which is this query's ground truth in tests).
+
+    This replaces the O(N²) all-pairs scan with shuffles linear in N plus
+    within-cell quadratics — the same candidates/verify shape as
+    minhash_lsh_pairs, with k-means cells instead of hash bands. The
+    cells/assignments dials trade recall vs candidate volume."""
+    from pyspark.sql import Window
+
+    vecs = _vectors(spark, sf_dir)
+    C = _fit_centroids_sample(vecs)
+    two_cells = F.slice(F.array_sort(_cell_dists(C, "d")), 1, 2)
+    assigned = vecs.select(
+        "vec_id",
+        "d",
+        "nrm",
+        F.explode(F.transform(two_cells, lambda s: s["cell"])).alias("cell"),
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cosine = rnd(
+        _dot(F.col("a.d"), F.col("b.d")) / (F.col("a.nrm") * F.col("b.nrm")), 4
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cosine.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.4)
+        .dropDuplicates(["vec_a", "vec_b"])
     )

@@ -110,3 +110,21 @@ def test_ann_ivf_recall(spark, sf_dir):
     hits = sum(len(ann.get(q, set()) & s) for q, s in brute.items())
     total = sum(len(s) for s in brute.values())
     assert total > 0 and hits / total >= 0.4
+
+
+def test_neardup_cosine_ivf_recall(spark, sf_dir):
+    """IVF-blocked near-dup must find most exact pairs (recall >= 0.6 on the
+    fixtures) and report the SAME cosine for every pair it emits."""
+    exact = {
+        tuple(sorted((r.vec_a, r.vec_b))): r.cosine
+        for r in similarity.neardup_cosine_pairs(spark, sf_dir).collect()
+    }
+    ivf = {
+        tuple(sorted((r.vec_a, r.vec_b))): r.cosine
+        for r in similarity.neardup_cosine_ivf(spark, sf_dir).collect()
+    }
+    assert set(ivf) <= set(exact), "IVF emitted a pair the exact scan rejects"
+    for p, c in ivf.items():
+        assert abs(c - exact[p]) < 1e-9
+    if exact:
+        assert len(set(ivf) & set(exact)) / len(exact) >= 0.6
