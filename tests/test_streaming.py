@@ -63,3 +63,54 @@ def test_append_mode_emits_only_finalized_windows(spark, sf_dir):
     want = _rows(batch, ["wstart", "n_events"])
     assert got, "append mode emitted nothing — watermark never finalized"
     assert got <= want  # finalized subset, values exact
+
+
+def test_stream_stream_left_outer_semantics(spark, sf_dir):
+    """Stream-stream LEFT OUTER join: matched rows equal the inner join;
+    null-extended rows appear only for clicks whose join window is fully
+    below the final watermark (unmatched clicks near end-of-input stay
+    buffered — documented Structured Streaming semantics, NOT a bug)."""
+    from pyspark.sql import functions as F
+
+    ev = stream.stream_events(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "10 minutes")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES"))
+    )
+    joined = clicks.join(purchases, cond, "left_outer").select(
+        "click_id", "purchase_id", "c_user"
+    )
+    out = stream.run_to_table(joined, "stream_left_outer", mode="append")
+    rows = out.collect()
+    matched = {(r.click_id, r.purchase_id) for r in rows if r.purchase_id is not None}
+    unmatched = [r for r in rows if r.purchase_id is None]
+    # Inner-join subset check against the oracle-checked inner variant.
+    inner = {
+        (r.click_id, r.purchase_id)
+        for r in stream.stream_join_click_purchase(spark, sf_dir).collect()
+    }
+    assert matched <= inner
+    assert matched, "left outer join matched nothing"
+    # Every null-extended click must genuinely have no purchase within its
+    # 30-minute window (cross-check against the batch inner join).
+    inner_clicks = {c for c, _ in inner}
+    assert all(r.click_id not in inner_clicks for r in unmatched)
