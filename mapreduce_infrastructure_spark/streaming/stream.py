@@ -280,3 +280,94 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = doubled.dropDuplicatesWithinWatermark(["event_id"])
     agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_unique"))
     return run_to_table(agg, "stream_dedup_events", mode="complete")
+
+
+@query(
+    "stream_sliding_1h_15m",
+    oracle="""
+    SELECT CAST(epoch(time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes') AS BIGINT) AS wstart,
+           COUNT(*) AS n_events,
+           floor((CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)) * 100 + 0.5) / 100 AS sum_value
+    FROM events
+    CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) offsets
+    GROUP BY 1
+    """,
+    tags=("streaming", "window-time"),
+)
+def stream_sliding_1h_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h length, 15 min slide) under readStream — the
+    streaming twin of batch_windows.window_sliding_1h_15m, same oracle."""
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("long").alias("wstart"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_to_table(agg, "stream_sliding_1h_15m", mode="complete")
+
+
+@query(
+    "stream_session_window_30m",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(epoch_us(ts)) // 1000000 AS session_start,
+           COUNT(*) AS n_events,
+           floor((CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)) * 100 + 0.5) / 100 AS sum_value
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+    tags=("streaming", "window-time", "session"),
+)
+def stream_session_window_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute gap) under readStream: merging session
+    state per user, watermark-bounded — the streaming twin of
+    batch_windows.session_window_30m with the same gaps-and-islands oracle.
+    Spark restricts session-window streaming aggregation to complete/append
+    output (update is rejected); complete mode materializes the full current
+    session set each trigger, and the max-struct pick keeps the final
+    (largest) row per session under multi-batch replay (n_events is
+    strictly monotone within a session)."""
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).cast("long").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    per_batch = run_to_table(agg, "stream_session_window_30m", mode="complete")
+    w = F.struct("n_events", "sum_value")
+    return per_batch.groupBy("user_id", "session_start").agg(
+        F.max(w).alias("s")
+    ).select(
+        "user_id",
+        "session_start",
+        F.col("s.n_events").alias("n_events"),
+        F.col("s.sum_value").alias("sum_value"),
+    )
