@@ -1,0 +1,38 @@
+"""Z-order layout: the 2-D box predicate must skip more files than the
+naturally-ordered layout, and the z-value must be a correct Morton code."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_infrastructure_spark.sources import zorder
+
+
+def _morton(a: int, b: int, bits: int) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((a >> i) & 1) << (2 * i)
+        z |= ((b >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_zvalue_is_morton_code(spark):
+    rows = [(a, b) for a in (0, 1, 5, 1023) for b in (0, 2, 7, 1023)]
+    df = spark.createDataFrame(rows, "a long, b long").withColumn(
+        "z", zorder.zvalue(F.col("a"), F.col("b"))
+    )
+    for r in df.collect():
+        assert r.z == _morton(r.a, r.b, zorder.Z_BITS), (r.a, r.b, r.z)
+
+
+def test_zorder_skips_more_files(spark, sf_dir):
+    stats = {
+        r.layout: (r.files_overlapping, r.files_total)
+        for r in zorder.zorder_pruning_stats(spark, sf_dir).collect()
+    }
+    z_hit, z_tot = stats["zorder"]
+    n_hit, n_tot = stats["natural"]
+    assert z_tot == n_tot > 0
+    # The box predicate covers ~1/64 of the 2-D domain: a natural layout
+    # spreads it across (nearly) all files; z-order confines it.
+    assert z_hit < n_hit, stats
