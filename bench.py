@@ -41,6 +41,8 @@ HEADLINE = [
     "stats_corr_qty_price",
     "ann_ivf_topk",
     "stream_tumbling_hourly",
+    "corpus_clean_pipeline",
+    "neardup_cosine_ivf",
 ]
 
 

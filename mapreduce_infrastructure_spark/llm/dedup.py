@@ -367,3 +367,58 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 7)
         .dropDuplicates(["doc_a", "doc_b"])
     )
+
+
+@query(
+    "containment_pairs",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 2, 0)),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      FROM (SELECT doc_id, lang,
+                   list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '') AS toks
+            FROM documents)
+    )
+    SELECT a.doc_id AS contained_doc,
+           b.doc_id AS container_doc,
+           floor((CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh)) * 10000 + 0.5) / 10000 AS containment
+    FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id <> b.doc_id
+    WHERE len(a.sh) > 0 AND len(b.sh) > 0
+      AND floor((CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh)) * 10000 + 0.5) / 10000 >= 0.8
+    """,
+    tags=("dedup", "containment"),
+)
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup: shingle containment |A∩B| / |A| ≥ 0.8 — doc A is
+    (close to) a sub-document of B. Catches quote-inclusion and
+    excerpt-of-longer-document duplication that symmetric Jaccard misses
+    (a short doc fully inside a long one has low Jaccard but containment 1).
+    The dedup policy keeps the container and drops the contained.
+
+    Same blocked-pair plan as ngram_jaccard_pairs (the candidate generator
+    at 100 TB is the MinHash LSH bucketer; this is the verify expression).
+    Directed pairs: (contained, container) with doc_a ≠ doc_b, both
+    directions evaluated."""
+    t = _tracked_persist(_doc_shingles(spark, sf_dir), f"containment:{sf_dir}")
+    a, b = t.alias("a"), t.alias("b")
+    containment = rnd(
+        F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).cast("double")
+        / F.size(F.col("a.sh")),
+        4,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("contained_doc"),
+            F.col("b.doc_id").alias("container_doc"),
+            containment.alias("containment"),
+        )
+        .filter(F.col("containment") >= 0.8)
+    )
