@@ -405,21 +405,31 @@ def neardup_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nrm",
         F.explode(F.transform(two_cells, lambda s: s["cell"])).alias("cell"),
     )
+    # Candidates as ID pairs only, deduped BEFORE the exact verify: a pair
+    # sharing both assigned cells would otherwise pay the 64-d cosine twice,
+    # and the dedup exchange would carry the vector arrays.
     a, b = assigned.alias("a"), assigned.alias("b")
-    cosine = rnd(
-        _dot(F.col("a.d"), F.col("b.d")) / (F.col("a.nrm") * F.col("b.nrm")), 4
-    )
-    return (
+    candidates = (
         a.join(
             b,
             (F.col("a.cell") == F.col("b.cell"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            cosine.alias("cosine"),
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
         )
-        .filter(F.col("cosine") >= 0.4)
         .dropDuplicates(["vec_a", "vec_b"])
+    )
+    va = vecs.select(
+        F.col("vec_id").alias("vec_a"), F.col("d").alias("da"), F.col("nrm").alias("na")
+    )
+    vb = vecs.select(
+        F.col("vec_id").alias("vec_b"), F.col("d").alias("db"), F.col("nrm").alias("nb")
+    )
+    cosine = rnd(_dot(F.col("da"), F.col("db")) / (F.col("na") * F.col("nb")), 4)
+    return (
+        candidates.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select("vec_a", "vec_b", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= 0.4)
     )
