@@ -120,3 +120,72 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.join(f_total, "o_orderpriority", "left").na.fill(
         {"f_total": 0.0}
     )
+
+
+@query(
+    "funnel_click_purchase",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           SUM(CASE WHEN first_click IS NOT NULL THEN 1 ELSE 0 END) AS clicked,
+           SUM(CASE WHEN first_click IS NOT NULL AND first_purchase > first_click
+                    THEN 1 ELSE 0 END) AS converted
+    FROM firsts
+    """,
+    tags=("events", "funnel", "temporal"),
+)
+def funnel_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step funnel: users who clicked, and users whose FIRST purchase
+    strictly followed their first click (ordered sequence, not mere
+    co-occurrence). One conditional-aggregation pass — the pattern
+    generalizes to N steps with N conditional MINs, still one shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("fc"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("fp"),
+    )
+    return firsts.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(F.col("fc").isNotNull(), 1).otherwise(0)).alias("clicked"),
+        F.sum(
+            F.when(F.col("fc").isNotNull() & (F.col("fp") > F.col("fc")), 1)
+            .otherwise(0)
+        ).alias("converted"),
+    )
+
+
+@query(
+    "latest_event_per_user",
+    oracle="""
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("events", "dedup", "window"),
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest-per-key dedup (the CDC/upsert compaction pattern): one
+    window over (user_id, ts desc) with the unique event_id as tie-break.
+    At 100 TB this is how mutable-entity snapshots compact an append log —
+    one shuffle on the key, no join."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "event_type"
+        )
+    )
