@@ -422,3 +422,85 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("containment") >= 0.8)
     )
+
+
+@query(
+    "dedup_clusters",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+      WITH t AS (
+        SELECT doc_id, lang,
+               list_distinct(list_transform(
+                 generate_series(1, greatest(len(toks) - 2, 0)),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        FROM (SELECT doc_id, lang,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') AS toks
+              FROM documents)
+      )
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE len(a.sh) > 0 AND len(b.sh) > 0
+        AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+    ), edges AS (
+      SELECT src, dst FROM pairs
+      UNION SELECT dst, src FROM pairs
+    ), reach(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, MIN(label) AS cluster
+    FROM reach GROUP BY node
+    """,
+    tags=("dedup", "clusters", "iterative"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS: connected components over the jaccard ≥ 0.5
+    near-dup graph, labeled by the smallest doc_id in each component — the
+    actual dedup output (keep `cluster`, drop the rest), closing the gap
+    between pairwise similarity and a usable keep-list when duplicates
+    chain (A~B, B~C, but A≁C).
+
+    ITERATIVE algorithm: min-label propagation to fixpoint, a driver loop
+    of DataFrame self-joins (each iteration one shuffle; iterations ≈ graph
+    diameter, which for dedup graphs is tiny). The 100 TB upgrade is
+    large-star/small-star contraction — same loop shape, fewer rounds. The
+    DuckDB oracle states the same fixpoint as a recursive CTE."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = ngram_jaccard_pairs(spark, sf_dir).filter(
+        F.col("jaccard") >= 0.5
+    ).select("doc_a", "doc_b")
+    edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
+        pairs.selectExpr("doc_b AS src", "doc_a AS dst")
+    ).persist()
+
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster"))
+    for _ in range(20):  # >= diameter of any plausible dedup graph
+        neighbor_min = (
+            labels.join(edges, labels.doc_id == edges.src)
+            .groupBy("dst")
+            .agg(F.min("cluster").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.dst, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster"), F.coalesce(F.col("nmin"), F.col("cluster"))
+                ).alias("cluster"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)  # truncate lineage
+        changed = (
+            labels.alias("o")
+            .join(new_labels.alias("n"), "doc_id")
+            .filter(F.col("o.cluster") != F.col("n.cluster"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("doc_id", "cluster")

@@ -128,3 +128,31 @@ def test_neardup_cosine_ivf_recall(spark, sf_dir):
         assert abs(c - exact[p]) < 1e-9
     if exact:
         assert len(set(ivf) & set(exact)) / len(exact) >= 0.6
+
+
+def test_dedup_clusters_invariants(spark, sf_dir):
+    """Cluster labels: every pair with jaccard >= 0.5 shares a cluster; the
+    label is the component's smallest doc_id; non-dup docs are singletons."""
+    from pyspark.sql import functions as F
+
+    labels = {r.doc_id: r.cluster for r in dedup.dedup_clusters(spark, sf_dir).collect()}
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in dedup.ngram_jaccard_pairs(spark, sf_dir).collect()
+        if r.jaccard >= 0.5
+    ]
+    for a, b in pairs:
+        assert labels[a] == labels[b], (a, b)
+    # label is a member of its own cluster and the minimum of that cluster
+    from collections import defaultdict
+
+    clusters = defaultdict(set)
+    for d, c in labels.items():
+        clusters[c].add(d)
+    for c, members in clusters.items():
+        assert c == min(members)
+    # docs in no pair are singletons
+    in_pairs = {d for p in pairs for d in p}
+    for d, c in labels.items():
+        if d not in in_pairs and c == d:
+            assert clusters[c] >= {d}
