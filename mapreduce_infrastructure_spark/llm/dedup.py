@@ -147,7 +147,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is validated against. The `lang` block bounds the quadratic term; at
     100 TB the blocking key must be finer (LSH buckets — see
     minhash_lsh_pairs) but the verify step is this same expression."""
-    t = _tracked_persist(_doc_shingles(spark, sf_dir), f"ngram:{sf_dir}")
+    t = _tracked_persist(_doc_shingles(spark, sf_dir), f"shingles:{sf_dir}")
     a, b = t.alias("a"), t.alias("b")
     inter = F.array_intersect(F.col("a.sh"), F.col("b.sh"))
     union = F.array_union(F.col("a.sh"), F.col("b.sh"))
@@ -238,7 +238,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     recompute the pipeline per side. No SQL oracle (LSH recall is
     probabilistic); tests assert recall vs the exact ngram ground truth.
     """
-    t = _tracked_persist(_doc_shingles(spark, sf_dir), f"minhash_sh:{sf_dir}")
+    t = _tracked_persist(_doc_shingles(spark, sf_dir), f"shingles:{sf_dir}")
     sig = _signatures(t)
     bands = sig.select(
         "doc_id",
@@ -402,7 +402,7 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB is the MinHash LSH bucketer; this is the verify expression).
     Directed pairs: (contained, container) with doc_a ≠ doc_b, both
     directions evaluated."""
-    t = _tracked_persist(_doc_shingles(spark, sf_dir), f"containment:{sf_dir}")
+    t = _tracked_persist(_doc_shingles(spark, sf_dir), f"shingles:{sf_dir}")
     a, b = t.alias("a"), t.alias("b")
     containment = rnd(
         F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).cast("double")
@@ -469,15 +469,31 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     large-star/small-star contraction — same loop shape, fewer rounds. The
     DuckDB oracle states the same fixpoint as a recursive CTE."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    pairs = ngram_jaccard_pairs(spark, sf_dir).filter(
-        F.col("jaccard") >= 0.5
-    ).select("doc_a", "doc_b")
+    # Edges on the UNROUNDED jaccard (the oracle's predicate): filtering the
+    # display-rounded value would admit boundary pairs (raw 0.49996 rounds
+    # to 0.5000) the oracle rejects.
+    t = _tracked_persist(_doc_shingles(spark, sf_dir), f"shingles:{sf_dir}")
+    a, b = t.alias("a"), t.alias("b")
+    raw_jac = (
+        F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).cast("double")
+        / F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(raw_jac >= 0.5)
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
     edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
         pairs.selectExpr("doc_b AS src", "doc_a AS dst")
     ).persist()
 
     labels = docs.select("doc_id", F.col("doc_id").alias("cluster"))
-    for _ in range(20):  # >= diameter of any plausible dedup graph
+    converged = False
+    for _ in range(64):  # safety cap far above any dedup graph's diameter
         neighbor_min = (
             labels.join(edges, labels.doc_id == edges.src)
             .groupBy("dst")
@@ -501,6 +517,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        # Silent non-convergence would return a split component as if it
+        # were the fixpoint — fail loudly instead.
+        raise RuntimeError(
+            "dedup_clusters: label propagation did not converge in 64 "
+            "iterations; use star-contraction for this graph"
+        )
     return labels.select("doc_id", "cluster")

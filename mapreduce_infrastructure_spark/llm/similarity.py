@@ -317,7 +317,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Tiny centroid table (16 rows) — broadcast for query→cell ranking.
     centroids = spark.createDataFrame(
-        [(j, [float(x) for x in C[j]]) for j in range(_IVF_CELLS)],
+        [(j, [float(x) for x in C[j]]) for j in range(len(C))],
         "cell int, center array<double>",
     )
     from pyspark.sql import Window

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..catalog import load_table
-from ..functions.exact import dsum, rnd
+from ..functions.exact import dsum
 from ..registry import query
 
 
@@ -176,8 +176,6 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     window over (user_id, ts desc) with the unique event_id as tie-break.
     At 100 TB this is how mutable-entity snapshots compact an append log —
     one shuffle on the key, no join."""
-    from pyspark.sql import Window
-
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(
         F.desc("ts"), F.desc("event_id")

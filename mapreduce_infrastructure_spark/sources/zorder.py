@@ -31,7 +31,7 @@ from ..registry import query
 _SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__)))), ".scratch", "zorder")
 
-Z_BITS = 10  # per dimension → 20-bit z-value
+Z_BITS = 10  # default per-dimension bits (tests); real layouts derive from domain
 N_FILES = 16
 
 
@@ -97,7 +97,11 @@ def files_overlapping_box(
         ok = True
         for c, l, h in zip(cols, lo, hi):
             cmin, cmax = s[c]
-            if cmin is None or cmax < l or cmin > h:
+            if cmin is None:
+                # No stats -> a data-skipping reader MUST read the file;
+                # counting it skippable would overstate pruning.
+                continue
+            if cmax < l or cmin > h:
                 ok = False
                 break
         if ok:
@@ -124,14 +128,28 @@ def zorder_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     2-D box predicate overlaps according to footer min/max stats. Smaller
     is better; the z-ordered layout must overlap fewer (asserted in
     tests/test_zorder.py). Rows-only (file layout is engine-specific)."""
+    import hashlib
+
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
     )
+    # Bits sized to the ACTUAL key domain: truncating (e.g. 10 bits vs
+    # partkey max 19999) would interleave only the low bits and collapse
+    # that dimension's clustering to noise.
+    m = li.agg(
+        F.max("l_partkey").alias("p"), F.max("l_suppkey").alias("s")
+    ).first()
+    bits = max(int(m.p).bit_length(), int(m.s).bit_length())
+    # Layout cache keyed by full fixture path + bits (stale/partial layouts
+    # from a different dataset or an older bit-width must not be reused).
+    digest = hashlib.md5(f"{os.path.abspath(sf_dir)}|{bits}".encode()).hexdigest()[:8]
     sfb = os.path.basename(sf_dir.rstrip("/"))
-    z_path = os.path.join(_SCRATCH, sfb, "z")
-    n_path = os.path.join(_SCRATCH, sfb, "natural")
+    z_path = os.path.join(_SCRATCH, f"{sfb}_{digest}", "z")
+    n_path = os.path.join(_SCRATCH, f"{sfb}_{digest}", "natural")
     if not os.path.isdir(z_path):
-        write_layout(li, zvalue(F.col("l_partkey"), F.col("l_suppkey")), z_path)
+        write_layout(
+            li, zvalue(F.col("l_partkey"), F.col("l_suppkey"), bits), z_path
+        )
     if not os.path.isdir(n_path):
         write_layout(li, F.col("l_orderkey"), n_path)
     lo, hi = _box(spark, sf_dir)

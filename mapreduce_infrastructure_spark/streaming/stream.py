@@ -36,7 +36,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from ..functions.exact import dec, dsum, rnd
+from ..functions.exact import dsum
 from ..registry import query
 from ..session import tune
 
@@ -151,8 +151,13 @@ def _user_totals_fn(
         n += len(pdf)
         # Money arithmetic in integer cents: float sums would drift by
         # partition order; the reference's integer word-count fold is the
-        # same exactness contract (test/user_tasks.cc:29-33).
-        cents += int(round(pdf["value"].mul(100).round().sum()))
+        # same exactness contract (test/user_tasks.cc:29-33). Rounding is
+        # HALF_UP (away from zero) to match DECIMAL(18,2) casts in the
+        # oracle and batch paths — pandas .round() is half-to-even.
+        import numpy as np
+
+        v = pdf["value"].to_numpy() * 100
+        cents += int(np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)).sum())
     state.update((n, cents))
     yield pd.DataFrame(
         {"user_id": [key[0]], "n_events": [n], "sum_value": [cents / 100.0]}
@@ -361,13 +366,6 @@ def stream_session_window_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    per_batch = run_to_table(agg, "stream_session_window_30m", mode="complete")
-    w = F.struct("n_events", "sum_value")
-    return per_batch.groupBy("user_id", "session_start").agg(
-        F.max(w).alias("s")
-    ).select(
-        "user_id",
-        "session_start",
-        F.col("s.n_events").alias("n_events"),
-        F.col("s.sum_value").alias("sum_value"),
-    )
+    # Complete mode truncates and rewrites the sink every trigger, so the
+    # materialized table IS the final session set — no reconciliation step.
+    return run_to_table(agg, "stream_session_window_30m", mode="complete")
