@@ -813,3 +813,42 @@ def cross_join_region_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n", F.lit(0)).alias("n_orders"),
         )
     )
+
+
+@query(
+    "argmax_top_order",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderpriority,
+             max({'price': o_totalprice, 'key': o_orderkey}) AS s
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority,
+           s.key AS top_orderkey,
+           s.price AS top_price
+    FROM m
+    """,
+    tags=("agg", "argmax"),
+)
+def argmax_top_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC arg-max: the order carrying each priority's highest
+    total, via max over a (price, key) struct — lexicographic struct
+    comparison breaks price ties by key identically in Spark and DuckDB,
+    where the built-in max_by picks an ARBITRARY row on ties (and the two
+    engines would disagree). One aggregation pass, no window, no join —
+    the cheapest top-1-per-group plan at any scale."""
+    o = load_table(spark, sf_dir, "orders")
+    s = F.max(
+        F.struct(
+            F.col("o_totalprice").alias("price"), F.col("o_orderkey").alias("key")
+        )
+    ).alias("s")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(s)
+        .select(
+            "o_orderpriority",
+            F.col("s.key").alias("top_orderkey"),
+            F.col("s.price").alias("top_price"),
+        )
+    )
