@@ -185,8 +185,8 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            COUNT(DISTINCT event_type) AS n_types,
-           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
-           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases
     FROM events
     GROUP BY user_id
     """,

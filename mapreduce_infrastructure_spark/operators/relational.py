@@ -283,8 +283,8 @@ def having_heavy_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "case_when_buckets",
     oracle="""
     SELECT l_returnflag,
-           SUM(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END) AS n_high_disc,
-           SUM(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS n_bulk,
+           CAST(SUM(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_disc,
+           CAST(SUM(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_bulk,
            floor((CAST(SUM(CASE WHEN l_discount >= 0.05 THEN CAST(l_extendedprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)) * 100 + 0.5) / 100 AS high_disc_revenue
     FROM lineitem
     GROUP BY l_returnflag

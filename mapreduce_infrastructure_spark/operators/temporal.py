@@ -91,9 +91,9 @@ def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_status_by_priority",
     oracle="""
     SELECT o_orderpriority,
-           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS F,
-           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS O,
-           SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS P,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P,
            floor((CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE)) * 100 + 0.5) / 100 AS f_total
     FROM orders
     GROUP BY o_orderpriority
@@ -132,9 +132,9 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY user_id
     )
     SELECT COUNT(*) AS n_users,
-           SUM(CASE WHEN first_click IS NOT NULL THEN 1 ELSE 0 END) AS clicked,
-           SUM(CASE WHEN first_click IS NOT NULL AND first_purchase > first_click
-                    THEN 1 ELSE 0 END) AS converted
+           CAST(SUM(CASE WHEN first_click IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS clicked,
+           CAST(SUM(CASE WHEN first_click IS NOT NULL AND first_purchase > first_click
+                    THEN 1 ELSE 0 END) AS BIGINT) AS converted
     FROM firsts
     """,
     tags=("events", "funnel", "temporal"),

@@ -1,0 +1,171 @@
+"""Strict local emulation of the driver's CORRECTNESS gate.
+
+Runs every ``queries()`` entry against its ``oracle_sql()`` via DuckDB at a
+given SF dir and compares row counts plus an order-insensitive, columns-
+sorted-by-name value multiset — **type-sensitively**: ``Decimal(2)`` does NOT
+equal ``2`` here, because the driver's value hash distinguishes them (round-1
+lesson: DuckDB SUM(INTEGER) -> HUGEINT -> Arrow decimal128 -> Python Decimal
+hash-mismatches Spark's int64 even when plain ``==`` passes).
+
+Usage:
+    python tools/full_gate.py                 # all queries, sf0.01
+    python tools/full_gate.py q1 q2 ...       # subset
+    SPARK_GRAFT_GATE_SF=/root/testdata/sf0.001 python tools/full_gate.py
+    python tools/full_gate.py --window 50     # only the first N (driver cap)
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+from collections import Counter
+from datetime import date, datetime
+from decimal import Decimal
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents "
+    "embeddings"
+).split()
+
+
+def _norm_cell(v):
+    """Normalize a cell to a (type-tag, value) pair the way a type-sensitive
+    hash would see it. numpy scalars are unwrapped (both engines may hand
+    them back through Arrow), floats are bucketed to a repr that keeps NaN
+    stable; everything else keeps its concrete Python type as the tag."""
+    try:  # unwrap numpy scalar types without importing numpy at module level
+        import numpy as np
+
+        if isinstance(v, np.generic):
+            v = v.item()
+    except ImportError:  # pragma: no cover
+        pass
+    if isinstance(v, bool):
+        return ("bool", v)
+    if isinstance(v, Decimal):
+        return ("Decimal", str(v))
+    if isinstance(v, int):
+        return ("int", v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return ("float", "nan")
+        return ("float", repr(v))
+    if isinstance(v, datetime):
+        return ("datetime", v.isoformat())
+    if isinstance(v, date):
+        return ("date", v.isoformat())
+    if isinstance(v, (list, tuple)):
+        return ("list", tuple(_norm_cell(x) for x in v))
+    if isinstance(v, dict):
+        return ("dict", tuple(sorted((k, _norm_cell(x)) for k, x in v.items())))
+    if v is None:
+        return ("null", None)
+    return (type(v).__name__, v)
+
+
+def _multiset(cols: list[str], rows: list[tuple]) -> Counter:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return Counter(tuple(_norm_cell(r[i]) for i in order) for r in rows)
+
+
+def _diag(spark_ms: Counter, oracle_ms: Counter) -> str:
+    only_s = list((spark_ms - oracle_ms).items())[:2]
+    only_o = list((oracle_ms - spark_ms).items())[:2]
+    return f"spark-only={only_s} oracle-only={only_o}"
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    window = None
+    for a in sys.argv[1:]:
+        if a.startswith("--window"):
+            window = int(a.split("=", 1)[1]) if "=" in a else 50
+
+    import duckdb
+
+    import __spark_entry__ as entry
+    from mapreduce_infrastructure_spark.session import get_spark
+
+    sf = os.environ.get("SPARK_GRAFT_GATE_SF", "/root/testdata/sf0.01")
+    spark = get_spark()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+
+    queries = entry.queries()
+    oracles = entry.oracle_sql()
+    names = list(queries)
+    if window is not None:
+        names = names[:window]
+    if args:
+        names = [n for n in names if n in set(args)]
+
+    n_pass = n_fail = n_noracle = 0
+    failures: list[str] = []
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = queries[name](spark, sf)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as exc:  # noqa: BLE001
+            n_fail += 1
+            failures.append(f"{name}: SPARK ERROR {exc}")
+            print(f"FAIL {name}: spark error {exc}")
+            continue
+        sql = oracles.get(name)
+        if sql is None:
+            n_noracle += 1
+            print(f"  ok {name}: no_oracle rows={len(srows)} "
+                  f"({time.time() - t0:.1f}s)")
+            continue
+        try:
+            cur = con.execute(sql)
+            ocols = [d[0] for d in cur.description]
+            orows = cur.fetchall()
+        except Exception as exc:  # noqa: BLE001
+            n_fail += 1
+            failures.append(f"{name}: ORACLE ERROR {exc}")
+            print(f"FAIL {name}: oracle error {exc}")
+            continue
+        problems = []
+        if len(srows) != len(orows):
+            problems.append(f"rows {len(srows)} vs {len(orows)}")
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"cols {sorted(scols)} vs {sorted(ocols)}")
+        else:
+            sm, om = _multiset(scols, srows), _multiset(ocols, orows)
+            if sm != om:
+                problems.append(f"values: {_diag(sm, om)}")
+        dec_cols = [
+            ocols[i]
+            for i in range(len(ocols))
+            if any(isinstance(r[i], Decimal) for r in orows[:100])
+        ]
+        if dec_cols:
+            problems.append(f"oracle Decimal cols {dec_cols}")
+        if problems:
+            n_fail += 1
+            failures.append(f"{name}: " + "; ".join(problems))
+            print(f"FAIL {name}: " + "; ".join(problems))
+        else:
+            n_pass += 1
+            print(f"  ok {name}: rows={len(srows)} ({time.time() - t0:.1f}s)")
+
+    print(
+        f"\nGATE: {n_pass} pass, {n_noracle} no_oracle, {n_fail} FAIL "
+        f"(of {len(names)} at {sf})"
+    )
+    for f in failures:
+        print("  " + f)
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
