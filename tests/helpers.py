@@ -26,9 +26,16 @@ def _norm_cell(v):
     if v is None:
         return "NULL"
     if isinstance(v, decimal.Decimal):
-        # One engine may type a column DECIMAL where the other uses DOUBLE;
-        # normalize through float so equal values compare equal.
-        v = float(v)
+        # The driver's value hash is TYPE-sensitive: DuckDB SUM(INTEGER)
+        # surfaces as Decimal and hash-mismatches Spark's int64 even though
+        # Decimal(2) == 2 in Python (the round-1 failure mode). Refuse to
+        # normalize — an oracle whose output column is DECIMAL must CAST it
+        # (AS BIGINT / AS DOUBLE) instead.
+        raise AssertionError(
+            f"Decimal value {v!r} in compared output — cast the oracle "
+            "column (CAST(... AS BIGINT/DOUBLE)); the driver's hash "
+            "distinguishes Decimal from int/float"
+        )
     if isinstance(v, float):
         if math.isnan(v):
             return "NULL"
