@@ -424,6 +424,55 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def prefix_filter_candidates(
+    t: DataFrame, threshold: float, block_col: str | None = "lang"
+) -> DataFrame:
+    """EXACT candidate pairs for Jaccard ≥ ``threshold`` via prefix
+    filtering (the AllPairs / PPJoin principle): order every document's
+    shingles by a single global total order (ascending document frequency,
+    rarest first, ties by shingle value) and emit only the first
+    ``|A| - ceil(t*|A|) + 1`` shingles as join keys. Any pair with Jaccard
+    ≥ t must share at least one prefix shingle under a common total order,
+    so recall is 1.0 — deterministic, unlike LSH banding — while candidate
+    generation stays an equi-join on (shingle, block), linear shuffles only.
+
+    Rarest-first ordering is what makes this scale: prefixes are made of
+    low-frequency shingles, so join buckets stay tiny even on a corpus
+    whose common shingles appear everywhere. At 100 TB this is the
+    published AllPairs plan: one df aggregation, one window per doc, one
+    equi-join — no all-pairs term anywhere.
+
+    Input ``t``: (doc_id, [block_col,] sh: array<string>). Output:
+    (doc_a, doc_b) distinct candidate pairs with doc_a < doc_b, same block.
+    """
+    from pyspark.sql import Window
+
+    sz = t.select("doc_id", *( [block_col] if block_col else [] ),
+                  F.size("sh").alias("sz"), F.explode("sh").alias("s"))
+    df_freq = (
+        t.select(F.explode("sh").alias("s"))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    ranked = sz.join(df_freq, "s").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("s").asc())
+        ),
+    )
+    prefix_len = (F.col("sz") - F.ceil(F.col("sz") * F.lit(threshold)) + 1).cast("int")
+    prefix = ranked.filter(F.col("rn") <= prefix_len)
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cond = (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    return (
+        a.join(b, cond)
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
 @query(
     "dedup_clusters",
     oracle="""
@@ -467,25 +516,33 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     of DataFrame self-joins (each iteration one shuffle; iterations ≈ graph
     diameter, which for dedup graphs is tiny). The 100 TB upgrade is
     large-star/small-star contraction — same loop shape, fewer rounds. The
-    DuckDB oracle states the same fixpoint as a recursive CTE."""
+    DuckDB oracle states the same fixpoint as a recursive CTE.
+
+    Edge generation is prefix-filtered (AllPairs), NOT an all-pairs join:
+    candidates come from an equi-join on rarest-prefix shingles (exact
+    recall at the 0.5 threshold by the prefix-filter theorem), and only
+    candidates pay the exact-Jaccard verify. LSH banding was considered for
+    this slot but its recall is probabilistic — one missed borderline edge
+    would split a component and diverge from the oracle's exact fixpoint —
+    whereas prefix filtering is deterministic with the same linear-shuffle
+    shape."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    # Edges on the UNROUNDED jaccard (the oracle's predicate): filtering the
-    # display-rounded value would admit boundary pairs (raw 0.49996 rounds
-    # to 0.5000) the oracle rejects.
+    # Verify on the UNROUNDED jaccard (the oracle's predicate): filtering
+    # the display-rounded value would admit boundary pairs (raw 0.49996
+    # rounds to 0.5000) the oracle rejects.
     t = _tracked_persist(_doc_shingles(spark, sf_dir), f"shingles:{sf_dir}")
-    a, b = t.alias("a"), t.alias("b")
+    candidates = prefix_filter_candidates(t, threshold=0.5, block_col="lang")
+    sh_a = t.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = t.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     raw_jac = (
-        F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).cast("double")
-        / F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.size(F.array_union("sh_a", "sh_b"))
     )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        candidates.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
         .filter(raw_jac >= 0.5)
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select("doc_a", "doc_b")
     )
     edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
         pairs.selectExpr("doc_b AS src", "doc_a AS dst")

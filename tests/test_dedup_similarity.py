@@ -156,3 +156,35 @@ def test_dedup_clusters_invariants(spark, sf_dir):
     for d, c in labels.items():
         if d not in in_pairs and c == d:
             assert clusters[c] >= {d}
+
+
+def test_prefix_filter_exact_recall(spark, sf_dir):
+    """Prefix filtering must generate EVERY pair with jaccard >= threshold
+    (the AllPairs guarantee — deterministic recall 1.0, unlike LSH), and
+    its physical plan must contain no all-pairs join."""
+    from pyspark.sql import functions as F
+
+    t = dedup._doc_shingles(spark, sf_dir)
+    cand = dedup.prefix_filter_candidates(t, threshold=0.5, block_col="lang")
+    # exact same-lang edges at the threshold (small SF: all-pairs is fine here)
+    a, b = t.alias("a"), t.alias("b")
+    raw_jac = (
+        F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).cast("double")
+        / F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    )
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(raw_jac >= 0.5)
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .collect()
+    }
+    got = {(r.doc_a, r.doc_b) for r in cand.collect()}
+    assert exact <= got, f"prefix filter missed true pairs: {exact - got}"
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
