@@ -82,6 +82,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
+        # Straggler re-execution (reference src/master.h:131-138, MAXWORKTIME
+        # re-dispatch): speculative task retry. Spark-core conf — must be set
+        # at session build, not via spark.conf.set; a no-op on local[] but
+        # the operative knob on a 1000-executor cluster.
+        .config("spark.speculation", "true")
+        .config("spark.speculation.multiplier", "3")
     )
     for k, v in _RUNTIME_CONF.items():
         builder = builder.config(k, v)
