@@ -424,6 +424,57 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def min_label_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Connected components by min-label propagation to fixpoint.
+
+    ``nodes``: one column ``node_id`` (one row per vertex, including
+    isolated ones). ``edges``: columns ``src``, ``dst`` — must contain BOTH
+    directions of every undirected edge. Returns (node_id, cluster) where
+    cluster is the smallest node_id in the component.
+
+    Driver loop of DataFrame self-joins: each iteration is one shuffle and
+    lineage is truncated via localCheckpoint; iterations ≈ graph diameter
+    (tiny for dedup graphs). The 100 TB upgrade is large-star/small-star
+    contraction — same loop shape, fewer rounds. Raises on non-convergence
+    rather than returning a split component."""
+    edges = edges.persist()
+    labels = nodes.select("node_id", F.col("node_id").alias("cluster"))
+    converged = False
+    for _ in range(64):  # safety cap far above any dedup graph's diameter
+        neighbor_min = (
+            labels.join(edges, labels.node_id == edges.src)
+            .groupBy("dst")
+            .agg(F.min("cluster").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node_id == neighbor_min.dst, "left")
+            .select(
+                "node_id",
+                F.least(
+                    F.col("cluster"), F.coalesce(F.col("nmin"), F.col("cluster"))
+                ).alias("cluster"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)  # truncate lineage
+        changed = (
+            labels.alias("o")
+            .join(new_labels.alias("n"), "node_id")
+            .filter(F.col("o.cluster") != F.col("n.cluster"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            converged = True
+            break
+    edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            "min_label_components: label propagation did not converge in 64 "
+            "iterations; use star-contraction for this graph"
+        )
+    return labels
+
+
 def prefix_filter_candidates(
     t: DataFrame, threshold: float, block_col: str | None = "lang"
 ) -> DataFrame:
@@ -546,42 +597,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
         pairs.selectExpr("doc_b AS src", "doc_a AS dst")
-    ).persist()
-
-    labels = docs.select("doc_id", F.col("doc_id").alias("cluster"))
-    converged = False
-    for _ in range(64):  # safety cap far above any dedup graph's diameter
-        neighbor_min = (
-            labels.join(edges, labels.doc_id == edges.src)
-            .groupBy("dst")
-            .agg(F.min("cluster").alias("nmin"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.doc_id == neighbor_min.dst, "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster"), F.coalesce(F.col("nmin"), F.col("cluster"))
-                ).alias("cluster"),
-            )
-        )
-        new_labels = new_labels.localCheckpoint(eager=True)  # truncate lineage
-        changed = (
-            labels.alias("o")
-            .join(new_labels.alias("n"), "doc_id")
-            .filter(F.col("o.cluster") != F.col("n.cluster"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            converged = True
-            break
-    edges.unpersist()
-    if not converged:
-        # Silent non-convergence would return a split component as if it
-        # were the fixpoint — fail loudly instead.
-        raise RuntimeError(
-            "dedup_clusters: label propagation did not converge in 64 "
-            "iterations; use star-contraction for this graph"
-        )
-    return labels.select("doc_id", "cluster")
+    )
+    labels = min_label_components(
+        docs.select(F.col("doc_id").alias("node_id")), edges
+    )
+    return labels.select(F.col("node_id").alias("doc_id"), "cluster")

@@ -382,6 +382,71 @@ def _cell_dists(C: np.ndarray, col: str) -> Column:
     )
 
 
+SEMANTIC_TAU = 0.4  # same contract as the cosine near-dup tier
+_SEM_ASSIGN = 3  # cells per vector: the recall dial of the candidate step
+
+
+@query("semantic_dedup_clusters", tags=("similarity", "dedup", "clusters", "ivf"))
+def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup over embeddings: cluster-then-verify, then connected
+    components — the keep-list operator for meaning-level duplicates, one
+    step past pairwise cosine.
+
+    Plan: unit vectors → seeded-IVF multi-assignment to the 3 nearest
+    cells (one broadcast pass; 3 cells instead of neardup_cosine_ivf's 2
+    buys candidate recall for the transitive-closure use where a missed
+    edge can split a component) → same-cell ID-only candidate pairs →
+    exact cosine ≥ 0.4 verify → min-label connected components. Every
+    shuffle is linear in N; only within-cell pairs pay the 64-d cosine.
+
+    No SQL oracle BY CONSTRUCTION: at τ=0.4 (≈66°) in 64 dimensions no
+    deterministic blocking scheme beats all-pairs (curse of
+    dimensionality), so candidate recall is approximate — a DuckDB oracle
+    stating the exact fixpoint would disagree whenever a borderline edge
+    is missed. The driver applies its rows-only check (one row per
+    vector, stable); tests assert edge precision 1.0, component
+    consistency, recall floor vs the exact pair tier, and determinism."""
+    vecs = _vectors(spark, sf_dir)
+    unit = vecs.select(
+        "vec_id",
+        F.transform("d", lambda x: x / F.col("nrm")).alias("u"),
+    )
+    C = _fit_centroids_sample(unit.select("vec_id", F.col("u").alias("d")))
+    cells = F.slice(F.array_sort(_cell_dists(C, "u")), 1, _SEM_ASSIGN)
+    assigned = unit.select(
+        "vec_id",
+        "u",
+        F.explode(F.transform(cells, lambda s: s["cell"])).alias("cell"),
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    ua = unit.select(F.col("vec_id").alias("vec_a"), F.col("u").alias("ua"))
+    ub = unit.select(F.col("vec_id").alias("vec_b"), F.col("u").alias("ub"))
+    pairs = (
+        candidates.join(ua, "vec_a")
+        .join(ub, "vec_b")
+        .filter(_dot(F.col("ua"), F.col("ub")) >= SEMANTIC_TAU)
+        .select("vec_a", "vec_b")
+    )
+    edges = pairs.selectExpr("vec_a AS src", "vec_b AS dst").unionByName(
+        pairs.selectExpr("vec_b AS src", "vec_a AS dst")
+    )
+    from .dedup import min_label_components
+
+    labels = min_label_components(
+        vecs.select(F.col("vec_id").alias("node_id")), edges
+    )
+    return labels.select(F.col("node_id").alias("vec_id"), "cluster")
+
+
 @query("neardup_cosine_ivf", tags=("similarity", "dedup", "ivf"))
 def neardup_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs AT SCALE: every vector is assigned to

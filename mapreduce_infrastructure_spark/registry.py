@@ -110,6 +110,7 @@ CERTIFIED_FIRST: tuple[str, ...] = (
     "ann_lsh_topk",
     "ann_ivf_topk",
     "neardup_cosine_ivf",
+    "semantic_dedup_clusters",
     # multimodal plumbing
     "multimodal_meta",
     # MapReduce-compat surface
