@@ -104,6 +104,7 @@ CERTIFIED_FIRST: tuple[str, ...] = (
     "simhash_neardup_pairs",
     "containment_pairs",
     "dedup_clusters",
+    "substring_dedup",
     # similarity / ANN tiers
     "knn_bruteforce",
     "neardup_cosine_pairs",

@@ -237,3 +237,47 @@ def test_semantic_dedup_clusters_invariants(spark, sf_dir):
     # determinism (seeded quantizer, deterministic propagation)
     again = {r.vec_id: r.cluster for r in similarity.semantic_dedup_clusters(spark, sf_dir).collect()}
     assert again == out
+
+
+def test_substring_dedup_precision_and_detection(spark, sf_dir):
+    """Every reported pair must truly share a verbatim 50-char window
+    (precision 1.0 — fingerprints are of real substrings), and pairs
+    sharing long runs (>= 150 chars) must be detected despite winnowing's
+    ~10% fingerprint thinning."""
+    from pyspark.sql import functions as F
+    from mapreduce_infrastructure_spark.catalog import load_table
+
+    def window_pairs(k):
+        docs = load_table(spark, sf_dir, "documents")
+        wins = (
+            docs.filter(F.length("text") >= k)
+            .select(
+                "doc_id",
+                F.explode(F.sequence(F.lit(1), F.length("text") - (k - 1))).alias("pos"),
+                "text",
+            )
+            .select("doc_id", F.col("text").substr(F.col("pos"), F.lit(k)).alias("win"))
+            .distinct()
+        )
+        a, b = wins.alias("a"), wins.alias("b")
+        return {
+            (r.doc_a, r.doc_b)
+            for r in a.join(
+                b,
+                (F.col("a.win") == F.col("b.win"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .distinct()
+            .collect()
+        }
+
+    got = {
+        (r.doc_a, r.doc_b) for r in dedup.substring_dedup(spark, sf_dir).collect()
+    }
+    truth_50 = window_pairs(50)
+    assert got <= truth_50, f"false positives: {got - truth_50}"
+    truth_150 = window_pairs(150)
+    assert truth_150 <= got, f"missed long shared runs: {truth_150 - got}"
