@@ -112,6 +112,7 @@ CERTIFIED_FIRST: tuple[str, ...] = (
     "ann_ivf_topk",
     "neardup_cosine_ivf",
     "semantic_dedup_clusters",
+    "ann_pq_topk",
     # multimodal plumbing
     "multimodal_meta",
     # MapReduce-compat surface

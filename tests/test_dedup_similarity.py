@@ -281,3 +281,31 @@ def test_substring_dedup_precision_and_detection(spark, sf_dir):
     assert got <= truth_50, f"false positives: {got - truth_50}"
     truth_150 = window_pairs(150)
     assert truth_150 <= got, f"missed long shared runs: {truth_150 - got}"
+
+
+def test_ann_pq_recall_and_exact_rerank(spark, sf_dir):
+    """PQ/ADC with exact re-rank: recall@3 vs brute force >= 0.5 (measured
+    0.70 at sf0.01 with 40 candidates), ranks contiguous, and every
+    reported cosine must equal the brute-force cosine for that
+    (query, neighbor) pair."""
+    brute_sim = {}
+    brute_top3 = {}
+    for r in similarity.knn_bruteforce(spark, sf_dir).collect():
+        brute_sim[(r.query_id, r.neighbor_id)] = r.cosine
+        if r.rank <= 3:
+            brute_top3.setdefault(r.query_id, set()).add(r.neighbor_id)
+    ann = {}
+    for r in similarity.ann_pq_topk(spark, sf_dir).collect():
+        ann.setdefault(r.query_id, []).append((r.rank, r.neighbor_id, r.cosine))
+    assert ann, "PQ ANN returned nothing"
+    hits = total = 0
+    for q, neigh in ann.items():
+        ranks = sorted(rk for rk, _, _ in neigh)
+        assert ranks == list(range(1, len(ranks) + 1))
+        for _, n, c in neigh:
+            if (q, n) in brute_sim:  # brute force only kept its own top-5
+                assert abs(c - brute_sim[(q, n)]) < 1e-9
+        top3 = brute_top3.get(q, set())
+        hits += len({n for _, n, _ in neigh} & top3)
+        total += min(3, len(top3))
+    assert total > 0 and hits / total >= 0.5
