@@ -137,9 +137,9 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(n_chars AS BIGINT) AS n_chars,
            CAST(len(toks) AS BIGINT) AS n_tokens,
-           floor((CAST(n_chars AS DOUBLE) / len(toks)) * 10000 + 0.5) / 10000 AS chars_per_token,
+           floor((CAST(n_chars AS DOUBLE) / nullif(len(toks), 0)) * 10000 + 0.5) / 10000 AS chars_per_token,
            floor((CAST(len(list_filter(toks, x -> x = 'the' OR x = 'a')) AS DOUBLE)
-                 / len(toks)) * 10000 + 0.5) / 10000 AS stopword_ratio,
+                 / nullif(len(toks), 0)) * 10000 + 0.5) / 10000 AS stopword_ratio,
            CASE WHEN len(toks) >= 20
                  AND len(list_filter(toks, x -> x = 'the' OR x = 'a')) * 2 <= len(toks)
                 THEN 'ok' ELSE 'low' END AS quality_flag
@@ -156,12 +156,17 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_stop = lambda x: (x == "the") | (x == "a")  # noqa: E731
     n_tokens = F.size(toks)
     n_stop = F.size(F.filter(toks, is_stop))
+    # Zero-token guard on BOTH engines: Spark's non-ANSI divide returns NULL
+    # for x/0 but DuckDB's double division can yield inf depending on
+    # ieee_floating_point_ops — nullif pins one defined answer (NULL) for
+    # empty/punctuation-only docs in each.
+    n_tokens_nz = F.nullif(n_tokens, F.lit(0))
     return docs.select(
         "doc_id",
         F.col("n_chars").cast("long").alias("n_chars"),
         n_tokens.cast("long").alias("n_tokens"),
-        rnd(F.col("n_chars").cast("double") / n_tokens, 4).alias("chars_per_token"),
-        rnd(n_stop.cast("double") / n_tokens, 4).alias("stopword_ratio"),
+        rnd(F.col("n_chars").cast("double") / n_tokens_nz, 4).alias("chars_per_token"),
+        rnd(n_stop.cast("double") / n_tokens_nz, 4).alias("stopword_ratio"),
         F.when((n_tokens >= 20) & (n_stop * 2 <= n_tokens), "ok")
         .otherwise("low")
         .alias("quality_flag"),

@@ -14,7 +14,7 @@ from .runner import run_mr_job
     oracle="""
     SELECT word, cnt FROM (
       SELECT word, COUNT(*) AS cnt
-      FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS word
+      FROM (SELECT unnest(regexp_split_to_array(text, '[ ,."'']+')) AS word
             FROM documents)
       WHERE word <> ''
       GROUP BY word
@@ -27,9 +27,10 @@ def mr_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reference's delimiter set (``test/user_tasks.cc:12-22``) → hash
     shuffle → BaseReducer integer sum (``:29-33``), via mr.runner.run_mr_job.
 
-    The oracle is plain SQL word count — on this corpus (lowercase words,
-    single spaces, no punctuation) the reference tokenizer and the regex
-    tokenizer agree, which the flagship `wordcount` query also pins.
+    The oracle states the SAME tokenizer contract structurally — split on
+    the reference's literal delimiter set ``" ,.\\"'"`` with NO lowercasing
+    — so the equivalence holds for any corpus, not just one that happens to
+    be lowercase with single spaces.
     """
     docs = load_table(spark, sf_dir, "documents").select("text")
     kv = run_mr_job(spark, docs, user_id="cs6210", num_output_files=8)

@@ -37,7 +37,17 @@ N_FILES = 16
 
 def zvalue(a: Column, b: Column, bits: int = Z_BITS) -> Column:
     """Morton interleave of the low `bits` bits of two non-negative int
-    columns (a even positions, b odd) — pure bitwise expressions."""
+    columns (a even positions, b odd) — pure bitwise expressions.
+
+    ``bits`` is capped at 31: the top interleaved position is 2*bits+1,
+    and shiftleft past bit 62 would wrap into the sign bit and corrupt the
+    ordering silently. Wider keys need two longs (interleave high and low
+    halves separately)."""
+    if bits > 31:
+        raise ValueError(
+            f"zvalue: bits={bits} > 31 would overflow the 64-bit z-value; "
+            "interleave into two longs for wider keys"
+        )
     z = F.lit(0).cast("long")
     for i in range(bits):
         abit = F.shiftright(a.cast("long"), i).bitwiseAND(F.lit(1))

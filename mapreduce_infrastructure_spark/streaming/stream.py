@@ -369,3 +369,58 @@ def stream_session_window_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Complete mode truncates and rewrites the sink every trigger, so the
     # materialized table IS the final session set — no reconciliation step.
     return run_to_table(agg, "stream_session_window_30m", mode="complete")
+
+
+# ---------------------------------------------------------------------------
+# Kafka source (guarded): the production ingest for this tier
+# ---------------------------------------------------------------------------
+
+_KAFKA_PROVIDER = "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+
+
+def kafka_available(spark: SparkSession) -> bool:
+    """True iff the spark-sql-kafka connector JAR is on the session's
+    classpath. The connector is a JVM artifact, not a Python package, so
+    the guard asks the JVM directly instead of a Python import-try."""
+    try:
+        spark._jvm.java.lang.Class.forName(_KAFKA_PROVIDER)  # noqa: SLF001
+        return True
+    except Exception:
+        return False
+
+
+def stream_events_kafka(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str = "events",
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """readStream over a Kafka topic carrying JSON-encoded event rows,
+    normalized to the SAME schema/semantics as the file source
+    (``stream_events``) — every windowed query downstream runs unchanged on
+    either source; only this constructor differs. At 100 TB/day this is the
+    firehose path: one source partition per Kafka partition, watermarks and
+    state handling identical to the file-source twins.
+
+    Raises a clear RuntimeError when the connector JAR is absent (this
+    container ships without it; add
+    ``org.apache.spark:spark-sql-kafka-0-10_2.13`` to spark.jars.packages
+    in a deployment that ingests from Kafka)."""
+    if not kafka_available(spark):
+        raise RuntimeError(
+            "Kafka source requested but the spark-sql-kafka connector is "
+            "not on the classpath; add org.apache.spark:spark-sql-kafka-"
+            "0-10_2.13 to spark.jars.packages"
+        )
+    tune(spark)
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    parsed = raw.select(
+        F.from_json(F.col("value").cast("string"), _RAW_EVENTS).alias("e")
+    ).select("e.*")
+    return parsed.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

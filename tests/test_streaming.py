@@ -114,3 +114,15 @@ def test_stream_stream_left_outer_semantics(spark, sf_dir):
     # 30-minute window (cross-check against the batch inner join).
     inner_clicks = {c for c, _ in inner}
     assert all(r.click_id not in inner_clicks for r in unmatched)
+
+
+def test_kafka_guard_clean_error(spark):
+    """This container has no Kafka connector JAR: the guard must report
+    unavailability and the constructor must raise the clear RuntimeError,
+    not a py4j ClassNotFound from deep inside the source resolution."""
+    import pytest
+    from mapreduce_infrastructure_spark.streaming import stream as st
+
+    assert st.kafka_available(spark) is False
+    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        st.stream_events_kafka(spark, "localhost:9092")
