@@ -309,3 +309,42 @@ def test_ann_pq_recall_and_exact_rerank(spark, sf_dir):
         hits += len({n for _, n, _ in neigh} & top3)
         total += min(3, len(top3))
     assert total > 0 and hits / total >= 0.5
+
+
+def test_star_contraction_matches_union_find(spark):
+    """Star contraction on an adversarial synthetic graph (one 60-node
+    chain — deep diameter, the case label propagation is slowest on — two
+    cliques, a star, and isolated nodes) must match a Python union-find
+    exactly."""
+    import random
+
+    rng = random.Random(13)
+    edges = [(i, i + 1) for i in range(100, 160)]  # chain, diameter 60
+    edges += [(a, b) for a in range(200, 206) for b in range(a + 1, 206)]
+    edges += [(300, x) for x in range(301, 310)]
+    extra = list(range(400, 440))
+    rng.shuffle(extra)
+    edges += list(zip(extra[:20], extra[20:]))
+    nodes = sorted({n for e in edges for n in e} | {900, 901})
+
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    want = {n: min(m for m in nodes if find(m) == find(n)) for n in nodes}
+
+    nodes_df = spark.createDataFrame([(n,) for n in nodes], "node_id long")
+    edges_df = spark.createDataFrame(
+        [(a, b) for a, b in edges] + [(b, a) for a, b in edges], "src long, dst long"
+    )
+    got = {
+        r.node_id: r.cluster
+        for r in dedup.star_contraction_components(nodes_df, edges_df).collect()
+    }
+    assert got == want
