@@ -573,6 +573,21 @@ def prefix_filter_candidates(
     published AllPairs plan: one df aggregation, one window per doc, one
     equi-join — no all-pairs term anywhere.
 
+    On top of AllPairs this applies PPJoin's two sound pruning filters
+    (Xiao et al., "Efficient Similarity Joins for Near Duplicate
+    Detection", WWW 2008), so fewer candidates reach the exact verify:
+
+    - **length filter** (in the join condition): jaccard ≥ t forces
+      ``min(|A|,|B|) ≥ t·max(|A|,|B|)`` — size-mismatched pairs never
+      materialize past the probe.
+    - **positional filter**: shingle ranks follow one global total order,
+      so for the globally FIRST shingle shared by both prefixes — at rank
+      i in A and j in B — every other common shingle sits after it in
+      both lists, giving ``overlap ≤ 1 + min(|A|-i, |B|-j)``. jaccard ≥ t
+      needs ``overlap ≥ ceil(t/(1+t)·(|A|+|B|))``; pairs whose bound
+      can't reach that are dropped. Both filters only remove pairs that
+      provably fail the threshold — recall stays exactly 1.0.
+
     Input ``t``: (doc_id, [block_col,] sh: array<string>). Output:
     (doc_a, doc_b) distinct candidate pairs with doc_a < doc_b, same block.
     """
@@ -594,14 +609,43 @@ def prefix_filter_candidates(
     prefix_len = (F.col("sz") - F.ceil(F.col("sz") * F.lit(threshold)) + 1).cast("int")
     prefix = ranked.filter(F.col("rn") <= prefix_len)
     a, b = prefix.alias("a"), prefix.alias("b")
-    cond = (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    cond = (
+        (F.col("a.s") == F.col("b.s"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        # PPJoin length filter: survivors need min(sz) >= t * max(sz).
+        & (
+            F.least(F.col("a.sz"), F.col("b.sz"))
+            >= F.lit(threshold) * F.greatest(F.col("a.sz"), F.col("b.sz"))
+        )
+    )
     if block_col:
         cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
-    return (
+    # One aggregation replaces dropDuplicates (same single shuffle on the
+    # pair key): min(rn_a) picks the globally-first shared prefix shingle
+    # (common prefix shingles are ordered identically in both docs, so
+    # min rn_a and min rn_b land on the SAME shingle), carrying the ranks
+    # the positional filter needs.
+    first_match = (
         a.join(b, cond)
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("a.rn").alias("rn_a"),
+                    F.col("b.rn").alias("rn_b"),
+                    F.col("a.sz").alias("sz_a"),
+                    F.col("b.sz").alias("sz_b"),
+                )
+            ).alias("m")
+        )
     )
+    ubound = F.lit(1) + F.least(
+        F.col("m.sz_a") - F.col("m.rn_a"), F.col("m.sz_b") - F.col("m.rn_b")
+    )
+    min_overlap = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("m.sz_a") + F.col("m.sz_b"))
+    )
+    return first_match.filter(ubound >= min_overlap).select("doc_a", "doc_b")
 
 
 # Exact-substring dedup: character k-gram fingerprints selected by

@@ -188,6 +188,24 @@ def test_prefix_filter_exact_recall(spark, sf_dir):
     plan = cand._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+    # PPJoin's length+positional filters must actually prune: the raw
+    # prefix-shingle equi-join admits hundreds of candidate pairs on this
+    # fixture (283 at sf0.01); the filtered output should be well under
+    # half of that while (asserted above) keeping every true pair.
+    n_raw = (
+        t.select("doc_id", "lang", F.explode("sh").alias("s"))
+        .alias("a")
+        .join(
+            t.select("doc_id", "lang", F.explode("sh").alias("s")).alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.lang") == F.col("b.lang")),
+        )
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .count()
+    )
+    assert cand.count() <= n_raw // 2, (cand.count(), n_raw)
 
 
 def test_semantic_dedup_clusters_invariants(spark, sf_dir):
