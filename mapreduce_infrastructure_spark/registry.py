@@ -129,7 +129,7 @@ def all_queries() -> dict[str, Query]:
     # Import here, not at module top, to avoid circular imports.
     from .operators import relational, analytic, temporal, stats  # noqa: F401
     from .functions import scalar, udfs  # noqa: F401
-    from .sources import formats, bucketing, zorder  # noqa: F401
+    from .sources import formats, bucketing, zorder, hilbert  # noqa: F401
     from .streaming import batch_windows, stream  # noqa: F401
     from .llm import text, dedup, similarity, multimodal  # noqa: F401
     from .mr import queries as mr_queries  # noqa: F401
