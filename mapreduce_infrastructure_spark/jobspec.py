@@ -32,32 +32,59 @@ class MapReduceSpec:
     user_id: str = ""
 
 
-def parse_spec(config_path: str) -> MapReduceSpec:
+def _parse_int(key: str, value: str) -> int:
+    """Strict decimal integer for numeric spec fields. The reference uses
+    ``atoi`` (silent 0 on garbage, ``src/mapreduce_spec.h:72``); silent
+    zeros then fail validation with a misleading message, so raise at the
+    parse site instead. Python's ``int()`` alone is too lax for a config
+    contract — it accepts underscore separators ("1_0" → 10) and non-ASCII
+    digits — so gate on an explicit ASCII-decimal pattern first."""
+    import re
+
+    if not re.fullmatch(r"[+-]?[0-9]+", value):
+        raise ValueError(f"{key}: not an integer: {value!r}")
+    return int(value)
+
+
+def parse_spec_text(content: str) -> MapReduceSpec:
     """Parse the reference's INI format (``src/mapreduce_spec.h:58-100``):
-    one ``key=value`` per line, comma-separated lists, no sections."""
+    one ``key=value`` per line, comma-separated lists, no sections.
+    Unknown keys are ignored and later duplicates win, as in the
+    reference; unlike the reference, lines without ``=`` are skipped
+    rather than crashing (``key_value.at(1)`` throws) and malformed
+    numerics raise ValueError rather than ``atoi``-ing to 0.
+
+    Contract (fuzzed in tests/test_jobspec_fuzz.py): any input text either
+    returns a MapReduceSpec or raises ValueError — never any other
+    exception type."""
     spec = MapReduceSpec()
-    with open(config_path, encoding="utf-8") as fh:
-        for raw in fh:
-            line = raw.strip()
-            if not line or line.startswith("#") or "=" not in line:
-                continue
-            key, _, value = line.partition("=")
-            key, value = key.strip(), value.strip()
-            if key == "n_workers":
-                spec.n_workers = int(value)
-            elif key == "worker_ipaddr_ports":
-                spec.worker_ipaddr_ports = [v.strip() for v in value.split(",") if v.strip()]
-            elif key == "input_files":
-                spec.input_files = [v.strip() for v in value.split(",") if v.strip()]
-            elif key == "output_dir":
-                spec.output_dir = value
-            elif key == "n_output_files":
-                spec.n_output_files = int(value)
-            elif key == "map_kilobytes":
-                spec.map_kilobytes = int(value)
-            elif key == "user_id":
-                spec.user_id = value
+    for raw in content.splitlines():
+        line = raw.strip()
+        if not line or line.startswith("#") or "=" not in line:
+            continue
+        key, _, value = line.partition("=")
+        key, value = key.strip(), value.strip()
+        if key == "n_workers":
+            spec.n_workers = _parse_int(key, value)
+        elif key == "worker_ipaddr_ports":
+            spec.worker_ipaddr_ports = [v.strip() for v in value.split(",") if v.strip()]
+        elif key == "input_files":
+            spec.input_files = [v.strip() for v in value.split(",") if v.strip()]
+        elif key == "output_dir":
+            spec.output_dir = value
+        elif key == "n_output_files":
+            spec.n_output_files = _parse_int(key, value)
+        elif key == "map_kilobytes":
+            spec.map_kilobytes = _parse_int(key, value)
+        elif key == "user_id":
+            spec.user_id = value
     return spec
+
+
+def parse_spec(config_path: str) -> MapReduceSpec:
+    """Parse a job config file (see parse_spec_text)."""
+    with open(config_path, encoding="utf-8") as fh:
+        return parse_spec_text(fh.read())
 
 
 def validate_spec(spec: MapReduceSpec) -> None:
