@@ -1,0 +1,347 @@
+"""Sampling & curation operators: the data-mixing half of a training
+pipeline (`documents` table).
+
+After cleaning and dedup, a corpus is SAMPLED into a training mix:
+per-domain/language rates (domain mixing), fixed-size uniform draws,
+a global shuffle sharded for data-parallel trainers, quantile-based
+quality cuts, sequence packing into token budgets, and benchmark
+decontamination. None of these exist in the reference (its surface is
+word count, ``test/user_tasks.cc:9-35``); they are the north-star ops a
+100 TB corpus pipeline runs daily.
+
+Determinism is the design center: every "random" choice derives from
+md5(salt || key) — content-addressed pseudo-randomness that both Spark
+and the DuckDB oracle compute bit-identically, is reproducible across
+runs and cluster sizes, and needs no driver-side RNG state. Comparing
+the LOWERCASE-HEX md5 prefix against a hex threshold string is a pure
+lexicographic comparison == numeric comparison on the first 24 bits, so
+per-stratum rates are plain string predicates — fully pushable, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from ..catalog import load_table
+from ..functions.exact import rnd
+from ..registry import query
+from .text import TOKEN_DELIM, tokens_col
+
+# Per-language sampling rates for the stratified mix (domain mixing à la
+# The Pile / RefinedWeb recipes: upweight the head language, downsample
+# tails). Rates must be < 1.0 (a 6-hex-digit threshold cannot express 1.0;
+# rate 1.0 would mean "no sampling" anyway).
+MIX_RATES: dict[str, float] = {
+    "en": 0.9,
+    "de": 0.6,
+    "es": 0.5,
+    "fr": 0.4,
+    "zh": 0.25,
+}
+_DEFAULT_RATE = 0.1
+
+
+def _hex_threshold(rate: float) -> str:
+    """Rate r -> 6-hex-digit threshold: keep iff md5-prefix < threshold.
+    P(keep) = floor(r * 16^6) / 16^6, within 6e-8 of r."""
+    if not 0.0 <= rate < 1.0:
+        raise ValueError(f"rate must be in [0, 1): {rate}")
+    return format(int(rate * 16**6), "06x")
+
+
+def _u6(salt: str, key: Column) -> Column:
+    """First 6 hex chars of md5(salt || ':' || key) — the deterministic
+    uniform draw shared with the oracle."""
+    return F.substring(
+        F.md5(F.concat_ws(":", F.lit(salt), key.cast("string")).cast("binary")),
+        1,
+        6,
+    )
+
+
+def _rate_case_sql(salt: str) -> str:
+    """Oracle-side keep predicate matching _u6/_hex_threshold."""
+    branches = " ".join(
+        f"WHEN lang = '{lang}' THEN '{_hex_threshold(r)}'"
+        for lang, r in sorted(MIX_RATES.items())
+    )
+    return (
+        f"substr(md5('{salt}:' || CAST(doc_id AS VARCHAR)), 1, 6) < "
+        f"(CASE {branches} ELSE '{_hex_threshold(_DEFAULT_RATE)}' END)"
+    )
+
+
+@query(
+    "sample_stratified_mix",
+    oracle=f"""
+    SELECT lang, COUNT(*) AS n_sampled, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM documents
+    WHERE {_rate_case_sql("mix")}
+    GROUP BY lang
+    """,
+    tags=("sampling", "llm"),
+)
+def sample_stratified_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified (per-language) Bernoulli sampling at MIX_RATES — the
+    domain-mixing step of corpus assembly. The keep predicate is a string
+    comparison on an md5 prefix: deterministic, shuffle-free, pushed to
+    the scan, and independent of partitioning (unlike df.sample, whose
+    draw depends on split boundaries). At 100 TB this runs at scan speed
+    and the mix is exactly reproducible."""
+    docs = load_table(spark, sf_dir, "documents")
+    thr = F.lit(_hex_threshold(_DEFAULT_RATE))
+    for lang, r in sorted(MIX_RATES.items()):
+        thr = F.when(F.col("lang") == lang, F.lit(_hex_threshold(r))).otherwise(thr)
+    return (
+        docs.filter(_u6("mix", F.col("doc_id")) < thr)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+_FIXED_K = 200
+
+
+@query(
+    "sample_fixed_k",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    ORDER BY md5('fk:' || CAST(doc_id AS VARCHAR)), doc_id
+    LIMIT {_FIXED_K}
+    """,
+    tags=("sampling", "llm"),
+)
+def sample_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k uniform sample without replacement: order by a
+    content-addressed hash and take the k smallest — the distributed
+    equivalent of reservoir sampling, but deterministic and rerunnable
+    (a reservoir's result depends on encounter order; this depends only
+    on doc ids). Physical plan is TakeOrderedAndProject: each partition
+    keeps its local top-k, the driver merges k·P rows — no global sort,
+    no shuffle of the data itself. Scale: k rows cross the wire, period."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", "lang", _u6("fk", F.col("doc_id")).alias("_h"))
+        .orderBy(F.col("_h"), F.col("doc_id"))
+        .limit(_FIXED_K)
+        .select("doc_id", "lang")
+    )
+
+
+_N_SHARDS = 16
+
+
+@query(
+    "global_shuffle_shards",
+    oracle="""
+    SELECT doc_id,
+           substr(md5('shuf:' || CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY substr(md5('shuf:' || CAST(doc_id AS VARCHAR)), 1, 1)
+               ORDER BY md5('shuf:' || CAST(doc_id AS VARCHAR)), doc_id
+           ) AS INT) AS pos
+    FROM documents
+    """,
+    tags=("sampling", "llm"),
+)
+def global_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded global shuffle, sharded for data-parallel training: shard =
+    first hex nibble of the doc's draw (16 shards), position = rank of the
+    draw within the shard. Each trainer reads one shard in pos order and
+    sees a uniformly shuffled, deterministic stream. The window partitions
+    by shard — 16 parallel sorts of ~1/16 of the data each, never a
+    single-partition global window; at 100 TB shard count rises with the
+    trainer count and each sort stays executor-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(
+        F.concat_ws(":", F.lit("shuf"), F.col("doc_id").cast("string")).cast("binary")
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(F.substring(F.col("_h"), 1, 1))
+        .orderBy(F.col("_h"), F.col("doc_id"))
+    )
+    return (
+        docs.select("doc_id", h.alias("_h"))
+        .select(
+            "doc_id",
+            F.substring(F.col("_h"), 1, 1).alias("shard"),
+            F.row_number().over(w).alias("pos"),
+        )
+    )
+
+
+@query(
+    "quality_quantile_filter",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(regexp_split_to_array(lower(text), '{TOKEN_DELIM}'),
+                                  t -> t <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, lang, n_tokens,
+             percent_rank() OVER (PARTITION BY lang
+                                  ORDER BY n_tokens DESC, doc_id) AS pr
+      FROM scored
+    )
+    SELECT doc_id, lang, n_tokens,
+           floor(pr * 1000000 + 0.5) / 1000000 AS pr
+    FROM ranked WHERE pr <= 0.75
+    """,
+    tags=("sampling", "quality", "llm"),
+)
+def quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-based quality cut: keep the top 75% of documents per
+    language by token count (the scalable stand-in for a model-based
+    quality score — swap the ORDER BY for any scoring column). Quantiles
+    via percent_rank with a deterministic tiebreaker, so the cut is exact
+    and reproducible — not approximate like approxQuantile — and the
+    window runs per-stratum, parallel across languages. (rank-1)/(n-1) is
+    one IEEE division computed identically by both engines; rounded to 6
+    places on output anyway."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "lang", F.size(tokens_col()).cast("long").alias("n_tokens")
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n_tokens").desc(), F.col("doc_id"))
+    pr = F.percent_rank().over(w)
+    return (
+        scored.withColumn("pr", pr)
+        .filter(F.col("pr") <= 0.75)
+        .select("doc_id", "lang", "n_tokens", rnd(F.col("pr"), 6).alias("pr"))
+    )
+
+
+_PACK_BUDGET = 2048
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(regexp_split_to_array(lower(text), '{TOKEN_DELIM}'),
+                                  t -> t <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), packed AS (
+      SELECT lang, n_tokens,
+             CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                             ROWS UNBOUNDED PRECEDING)
+                         - n_tokens) / {_PACK_BUDGET}.0) AS BIGINT) AS bin
+      FROM toks
+    )
+    SELECT lang, bin,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+    FROM packed
+    GROUP BY lang, bin
+    """,
+    tags=("sampling", "packing", "llm"),
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents (in deterministic doc_id order,
+    per language) to consecutive ~2048-token training bins — bin = which
+    budget multiple the doc's running token total starts in. This is the
+    contiguous-packing approximation used when assembling fixed-length
+    training batches; the cumulative window is per-language (parallel),
+    and at 100 TB the partition key widens (lang, shard) to keep each
+    running sum executor-local. Returns per-bin occupancy for inspection."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.size(tokens_col()).cast("long").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    bin_ = F.floor((cum - F.col("n_tokens")) / F.lit(float(_PACK_BUDGET)))
+    return (
+        toks.withColumn("bin", bin_)
+        .groupBy("lang", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+        )
+    )
+
+
+_BENCH_MAX_DOC = 10  # doc_id < 10 stands in for the benchmark/eval set
+_CONTAM_N = 8  # shared n-gram length flagging contamination (Lee et al. 2022 use 50-token windows; 8 word-grams is the eval-decontamination norm)
+
+_DECONTAM_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '{TOKEN_DELIM}'),
+                         x -> x <> '') AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - {_CONTAM_N - 1}, 0)),
+               i -> array_to_string(t[i:i+{_CONTAM_N - 1}], ' '))) AS gs
+      FROM toks
+    ), bench AS (
+      SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id < {_BENCH_MAX_DOC}
+    ), train AS (
+      SELECT doc_id, unnest(gs) AS g FROM grams WHERE doc_id >= {_BENCH_MAX_DOC}
+    )
+    SELECT t.doc_id, COUNT(*) AS n_shared_ngrams
+    FROM train t JOIN bench b ON t.g = b.g
+    GROUP BY t.doc_id
+"""
+
+
+@query("decontaminate_benchmark", oracle=_DECONTAM_ORACLE, tags=("sampling", "llm"))
+def decontaminate_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    8-token n-gram with the benchmark set (stand-in: doc_id < 10),
+    reporting how many distinct benchmark n-grams each one contains —
+    the overlap filter run before training so eval data never leaks into
+    the corpus. The benchmark n-gram set is tiny relative to the corpus
+    and is BROADCAST, so the training side never shuffles: at 100 TB this
+    is a map-side semi-join at scan speed. Drop the flagged ids with an
+    anti-join to get the clean corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            _ngrams_col(tokens_col(), _CONTAM_N)
+        ).alias("g"),
+    )
+    bench = (
+        grams.filter(F.col("doc_id") < _BENCH_MAX_DOC).select("g").distinct()
+    )
+    train = grams.filter(F.col("doc_id") >= _BENCH_MAX_DOC)
+    return (
+        train.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+    )
+
+
+def _ngrams_col(toks: Column, n: int) -> Column:
+    """Distinct word n-grams of a token array (empty below n tokens) —
+    same zip_with-over-slices construction as dedup.shingles_col (avoids
+    per-element re-evaluation of the token split; see that docstring)."""
+    m = F.size(toks) - (n - 1)
+    zipped = F.slice(toks, 1, m)
+    for j in range(1, n):
+        zipped = F.zip_with(
+            zipped, F.slice(toks, j + 1, m), lambda x, y: F.concat_ws(" ", x, y)
+        )
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, zipped).otherwise(F.array().cast("array<string>"))
+    )

@@ -1,0 +1,148 @@
+"""Sampling & curation operators: semantic invariants beyond the oracle
+(the oracle proves Spark == DuckDB; these prove the shared answer means
+what the docstrings claim) plus physical-plan shape checks."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_infrastructure_spark.catalog import load_table
+from mapreduce_infrastructure_spark.llm import sampling
+
+
+def test_stratified_mix_rates(spark, sf_dir):
+    """Realized per-language rates concentrate near MIX_RATES (Bernoulli
+    with md5 uniformity; tolerance covers fixture-sized strata)."""
+    totals = {
+        r.lang: r.n
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    sampled = {
+        r.lang: r.n_sampled
+        for r in sampling.sample_stratified_mix(spark, sf_dir).collect()
+    }
+    for lang, n_total in totals.items():
+        rate = sampling.MIX_RATES.get(lang, sampling._DEFAULT_RATE)
+        got = sampled.get(lang, 0) / n_total
+        # ±4 binomial standard deviations
+        sd = (rate * (1 - rate) / n_total) ** 0.5
+        assert abs(got - rate) <= 4 * sd + 1e-9, (lang, rate, got, n_total)
+
+
+def test_stratified_mix_deterministic(spark, sf_dir):
+    a = sorted(map(tuple, sampling.sample_stratified_mix(spark, sf_dir).collect()))
+    b = sorted(map(tuple, sampling.sample_stratified_mix(spark, sf_dir).collect()))
+    assert a == b
+
+
+def test_fixed_k_exact_size_and_plan(spark, sf_dir):
+    df = sampling.sample_fixed_k(spark, sf_dir)
+    rows = df.collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == min(sampling._FIXED_K, n_docs)
+    assert len({r.doc_id for r in rows}) == len(rows)  # without replacement
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # local top-k + driver merge, not a global sort-then-limit
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_global_shuffle_shards_cover_and_positions(spark, sf_dir):
+    rows = sampling.global_shuffle_shards(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs  # a shuffle is a permutation: no loss, no dup
+    by_shard: dict[str, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) <= set("0123456789abcdef")
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), shard  # dense ranks
+    # roughly balanced: no shard more than 3x the even share
+    sizes = [len(p) for p in by_shard.values()]
+    assert max(sizes) <= 3 * (n_docs // 16 + 1), sizes
+
+
+def test_quality_quantile_filter_keeps_top_three_quarters(spark, sf_dir):
+    kept = sampling.quality_quantile_filter(spark, sf_dir).collect()
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    totals = {r.lang: r.n for r in docs}
+    kept_by_lang: dict[str, list] = {}
+    for r in kept:
+        kept_by_lang.setdefault(r.lang, []).append(r)
+    for lang, n in totals.items():
+        k = len(kept_by_lang.get(lang, []))
+        # percent_rank <= 0.75 keeps ceil-ish 75% incl. rank-1 row; bounds
+        assert 0.70 * n <= k <= 0.80 * n + 1, (lang, k, n)
+    # kept docs per lang are the LONGEST ones: min kept >= max dropped
+    full = {
+        (r.doc_id, r.lang): r.n_tokens
+        for r in load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "lang",
+            F.size(
+                F.filter(
+                    F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                    lambda t: t != F.lit(""),
+                )
+            ).alias("n_tokens"),
+        )
+        .collect()
+    }
+    for lang, rows in kept_by_lang.items():
+        kept_ids = {r.doc_id for r in rows}
+        dropped = [v for (d, l), v in full.items() if l == lang and d not in kept_ids]
+        if dropped:
+            assert min(r.n_tokens for r in rows) >= max(dropped), lang
+
+
+def test_pack_sequences_bins_contiguous_and_conserving(spark, sf_dir):
+    rows = sampling.pack_sequences(spark, sf_dir).collect()
+    total_tokens = sum(r.bin_tokens for r in rows)
+    expect = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            F.sum(
+                F.size(
+                    F.filter(
+                        F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                        lambda t: t != F.lit(""),
+                    )
+                ).cast("long")
+            ).alias("s")
+        )
+        .first()
+        .s
+    )
+    assert total_tokens == expect  # packing loses no tokens
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, bins in by_lang.items():
+        ids = sorted(b.bin for b in bins)
+        assert ids == list(range(len(ids))), lang  # bins are contiguous 0..B
+        # every bin but the last STARTS below budget by construction;
+        # interior bins hold >= budget total (they only close when full)
+        interior = sorted(bins, key=lambda b: b.bin)[:-1]
+        for b in interior:
+            assert b.bin_tokens >= 1, (lang, b)
+
+
+def test_decontaminate_flags_known_overlap_and_broadcasts(spark, sf_dir):
+    df = sampling.decontaminate_benchmark(spark, sf_dir)
+    rows = df.collect()
+    # fixture corpus contains near/exact duplicates of early docs, so the
+    # contamination set must be non-trivial — a silent empty result would
+    # make the filter vacuous
+    assert len(rows) > 0
+    assert all(r.n_shared_ngrams >= 1 for r in rows)
+    assert all(r.doc_id >= sampling._BENCH_MAX_DOC for r in rows)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
