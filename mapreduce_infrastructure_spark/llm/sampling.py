@@ -103,6 +103,69 @@ def sample_stratified_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TEMP_C = 0.3  # cap scale for the α=0.5 temperature mix
+
+
+@query(
+    "sample_temperature_mix",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang
+    ), rates AS (
+      SELECT lang, n_l,
+             least(1.0, {_TEMP_C} * sqrt(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) / n_l)) AS rate
+      FROM counts
+    )
+    SELECT d.lang,
+           r.n_l AS n_total,
+           COUNT(*) AS n_sampled,
+           floor(r.rate * 1000000 + 0.5) / 1000000 AS rate
+    FROM documents d JOIN rates r ON d.lang = r.lang
+    WHERE CAST('0x' || substr(md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 6) AS BIGINT)
+          < CAST(floor(r.rate * 16777216) AS BIGINT)
+    GROUP BY d.lang, r.n_l, r.rate
+    """,
+    tags=("sampling", "llm"),
+)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language mixing (α = 0.5): sampling rate
+    min(1, c·sqrt(N/n_l)) — tail languages upsampled toward the
+    square-root share, head capped — the multilingual-corpus smoothing of
+    mT5/XLM-R, in its unnormalized capped form. The normalized softmax
+    form needs Σ_l share^α, whose floating sum order differs between
+    engines (and across Spark runs); every operation here —
+    divide, sqrt, multiply, min — is IEEE correctly-rounded on identical
+    operand order, so rates are bit-identical in Spark and the oracle.
+
+    The rate table is two tiny aggregates broadcast back onto the scan
+    (per-lang count + corpus count); the keep test compares the doc's
+    24-bit md5 draw with the lang's integer threshold — scan-speed, no
+    repartition of the corpus at any point."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    total = docs.agg(F.count(F.lit(1)).alias("n_total_corpus"))
+    rates = counts.crossJoin(F.broadcast(total)).select(
+        "lang",
+        "n_l",
+        F.least(
+            F.lit(1.0),
+            F.lit(_TEMP_C)
+            * F.sqrt(F.col("n_total_corpus").cast("double") / F.col("n_l")),
+        ).alias("rate"),
+    )
+    draw = F.conv(_u6("temp", F.col("doc_id")), 16, 10).cast("bigint")
+    thr = F.floor(F.col("rate") * F.lit(16777216)).cast("bigint")
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(draw < thr)
+        .groupBy("lang", F.col("n_l").alias("n_total"), "rate")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .select(
+            "lang", "n_total", "n_sampled", rnd(F.col("rate"), 6).alias("rate")
+        )
+    )
+
+
 _FIXED_K = 200
 
 

@@ -146,3 +146,22 @@ def test_decontaminate_flags_known_overlap_and_broadcasts(spark, sf_dir):
     assert all(r.doc_id >= sampling._BENCH_MAX_DOC for r in rows)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_temperature_mix_upsamples_tails(spark, sf_dir):
+    """α=0.5 temperature property: the smaller the language, the HIGHER
+    its sampling rate (min(1, c·sqrt(N/n)) is monotone decreasing in n),
+    and realized counts track rate·n within binomial noise."""
+    rows = sampling.sample_temperature_mix(spark, sf_dir).collect()
+    assert len(rows) >= 2
+    by_size = sorted(rows, key=lambda r: r.n_total)
+    rates = [r.rate for r in by_size]
+    assert rates == sorted(rates, reverse=True), rates
+    import math
+
+    n_corpus = sum(r.n_total for r in rows)
+    for r in rows:
+        want = min(1.0, sampling._TEMP_C * math.sqrt(n_corpus / r.n_total))
+        assert abs(r.rate - want) <= 1e-6, (r.lang, r.rate, want)
+        sd = math.sqrt(max(want * (1 - want), 1e-12) / r.n_total)
+        assert abs(r.n_sampled / r.n_total - want) <= 4 * sd + 1e-9, r
