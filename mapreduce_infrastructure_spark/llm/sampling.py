@@ -395,6 +395,125 @@ def decontaminate_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ASSEMBLE_ORACLE = f"""
+    WITH deduped AS (
+      SELECT doc_id, lang, text FROM (
+        SELECT doc_id, lang, text,
+               ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM documents)
+      WHERE rn = 1
+    ), scored AS (
+      SELECT doc_id, lang, text,
+             CAST(len(list_filter(regexp_split_to_array(lower(text), '{TOKEN_DELIM}'),
+                                  t -> t <> '')) AS BIGINT) AS n_tokens
+      FROM deduped
+    ), quality AS (
+      SELECT doc_id, lang, text, n_tokens FROM (
+        SELECT doc_id, lang, text, n_tokens,
+               percent_rank() OVER (PARTITION BY lang
+                                    ORDER BY n_tokens DESC, doc_id) AS pr
+        FROM scored)
+      WHERE pr <= 0.75
+    ), grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - {_CONTAM_N - 1}, 0)),
+               i -> array_to_string(t[i:i+{_CONTAM_N - 1}], ' '))) AS gs
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '{TOKEN_DELIM}'),
+                               x -> x <> '') AS t
+            FROM documents)
+    ), bench AS (
+      SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id < {_BENCH_MAX_DOC}
+    ), contaminated AS (
+      SELECT DISTINCT doc_id FROM
+        (SELECT doc_id, unnest(gs) AS g FROM grams
+         WHERE doc_id >= {_BENCH_MAX_DOC}) t
+      JOIN bench b ON t.g = b.g
+    ), clean AS (
+      SELECT q.* FROM quality q
+      WHERE q.doc_id >= {_BENCH_MAX_DOC}
+        AND q.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM clean
+    WHERE {_rate_case_sql("mix")}
+    GROUP BY lang
+"""
+
+
+@query("corpus_assemble_pipeline", oracle=_ASSEMBLE_ORACLE, tags=("sampling", "pipeline", "llm"))
+def corpus_assemble_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-mix assembly a corpus team runs daily, as
+    ONE declarative plan: exact dedup (keep smallest doc_id per content
+    hash) → per-language quality-quantile cut (top 75% by token count,
+    ranked on the deduped set) → benchmark decontamination (drop docs
+    sharing an 8-gram with the doc_id<10 benchmark; flagged via broadcast
+    semi-join) → stratified MIX_RATES sample (md5-threshold, scan-speed)
+    → per-language doc/token accounting. Every stage is the certified
+    standalone operator, composed; Catalyst pipelines the whole thing
+    into ~4 shuffles (dedup hash, quality window, decontam aggregate,
+    final rollup) with the benchmark n-gram set broadcast. Deterministic
+    end to end — rerunning on 100 TB reproduces the mix byte-for-byte."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    deduped = (
+        docs.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy(
+                    "doc_id"
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "text")
+    )
+    scored = deduped.select(
+        "doc_id", "lang", "text", F.size(tokens_col()).cast("long").alias("n_tokens")
+    )
+    quality = (
+        scored.withColumn(
+            "pr",
+            F.percent_rank().over(
+                Window.partitionBy("lang").orderBy(
+                    F.col("n_tokens").desc(), F.col("doc_id")
+                )
+            ),
+        )
+        .filter(F.col("pr") <= 0.75)
+        .drop("pr")
+    )
+    grams = docs.select(
+        "doc_id", F.explode(_ngrams_col(tokens_col(), _CONTAM_N)).alias("g")
+    )
+    bench = grams.filter(F.col("doc_id") < _BENCH_MAX_DOC).select("g").distinct()
+    contaminated = (
+        grams.filter(F.col("doc_id") >= _BENCH_MAX_DOC)
+        .join(F.broadcast(bench), "g")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = (
+        quality.filter(F.col("doc_id") >= _BENCH_MAX_DOC)
+        .join(contaminated, "doc_id", "left_anti")
+    )
+    thr = F.lit(_hex_threshold(_DEFAULT_RATE))
+    for lang, r in sorted(MIX_RATES.items()):
+        thr = F.when(F.col("lang") == lang, F.lit(_hex_threshold(r))).otherwise(thr)
+    return (
+        clean.filter(_u6("mix", F.col("doc_id")) < thr)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+
+
 def _ngrams_col(toks: Column, n: int) -> Column:
     """Distinct word n-grams of a token array (empty below n tokens) —
     same zip_with-over-slices construction as dedup.shingles_col (avoids

@@ -165,3 +165,21 @@ def test_temperature_mix_upsamples_tails(spark, sf_dir):
         assert abs(r.rate - want) <= 1e-6, (r.lang, r.rate, want)
         sd = math.sqrt(max(want * (1 - want), 1e-12) / r.n_total)
         assert abs(r.n_sampled / r.n_total - want) <= 4 * sd + 1e-9, r
+
+
+def test_assemble_pipeline_is_subset_of_stages(spark, sf_dir):
+    """The composed pipeline must agree with its standalone stages: its
+    per-lang doc counts can never exceed the quantile filter's, every
+    lang it reports exists in the corpus, and the result is non-trivial
+    and deterministic across reruns."""
+    rows = sampling.corpus_assemble_pipeline(spark, sf_dir).collect()
+    assert rows, "pipeline produced an empty mix"
+    q_counts: dict[str, int] = {}
+    for r in sampling.quality_quantile_filter(spark, sf_dir).collect():
+        q_counts[r.lang] = q_counts.get(r.lang, 0) + 1
+    for r in rows:
+        assert r.lang in q_counts
+        assert 0 < r.n_docs <= q_counts[r.lang], (r.lang, r.n_docs)
+        assert r.total_tokens > 0
+    again = sampling.corpus_assemble_pipeline(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
