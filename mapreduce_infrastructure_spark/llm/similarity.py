@@ -24,6 +24,7 @@ in both; only the bucketer differs.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
@@ -444,13 +445,21 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side on a deterministic seeded sample. No SQL oracle
     (quantization is engine-specific); tests assert recall@3 vs
     knn_bruteforce and that re-ranked cosines are exact."""
-    from pyspark.sql import Window
-
     vecs = _vectors(spark, sf_dir)
     unit = vecs.select(
         "vec_id", F.transform("d", lambda x: x / F.col("nrm")).alias("u")
     )
     books = _fit_pq_codebooks(unit)
+    return _pq_adc_topk(unit, books)
+
+
+def _pq_adc_topk(unit: DataFrame, books: np.ndarray) -> DataFrame:
+    """Shared PQ machinery: encode `unit` (vec_id, u) against `books`,
+    ADC-rank by table-sum, exact-re-rank the top-_PQ_CANDIDATES, return
+    top-3 per query. Used by both the PQ and OPQ tiers (OPQ feeds a
+    rotated `unit`; cosine re-rank is rotation-invariant so the returned
+    cosines are the true ones either way)."""
+    from pyspark.sql import Window
 
     encoded = unit.select(
         "vec_id",
@@ -504,6 +513,93 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
     )
+
+
+_OPQ_ITERS = 8
+
+
+def _fit_opq(unit: DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    """Learn an orthonormal rotation R + PQ codebooks minimizing
+    quantization error (OPQ, non-parametric alternation — Ge et al.,
+    "Optimized Product Quantization", CVPR 2013): alternately fit PQ in
+    the rotated space and solve the orthogonal Procrustes problem
+    R = UVᵀ from svd(Xᵀ·reconstruction). Driver-side on the same seeded
+    sample as the other quantizers — the model is a 64×64 rotation plus
+    8×16×8 codebooks, a few KB broadcast in closures."""
+    rows = unit.orderBy("vec_id").limit(_IVF_SAMPLE).select("u").collect()
+    X = np.array([r.u for r in rows])
+    d = X.shape[1]
+    R = np.eye(d)
+    rng = np.random.default_rng(23)
+    books = None
+    for _ in range(_OPQ_ITERS):
+        Xr = X @ R
+        # fit codebooks in rotated space (same seeded Lloyd as PQ, but on
+        # Xr, so reuse the math inline rather than collecting via Spark)
+        sub = Xr.reshape(len(Xr), _PQ_M, -1)
+        books = []
+        for m in range(_PQ_M):
+            Xm = sub[:, m, :]
+            k = min(_PQ_K, len(Xm))
+            C = [Xm[rng.integers(len(Xm))]]
+            for _ in range(k - 1):
+                d2 = np.min(
+                    ((Xm[:, None, :] - np.array(C)[None, :, :]) ** 2).sum(axis=2),
+                    axis=1,
+                )
+                p = d2 / d2.sum() if d2.sum() > 0 else None
+                C.append(Xm[rng.choice(len(Xm), p=p)])
+            C = np.array(C)
+            for _ in range(_IVF_ITERS):
+                d2 = ((Xm[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                a = d2.argmin(axis=1)
+                for j in range(len(C)):
+                    pts = Xm[a == j]
+                    if len(pts):
+                        C[j] = pts.mean(axis=0)
+            books.append(C)
+        books = np.array(books)
+        # reconstruction of Xr from its codes
+        Y = np.empty_like(Xr)
+        sub_dim = d // _PQ_M
+        for m in range(_PQ_M):
+            Xm = Xr[:, m * sub_dim : (m + 1) * sub_dim]
+            d2 = ((Xm[:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
+            Y[:, m * sub_dim : (m + 1) * sub_dim] = books[m][d2.argmin(axis=1)]
+        # orthogonal Procrustes: min_R ||X R - Y||_F
+        U, _, Vt = np.linalg.svd(X.T @ Y)
+        R = U @ Vt
+    return R, books
+
+
+@query("ann_opq_topk", tags=("similarity", "ann", "opq"))
+def ann_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimized product quantization: identical scan/ADC/re-rank shape to
+    `ann_pq_topk`, but vectors are first rotated by a learned orthonormal
+    R that redistributes variance evenly across the 8 subspaces, cutting
+    quantization error where raw dimensions are correlated (on isotropic
+    data it degenerates gracefully to ≈PQ). The rotation is one
+    Arrow-batched numpy matmul per partition (a UDF is honest here: a
+    64×64 matrix-vector product per row would be a 4096-term codegen
+    expression); rotation preserves inner products, so the exact cosine
+    re-rank is unchanged and recall is compared against the same
+    knn_bruteforce ground truth in tests."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    vecs = _vectors(spark, sf_dir)
+    unit = vecs.select(
+        "vec_id", F.transform("d", lambda x: x / F.col("nrm")).alias("u")
+    )
+    R, books = _fit_opq(unit)
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def _rotate(u: pd.Series) -> pd.Series:
+        M = np.array(u.tolist())
+        return pd.Series(list(M @ R))
+
+    rotated = unit.select("vec_id", _rotate(F.col("u")).alias("u"))
+    return _pq_adc_topk(rotated, books)
 
 
 def _cell_dists(C: np.ndarray, col: str) -> Column:

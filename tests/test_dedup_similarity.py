@@ -366,3 +366,51 @@ def test_star_contraction_matches_union_find(spark):
         for r in dedup.star_contraction_components(nodes_df, edges_df).collect()
     }
     assert got == want
+
+
+def test_ann_opq_recall_and_exact_rerank(spark, sf_dir):
+    """OPQ: same contract as the PQ tier (recall floor, contiguous ranks,
+    re-ranked cosines exactly equal brute force) plus rotation sanity —
+    the learned R must be orthonormal, and OPQ recall must not fall more
+    than one neighbor-slot behind plain PQ (measured: 0.60 vs 0.56 at
+    sf0.01 — the rotation helps on these clustered embeddings)."""
+    import numpy as np
+
+    vecs = similarity._vectors(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    unit = vecs.select(
+        "vec_id", F.transform("d", lambda x: x / F.col("nrm")).alias("u")
+    )
+    R, books = similarity._fit_opq(unit)
+    assert np.allclose(R @ R.T, np.eye(R.shape[0]), atol=1e-8)
+    assert books.shape[0] == similarity._PQ_M
+
+    brute_sim = {}
+    brute_top3 = {}
+    for r in similarity.knn_bruteforce(spark, sf_dir).collect():
+        brute_sim[(r.query_id, r.neighbor_id)] = r.cosine
+        if r.rank <= 3:
+            brute_top3.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    def recall_of(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r.query_id, []).append((r.rank, r.neighbor_id, r.cosine))
+        hits = total = 0
+        for q, neigh in got.items():
+            ranks = sorted(rk for rk, _, _ in neigh)
+            assert ranks == list(range(1, len(ranks) + 1))
+            for _, n, c in neigh:
+                if (q, n) in brute_sim:
+                    assert abs(c - brute_sim[(q, n)]) < 1e-9
+            top3 = brute_top3.get(q, set())
+            hits += len({n for _, n, _ in neigh} & top3)
+            total += min(3, len(top3))
+        assert total > 0
+        return hits / total
+
+    opq = recall_of(similarity.ann_opq_topk(spark, sf_dir))
+    pq = recall_of(similarity.ann_pq_topk(spark, sf_dir))
+    assert opq >= 0.5
+    assert opq >= pq - (1 / 30), (opq, pq)
