@@ -395,6 +395,136 @@ def decontaminate_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TOKEN_BUDGET = 5000  # per-language token target for the budgeted mix
+
+
+@query(
+    "sample_token_budget",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(regexp_split_to_array(lower(text), '{TOKEN_DELIM}'),
+                                  t -> t <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), budgets AS (
+      SELECT lang,
+             CAST(SUM(n_tokens) AS BIGINT) AS lang_tokens,
+             least(1.0, {_TOKEN_BUDGET}.0 / CAST(SUM(n_tokens) AS BIGINT)) AS rate
+      FROM toks GROUP BY lang
+    )
+    SELECT t.lang,
+           b.lang_tokens,
+           floor(b.rate * 1000000 + 0.5) / 1000000 AS rate,
+           COUNT(*) AS n_sampled,
+           CAST(SUM(t.n_tokens) AS BIGINT) AS sampled_tokens
+    FROM toks t JOIN budgets b ON t.lang = b.lang
+    WHERE CAST('0x' || substr(md5('tb:' || CAST(t.doc_id AS VARCHAR)), 1, 6) AS BIGINT)
+          < CAST(floor(b.rate * 16777216) AS BIGINT)
+    GROUP BY t.lang, b.lang_tokens, b.rate
+    """,
+    tags=("sampling", "llm"),
+)
+def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget stratified sampling: rate_l = min(1, B / tokens_l), so
+    each language contributes ≈ B tokens to the mix regardless of its raw
+    size — corpus targets are token budgets, not document counts. Same
+    md5-threshold mechanics as the other mixes (scan-speed, reproducible);
+    the rate derives from one tiny per-lang aggregate broadcast back, and
+    B/tokens_l is a single correctly-rounded division so Spark and the
+    oracle agree bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.size(tokens_col()).cast("long").alias("n_tokens")
+    )
+    budgets = toks.groupBy("lang").agg(
+        F.sum("n_tokens").alias("lang_tokens")
+    ).select(
+        "lang",
+        "lang_tokens",
+        F.least(
+            F.lit(1.0), F.lit(float(_TOKEN_BUDGET)) / F.col("lang_tokens")
+        ).alias("rate"),
+    )
+    draw = F.conv(_u6("tb", F.col("doc_id")), 16, 10).cast("bigint")
+    thr = F.floor(F.col("rate") * F.lit(16777216)).cast("bigint")
+    return (
+        toks.join(F.broadcast(budgets), "lang")
+        .filter(draw < thr)
+        .groupBy("lang", "lang_tokens", "rate")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_tokens").alias("sampled_tokens"),
+        )
+        .select(
+            "lang",
+            "lang_tokens",
+            rnd(F.col("rate"), 6).alias("rate"),
+            "n_sampled",
+            "sampled_tokens",
+        )
+    )
+
+
+@query(
+    "sample_source_uniqueness",
+    oracle="""
+    WITH stats AS (
+      SELECT source,
+             COUNT(*) AS n_docs,
+             COUNT(DISTINCT md5(text)) AS n_unique,
+             least(1.0, 1.5 * COUNT(DISTINCT md5(text)) / COUNT(*)) AS rate
+      FROM documents GROUP BY source
+    )
+    SELECT d.source,
+           s.n_docs,
+           s.n_unique,
+           floor(s.rate * 1000000 + 0.5) / 1000000 AS rate,
+           COUNT(*) AS n_sampled
+    FROM documents d JOIN stats s ON d.source = s.source
+    WHERE CAST('0x' || substr(md5('srcw:' || CAST(d.doc_id AS VARCHAR)), 1, 6) AS BIGINT)
+          < CAST(floor(s.rate * 16777216) AS BIGINT)
+    GROUP BY d.source, s.n_docs, s.n_unique, s.rate
+    """,
+    tags=("sampling", "llm"),
+)
+def sample_source_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware source weighting: sources full of duplicated boilerplate
+    get downsampled in proportion to their uniqueness ratio
+    (distinct content hashes / docs), capped at 1 — the pragmatic stand-in
+    for dedup-then-sample when the corpus is too large to dedup first.
+    rate = min(1, 1.5·uniq/n): a source that is 100% unique is kept
+    (1.5·1 capped), one that is 50% copies drops to 0.75. The ratio is an
+    exact integer division done once per source; everything else is the
+    shared md5-threshold machinery."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5(F.col("text").cast("binary"))).alias("n_unique"),
+    ).select(
+        "source",
+        "n_docs",
+        "n_unique",
+        F.least(
+            F.lit(1.0), F.lit(1.5) * F.col("n_unique") / F.col("n_docs")
+        ).alias("rate"),
+    )
+    draw = F.conv(_u6("srcw", F.col("doc_id")), 16, 10).cast("bigint")
+    thr = F.floor(F.col("rate") * F.lit(16777216)).cast("bigint")
+    return (
+        docs.join(F.broadcast(stats), "source")
+        .filter(draw < thr)
+        .groupBy("source", "n_docs", "n_unique", "rate")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .select(
+            "source",
+            "n_docs",
+            "n_unique",
+            rnd(F.col("rate"), 6).alias("rate"),
+            "n_sampled",
+        )
+    )
+
+
 _ASSEMBLE_ORACLE = f"""
     WITH deduped AS (
       SELECT doc_id, lang, text FROM (

@@ -183,3 +183,33 @@ def test_assemble_pipeline_is_subset_of_stages(spark, sf_dir):
         assert r.total_tokens > 0
     again = sampling.corpus_assemble_pipeline(spark, sf_dir).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_token_budget_hits_target(spark, sf_dir):
+    """Each language's sampled token mass lands near min(B, lang_tokens):
+    tiny languages are kept whole (rate 1), large ones near B tokens."""
+    rows = sampling.sample_token_budget(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        want = min(float(sampling._TOKEN_BUDGET), float(r.lang_tokens))
+        if r.rate >= 1.0 - 1e-9:
+            assert r.sampled_tokens == r.lang_tokens, r
+        else:
+            # Bernoulli on docs: sampled token mass ~ B within ~5 sd of
+            # the doc-level variance; loose multiplicative bounds suffice
+            assert 0.4 * want <= r.sampled_tokens <= 1.8 * want, r
+
+
+def test_source_uniqueness_downweights_dupes(spark, sf_dir):
+    """rate = min(1, 1.5·uniq/n): fully-unique sources keep rate 1.0;
+    any source with <2/3 uniqueness gets rate < 1; realized sampling
+    tracks the rate."""
+    rows = sampling.sample_source_uniqueness(spark, sf_dir).collect()
+    assert rows
+    import math
+
+    for r in rows:
+        want = min(1.0, 1.5 * r.n_unique / r.n_docs)
+        assert abs(r.rate - want) <= 1e-6, r
+        sd = math.sqrt(max(want * (1 - want), 1e-12) / r.n_docs)
+        assert abs(r.n_sampled / r.n_docs - want) <= 4 * sd + 1e-9, r
