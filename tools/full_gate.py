@@ -12,6 +12,16 @@ Usage:
     python tools/full_gate.py q1 q2 ...       # subset
     SPARK_GRAFT_GATE_SF=/root/testdata/sf0.001 python tools/full_gate.py
     python tools/full_gate.py --window 50     # only the first N (driver cap)
+    python tools/full_gate.py --hostile q1 …  # hostile session (see below)
+
+``--hostile`` runs the gate on a deliberately adversarial session instead
+of ``get_spark()``: ``local[5]`` with 7 shuffle partitions (exposes any
+partitioning/parallelism dependence), session timezone America/New_York
+and ANSI mode flipped from the default at BUILD time (``tune()`` must
+re-pin the dynamic confs it owns), and whole-stage codegen off (results
+must not depend on the codegen path). Queries whose results survive this
+session unchanged are partitioning- and conf-independent — the property
+that makes them reproducible on an arbitrary production cluster.
 """
 
 from __future__ import annotations
@@ -81,6 +91,7 @@ def _diag(spark_ms: Counter, oracle_ms: Counter) -> str:
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     window = None
+    hostile = "--hostile" in sys.argv[1:]
     for a in sys.argv[1:]:
         if a.startswith("--window"):
             window = int(a.split("=", 1)[1]) if "=" in a else 50
@@ -91,7 +102,23 @@ def main() -> int:
     from mapreduce_infrastructure_spark.session import get_spark
 
     sf = os.environ.get("SPARK_GRAFT_GATE_SF", "/root/testdata/sf0.01")
-    spark = get_spark()
+    if hostile:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.appName("hostile-gate")
+            .master("local[5]")
+            .config("spark.sql.shuffle.partitions", "7")
+            .config("spark.sql.session.timeZone", "America/New_York")
+            .config("spark.sql.ansi.enabled", "false")
+            .config("spark.sql.codegen.wholeStage", "false")
+            .config("spark.ui.enabled", "false")
+            .config("spark.ui.showConsoleProgress", "false")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+    else:
+        spark = get_spark()
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
