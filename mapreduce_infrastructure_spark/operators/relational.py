@@ -852,3 +852,81 @@ def argmax_top_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s.price").alias("top_price"),
         )
     )
+
+
+@query(
+    "merge_upsert_customers",
+    oracle="""
+    WITH latest AS (
+      SELECT user_id, event_type, value FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) WHERE rn = 1
+    ), changes AS (
+      SELECT user_id * 11 AS key,
+             CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+             value
+      FROM latest
+    )
+    SELECT COALESCE(c.c_custkey, ch.key) AS c_custkey,
+           COALESCE(c.c_name, 'cdc-' || CAST(ch.key AS VARCHAR)) AS c_name,
+           floor(CASE WHEN ch.key IS NULL THEN c.c_acctbal
+                      ELSE COALESCE(c.c_acctbal, 0.0) + ch.value END * 100 + 0.5) / 100
+             AS c_acctbal
+    FROM customer c
+    FULL OUTER JOIN changes ch ON c.c_custkey = ch.key
+    -- keep unless a delete touches the row; base-only rows have op NULL,
+    -- and a three-valued NOT(op='delete' AND …) would silently drop them
+    WHERE COALESCE(ch.op, 'keep') <> 'delete'
+    """,
+    tags=("merge", "cdc", "join"),
+)
+def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (CDC apply) as a full-outer join — the upsert/delete
+    semantics Delta/Iceberg provide, expressed on plain parquet tables:
+    the change set is the keep-latest compaction of the event log (one
+    row per key: 'error' → DELETE, anything else → UPSERT of value onto
+    the account balance; unmatched upserts INSERT a synthetic row).
+
+    WHEN MATCHED AND op='delete'  THEN DELETE
+    WHEN MATCHED                  THEN UPDATE  (balance += value)
+    WHEN NOT MATCHED AND 'upsert' THEN INSERT  (cdc-<key>, value)
+    plus all unmatched base rows pass through.
+
+    Scale shape: one window over the event log (change compaction), one
+    shuffle join base-vs-changes on the key. The change set is usually
+    ≪ the base, so AQE picks a broadcast; there is no per-row Python and
+    no driver loop — this is the plan MERGE compiles to in lakehouse
+    engines, minus their transaction log."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    changes = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            (F.col("user_id") * 11).alias("key"),
+            F.when(F.col("event_type") == "error", F.lit("delete"))
+            .otherwise(F.lit("upsert"))
+            .alias("op"),
+            "value",
+        )
+    )
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    j = base.join(changes, base.c_custkey == changes.key, "full_outer")
+    # base-only rows carry op NULL: coalesce before comparing, or the
+    # three-valued NOT would drop every untouched base row
+    merged = j.filter(F.coalesce(F.col("op"), F.lit("keep")) != "delete")
+    new_bal = F.when(
+        F.col("key").isNull(), F.col("c_acctbal")
+    ).otherwise(F.coalesce(F.col("c_acctbal"), F.lit(0.0)) + F.col("value"))
+    return merged.select(
+        F.coalesce(F.col("c_custkey"), F.col("key")).alias("c_custkey"),
+        F.coalesce(
+            F.col("c_name"), F.concat(F.lit("cdc-"), F.col("key").cast("string"))
+        ).alias("c_name"),
+        rnd(new_bal, 2).alias("c_acctbal"),
+    )

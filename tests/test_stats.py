@@ -25,3 +25,53 @@ def test_approx_percentiles_close_to_exact(spark, sf_dir):
         for p in ("p50", "p95"):
             rel = abs(getattr(g, p) - getattr(e, p)) / max(getattr(e, p), 1e-9)
             assert rel < 0.02, f"{k}.{p}: approx={getattr(g, p)} exact={getattr(e, p)}"
+
+
+def test_merge_upsert_semantics(spark, sf_dir):
+    """MERGE must behave row-accurately: deleted keys absent, updated
+    balances = old + value (2dp), inserts present exactly for unmatched
+    upsert keys, untouched base rows byte-identical."""
+    from mapreduce_infrastructure_spark.catalog import load_table
+    from mapreduce_infrastructure_spark.operators.relational import (
+        merge_upsert_customers,
+    )
+    from pyspark.sql import Window, functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    latest = {
+        r.key: (r.event_type, r.value)
+        for r in ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select((F.col("user_id") * 11).alias("key"), "event_type", "value")
+        .collect()
+    }
+    base = {
+        r.c_custkey: (r.c_name, r.c_acctbal)
+        for r in load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .collect()
+    }
+    got = {
+        r.c_custkey: (r.c_name, r.c_acctbal)
+        for r in merge_upsert_customers(spark, sf_dir).collect()
+    }
+
+    import math
+
+    def r2(x):
+        return math.floor(x * 100 + 0.5) / 100
+
+    for key, (etype, value) in latest.items():
+        if etype == "error":
+            assert key not in got, key  # matched delete gone, no-op delete absent
+        elif key in base:
+            assert got[key] == (base[key][0], r2(base[key][1] + value)), key
+        else:
+            assert got[key] == (f"cdc-{key}", r2(value)), key  # insert
+    for key, (name, bal) in base.items():
+        if key not in latest:
+            assert got[key] == (name, r2(bal)), key  # untouched passthrough
+    assert set(got) == (set(base) | {k for k, (t, _) in latest.items() if t != "error"}) - {
+        k for k, (t, _) in latest.items() if t == "error"
+    }
