@@ -395,3 +395,34 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_tokens"
         ),
     )
+
+
+_FREQ_SUPPORT = 0.005  # heavy-hitter support threshold (fraction of tokens)
+
+
+@query("frequent_terms_sketch", tags=("text", "approx", "sketch"))
+def frequent_terms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters over the token stream via Spark's freqItems — the
+    Karp/Misra-Gries counter-decrement sketch family (count-min's cousin):
+    single pass, fixed ~1/support counters per partition, mergeable — the
+    sketch you run on 100 TB when exact wordcount's full shuffle is not
+    worth it. Guarantee: every token with frequency > support·N is
+    returned (false positives allowed, false negatives not — asserted
+    against exact counts in tests). Results carry their EXACT counts via
+    one small join back, so downstream consumers can threshold precisely.
+    No SQL oracle: the admitted false-positive set is engine- and
+    partitioning-specific (rows-only; the superset guarantee is the
+    tested contract)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(tokens_col()).alias("word"))
+    sketch = words.stat.freqItems(["word"], _FREQ_SUPPORT)
+    hits = sketch.select(F.explode("word_freqItems").alias("word"))
+    # hits is bounded by ~1/support rows — broadcast THAT side; the exact
+    # count table is vocabulary-sized and must stay distributed. The count
+    # here runs only over tokens matching a heavy hitter (semi-join before
+    # the shuffle), not the full vocabulary.
+    return (
+        words.join(F.broadcast(hits), "word")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

@@ -213,3 +213,31 @@ def test_source_uniqueness_downweights_dupes(spark, sf_dir):
         assert abs(r.rate - want) <= 1e-6, r
         sd = math.sqrt(max(want * (1 - want), 1e-12) / r.n_docs)
         assert abs(r.n_sampled / r.n_docs - want) <= 4 * sd + 1e-9, r
+
+
+def test_frequent_terms_superset_guarantee(spark, sf_dir):
+    """Misra-Gries contract: NO false negatives — every token whose true
+    frequency exceeds support·N must be in the sketch output — and the
+    reported counts are the exact ones."""
+    from mapreduce_infrastructure_spark.llm import text as llm_text
+
+    got = {r.word: r.cnt for r in llm_text.frequent_terms_sketch(spark, sf_dir).collect()}
+    assert got
+    words = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                    lambda t: t != F.lit(""),
+                )
+            ).alias("word")
+        )
+    )
+    exact = {r.word: r.cnt for r in words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    n = sum(exact.values())
+    thr = llm_text._FREQ_SUPPORT * n
+    must = {w for w, c in exact.items() if c > thr}
+    assert must <= set(got), f"false negatives: {must - set(got)}"
+    for w, c in got.items():
+        assert exact[w] == c, w
