@@ -241,3 +241,29 @@ def test_frequent_terms_superset_guarantee(spark, sf_dir):
     assert must <= set(got), f"false negatives: {must - set(got)}"
     for w, c in got.items():
         assert exact[w] == c, w
+
+
+def test_quality_classifier_contract(spark, sf_dir):
+    """Model-based quality scoring: full-corpus coverage, probabilities in
+    [0,1], strong separation (AUC) on the weakly-labeled slice, and
+    rerun-stability of the scores (coefficients may drift in the last ulp
+    across treeAggregate orders; scores must agree to 1e-3)."""
+    from mapreduce_infrastructure_spark.llm.quality_model import (
+        quality_classifier_scores,
+    )
+
+    rows = quality_classifier_scores(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    assert all(0.0 <= r.prob <= 1.0 for r in rows)
+    lab = [(r.prob, r.label_weak) for r in rows if r.label_weak is not None]
+    pos = sorted(p for p, l in lab if l == 1.0)
+    neg = sorted(p for p, l in lab if l == 0.0)
+    assert pos and neg
+    import bisect
+
+    wins = sum(bisect.bisect_left(neg, p) for p in pos)
+    auc = wins / (len(pos) * len(neg))
+    assert auc >= 0.9, auc
+    again = {r.doc_id: r.prob for r in quality_classifier_scores(spark, sf_dir).collect()}
+    assert max(abs(again[r.doc_id] - r.prob) for r in rows) <= 1e-3
