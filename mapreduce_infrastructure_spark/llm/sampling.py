@@ -584,9 +584,10 @@ def corpus_assemble_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi-join) → stratified MIX_RATES sample (md5-threshold, scan-speed)
     → per-language doc/token accounting. Every stage is the certified
     standalone operator, composed; Catalyst pipelines the whole thing
-    into ~4 shuffles (dedup hash, quality window, decontam aggregate,
-    final rollup) with the benchmark n-gram set broadcast. Deterministic
-    end to end — rerunning on 100 TB reproduces the mix byte-for-byte."""
+    into one shuffle per keyed stage (dedup hash, quality window, the
+    decontam aggregates, final rollup) with the benchmark n-gram set
+    broadcast — see PLANS.md for the audited counts. Deterministic end
+    to end — rerunning on 100 TB reproduces the mix byte-for-byte."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
