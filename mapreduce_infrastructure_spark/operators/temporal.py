@@ -187,3 +187,52 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "event_type"
         )
     )
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH weekly AS (
+      SELECT DISTINCT user_id,
+             CAST(epoch_us(ts) // CAST(604800000000 AS BIGINT) AS BIGINT) AS week
+      FROM events
+    ), cohorts AS (
+      SELECT user_id, MIN(week) AS cohort_week FROM weekly GROUP BY user_id
+    )
+    SELECT c.cohort_week,
+           w.week - c.cohort_week AS week_offset,
+           COUNT(DISTINCT w.user_id) AS n_active
+    FROM weekly w JOIN cohorts c ON w.user_id = c.user_id
+    GROUP BY 1, 2
+    """,
+    tags=("events", "cohort", "analytics"),
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the canonical product-analytics rollup:
+    users are cohorted by their FIRST active epoch-week, and each cell
+    (cohort_week, week_offset) counts distinct users from that cohort
+    still active offset weeks later. Weeks are integer epoch-week numbers
+    (epoch-µs div a 7-day constant) — pure integer arithmetic, immune to
+    engine week-start/timezone conventions.
+
+    Plan shape: distinct (user, week) pairs (one shuffle), a min-window
+    per user for the cohort (no second scan, no join back — the window
+    partitions by user on the SAME key the distinct just shuffled, so
+    Catalyst reuses the partitioning), then the matrix rollup. At 100 TB
+    the (user, week) projection is a tiny fraction of the event log and
+    every stage shuffles on user or the 2-int matrix key."""
+    ev = load_table(spark, sf_dir, "events")
+    weekly = ev.select(
+        "user_id",
+        # INTEGER division (div), not `/`: double division + cast can
+        # round a quotient sitting just under a week boundary upward
+        F.expr("unix_micros(ts) div 604800000000").alias("week"),
+    ).distinct()
+    w = Window.partitionBy("user_id")
+    return (
+        weekly.withColumn("cohort_week", F.min("week").over(w))
+        .groupBy(
+            "cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset")
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )

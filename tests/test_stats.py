@@ -75,3 +75,22 @@ def test_merge_upsert_semantics(spark, sf_dir):
     assert set(got) == (set(base) | {k for k, (t, _) in latest.items() if t != "error"}) - {
         k for k, (t, _) in latest.items() if t == "error"
     }
+
+
+def test_cohort_retention_invariants(spark, sf_dir):
+    """Retention semantics: offset 0 exists for every cohort and equals the
+    cohort size ceiling (every cohort member is active in their first
+    week by definition), offsets are non-negative, and no cell exceeds
+    its cohort's week-0 count."""
+    from mapreduce_infrastructure_spark.operators.temporal import cohort_retention
+
+    rows = cohort_retention(spark, sf_dir).collect()
+    assert rows
+    by_cohort: dict[int, dict[int, int]] = {}
+    for r in rows:
+        assert r.week_offset >= 0
+        by_cohort.setdefault(r.cohort_week, {})[r.week_offset] = r.n_active
+    for cw, cells in by_cohort.items():
+        assert 0 in cells, cw  # first week always present
+        for off, n in cells.items():
+            assert n <= cells[0], (cw, off)
