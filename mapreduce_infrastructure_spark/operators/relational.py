@@ -854,9 +854,9 @@ def argmax_top_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "merge_upsert_customers",
-    oracle="""
+# Shared by merge_upsert_customers and streaming.stream_merge_upsert: the
+# incremental CDC apply must converge to exactly this batch answer.
+MERGE_ORACLE = """
     WITH latest AS (
       SELECT user_id, event_type, value FROM (
         SELECT *, row_number() OVER (PARTITION BY user_id
@@ -878,9 +878,10 @@ def argmax_top_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- keep unless a delete touches the row; base-only rows have op NULL,
     -- and a three-valued NOT(op='delete' AND …) would silently drop them
     WHERE COALESCE(ch.op, 'keep') <> 'delete'
-    """,
-    tags=("merge", "cdc", "join"),
-)
+"""
+
+
+@query("merge_upsert_customers", oracle=MERGE_ORACLE, tags=("merge", "cdc", "join"))
 def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO (CDC apply) as a full-outer join — the upsert/delete
     semantics Delta/Iceberg provide, expressed on plain parquet tables:

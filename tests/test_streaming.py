@@ -126,3 +126,23 @@ def test_kafka_guard_clean_error(spark):
     assert st.kafka_available(spark) is False
     with pytest.raises(RuntimeError, match="spark-sql-kafka"):
         st.stream_events_kafka(spark, "localhost:9092")
+
+
+def test_stream_merge_converges_to_batch_merge(spark, sf_dir):
+    """The incremental CDC apply (micro-batched, version-guarded) must
+    produce EXACTLY the one-shot batch MERGE result — same keys, names,
+    balances — independent of how events were split across batches."""
+    from mapreduce_infrastructure_spark.operators.relational import (
+        merge_upsert_customers,
+    )
+    from mapreduce_infrastructure_spark.streaming.stream import stream_merge_upsert
+
+    batch = {
+        r.c_custkey: (r.c_name, r.c_acctbal)
+        for r in merge_upsert_customers(spark, sf_dir).collect()
+    }
+    streamed = {
+        r.c_custkey: (r.c_name, r.c_acctbal)
+        for r in stream_merge_upsert(spark, sf_dir).collect()
+    }
+    assert streamed == batch
