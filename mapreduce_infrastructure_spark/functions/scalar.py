@@ -241,3 +241,35 @@ def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", F.posexplode(tokens_col()).alias("pos", "token")
     )
+
+
+@query(
+    "fuzzy_match_nations",
+    oracle="""
+    SELECT a.n_name AS name_a, b.n_name AS name_b,
+           CAST(levenshtein(a.n_name, b.n_name) AS INT) AS dist
+    FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+    WHERE levenshtein(a.n_name, b.n_name) <= 4
+    """,
+    tags=("scalar", "string", "fuzzy"),
+)
+def fuzzy_match_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching via edit distance — the entity-resolution
+    primitive (dirty dimension values, near-identical names): nation-name
+    pairs within Levenshtein distance 4. Both engines implement the
+    standard Wagner-Fischer distance on integer costs, so results match
+    exactly. The demo joins a dimension against itself (25×25 — broadcast,
+    trivially); at corpus scale the same predicate runs AFTER a blocking
+    key (prefix, length band, or LSH bucket) exactly like the dedup tiers
+    — never as a raw cross join. Spark exposes a max-distance arg
+    (levenshtein(l, r, threshold)) that short-circuits the DP early —
+    the form a scaled run uses."""
+    n = load_table(spark, sf_dir, "nation")
+    a = n.select(F.col("n_nationkey").alias("key_a"), F.col("n_name").alias("name_a"))
+    b = n.select(F.col("n_nationkey").alias("key_b"), F.col("n_name").alias("name_b"))
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return (
+        a.join(b, F.col("key_a") < F.col("key_b"))
+        .filter(dist <= 4)
+        .select("name_a", "name_b", dist.alias("dist"))
+    )

@@ -22,7 +22,7 @@ produce drifting results.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..catalog import load_table
 from ..functions.exact import dec, rnd
@@ -138,5 +138,47 @@ def approx_percentiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         pct.getItem(0).alias("p50"),
         pct.getItem(1).alias("p95"),
         pct.getItem(2).alias("p99"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
+    "exact_percentiles_disc",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderpriority, o_totalprice,
+             cume_dist() OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice, o_orderkey) AS cd
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           MIN(CASE WHEN cd >= 0.5 THEN o_totalprice END) AS p50,
+           MIN(CASE WHEN cd >= 0.95 THEN o_totalprice END) AS p95,
+           MIN(CASE WHEN cd >= 0.99 THEN o_totalprice END) AS p99,
+           COUNT(*) AS n_orders
+    FROM ranked
+    GROUP BY o_orderpriority
+    """,
+    tags=("agg", "stats", "percentile"),
+)
+def exact_percentiles_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT discrete percentiles (the ground truth the approx sketch is
+    bounded against): percentile_disc(q) = the smallest actual value whose
+    cume_dist reaches q. Discrete selection returns a REAL data value — no
+    interpolation arithmetic, so no cross-engine float drift by
+    construction (cume_dist is an exact rational rank/n in both engines,
+    compared against exact decimal literals; ties broken by o_orderkey).
+
+    Scale: one window sort per group + one aggregation — the cost exact
+    quantiles fundamentally require; use approx_percentiles_price when a
+    bounded-error sketch is acceptable at 100 TB."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    cd = F.cume_dist().over(w)
+    ranked = o.select("o_orderpriority", "o_totalprice", cd.alias("cd"))
+    return ranked.groupBy("o_orderpriority").agg(
+        F.min(F.when(F.col("cd") >= 0.5, F.col("o_totalprice"))).alias("p50"),
+        F.min(F.when(F.col("cd") >= 0.95, F.col("o_totalprice"))).alias("p95"),
+        F.min(F.when(F.col("cd") >= 0.99, F.col("o_totalprice"))).alias("p99"),
         F.count(F.lit(1)).alias("n_orders"),
     )
