@@ -931,3 +931,126 @@ def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("c_name"),
         rnd(new_bal, 2).alias("c_acctbal"),
     )
+
+
+_JOIN_SALTS = 8
+
+
+@query(
+    "salted_join_hot_users",
+    oracle="""
+    WITH hotkeyed AS (
+      SELECT CASE WHEN user_id < 5 THEN 0 ELSE user_id END AS hot_user, value
+      FROM events
+    )
+    SELECT h.hot_user,
+           c.c_name,
+           COUNT(*) AS n_events,
+           floor((CAST(SUM(CAST(h.value AS DECIMAL(18,2))) AS DOUBLE)) * 100 + 0.5) / 100 AS sum_value
+    FROM hotkeyed h JOIN customer c ON h.hot_user = c.c_custkey
+    GROUP BY h.hot_user, c.c_name
+    """,
+    tags=("join", "skew"),
+)
+def salted_join_hot_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALTED skew join — the replicate-the-build-side pattern: the event
+    log's key space is artificially collapsed so key 0 carries ~3% of all
+    rows (the celebrity-key shape); a plain shuffle join would put every
+    key-0 row on one task. Fix: append a random-ish salt (pmod of the
+    unique event_id — deterministic, not rand()) to the probe side's key
+    and CROSS-replicate each build row across all N salts, so the hot key
+    fans out over N tasks. The final aggregation removes the salt; the
+    oracle is the unsalted join, proving the rewrite is semantics-free.
+
+    AQE's skew-join handles MOST of this at runtime by splitting oversized
+    partitions — the explicit salt is the portable form (works under
+    bucketed/sort-merge plans AQE won't touch, and in any engine)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") < 5, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .alias("hot_user"),
+        "value",
+        F.pmod(F.col("event_id"), F.lit(_JOIN_SALTS)).cast("int").alias("salt"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("hot_user"), "c_name"
+    )
+    salts = spark.range(_JOIN_SALTS).select(F.col("id").cast("int").alias("salt"))
+    cust_rep = cust.crossJoin(F.broadcast(salts))
+    joined = ev.join(cust_rep, ["hot_user", "salt"])
+    return joined.groupBy("hot_user", "c_name").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value", "sum_value"),
+    )
+
+
+@query(
+    "data_quality_audit",
+    oracle="""
+    SELECT 'orders.o_custkey->customer' AS check_name,
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+             AS n_violations
+    UNION ALL
+    SELECT 'lineitem.l_orderkey->orders',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'customer.c_custkey unique',
+           CAST((SELECT COUNT(*) FROM (
+                   SELECT c_custkey FROM customer
+                   GROUP BY c_custkey HAVING COUNT(*) > 1)) AS BIGINT)
+    UNION ALL
+    SELECT 'orders.o_totalprice positive',
+           CAST((SELECT COUNT(*) FROM orders
+                 WHERE o_totalprice IS NULL OR o_totalprice <= 0) AS BIGINT)
+    UNION ALL
+    SELECT 'events.ts not null',
+           CAST((SELECT COUNT(*) FROM events WHERE ts IS NULL) AS BIGINT)
+    """,
+    tags=("audit", "quality"),
+)
+def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint audit — the dbt-test / Deequ pattern as one query:
+    referential integrity (anti-joins), key uniqueness (group-having),
+    domain checks (range/null predicates), each returning its violation
+    count. Fixture data is clean, so every count is 0 — the value is the
+    PLAN: anti-joins broadcast the primary-key side's keys, uniqueness is
+    one shuffle on the key, domain checks run at scan speed; at 100 TB
+    this is the nightly gate that blocks a bad partition from promotion."""
+    from functools import reduce
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+    checks: list[tuple[str, DataFrame]] = [
+        (
+            "orders.o_custkey->customer",
+            o.join(c, o.o_custkey == c.c_custkey, "left_anti"),
+        ),
+        (
+            "lineitem.l_orderkey->orders",
+            li.join(o, li.l_orderkey == o.o_orderkey, "left_anti"),
+        ),
+        (
+            "customer.c_custkey unique",
+            c.groupBy("c_custkey")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1),
+        ),
+        (
+            "orders.o_totalprice positive",
+            o.filter(F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0)),
+        ),
+        ("events.ts not null", ev.filter(F.col("ts").isNull())),
+    ]
+    counted = [
+        v.agg(F.count(F.lit(1)).cast("bigint").alias("n_violations")).select(
+            F.lit(name).alias("check_name"), "n_violations"
+        )
+        for name, v in checks
+    ]
+    return reduce(lambda a, b: a.unionAll(b), counted)
