@@ -1,0 +1,269 @@
+"""Quality filters and segmentation for a training-data pipeline.
+
+Three operator families the corpus-cleaning stage runs after dedup
+(`llm/dedup.py`) and before sampling (`llm/sampling.py`):
+
+- **Repetition signals** — the Gopher/MassiveText-style "fraction of the
+  document covered by its most frequent n-gram" family. Excessively
+  repetitive documents (boilerplate, scraped templates, generation loops)
+  are the single highest-yield quality cut after dedup.
+- **PII scan + redaction** — regex detection and masking of emails and
+  IPv4 addresses at scan speed. The regexes are written in the common
+  Java-regex/RE2 subset so the DuckDB differential oracle runs the SAME
+  pattern (no lookbehind, no backreferences).
+- **Chunking with overlap** — fixed-size sliding token windows (the RAG /
+  context-packing segmentation primitive), emitted as one row per chunk.
+
+All three are pure column expressions (no Python, no shuffle except the
+chunk explode's implicit output growth): at 100 TB they run at scan speed
+inside whole-stage codegen, and the per-document work is O(L) — except the
+top-bigram argmax which is O(L²) in the bigram count with L bounded by
+upstream chunking (tens to hundreds of tokens); for book-length documents
+run `chunk_documents` first or switch to the explode+groupBy form
+(`tfidf_top_terms` shows that shape).
+
+Reference parity: the reference's text surface is tokenize + per-key count
+(``test/user_tasks.cc:9-35``); these operators extend the same
+tokenizer contract (`text.TOKEN_DELIM`) to the quality-filter stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..catalog import load_table
+from ..functions.exact import rnd
+from ..registry import query
+from .text import TOKEN_DELIM, tokens_col
+
+# Java-regex AND RE2 compatible (no lookarounds/backrefs): the same literal
+# runs in Spark and in the DuckDB oracle.
+EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+IPV4_RE = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+CHUNK_TOKENS = 32  # chunk size
+CHUNK_STRIDE = 24  # => 8-token overlap between consecutive chunks
+
+
+@query(
+    "repetition_signals",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '{TOKEN_DELIM}'), x -> x <> '') AS toks
+      FROM documents
+    ), b AS (
+      SELECT doc_id, toks,
+             list_transform(generate_series(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i + 1]) AS bigrams
+      FROM t
+    ), c AS (
+      SELECT doc_id, toks, bigrams,
+             list_max(list_transform(bigrams,
+                      g -> len(list_filter(bigrams, x -> x = g)))) AS top2_raw
+      FROM b
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique,
+           CAST(coalesce(top2_raw, 0) AS BIGINT) AS top2_count,
+           list_min(list_filter(bigrams,
+                    g -> len(list_filter(bigrams, x -> x = g)) = top2_raw)) AS top2gram,
+           floor((1 - CAST(len(list_distinct(toks)) AS DOUBLE) / nullif(len(toks), 0)) * 10000 + 0.5) / 10000 AS dup_token_frac,
+           floor((CAST(coalesce(top2_raw, 0) AS DOUBLE) / nullif(len(bigrams), 0)) * 10000 + 0.5) / 10000 AS top2_bigram_frac,
+           CASE WHEN (len(bigrams) > 0 AND coalesce(top2_raw, 0) * 10 >= len(bigrams))
+                  OR (len(toks) > 0 AND len(list_distinct(toks)) * 2 <= len(toks))
+                THEN 'repetitive' ELSE 'ok' END AS rep_flag
+    FROM c
+    """,
+    tags=("llm", "quality", "repetition"),
+)
+def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: duplicate-token
+    fraction and the share of bigram positions taken by the single most
+    frequent bigram, plus an integer-exact keep/drop flag (float ratios are
+    display-only, so the flag can't flake across engines).
+
+    The top-bigram argmax runs as a nested higher-order function over the
+    in-row bigram array — no shuffle, no explode; the whole operator is one
+    projection at scan speed (see module docstring for the long-doc path).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    stage = docs.select(
+        "doc_id", toks.alias("toks"), bigrams.alias("bigrams")
+    ).withColumn(
+        "top2_raw",
+        F.array_max(
+            F.transform(
+                F.col("bigrams"),
+                lambda g: F.size(F.filter(F.col("bigrams"), lambda x: x == g)),
+            )
+        ),
+    )
+    toks_c, bigrams_c = F.col("toks"), F.col("bigrams")
+    n_tokens = F.size(toks_c)
+    n_unique = F.size(F.array_distinct(toks_c))
+    n_bigrams = F.size(bigrams_c)
+    top2 = F.coalesce(F.col("top2_raw"), F.lit(0))
+    return stage.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        n_unique.cast("long").alias("n_unique"),
+        top2.cast("long").alias("top2_count"),
+        F.array_min(
+            F.filter(
+                bigrams_c,
+                lambda g: F.size(F.filter(bigrams_c, lambda x: x == g))
+                == F.col("top2_raw"),
+            )
+        ).alias("top2gram"),
+        rnd(
+            F.lit(1) - n_unique.cast("double") / F.nullif(n_tokens, F.lit(0)), 4
+        ).alias("dup_token_frac"),
+        rnd(top2.cast("double") / F.nullif(n_bigrams, F.lit(0)), 4).alias(
+            "top2_bigram_frac"
+        ),
+        F.when(
+            ((n_bigrams > 0) & (top2 * 10 >= n_bigrams))
+            | ((n_tokens > 0) & (n_unique * 2 <= n_tokens)),
+            "repetitive",
+        )
+        .otherwise("ok")
+        .alias("rep_flag"),
+    )
+
+
+@query(
+    "pii_redact",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             'contact user' || CAST(doc_id AS VARCHAR) || '@example.' ||
+             (CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END) ||
+             ' from ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+             CAST(doc_id % 100 AS VARCHAR) || ' ' || text AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(raw, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(raw, '{IPV4_RE}')) AS BIGINT) AS n_ips,
+           regexp_replace(regexp_replace(raw, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{IPV4_RE}', '<IP>', 'g') AS redacted
+    FROM aug
+    """,
+    tags=("llm", "quality", "pii"),
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scan and redaction: count and mask emails and IPv4 addresses with
+    Java/RE2-common regexes (the oracle runs the identical patterns).
+
+    The fixture corpus contains no organic PII, so a deterministic
+    contact-line is derived from ``doc_id`` and prepended before scanning —
+    the operator under test is the regex scan/replace itself, exercised on
+    every row with a non-degenerate match set. Emails are masked before IPs
+    so the IP pass can't partially match inside an address it already
+    consumed. Scan-speed projection; no Python, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    tld = (
+        F.when(F.col("doc_id") % 3 == 0, "com")
+        .when(F.col("doc_id") % 3 == 1, "org")
+        .otherwise("net")
+    )
+    raw = F.concat(
+        F.lit("contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example."),
+        tld,
+        F.lit(" from ip 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."),
+        (F.col("doc_id") % 100).cast("string"),
+        F.lit(" "),
+        F.col("text"),
+    )
+    aug = docs.select("doc_id", raw.alias("raw"))
+    return aug.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("raw", F.lit(EMAIL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("raw", F.lit(IPV4_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_ips"),
+        F.regexp_replace(
+            F.regexp_replace("raw", EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
+        ).alias("redacted"),
+    )
+
+
+@query(
+    "chunk_documents",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '{TOKEN_DELIM}'), x -> x <> '') AS toks
+      FROM documents
+    ), n AS (
+      SELECT doc_id, toks, len(toks) AS n_tokens,
+             1 + (greatest(len(toks) - {CHUNK_TOKENS}, 0) + {CHUNK_STRIDE} - 1) // {CHUNK_STRIDE} AS n_chunks
+      FROM t
+    ), c AS (
+      SELECT doc_id, toks, n_tokens,
+             unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+      FROM n
+    )
+    SELECT doc_id,
+           CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(1 + chunk_id * {CHUNK_STRIDE} AS BIGINT) AS start_token,
+           CAST(least(CAST(n_tokens AS BIGINT) - (1 + chunk_id * {CHUNK_STRIDE}) + 1,
+                      {CHUNK_TOKENS}) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(toks[(1 + chunk_id * {CHUNK_STRIDE}):
+                                least(chunk_id * {CHUNK_STRIDE} + {CHUNK_TOKENS}, n_tokens)],
+                           ' ') AS chunk_text
+    FROM c
+    """,
+    tags=("llm", "chunking", "rag"),
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking: 32-token chunks every 24 tokens (8-token
+    overlap) — the RAG/context-packing segmentation primitive. Chunk count
+    is 1 + ceil(max(L-32,0)/24), so every token is covered and a short
+    document yields exactly one chunk.
+
+    Plan: one projection + explode of a per-row index sequence — output
+    grows ~L/stride per doc but there is still no shuffle; chunk rows land
+    in the same partitions as their documents, ready for downstream
+    embed/dedup stages."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    n = F.size(toks).cast("long")
+    n_chunks = F.lit(1) + F.floor(
+        (F.greatest(n - CHUNK_TOKENS, F.lit(0)) + (CHUNK_STRIDE - 1))
+        / CHUNK_STRIDE
+    )
+    staged = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        n.alias("n_tokens"),
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
+            "chunk_id"
+        ),
+    )
+    start = (F.lit(1) + F.col("chunk_id") * CHUNK_STRIDE).cast("long")
+    chunk = F.slice(F.col("toks"), start.cast("int"), CHUNK_TOKENS)
+    return staged.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        start.alias("start_token"),
+        F.least(
+            F.col("n_tokens") - start + 1, F.lit(CHUNK_TOKENS).cast("long")
+        ).alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
