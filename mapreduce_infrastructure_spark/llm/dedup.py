@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import LongType
 
@@ -846,3 +846,65 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes, edges = _cluster_edges(spark, sf_dir)
     labels = star_contraction_components(nodes, edges)
     return labels.select(F.col("node_id").alias("doc_id"), "cluster")
+
+
+_CANONICAL_ORACLE = _CLUSTERS_ORACLE.replace(
+    """
+    SELECT node AS doc_id, MIN(label) AS cluster
+    FROM reach GROUP BY node
+    """,
+    """
+    , clusters AS (
+      SELECT node AS doc_id, MIN(label) AS cluster FROM reach GROUP BY node
+    ), j AS (
+      SELECT c.doc_id, c.cluster, d.n_chars
+      FROM clusters c JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id, cluster,
+           CAST(COUNT(*) OVER (PARTITION BY cluster) AS BIGINT) AS n_cluster_docs,
+           first_value(doc_id) OVER (PARTITION BY cluster
+                                     ORDER BY n_chars DESC, doc_id) AS canonical_doc,
+           CASE WHEN row_number() OVER (PARTITION BY cluster
+                                        ORDER BY n_chars DESC, doc_id) = 1
+                THEN 'keep' ELSE 'drop' END AS decision
+    FROM j
+    """,
+)
+
+
+@query(
+    "dedup_canonical_docs",
+    oracle=_CANONICAL_ORACLE,
+    tags=("dedup", "clusters", "canonical"),
+)
+def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization — the step that turns duplicate CLUSTERS into an
+    actionable keep/drop list: within each near-dup component, keep the
+    single best representative (longest document, doc_id as the exact
+    tie-break) and mark the rest for dropping, carrying the canonical
+    doc_id so dropped rows can be re-pointed (URL aliasing, provenance).
+
+    Selection keys are integers (n_chars DESC, doc_id ASC), so the chosen
+    representative is engine- and partitioning-stable — never pick a
+    float score as the only sort key. Cost on top of the cluster fixpoint:
+    one broadcast-sized join to fetch n_chars and one window over the
+    cluster key the labels are already partitioned by."""
+    nodes, edges = _cluster_edges(spark, sf_dir)
+    labels = min_label_components(nodes, edges).select(
+        F.col("node_id").alias("doc_id"), "cluster"
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    j = labels.join(docs, "doc_id")
+    w_all = Window.partitionBy("cluster")
+    w_rank = Window.partitionBy("cluster").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return j.select(
+        "doc_id",
+        "cluster",
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n_cluster_docs"),
+        F.first("doc_id").over(w_rank).alias("canonical_doc"),
+        F.when(F.row_number().over(w_rank) == 1, "keep")
+        .otherwise("drop")
+        .alias("decision"),
+    )

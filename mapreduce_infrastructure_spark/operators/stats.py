@@ -182,3 +182,138 @@ def exact_percentiles_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("cd") >= 0.99, F.col("o_totalprice"))).alias("p99"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+_BIN_WIDTH = 25000  # histogram bin width over o_totalprice
+
+
+@query(
+    "histogram_order_totals",
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST(floor(o_totalprice / {_BIN_WIDTH}) AS BIGINT) AS bin FROM orders
+    ), c AS (
+      SELECT bin, COUNT(*) AS n_orders FROM b GROUP BY bin
+    ), g AS (
+      SELECT unnest(generate_series(0, (SELECT MAX(bin) FROM c))) AS bin
+    )
+    SELECT g.bin,
+           CAST(g.bin * {_BIN_WIDTH} AS DOUBLE) AS lo,
+           CAST(coalesce(c.n_orders, 0) AS BIGINT) AS n_orders
+    FROM g LEFT JOIN c USING (bin)
+    """,
+    tags=("agg", "stats", "histogram"),
+)
+def histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram with a DENSE zero-filled bin axis: bucket
+    order totals by floor(x/width), then left-join the counts onto a
+    generated 0..max_bin grid so empty buckets appear as explicit zeros
+    (charting and drift-detection consumers need the dense axis).
+
+    floor of a double quotient is bit-deterministic across engines (same
+    IEEE divide, same floor). Plan: one partial+final HashAggregate over
+    the fact table; the grid explode is a single generated row-set the
+    size of the bin axis, joined against the already-tiny count table —
+    at 100 TB the histogram costs one scan + one shuffle of ~max_bin rows."""
+    o = load_table(spark, sf_dir, "orders")
+    binned = o.select(
+        F.floor(F.col("o_totalprice") / _BIN_WIDTH).cast("long").alias("bin")
+    )
+    counts = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n_orders"))
+    grid = counts.agg(F.max("bin").alias("maxb")).select(
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("maxb"))).alias("bin")
+    )
+    return grid.join(counts, "bin", "left").select(
+        "bin",
+        (F.col("bin") * _BIN_WIDTH).cast("double").alias("lo"),
+        F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+    )
+
+
+@query(
+    "anomaly_zscore_events",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+             COUNT(*) OVER w AS n,
+             SUM(CAST(value AS DECIMAL(18,2))) OVER w AS sx,
+             SUM(CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) AS DECIMAL(28,4))) OVER w AS sxx
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    ), s AS (
+      SELECT *,
+             CAST(sx AS DOUBLE) / n AS mean_w,
+             CASE WHEN n >= 2 THEN
+               sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * (n - 1)))
+             END AS std_w
+      FROM f
+    )
+    SELECT user_id, event_id, ts_us, value,
+           CAST(n AS BIGINT) AS n_window,
+           floor(mean_w * 100 + 0.5) / 100 AS mean_20,
+           floor(std_w * 10000 + 0.5) / 10000 AS std_20,
+           floor(((value - mean_w) / nullif(std_w, 0)) * 1000 + 0.5) / 1000 AS z,
+           CASE WHEN n >= 10 AND nullif(std_w, 0) IS NOT NULL
+                 AND abs(floor(((value - mean_w) / nullif(std_w, 0)) * 1000 + 0.5) / 1000) >= 2.0
+                THEN 'anomaly' ELSE 'ok' END AS flag
+    FROM s
+    """,
+    tags=("events", "stats", "anomaly", "window"),
+)
+def anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: each event scored against the
+    mean/stddev of its user's trailing 20 events (the streaming-friendly
+    outlier primitive behind alerting and data-quality monitors).
+
+    The windowed moments come from exact DECIMAL power sums over the ROWS
+    frame (see module docstring) — decimal addition is associative, so
+    DuckDB's segment-tree sliding-frame evaluation and Spark's running
+    accumulation produce identical bits, and the closed-form mean/std/z
+    computed from them can't drift. The flag compares the ROUNDED z so the
+    label is stable by construction; warm-up rows (n<10) are never
+    flagged.
+
+    Plan at scale: one shuffle on user_id + one ordered window pass —
+    identical cost to any windowed aggregate; no Python."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    x = dec("value")
+    f = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(x).over(w).alias("sx"),
+        F.sum((x * x).cast(_PROD)).over(w).alias("sxx"),
+    )
+    n = F.col("n")
+    sx, sxx = F.col("sx").cast("double"), F.col("sxx").cast("double")
+    mean_w = sx / n
+    std_w = F.when(
+        n >= 2,
+        F.sqrt((n * sxx - sx * sx) / (n.cast("double") * (n - 1))),
+    )
+    z = rnd((F.col("value") - mean_w) / F.nullif(std_w, F.lit(0)), 3)
+    return f.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        "value",
+        n.cast("long").alias("n_window"),
+        rnd(mean_w, 2).alias("mean_20"),
+        rnd(std_w, 4).alias("std_20"),
+        z.alias("z"),
+        F.when(
+            (n >= 10) & F.nullif(std_w, F.lit(0)).isNotNull() & (F.abs(z) >= 2.0),
+            "anomaly",
+        )
+        .otherwise("ok")
+        .alias("flag"),
+    )

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..catalog import load_table
-from ..functions.exact import dsum
+from ..functions.exact import dec, dsum, rnd
 from ..registry import query
 
 
@@ -235,4 +235,81 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset")
         )
         .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+@query(
+    "gapfill_hourly_value",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id,
+             epoch_us(ts) // CAST(3600000000 AS BIGINT) AS h,
+             COUNT(*) AS n_events,
+             floor(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) * 100 + 0.5) / 100 AS hour_value
+      FROM events WHERE user_id <= 40
+      GROUP BY 1, 2
+    ), span AS (
+      SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM obs GROUP BY user_id
+    ), grid AS (
+      SELECT user_id, unnest(generate_series(h0, h1)) AS h FROM span
+    )
+    SELECT g.user_id, g.h,
+           CAST(coalesce(o.n_events, 0) AS BIGINT) AS n_events,
+           o.hour_value,
+           last_value(o.hour_value IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+           CASE WHEN o.n_events IS NULL THEN 'gap' ELSE 'obs' END AS src
+    FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.h = o.h
+    """,
+    tags=("events", "timeseries", "gapfill"),
+)
+def gapfill_hourly_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling + forward fill (as-of interpolation): build
+    the dense per-user hourly grid between each user's first and last
+    event, left-join the observed hourly sums onto it, and carry the last
+    observation forward across the gaps with last(ignorenulls) — the
+    standard downsample-then-fill shape (`date_spine`/`LOCF`) that
+    dashboards and feature pipelines need over sparse event logs.
+
+    Hours are integer epoch-hours (epoch-µs `div` 3600000000 — pure
+    integer math, timezone-proof); hourly sums go through exact DECIMAL
+    (`functions/exact.py`) and are rounded BEFORE the fill, so the carried
+    values are bit-identical in both engines. The `user_id <= 40` bound is
+    a pushed-down predicate that keeps the dense grid SF-independent.
+
+    Plan at scale: hourly pre-aggregation shrinks the log to (keys × hours)
+    BEFORE the grid join; the per-user sequence explode emits one row per
+    key going in (no shuffle); grid⋈obs shuffles on (user, hour); the fill
+    is one window over the same key. Grid size is keys × horizon — bounded
+    by the span, not the event volume."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 40)
+    obs = (
+        ev.groupBy(
+            "user_id", F.expr("unix_micros(ts) div 3600000000").alias("h")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            rnd(F.sum(dec("value")).cast("double"), 2).alias("hour_value"),
+        )
+    )
+    span = obs.groupBy("user_id").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = span.select(
+        "user_id", F.explode(F.sequence("h0", "h1")).alias("h")
+    )
+    joined = grid.join(obs, ["user_id", "h"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "h",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        "hour_value",
+        F.last("hour_value", ignorenulls=True).over(w).alias("filled_value"),
+        F.when(F.col("n_events").isNull(), "gap").otherwise("obs").alias("src"),
     )
