@@ -100,3 +100,25 @@ class InvertedIndexReducer(BaseReducer):
     def reduce(self, key: str, values) -> None:
         ids = sorted({int(v) for v in values})
         self.emit(key, ",".join(str(i) for i in ids))
+
+
+class GrepMapper(BaseMapper):
+    """Distributed grep — the MapReduce paper's first canonical example
+    (OSDI'04 §2.3): emit the record when it matches the pattern. Records
+    are ``doc_id<TAB>text``; the match is a literal substring scan."""
+
+    PATTERN = "spark"
+
+    def map(self, record: str) -> None:
+        doc_id, _, text = record.partition("\t")
+        if self.PATTERN in text:
+            self.emit(doc_id, text)
+
+
+class IdentityReducer(BaseReducer):
+    """Pass-through reducer (grep's reduce phase in the paper is the
+    identity function)."""
+
+    def reduce(self, key: str, values) -> None:
+        for v in values:
+            self.emit(key, v)

@@ -62,3 +62,25 @@ def mr_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kv = run_mr_job(spark, docs, user_id="invidx", num_output_files=8)
     return kv.select(F.col("key").alias("term"), F.col("value").alias("docs"))
+
+
+@query(
+    "mr_grep",
+    oracle="""
+    SELECT doc_id, text FROM documents WHERE text LIKE '%spark%'
+    """,
+    tags=("mr-compat", "text", "grep"),
+)
+def mr_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed grep through the MR-compat API (third registered
+    user_id): mapper emits matching records, identity reducer — the
+    MapReduce paper's first example (OSDI'04 §2.3). In the declarative
+    engine this is just a pushed-down LIKE filter (the oracle); running it
+    through run_mr_job exercises the arbitrary-task path end to end."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.concat_ws("\t", F.col("doc_id"), F.col("text")).alias("record")
+    )
+    kv = run_mr_job(spark, docs, user_id="grep", num_output_files=4)
+    return kv.select(
+        F.col("key").cast("long").alias("doc_id"), F.col("value").alias("text")
+    )

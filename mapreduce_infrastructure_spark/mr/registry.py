@@ -51,3 +51,8 @@ register_tasks("cs6210", WordCountMapper, WordCountReducer)
 from .api import InvertedIndexMapper, InvertedIndexReducer  # noqa: E402
 
 register_tasks("invidx", InvertedIndexMapper, InvertedIndexReducer)
+# Third task: distributed grep under "grep" (the MapReduce paper's §2.3
+# first example — mapper filters, reducer is the identity).
+from .api import GrepMapper, IdentityReducer  # noqa: E402
+
+register_tasks("grep", GrepMapper, IdentityReducer)

@@ -1054,3 +1054,195 @@ def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         for name, v in checks
     ]
     return reduce(lambda a, b: a.unionAll(b), counted)
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT COUNT(*) AS n_items,
+           floor((CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)) * 100 + 0.5) / 100 AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("agg", "tpch", "sql"),
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style forecasting-revenue scan, submitted through the raw
+    SQL front door (spark.sql over registered views) — the engine's second
+    user surface next to the DataFrame API; both compile to the same
+    Catalyst plan (single pushed-filter scan + partial/final agg, no
+    shuffle beyond the 1-row final).
+
+    The double-typed discount BETWEEN bounds compare bit-identically in
+    both engines; the money product goes through exact DECIMAL before the
+    final cast (functions/exact.py)."""
+    register_views(spark, sf_dir, ["lineitem"])
+    return spark.sql(
+        """
+        SELECT COUNT(*) AS n_items,
+               floor((CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                               * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)) * 100 + 0.5) / 100 AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+        """
+    )
+
+
+@query(
+    "q7_nation_volume",
+    oracle="""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           year(l.l_shipdate) AS l_year,
+           COUNT(*) AS n_items,
+           floor((CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                           * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)) * 100 + 0.5) / 100 AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+    WHERE n1.n_name <> n2.n_name
+    GROUP BY 1, 2, 3
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style cross-nation shipping volume: six-table join graph
+    with the nation dimension joined TWICE under different roles (supplier
+    side vs customer side) — the self-referencing-dimension shape that
+    exercises alias handling in the join planner.
+
+    Plan at 100 TB: both nation copies and supplier broadcast; customer
+    broadcasts at small SF and shuffles at scale (AQE decides); the one
+    unavoidable big shuffle is lineitem⋈orders on orderkey. The inequality
+    filter runs on broadcast-local columns, before the fact shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    revenue = F.sum(
+        dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    ).cast("double")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
+        )
+        .agg(lcount("n_items"), rnd(revenue, 2).alias("revenue"))
+    )
+
+
+@query(
+    "q10_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           COUNT(*) AS n_items,
+           floor((CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                           * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)) * 100 + 0.5) / 100 AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY 1, 2, 3
+    ORDER BY SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) DESC,
+             c.c_custkey
+    LIMIT 20
+    """,
+    tags=("join", "agg", "topk", "tpch"),
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style returned-item report: top-20 customers by lost
+    revenue on returned lineitems. The top-k ORDERS BY THE EXACT DECIMAL
+    sum (ties broken by c_custkey) and only rounds for display — ranking on
+    a rounded or double-typed score is how cross-engine top-k checks flake.
+
+    Plan: returnflag filter pushed into the lineitem scan, one orderkey
+    shuffle against orders, customer/nation broadcast, then
+    TakeOrderedAndProject — no global sort materialization for a LIMIT."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    rev_exact = F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(lcount("n_items"), rev_exact.alias("rev_exact"))
+        .orderBy(F.desc("rev_exact"), F.asc("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            "n_items",
+            rnd(F.col("rev_exact").cast("double"), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q18_large_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice,
+           CAST(b.sum_qty AS DOUBLE) AS sum_qty
+    FROM big b
+    JOIN orders o   ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    tags=("join", "agg", "having", "tpch"),
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style large-volume orders: aggregate the fact table first
+    (HAVING over an exact decimal quantity sum — engine-stable threshold),
+    then join the surviving order keys back to orders/customer. The
+    aggregate-before-join ordering is the scale move: the HAVING shrinks
+    the fact side to the rare heavy orders BEFORE any join shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_totalprice",
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+        )
+    )

@@ -565,3 +565,39 @@ def stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_acctbal"
         ),
     )
+
+
+@query(
+    "stream_enrich_static_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us, e.event_type,
+           c.c_mktsegment, CAST(c.c_nationkey AS BIGINT) AS c_nationkey
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    tags=("streaming", "join", "enrich"),
+)
+def stream_enrich_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joined per
+    micro-batch against a STATIC dimension table (customer) — the
+    standard streaming-ETL shape (enrich-on-ingest), stateless, append
+    mode, no watermark needed because the static side never changes.
+
+    The dimension is explicitly broadcast: each micro-batch plans a
+    broadcast hash join, so the stream side never shuffles — at 100 TB/day
+    ingest the enrichment is scan-speed. Oracle = the same join in batch
+    SQL (unified semantics: same input, same answer)."""
+    from ..catalog import load_table
+
+    ev = stream_events(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    joined = ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey).select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_type",
+        "c_mktsegment",
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+    )
+    return run_to_table(joined, "stream_enrich_static_join", mode="append")
