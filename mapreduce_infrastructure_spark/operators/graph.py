@@ -1,0 +1,140 @@
+"""Iterative graph analytics: PageRank over a trade graph.
+
+The second iterative-fixpoint operator family next to connected components
+(`llm/dedup.py::min_label_components`): numeric iteration where each round
+is one shuffle-sized DataFrame pass driven by a small driver loop — the
+Pregel-without-Pregel shape that covers PageRank, label propagation, and
+power iteration on 1000-executor clusters without any graph library.
+
+Determinism contract (the hard part of a cross-engine iterative oracle):
+every iteration rounds the per-edge contribution to a fixed 1e-9 grain
+(pure-IEEE floor form, `functions/exact.rnd`), accumulates the rounded
+contributions in DECIMAL(28,9) — exact and associative, so shuffle order
+and engine cannot change the sum — and rounds the damped update once more.
+Both engines therefore compute the IDENTICAL rank trajectory, and the
+differential gate can check an iterative numeric algorithm exactly.
+
+The DuckDB oracle is the same recurrence UNROLLED into generated CTEs
+(aggregates are not reliably allowed in a recursive CTE's recursive term),
+one block per iteration — built by `_pagerank_oracle()`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..catalog import load_table
+from ..functions.exact import rnd
+from ..registry import query
+
+N_ITERS = 5
+_DAMP = 0.85
+_BASE = 0.15
+# Supplier node ids are offset so the two key spaces can share one column.
+_SUPP_OFFSET = 10000
+
+_EDGES_SQL = f"""
+    pairs AS (
+      SELECT DISTINCT o.o_custkey AS cust, {_SUPP_OFFSET} + l.l_suppkey AS supp
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    edges AS (
+      SELECT cust AS src, supp AS dst FROM pairs
+      UNION ALL
+      SELECT supp AS src, cust AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    deg AS (SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src)
+"""
+
+
+def _pagerank_oracle(iters: int = N_ITERS) -> str:
+    """Generate the unrolled-iteration oracle: r0 = 1.0, then per iteration
+    rank' = rnd9(0.15 + 0.85 * Σ rnd9(rank/out_deg)) with the sum in exact
+    DECIMAL(28,9)."""
+    blocks = [f"WITH {_EDGES_SQL}, r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes)"]
+    for k in range(1, iters + 1):
+        blocks.append(f"""
+    , r{k} AS (
+      SELECT e.dst AS node,
+             floor(({_BASE} + {_DAMP} * CAST(SUM(CAST(
+                 floor(p.rank / d.out_deg * 1000000000 + 0.5) / 1000000000
+               AS DECIMAL(28,9))) AS DOUBLE)) * 1000000000 + 0.5) / 1000000000 AS rank
+      FROM r{k - 1} p
+      JOIN deg d   ON p.node = d.src
+      JOIN edges e ON e.src = p.node
+      GROUP BY e.dst
+    )""")
+    blocks.append(f"""
+    SELECT node,
+           CASE WHEN node >= {_SUPP_OFFSET} THEN 'supplier' ELSE 'customer' END AS node_type,
+           rank
+    FROM r{iters}
+    """)
+    return "".join(blocks)
+
+
+@query(
+    "pagerank_trade_graph",
+    oracle=_pagerank_oracle(),
+    tags=("graph", "iterative", "pagerank"),
+)
+def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (5 damped iterations, d=0.85) over the bipartite
+    customer↔supplier trade graph (an edge per distinct who-bought-from-whom
+    pair, symmetrized) — "which counterparties sit at the center of the
+    trade network".
+
+    Shape at 100 TB: the edge list is built once (one orderkey shuffle +
+    DISTINCT), then each iteration is contribute→sum: a join of the current
+    rank vector against the edge list and one aggregation by destination —
+    one shuffle per iteration over rank-vector-sized data (nodes, not
+    edges, after the combine). The driver loop only orchestrates; no data
+    touches the driver. See module docstring for the exact-arithmetic
+    contract that makes the trajectory engine-identical."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"),
+            (F.lit(_SUPP_OFFSET) + F.col("l_suppkey")).alias("supp"),
+        )
+        .distinct()
+    )
+    edges = pairs.selectExpr("cust AS src", "supp AS dst").unionAll(
+        pairs.selectExpr("supp AS src", "cust AS dst")
+    )
+    # Edge list is reused every iteration: persist once, unpersist at end.
+    edges = edges.persist()
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    deg = edges.groupBy(F.col("src").alias("deg_node")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    ranks = nodes.select("node", F.lit(1.0).alias("rank"))
+    for _ in range(N_ITERS):
+        contribs = (
+            ranks.join(deg, F.col("node") == F.col("deg_node"))
+            .join(edges, F.col("node") == F.col("src"))
+            .select(
+                F.col("dst").alias("node"),
+                rnd(F.col("rank") / F.col("out_deg"), 9)
+                .cast("decimal(28,9)")
+                .alias("contrib"),
+            )
+        )
+        ranks = contribs.groupBy("node").agg(
+            rnd(
+                F.lit(_BASE) + F.lit(_DAMP) * F.sum("contrib").cast("double"), 9
+            ).alias("rank")
+        )
+    out = ranks.select(
+        "node",
+        F.when(F.col("node") >= _SUPP_OFFSET, "supplier")
+        .otherwise("customer")
+        .alias("node_type"),
+        "rank",
+    )
+    # Materialization happens downstream; defer unpersist to GC (the edge
+    # cache is iteration-scoped scratch, small relative to the corpus).
+    return out
