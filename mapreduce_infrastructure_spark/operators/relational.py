@@ -1246,3 +1246,80 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sum_qty").cast("double").alias("sum_qty"),
         )
     )
+
+
+def _skew_oracle_block(table: str, col: str) -> str:
+    return f"""
+      SELECT '{table}.{col}' AS key_name,
+             COUNT(*) AS n_keys,
+             CAST(SUM(cnt) AS BIGINT) AS total_rows,
+             MAX(cnt) AS max_cnt,
+             floor((CAST(SUM(cnt) AS DOUBLE) / COUNT(*)) * 100 + 0.5) / 100 AS mean_cnt,
+             floor((CAST(MAX(cnt) AS DOUBLE) / (CAST(SUM(cnt) AS DOUBLE) / COUNT(*))) * 100 + 0.5) / 100 AS skew_ratio,
+             CAST(SUM(CASE WHEN cnt * (SELECT COUNT(*) FROM (SELECT {col} AS k, COUNT(*) AS cnt FROM {table} GROUP BY {col}))
+                             > 10 * (SELECT SUM(cnt) FROM (SELECT {col} AS k, COUNT(*) AS cnt FROM {table} GROUP BY {col}))
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_hot_keys
+      FROM (SELECT {col} AS k, COUNT(*) AS cnt FROM {table} GROUP BY {col})
+    """
+
+
+@query(
+    "join_key_skew_report",
+    oracle=" UNION ALL ".join(
+        [
+            _skew_oracle_block("events", "user_id"),
+            _skew_oracle_block("lineitem", "l_orderkey"),
+            _skew_oracle_block("orders", "o_custkey"),
+        ]
+    ),
+    tags=("diagnostics", "skew", "agg"),
+)
+def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics — the report you run BEFORE choosing a
+    join strategy at 100 TB: per candidate key, the key count, max/mean
+    per-key row counts, their ratio, and how many keys are "hot"
+    (cnt > 10× mean). Feeds the decision between plain shuffle join,
+    salting (`salted_join_hot_users`), and AQE skew splitting.
+
+    The hot-key predicate is cross-multiplied into pure BIGINT arithmetic
+    (cnt·n_keys > 10·total) — no float mean in a comparison. Plan: one
+    partial+final count per key, then a 1-row rollup joined back broadcast
+    for the hot-key count — two shuffles over key-cardinality data, never
+    over the raw fact rows."""
+    from functools import reduce
+
+    specs = [
+        ("events", "user_id"),
+        ("lineitem", "l_orderkey"),
+        ("orders", "o_custkey"),
+    ]
+    outs = []
+    for table, col in specs:
+        counts = (
+            load_table(spark, sf_dir, table)
+            .groupBy(F.col(col).alias("k"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        stats = counts.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("cnt").alias("total_rows"),
+            F.max("cnt").alias("max_cnt"),
+        )
+        hot = (
+            counts.crossJoin(F.broadcast(stats))
+            .filter(F.col("cnt") * F.col("n_keys") > 10 * F.col("total_rows"))
+            .agg(F.count(F.lit(1)).alias("n_hot_keys"))
+        )
+        mean = F.col("total_rows").cast("double") / F.col("n_keys")
+        outs.append(
+            stats.crossJoin(F.broadcast(hot)).select(
+                F.lit(f"{table}.{col}").alias("key_name"),
+                "n_keys",
+                F.col("total_rows").cast("long").alias("total_rows"),
+                "max_cnt",
+                rnd(mean, 2).alias("mean_cnt"),
+                rnd(F.col("max_cnt").cast("double") / mean, 2).alias("skew_ratio"),
+                F.col("n_hot_keys").cast("long").alias("n_hot_keys"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), outs)

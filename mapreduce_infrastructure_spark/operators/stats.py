@@ -317,3 +317,85 @@ def anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("ok")
         .alias("flag"),
     )
+
+
+@query(
+    "winsorized_stats",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderpriority, o_totalprice,
+             cume_dist() OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice, o_orderkey) AS cd
+      FROM orders
+    ), thresholds AS (
+      SELECT o_orderpriority,
+             MIN(CASE WHEN cd >= 0.05 THEN o_totalprice END) AS p05,
+             MIN(CASE WHEN cd >= 0.95 THEN o_totalprice END) AS p95
+      FROM ranked GROUP BY o_orderpriority
+    ), clipped AS (
+      SELECT o.o_orderpriority,
+             least(greatest(o.o_totalprice, t.p05), t.p95) AS v
+      FROM orders o JOIN thresholds t USING (o_orderpriority)
+    ), s AS (
+      SELECT o_orderpriority,
+             COUNT(*) AS n,
+             SUM(CAST(v AS DECIMAL(18,2))) AS sx,
+             SUM(CAST(CAST(v AS DECIMAL(18,2)) * CAST(v AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS sxx
+      FROM clipped GROUP BY o_orderpriority
+    )
+    SELECT s.o_orderpriority, s.n, t.p05, t.p95,
+           floor((CAST(sx AS DOUBLE) / n) * 100 + 0.5) / 100 AS mean_w,
+           floor(sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * (n - 1))) * 100 + 0.5) / 100 AS std_w
+    FROM s JOIN thresholds t USING (o_orderpriority)
+    """,
+    tags=("agg", "stats", "robust"),
+)
+def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (outlier-clipped) moments per group: clip order totals to
+    the group's exact discrete [p05, p95] band, then mean/stddev from exact
+    DECIMAL power sums of the clipped values — the robust-statistics
+    variant of stats_moments_by_status that a metric pipeline uses when a
+    few whale orders would dominate the plain mean.
+
+    Cross-engine exactness: the thresholds are REAL data values (discrete
+    cume_dist selection, o_orderkey tiebreak — no interpolation), clipping
+    is min/max on identical doubles, and the power sums are decimal, so
+    every stage is bit-stable. Plan: one window pass for thresholds, a
+    broadcast join back (thresholds are group-cardinality), one aggregation
+    — two shuffles at any scale."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    ranked = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.cume_dist().over(w).alias("cd"),
+    )
+    thresholds = ranked.groupBy("o_orderpriority").agg(
+        F.min(F.when(F.col("cd") >= 0.05, F.col("o_totalprice"))).alias("p05"),
+        F.min(F.when(F.col("cd") >= 0.95, F.col("o_totalprice"))).alias("p95"),
+    )
+    clipped = o.join(F.broadcast(thresholds), "o_orderpriority").select(
+        "o_orderpriority",
+        "p05",
+        "p95",
+        F.least(F.greatest(F.col("o_totalprice"), F.col("p05")), F.col("p95")).alias("v"),
+    )
+    x = dec("v")
+    s = clipped.groupBy("o_orderpriority", "p05", "p95").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum((x * x).cast(_PROD)).alias("sxx"),
+    )
+    n = F.col("n")
+    sx, sxx = F.col("sx").cast("double"), F.col("sxx").cast("double")
+    return s.select(
+        "o_orderpriority",
+        "n",
+        "p05",
+        "p95",
+        rnd(sx / n, 2).alias("mean_w"),
+        rnd(
+            F.sqrt((n * sxx - sx * sx) / (n.cast("double") * (n - 1))), 2
+        ).alias("std_w"),
+    )

@@ -313,3 +313,60 @@ def gapfill_hourly_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("hour_value", ignorenulls=True).over(w).alias("filled_value"),
         F.when(F.col("n_events").isNull(), "gap").otherwise("obs").alias("src"),
     )
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), c AS (
+      SELECT prev_type AS from_type, event_type AS to_type, COUNT(*) AS n_transitions
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n_transitions,
+           floor(CAST(n_transitions AS DOUBLE)
+                 / SUM(n_transitions) OVER (PARTITION BY from_type) * 10000 + 0.5) / 10000 AS p
+    FROM c
+    """,
+    tags=("events", "sequence", "markov"),
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    count (previous event type → event type) adjacencies and normalize each
+    source row to transition probabilities — the behavioral-analytics
+    primitive behind next-action prediction and anomaly flows.
+
+    Sequence adjacency comes from one lag window over (user, ts, event_id)
+    — unique total order, so the pairing is engine-exact; the probability
+    is a ratio of two exact BIGINT counts, deterministic before rounding.
+    Plan at 100 TB: one shuffle on user_id for the lag, one tiny rollup to
+    the |types|² matrix, one window over that matrix — the heavy stage is
+    sequence-building, which any sequence feature needs anyway."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    c = (
+        seq.groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    w_row = Window.partitionBy("from_type")
+    return c.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        rnd(
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(w_row),
+            4,
+        ).alias("p"),
+    )
