@@ -155,3 +155,89 @@ def parquet_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(lcount("n_orders"), dsum("o_totalprice", "total"))
     )
+
+
+@query(
+    "schema_evolution_read",
+    oracle="""
+    SELECT n_nationkey, n_name, CAST(NULL AS INTEGER) AS n_regionkey
+    FROM nation WHERE n_nationkey < 13
+    UNION ALL
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM nation WHERE n_nationkey >= 13
+    """,
+    tags=("source", "schema-evolution", "parquet"),
+)
+def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: two parquet batches written under the same
+    table root with DIFFERENT schemas (v1 lacks ``n_regionkey``; v2 added
+    it), unified by ``mergeSchema`` — old rows surface the new column as
+    NULL. This is the additive-column contract every long-lived event-log
+    table needs; the declared-NULL oracle states it exactly.
+
+    Scale note: mergeSchema footer reconciliation is O(files) at planning
+    time — production tables pin the merged schema in a catalog instead of
+    re-deriving it per query; the read path (and this query's result) is
+    identical either way."""
+    n = load_table(spark, sf_dir, "nation")
+    out = sink_dir(sf_dir, "nation_evolved")
+    v1 = n.filter(F.col("n_nationkey") < 13).select("n_nationkey", "n_name")
+    v2 = n.filter(F.col("n_nationkey") >= 13).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(out, "v=1"))
+    v2.write.mode("overwrite").parquet(os.path.join(out, "v=2"))
+    return (
+        spark.read.option("mergeSchema", True)
+        .parquet(os.path.join(out, "v=1"), os.path.join(out, "v=2"))
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )
+
+
+_COMPACT_TARGET_ROWS = 50000
+
+
+@query(
+    "compact_small_files",
+    oracle=f"""
+    SELECT 'small' AS stage, 64 AS n_files, COUNT(*) AS n_rows FROM events
+    UNION ALL
+    SELECT 'compacted' AS stage,
+           CAST(greatest(1, ceil(CAST(COUNT(*) AS DOUBLE) / {_COMPACT_TARGET_ROWS})) AS INTEGER) AS n_files,
+           COUNT(*) AS n_rows
+    FROM events
+    """,
+    tags=("source", "sink", "compaction", "layout"),
+)
+def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the table-maintenance op every streaming
+    ingest needs: a fragmented stage (64 tiny files, the shape a per-minute
+    micro-batch writer leaves behind) is rewritten to
+    ceil(rows/{_COMPACT_TARGET_ROWS}) right-sized files. The engine COUNTS
+    the actual part-files it produced at each stage; the oracle PREDICTS
+    both counts from the row count — measurement vs contract.
+
+    At 100 TB the same op sizes by bytes (maxRecordsPerFile /
+    file-size-target); rows are used here because parquet byte sizes are
+    codec- and row-order-dependent, and the oracle must be exact. Reading
+    64 small files costs 64 footer reads + 64 scan tasks; the compacted
+    table costs ceil(rows/target) — that ratio is the whole point."""
+    import glob
+
+    ev = load_table(spark, sf_dir, "events")
+    root = sink_dir(sf_dir, "events_compaction")
+    small_dir, compact_dir = os.path.join(root, "small"), os.path.join(root, "big")
+    ev.repartition(64).write.mode("overwrite").parquet(small_dir)
+    back = spark.read.parquet(small_dir)
+    n_rows = back.count()
+    n_target = max(1, -(-n_rows // _COMPACT_TARGET_ROWS))
+    back.repartition(n_target).write.mode("overwrite").parquet(compact_dir)
+
+    def n_parts(d: str) -> int:
+        return len(glob.glob(os.path.join(d, "part-*")))
+
+    rows = [
+        ("small", n_parts(small_dir), n_rows),
+        ("compacted", n_parts(compact_dir), n_rows),
+    ]
+    return spark.createDataFrame(rows, "stage string, n_files int, n_rows long")
