@@ -88,3 +88,72 @@ def test_salted_agg_two_stages(spark, sf_dir):
     plan = checks.explain_str(salted_agg_user_value(spark, sf_dir))
     assert "salt" in plan
     assert plan.count("HashAggregate") >= 3  # partial+final per stage
+
+
+def test_q10_pushes_returnflag_and_takes_ordered(spark, sf_dir):
+    """Q10: the returnflag filter must reach the parquet scan, the top-20
+    must plan TakeOrderedAndProject, and dims must broadcast."""
+    from mapreduce_infrastructure_spark.operators.relational import (
+        q10_returned_items,
+    )
+
+    df = q10_returned_items(spark, sf_dir)
+    checks.assert_pushed_filter(df, "EqualTo(l_returnflag,R)")
+    plan = checks.explain_str(df)
+    assert "TakeOrderedAndProject" in plan
+    checks.assert_broadcast_join(df)
+
+
+def test_q18_aggregates_before_join(spark, sf_dir):
+    """Q18: the HAVING aggregation must shrink lineitem BEFORE any join —
+    the first HashAggregate pair appears below the join in the plan, and
+    the lineitem scan reads only the 2 needed columns."""
+    from mapreduce_infrastructure_spark.operators.relational import (
+        q18_large_orders,
+    )
+
+    plan = checks.explain_str(q18_large_orders(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+    read = plan.split("ReadSchema")[1]
+    assert "l_quantity" in read and "l_extendedprice" not in read
+
+
+def test_gapfill_no_cartesian_and_single_fact_scan_shape(spark, sf_dir):
+    """Gap-fill: the user_id bound is pushed to the scan; the grid explode
+    must not plan a cartesian product."""
+    from mapreduce_infrastructure_spark.operators.temporal import (
+        gapfill_hourly_value,
+    )
+
+    df = gapfill_hourly_value(spark, sf_dir)
+    checks.assert_no_cartesian(df)
+    checks.assert_pushed_filter(df, "LessThanOrEqual(user_id,40)")
+
+
+def test_repetition_signals_no_shuffle(spark, sf_dir):
+    """Repetition signals are a pure projection: no Exchange in the plan
+    (scan-speed at any scale)."""
+    from mapreduce_infrastructure_spark.llm.filters import repetition_signals
+
+    plan = checks.explain_str(repetition_signals(spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_chunking_no_shuffle(spark, sf_dir):
+    from mapreduce_infrastructure_spark.llm.filters import chunk_documents
+
+    plan = checks.explain_str(chunk_documents(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the per-row index explode
+
+
+def test_skew_report_never_shuffles_fact_rows(spark, sf_dir):
+    """The skew report's joins are against 1-row broadcast stats — no
+    sort-merge join, no cartesian over data-sized inputs."""
+    from mapreduce_infrastructure_spark.operators.relational import (
+        join_key_skew_report,
+    )
+
+    df = join_key_skew_report(spark, sf_dir)
+    plan = checks.explain_str(df)
+    assert "SortMergeJoin" not in plan
