@@ -138,3 +138,117 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialization happens downstream; defer unpersist to GC (the edge
     # cache is iteration-scoped scratch, small relative to the corpus).
     return out
+
+
+def _ppr_oracle(iters: int = N_ITERS) -> str:
+    """Personalized-PageRank oracle: teleport mass goes ONLY to the seed set
+    (customers of nation 0 that appear in the graph); r0 = 1 on seeds, 0
+    elsewhere; same per-iteration rounding/decimal-sum contract."""
+    blocks = [
+        f"""WITH {_EDGES_SQL},
+    seeds AS (
+      SELECT n.node FROM nodes n
+      JOIN customer c ON n.node = c.c_custkey
+      WHERE c.c_nationkey = 0
+    ),
+    r0 AS (
+      SELECT n.node,
+             CASE WHEN s.node IS NOT NULL THEN CAST(1.0 AS DOUBLE) ELSE 0.0 END AS rank
+      FROM nodes n LEFT JOIN seeds s ON n.node = s.node
+    )"""
+    ]
+    for k in range(1, iters + 1):
+        blocks.append(f"""
+    , r{k} AS (
+      SELECT t.node,
+             floor((CASE WHEN s.node IS NOT NULL THEN {_BASE} ELSE 0.0 END
+                    + {_DAMP} * CAST(t.contrib_sum AS DOUBLE)) * 1000000000 + 0.5) / 1000000000 AS rank
+      FROM (
+        SELECT e.dst AS node,
+               SUM(CAST(floor(p.rank / d.out_deg * 1000000000 + 0.5) / 1000000000
+                        AS DECIMAL(28,9))) AS contrib_sum
+        FROM r{k - 1} p
+        JOIN deg d   ON p.node = d.src
+        JOIN edges e ON e.src = p.node
+        GROUP BY e.dst
+      ) t LEFT JOIN seeds s ON t.node = s.node
+    )""")
+    blocks.append(f"""
+    SELECT node,
+           CASE WHEN node >= {_SUPP_OFFSET} THEN 'supplier' ELSE 'customer' END AS node_type,
+           rank
+    FROM r{iters}
+    """)
+    return "".join(blocks)
+
+
+@query(
+    "pagerank_personalized",
+    oracle=_ppr_oracle(),
+    tags=("graph", "iterative", "pagerank", "personalized"),
+)
+def pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from a seed set (nation-0 customers):
+    teleport mass returns only to the seeds, so rank measures proximity to
+    that cohort — the recommendation/affinity variant ("suppliers most
+    central to THIS market segment"). Same exact-arithmetic trajectory
+    contract and per-iteration cost as `pagerank_trade_graph`; the only
+    structural difference is a broadcast-sized LEFT JOIN against the seed
+    list per iteration."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"),
+            (F.lit(_SUPP_OFFSET) + F.col("l_suppkey")).alias("supp"),
+        )
+        .distinct()
+    )
+    edges = pairs.selectExpr("cust AS src", "supp AS dst").unionAll(
+        pairs.selectExpr("supp AS src", "cust AS dst")
+    ).persist()
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    deg = edges.groupBy(F.col("src").alias("deg_node")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    seeds = (
+        nodes.join(
+            cust.filter(F.col("c_nationkey") == 0).select(
+                F.col("c_custkey").alias("node")
+            ),
+            "node",
+        )
+        .select("node", F.lit(1).alias("is_seed"))
+    )
+    ranks = nodes.join(F.broadcast(seeds), "node", "left").select(
+        "node",
+        F.when(F.col("is_seed").isNotNull(), F.lit(1.0)).otherwise(0.0).alias("rank"),
+    )
+    base = F.when(F.col("is_seed").isNotNull(), F.lit(_BASE)).otherwise(0.0)
+    for _ in range(N_ITERS):
+        contribs = (
+            ranks.join(deg, F.col("node") == F.col("deg_node"))
+            .join(edges, F.col("node") == F.col("src"))
+            .select(
+                F.col("dst").alias("node"),
+                rnd(F.col("rank") / F.col("out_deg"), 9)
+                .cast("decimal(28,9)")
+                .alias("contrib"),
+            )
+        )
+        summed = contribs.groupBy("node").agg(
+            F.sum("contrib").cast("double").alias("contrib_sum")
+        )
+        ranks = summed.join(F.broadcast(seeds), "node", "left").select(
+            "node",
+            rnd(base + F.lit(_DAMP) * F.col("contrib_sum"), 9).alias("rank"),
+        )
+    return ranks.select(
+        "node",
+        F.when(F.col("node") >= _SUPP_OFFSET, "supplier")
+        .otherwise("customer")
+        .alias("node_type"),
+        "rank",
+    )
