@@ -205,3 +205,87 @@ def window_range_7day_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("o_totalprice")).over(w).cast("double"), 2
         ).alias("trailing_7d"),
     )
+
+
+@query(
+    "rolling_7day_active_users",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             CAST(epoch_us(ts) // CAST(86400000000 AS BIGINT) AS BIGINT) AS day
+      FROM events
+    ), days AS (SELECT DISTINCT day FROM ud)
+    SELECT d.day, COUNT(DISTINCT u.user_id) AS active_7d
+    FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+    GROUP BY d.day
+    """,
+    tags=("events", "metrics", "window-time"),
+)
+def rolling_7day_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per day — the WAU/DAU family
+    metric that a windowed COUNT(DISTINCT) cannot express (distinct doesn't
+    decompose over sliding frames, so engines reject it in a window).
+    The scale-correct form: distinct (user, epoch-day) pairs — already a
+    tiny fraction of the event log — range-joined onto the day axis and
+    re-counted per target day.
+
+    Plan: the fact scan reduces to |users|×|days| pairs in one shuffle; the
+    range join is a BroadcastNestedLoop against the DAY AXIS (tens-to-
+    thousands of rows — broadcast side is the axis, never the data), then
+    one count-distinct shuffle. Integer epoch-day arithmetic, engine-proof."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.expr("unix_micros(ts) div 86400000000").alias("day")
+    ).distinct()
+    days = ud.select("day").distinct().select(F.col("day").alias("d"))
+    return (
+        ud.join(
+            F.broadcast(days),
+            (F.col("day") >= F.col("d") - 6) & (F.col("day") <= F.col("d")),
+        )
+        .groupBy(F.col("d").alias("day"))
+        .agg(F.countDistinct("user_id").alias("active_7d"))
+    )
+
+
+@query(
+    "copurchase_supplier_pairs",
+    oracle="""
+    WITH cs AS (
+      SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT a.supp AS supp_a, b.supp AS supp_b, COUNT(*) AS n_shared_customers
+    FROM cs a JOIN cs b ON a.cust = b.cust AND a.supp < b.supp
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 30
+    """,
+    tags=("agg", "join", "recsys"),
+)
+def copurchase_supplier_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item co-occurrence (market-basket): supplier pairs ranked by how
+    many customers buy from both — the counting core of co-purchase
+    recommenders. The self-join runs on the DISTINCT (customer, supplier)
+    projection, so each customer contributes |suppliers|² pairs with the
+    per-customer fan bounded by basket size, not event volume; the HAVING
+    floor keeps only statistically meaningful pairs.
+
+    At 100 TB the same shape holds (one shuffle on customer for the
+    self-join, one on the pair key); for catalogs where baskets are huge,
+    cap the per-key fan with the prefix-filter candidate trick used in
+    llm/dedup.py."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+    )
+    a = cs.select("cust", F.col("supp").alias("supp_a"))
+    b = cs.select(F.col("cust").alias("cust_b"), F.col("supp").alias("supp_b"))
+    return (
+        a.join(b, (a.cust == b.cust_b) & (F.col("supp_a") < F.col("supp_b")))
+        .groupBy("supp_a", "supp_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_customers"))
+        .filter(F.col("n_shared_customers") >= 30)
+    )
