@@ -601,3 +601,104 @@ def stream_enrich_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_nationkey").cast("long").alias("c_nationkey"),
     )
     return run_to_table(joined, "stream_enrich_static_join", mode="append")
+
+
+def _anomaly_fn(
+    key: Tuple[Any, ...],
+    pdf_iter: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Trailing-20 z-score per user with the window history in GroupState.
+
+    Exactness contract (must equal the batch operator bit-for-bit): values
+    enter the window as integer CENTS (HALF_UP, the DECIMAL(18,2) cast),
+    power sums are integer arithmetic, and the closed-form mean/std/z is
+    evaluated with the same IEEE expression order as the batch/oracle SQL
+    (see operators/stats.anomaly_zscore_events)."""
+    import math
+
+    hist = list(state.get[0]) if state.exists else []
+    frames = [pdf for pdf in pdf_iter]
+    pdf = pd.concat(frames).sort_values(["ts_us", "event_id"])
+    out = {k: [] for k in (
+        "user_id", "event_id", "ts_us", "value",
+        "n_window", "mean_20", "std_20", "z", "flag",
+    )}
+
+    def r(x: float, nd: int) -> float:
+        p = 10 ** nd
+        return math.floor(x * p + 0.5) / p
+
+    for ev_id, ts_us, v in zip(pdf["event_id"], pdf["ts_us"], pdf["value"]):
+        v = float(v)
+        scaled = v * 100
+        cents = int(
+            math.floor(scaled + 0.5) if scaled >= 0 else math.ceil(scaled - 0.5)
+        )
+        hist.append(cents)
+        if len(hist) > 20:
+            hist = hist[-20:]
+        n = len(hist)
+        sx = sum(hist) / 100.0
+        sxx = sum(c * c for c in hist) / 10000.0
+        mean_w = sx / n
+        std_w = (
+            math.sqrt((n * sxx - sx * sx) / (float(n) * (n - 1))) if n >= 2 else None
+        )
+        z = r((v - mean_w) / std_w, 3) if std_w else None
+        out["user_id"].append(key[0])
+        out["event_id"].append(ev_id)
+        out["ts_us"].append(ts_us)
+        out["value"].append(v)
+        out["n_window"].append(n)
+        out["mean_20"].append(r(mean_w, 2))
+        out["std_20"].append(r(std_w, 4) if std_w is not None else None)
+        out["z"].append(z)
+        out["flag"].append(
+            "anomaly" if (n >= 10 and z is not None and abs(z) >= 2.0) else "ok"
+        )
+    state.update((hist,))
+    yield pd.DataFrame(out)
+
+
+@query(
+    "stream_anomaly_zscore",
+    oracle=None,  # set below: shares the batch operator's oracle verbatim
+    tags=("streaming", "stateful", "anomaly"),
+)
+def stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rolling z-score anomaly detector (anomaly_zscore_events) as a
+    CUSTOM STATEFUL STREAMING operator: per-user trailing-20 window history
+    kept in explicit GroupState, scored incrementally per micro-batch —
+    the alerting deployment of the batch metric, sharing its oracle
+    verbatim because the cent-exact arithmetic contract makes stream and
+    batch bit-identical.
+
+    Ordering: rows are event-time-sorted WITHIN each micro-batch; across
+    batches the file source must deliver time-ordered files (true for an
+    append-only event log). Out-of-order arrivals would need watermarked
+    buffering before scoring — documented limit, same as any stateful
+    scorer."""
+    ev = stream_events(spark, sf_dir).select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    scored = ev.groupBy("user_id").applyInPandasWithState(
+        _anomaly_fn,
+        outputStructType=(
+            "user_id bigint, event_id bigint, ts_us bigint, value double,"
+            " n_window bigint, mean_20 double, std_20 double, z double,"
+            " flag string"
+        ),
+        stateStructType="hist array<bigint>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_to_table(scored, "stream_anomaly_zscore", mode="append")
+
+
+# Share the batch operator's oracle string exactly (unified semantics):
+# importing the stats module guarantees the batch query is registered.
+from ..operators import stats as _batch_stats  # noqa: E402,F401
+from ..registry import _REGISTRY as _REG  # noqa: E402
+
+_REG["stream_anomaly_zscore"].oracle = _REG["anomaly_zscore_events"].oracle
