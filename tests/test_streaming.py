@@ -146,3 +146,60 @@ def test_stream_merge_converges_to_batch_merge(spark, sf_dir):
         for r in stream_merge_upsert(spark, sf_dir).collect()
     }
     assert streamed == batch
+
+
+def test_stream_anomaly_multibatch_state_seeding(spark, sf_dir, tmp_path):
+    """The trailing-window state must carry across micro-batches: split the
+    event log into two time-ordered files, force one file per trigger, and
+    the incrementally-scored result must STILL equal the batch operator —
+    rows near the batch boundary are scored against state from batch 1."""
+    import os
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from mapreduce_infrastructure_spark.catalog import load_table
+    from mapreduce_infrastructure_spark.operators.stats import (
+        anomaly_zscore_events,
+    )
+    from mapreduce_infrastructure_spark.streaming.stream import _anomaly_fn
+
+    ev = load_table(spark, sf_dir, "events")
+    cut = ev.approxQuantile("event_id", [0.5], 0.0)[0]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # two time-ordered files: all early rows, then all late rows
+    early = ev.filter(F.col("ts") < F.lit("2024-01-15")).orderBy("ts")
+    late = ev.filter(F.col("ts") >= F.lit("2024-01-15")).orderBy("ts")
+    early.coalesce(1).write.parquet(os.path.join(src, "b=1"))
+    late.coalesce(1).write.parquet(os.path.join(src, "b=2"))
+    assert early.count() > 0 and late.count() > 0
+    del cut
+
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string"
+    )
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b=*")
+        .select("user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _anomaly_fn,
+            outputStructType=(
+                "user_id bigint, event_id bigint, ts_us bigint, value double,"
+                " n_window bigint, mean_20 double, std_20 double, z double,"
+                " flag string"
+            ),
+            stateStructType="hist array<bigint>",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    from mapreduce_infrastructure_spark.streaming.stream import run_to_table
+
+    got = run_to_table(sdf, "anomaly_multibatch_test", mode="append")
+    want = anomaly_zscore_events(spark, sf_dir)
+    cols = ["user_id", "event_id", "ts_us", "n_window", "mean_20", "std_20", "z", "flag"]
+    assert _rows(got, cols) == _rows(want, cols)
