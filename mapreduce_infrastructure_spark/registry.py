@@ -127,7 +127,7 @@ def all_queries() -> dict[str, Query]:
     leading the iteration order and everything else following in
     registration order."""
     # Import here, not at module top, to avoid circular imports.
-    from .operators import relational, analytic, temporal, stats, graph  # noqa: F401
+    from .operators import relational, analytic, temporal, stats, graph, tpch_extra  # noqa: F401
     from .functions import scalar, udfs  # noqa: F401
     from .sources import formats, bucketing, zorder, hilbert  # noqa: F401
     from .streaming import batch_windows, stream  # noqa: F401
