@@ -364,8 +364,13 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties (if any) resolve identically in both engines.
 
     Scale: the per-supplier aggregate shrinks the fact table to |supplier|
-    rows; the 1-row max broadcasts back — no second fact-table pass.
+    rows; the global max is then a window over that already-dimension-sized
+    frame — ONE fact-table scan total (a scalar-subquery formulation would
+    scan lineitem twice; the single-partition window exchange moves only
+    |supplier| aggregated rows, which is broadcast-scale by construction).
     """
+    from pyspark.sql import Window
+
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     revenue = (
@@ -383,9 +388,11 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_revenue")
         )
     )
-    mx = revenue.agg(F.max("total_revenue").alias("_mx"))
     return (
-        revenue.join(F.broadcast(mx), F.col("total_revenue") == F.col("_mx"))
+        revenue.withColumn(
+            "_mx", F.max("total_revenue").over(Window.partitionBy())
+        )
+        .filter(F.col("total_revenue") == F.col("_mx"))
         .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )

@@ -157,3 +157,78 @@ def test_skew_report_never_shuffles_fact_rows(spark, sf_dir):
     df = join_key_skew_report(spark, sf_dir)
     plan = checks.explain_str(df)
     assert "SortMergeJoin" not in plan
+
+
+def test_q4_exists_compiles_to_semi_join(spark, sf_dir):
+    """The correlated EXISTS must plan as a LeftSemi join with the quarter
+    filter pushed into the orders scan — no subquery re-execution per row."""
+    from mapreduce_infrastructure_spark.operators.tpch_extra import (
+        q4_priority_exists,
+    )
+
+    df = q4_priority_exists(spark, sf_dir)
+    plan = checks.explain_str(df)
+    assert "LeftSemi" in plan
+    checks.assert_pushed_filter(df, "GreaterThanOrEqual(o_orderdate")
+
+
+def test_q19_disjunction_pushes_to_part_scan(spark, sf_dir):
+    """Catalyst must extract the part-side OR-of-ANDs below the join: the
+    brand/size disjunction reaches the part parquet scan as a pushed Or()
+    filter instead of filtering post-join."""
+    from mapreduce_infrastructure_spark.operators.tpch_extra import (
+        q19_disjunctive_revenue,
+    )
+
+    df = q19_disjunctive_revenue(spark, sf_dir)
+    checks.assert_pushed_filter(df, "Or(Or(And(EqualTo(p_brand,Brand#12)")
+    checks.assert_no_cartesian(df)
+
+
+def test_q15_single_fact_scan(spark, sf_dir):
+    """Max-of-aggregate must not rescan lineitem for the scalar max: one
+    fact scan, then a window over the |supplier|-sized aggregate."""
+    from mapreduce_infrastructure_spark.operators.tpch_extra import (
+        q15_top_supplier,
+    )
+
+    plan = checks.explain_str(q15_top_supplier(spark, sf_dir))
+    assert plan.count("lineitem") == 1, plan
+
+
+def test_q21_single_fact_scan_and_broadcasts(spark, sf_dir):
+    """Both correlated quantifiers (EXISTS other supplier / NOT EXISTS other
+    offender) collapse into one grouped lineitem pass; supplier broadcasts."""
+    from mapreduce_infrastructure_spark.operators.tpch_extra import (
+        q21_waiting_suppliers,
+    )
+
+    df = q21_waiting_suppliers(spark, sf_dir)
+    plan = checks.explain_str(df)
+    assert plan.count("lineitem") == 1, plan
+    checks.assert_broadcast_join(df)
+
+
+def test_q16_anti_join_broadcasts(spark, sf_dir):
+    """The NOT-IN supplier exclusion must be a broadcast LeftAnti, not a
+    shuffled one — the bad-supplier set is dimension-sized."""
+    from mapreduce_infrastructure_spark.operators.tpch_extra import (
+        q16_parts_supplier_count,
+    )
+
+    plan = checks.explain_str(q16_parts_supplier_count(spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q8_q9_dimensions_broadcast(spark, sf_dir):
+    """The 6/7-table TPC-H join graphs keep every dimension broadcast; the
+    only shuffle joins are fact-fact."""
+    from mapreduce_infrastructure_spark.operators.tpch_extra import (
+        q8_market_share,
+        q9_profit_by_nation_year,
+    )
+
+    for df in (q8_market_share(spark, sf_dir), q9_profit_by_nation_year(spark, sf_dir)):
+        checks.assert_broadcast_join(df)
+        checks.assert_no_cartesian(df)
