@@ -131,7 +131,7 @@ def all_queries() -> dict[str, Query]:
     from .functions import scalar, udfs  # noqa: F401
     from .sources import formats, bucketing, zorder, hilbert  # noqa: F401
     from .streaming import batch_windows, stream  # noqa: F401
-    from .llm import text, dedup, similarity, multimodal, sampling, quality_model, filters  # noqa: F401
+    from .llm import text, dedup, similarity, multimodal, sampling, quality_model, filters, kmeans  # noqa: F401
     from .mr import queries as mr_queries  # noqa: F401
 
     missing = [n for n in CERTIFIED_FIRST if n not in _REGISTRY]
