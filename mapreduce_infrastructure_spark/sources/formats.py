@@ -99,6 +99,35 @@ def json_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "orc_roundtrip_orders",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           floor((CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)) * 100 + 0.5) / 100 AS sum_price
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_orderstatus
+    """,
+    tags=("source", "sink", "orc"),
+)
+def orc_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink → ORC scan → filtered aggregate: the second columnar format
+    next to parquet. ORC self-describes its schema and supports the same
+    predicate pushdown + column pruning contract; the plan test asserts the
+    priority filter reaches the ORC reader as a pushed filter, so the scan
+    skips stripes by min/max statistics exactly as parquet skips row groups
+    at 100 TB."""
+    out = sink_dir(sf_dir, "orders_orc")
+    load_table(spark, sf_dir, "orders").write.mode("overwrite").orc(out)
+    return (
+        spark.read.orc(out)
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_orderstatus")
+        .agg(lcount("n_orders"), dsum("o_totalprice", "sum_price"))
+    )
+
+
+@query(
     "text_scan_doc_langs",
     oracle="SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang",
     tags=("source", "sink", "text"),

@@ -89,3 +89,15 @@ def test_json_scan_malformed_rows_visible(spark, sf_dir, tmp_path):
     assert len(corrupt) == 2  # the non-JSON line and the type-mismatch line
     good = {r.event_id for r in rows if r._corrupt_record is None}
     assert good == {1, 2}
+
+
+def test_orc_roundtrip_pushes_filter(spark, sf_dir):
+    """The ORC scan must receive the priority predicate as a pushed filter
+    (stripe-level min/max skipping at scale), like the parquet path does."""
+    from mapreduce_infrastructure_spark.plans import checks
+    from mapreduce_infrastructure_spark.sources.formats import (
+        orc_roundtrip_orders,
+    )
+
+    df = orc_roundtrip_orders(spark, sf_dir)
+    checks.assert_pushed_filter(df, "EqualTo(o_orderpriority,1-URGENT)")
