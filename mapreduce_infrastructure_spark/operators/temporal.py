@@ -370,3 +370,95 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("p"),
     )
+
+
+@query(
+    "interval_overlap_join",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 30*60*1000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sno
+      FROM flagged
+    ), sessions AS (
+      SELECT user_id, sno,
+             CAST(epoch_us(MIN(ts)) AS BIGINT) AS s,
+             CAST(epoch_us(MAX(ts)) AS BIGINT) AS e
+      FROM numbered GROUP BY 1, 2
+    )
+    SELECT a.user_id AS user_a, a.s AS start_a,
+           b.user_id AS user_b, b.s AS start_b,
+           least(a.e, b.e) - greatest(a.s, b.s) AS overlap_us
+    FROM sessions a JOIN sessions b
+      ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e
+    """,
+    tags=("events", "interval-join", "custom-operator"),
+)
+def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval overlap join: all cross-user pairs of activity sessions that
+    overlap in time — an operator Spark has no built-in for (a raw inequality
+    join is quadratic and plans as a nested loop).
+
+    Scale path (the reason this exists): each session explodes into the hour
+    buckets it covers, pairs meet with an EQUI-join on the bucket, the true
+    overlap predicate filters the candidates, and DISTINCT collapses pairs
+    that share several buckets. Sessions are gap-bounded (a 30-min-gap
+    session is hours long, not days), so per-session fanout is small and
+    bounded; per-bucket cost is |a_h|·|b_h| locally, with AQE splitting hot
+    hours. The naive oracle is the all-pairs inequality join — correct by
+    construction, quadratic by construction; the engine plan is the one that
+    survives 1000× more sessions.
+
+    All arithmetic is integer microseconds (closed intervals, `<=`), so the
+    differential check is exact."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    numbered = ev.withColumn(
+        "new_s",
+        F.when(gap.isNull() | (gap >= 30 * 60 * 1_000_000), 1).otherwise(0),
+    ).withColumn("sno", F.sum("new_s").over(wrun))
+    sessions = numbered.groupBy("user_id", "sno").agg(
+        F.min(us).alias("s"), F.max(us).alias("e")
+    )
+    buckets = sessions.withColumn(
+        "bucket", F.explode(F.sequence(F.expr("s div 3600000000"), F.expr("e div 3600000000")))
+    )
+    a = buckets.select(
+        F.col("user_id").alias("user_a"),
+        F.col("s").alias("start_a"),
+        F.col("e").alias("end_a"),
+        "bucket",
+    )
+    b = buckets.select(
+        F.col("user_id").alias("user_b"),
+        F.col("s").alias("start_b"),
+        F.col("e").alias("end_b"),
+        "bucket",
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(
+            (F.col("user_a") < F.col("user_b"))
+            & (F.col("start_a") <= F.col("end_b"))
+            & (F.col("start_b") <= F.col("end_a"))
+        )
+        .select(
+            "user_a",
+            "start_a",
+            "user_b",
+            "start_b",
+            (
+                F.least("end_a", "end_b") - F.greatest("start_a", "start_b")
+            ).alias("overlap_us"),
+        )
+        .distinct()
+    )
