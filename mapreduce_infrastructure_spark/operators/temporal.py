@@ -462,3 +462,97 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+@query(
+    "concurrent_sessions_peak",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 30*60*1000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sno
+      FROM flagged
+    ), sessions AS (
+      SELECT user_id, sno,
+             CAST(epoch_us(MIN(ts)) AS BIGINT) AS s,
+             CAST(epoch_us(MAX(ts)) AS BIGINT) AS e
+      FROM numbered GROUP BY 1, 2
+    ), deltas AS (
+      SELECT s AS t, 1 AS delta, user_id, s AS st FROM sessions
+      UNION ALL
+      SELECT e + 1, -1, user_id, s FROM sessions
+    ), run AS (
+      SELECT t,
+             CAST(SUM(delta) OVER (ORDER BY t, delta, user_id, st
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+      FROM deltas
+    )
+    SELECT (t // 3600000000) * 3600000000 AS hour_start, MAX(c) AS peak
+    FROM run GROUP BY 1
+    """,
+    tags=("events", "interval-agg", "custom-operator"),
+)
+def concurrent_sessions_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per hour — the interval-aggregation sweep
+    (+1 at session start, -1 just after close; running sum = concurrency).
+
+    The naive sweep is ONE globally-ordered cumulative sum — a single
+    partition sorting the whole delta stream, which is exactly what dies at
+    scale. The engine computes the identical numbers in two levels:
+    in-bucket running sums partitioned by hour (distributed, data-sized)
+    plus a prefix over per-bucket totals (single partition, but
+    #buckets-sized — time-range metadata, not data). Every value is an
+    integer and the sweep order is a total order (t, delta, user, start), so
+    engine and naive-oracle trajectories agree exactly.
+
+    Peaks are reported for hours containing at least one change-point
+    (closed intervals; a session active through a whole silent hour raises
+    no event in it) — the same contract in both formulations."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    numbered = ev.withColumn(
+        "new_s",
+        F.when(gap.isNull() | (gap >= 30 * 60 * 1_000_000), 1).otherwise(0),
+    ).withColumn("sno", F.sum("new_s").over(wrun))
+    sessions = numbered.groupBy("user_id", "sno").agg(
+        F.min(us).alias("s"), F.max(us).alias("e")
+    )
+    deltas = sessions.select(
+        F.col("s").alias("t"), F.lit(1).alias("delta"), "user_id", F.col("s").alias("st")
+    ).unionAll(
+        sessions.select(
+            (F.col("e") + 1).alias("t"),
+            F.lit(-1).alias("delta"),
+            "user_id",
+            F.col("s").alias("st"),
+        )
+    ).withColumn("bucket", F.expr("t div 3600000000"))
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("t", "delta", "user_id", "st")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    in_run = deltas.withColumn("run_in", F.sum("delta").over(w_in))
+    totals = deltas.groupBy("bucket").agg(F.sum("delta").alias("tot"))
+    w_buckets = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = totals.withColumn(
+        "offset", F.sum("tot").over(w_buckets) - F.col("tot")
+    ).select("bucket", "offset")
+    return (
+        in_run.join(offsets, "bucket")
+        .withColumn("c", (F.col("offset") + F.col("run_in")).cast("long"))
+        .groupBy((F.col("bucket") * F.lit(3600 * 1_000_000)).alias("hour_start"))
+        .agg(F.max("c").alias("peak"))
+    )

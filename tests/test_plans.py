@@ -232,3 +232,15 @@ def test_q8_q9_dimensions_broadcast(spark, sf_dir):
     for df in (q8_market_share(spark, sf_dir), q9_profit_by_nation_year(spark, sf_dir)):
         checks.assert_broadcast_join(df)
         checks.assert_no_cartesian(df)
+
+
+def test_concurrent_sessions_sweep_is_distributed(spark, sf_dir):
+    """The sweep's data-sized running sums must be partitioned by hour
+    bucket (distributed), never one global single-partition sort over the
+    delta stream."""
+    from mapreduce_infrastructure_spark.operators.temporal import (
+        concurrent_sessions_peak,
+    )
+
+    plan = checks.explain_str(concurrent_sessions_peak(spark, sf_dir))
+    assert "hashpartitioning(bucket" in plan
