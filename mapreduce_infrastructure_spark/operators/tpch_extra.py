@@ -653,3 +653,235 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(lcount("numcust"), dsum("c_acctbal", "totacctbal"))
     )
+
+
+# --------------------------------------------------------------------------
+# Q2 — minimum-cost supplier (correlated scalar MIN subquery)
+# --------------------------------------------------------------------------
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS supplycost
+      FROM lineitem GROUP BY 1, 2
+    ),
+    rps AS (
+      SELECT ps.partkey, ps.suppkey, ps.supplycost, s.s_name, s.s_acctbal, n.n_name
+      FROM ps
+      JOIN supplier s ON ps.suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_regionkey = 2
+    )
+    SELECT r.s_acctbal, r.s_name, r.n_name, p.p_partkey, p.p_brand,
+           CAST(r.supplycost AS DOUBLE) AS supplycost
+    FROM rps r
+    JOIN part p ON r.partkey = p.p_partkey
+    WHERE p.p_size <= 8 AND p.p_type = 'LARGE'
+      AND r.supplycost = (SELECT MIN(r2.supplycost) FROM rps r2
+                          WHERE r2.partkey = r.partkey)
+    ORDER BY r.s_acctbal DESC, r.n_name, r.s_name, p.p_partkey, r.suppkey
+    LIMIT 100
+    """,
+    tags=("tpch", "subquery", "correlated-min"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each qualifying part, the region's supplier(s)
+    offering it at the minimum cost — the correlated scalar-MIN-subquery
+    plan. The fixture has no ``partsupp``, so the part–supplier relation is
+    the observed (partkey, suppkey) pairs in lineitem and "supply cost" is
+    the minimum extended price that supplier ever charged for the part.
+
+    Determinism: costs are DECIMAL minima (exact); the correlated MIN and
+    the equality filter never touch floating point. The LIMIT is governed by
+    a total order — (acctbal, n_name, s_name, partkey, suppkey) is unique
+    per row — so tie-breaks resolve identically in both engines.
+
+    Scale: ONE fact scan builds the |part×supp|-sized ps relation; supplier
+    ⋈ nation broadcasts; the correlated MIN compiles to a partkey-window
+    over the already-reduced relation instead of a second fact scan. The
+    part filter is applied before the window — per-partkey minima are
+    unaffected by dropping whole partkeys, so the window runs on the small
+    filtered frame.
+    """
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).agg(F.min(dec("l_extendedprice")).alias("supplycost"))
+    s_n = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 2)
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 8) & (F.col("p_type") == "LARGE")
+    )
+    w = Window.partitionBy("partkey")
+    return (
+        ps.join(F.broadcast(s_n), F.col("suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(p), F.col("partkey") == F.col("p_partkey"))
+        .withColumn("_mn", F.min("supplycost").over(w))
+        .filter(F.col("supplycost") == F.col("_mn"))
+        .orderBy(
+            F.col("s_acctbal").desc(),
+            "n_name",
+            "s_name",
+            "p_partkey",
+            "suppkey",
+        )
+        .limit(100)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            F.col("supplycost").cast("double").alias("supplycost"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q11 — important part value share (HAVING against a global scalar)
+# --------------------------------------------------------------------------
+
+@query(
+    "q11_important_stock",
+    oracle="""
+    WITH val AS (
+      SELECT l.l_partkey AS partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS v
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_regionkey = 2
+      GROUP BY 1
+    ),
+    tot AS (SELECT SUM(v) AS t, COUNT(*) AS np FROM val)
+    SELECT val.partkey, CAST(val.v AS DOUBLE) AS value
+    FROM val, tot
+    WHERE CAST(val.v * 100 AS BIGINT) * tot.np > 2 * CAST(tot.t * 100 AS BIGINT)
+    """,
+    tags=("tpch", "subquery", "having-scalar"),
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part value within one supplier geography,
+    keeping parts whose share of the total exceeds a scalar threshold.
+    Without ``partsupp``, value = the summed extended price that the
+    region's suppliers billed for the part. Canonical Q11's fraction is
+    ``0.0001/SF`` (it scales with data size); the scale-free equivalent
+    here keeps parts above 2× the mean part share — ``v·np > 2·t``
+    compared in integer cents (BIGINT), so neither engine's decimal
+    precision-cap rules can round the threshold.
+
+    Scale: the group-by shrinks the region's fact rows to |part|; the
+    scalar (total, count) is a 1-row broadcast. Same two-aggregate plan as
+    canonical Q11, one fact scan.
+    """
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    s_n = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 2)
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    val = (
+        li.join(F.broadcast(s_n), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(dec("l_extendedprice")).alias("v"))
+    )
+    w = Window.partitionBy()
+    return (
+        val.withColumn("_t", F.sum("v").over(w))
+        .withColumn("_np", F.count(F.lit(1)).over(w))
+        .filter(
+            (F.col("v") * 100).cast("long") * F.col("_np")
+            > F.lit(2) * (F.col("_t") * 100).cast("long")
+        )
+        .select("partkey", F.col("v").cast("double").alias("value"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q20 — excess-stock suppliers (nested IN + correlated threshold)
+# --------------------------------------------------------------------------
+
+@query(
+    "q20_excess_stock_suppliers",
+    oracle="""
+    WITH spq AS (
+      SELECT l_suppkey AS suppkey, l_partkey AS partkey,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_all,
+             CAST(SUM(CASE WHEN l_shipdate >= '1997-01-01'
+                            AND l_shipdate <  '1998-01-01'
+                           THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS qty_1997
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT s.s_name, s.s_acctbal
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_regionkey = 0
+      AND s.s_suppkey IN (
+        SELECT suppkey FROM spq
+        WHERE partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+          AND qty_1997 > 0
+          AND qty_all > 6 * qty_1997)
+    """,
+    tags=("tpch", "subquery", "nested-in"),
+)
+def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers in one geography holding excess stock of
+    qualifying parts — the nested-IN (part IN ... AND availqty > ½·shipped)
+    plan. Availability proxy without ``partsupp``: all-time shipped quantity
+    per (supplier, part); the canonical "more than half the year's volume in
+    stock" becomes "1997 moved less than a sixth of the all-time volume"
+    (``qty_all > 6·qty_1997``, integer-exact, with qty_1997 > 0 so the part
+    was actually active that year).
+
+    Scale: one fact scan computes both quantity sums (conditional agg, no
+    second pass); the PROMO part set broadcasts into the inner filter; the
+    final IN is a LeftSemi against the small supplier dimension.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    promo = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    q = F.col("l_quantity").cast("long")
+    in97 = (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    spq = (
+        li.join(F.broadcast(promo), li.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy(F.col("l_suppkey").alias("suppkey"), F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.sum(q).alias("qty_all"),
+            F.sum(F.when(in97, q).otherwise(F.lit(0))).alias("qty_1997"),
+        )
+        .filter(
+            (F.col("qty_1997") > 0) & (F.col("qty_all") > F.lit(6) * F.col("qty_1997"))
+        )
+        .select("suppkey")
+        .distinct()
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 0)
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(spq, s.s_suppkey == spq.suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+    )

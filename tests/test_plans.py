@@ -244,3 +244,43 @@ def test_concurrent_sessions_sweep_is_distributed(spark, sf_dir):
 
     plan = checks.explain_str(concurrent_sessions_peak(spark, sf_dir))
     assert "hashpartitioning(bucket" in plan
+
+
+def test_q2_single_fact_scan_correlated_min(spark, sf_dir):
+    """Q2's correlated scalar-MIN must compile to a partkey window over the
+    reduced (part, supplier) relation — one lineitem scan, dimensions
+    broadcast, no re-scan for the subquery."""
+    from mapreduce_infrastructure_spark.operators.tpch_extra import (
+        q2_min_cost_supplier,
+    )
+
+    df = q2_min_cost_supplier(spark, sf_dir)
+    plan = checks.explain_str(df)
+    assert plan.count("lineitem") == 1, plan
+    checks.assert_broadcast_join(df)
+    checks.assert_no_cartesian(df)
+
+
+def test_q11_single_fact_scan_scalar_total(spark, sf_dir):
+    """Q11's global-total threshold must come from a window over the
+    |part|-sized aggregate, not a second fact scan."""
+    from mapreduce_infrastructure_spark.operators.tpch_extra import (
+        q11_important_stock,
+    )
+
+    plan = checks.explain_str(q11_important_stock(spark, sf_dir))
+    assert plan.count("lineitem") == 1, plan
+
+
+def test_q20_nested_in_is_semi_join_chain(spark, sf_dir):
+    """Q20's nested INs must plan as LeftSemi joins (part set broadcast into
+    the fact scan, supplier set semi-joined) — no subquery loops."""
+    from mapreduce_infrastructure_spark.operators.tpch_extra import (
+        q20_excess_stock_suppliers,
+    )
+
+    df = q20_excess_stock_suppliers(spark, sf_dir)
+    plan = checks.explain_str(df)
+    assert "LeftSemi" in plan
+    checks.assert_broadcast_join(df)
+    assert plan.count("lineitem") == 1, plan
