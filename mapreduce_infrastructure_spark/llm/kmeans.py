@@ -182,3 +182,230 @@ def kmeans_embeddings(
     return assign.select(
         "vec_id", "cid", F.col("dist").cast("double").alias("dist")
     )
+
+
+# --------------------------------------------------------------------------
+# k-means|| seeding (Bahmani et al., VLDB'12) — deterministic variant
+# --------------------------------------------------------------------------
+
+L_OVERSAMPLE = 12  # expected selections per round (the paper's l)
+N_ROUNDS = 2       # the paper's O(log n) rounds, fixed for determinism
+_H24 = 16777216    # 2^24: hash-threshold denominator (md5 prefix width)
+
+
+def _sel_pred_sql(r: int) -> str:
+    """Deterministic Bernoulli: select a point iff the first 24 bits of
+    md5(vec_id·31 + r) fall below l·2²⁴·d²/φ. Both engines hash the same
+    decimal string, so the 'coin flips' agree bit-for-bit; the threshold is
+    one double division of two bit-stable exact sums. Points already in the
+    candidate set have d² = 0 → probability 0, so rounds never reselect."""
+    return (
+        f"CAST('0x' || substr(md5(CAST(d.vec_id * 31 + {r} AS VARCHAR)), 1, 6) AS BIGINT)"
+        f" < floor({L_OVERSAMPLE} * {_H24}"
+        f" * (CAST(d.d2 AS DOUBLE) / CAST(ph.phi AS DOUBLE)))"
+    )
+
+
+def _kmeans_parallel_oracle() -> str:
+    """Unrolled k-means|| recurrence: N_ROUNDS oversampling rounds, a
+    weighting pass, then K−1 greedy weighted-farthest-first steps."""
+    # DuckDB inlines plain CTEs at every reference site; the greedy chain
+    # below references each ch{k} twice, which would expand the whole
+    # upstream 2^(K-1) times (and reopen the parquet each time). MATERIALIZE
+    # every multiply-referenced CTE so the oracle evaluates each level once.
+    blocks = [f"""WITH pts AS MATERIALIZED (
+      SELECT e.vec_id, g.i AS d,
+             floor(CAST(list_extract(e.embedding, g.i) AS DOUBLE) * {_G} + 0.5) / {_G} AS x
+      FROM embeddings e
+      CROSS JOIN (SELECT UNNEST(generate_series(1, 64)) AS i) g
+    ),
+    cand0 AS (SELECT CAST(0 AS BIGINT) AS cid)"""]
+    for r in range(1, N_ROUNDS + 1):
+        blocks.append(f"""
+    , cpts{r - 1} AS MATERIALIZED (
+      SELECT c.cid, p.d, p.x AS c FROM cand{r - 1} c JOIN pts p ON p.vec_id = c.cid
+    ),
+    dd{r} AS MATERIALIZED (
+      SELECT p.vec_id, c.cid,
+             SUM(CAST(floor((p.x - c.c) * (p.x - c.c) * {_G} + 0.5) / {_G}
+                      AS DECIMAL(28,9))) AS dist
+      FROM pts p JOIN cpts{r - 1} c ON p.d = c.d
+      GROUP BY 1, 2
+    ),
+    d{r} AS MATERIALIZED (SELECT vec_id, MIN(dist) AS d2 FROM dd{r} GROUP BY vec_id),
+    phi{r} AS (SELECT SUM(d2) AS phi FROM d{r}),
+    sel{r} AS (
+      SELECT d.vec_id FROM d{r} d, phi{r} ph WHERE {_sel_pred_sql(r)}
+    ),
+    cand{r} AS MATERIALIZED (
+      SELECT cid FROM cand{r - 1} UNION ALL SELECT vec_id AS cid FROM sel{r}
+    )""")
+    R = N_ROUNDS
+    blocks.append(f"""
+    , cpts AS MATERIALIZED (
+      SELECT c.cid, p.d, p.x AS c FROM cand{R} c JOIN pts p ON p.vec_id = c.cid
+    ),
+    wdd AS MATERIALIZED (
+      SELECT p.vec_id, c.cid,
+             SUM(CAST(floor((p.x - c.c) * (p.x - c.c) * {_G} + 0.5) / {_G}
+                      AS DECIMAL(28,9))) AS dist
+      FROM pts p JOIN cpts c ON p.d = c.d
+      GROUP BY 1, 2
+    ),
+    wbest AS (SELECT vec_id, MIN(dist) AS md FROM wdd GROUP BY vec_id),
+    wassign AS (
+      SELECT b.vec_id, MIN(d.cid) AS cid
+      FROM wdd d JOIN wbest b ON d.vec_id = b.vec_id AND d.dist = b.md
+      GROUP BY 1
+    ),
+    candw AS MATERIALIZED (SELECT cid, COUNT(*) AS w FROM wassign GROUP BY 1),
+    cdist AS MATERIALIZED (
+      SELECT a.cid AS ca, b.cid AS cb,
+             SUM(CAST(floor((a.c - b.c) * (a.c - b.c) * {_G} + 0.5) / {_G}
+                      AS DECIMAL(28,9))) AS dist
+      FROM cpts a JOIN cpts b ON a.d = b.d
+      GROUP BY 1, 2
+    ),
+    ch1 AS MATERIALIZED (SELECT cid, 1 AS step FROM candw ORDER BY w DESC, cid LIMIT 1)""")
+    for k in range(2, K + 1):
+        blocks.append(f"""
+    , s{k} AS MATERIALIZED (
+      SELECT w.cid, w.w, MIN(cd.dist) AS md
+      FROM candw w
+      JOIN cdist cd ON cd.ca = w.cid
+      JOIN ch{k - 1} ch ON cd.cb = ch.cid
+      WHERE w.cid NOT IN (SELECT cid FROM ch{k - 1})
+      GROUP BY 1, 2
+    ),
+    n{k} AS (
+      SELECT cid, {k} AS step FROM s{k}
+      ORDER BY CAST(md AS DOUBLE) * w DESC, cid LIMIT 1
+    ),
+    ch{k} AS MATERIALIZED (SELECT cid, step FROM ch{k - 1} UNION ALL SELECT cid, step FROM n{k})""")
+    blocks.append(f"""
+    SELECT ch.step, ch.cid, w.w AS weight
+    FROM ch{K} ch JOIN candw w ON ch.cid = w.cid
+    """)
+    return "".join(blocks)
+
+
+@query(
+    "kmeans_parallel_seeds",
+    oracle=_kmeans_parallel_oracle(),
+    tags=("ml", "iterative", "clustering", "seeding", "embeddings"),
+)
+def kmeans_parallel_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means|| seeding (K=8, l=12, 2 rounds, seed = vec_id 0): the
+    scalable k-means++ initializer. Each round computes every point's exact
+    squared distance to the current candidate set (one broadcast pass),
+    then admits points via a deterministic md5-threshold Bernoulli draw with
+    probability l·d²/φ. Candidates are weighted by nearest-point counts and
+    reduced to K seeds with greedy weighted-farthest-first selection.
+
+    Returns (step, cid, weight): the K chosen seed vectors, the order they
+    were picked, and their point-count weight.
+
+    Determinism: distances use the module's grain-rounded DECIMAL fold; the
+    Bernoulli draw hashes the same decimal string in both engines; the
+    selection threshold is one double division of two bit-stable sums;
+    every argmax breaks ties on the smallest cid. The DuckDB oracle unrolls
+    the identical recurrence.
+
+    Scale (100 TB): the per-round distance pass is broadcast-candidates ×
+    all points (candidate count is O(l·rounds), independent of N); the
+    weighting pass is the same shape. Only candidate-sized frames are ever
+    collected (≈ l·rounds + 1 ≈ 25 rows — bounded by construction, the same
+    justification as the IVF sample fit), so the driver never holds data-
+    sized state. Lloyd iterations then start from ``kmeans_embeddings``'s
+    machinery with these seeds.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(CAST(embedding AS ARRAY<DOUBLE>),"
+            f" e -> floor(e * {_G} + 0.5) / {_G})"
+        ).alias("x"),
+    ).persist()
+
+    cand = pts.filter(F.col("vec_id") == 0).select(F.col("vec_id").alias("cid"))
+    for r in range(1, N_ROUNDS + 1):
+        cpts = pts.join(
+            F.broadcast(cand), pts.vec_id == F.col("cid"), "left_semi"
+        ).select(F.col("vec_id").alias("cid"), F.col("x").alias("c"))
+        d2 = (
+            pts.crossJoin(F.broadcast(cpts))
+            .withColumn("dist", F.expr(_DIST_EXPR))
+            .groupBy("vec_id")
+            .agg(F.min("dist").alias("d2"))
+        )
+        phi = d2.agg(F.sum("d2").alias("phi"))
+        hash24 = F.conv(
+            F.substring(
+                F.md5((F.col("vec_id") * 31 + F.lit(r)).cast("string")), 1, 6
+            ),
+            16,
+            10,
+        ).cast("long")
+        sel = (
+            d2.crossJoin(F.broadcast(phi))
+            .filter(
+                hash24
+                < F.floor(
+                    F.lit(L_OVERSAMPLE * _H24)
+                    * (F.col("d2").cast("double") / F.col("phi").cast("double"))
+                )
+            )
+            .select(F.col("vec_id").alias("cid"))
+        )
+        cand = cand.union(sel)
+
+    cpts = pts.join(
+        F.broadcast(cand), pts.vec_id == F.col("cid"), "left_semi"
+    ).select(F.col("vec_id").alias("cid"), F.col("x").alias("c"))
+    # Weight pass: every point to its nearest candidate (min dist, min cid).
+    wdd = (
+        pts.crossJoin(F.broadcast(cpts))
+        .withColumn("dist", F.expr(_DIST_EXPR))
+        .select("vec_id", "cid", "dist")
+    )
+    candw = (
+        wdd.groupBy("vec_id")
+        .agg(F.min(F.struct("dist", "cid")).alias("best"))
+        .groupBy(F.col("best.cid").alias("cid"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .persist()
+    )
+    cdist = (
+        cpts.select(F.col("cid").alias("ca"), F.col("c").alias("x"))
+        .crossJoin(F.broadcast(cpts.select(F.col("cid").alias("cb"), "c")))
+        .withColumn("dist", F.expr(_DIST_EXPR))
+        .select("ca", "cb", "dist")
+        .persist()
+    )
+
+    first = candw.orderBy(F.col("w").desc(), "cid").limit(1).collect()
+    chosen: list[tuple[int, int]] = [(int(first[0]["cid"]), 1)]
+    for k in range(2, K + 1):
+        ids = [c for c, _ in chosen]
+        nxt = (
+            candw.filter(~F.col("cid").isin(ids))
+            .join(cdist.filter(F.col("cb").isin(ids)), F.col("cid") == F.col("ca"))
+            .groupBy("cid", "w")
+            .agg(F.min("dist").alias("md"))
+            .orderBy((F.col("md").cast("double") * F.col("w")).desc(), "cid")
+            .limit(1)
+            .collect()
+        )
+        if not nxt:
+            break
+        chosen.append((int(nxt[0]["cid"]), k))
+
+    chosen_df = spark.createDataFrame(
+        [(cid, step) for cid, step in chosen], "cid bigint, step int"
+    )
+    return (
+        F.broadcast(chosen_df)
+        .join(candw, "cid")
+        .select("step", "cid", F.col("w").alias("weight"))
+    )
