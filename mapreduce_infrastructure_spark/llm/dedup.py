@@ -908,3 +908,96 @@ def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("drop")
         .alias("decision"),
     )
+
+
+# --------------------------------------------------------------------------
+# Prefix-filtering set-similarity join (PPJoin-style): EXACT at scale
+# --------------------------------------------------------------------------
+
+PPJOIN_TAU = 0.5  # Jaccard threshold; same bar as the MinHash verify step
+
+_PPJOIN_ORACLE = """
+    WITH t AS MATERIALIZED (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 2, 0)),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '') AS toks
+            FROM documents)
+    )
+    SELECT a.doc_id AS doc_a,
+           b.doc_id AS doc_b,
+           floor((CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.sh, b.sh)))) * 10000 + 0.5) / 10000 AS jaccard
+    FROM t a JOIN t b ON a.doc_id < b.doc_id
+    WHERE len(a.sh) > 0 AND len(b.sh) > 0
+      AND 2 * least(len(a.sh), len(b.sh)) >= greatest(len(a.sh), len(b.sh))
+      AND floor((CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                / len(list_distinct(list_concat(a.sh, b.sh)))) * 10000 + 0.5) / 10000 >= 0.5
+"""
+
+
+@query("ppjoin_pairs", oracle=_PPJOIN_ORACLE, tags=("dedup", "join", "prefix-filter"))
+def ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard-threshold self-join via prefix filtering (PPJoin family,
+    Xiao et al., WWW'08) — the EXACT counterpart to the probabilistic
+    MinHash tier: zero false negatives by construction, no all-pairs scan.
+
+    Shingles are ordered rarest-first by corpus document frequency (ties by
+    shingle text); a pair can reach Jaccard ≥ τ only if the first
+    ``n − ⌈τ·n⌉ + 1`` shingles of each side share a token, so candidates
+    come from a prefix-token equi-join instead of a cartesian block. A
+    length filter (2·min(n_a,n_b) ≥ max at τ=0.5) prunes further; survivors
+    get the exact intersect/union verify — the same expression the oracle
+    runs over all pairs, which is the correctness claim: the pruned plan
+    returns IDENTICAL rows to brute force.
+
+    Scale (100 TB): two linear shuffles (df counts, per-doc rank), one
+    equi-join on prefix tokens whose fan-out concentrates on RARE tokens by
+    construction (frequency-ascending prefixes), then verification of
+    candidates only. The oracle stays quadratic — it is the spec, not the
+    plan.
+    """
+    t = _tracked_persist(
+        _doc_shingles(spark, sf_dir).select("doc_id", "sh"),
+        f"ppjoin:{sf_dir}",
+    )
+    tok = t.select(
+        "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("tok")
+    )
+    df_counts = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    prefix = (
+        tok.join(df_counts, "tok")
+        .withColumn("rn", F.row_number().over(w))
+        # τ = 0.5 → prefix length n − ⌈n/2⌉ + 1 = floor(n/2) + 1
+        .filter(F.col("rn") <= F.floor(F.col("n") / 2) + 1)
+        .select("tok", "doc_id", "n")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.lit(2) * F.least(F.col("a.n"), F.col("b.n"))
+                >= F.greatest(F.col("a.n"), F.col("b.n"))
+            ),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = t.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = t.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.array_intersect(F.col("sh_a"), F.col("sh_b"))
+    union = F.array_union(F.col("sh_a"), F.col("sh_b"))
+    jac = rnd(F.size(inter).cast("double") / F.size(union), 4)
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= PPJOIN_TAU)
+    )

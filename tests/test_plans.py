@@ -284,3 +284,16 @@ def test_q20_nested_in_is_semi_join_chain(spark, sf_dir):
     assert "LeftSemi" in plan
     checks.assert_broadcast_join(df)
     assert plan.count("lineitem") == 1, plan
+
+
+def test_ppjoin_no_cartesian(spark, sf_dir):
+    """The prefix-filter join must get all candidates from the token
+    equi-join — no cartesian/nested-loop block anywhere in the plan."""
+    from mapreduce_infrastructure_spark.llm.dedup import ppjoin_pairs
+
+    df = ppjoin_pairs(spark, sf_dir)
+    checks.assert_no_cartesian(df)
+    # Candidate generation must be a token equi-join (hash-joinable key),
+    # with the doc ordering + length bound as residual conditions.
+    plan = checks.explain_str(df)
+    assert "tok" in plan and "least(" in plan
