@@ -426,3 +426,185 @@ def frequent_terms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+# --------------------------------------------------------------------------
+# Skip-gram co-occurrence counts (word2vec / PMI preparation)
+# --------------------------------------------------------------------------
+
+COOC_WINDOW = 3  # max token distance for a (center, context) pair
+
+
+@query(
+    "skipgram_cooccurrence",
+    oracle=f"""
+    WITH t AS (SELECT doc_id,
+                      list_filter(regexp_split_to_array(lower(text), '{TOKEN_DELIM}'),
+                                  x -> x <> '') AS toks
+               FROM documents),
+    tokp AS (SELECT doc_id, UNNEST(generate_series(1, len(toks))) AS pos, toks FROM t),
+    tok AS (SELECT doc_id, pos, toks[pos] AS w FROM tokp),
+    pairs AS (SELECT least(a.w, b.w) AS w1, greatest(a.w, b.w) AS w2
+              FROM tok a JOIN tok b
+                ON a.doc_id = b.doc_id AND b.pos > a.pos
+               AND b.pos <= a.pos + {COOC_WINDOW})
+    SELECT w1, w2, COUNT(*) AS cnt
+    FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    """,
+    tags=("text", "cooccurrence", "embedding-prep"),
+)
+def skipgram_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered token co-occurrence counts within a ±3 skip-gram window —
+    the count matrix behind word2vec negative sampling / PMI embeddings.
+
+    The Spark side never joins: co-occurrence is document-local, so pairs
+    are generated INSIDE the row with a nested sequence/transform over the
+    token array and exploded once — one shuffle total (the final count).
+    The oracle mirrors the semantics with a positional self-join, which is
+    the plan this formulation deliberately avoids: at 100 TB a self-join on
+    (doc, pos) shuffles the exploded corpus twice; the array form ships
+    each document once and emits pairs in place.
+
+    Pairs are unordered (lexicographic least/greatest) and floor-counted at
+    2+ to keep the long tail of singletons out of the result.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        docs.select(tokens_col().alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(f"""
+                  flatten(transform(sequence(1, size(toks) - 1), i ->
+                    transform(sequence(i + 1, least(i + {COOC_WINDOW}, size(toks))), j ->
+                      named_struct(
+                        'w1', least(element_at(toks, i), element_at(toks, j)),
+                        'w2', greatest(element_at(toks, i), element_at(toks, j))))))
+                """)
+            ).alias("p")
+        )
+    )
+    return (
+        pairs.groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+    )
+
+
+# --------------------------------------------------------------------------
+# BPE merge learning (iterative, true greedy left-to-right application)
+# --------------------------------------------------------------------------
+
+BPE_MERGES = 3  # learned merge rules; fixed so the oracle can unroll
+
+
+def _bpe_oracle(m: int = BPE_MERGES) -> str:
+    """Unrolled BPE trainer: per level, frequency-weighted adjacent-pair
+    counts → argmax pair (cnt DESC, then lexicographic — deterministic) →
+    greedy left-to-right merge via a list_reduce fold (the true BPE
+    application: 'banana' + (a,n) → [b, an, an, a]; a string replace()
+    would drop the second merge by consuming the shared boundary)."""
+    parts = ["""WITH words AS MATERIALIZED (
+      SELECT word, COUNT(*) AS freq
+      FROM (SELECT UNNEST(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                      x -> x <> '')) AS word
+            FROM documents)
+      GROUP BY word
+    ),
+    syms0 AS MATERIALIZED (
+      SELECT word, freq, regexp_split_to_array(word, '') AS syms FROM words
+    )"""]
+    for k in range(1, m + 1):
+        parts.append(f""",
+    pos{k} AS (SELECT freq, UNNEST(generate_series(1, len(syms) - 1)) AS i, syms
+               FROM syms{k - 1} WHERE len(syms) >= 2),
+    cnt{k} AS (SELECT syms[i] AS p1, syms[i + 1] AS p2,
+                      CAST(SUM(freq) AS BIGINT) AS cnt
+               FROM pos{k} GROUP BY 1, 2),
+    bp{k} AS MATERIALIZED (
+      SELECT p1, p2, cnt FROM cnt{k} ORDER BY cnt DESC, p1, p2 LIMIT 1)""")
+        if k < m:
+            parts.append(f""",
+    syms{k} AS MATERIALIZED (
+      SELECT s.word, s.freq,
+             (list_reduce(list_prepend(['~'], list_transform(s.syms, e -> [e])),
+               (acc, x) -> CASE WHEN acc[len(acc)] = bp.p1 AND x[1] = bp.p2
+                           THEN list_concat(acc[1:len(acc)-1], [bp.p1 || bp.p2])
+                           ELSE list_concat(acc, x) END))[2:] AS syms
+      FROM syms{k - 1} s, bp{k} bp)""")
+    finals = " UNION ALL ".join(
+        f"SELECT {k} AS step, p1, p2, cnt FROM bp{k}" for k in range(1, m + 1)
+    )
+    parts.append(f" {finals}")
+    return "".join(parts)
+
+
+@query(
+    "bpe_learn_merges",
+    oracle=_bpe_oracle(),
+    tags=("text", "bpe", "iterative", "tokenizer"),
+)
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first 3 BPE merge rules over the corpus vocabulary —
+    actual merge LEARNING (the iterative trainer), not just pair counts.
+
+    Each round: frequency-weighted adjacent-symbol-pair counts over the
+    vocabulary, deterministic argmax (count DESC, pair lexicographic), then
+    TRUE greedy left-to-right merge application as an aggregate() fold with
+    a sentinel head — merging (a,n) turns banana into [b, an, an, a],
+    matching the canonical Sennrich trainer (a string replace() would miss
+    the second occurrence by consuming the shared separator). Returns the
+    learned rules (step, p1, p2, cnt).
+
+    Scale (100 TB): the corpus is touched ONCE (the word count); every
+    iteration then runs over the vocabulary — orders of magnitude smaller
+    than the corpus — with one shuffle per round for pair stats. The 1-row
+    argmax collect per round is the learned rule itself (bounded by
+    construction). The DuckDB oracle unrolls the identical recurrence.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokens_col()).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    cur = words.withColumn("syms", F.split("word", "")).persist()
+    rules: list[tuple[int, str, str, int]] = []
+    for step in range(1, BPE_MERGES + 1):
+        pairs = cur.filter(F.size("syms") >= 2).select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(syms, 1, size(syms) - 1),"
+                    " slice(syms, 2, size(syms) - 1),"
+                    " (x, y) -> named_struct('p1', x, 'p2', y))"
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy(F.col("p.p1").alias("p1"), F.col("p.p2").alias("p2"))
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "p1", "p2")
+            .limit(1)
+            .collect()
+        )[0]
+        rules.append((step, best["p1"], best["p2"], int(best["cnt"])))
+        if step < BPE_MERGES:
+            # Tokens are [a-z0-9]+ so the learned symbols are safe to inline.
+            p1, p2 = best["p1"], best["p2"]
+            fold = (
+                f"aggregate(syms, array('~'), (acc, x) ->"
+                f" CASE WHEN element_at(acc, -1) = '{p1}' AND x = '{p2}'"
+                f" THEN concat(slice(acc, 1, size(acc) - 1), array('{p1}{p2}'))"
+                f" ELSE concat(acc, array(x)) END)"
+            )
+            cur = (
+                cur.withColumn("_m", F.expr(fold))
+                .select(
+                    "word",
+                    "freq",
+                    F.expr("slice(_m, 2, size(_m) - 1)").alias("syms"),
+                )
+                .persist()
+            )
+    return spark.createDataFrame(rules, "step int, p1 string, p2 string, cnt bigint")
