@@ -252,3 +252,103 @@ def pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("node_type"),
         "rank",
     )
+
+
+# --------------------------------------------------------------------------
+# Triangle counting (wedge-check with degree orientation)
+# --------------------------------------------------------------------------
+
+TRI_MIN_SHARED = 2  # co-occurrence floor defining a part-graph edge
+
+
+@query(
+    "triangle_counts_parts",
+    oracle=f"""
+    WITH op AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS pk FROM lineitem
+    ),
+    e AS MATERIALIZED (
+      SELECT a.pk AS a, b.pk AS b
+      FROM op a JOIN op b ON a.o = b.o AND a.pk < b.pk
+      GROUP BY 1, 2 HAVING COUNT(*) >= {TRI_MIN_SHARED}
+    ),
+    tri AS MATERIALIZED (
+      SELECT e1.a AS u, e1.b AS v, e2.b AS w
+      FROM e e1
+      JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+      JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+    )
+    SELECT node, COUNT(*) AS n_triangles
+    FROM (SELECT u AS node FROM tri
+          UNION ALL SELECT v FROM tri
+          UNION ALL SELECT w FROM tri)
+    GROUP BY node
+    """,
+    tags=("graph", "triangle", "join"),
+)
+def triangle_counts_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the part co-occurrence graph (parts
+    sharing an order ≥ 2 times form an edge). Triangles are the clustering
+    primitive behind community/cohesion metrics.
+
+    The Spark plan uses DEGREE-ORIENTED wedge checking (the MapReduce
+    triangle algorithm of Suri & Vassilvitskii, WWW'11): each edge is
+    oriented from its (degree, id)-smaller endpoint to the larger, wedges
+    are generated only at each edge pair's common ≺-minimum apex, and a
+    wedge closes iff its oriented third edge exists. Every triangle is
+    counted exactly once at its ≺-min vertex, and the per-apex fan-out is
+    bounded by OUT-degree under ≺ — O(m^1.5) wedges total regardless of
+    hub skew, vs. unbounded hub² blowup for naive id-ordering. The oracle
+    enumerates by plain id order — a different orientation of the SAME
+    triangle set, so node counts agree exactly.
+
+    Scale: one shuffle to build edges (order-blocked pair gen), one degree
+    aggregate, wedge join shuffles on the apex, closing join on the (v,w)
+    pair key. No driver-side state.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a = op.select("o", F.col("pk").alias("pa"))
+    b = op.select(F.col("o").alias("ob"), F.col("pk").alias("pb"))
+    e = (
+        a.join(b, (a.o == b.ob) & (F.col("pa") < F.col("pb")))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= TRI_MIN_SHARED)
+        .select(F.col("pa").alias("x"), F.col("pb").alias("y"))
+        .persist()
+    )
+    deg = (
+        e.select(F.col("x").alias("node"))
+        .union(e.select("y"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # Orient each edge from the (deg, id)-smaller endpoint (lo) to the
+    # larger (hi); carry hi's rank key for the wedge ordering below.
+    dx = deg.select(F.col("node").alias("x"), F.col("deg").alias("dx"))
+    dy = deg.select(F.col("node").alias("y"), F.col("deg").alias("dy"))
+    ranked = e.join(dx, "x").join(dy, "y")
+    xkey = F.struct(F.col("dx").alias("d"), F.col("x").alias("n"))
+    ykey = F.struct(F.col("dy").alias("d"), F.col("y").alias("n"))
+    fwd = xkey < ykey
+    oe = ranked.select(
+        F.when(fwd, F.col("x")).otherwise(F.col("y")).alias("lo"),
+        F.when(fwd, F.col("y")).otherwise(F.col("x")).alias("hi"),
+        F.when(fwd, ykey).otherwise(xkey).alias("hikey"),
+    ).persist()
+    e1 = oe.select(F.col("lo").alias("u"), F.col("hi").alias("v"), F.col("hikey").alias("vk"))
+    e2 = oe.select(F.col("lo").alias("u2"), F.col("hi").alias("w"), F.col("hikey").alias("wk"))
+    wedges = e1.join(e2, (F.col("u") == F.col("u2")) & (F.col("vk") < F.col("wk"))).select(
+        "u", "v", "w"
+    )
+    closing = oe.select(F.col("lo").alias("v"), F.col("hi").alias("w"))
+    tri = wedges.join(closing, ["v", "w"], "left_semi")
+    nodes = (
+        tri.select(F.col("u").alias("node"))
+        .union(tri.select("v"))
+        .union(tri.select("w"))
+    )
+    return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))

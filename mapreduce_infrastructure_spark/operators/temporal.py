@@ -556,3 +556,106 @@ def concurrent_sessions_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy((F.col("bucket") * F.lit(3600 * 1_000_000)).alias("hour_start"))
         .agg(F.max("c").alias("peak"))
     )
+
+
+# --------------------------------------------------------------------------
+# Marketing attribution: first-touch / last-touch within a lookback window
+# --------------------------------------------------------------------------
+
+@query(
+    "attribution_first_last_touch",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts AS cts, event_id AS cid,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) % 5 AS campaign
+      FROM events WHERE event_type = 'click'
+    ),
+    purch AS (
+      SELECT event_id AS pid, user_id, ts AS pts, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    joined AS (
+      SELECT p.pid, p.value, c.cts, c.cid, c.campaign
+      FROM purch p JOIN clicks c ON p.user_id = c.user_id
+       AND c.cts <= p.pts AND c.cts >= p.pts - INTERVAL 7 DAY
+    ),
+    ranked AS (
+      SELECT pid, value, campaign,
+             ROW_NUMBER() OVER (PARTITION BY pid ORDER BY cts ASC,  cid ASC)  AS rf,
+             ROW_NUMBER() OVER (PARTITION BY pid ORDER BY cts DESC, cid DESC) AS rl
+      FROM joined
+    ),
+    ft AS (
+      SELECT campaign, COUNT(*) AS n_first,
+             floor(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) * 100 + 0.5) / 100 AS rev_first
+      FROM ranked WHERE rf = 1 GROUP BY 1
+    ),
+    lt AS (
+      SELECT campaign, COUNT(*) AS n_last,
+             floor(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) * 100 + 0.5) / 100 AS rev_last
+      FROM ranked WHERE rl = 1 GROUP BY 1
+    )
+    SELECT COALESCE(f.campaign, l.campaign) AS campaign,
+           COALESCE(f.n_first, 0) AS n_first,
+           COALESCE(f.rev_first, CAST(0 AS DOUBLE)) AS rev_first,
+           COALESCE(l.n_last, 0) AS n_last,
+           COALESCE(l.rev_last, CAST(0 AS DOUBLE)) AS rev_last
+    FROM ft f FULL OUTER JOIN lt l ON f.campaign = l.campaign
+    """,
+    tags=("temporal", "attribution", "sequence"),
+)
+def attribution_first_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase attribution: credit each purchase's value to the user's
+    FIRST and LAST click within a 7-day lookback, summed per campaign
+    (campaign = props.k mod 5). The canonical marketing-analytics sequence
+    op the reference's word-count surface has no analogue for.
+
+    The per-purchase first/last click is one struct-min/max aggregate over
+    the lookback join — (ts, event_id) is a total order, so tie-breaks are
+    engine-stable — rather than two ranking windows (the oracle's form):
+    one shuffle on purchase id instead of two window sorts.
+
+    Scale: the join shuffles both event slices on user_id (fact-fact, the
+    unavoidable one); everything after operates on |purchases| rows, then
+    |campaigns|. Revenue sums go through DECIMAL per the exact-sum rule.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("cts"),
+        F.col("event_id").alias("cid"),
+        (F.get_json_object("props", "$.k").cast("long") % 5).alias("campaign"),
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("pts"),
+        "value",
+    )
+    joined = purch.join(
+        clicks,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("cts") <= F.col("pts"))
+        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 7 DAYS")),
+    )
+    per_purchase = joined.groupBy("pid").agg(
+        F.min(F.struct("cts", "cid", "campaign")).alias("ft"),
+        F.max(F.struct("cts", "cid", "campaign")).alias("lt"),
+        F.first("value").alias("value"),
+    )
+    ft = per_purchase.groupBy(F.col("ft.campaign").alias("campaign")).agg(
+        F.count(F.lit(1)).alias("n_first"), dsum("value", "rev_first")
+    )
+    lt = per_purchase.groupBy(F.col("lt.campaign").alias("campaign")).agg(
+        F.count(F.lit(1)).alias("n_last"), dsum("value", "rev_last")
+    )
+    return (
+        ft.join(lt, "campaign", "full_outer")
+        .select(
+            "campaign",
+            F.coalesce("n_first", F.lit(0)).alias("n_first"),
+            F.coalesce("rev_first", F.lit(0.0)).alias("rev_first"),
+            F.coalesce("n_last", F.lit(0)).alias("n_last"),
+            F.coalesce("rev_last", F.lit(0.0)).alias("rev_last"),
+        )
+    )
