@@ -1323,3 +1323,79 @@ def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return reduce(lambda a, b: a.unionByName(b), outs)
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter pruned semi-join (runtime-filter pattern, fully in-plan)
+# --------------------------------------------------------------------------
+
+BLOOM_BITS = 1024  # m: filter width (16 longs)
+BLOOM_WORDS = BLOOM_BITS // 64
+
+
+@query(
+    "bloom_prune_semi_join",
+    oracle="""
+    SELECT l.l_suppkey, COUNT(*) AS n_lines
+    FROM lineitem l
+    WHERE l.l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 8000)
+    GROUP BY 1
+    """,
+    tags=("join", "bloom", "runtime-filter"),
+)
+def bloom_prune_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join where the probe side is pre-pruned by a 1024-bit Bloom
+    filter (k=2 xxhash64 probes) built from the build side — the runtime-
+    filter pattern Spark injects automatically for big joins, expressed as
+    an explicit operator. The Bloom pass only PRUNES (false positives
+    survive it); the exact semi-join then removes them, so the result is
+    bit-identical to the plain semi-join the oracle runs — the pruning is
+    provably transparent.
+
+    The bitmap never touches the driver: set-bit positions aggregate into
+    ≤16 (word, bits) rows via bit_or, fold into a single map row, and
+    broadcast-crossJoin onto the probe. At 100 TB the filter is ~2 KB
+    shipped to every task and absorbs most of the scan's output before the
+    shuffle, which is the entire point: shuffle rows ≈ true matches, not
+    scan size.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 8000)
+        .select("s_suppkey")
+    )
+    pos = s.select(
+        F.explode(
+            F.array(
+                F.pmod(F.xxhash64("s_suppkey", F.lit(1)), F.lit(BLOOM_BITS)),
+                F.pmod(F.xxhash64("s_suppkey", F.lit(2)), F.lit(BLOOM_BITS)),
+            )
+        ).alias("pos")
+    )
+    bitmap = (
+        pos.select(
+            (F.col("pos") / 64).cast("int").alias("word"),
+            F.expr("shiftleft(1L, int(pos % 64))").alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(bit)").alias("bits"))
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("bm")
+        )
+    )
+    probe = li.select("l_suppkey").crossJoin(F.broadcast(bitmap))
+    def hit(seed: int):
+        p = F.pmod(F.xxhash64("l_suppkey", F.lit(seed)), F.lit(BLOOM_BITS))
+        word = F.coalesce(
+            F.element_at("bm", (p / 64).cast("int")), F.lit(0).cast("long")
+        )
+        return word.bitwiseAND(
+            F.expr(f"shiftleft(1L, int(pmod(xxhash64(l_suppkey, {seed}), {BLOOM_BITS}) % 64))")
+        ) != 0
+    pruned = probe.filter(hit(1) & hit(2)).select("l_suppkey")
+    return (
+        pruned.join(F.broadcast(s), pruned.l_suppkey == s.s_suppkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+    )
