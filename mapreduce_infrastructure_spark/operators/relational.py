@@ -1399,3 +1399,105 @@ def bloom_prune_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_suppkey")
         .agg(F.count(F.lit(1)).alias("n_lines"))
     )
+
+
+# --------------------------------------------------------------------------
+# Unpivot / melt (wide -> long)
+# --------------------------------------------------------------------------
+
+@query(
+    "unpivot_revenue_components",
+    oracle="""
+    WITH comp AS (
+      SELECT l_returnflag, 'gross' AS component,
+             CAST(l_extendedprice AS DECIMAL(19,4)) AS amount
+      FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'discount',
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(19,4))
+      FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'tax',
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2)) AS DECIMAL(19,4))
+      FROM lineitem
+    )
+    SELECT l_returnflag, component,
+           floor(CAST(SUM(amount) AS DOUBLE) * 100 + 0.5) / 100 AS total
+    FROM comp GROUP BY 1, 2
+    """,
+    tags=("relational", "unpivot", "melt"),
+)
+def unpivot_revenue_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): turn the wide per-line money columns into long
+    (component, amount) rows and total them per return flag — the inverse
+    of the pivot operator, via ``stack()``.
+
+    The oracle's UNION ALL re-scans lineitem three times; ``stack`` emits
+    the three rows per input row in one pass — at 100 TB that is one fact
+    scan instead of three. Amounts are DECIMAL products (exact), summed
+    exactly, rounded once.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    melted = li.select(
+        "l_returnflag",
+        F.expr(
+            "stack(3,"
+            " 'gross',    CAST(l_extendedprice AS DECIMAL(19,4)),"
+            " 'discount', CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(19,4)),"
+            " 'tax',      CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2)) AS DECIMAL(19,4))"
+            ") AS (component, amount)"
+        ),
+    )
+    return melted.groupBy("l_returnflag", "component").agg(
+        rnd(F.sum("amount").cast("double"), 2).alias("total")
+    )
+
+
+# --------------------------------------------------------------------------
+# Incremental aggregate maintenance (partial-state combine)
+# --------------------------------------------------------------------------
+
+@query(
+    "incremental_agg_maintenance",
+    oracle="""
+    SELECT o_custkey,
+           COUNT(*) AS n_orders,
+           floor(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) * 100 + 0.5) / 100 AS total_spent
+    FROM orders
+    GROUP BY o_custkey
+    """,
+    tags=("relational", "incremental", "partial-agg"),
+)
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for an algebraic aggregate: a BASE
+    partial state (orders before 1998) is combined with a DELTA partial
+    state (1998 onward) by summing counts and exact DECIMAL sums — no
+    rescan of the base fact data. The oracle aggregates the full table in
+    one pass; equality proves the combine is lossless, which is exactly
+    the property that lets a 100 TB nightly pipeline fold a day's delta
+    into yesterday's materialized aggregate instead of recomputing history.
+
+    Count/sum (and min/max, HLL, etc.) are algebraic: partial states merge
+    associatively. Percentile-style holistic aggregates would need sketch
+    states instead (see the GK/HLL operators).
+    """
+    o = load_table(spark, sf_dir, "orders")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(dec("o_totalprice")).alias("s"),
+        )
+
+    base = partial(o.filter(F.col("o_orderdate") < "1998-01-01"))
+    delta = partial(o.filter(F.col("o_orderdate") >= "1998-01-01"))
+    return (
+        base.unionByName(delta)
+        .groupBy("o_custkey")
+        .agg(F.sum("cnt").alias("n_orders"), F.sum("s").alias("s2"))
+        .select(
+            "o_custkey",
+            "n_orders",
+            rnd(F.col("s2").cast("double"), 2).alias("total_spent"),
+        )
+    )

@@ -659,3 +659,135 @@ def attribution_first_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("rev_last", F.lit(0.0)).alias("rev_last"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Time-series resample: hourly OHLC bars
+# --------------------------------------------------------------------------
+
+@query(
+    "ohlc_hourly_purchases",
+    oracle="""
+    WITH e AS (
+      SELECT epoch_us(ts) AS us, event_id, value,
+             epoch_us(ts) // 3600000000 AS hr
+      FROM events WHERE event_type = 'purchase'
+    ),
+    r AS (
+      SELECT hr, value,
+             ROW_NUMBER() OVER (PARTITION BY hr ORDER BY us ASC,  event_id ASC)  AS rf,
+             ROW_NUMBER() OVER (PARTITION BY hr ORDER BY us DESC, event_id DESC) AS rl
+      FROM e
+    )
+    SELECT hr,
+           MAX(CASE WHEN rf = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rl = 1 THEN value END) AS close,
+           COUNT(*) AS n_trades
+    FROM r GROUP BY hr
+    """,
+    tags=("temporal", "resample", "ohlc"),
+)
+def ohlc_hourly_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample purchase events into hourly OHLC bars (open/high/low/
+    close) — the canonical time-series resample.
+
+    Open and close are struct-min/max over the total order (us, event_id),
+    so tie-breaks are engine-stable; high/low are plain min/max (no
+    summation, so no decimal detour needed). ONE hash aggregate per bucket
+    — the oracle's two ranking windows express the same selection but cost
+    an extra sort; at 100 TB the aggregate form is partial-aggregatable
+    (map-side combine) while a window never is.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    us = F.unix_micros(F.col("ts"))
+    e = ev.select(
+        F.expr("unix_micros(ts) div 3600000000").alias("hr"),
+        us.alias("us"),
+        "event_id",
+        "value",
+    )
+    return e.groupBy("hr").agg(
+        F.min(F.struct("us", "event_id", "value"))["value"].alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.struct("us", "event_id", "value"))["value"].alias("close"),
+        F.count(F.lit(1)).alias("n_trades"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Value-change islands (SCD2 run collapse)
+# --------------------------------------------------------------------------
+
+@query(
+    "scd2_event_type_runs",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_type, us, event_id,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    runs AS (
+      SELECT user_id, event_type, us,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+                            ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM flagged
+    ),
+    islands AS (
+      SELECT user_id, event_type, run_id,
+             MIN(us) AS valid_from_us, MAX(us) AS valid_to_us,
+             COUNT(*) AS n_events
+      FROM runs GROUP BY 1, 2, 3
+    )
+    SELECT user_id, event_type, valid_from_us, valid_to_us, n_events,
+           run_id = MAX(run_id) OVER (PARTITION BY user_id) AS is_current
+    FROM islands
+    """,
+    tags=("temporal", "scd2", "gaps-islands"),
+)
+def scd2_event_type_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapse each user's event stream into runs of consecutive equal
+    event types — the gaps-and-islands pattern that builds SCD2 (slowly
+    changing dimension) validity intervals from a change stream: one row
+    per run with [valid_from, valid_to], its event count, and an
+    is_current flag on the latest run.
+
+    The change flag is a lag over the unique total order (us, event_id);
+    the run id is its running sum — the standard two-window island
+    construction, engine-exact because the order is total and all values
+    compared are integers/strings. Scale: both windows and the rollup
+    shuffle once on user_id; nothing global.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = ev.select("user_id", "event_type", us.alias("us"), "event_id").withColumn(
+        "chg",
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+        ).otherwise(0),
+    )
+    runs = flagged.withColumn("run_id", F.sum("chg").over(wrun))
+    islands = runs.groupBy("user_id", "event_type", "run_id").agg(
+        F.min("us").alias("valid_from_us"),
+        F.max("us").alias("valid_to_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wcur = Window.partitionBy("user_id")
+    return islands.select(
+        "user_id",
+        "event_type",
+        "valid_from_us",
+        "valid_to_us",
+        "n_events",
+        (F.col("run_id") == F.max("run_id").over(wcur)).alias("is_current"),
+    )
