@@ -18,7 +18,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 from .session import tune
 
@@ -38,16 +38,37 @@ TABLES = [
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table, normalizing types to engine conventions."""
-    tune(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize a timestamp column to the engine convention: TIMESTAMP
+    (LTZ, session tz pinned to UTC in session._RUNTIME_CONF).
+
+    The fixtures have stored event time three different ways across driver
+    rounds — TIMESTAMP(NANOS) (read as epoch-nanos BIGINT under
+    ``nanosAsLong``), TIMESTAMP_NTZ(µs) (if ``inferTimestampNTZ`` could not
+    be disabled), and plain TIMESTAMP — so every reader funnels through this
+    one conversion instead of assuming a storage type."""
+    if col not in df.columns:
+        return df
+    dt = df.schema[col].dataType
+    if isinstance(dt, LongType):
         # epoch-nanos long -> TIMESTAMP via INTEGER division: ns values
         # (~1.7e18) exceed 2^53, so a double-typed `/ 1000` loses ulps and
         # lands a microsecond off the oracle's truncation. `div` stays in
         # 64-bit integer arithmetic.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if isinstance(dt, TimestampNTZType):
+        # NTZ -> LTZ is a wall-clock reinterpretation in the session tz
+        # (UTC), so values match the oracle's naive timestamps exactly.
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table, normalizing types to engine conventions."""
+    tune(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        df = normalize_ts(df)
     return df
 
 

@@ -28,6 +28,12 @@ _RUNTIME_CONF = {
     # events.parquet stores TIMESTAMP(NANOS) which Spark refuses by default;
     # read as epoch-nanos long, converted in catalog.load_table.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Fixture timestamps are timezone-naive (isAdjustedToUTC=false). Spark 4
+    # infers those as TIMESTAMP_NTZ by default, which (a) breaks
+    # unix_micros() call sites and (b) silently diverges from the round-1/2
+    # certified LTZ semantics. Read them as TIMESTAMP (session tz = UTC
+    # above, so wall values are identical to the DuckDB oracle's).
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # AQE: runtime partition coalescing + skew-join splitting.
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",

@@ -41,8 +41,12 @@ from ..operators.relational import MERGE_ORACLE as _MERGE_ORACLE
 from ..registry import query
 from ..session import tune
 
-# Raw schema as the parquet reader sees it under nanosAsLong (session.py):
-# the fixture's TIMESTAMP(NANOS) column arrives as epoch-nanos BIGINT.
+# Wire schema for the Kafka JSON path ONLY (our own serialization: ts as
+# epoch-nanos BIGINT). File-source readers must NOT assume a ts storage
+# type — the fixture has changed between TIMESTAMP(NANOS) and naive
+# TIMESTAMP(µs) across driver rounds — so they take the schema from the
+# parquet footer via a one-off batch read and normalize with
+# catalog.normalize_ts.
 _RAW_EVENTS = (
     "event_id bigint, ts long, user_id bigint, event_type string,"
     " value double, props string"
@@ -76,12 +80,20 @@ def _staged_events_dir(sf_dir: str) -> str:
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source readStream over events.parquet, normalized like
-    catalog.load_table (epoch-nanos long → µs TIMESTAMP)."""
+    catalog.load_table (any fixture ts storage type → µs TIMESTAMP).
+
+    File streams require an explicit schema; hardcoding one broke when the
+    fixture's ts storage changed (a `ts long` schema over TIMESTAMP(µs)
+    files reads NULLs, the watermark drops every row, and windowed streams
+    silently emit near-empty results — CORRECTNESS_r03). One batch footer
+    read per call keeps the stream schema in lockstep with the files."""
+    from ..catalog import normalize_ts
+
     tune(spark)
-    src = spark.readStream.schema(_RAW_EVENTS).parquet(_staged_events_dir(sf_dir))
-    # Integer division (see catalog.load_table): double arithmetic on
-    # epoch-nanos longs loses microseconds.
-    return src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    d = _staged_events_dir(sf_dir)
+    file_schema = spark.read.parquet(d).schema
+    src = spark.readStream.schema(file_schema).parquet(d)
+    return normalize_ts(src)
 
 
 def run_to_table(stream_df: DataFrame, name: str, mode: str = "complete") -> DataFrame:
