@@ -18,7 +18,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.types import LongType, TimestampNTZType
+from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
 from .session import tune
 
@@ -64,11 +64,24 @@ def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table, normalizing types to engine conventions."""
+    """Load one fixture table, normalizing types to engine conventions.
+
+    Tripwire: a fixture-storage change that ``normalize_ts`` does not
+    recognize (a fourth ts encoding) must fail HERE with a named error,
+    not surface as silent hash mismatches downstream — the TIMESTAMP_NTZ
+    flip between rounds 2 and 3 cost two rounds precisely because nothing
+    asserted the post-normalization type."""
     tune(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         df = normalize_ts(df)
+        dt = df.schema["ts"].dataType
+        if not isinstance(dt, TimestampType):
+            raise TypeError(
+                f"fixture drift: events.ts normalized to {dt} (expected "
+                "TIMESTAMP); the fixture introduced a ts storage type "
+                "normalize_ts does not handle — extend catalog.normalize_ts"
+            )
     return df
 
 

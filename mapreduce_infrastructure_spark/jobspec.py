@@ -56,9 +56,18 @@ def parse_spec_text(content: str) -> MapReduceSpec:
 
     Contract (fuzzed in tests/test_jobspec_fuzz.py): any input text either
     returns a MapReduceSpec or raises ValueError — never any other
-    exception type."""
+    exception type.
+
+    Line model: ``\\r\\n`` / ``\\r`` / ``\\n`` only — the reference's
+    ``getline`` model (``src/mapreduce_spec.h:61``). ``str.splitlines()``
+    would also split on form-feed/vertical-tab/U+2028 etc., fabricating
+    extra "lines" inside a value (e.g. ``n_workers=0\\x0c0``) whose digit
+    prefix then parses clean — exactly the atoi-style misparse this parser
+    promises to prevent."""
+    import re
+
     spec = MapReduceSpec()
-    for raw in content.splitlines():
+    for raw in re.split(r"\r\n|\r|\n", content):
         line = raw.strip()
         if not line or line.startswith("#") or "=" not in line:
             continue

@@ -78,20 +78,40 @@ def _staged_events_dir(sf_dir: str) -> str:
     return d
 
 
+# Footer-schema cache for the staged event-log dir: one batch footer read
+# per (staged dir, fixture fingerprint) per process instead of one per
+# query call — at 100 TB the schema read is cheap but it is a full driver
+# job, and the bench runs 7 stream_* queries back to back. Keyed on the
+# fixture file's (mtime_ns, size) so a regenerated fixture invalidates.
+_FOOTER_SCHEMA_CACHE: dict = {}
+
+
+def _events_fingerprint(sf_dir: str) -> tuple:
+    st = os.stat(os.path.join(os.path.abspath(sf_dir), "events.parquet"))
+    return (st.st_mtime_ns, st.st_size)
+
+
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source readStream over events.parquet, normalized like
     catalog.load_table (any fixture ts storage type → µs TIMESTAMP).
 
     File streams require an explicit schema; hardcoding one broke when the
-    fixture's ts storage changed (a `ts long` schema over TIMESTAMP(µs)
-    files reads NULLs, the watermark drops every row, and windowed streams
-    silently emit near-empty results — CORRECTNESS_r03). One batch footer
-    read per call keeps the stream schema in lockstep with the files."""
+    fixture's ts storage changed (CORRECTNESS_r03): a `ts long` schema over
+    TIMESTAMP(µs) files hands back the raw stored int64 in whatever unit
+    the file used, so downstream math assuming epoch-nanos divided µs by
+    1000 and silently landed every event in 1970 — windowed streams emitted
+    near-empty results with no error. A batch footer read (cached per
+    staged dir + fixture fingerprint) keeps the stream schema in lockstep
+    with the files."""
     from ..catalog import normalize_ts
 
     tune(spark)
     d = _staged_events_dir(sf_dir)
-    file_schema = spark.read.parquet(d).schema
+    key = (d, _events_fingerprint(sf_dir))
+    file_schema = _FOOTER_SCHEMA_CACHE.get(key)
+    if file_schema is None:
+        file_schema = spark.read.parquet(d).schema
+        _FOOTER_SCHEMA_CACHE[key] = file_schema
     src = spark.readStream.schema(file_schema).parquet(d)
     return normalize_ts(src)
 
@@ -471,17 +491,34 @@ def stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     tune(spark)
+    from ..catalog import normalize_ts
+
     scratch = os.path.join(os.path.dirname(_CHECKPOINTS), "cdc")
     sfb = os.path.basename(sf_dir.rstrip("/"))
     src = os.path.join(scratch, sfb, "src")
     gold = os.path.join(scratch, sfb, "gold")
     ckpt = os.path.join(scratch, sfb, "ckpt")
     # Stage the event log as multiple files so availableNow yields real
-    # micro-batches (cached per SF; resplit only if absent).
-    if not os.path.isdir(src):
-        spark.read.schema(_RAW_EVENTS).parquet(
-            os.path.join(os.path.abspath(sf_dir), "events.parquet")
+    # micro-batches. Staged through the production read path (footer schema
+    # + normalize_ts) so ts is a real TIMESTAMP regardless of fixture
+    # storage — a hardcoded `ts long` schema here reproduced the
+    # CORRECTNESS_r03 unit bug (raw µs treated as ns). Cache is keyed on a
+    # fixture fingerprint marker so a regenerated fixture rebuilds the
+    # staging instead of silently serving stale/unit-mismatched data.
+    marker = os.path.join(scratch, sfb, "src.fingerprint")
+    fp = repr(_events_fingerprint(sf_dir))
+    stale = True
+    if os.path.isdir(src) and os.path.isfile(marker):
+        with open(marker) as fh:
+            stale = fh.read() != fp
+    if stale:
+        shutil.rmtree(src, ignore_errors=True)
+        normalize_ts(
+            spark.read.parquet(os.path.join(os.path.abspath(sf_dir), "events.parquet"))
         ).repartition(6).write.mode("overwrite").parquet(src)
+        os.makedirs(os.path.dirname(marker), exist_ok=True)
+        with open(marker, "w") as fh:
+            fh.write(fp)
     # Fresh state every invocation: the query is deterministic end to end.
     shutil.rmtree(gold, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
@@ -506,7 +543,7 @@ def stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         changes = (
             batch_df.select(
                 (F.col("user_id") * 11).alias("key"),
-                F.expr("ts div 1000").alias("us"),
+                F.unix_micros("ts").alias("us"),
                 F.col("event_id").alias("eid"),
                 F.when(F.col("event_type") == "error", F.lit("delete"))
                 .otherwise(F.lit("upsert"))
@@ -551,7 +588,7 @@ def stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(old, ignore_errors=True)
 
     stream = (
-        spark.readStream.schema(_RAW_EVENTS)
+        spark.readStream.schema(spark.read.parquet(src).schema)
         .option("maxFilesPerTrigger", 2)
         .parquet(src)
     )

@@ -11,12 +11,7 @@ from __future__ import annotations
 import os
 import time
 
-from pyspark.sql import functions as F
-
-_RAW_EVENTS = (
-    "event_id bigint, ts long, user_id bigint, event_type string,"
-    " value double, props string"
-)
+from mapreduce_infrastructure_spark.catalog import normalize_ts
 
 
 def test_kill_restart_exactly_once(spark, sf_dir, tmp_path):
@@ -24,19 +19,21 @@ def test_kill_restart_exactly_once(spark, sf_dir, tmp_path):
     sink = str(tmp_path / "sink")
     ckpt = str(tmp_path / "ckpt")
     # Stage the fixture as 6 separate files so the stream has multiple
-    # micro-batches to be killed between.
-    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    # micro-batches to be killed between. Read + restage via the PRODUCTION
+    # path (footer schema + catalog.normalize_ts, same as
+    # streaming.stream.stream_events) so the test tracks fixture ts-storage
+    # changes instead of pinning a stale wire schema.
+    events = normalize_ts(spark.read.parquet(os.path.join(sf_dir, "events.parquet")))
     events.repartition(6).write.mode("overwrite").parquet(src)
     expected = {r.event_id for r in events.select("event_id").collect()}
+    file_schema = spark.read.parquet(src).schema
 
     def start(trigger_kwargs):
-        stream = (
-            spark.readStream.schema(_RAW_EVENTS)
+        stream = normalize_ts(
+            spark.readStream.schema(file_schema)
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-            .select("event_id", "user_id", "event_type", "ts")
-        )
+        ).select("event_id", "user_id", "event_type", "ts")
         return (
             stream.writeStream.format("parquet")
             .option("path", sink)
