@@ -176,6 +176,15 @@ N_HASHES = 32
 LSH_BANDS = 16  # r = 2 rows/band: P(candidate) = 1-(1-j^2)^16 (~0.99 at j=0.5)
 LSH_ROWS = N_HASHES // LSH_BANDS
 VERIFY_THRESHOLD = 0.5
+# Hot-band cap: a band bucket with > HOT_BAND_CAP docs (boilerplate corpora
+# — headers, licenses, templated pages — collapse into a handful of band
+# hashes) would make the bucket self-join emit O(bucket²) candidate pairs;
+# AQE skew-split spreads the shuffle but cannot shrink the join's OUTPUT.
+# Each bucket keeps its HOT_BAND_CAP lowest doc_ids (deterministic), the
+# rest are dropped from THAT band only — the same pair usually re-forms in
+# one of the other 15 bands, and the drop is reported loudly (warning with
+# bucket/doc counts), never silent.
+HOT_BAND_CAP = 1_000
 
 
 def minhash_signature(hashed: Column, n_hashes: int = N_HASHES) -> Column:
@@ -225,8 +234,55 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cap_hot_bands(bands: DataFrame, cap: int) -> DataFrame:
+    """Bound every (band_id, band_hash) bucket to ``cap`` docs before the
+    bucket self-join (SURVEY §7's "salted keys for skew" risk, applied to
+    LSH): keep the ``cap`` lowest doc_ids per bucket (deterministic under
+    any partitioning), drop the rest FROM THAT BAND ONLY, and report the
+    truncation with a RuntimeWarning carrying bucket/row counts so recall
+    loss is visible, never silent. The one extra aggregation runs on the
+    already-persisted band table and collects a single row."""
+    if not cap or cap <= 0:
+        return bands
+    # Detection first, via groupBy count (map-side partial agg on the
+    # persisted band table — far cheaper than a window sort); the window
+    # row_number pass runs ONLY when a hot bucket actually exists, so the
+    # common healthy-corpus case pays one cheap aggregate and no re-sort.
+    [hot] = (
+        bands.groupBy("band_id", "band_hash")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > cap)
+        .agg(
+            F.count(F.lit(1)).alias("buckets"),
+            F.coalesce(F.sum(F.col("n") - cap), F.lit(0)).alias("dropped"),
+        )
+        .collect()
+    )
+    if not hot.dropped:
+        return bands
+    import warnings
+
+    warnings.warn(
+        f"LSH hot-band cap: dropping {hot.dropped} doc-band rows across "
+        f"{hot.buckets} buckets over cap={cap}; pairs in those buckets "
+        "are found only if another band re-pairs them",
+        RuntimeWarning,
+        stacklevel=3,
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band_id", "band_hash").orderBy("doc_id")
+    return (
+        bands.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= cap)
+        .drop("rn")
+    )
+
+
 @query("minhash_lsh_pairs", tags=("dedup", "minhash", "lsh"))
-def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_lsh_pairs(
+    spark: SparkSession, sf_dir: str, hot_band_cap: int = HOT_BAND_CAP
+) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH: signature → 16 bands of 2 →
     band-hash bucket self-join → exact-Jaccard verification ≥ 0.5.
 
@@ -235,8 +291,11 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact comparison. The band table carries only (doc_id, band) — the
     heavy shingle arrays are joined back solely for the (small) candidate
     set, and the band/shingle tables are persisted so the self-join does not
-    recompute the pipeline per side. No SQL oracle (LSH recall is
-    probabilistic); tests assert recall vs the exact ngram ground truth.
+    recompute the pipeline per side. Band buckets over ``hot_band_cap``
+    docs are truncated (deterministically, lowest doc_ids kept) with a loud
+    warning, so boilerplate corpora cannot push the self-join quadratic —
+    see HOT_BAND_CAP. No SQL oracle (LSH recall is probabilistic); tests
+    assert recall vs the exact ngram ground truth.
     """
     t = _tracked_persist(_doc_shingles(spark, sf_dir), f"shingles:{sf_dir}")
     sig = _signatures(t)
@@ -256,6 +315,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.col("band.band_id").alias("band_id"),
              F.col("band.band_hash").alias("band_hash"))
     bands = _tracked_persist(bands, f"minhash_bands:{sf_dir}")
+    bands = _cap_hot_bands(bands, hot_band_cap)
 
     a, b = bands.alias("a"), bands.alias("b")
     candidates = (

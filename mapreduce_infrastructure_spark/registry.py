@@ -48,76 +48,82 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # round 1: CORRECTNESS_r01.json was an exact prefix of import order, so the
 # 45 queries registered after slot 50 got no correctness row at all).
 # Ordering is therefore a curated, per-round decision, not an accident of
-# imports. Round-2 window: the 45-minus-2 queries never checked in round 1
-# (all of llm/, streaming/, sources/, mr/, plus the UDF/UDTF tier), the 4
-# queries whose round-1 hash failure was fixed (integer-SUM casts), and the
-# new round-2 operators. Queries certified green in round 1 rotate out to
-# positions 51+ (their green CORRECTNESS_r01 rows stand; pytest still covers
-# them every run). `minhash_signatures` and `multimodal_features` — both
-# no-oracle building blocks whose behavior is subsumed by the checked
-# `minhash_lsh_pairs` / `multimodal_meta` plus pytest invariants — wait for
-# a later round's window.
+# imports; CERTIFIED_HISTORY.md tracks which rounds certified what.
+#
+# Round-5 window: 50 of the 73 queries never certified in rounds 1-4 —
+# the full adapted TPC-H remainder, merge/bloom/skew/interval ops, the
+# graph tier, k-means, the sampling family, quality filters, format
+# roundtrips, the remaining streaming trio (stream_merge_upsert freshly
+# bug-fixed this round), dedup variants, text-analysis stragglers, mr_grep,
+# and the two long-deferred no-oracle building blocks (minhash_signatures,
+# multimodal_features — rows-only driver rows by design; their semantics
+# are pinned by pytest invariants + the checked minhash_lsh_pairs /
+# multimodal_meta). Everything certified green in rounds 1-4 rotates to
+# positions 51+ (green rows stand; tests/test_oracle_queries.py still
+# mirrors every oracle-backed query each pytest run).
 CERTIFIED_FIRST: tuple[str, ...] = (
-    # round-1 hash fails, now fixed (CAST(SUM(...) AS BIGINT) in oracles)
-    "case_when_buckets",
-    "pivot_status_by_priority",
-    "funnel_click_purchase",
-    "map_functions",
-    # UDTF + pandas-UDF tier
-    "posexplode_tokens",
-    "udf_price_per_unit",
-    "udaf_median_price",
-    # sources & layouts
-    "csv_roundtrip_nation",
-    "json_roundtrip_events",
-    "text_scan_doc_langs",
-    "parquet_partitioned_prune",
-    "bucketed_join_orders_customer",
-    "zorder_pruning_stats",
-    # event-time windows, batch
-    "window_tumbling_hourly",
-    "window_sliding_1h_15m",
-    "session_window_30m",
-    "sessionize_gaps",
-    "rollup_hierarchical_daily",
-    # structured streaming
-    "stream_tumbling_hourly",
-    "stream_user_totals",
-    "stream_join_click_purchase",
-    "stream_dedup_events",
-    "stream_sliding_1h_15m",
-    "stream_session_window_30m",
-    # text analysis
-    "wordcount",
-    "text_stats_by_lang",
-    "doc_token_counts",
-    "doc_fingerprint",
-    "quality_scores",
-    "lang_id_heuristic",
-    "tfidf_top_terms",
-    "token_counts_bpe",
-    "corpus_clean_pipeline",
-    # dedup tiers
-    "dedup_exact",
-    "ngram_jaccard_pairs",
-    "minhash_lsh_pairs",
-    "simhash_neardup_pairs",
-    "containment_pairs",
-    "dedup_clusters",
-    "substring_dedup",
-    # similarity / ANN tiers
-    "knn_bruteforce",
-    "neardup_cosine_pairs",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "neardup_cosine_ivf",
-    "semantic_dedup_clusters",
-    "ann_pq_topk",
-    # multimodal plumbing
-    "multimodal_meta",
-    # MapReduce-compat surface
-    "mr_wordcount",
-    "mr_inverted_index",
+    # adapted TPC-H remainder (join/agg/subquery surface, SURVEY §2B)
+    "q2_min_cost_supplier",
+    "q4_priority_exists",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_ship_delay_priority",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_parts_supplier_count",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q20_excess_stock_suppliers",
+    "q21_waiting_suppliers",
+    "q22_idle_customers",
+    # merge / skew / bloom / interval relational ops
+    "merge_upsert_customers",
+    "salted_join_hot_users",
+    "bloom_prune_semi_join",
+    "interval_overlap_join",
+    # graph + clustering tiers
+    "pagerank_trade_graph",
+    "triangle_counts_parts",
+    "kmeans_embeddings",
+    # sampling / corpus-assembly family
+    "sample_stratified_mix",
+    "sample_temperature_mix",
+    "sample_fixed_k",
+    "sample_token_budget",
+    "sample_source_uniqueness",
+    "pack_sequences",
+    "decontaminate_benchmark",
+    # quality filters
+    "pii_redact",
+    # formats & layouts
+    "orc_roundtrip_orders",
+    "schema_evolution_read",
+    # streaming remainder
+    "stream_merge_upsert",
+    "stream_enrich_static_join",
+    "stream_anomaly_zscore",
+    # dedup variants
+    "dedup_clusters_star",
+    "dedup_canonical_docs",
+    "ppjoin_pairs",
+    # text-analysis stragglers
+    "skipgram_cooccurrence",
+    "bpe_learn_merges",
+    # temporal analytics
+    "cohort_retention",
+    "ohlc_hourly_purchases",
+    "scd2_event_type_runs",
+    # MapReduce-compat
+    "mr_grep",
+    # no-oracle building blocks, deferred since round 2 (rows-only rows)
+    "minhash_signatures",
+    "multimodal_features",
 )
 
 

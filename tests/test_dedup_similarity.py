@@ -414,3 +414,38 @@ def test_ann_opq_recall_and_exact_rerank(spark, sf_dir):
     pq = recall_of(similarity.ann_pq_topk(spark, sf_dir))
     assert opq >= 0.5
     assert opq >= pq - (1 / 30), (opq, pq)
+
+
+def test_lsh_hot_band_cap_bounds_boilerplate_corpus(spark, tmp_path):
+    """Adversarial all-identical-shingle corpus (the boilerplate-collapse
+    case): every doc lands in the SAME bucket in all 16 bands, so without a
+    cap the bucket self-join emits O(n² · bands) candidates. With the cap,
+    candidate volume is bounded by cap²/2 per bucket, the run completes,
+    and the truncation is announced via RuntimeWarning — recall loss is
+    visible, never silent."""
+    import warnings
+
+    import pytest
+    from mapreduce_infrastructure_spark.llm import dedup
+
+    n, cap = 300, 32
+    sf = str(tmp_path)
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    spark.createDataFrame(
+        [(i, text, "en", "boiler", len(text)) for i in range(n)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    with pytest.warns(RuntimeWarning, match="hot-band cap"):
+        pairs = dedup.minhash_lsh_pairs(spark, sf, hot_band_cap=cap).collect()
+    # Identical docs -> every surviving in-bucket pair verifies at 1.0; the
+    # kept set is the cap lowest doc_ids, identical across bands.
+    assert len(pairs) == cap * (cap - 1) // 2
+    assert all(r.jaccard == 1.0 for r in pairs)
+    assert max(max(r.doc_a, r.doc_b) for r in pairs) == cap - 1
+
+    # A normal-size bucket must be untouched and warning-free.
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        ok = dedup.minhash_lsh_pairs(spark, sf, hot_band_cap=n + 1).collect()
+    assert len(ok) == n * (n - 1) // 2
