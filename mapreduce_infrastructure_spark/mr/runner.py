@@ -103,6 +103,15 @@ def write_sorted_text(
     across the R files without a single-partition global sort — the plan
     that survives at scale (orderBy().repartition(R) would destroy order;
     orderBy().coalesce(1) would serialize).
+
+    DELIBERATE DEVIATION from the reference: ``src/mr_tasks.h:112-115``
+    opens ``output_{i}`` with ``ios::app``, so a re-run against the same
+    output_dir APPENDS a second copy of every record (the double-append
+    defect documented in SURVEY §2A). This sink instead deletes prior
+    ``output_*`` files and overwrites — re-running a job is idempotent,
+    which is the behavior a retrying scheduler needs (Spark task retries
+    assume re-executable, overwrite-safe sinks). Asserted by the re-run
+    test in tests/test_mr_compat.py.
     """
     tmp = output_dir.rstrip("/") + "__spark_tmp"
     shutil.rmtree(tmp, ignore_errors=True)

@@ -103,13 +103,26 @@ def test_run_job_end_to_end(spark, tmp_path):
         "user_id=cs6210\n"
     )
     outputs = run_job(spark, str(cfg))
-    counts = {}
-    for p in outputs:
-        with open(p) as fh:
-            for line in fh.read().splitlines():
-                k, v = line.split(", ")
-                counts[k] = int(v)
-    assert counts == {"the": 3, "cat": 2, "and": 1, "hat": 1, "came": 1, "back": 1}
+
+    def read_counts(paths):
+        counts = {}
+        for p in paths:
+            with open(p) as fh:
+                for line in fh.read().splitlines():
+                    k, v = line.split(", ")
+                    counts[k] = int(v)
+        return counts
+
+    expected = {"the": 3, "cat": 2, "and": 1, "hat": 1, "came": 1, "back": 1}
+    assert read_counts(outputs) == expected
+
+    # Re-run idempotence: the reference APPENDS on re-run (ios::app,
+    # src/mr_tasks.h:112-115 — its documented double-append defect); this
+    # sink deliberately overwrites, so a second run must yield the SAME
+    # files and counts, not doubled values. See write_sorted_text docstring.
+    outputs2 = run_job(spark, str(cfg))
+    assert outputs2 == outputs
+    assert read_counts(outputs2) == expected
 
 
 def test_multimodal_features_deterministic(spark, sf_dir):
