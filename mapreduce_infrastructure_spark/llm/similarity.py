@@ -289,8 +289,71 @@ def _fit_centroids_sample(vecs: DataFrame) -> np.ndarray:
     return C
 
 
+def _fit_centroids_distributed(vecs: DataFrame) -> np.ndarray:
+    """Distributed Lloyd fit of the IVF coarse quantizer: seeds = the
+    _IVF_CELLS lowest vec_ids, then _IVF_ITERS assign/re-mean rounds as
+    DataFrame ops (broadcast centroids → struct-min assignment →
+    posexplode per-dimension means), collecting only the final k×dim
+    centroid matrix (16×64 doubles — bounded whatever the corpus size).
+
+    The alternative to _fit_centroids_sample when the corpus's tail
+    matters to cell quality: every row votes in every re-mean instead of
+    only the 4,096-row sample. Costs one Spark job per Lloyd iteration —
+    the same trade kmeans_embeddings makes (llm/kmeans.py). Means are
+    snapped to the 1e-9 grid through DECIMAL(28,9) sums, so the fit is
+    deterministic under any partitioning."""
+    k = _IVF_CELLS
+    g = 1_000_000_000
+    pts = vecs.select("vec_id", F.col("d").alias("x")).persist()
+    centroids = pts.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("x").alias("c")
+    )
+    dist = F.aggregate(
+        F.zip_with("x", "c", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+    for _ in range(_IVF_ITERS):
+        assign = (
+            pts.crossJoin(F.broadcast(centroids))
+            .withColumn("dist", dist)
+            .groupBy("vec_id")
+            .agg(
+                F.min(F.struct("dist", "cid")).alias("best"),
+                F.first("x").alias("x"),
+            )
+            .select(F.col("best.cid").alias("cid"), "x")
+        )
+        centroids = (
+            assign.select("cid", F.posexplode("x").alias("pos", "xd"))
+            .groupBy("cid", "pos")
+            .agg(
+                (
+                    F.floor(
+                        F.sum(F.col("xd").cast("decimal(28,9)")).cast("double")
+                        / F.count(F.lit(1))
+                        * g
+                        + F.lit(0.5)
+                    ).cast("double")
+                    / g
+                ).alias("cd")
+            )
+            .groupBy("cid")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, cd))), s -> s.cd)"
+                ).alias("c")
+            )
+        )
+    rows = centroids.orderBy("cid").collect()  # k rows — bounded
+    pts.unpersist()
+    return np.array([r.c for r in rows])
+
+
 @query("ann_ivf_topk", tags=("similarity", "ann", "ivf"))
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_ivf_topk(
+    spark: SparkSession, sf_dir: str, fit: str = "sample"
+) -> DataFrame:
     """IVF (inverted-file) ANN: a seeded k-means coarse quantizer assigns
     every vector to one of 16 cells; each query probes its 3 nearest cells
     and ranks candidates by exact cosine.
@@ -301,14 +364,21 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (centroids are tiny); assignment is one broadcast-join pass over the
     corpus, candidate search touches ~probes/cells of the data. No SQL
     oracle (k-means cells are engine-specific); tests measure recall vs
-    knn_bruteforce."""
+    knn_bruteforce.
+
+    ``fit="distributed"`` swaps the quantizer fit for the fully
+    distributed Lloyd loop (_fit_centroids_distributed) — every row votes
+    in the re-mean at one Spark job per iteration; same downstream plan."""
     vecs = _vectors(spark, sf_dir)
     # Quantizer fit DRIVER-SIDE on a deterministic sample (numpy Lloyd,
-    # seeded): the model is 16×64 doubles whatever the corpus size, and a
-    # distributed iterative fit pays one Spark job per iteration for work a
-    # single core finishes in milliseconds. This IS the 100 TB path — only
-    # the sample collection scans (a sliver of) the corpus.
-    C = _fit_centroids_sample(vecs)
+    # seeded) by default: the model is 16×64 doubles whatever the corpus
+    # size, and a distributed iterative fit pays one Spark job per
+    # iteration for work a single core finishes in milliseconds. Only the
+    # sample collection scans (a sliver of) the corpus.
+    if fit == "distributed":
+        C = _fit_centroids_distributed(vecs)
+    else:
+        C = _fit_centroids_sample(vecs)
 
     # Cell assignment stays JVM-side: distance to each literal centroid as
     # one expression (_cell_dists), array_min over (dist, cell) structs

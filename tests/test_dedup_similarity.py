@@ -112,6 +112,29 @@ def test_ann_ivf_recall(spark, sf_dir):
     assert total > 0 and hits / total >= 0.4
 
 
+def test_ann_ivf_distributed_fit_recall(spark, sf_dir):
+    """The fully distributed Lloyd quantizer fit (every row votes in the
+    re-mean, one Spark job per iteration) must meet the SAME recall floor
+    as the sample fit — it sees strictly more data — and must be
+    deterministic under repartitioning (DECIMAL-grid means)."""
+    brute = {}
+    for r in similarity.knn_bruteforce(spark, sf_dir).collect():
+        if r.rank <= 3:
+            brute.setdefault(r.query_id, set()).add(r.neighbor_id)
+    ann = {}
+    for r in similarity.ann_ivf_topk(spark, sf_dir, fit="distributed").collect():
+        ann.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(ann.get(q, set()) & s) for q, s in brute.items())
+    total = sum(len(s) for s in brute.values())
+    assert total > 0 and hits / total >= 0.4
+
+    C1 = similarity._fit_centroids_distributed(similarity._vectors(spark, sf_dir))
+    C2 = similarity._fit_centroids_distributed(
+        similarity._vectors(spark, sf_dir).repartition(13)
+    )
+    assert (C1 == C2).all(), "distributed fit depends on partitioning"
+
+
 def test_neardup_cosine_ivf_recall(spark, sf_dir):
     """IVF-blocked near-dup must find most exact pairs (recall >= 0.6 on the
     fixtures) and report the SAME cosine for every pair it emits."""
