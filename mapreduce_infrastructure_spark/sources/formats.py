@@ -270,3 +270,51 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("compacted", n_parts(compact_dir), n_rows),
     ]
     return spark.createDataFrame(rows, "stage string, n_files int, n_rows long")
+
+
+# ---------------------------------------------------------------------------
+# Avro (guarded: the spark-avro connector is an external module)
+# ---------------------------------------------------------------------------
+
+
+def avro_available(spark: SparkSession) -> bool:
+    """True when the spark-avro DataSource is on the classpath. Avro is a
+    built-in-but-external module since Spark 2.4 — this container ships the
+    avro core jars but not spark-avro, so the helpers below raise a clear
+    error instead of registering a query that could never pass here (same
+    policy as the Kafka source, streaming/stream.py:kafka_available)."""
+    # A Class.forName probe is NOT sufficient: Spark 4 ships some
+    # org.apache.spark.sql.avro classes in the main jars while the
+    # DataSource registration still lives in the external spark-avro
+    # module — so resolve through the real DataSource lookup instead.
+    try:
+        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+            "avro", spark._jsparkSession.sessionState().conf()
+        )
+        return True
+    except Exception:
+        return False
+
+
+def avro_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro sink → Avro scan roundtrip over nation (row-oriented container
+    format — the ingest/wire tier next to the columnar ORC/parquet tiers;
+    reference has a single text format, ``src/file_shard.h:37-114``).
+    Raises RuntimeError with the exact dependency when spark-avro is not
+    deployed; in a deployment that ingests Avro, add
+    ``org.apache.spark:spark-avro_2.13`` to spark.jars.packages and this
+    becomes a registered roundtrip query like orc_roundtrip_orders."""
+    if not avro_available(spark):
+        raise RuntimeError(
+            "Avro source requested but spark-avro is not on the classpath; "
+            "add org.apache.spark:spark-avro_2.13 to spark.jars.packages"
+        )
+    out = sink_dir(sf_dir, "nation_avro")
+    load_table(spark, sf_dir, "nation").write.mode("overwrite").format(
+        "avro"
+    ).save(out)
+    return (
+        spark.read.format("avro")
+        .load(out)
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )

@@ -101,3 +101,18 @@ def test_orc_roundtrip_pushes_filter(spark, sf_dir):
 
     df = orc_roundtrip_orders(spark, sf_dir)
     checks.assert_pushed_filter(df, "EqualTo(o_orderpriority,1-URGENT)")
+
+
+def test_avro_guard_raises_clear_error(spark, sf_dir):
+    """spark-avro is absent in this container; the helper must say exactly
+    what to deploy rather than failing inside the DataSource lookup."""
+    import pytest
+
+    from mapreduce_infrastructure_spark.sources import formats
+
+    if formats.avro_available(spark):
+        out = formats.avro_roundtrip_nation(spark, sf_dir)
+        assert out.count() == 25
+    else:
+        with pytest.raises(RuntimeError, match="spark-avro"):
+            formats.avro_roundtrip_nation(spark, sf_dir)
