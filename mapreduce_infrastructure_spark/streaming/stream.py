@@ -59,7 +59,14 @@ _CHECKPOINTS = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
 def _staged_events_dir(sf_dir: str) -> str:
     """The file streaming source tails a DIRECTORY (new files = new data —
     the event-log layout at scale); the fixture is a single parquet file, so
-    stage a symlink to it in a per-SF scratch directory."""
+    stage a symlink to it in a per-SF scratch directory. When events.parquet
+    is already a directory of part files (Spark-written datasets, e.g. the
+    tools/scale_check.py replicas), tail it directly — staging a symlinked
+    SUBdirectory would hide the files from the source's non-recursive
+    listing."""
+    target_ds = os.path.join(os.path.abspath(sf_dir), "events.parquet")
+    if os.path.isdir(target_ds):
+        return target_ds
     d = os.path.join(
         os.path.dirname(_CHECKPOINTS), "stream_src",
         os.path.basename(sf_dir.rstrip("/")), "events",

@@ -1,0 +1,146 @@
+"""Empirical scale-up check: replicate the sf0.1 fixtures N× (keys remapped
+per replica so join/group cardinalities scale too) and time a set of
+headline queries at 1× vs N× in the same session.
+
+The point is the RATIO, not the absolute time: a plan whose wall clock
+grows ~linearly (or better, when cores were idle at 1×) is one whose
+shuffle/join strategy survives scale-up; a super-linear ratio flags a plan
+with a quadratic term or a driver-side bottleneck. This is the local
+stand-in for the 1000-executor test the container can't run.
+
+Usage:
+    python tools/scale_check.py              # 10x, default query set
+    python tools/scale_check.py --factor=5
+    python tools/scale_check.py q1_pricing_summary minhash_lsh_pairs
+
+Replication layout: <repo>/.scratch/scale/<factor>x/<table>.parquet, built
+once and reused (delete the directory to force a rebuild). Key columns are
+offset per replica by table-specific strides so every replica is disjoint:
+the corpus genuinely has N× the keys, orders, docs and vectors — except
+document TEXT, which is left identical per replica (realistic: replicated
+boilerplate) so dedup queries see a legitimately harder near-dup problem.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from mapreduce_infrastructure_spark.catalog import TABLES
+from mapreduce_infrastructure_spark.registry import all_queries
+from mapreduce_infrastructure_spark.session import get_spark
+
+BASE_SF = "/root/testdata/sf0.1"
+
+# key column -> stride (well above the sf0.1 max of each key space)
+_KEY_STRIDES = {
+    "r_regionkey": 100,
+    "n_nationkey": 100,
+    "n_regionkey": 100,
+    "c_custkey": 10_000_000,
+    "c_nationkey": 100,
+    "s_suppkey": 1_000_000,
+    "s_nationkey": 100,
+    "p_partkey": 10_000_000,
+    "o_orderkey": 100_000_000,
+    "o_custkey": 10_000_000,
+    "l_orderkey": 100_000_000,
+    "l_partkey": 10_000_000,
+    "l_suppkey": 1_000_000,
+    "event_id": 100_000_000,
+    "user_id": 10_000_000,
+    "doc_id": 10_000_000,
+    "vec_id": 10_000_000,
+}
+
+DEFAULT_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "window_tumbling_hourly",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "knn_bruteforce",
+    "stream_tumbling_hourly",
+]
+
+
+def build_replica(spark, factor: int) -> str:
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scratch", "scale", f"{factor}x",
+    )
+    marker = os.path.join(root, "_built")
+    if os.path.isfile(marker):
+        return root
+    os.makedirs(root, exist_ok=True)
+    for t in TABLES:
+        src = spark.read.parquet(os.path.join(BASE_SF, f"{t}.parquet"))
+        rep = src.crossJoin(
+            spark.range(factor).select(F.col("id").alias("__rep"))
+        )
+        cols = []
+        for f_ in src.schema.fields:
+            stride = _KEY_STRIDES.get(f_.name)
+            if stride is not None:
+                cols.append(
+                    (F.col(f_.name) + F.col("__rep") * stride)
+                    .cast(f_.dataType)
+                    .alias(f_.name)
+                )
+            else:
+                cols.append(F.col(f_.name))
+        rep.select(*cols).write.mode("overwrite").parquet(
+            os.path.join(root, f"{t}.parquet")
+        )
+    open(marker, "w").close()
+    return root
+
+
+def time_query(qfn, spark, sf_dir: str) -> float:
+    t0 = time.monotonic()
+    df = qfn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return time.monotonic() - t0
+
+
+def main() -> None:
+    names = [a for a in sys.argv[1:] if not a.startswith("--")]
+    factor = 10
+    for a in sys.argv[1:]:
+        if a.startswith("--factor="):
+            factor = int(a.split("=", 1)[1])
+    names = names or DEFAULT_QUERIES
+    spark = get_spark()
+    qs = all_queries()
+    rep_dir = build_replica(spark, factor)
+    out = {}
+    for n in names:
+        if n not in qs:
+            print(f"  ?? unknown query {n}", flush=True)
+            continue
+        # Warm-up at sf0.01 first: whole-stage-codegen JIT for a query's
+        # plan shape costs ~1-5 s on first execution and would otherwise
+        # inflate the 1x time (run order: base cold, replica warm), biasing
+        # every ratio LOW. Warm on small data so the measured pair only
+        # differs in data volume.
+        time_query(qs[n].fn, spark, "/root/testdata/sf0.01")
+        base_s = time_query(qs[n].fn, spark, BASE_SF)
+        rep_s = time_query(qs[n].fn, spark, rep_dir)
+        out[n] = {
+            "sf0.1_sec": round(base_s, 2),
+            f"{factor}x_sec": round(rep_s, 2),
+            "ratio": round(rep_s / base_s, 2) if base_s > 0 else None,
+        }
+        print(f"  {n}: {base_s:.2f}s -> {rep_s:.2f}s  ({out[n]['ratio']}x)",
+              flush=True)
+    print(json.dumps({"factor": factor, "queries": out}))
+
+
+if __name__ == "__main__":
+    main()
