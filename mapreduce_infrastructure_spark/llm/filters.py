@@ -267,3 +267,103 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_chunk_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-document boilerplate (corpus-frequency n-grams)
+# ---------------------------------------------------------------------------
+
+# An n-gram is corpus boilerplate when it appears in >= this many DISTINCT
+# documents (each document contributes its distinct shingle set once, so
+# intra-doc repetition cannot promote an n-gram — that axis is
+# repetition_signals' job).
+BOILER_MIN_DF = 3
+
+
+@query(
+    "boilerplate_ngram_filter",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 2, 0)),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '{TOKEN_DELIM}'),
+                               x -> x <> '') AS toks
+            FROM documents)
+    ), e AS (
+      SELECT doc_id, unnest(sh) AS g FROM t
+    ), hot AS (
+      SELECT g FROM e GROUP BY g HAVING COUNT(*) >= {BOILER_MIN_DF}
+    ), nb AS (
+      SELECT e.doc_id, COUNT(*) AS n_boiler
+      FROM e JOIN hot USING (g) GROUP BY e.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.sh) AS BIGINT) AS n_ngrams,
+           CAST(COALESCE(nb.n_boiler, 0) AS BIGINT) AS n_boiler,
+           floor(COALESCE(CAST(COALESCE(nb.n_boiler, 0) AS DOUBLE)
+                          / nullif(len(t.sh), 0), 0.0) * 10000 + 0.5) / 10000
+             AS boiler_frac,
+           CASE WHEN len(t.sh) > 0 AND 2 * COALESCE(nb.n_boiler, 0) >= len(t.sh)
+                THEN 'boilerplate' ELSE 'ok' END AS boiler_flag
+    FROM t LEFT JOIN nb USING (doc_id)
+    """,
+    tags=("llm", "quality", "boilerplate", "dedup"),
+)
+def boilerplate_ngram_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTER-document boilerplate detection (the C4/RefinedWeb cut that
+    repetition_signals' intra-document signals cannot see): count each
+    distinct 3-gram's document frequency across the corpus, call n-grams in
+    >= BOILER_MIN_DF documents boilerplate, and score every document by the
+    fraction of its distinct n-grams that are boilerplate; docs where the
+    majority is boilerplate (integer-exact 2*n_boiler >= n_ngrams) are
+    flagged for the cut.
+
+    Scale shape: explode distinct shingles (output ~ corpus token count) →
+    one groupBy shuffle for document frequency → HAVING prunes the hot set
+    (small: boilerplate is by definition the heavy tail) → one join back +
+    per-doc count. Two shuffles, no Python, no driver state; AQE broadcasts
+    the pruned hot set when it fits. The same shape at 100 TB is the
+    standard "frequent n-gram" boilerplate pass run after exact dedup.
+    """
+    from .dedup import shingles_col
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", shingles_col(tokens_col()).alias("sh")
+    )
+    e = docs.select("doc_id", F.explode("sh").alias("g"))
+    hot = (
+        e.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= BOILER_MIN_DF)
+        .select("g")
+    )
+    nb = e.join(hot, "g").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_boiler")
+    )
+    n_ngrams = F.size("sh").cast("long")
+    base = docs.select("doc_id", n_ngrams.alias("n_ngrams")).join(
+        nb, "doc_id", "left"
+    )
+    nbl = F.coalesce(F.col("n_boiler"), F.lit(0)).cast("long")
+    return base.select(
+        "doc_id",
+        "n_ngrams",
+        nbl.alias("n_boiler"),
+        F.coalesce(
+            rnd(
+                nbl.cast("double")
+                / F.when(F.col("n_ngrams") > 0, F.col("n_ngrams")),
+                4,
+            ),
+            F.lit(0.0),
+        ).alias("boiler_frac"),
+        F.when(
+            (F.col("n_ngrams") > 0) & (2 * nbl >= F.col("n_ngrams")),
+            F.lit("boilerplate"),
+        )
+        .otherwise(F.lit("ok"))
+        .alias("boiler_flag"),
+    )

@@ -68,3 +68,44 @@ def test_repetition_flag_consistency(spark, sf_dir):
         assert r["rep_flag"] == expect
         if r["top2_count"] > 0:
             assert r["top2gram"] and len(r["top2gram"].split(" ")) == 2
+
+
+def test_boilerplate_ngram_filter_invariants(spark, sf_dir):
+    """Inter-doc boilerplate: counts bounded by totals, frac consistent
+    with the integer fields, flag exactly the majority-boilerplate rule,
+    and a doc duplicated BOILER_MIN_DF times is 100% boilerplate."""
+    from mapreduce_infrastructure_spark.llm.filters import (
+        BOILER_MIN_DF,
+        boilerplate_ngram_filter,
+    )
+
+    rows = boilerplate_ngram_filter(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_boiler <= r.n_ngrams
+        assert (r.boiler_flag == "boilerplate") == (
+            r.n_ngrams > 0 and 2 * r.n_boiler >= r.n_ngrams
+        )
+        if r.n_ngrams:
+            # engine rounds half-up (floor(x*1e4+0.5)/1e4), not banker's
+            import math
+
+            expect = math.floor(r.n_boiler / r.n_ngrams * 10000 + 0.5) / 10000
+            assert abs(r.boiler_frac - expect) < 1e-12
+
+    # Synthetic corpus: one sentence replicated BOILER_MIN_DF times plus a
+    # unique doc -> replicated docs are all-boilerplate, unique doc is not.
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as sf:
+        text = "alpha beta gamma delta epsilon zeta"
+        docs = [(i, text, "en", "t", len(text)) for i in range(BOILER_MIN_DF)]
+        docs.append((99, "one unique sentence nothing shares this", "en", "t", 39))
+        spark.createDataFrame(
+            docs,
+            "doc_id bigint, text string, lang string, source string, n_chars bigint",
+        ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+        got = {r.doc_id: r for r in boilerplate_ngram_filter(spark, sf).collect()}
+        for i in range(BOILER_MIN_DF):
+            assert got[i].boiler_flag == "boilerplate" and got[i].boiler_frac == 1.0
+        assert got[99].boiler_flag == "ok" and got[99].n_boiler == 0
