@@ -219,19 +219,29 @@ def _signatures(t: DataFrame) -> DataFrame:
 
 
 @query("minhash_signatures", tags=("dedup", "minhash"))
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document 32-hash MinHash signature (first 4 exposed + full array).
+def minhash_signatures(
+    spark: SparkSession, sf_dir: str, include_array: bool = False
+) -> DataFrame:
+    """Per-document 32-hash MinHash signature (first 4 exposed, plus a
+    single-long ``sig_digest`` = xxhash64 of the full array). The raw
+    ``array<long>`` column is NOT in the default projection: the driver's
+    canonicalizer sorts rows column-wise and array cells are unhashable
+    there; the digest pins full-array equality just as strongly. Tests pass
+    ``include_array=True`` to assert determinism over every element.
     Deterministic but engine-specific hashing → no SQL oracle; invariants
     (signature equality tracks Jaccard) are asserted in tests/test_dedup.py."""
     sig = _signatures(_doc_shingles(spark, sf_dir))
-    return sig.select(
-        "doc_id",
+    cols = [
+        F.col("doc_id"),
         F.element_at("sig", 1).alias("mh_0"),
         F.element_at("sig", 2).alias("mh_1"),
         F.element_at("sig", 3).alias("mh_2"),
         F.element_at("sig", 4).alias("mh_3"),
-        F.col("sig").alias("signature"),
-    )
+        F.xxhash64("sig").alias("sig_digest"),
+    ]
+    if include_array:
+        cols.append(F.col("sig").alias("signature"))
+    return sig.select(*cols)
 
 
 def _cap_hot_bands(bands: DataFrame, cap: int) -> DataFrame:

@@ -25,16 +25,30 @@ def test_minhash_lsh_recall_vs_exact(spark, sf_dir):
 
 
 def test_minhash_signatures_deterministic(spark, sf_dir):
-    a = dedup.minhash_signatures(spark, sf_dir).orderBy("doc_id").collect()
-    b = dedup.minhash_signatures(spark, sf_dir).orderBy("doc_id").collect()
+    a = (
+        dedup.minhash_signatures(spark, sf_dir, include_array=True)
+        .orderBy("doc_id")
+        .collect()
+    )
+    b = (
+        dedup.minhash_signatures(spark, sf_dir, include_array=True)
+        .orderBy("doc_id")
+        .collect()
+    )
     assert [r.signature for r in a] == [r.signature for r in b]
     assert all(len(r.signature) == dedup.N_HASHES for r in a)
+    # the driver-facing digest pins the full array: equal arrays ⇒ equal
+    # digests, and the default projection carries no array column at all
+    assert all(isinstance(r.sig_digest, int) for r in a)
+    default_cols = dedup.minhash_signatures(spark, sf_dir).columns
+    assert "signature" not in default_cols
+    assert "sig_digest" in default_cols
 
 
 def test_identical_docs_identical_signature(spark, sf_dir):
     """Docs with identical shingle sets must have identical signatures and
     be emitted by LSH with jaccard 1.0 (if any exist at this SF)."""
-    sig = dedup.minhash_signatures(spark, sf_dir)
+    sig = dedup.minhash_signatures(spark, sf_dir, include_array=True)
     t = dedup._doc_shingles(spark, sf_dir)
     from pyspark.sql import functions as F
 
