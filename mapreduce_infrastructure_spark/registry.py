@@ -50,80 +50,78 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # Ordering is therefore a curated, per-round decision, not an accident of
 # imports; CERTIFIED_HISTORY.md tracks which rounds certified what.
 #
-# Round-5 window: 50 of the 73 queries never certified in rounds 1-4 —
-# the full adapted TPC-H remainder, merge/bloom/skew/interval ops, the
-# graph tier, k-means, the sampling family, quality filters, format
-# roundtrips, the remaining streaming trio (stream_merge_upsert freshly
-# bug-fixed this round), dedup variants, text-analysis stragglers, mr_grep,
-# and the two long-deferred no-oracle building blocks (minhash_signatures,
-# multimodal_features — rows-only driver rows by design; their semantics
-# are pinned by pytest invariants + the checked minhash_lsh_pairs /
-# multimodal_meta). Everything certified green in rounds 1-4 rotates to
-# positions 51+ (green rows stand; tests/test_oracle_queries.py still
+# Round-6 window (rotation part 2 of 2, see CERTIFIED_HISTORY.md): the 28
+# queries never certified in rounds 1-5 (24 oracle-backed + 4 no-oracle),
+# plus minhash_signatures — whose only round-5 row was red (driver
+# canonicalizer crashed on the raw array<long> column, now replaced by an
+# xxhash64 sig_digest) — so it gets a clean rows-only row. The remaining
+# 21 slots backfill with the OLDEST-vintage green queries: round-1-only
+# rows, in registration order, so they re-certify fresh five rounds later.
+# After this round every registered query has a driver row (green rows
+# stand when a query rotates out; tests/test_oracle_queries.py still
 # mirrors every oracle-backed query each pytest run).
 CERTIFIED_FIRST: tuple[str, ...] = (
-    # adapted TPC-H remainder (join/agg/subquery surface, SURVEY §2B)
-    "q2_min_cost_supplier",
-    "q4_priority_exists",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_profit_by_nation_year",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q12_ship_delay_priority",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_parts_supplier_count",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q20_excess_stock_suppliers",
-    "q21_waiting_suppliers",
-    "q22_idle_customers",
-    # merge / skew / bloom / interval relational ops
-    "merge_upsert_customers",
-    "salted_join_hot_users",
-    "bloom_prune_semi_join",
-    "interval_overlap_join",
-    # graph + clustering tiers
-    "pagerank_trade_graph",
-    "triangle_counts_parts",
-    "kmeans_embeddings",
-    # sampling / corpus-assembly family
-    "sample_stratified_mix",
-    "sample_temperature_mix",
-    "sample_fixed_k",
-    "sample_token_budget",
-    "sample_source_uniqueness",
-    "pack_sequences",
-    "decontaminate_benchmark",
-    # quality filters
-    "pii_redact",
-    # formats & layouts
-    "orc_roundtrip_orders",
-    "schema_evolution_read",
-    # streaming remainder
-    "stream_merge_upsert",
-    "stream_enrich_static_join",
-    "stream_anomaly_zscore",
-    # dedup variants
-    "dedup_clusters_star",
-    "dedup_canonical_docs",
-    "ppjoin_pairs",
-    # text-analysis stragglers
-    "skipgram_cooccurrence",
-    "bpe_learn_merges",
-    # temporal analytics
-    "cohort_retention",
-    "ohlc_hourly_purchases",
-    "scd2_event_type_runs",
-    # MapReduce-compat
-    "mr_grep",
-    # no-oracle building blocks, deferred since round 2 (rows-only rows)
+    # --- never-certified backlog, part 2 (28) ---
+    # relational / analytic extras
+    "data_quality_audit",
+    "join_key_skew_report",
+    "unpivot_revenue_components",
+    "incremental_agg_maintenance",
+    "rolling_7day_active_users",
+    "copurchase_supplier_pairs",
+    "gapfill_hourly_value",
+    "event_transition_matrix",
+    "concurrent_sessions_peak",
+    "attribution_first_last_touch",
+    # stats tier
+    "exact_percentiles_disc",
+    "histogram_order_totals",
+    "anomaly_zscore_events",
+    "winsorized_stats",
+    # graph
+    "pagerank_personalized",
+    "fuzzy_match_nations",
+    # layouts / shuffle utilities
+    "compact_small_files",
+    "hilbert_pruning_stats",
+    "global_shuffle_shards",
+    # sketches / ANN (no-oracle: hilbert_pruning_stats, frequent_terms_sketch,
+    # ann_opq_topk, quality_classifier_scores — rows-only by design)
+    "frequent_terms_sketch",
+    "ann_opq_topk",
+    # quality / corpus pipeline
+    "quality_quantile_filter",
+    "quality_classifier_scores",
+    "corpus_assemble_pipeline",
+    "repetition_signals",
+    "chunk_documents",
+    "boilerplate_ngram_filter",
+    # clustering
+    "kmeans_parallel_seeds",
+    # --- red-row redo: round 5's only failed row, projection now fixed ---
     "minhash_signatures",
-    "multimodal_features",
+    # --- backfill (21): round-1-vintage greens, oldest first ---
+    "q1_pricing_summary",
+    "filter_project",
+    "agg_stats",
+    "distinct_pairs",
+    "count_distinct",
+    "approx_distinct_parts",
+    "rollup_returns",
+    "cube_orders",
+    "grouping_sets_mix",
+    "having_heavy_customers",
+    "join_region_customers",
+    "q3_shipping_priority",
+    "join_left_order_counts",
+    "join_semi_active",
+    "join_anti_inactive",
+    "join_range_quantity_size",
+    "join_full_nation_counts",
+    "top10_orders",
+    "set_union_nations",
+    "set_intersect_nations",
+    "set_except_nations",
 )
 
 
