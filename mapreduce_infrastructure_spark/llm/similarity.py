@@ -301,13 +301,25 @@ def _fit_centroids_distributed(vecs: DataFrame) -> np.ndarray:
     only the 4,096-row sample. Costs one Spark job per Lloyd iteration —
     the same trade kmeans_embeddings makes (llm/kmeans.py). Means are
     snapped to the 1e-9 grid through DECIMAL(28,9) sums, so the fit is
-    deterministic under any partitioning."""
+    deterministic under any partitioning.
+
+    Seeding is ``orderBy(vec_id).limit(k)`` — the k lowest ids whatever
+    their values — NOT ``filter(vec_id < k)``, which silently under-seeds
+    on offset or sparse id spaces. Each re-mean LEFT-joins back onto the
+    previous iteration's centroids so a cell that attracted no points this
+    round keeps its prior centroid (matching _fit_centroids_sample) and C
+    never shrinks below min(k, corpus rows)."""
     k = _IVF_CELLS
     g = 1_000_000_000
     pts = vecs.select("vec_id", F.col("d").alias("x")).persist()
-    centroids = pts.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cid"), F.col("x").alias("c")
-    )
+    from pyspark.sql import Window
+
+    # limit(k) collapses to a CollectLimit of k rows; the row_number window
+    # then runs over those k rows only — no global single-partition sort.
+    seeds = pts.orderBy("vec_id").limit(k)
+    centroids = seeds.withColumn(
+        "cid", F.row_number().over(Window.orderBy("vec_id")) - 1
+    ).select("cid", F.col("x").alias("c"))
     dist = F.aggregate(
         F.zip_with("x", "c", lambda a, b: (a - b) * (a - b)),
         F.lit(0.0),
@@ -324,7 +336,7 @@ def _fit_centroids_distributed(vecs: DataFrame) -> np.ndarray:
             )
             .select(F.col("best.cid").alias("cid"), "x")
         )
-        centroids = (
+        remeaned = (
             assign.select("cid", F.posexplode("x").alias("pos", "xd"))
             .groupBy("cid", "pos")
             .agg(
@@ -345,14 +357,29 @@ def _fit_centroids_distributed(vecs: DataFrame) -> np.ndarray:
                 ).alias("c")
             )
         )
+        # Empty cells drop out of the groupBy; keep their previous centroid
+        # so the quantizer never loses cells mid-fit.
+        centroids = (
+            centroids.select("cid", F.col("c").alias("c_prev"))
+            .join(remeaned, "cid", "left")
+            .select("cid", F.coalesce("c", "c_prev").alias("c"))
+        )
     rows = centroids.orderBy("cid").collect()  # k rows — bounded
     pts.unpersist()
     return np.array([r.c for r in rows])
 
 
+# Above this many corpus rows the 4,096-row sample stops being a trusted
+# picture of the embedding distribution (≤ ~0.4% of a 1M corpus) and the
+# quantizer fit switches to the distributed Lloyd loop, whose cost is
+# amortized by the corpus scan it replaces misassignments on. Below it the
+# driver-side numpy fit wins outright (milliseconds vs one job/iteration).
+_IVF_DISTRIBUTED_MIN_ROWS = 1_000_000
+
+
 @query("ann_ivf_topk", tags=("similarity", "ann", "ivf"))
 def ann_ivf_topk(
-    spark: SparkSession, sf_dir: str, fit: str = "sample"
+    spark: SparkSession, sf_dir: str, fit: str = "auto"
 ) -> DataFrame:
     """IVF (inverted-file) ANN: a seeded k-means coarse quantizer assigns
     every vector to one of 16 cells; each query probes its 3 nearest cells
@@ -366,15 +393,22 @@ def ann_ivf_topk(
     oracle (k-means cells are engine-specific); tests measure recall vs
     knn_bruteforce.
 
-    ``fit="distributed"`` swaps the quantizer fit for the fully
-    distributed Lloyd loop (_fit_centroids_distributed) — every row votes
-    in the re-mean at one Spark job per iteration; same downstream plan."""
+    ``fit`` picks the quantizer fit: ``"sample"`` (driver-side numpy Lloyd
+    on the deterministic 4,096-row sample), ``"distributed"`` (the fully
+    distributed Lloyd loop — every row votes in the re-mean at one Spark
+    job per iteration; same downstream plan), or ``"auto"`` (default:
+    distributed above _IVF_DISTRIBUTED_MIN_ROWS corpus rows, sample below
+    — both fits are held to the same recall floor in
+    tests/test_dedup_similarity.py)."""
     vecs = _vectors(spark, sf_dir)
-    # Quantizer fit DRIVER-SIDE on a deterministic sample (numpy Lloyd,
-    # seeded) by default: the model is 16×64 doubles whatever the corpus
-    # size, and a distributed iterative fit pays one Spark job per
-    # iteration for work a single core finishes in milliseconds. Only the
-    # sample collection scans (a sliver of) the corpus.
+    if fit == "auto":
+        # Parquet-metadata count — no full scan; the fixtures stay on the
+        # sample path, a 100 TB corpus lands on the distributed fit.
+        fit = (
+            "distributed"
+            if vecs.count() >= _IVF_DISTRIBUTED_MIN_ROWS
+            else "sample"
+        )
     if fit == "distributed":
         C = _fit_centroids_distributed(vecs)
     else:

@@ -149,6 +149,20 @@ def test_ann_ivf_distributed_fit_recall(spark, sf_dir):
     assert (C1 == C2).all(), "distributed fit depends on partitioning"
 
 
+def test_distributed_fit_offset_sparse_ids(spark, sf_dir):
+    """Seeding must not assume zero-based contiguous vec_ids: with every id
+    offset by 1e9 (so no id < k exists) the fit must still return a full
+    k×dim centroid matrix identical to the unshifted fit."""
+    from pyspark.sql import functions as F
+
+    vecs = similarity._vectors(spark, sf_dir)
+    C0 = similarity._fit_centroids_distributed(vecs)
+    shifted = vecs.withColumn("vec_id", F.col("vec_id") + 1_000_000_000)
+    C1 = similarity._fit_centroids_distributed(shifted)
+    assert C0.shape == (similarity._IVF_CELLS, C0.shape[1])
+    assert (C0 == C1).all(), "fit depends on the id space, not just order"
+
+
 def test_neardup_cosine_ivf_recall(spark, sf_dir):
     """IVF-blocked near-dup must find most exact pairs (recall >= 0.6 on the
     fixtures) and report the SAME cosine for every pair it emits."""
