@@ -244,7 +244,7 @@ def minhash_signatures(
     return sig.select(*cols)
 
 
-def _cap_hot_bands(bands: DataFrame, cap: int) -> DataFrame:
+def _cap_hot_bands(bands: DataFrame, cap: int, slot: str = "") -> DataFrame:
     """Bound every (band_id, band_hash) bucket to ``cap`` docs before the
     bucket self-join (SURVEY §7's "salted keys for skew" risk, applied to
     LSH): keep the ``cap`` lowest doc_ids per bucket (deterministic under
@@ -282,11 +282,15 @@ def _cap_hot_bands(bands: DataFrame, cap: int) -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.partitionBy("band_id", "band_hash").orderBy("doc_id")
-    return (
+    capped = (
         bands.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= cap)
         .drop("rn")
     )
+    # The caller self-joins this result; without a persist the row_number
+    # window recomputes for BOTH join sides. Only reached when truncation
+    # actually occurred, so the healthy-corpus path pays nothing.
+    return _tracked_persist(capped, slot or "lsh_bands_capped")
 
 
 @query("minhash_lsh_pairs", tags=("dedup", "minhash", "lsh"))
@@ -325,7 +329,7 @@ def minhash_lsh_pairs(
     ).select("doc_id", F.col("band.band_id").alias("band_id"),
              F.col("band.band_hash").alias("band_hash"))
     bands = _tracked_persist(bands, f"minhash_bands:{sf_dir}")
-    bands = _cap_hot_bands(bands, hot_band_cap)
+    bands = _cap_hot_bands(bands, hot_band_cap, f"minhash_bands_capped:{sf_dir}")
 
     a, b = bands.alias("a"), bands.alias("b")
     candidates = (

@@ -292,8 +292,31 @@ def avro_available(spark: SparkSession) -> bool:
             "avro", spark._jsparkSession.sessionState().conf()
         )
         return True
+    except Exception as e:
+        msg = str(e)
+        # Only a definitive "the source is not registered" answer may say
+        # absent; any OTHER failure here means the private lookup API
+        # itself broke (Py4J path / renamed internals in a future Spark),
+        # which says nothing about the connector.
+        if (
+            "Failed to find data source" in msg
+            or "DATA_SOURCE_NOT_FOUND" in msg
+            or "ClassNotFoundException" in msg
+        ):
+            return False
+    # Lookup API unusable — fall back to a real 1-row write probe before
+    # declaring the connector absent.
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="avro_probe_")
+    try:
+        spark.range(1).write.mode("overwrite").format("avro").save(tmp)
+        return True
     except Exception:
         return False
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def avro_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
