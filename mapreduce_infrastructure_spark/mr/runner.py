@@ -79,6 +79,22 @@ def run_mr_job(
         reducer = reducer_factory()
         # Reference reducers see keys in sorted order (std::map iteration,
         # src/mr_tasks.h:117-138); preserve that per-partition contract.
+        #
+        # MEMORY BOUND (inherited from the reference's semantics, not an
+        # accident): ``reduce(key, values)`` hands the reducer ONE KEY'S
+        # complete value list as an in-memory Python list, and the
+        # ``sorted(pairs)`` needed for the sorted-key contract holds one
+        # PARTITION's (key, iterable) groups at once — the same
+        # all-values-of-a-key-in-RAM model as the reference's
+        # ``std::map<string, vector<string>>`` (src/mr_tasks.h:101). A key
+        # with ~10^8 values will OOM the Python worker here exactly as it
+        # would OOM the reference's reducer process. This bound applies
+        # ONLY to this black-box-UDF compat tier; the declarative queries
+        # aggregate via Spark's spilling hash/sort aggregates and have no
+        # such limit. Raise ``num_output_files`` (R) to shrink partitions;
+        # a hot KEY cannot be split without changing reducer semantics.
+        # tests/test_mr_compat.py::test_mr_hot_key_single_key_million_values
+        # pins the practical envelope (10^6 values on one key completes).
         for key, values in sorted(pairs, key=lambda kv: kv[0]):
             reducer.reduce(key, list(values))
             yield from reducer._drain()

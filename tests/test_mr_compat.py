@@ -44,6 +44,32 @@ def test_custom_mapper_reducer(spark):
     assert out == {"a": "ab|ab|ax", "c": "cd|cy"}
 
 
+def test_mr_hot_key_single_key_million_values(spark):
+    """Pin the compat tier's documented memory envelope (runner.py
+    reduce_partition): ONE key carrying 10^6 values — the reference's
+    all-values-of-a-key-in-RAM model (src/mr_tasks.h:101) — must complete
+    with the correct fold, not die quietly. Declarative aggregations have
+    no such bound (they spill); this proves the stated bound is real
+    headroom, not a guess."""
+
+    class EmitMapper(BaseMapper):
+        def map(self, record: str) -> None:
+            n = int(record)
+            for i in range(n):
+                self.emit("hot", "1")
+
+    class CountReducer(BaseReducer):
+        def reduce(self, key, values) -> None:
+            self.emit(key, str(sum(int(v) for v in values)))
+
+    register_tasks("test_hotkey", EmitMapper, CountReducer)
+    # 32 input records × 31,250 emits each = 10^6 values on a single key,
+    # produced across partitions so the shuffle really concentrates them.
+    df = spark.createDataFrame([("31250",)] * 32, "text string").repartition(8)
+    out = {r.key: r.value for r in run_mr_job(spark, df, "test_hotkey", 4).collect()}
+    assert out == {"hot": "1000000"}
+
+
 def test_write_sorted_text_contract(spark, tmp_path):
     """Exactly R files, globally key-sorted across file sequence, reference
     line format 'key, value'."""
