@@ -33,6 +33,23 @@ from ..functions.exact import rnd
 from ..registry import query
 
 
+# Persisted working sets, one slot per (query, sf_dir) — same bounded-cache
+# pattern as llm/dedup.py: re-invoking a query unpersists the previous
+# invocation's copy first.
+_CACHE: dict[str, DataFrame] = {}
+
+
+def _tracked_persist(df: DataFrame, slot: str) -> DataFrame:
+    prev = _CACHE.get(slot)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass
+    _CACHE[slot] = df.persist()
+    return _CACHE[slot]
+
+
 def _as_double(col: str | Column) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.transform(c, lambda x: x.cast("double"))
@@ -508,27 +525,47 @@ def _fit_pq_codebooks(unit: DataFrame) -> np.ndarray:
     return np.array(books)
 
 
-def _sub_dists(books: np.ndarray, col: str, m: int) -> Column:
-    """array<struct<dist,code>> of squared L2 from subvector m of ``col`` to
-    each centroid of subspace m."""
-    sub_dim = books.shape[2]
-    sub = F.slice(F.col(col), m * sub_dim + 1, sub_dim)
-    return F.array(
+def _sub_dists(books: np.ndarray, col: str) -> Column:
+    """Per subspace m, the array<struct<dist,code>> of squared L2 from
+    subvector m of ``col`` to each centroid of subspace m (centroids in
+    code order — the positional ADC lookup depends on it): one nested
+    higher-order expression over a nested codebook literal, returning
+    array (per m) of array<struct<dist,code>>.
+
+    Same codegen lesson as minhash_signature above: the unrolled form
+    (M×K separate F.aggregate expressions, 128 here) made Janino compile
+    a huge whole-stage method that dominated small-scale runtime (~5-8 s
+    per PQ/OPQ plan); this single nested expression compiles in
+    milliseconds and computes the identical values."""
+    m_count, k_count, sub_dim = (int(s) for s in books.shape)
+    B = F.array(
         *[
-            F.struct(
+            F.array(
+                *[
+                    F.array(*[F.lit(float(x)) for x in books[m][c]])
+                    for c in range(k_count)
+                ]
+            )
+            for m in range(m_count)
+        ]
+    )
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(m_count - 1)),
+        lambda m: F.transform(
+            F.element_at(B, m + 1),
+            lambda cb, c: F.struct(
                 F.aggregate(
                     F.zip_with(
-                        sub,
-                        F.array(*[F.lit(float(x)) for x in books[m][c]]),
+                        F.slice(F.col(col), m * sub_dim + 1, sub_dim),
+                        cb,
                         lambda x, cc: (x - cc) * (x - cc),
                     ),
                     F.lit(0.0),
                     lambda s, x: s + x,
                 ).alias("dist"),
-                F.lit(c).alias("code"),
-            )
-            for c in range(books.shape[1])
-        ]
+                c.alias("code"),
+            ),
+        ),
     )
 
 
@@ -554,21 +591,31 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.transform("d", lambda x: x / F.col("nrm")).alias("u")
     )
     books = _fit_pq_codebooks(unit)
-    return _pq_adc_topk(unit, books)
+    return _pq_adc_topk(unit, books, slot=f"pq:{sf_dir}")
 
 
-def _pq_adc_topk(unit: DataFrame, books: np.ndarray) -> DataFrame:
+def _pq_adc_topk(unit: DataFrame, books: np.ndarray, slot: str = "pq") -> DataFrame:
     """Shared PQ machinery: encode `unit` (vec_id, u) against `books`,
     ADC-rank by table-sum, exact-re-rank the top-_PQ_CANDIDATES, return
     top-3 per query. Used by both the PQ and OPQ tiers (OPQ feeds a
     rotated `unit`; cosine re-rank is rotation-invariant so the returned
-    cosines are the true ones either way)."""
+    cosines are the true ones either way).
+
+    ``unit`` is persisted here: it is referenced three times (encode,
+    query table, exact re-rank), and without materialization projection
+    collapse inlines the normalize/rotate expression into every element
+    of the nested codegen'd codes/dtab expressions — interpreted HOF
+    evaluation has no common-subexpression elimination, so the norm
+    aggregate re-evaluates per (subspace, centroid) element (measured
+    ~25 s at sf0.01 vs ~0.3 s materialized). At scale this is the same
+    working-set persist the dedup tier applies to its shingle tables."""
     from pyspark.sql import Window
 
+    unit = _tracked_persist(unit, f"pq_unit:{slot}")
     encoded = unit.select(
         "vec_id",
-        F.array(
-            *[F.array_min(_sub_dists(books, "u", m))["code"] for m in range(_PQ_M)]
+        F.transform(
+            _sub_dists(books, "u"), lambda per_m: F.array_min(per_m)["code"]
         ).alias("codes"),
     )
     # Query side: distance TABLE per subspace — dist to every centroid IN
@@ -577,13 +624,9 @@ def _pq_adc_topk(unit: DataFrame, books: np.ndarray) -> DataFrame:
     q = unit.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("u").alias("qu"),
-        F.array(
-            *[
-                F.transform(
-                    _sub_dists(books, "u", m), lambda s: s["dist"]
-                )
-                for m in range(_PQ_M)
-            ]
+        F.transform(
+            _sub_dists(books, "u"),
+            lambda per_m: F.transform(per_m, lambda s: s["dist"]),
         ).alias("dtab"),
     )
     adc = F.aggregate(
@@ -703,7 +746,7 @@ def ann_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.Series(list(M @ R))
 
     rotated = unit.select("vec_id", _rotate(F.col("u")).alias("u"))
-    return _pq_adc_topk(rotated, books)
+    return _pq_adc_topk(rotated, books, slot=f"opq:{sf_dir}")
 
 
 def _cell_dists(C: np.ndarray, col: str) -> Column:
