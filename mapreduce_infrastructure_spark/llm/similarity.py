@@ -801,10 +801,16 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     C = _fit_centroids_sample(unit.select("vec_id", F.col("u").alias("d")))
     cells = F.slice(F.array_sort(_cell_dists(C, "u")), 1, _SEM_ASSIGN)
-    assigned = unit.select(
-        "vec_id",
-        "u",
-        F.explode(F.transform(cells, lambda s: s["cell"])).alias("cell"),
+    # Persisted: the bucket self-join reads this twice, and without the
+    # barrier projection collapse re-inlines the normalize + 16-centroid
+    # distance expressions into both sides.
+    assigned = _tracked_persist(
+        unit.select(
+            "vec_id",
+            "u",
+            F.explode(F.transform(cells, lambda s: s["cell"])).alias("cell"),
+        ),
+        f"semantic_assigned:{sf_dir}",
     )
     a, b = assigned.alias("a"), assigned.alias("b")
     candidates = (
@@ -852,11 +858,17 @@ def neardup_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = _vectors(spark, sf_dir)
     C = _fit_centroids_sample(vecs)
     two_cells = F.slice(F.array_sort(_cell_dists(C, "d")), 1, 2)
-    assigned = vecs.select(
-        "vec_id",
-        "d",
-        "nrm",
-        F.explode(F.transform(two_cells, lambda s: s["cell"])).alias("cell"),
+    # Persisted for the same reason as the semantic tier: the bucket
+    # self-join would otherwise recompute the 16-centroid assignment
+    # expression for both sides.
+    assigned = _tracked_persist(
+        vecs.select(
+            "vec_id",
+            "d",
+            "nrm",
+            F.explode(F.transform(two_cells, lambda s: s["cell"])).alias("cell"),
+        ),
+        f"neardup_ivf_assigned:{sf_dir}",
     )
     # Candidates as ID pairs only, deduped BEFORE the exact verify: a pair
     # sharing both assigned cells would otherwise pay the 64-d cosine twice,
