@@ -19,6 +19,7 @@ seed columns), so results are stable across runs and cluster sizes.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
@@ -226,8 +227,10 @@ def minhash_signatures(
     single-long ``sig_digest`` = xxhash64 of the full array). The raw
     ``array<long>`` column is NOT in the default projection: the driver's
     canonicalizer sorts rows column-wise and array cells are unhashable
-    there; the digest pins full-array equality just as strongly. Tests pass
-    ``include_array=True`` to assert determinism over every element.
+    there; the digest pins full-array equality up to 64-bit hash collisions
+    (xxhash64 is non-cryptographic — digest equality is necessary, not
+    sufficient, for element-wise equality). Tests pass ``include_array=True``
+    to assert determinism over every element directly.
     Deterministic but engine-specific hashing → no SQL oracle; invariants
     (signature equality tracks Jaccard) are asserted in tests/test_dedup.py."""
     sig = _signatures(_doc_shingles(spark, sf_dir))
@@ -367,28 +370,41 @@ def minhash_lsh_pairs(
 
 @pandas_udf(LongType())
 def _simhash64(tokens: pd.Series) -> pd.Series:
-    """64-bit SimHash of a token array (Arrow-batched; the only Python hop in
-    this module, vectorized per batch). Uses blake2b for engine-independent
-    determinism."""
+    """64-bit SimHash of a token array (Arrow-batched AND numpy-vectorized
+    within the batch: each token is blake2b-hashed once, then bit-unpacking,
+    per-bit voting, per-row vote totals (cumsum + offset differences), the
+    sign step, and the bit re-pack all run as whole-batch matrix ops — no
+    per-token or per-bit Python loop). blake2b keeps the fingerprints
+    engine-independent; output is bit-identical to the scalar definition:
+    bit i of the fingerprint is set iff sum over tokens of
+    (±1 by bit i of the token's big-endian 8-byte blake2b digest) > 0,
+    reinterpreted as a signed 64-bit long."""
     import hashlib
 
-    def one(toks) -> int:
-        votes = [0] * 64
-        if toks is not None:
-            for t in toks:
-                h = int.from_bytes(
-                    hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(), "big"
-                )
-                for i in range(64):
-                    votes[i] += 1 if (h >> i) & 1 else -1
-        v = 0
-        for i in range(64):
-            if votes[i] > 0:
-                v |= 1 << i
-        # two's-complement into signed 64-bit (Spark LongType)
-        return v - (1 << 64) if v >= (1 << 63) else v
-
-    return tokens.apply(one)
+    lens = np.fromiter(
+        (0 if t is None else len(t) for t in tokens), dtype=np.int64, count=len(tokens)
+    )
+    n = len(lens)
+    if n == 0 or lens.sum() == 0:
+        return pd.Series(np.zeros(n, dtype=np.int64))
+    digests = b"".join(
+        hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest()
+        for toks in tokens
+        if toks is not None
+        for t in toks
+    )
+    H = np.frombuffer(digests, dtype=np.uint8).reshape(-1, 8)
+    # Column j = bit j of the big-endian digest integer ((h >> j) & 1):
+    # reverse the bytes so byte 0 holds bits 0-7, then unpack little-endian.
+    bits = np.unpackbits(H[:, ::-1], axis=1, bitorder="little")
+    votes = bits.astype(np.int64) * 2 - 1
+    csum = np.vstack([np.zeros((1, 64), dtype=np.int64), votes.cumsum(axis=0)])
+    ends = lens.cumsum()
+    row_votes = csum[ends] - csum[ends - lens]
+    # Sign bits → uint64 little-endian bytes → reinterpret as signed long
+    # (exactly the two's-complement mapping Spark's LongType expects).
+    packed = np.packbits(row_votes > 0, axis=1, bitorder="little")
+    return pd.Series(packed.ravel().view("<i8").copy())
 
 
 @query("simhash_neardup_pairs", tags=("dedup", "simhash"))

@@ -308,82 +308,71 @@ def _fit_centroids_sample(vecs: DataFrame) -> np.ndarray:
 
 def _fit_centroids_distributed(vecs: DataFrame) -> np.ndarray:
     """Distributed Lloyd fit of the IVF coarse quantizer: seeds = the
-    _IVF_CELLS lowest vec_ids, then _IVF_ITERS assign/re-mean rounds as
-    DataFrame ops (broadcast centroids → struct-min assignment →
-    posexplode per-dimension means), collecting only the final k×dim
-    centroid matrix (16×64 doubles — bounded whatever the corpus size).
+    _IVF_CELLS lowest vec_ids, then _IVF_ITERS assign/re-mean rounds.
+    Each round is ONE Spark job: JVM-side nearest-centroid assignment
+    against the current centroids as literals (the same _cell_dists
+    expression the downstream corpus assignment uses), then a single
+    groupBy(cid) with one DECIMAL(28,9) column-sum per dimension plus a
+    count — no row inflation, and the per-dimension sums combine map-side
+    (partial HashAggregate) before the k-row shuffle. The ≤ k×(dim+1)
+    stats rows are collected and the means are computed on the driver,
+    snapped to the 1e-9 grid (floor(sum/n·1e9 + 0.5)/1e9 on float64 —
+    bit-identical to the double arithmetic Spark would do), so the fit is
+    deterministic under any partitioning.
+
+    Materializing the k×dim matrix between iterations (k·dim = 1,024
+    doubles — bounded whatever the corpus size) keeps every iteration's
+    plan constant-size; the earlier join-chained variant doubled the
+    unmaterialized centroid plan per iteration (~2^iters subtree copies
+    analyzed at the final collect) and posexploded every vector into dim
+    rows per re-mean (a 64× shuffle-volume tax, now gone).
 
     The alternative to _fit_centroids_sample when the corpus's tail
     matters to cell quality: every row votes in every re-mean instead of
-    only the 4,096-row sample. Costs one Spark job per Lloyd iteration —
-    the same trade kmeans_embeddings makes (llm/kmeans.py). Means are
-    snapped to the 1e-9 grid through DECIMAL(28,9) sums, so the fit is
-    deterministic under any partitioning.
+    only the 4,096-row sample — the same trade kmeans_embeddings makes
+    (llm/kmeans.py).
 
     Seeding is ``orderBy(vec_id).limit(k)`` — the k lowest ids whatever
     their values — NOT ``filter(vec_id < k)``, which silently under-seeds
-    on offset or sparse id spaces. Each re-mean LEFT-joins back onto the
-    previous iteration's centroids so a cell that attracted no points this
-    round keeps its prior centroid (matching _fit_centroids_sample) and C
-    never shrinks below min(k, corpus rows)."""
+    on offset or sparse id spaces. A cell that attracts no points in a
+    round keeps its previous centroid (matching _fit_centroids_sample),
+    so C never shrinks below min(k, corpus rows)."""
+    import math
+
     k = _IVF_CELLS
     g = 1_000_000_000
-    pts = vecs.select("vec_id", F.col("d").alias("x")).persist()
-    from pyspark.sql import Window
-
-    # limit(k) collapses to a CollectLimit of k rows; the row_number window
-    # then runs over those k rows only — no global single-partition sort.
-    seeds = pts.orderBy("vec_id").limit(k)
-    centroids = seeds.withColumn(
-        "cid", F.row_number().over(Window.orderBy("vec_id")) - 1
-    ).select("cid", F.col("x").alias("c"))
-    dist = F.aggregate(
-        F.zip_with("x", "c", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda s, v: s + v,
-    )
+    pts = vecs.select(F.col("d").alias("x"), "vec_id").persist()
+    # limit(k) collapses to a CollectLimit of k rows — no global sort; the
+    # k seed vectors (cid = rank of vec_id) are bounded driver state.
+    seed_rows = pts.orderBy("vec_id").limit(k).select("x").collect()
+    C = np.array([r.x for r in seed_rows])
+    dim = C.shape[1]
     for _ in range(_IVF_ITERS):
-        assign = (
-            pts.crossJoin(F.broadcast(centroids))
-            .withColumn("dist", dist)
-            .groupBy("vec_id")
-            .agg(
-                F.min(F.struct("dist", "cid")).alias("best"),
-                F.first("x").alias("x"),
-            )
-            .select(F.col("best.cid").alias("cid"), "x")
-        )
-        remeaned = (
-            assign.select("cid", F.posexplode("x").alias("pos", "xd"))
-            .groupBy("cid", "pos")
-            .agg(
-                (
-                    F.floor(
-                        F.sum(F.col("xd").cast("decimal(28,9)")).cast("double")
-                        / F.count(F.lit(1))
-                        * g
-                        + F.lit(0.5)
-                    ).cast("double")
-                    / g
-                ).alias("cd")
+        stats = (
+            pts.select(
+                F.array_min(_cell_dists(C, "x"))["cell"].alias("cid"), "x"
             )
             .groupBy("cid")
             .agg(
-                F.expr(
-                    "transform(array_sort(collect_list(struct(pos, cd))), s -> s.cd)"
-                ).alias("c")
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(
+                        F.element_at("x", i + 1).cast("decimal(28,9)")
+                    ).alias(f"s{i}")
+                    for i in range(dim)
+                ],
             )
+            .collect()  # ≤ k rows of (cid, n, dim sums) — bounded
         )
-        # Empty cells drop out of the groupBy; keep their previous centroid
-        # so the quantizer never loses cells mid-fit.
-        centroids = (
-            centroids.select("cid", F.col("c").alias("c_prev"))
-            .join(remeaned, "cid", "left")
-            .select("cid", F.coalesce("c", "c_prev").alias("c"))
-        )
-    rows = centroids.orderBy("cid").collect()  # k rows — bounded
+        newC = C.copy()  # empty cells keep their previous centroid
+        for r in stats:
+            newC[r.cid] = [
+                math.floor(float(r[2 + i]) / r.n * g + 0.5) / g
+                for i in range(dim)
+            ]
+        C = newC
     pts.unpersist()
-    return np.array([r.c for r in rows])
+    return C
 
 
 # Above this many corpus rows the 4,096-row sample stops being a trusted
@@ -419,8 +408,10 @@ def ann_ivf_topk(
     tests/test_dedup_similarity.py)."""
     vecs = _vectors(spark, sf_dir)
     if fit == "auto":
-        # Parquet-metadata count — no full scan; the fixtures stay on the
-        # sample path, a 100 TB corpus lands on the distributed fit.
+        # Column-pruned count: _vectors is a computed projection, so this is
+        # a real (if cheap) zero-data-column scan job, not a pure metadata
+        # lookup. The fixtures stay on the sample path, a 100 TB corpus
+        # lands on the distributed fit.
         fit = (
             "distributed"
             if vecs.count() >= _IVF_DISTRIBUTED_MIN_ROWS

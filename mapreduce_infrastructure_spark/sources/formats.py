@@ -304,19 +304,25 @@ def avro_available(spark: SparkSession) -> bool:
             or "ClassNotFoundException" in msg
         ):
             return False
-    # Lookup API unusable — fall back to a real 1-row write probe before
-    # declaring the connector absent.
-    import shutil
-    import tempfile
-
-    tmp = tempfile.mkdtemp(prefix="avro_probe_")
+    # Lookup API unusable — fall back to a READ-PLAN probe on a path that
+    # cannot exist: planning resolves the DataSource before touching any
+    # files, so a present connector fails with a path error while an absent
+    # one fails with the not-found/ClassNotFound family. Plan-only and
+    # driver-side — no executor write, so the probe answers identically on
+    # a multi-node cluster without shared scratch storage (a write probe
+    # to a driver-local tempdir would not).
     try:
-        spark.range(1).write.mode("overwrite").format("avro").save(tmp)
-        return True
-    except Exception:
-        return False
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        spark.read.format("avro").load(
+            "/nonexistent-avro-probe-path/definitely-absent"
+        )
+        return True  # unreachable in practice, but a success means present
+    except Exception as e:
+        msg = str(e)
+        return not (
+            "Failed to find data source" in msg
+            or "DATA_SOURCE_NOT_FOUND" in msg
+            or "ClassNotFoundException" in msg
+        )
 
 
 def avro_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
