@@ -50,78 +50,69 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # Ordering is therefore a curated, per-round decision, not an accident of
 # imports; CERTIFIED_HISTORY.md tracks which rounds certified what.
 #
-# Round-6 window (rotation part 2 of 2, see CERTIFIED_HISTORY.md): the 28
-# queries never certified in rounds 1-5 (24 oracle-backed + 4 no-oracle),
-# plus minhash_signatures — whose only round-5 row was red (driver
-# canonicalizer crashed on the raw array<long> column, now replaced by an
-# xxhash64 sig_digest) — so it gets a clean rows-only row. The remaining
-# 21 slots backfill with the OLDEST-vintage green queries: round-1-only
-# rows, in registration order, so they re-certify fresh five rounds later.
-# After this round every registered query has a driver row (green rows
-# stand when a query rotates out; tests/test_oracle_queries.py still
-# mirrors every oracle-backed query each pytest run).
+# Round-7 window (pure re-certification — every query already has a
+# standing green row as of round 6, see CERTIFIED_HISTORY.md): the 50
+# STALEST standing rows by vintage (vintage = most recent round with a
+# green driver row). First the 25 queries whose only green row is from
+# round 1 — six rounds old by now — then the 25 oldest round-4-vintage
+# rows (the rounds-2–4 window was byte-identical; its last green is r04),
+# in that window's recorded order. The remaining 25 r4-vintage rows plus
+# the r5 cohort rotate in next round. Green rows stand when a query
+# rotates out; tests/test_oracle_queries.py still mirrors every
+# oracle-backed query each pytest run.
 CERTIFIED_FIRST: tuple[str, ...] = (
-    # --- never-certified backlog, part 2 (28) ---
-    # relational / analytic extras
-    "data_quality_audit",
-    "join_key_skew_report",
-    "unpivot_revenue_components",
-    "incremental_agg_maintenance",
-    "rolling_7day_active_users",
-    "copurchase_supplier_pairs",
-    "gapfill_hourly_value",
-    "event_transition_matrix",
-    "concurrent_sessions_peak",
-    "attribution_first_last_touch",
-    # stats tier
-    "exact_percentiles_disc",
-    "histogram_order_totals",
-    "anomaly_zscore_events",
-    "winsorized_stats",
-    # graph
-    "pagerank_personalized",
-    "fuzzy_match_nations",
-    # layouts / shuffle utilities
-    "compact_small_files",
-    "hilbert_pruning_stats",
-    "global_shuffle_shards",
-    # sketches / ANN (no-oracle: hilbert_pruning_stats, frequent_terms_sketch,
-    # ann_opq_topk, quality_classifier_scores — rows-only by design)
-    "frequent_terms_sketch",
-    "ann_opq_topk",
-    # quality / corpus pipeline
-    "quality_quantile_filter",
-    "quality_classifier_scores",
-    "corpus_assemble_pipeline",
-    "repetition_signals",
-    "chunk_documents",
-    "boilerplate_ngram_filter",
-    # clustering
-    "kmeans_parallel_seeds",
-    # --- red-row redo: round 5's only failed row, projection now fixed ---
-    "minhash_signatures",
-    # --- backfill (21): round-1-vintage greens, oldest first ---
-    "q1_pricing_summary",
-    "filter_project",
-    "agg_stats",
-    "distinct_pairs",
-    "count_distinct",
-    "approx_distinct_parts",
-    "rollup_returns",
-    "cube_orders",
-    "grouping_sets_mix",
-    "having_heavy_customers",
-    "join_region_customers",
-    "q3_shipping_priority",
-    "join_left_order_counts",
-    "join_semi_active",
-    "join_anti_inactive",
-    "join_range_quantity_size",
-    "join_full_nation_counts",
-    "top10_orders",
-    "set_union_nations",
-    "set_intersect_nations",
-    "set_except_nations",
+    # --- round-1-vintage re-certifications (25) ---
+    "q5_supplier_revenue",
+    "join_right_orders_customer",
+    "cross_join_region_status",
+    "salted_agg_user_value",
+    "set_ops_all_variants",
+    "argmax_top_order",
+    "correlated_max_acctbal",
+    "in_subquery_parts",
+    "approx_percentiles_price",
+    "window_rank_acctbal",
+    "window_running_total",
+    "window_lag_lead",
+    "window_movavg_ntile",
+    "window_first_last",
+    "window_range_7day_sum",
+    "asof_join_purchase_click",
+    "latest_event_per_user",
+    "stats_corr_qty_price",
+    "stats_moments_by_status",
+    "scalar_string_funcs",
+    "scalar_date_funcs",
+    "scalar_math_funcs",
+    "json_extract_props",
+    "json_agg_by_type",
+    "array_functions",
+    # --- round-4-vintage re-certifications (25, rounds-2–4 window order) ---
+    "case_when_buckets",
+    "pivot_status_by_priority",
+    "funnel_click_purchase",
+    "map_functions",
+    "posexplode_tokens",
+    "udf_price_per_unit",
+    "udaf_median_price",
+    "csv_roundtrip_nation",
+    "json_roundtrip_events",
+    "text_scan_doc_langs",
+    "parquet_partitioned_prune",
+    "bucketed_join_orders_customer",
+    "zorder_pruning_stats",
+    "window_tumbling_hourly",
+    "window_sliding_1h_15m",
+    "session_window_30m",
+    "sessionize_gaps",
+    "rollup_hierarchical_daily",
+    "stream_tumbling_hourly",
+    "stream_user_totals",
+    "stream_join_click_purchase",
+    "stream_dedup_events",
+    "stream_sliding_1h_15m",
+    "stream_session_window_30m",
+    "wordcount",
 )
 
 
