@@ -378,7 +378,14 @@ def _simhash64(tokens: pd.Series) -> pd.Series:
     engine-independent; output is bit-identical to the scalar definition:
     bit i of the fingerprint is set iff sum over tokens of
     (±1 by bit i of the token's big-endian 8-byte blake2b digest) > 0,
-    reinterpreted as a signed 64-bit long."""
+    reinterpreted as a signed 64-bit long.
+
+    Why not a pure-JVM expression: an xxhash64 + nested
+    aggregate/zip_with/transform higher-order-function formulation was
+    measured 2.6× SLOWER than this Arrow path at sf0.1 (HOFs are
+    interpreted and allocate a 64-wide vote array per token); after the
+    numpy rewrite the batch cost here is dominated by the blake2b calls
+    themselves (~1.7M tokens/s/core), which is the right bottleneck."""
     import hashlib
 
     lens = np.fromiter(
@@ -396,11 +403,18 @@ def _simhash64(tokens: pd.Series) -> pd.Series:
     H = np.frombuffer(digests, dtype=np.uint8).reshape(-1, 8)
     # Column j = bit j of the big-endian digest integer ((h >> j) & 1):
     # reverse the bytes so byte 0 holds bits 0-7, then unpack little-endian.
-    bits = np.unpackbits(H[:, ::-1], axis=1, bitorder="little")
-    votes = bits.astype(np.int64) * 2 - 1
-    csum = np.vstack([np.zeros((1, 64), dtype=np.int64), votes.cumsum(axis=0)])
+    bits = np.unpackbits(H[:, ::-1], axis=1, bitorder="little").astype(np.int32)
+    # Per-row ±1 vote totals as 2·(set-bit count) − n_tokens; the set-bit
+    # counts come from one reduceat over the nonempty rows' token segments
+    # (reduceat needs strictly valid segment starts, so empty rows — whose
+    # votes are all zero — are filled in separately).
     ends = lens.cumsum()
-    row_votes = csum[ends] - csum[ends - lens]
+    nonempty = lens > 0
+    row_votes = np.zeros((n, 64), dtype=np.int64)
+    row_votes[nonempty] = (
+        2 * np.add.reduceat(bits, (ends - lens)[nonempty], axis=0)
+        - lens[nonempty, None]
+    )
     # Sign bits → uint64 little-endian bytes → reinterpret as signed long
     # (exactly the two's-complement mapping Spark's LongType expects).
     packed = np.packbits(row_votes > 0, axis=1, bitorder="little")
