@@ -348,22 +348,7 @@ def _fit_centroids_distributed(vecs: DataFrame) -> np.ndarray:
     C = np.array([r.x for r in seed_rows])
     dim = C.shape[1]
     for _ in range(_IVF_ITERS):
-        stats = (
-            pts.select(
-                F.array_min(_cell_dists(C, "x"))["cell"].alias("cid"), "x"
-            )
-            .groupBy("cid")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                *[
-                    F.sum(
-                        F.element_at("x", i + 1).cast("decimal(28,9)")
-                    ).alias(f"s{i}")
-                    for i in range(dim)
-                ],
-            )
-            .collect()  # ≤ k rows of (cid, n, dim sums) — bounded
-        )
+        stats = _lloyd_iteration_stats(pts, C).collect()
         newC = C.copy()  # empty cells keep their previous centroid
         for r in stats:
             newC[r.cid] = [
@@ -373,6 +358,30 @@ def _fit_centroids_distributed(vecs: DataFrame) -> np.ndarray:
         C = newC
     pts.unpersist()
     return C
+
+
+def _lloyd_iteration_stats(pts: DataFrame, C: np.ndarray) -> DataFrame:
+    """One Lloyd iteration's cluster statistics as a single-shuffle plan:
+    nearest-centroid assignment against literal centroids, then a
+    groupBy(cid) with a count and one DECIMAL(28,9) column-sum per
+    dimension. Returns ≤ len(C) rows of (cid, n, s0..s{dim-1}) — bounded
+    driver state whatever the corpus size. Kept separate from the fit loop
+    so tests can assert the plan shape (no row-inflating Generate, no
+    cartesian product, partial aggregation before the shuffle)."""
+    dim = C.shape[1]
+    return (
+        pts.select(F.array_min(_cell_dists(C, "x"))["cell"].alias("cid"), "x")
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(F.element_at("x", i + 1).cast("decimal(28,9)")).alias(
+                    f"s{i}"
+                )
+                for i in range(dim)
+            ],
+        )
+    )
 
 
 # Above this many corpus rows the 4,096-row sample stops being a trusted

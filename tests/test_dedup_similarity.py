@@ -500,3 +500,24 @@ def test_lsh_hot_band_cap_bounds_boilerplate_corpus(spark, tmp_path):
         warnings.simplefilter("error", RuntimeWarning)
         ok = dedup.minhash_lsh_pairs(spark, sf, hot_band_cap=n + 1).collect()
     assert len(ok) == n * (n - 1) // 2
+
+
+def test_distributed_fit_iteration_plan(spark, sf_dir):
+    """The distributed Lloyd iteration must stay a single-shuffle,
+    constant-width plan: literal-centroid assignment (no join of any kind),
+    a partial-then-final HashAggregate on cid, and NO row-inflating
+    Generate (the earlier posexplode re-mean multiplied shuffle volume by
+    the vector dimension)."""
+    import numpy as np
+    from mapreduce_infrastructure_spark.plans.checks import explain_str
+    from pyspark.sql import functions as F
+
+    vecs = similarity._vectors(spark, sf_dir)
+    pts = vecs.select(F.col("d").alias("x"), "vec_id")
+    C = np.zeros((similarity._IVF_CELLS, 64))
+    plan = explain_str(similarity._lloyd_iteration_stats(pts, C))
+    assert "Generate" not in plan, f"row-inflating explode in Lloyd plan:\n{plan}"
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan, f"unexpected join in Lloyd plan:\n{plan}"
+    assert "HashAggregate" in plan
+    assert plan.count("Exchange") <= 2, f"more than one shuffle:\n{plan}"
