@@ -521,3 +521,45 @@ def test_distributed_fit_iteration_plan(spark, sf_dir):
     assert "Join" not in plan, f"unexpected join in Lloyd plan:\n{plan}"
     assert "HashAggregate" in plan
     assert plan.count("Exchange") <= 2, f"more than one shuffle:\n{plan}"
+
+
+def test_simhash_udf_matches_scalar_reference(spark):
+    """The numpy-vectorized _simhash64 batch must stay bit-identical to the
+    scalar SimHash definition (per-token blake2b, per-bit ±1 votes, sign),
+    including None / empty / trailing-empty rows — the property the banded
+    pair join depends on for stability across refactors."""
+    import hashlib
+    import random
+
+    import pandas as pd
+
+    def scalar(toks):
+        votes = [0] * 64
+        if toks is not None:
+            for t in toks:
+                h = int.from_bytes(
+                    hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(),
+                    "big",
+                )
+                for i in range(64):
+                    votes[i] += 1 if (h >> i) & 1 else -1
+        v = 0
+        for i in range(64):
+            if votes[i] > 0:
+                v |= 1 << i
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    rng = random.Random(11)
+    rows = []
+    for _ in range(300):
+        k = rng.randint(0, 40)
+        rows.append(
+            [f"tok{rng.randint(0, 200)}" for _ in range(k)]
+            if k
+            else (None if rng.random() < 0.5 else [])
+        )
+    rows += [None, [], ["solo"], []]
+    batch = pd.Series(rows, dtype=object)
+    got = list(dedup._simhash64.func(batch))
+    want = [scalar(t) for t in rows]
+    assert got == want
