@@ -658,3 +658,73 @@ def _ngrams_col(toks: Column, n: int) -> Column:
     return F.array_distinct(
         F.when(F.size(toks) >= n, zipped).otherwise(F.array().cast("array<string>"))
     )
+
+
+# Sample size for the weighted draw; small enough that TakeOrderedAndProject
+# keeps the selection driver-bounded at any corpus scale.
+_AES_K = 64
+
+
+@query(
+    "sample_weighted_aes",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(regexp_split_to_array(lower(text), '{TOKEN_DELIM}'),
+                                  t -> t <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), keyed AS (
+      SELECT doc_id, lang, n_tokens,
+             POWER((CAST(CAST('0x' || substr(md5('aes:' || CAST(doc_id AS VARCHAR)), 1, 6)
+                              AS INTEGER) AS DOUBLE) + 1.0) / 16777216.0,
+                   1.0 / CAST(n_tokens AS DOUBLE)) AS k
+      FROM toks WHERE n_tokens > 0
+    )
+    SELECT doc_id, lang, n_tokens,
+           floor(k * 1000000 + 0.5) / 1000000 AS sample_key
+    FROM keyed
+    ORDER BY k DESC, doc_id
+    LIMIT {_AES_K}
+    """,
+    tags=("sampling", "llm"),
+)
+def sample_weighted_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, one pass, no RNG state:
+    Efraimidis–Spirakis A-ES (Inf. Proc. Letters 97(5), 2006). Each doc
+    draws a deterministic uniform u from md5 (the same content-addressed
+    randomness as the rest of the sampling tier), forms key = u^(1/w) with
+    w = token count, and the global top-K keys ARE a weighted sample —
+    P(doc in sample) ∝ its token mass, which is exactly how a
+    token-budgeted training mix wants to draw "epoch slices" from a
+    corpus (long docs proportionally more likely, no per-stratum quotas).
+
+    Beyond the reference (no sampling surface at all); complements
+    `sample_fixed_k` (uniform) and `sample_token_budget` (hard cap).
+
+    Plan shape at 100 TB: scan → per-row key expression (all codegen) →
+    TakeOrderedAndProject(K=64): per-partition top-K then a driver merge of
+    num_partitions·K rows — no full sort, no shuffle of the corpus. The
+    u=(m+1)/16^6 mapping keeps u>0 so pow is finite; keys are compared
+    unrounded (selection), and only the reported `sample_key` is rounded
+    at 1e-6 for the cross-engine check. Both engines evaluate the same
+    IEEE-double expression bit-identically (verified: conv/md5/pow parity
+    probes in tests), so the differential check is hash-stable.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.size(tokens_col()).cast("long").alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    m = F.conv(_u6("aes", F.col("doc_id")), 16, 10).cast("long")
+    u = (m.cast("double") + F.lit(1.0)) / F.lit(16777216.0)
+    k = F.pow(u, F.lit(1.0) / F.col("n_tokens").cast("double"))
+    return (
+        toks.withColumn("k", k)
+        .orderBy(F.desc("k"), F.asc("doc_id"))
+        .limit(_AES_K)
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            rnd(F.col("k"), 6).alias("sample_key"),
+        )
+    )

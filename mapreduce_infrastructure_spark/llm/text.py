@@ -608,3 +608,149 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .persist()
             )
     return spark.createDataFrame(rules, "step int, p1 string, p2 string, cnt bigint")
+
+
+@query(
+    "source_unigram_kl",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source,
+             unnest(list_filter(regexp_split_to_array(lower(text), '{TOKEN_DELIM}'),
+                                x -> x <> '')) AS term
+      FROM documents
+    ), st AS (
+      SELECT source, term, COUNT(*) AS c_st FROM toks GROUP BY source, term
+    ), s_tot AS (
+      SELECT source, CAST(SUM(c_st) AS BIGINT) AS c_s,
+             CAST(COUNT(*) AS BIGINT) AS n_terms
+      FROM st GROUP BY source
+    ), g AS (
+      SELECT term, CAST(SUM(c_st) AS BIGINT) AS g_t FROM st GROUP BY term
+    ), tot AS (SELECT CAST(SUM(g_t) AS BIGINT) AS g_total FROM g)
+    SELECT st.source, s_tot.c_s AS n_tokens, s_tot.n_terms,
+           floor(SUM((CAST(c_st AS DOUBLE) / c_s)
+                     * ln((CAST(c_st AS DOUBLE) / c_s)
+                          / (CAST(g_t AS DOUBLE) / g_total))) * 1000000 + 0.5)
+             / 1000000 AS kl_nats
+    FROM st
+    JOIN g USING (term)
+    JOIN s_tot USING (source)
+    CROSS JOIN tot
+    GROUP BY st.source, s_tot.c_s, s_tot.n_terms
+    """,
+    tags=("text", "stats", "llm"),
+)
+def source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence KL(P_source || P_corpus) between each
+    source's unigram term distribution and the whole-corpus distribution —
+    the mixture-drift monitor a corpus team watches when a crawl source
+    starts emitting off-distribution text (spam bursts, template pages).
+
+    Beyond the reference (its text surface is word count,
+    ``test/user_tasks.cc:9-35``); this is corpus telemetry for the
+    training-mix tier.
+
+    Plan shape at 100 TB: ONE explode+groupBy pass builds the
+    (source, term) count table — shuffle on the composite key, partial
+    aggregation map-side — which is then persisted: it is referenced by
+    three consumers (the per-source totals, the global term counts, and
+    the scoring join), and without the persist each one would re-tokenize
+    the whole corpus. The persisted table is aggregate-sized
+    (|vocabulary|·|sources| rows, orders of magnitude below the corpus).
+    The scoring join on `term` is vocabulary-keyed on both sides, so it
+    stays a shuffle hash join rather than a broadcast; the per-source
+    totals (|sources| rows) and the single-row corpus total — derived from
+    the per-source totals, not from a fourth corpus pass — broadcast.
+    Every p·ln(p/q) term is an exact-integer ratio fed to `ln`, and the
+    final sum is rounded at 1e-6 (`rnd`), far above the ~1e-13
+    cross-engine summation-order noise, so the differential check is
+    stable. KL(source‖corpus) is finite by construction: every source
+    term is also a corpus term, so q > 0 always.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    st = (
+        docs.select("source", F.explode(tokens_col()).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c_st"))
+        .persist()  # 3 consumers below; without this, 3 corpus re-scans
+    )
+    s_tot = st.groupBy("source").agg(
+        F.sum("c_st").alias("c_s"), F.count(F.lit(1)).alias("n_terms")
+    )
+    g = st.groupBy("term").agg(F.sum("c_st").alias("g_t"))
+    # Corpus token total: one row, folded from the |sources|-row totals.
+    tot = s_tot.agg(F.sum("c_s").alias("g_total"))
+    p = F.col("c_st").cast("double") / F.col("c_s")
+    q = F.col("g_t").cast("double") / F.col("g_total")
+    return (
+        st.join(g, "term")
+        .join(F.broadcast(s_tot), "source")
+        .join(F.broadcast(tot))
+        .groupBy("source", "c_s", "n_terms")
+        .agg(rnd(F.sum(p * F.log(p / q)), 6).alias("kl_nats"))
+        .select(
+            "source",
+            F.col("c_s").alias("n_tokens"),
+            "n_terms",
+            "kl_nats",
+        )
+    )
+
+
+@query(
+    "doc_char_entropy",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, unnest(regexp_split_to_array(text, '')) AS ch
+      FROM documents
+    ), cc AS (
+      SELECT doc_id, ch, COUNT(*) AS c FROM chars WHERE ch <> ''
+      GROUP BY doc_id, ch
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_chars,
+           CAST(COUNT(*) AS BIGINT) AS distinct_chars,
+           floor((ln(CAST(SUM(c) AS DOUBLE))
+                  - SUM(c * ln(CAST(c AS DOUBLE))) / SUM(c)) * 1000000 + 0.5)
+             / 1000000 AS entropy_nats
+    FROM cc
+    GROUP BY doc_id
+    """,
+    tags=("text", "quality", "llm"),
+)
+def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-level Shannon entropy (nats) — the classic
+    cheap quality signal: near-zero entropy flags repeated-character junk
+    and template spam, abnormally high entropy flags binary-in-text and
+    encoding garbage. Complements `repetition_signals` (n-gram level) at
+    the character level.
+
+    H = ln(n) − (Σ c·ln c)/n over per-doc character counts — every input
+    to `ln` is an exact integer count, so the only cross-engine noise is
+    summation order, absorbed by the 1e-6 rounding.
+
+    Plan shape at 100 TB: explode to (doc, char) pairs, two-level
+    aggregation — partial map-side count per (doc_id, ch) (at most
+    ~alphabet-size rows per doc survive the partial agg), shuffle on
+    doc_id, final per-doc fold. No Python, whole-stage codegen throughout.
+    Caveat (documented, not hit by the ASCII fixtures): Spark's split("")
+    yields UTF-16 code units for non-BMP code points while DuckDB splits
+    code points, so supplementary-plane text would count surrogate halves.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cc = (
+        docs.select("doc_id", F.explode(F.split(F.col("text"), "")).alias("ch"))
+        .filter(F.col("ch") != "")
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = F.sum("c")
+    return cc.groupBy("doc_id").agg(
+        n.alias("n_chars"),
+        F.count(F.lit(1)).alias("distinct_chars"),
+        rnd(
+            F.log(n.cast("double"))
+            - F.sum(F.col("c") * F.log(F.col("c").cast("double"))) / n,
+            6,
+        ).alias("entropy_nats"),
+    )

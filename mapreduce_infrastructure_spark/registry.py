@@ -50,17 +50,24 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # Ordering is therefore a curated, per-round decision, not an accident of
 # imports; CERTIFIED_HISTORY.md tracks which rounds certified what.
 #
-# Round-7 window (pure re-certification — every query already has a
-# standing green row as of round 6, see CERTIFIED_HISTORY.md): the 50
-# STALEST standing rows by vintage (vintage = most recent round with a
-# green driver row). First the 25 queries whose only green row is from
-# round 1 — six rounds old by now — then the 25 oldest round-4-vintage
-# rows (the rounds-2–4 window was byte-identical; its last green is r04),
-# in that window's recorded order. The remaining 25 r4-vintage rows plus
-# the r5 cohort rotate in next round. Green rows stand when a query
-# rotates out; tests/test_oracle_queries.py still mirrors every
-# oracle-backed query each pytest run.
+# Round-7 window: the 3 queries ADDED this round lead (first-time
+# certification — new queries must land inside the window or they'd have
+# no driver row at all), followed by re-certification of the stalest
+# standing rows by vintage (vintage = most recent round with a green
+# driver row): the 25 queries whose only green row is from round 1 — six
+# rounds old by now — then the 22 oldest round-4-vintage rows (the
+# rounds-2–4 window was byte-identical; its last green is r04), in that
+# window's recorded order. The 3 r4-vintage rows displaced by the new
+# queries (stream_sliding_1h_15m, stream_session_window_30m, wordcount)
+# keep their standing r04 green rows and lead the round-8 rotation with
+# the remaining r4 cohort. Green rows stand when a query rotates out;
+# tests/test_oracle_queries.py still mirrors every oracle-backed query
+# each pytest run.
 CERTIFIED_FIRST: tuple[str, ...] = (
+    # --- new in round 7: corpus-telemetry + weighted-sampling tier (3) ---
+    "source_unigram_kl",
+    "doc_char_entropy",
+    "sample_weighted_aes",
     # --- round-1-vintage re-certifications (25) ---
     "q5_supplier_revenue",
     "join_right_orders_customer",
@@ -87,7 +94,7 @@ CERTIFIED_FIRST: tuple[str, ...] = (
     "json_extract_props",
     "json_agg_by_type",
     "array_functions",
-    # --- round-4-vintage re-certifications (25, rounds-2–4 window order) ---
+    # --- round-4-vintage re-certifications (22, rounds-2–4 window order) ---
     "case_when_buckets",
     "pivot_status_by_priority",
     "funnel_click_purchase",
@@ -110,9 +117,6 @@ CERTIFIED_FIRST: tuple[str, ...] = (
     "stream_user_totals",
     "stream_join_click_purchase",
     "stream_dedup_events",
-    "stream_sliding_1h_15m",
-    "stream_session_window_30m",
-    "wordcount",
 )
 
 

@@ -267,3 +267,47 @@ def test_quality_classifier_contract(spark, sf_dir):
     assert auc >= 0.9, auc
     again = {r.doc_id: r.prob for r in quality_classifier_scores(spark, sf_dir).collect()}
     assert max(abs(again[r.doc_id] - r.prob) for r in rows) <= 1e-3
+
+
+def test_weighted_aes_selection_matches_scalar_reference(spark, sf_dir):
+    """The distributed top-K by u^(1/w) must equal a pure-Python A-ES
+    computed from the raw parquet (pins md5 derivation, the u=(m+1)/16^6
+    mapping, and the pow ordering end-to-end)."""
+    import hashlib
+    import re
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pydict()
+    keys = {}
+    for doc_id, text in zip(tbl["doc_id"], tbl["text"]):
+        w = len([t for t in re.split(r"[^a-z0-9]+", text.lower()) if t])
+        if w == 0:
+            continue
+        m = int(hashlib.md5(f"aes:{doc_id}".encode()).hexdigest()[:6], 16)
+        keys[doc_id] = ((m + 1) / 16777216.0) ** (1.0 / w)
+    expect = set(sorted(keys, key=lambda d: (-keys[d], d))[: sampling._AES_K])
+    got = {r.doc_id for r in sampling.sample_weighted_aes(spark, sf_dir).collect()}
+    assert got == expect
+
+
+def test_weighted_aes_biases_long_docs_and_stays_driver_bounded(spark, sf_dir):
+    """A-ES with w = token count must overrepresent long documents
+    (P(selected) ∝ token mass), and the physical plan must be a
+    per-partition top-K + driver merge, not a global sort."""
+    df = sampling.sample_weighted_aes(spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) == sampling._AES_K
+    assert len({r.doc_id for r in rows}) == len(rows)  # without replacement
+    corpus_mean = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.avg(F.size(sampling.tokens_col())).alias("m"))
+        .collect()[0]
+        .m
+    )
+    sample_mean = sum(r.n_tokens for r in rows) / len(rows)
+    assert sample_mean > corpus_mean, (sample_mean, corpus_mean)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
