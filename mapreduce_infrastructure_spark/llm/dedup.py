@@ -31,21 +31,9 @@ from ..functions.exact import rnd
 from ..registry import query
 from .text import tokens_col
 
-# Persisted working sets, one slot per (query, sf_dir): re-invoking a query
-# unpersists the previous invocation's cache first, so session storage is
-# bounded at one copy per query instead of leaking a copy per call.
-_CACHE: dict[str, DataFrame] = {}
-
-
-def _tracked_persist(df: DataFrame, slot: str) -> DataFrame:
-    prev = _CACHE.get(slot)
-    if prev is not None:
-        try:
-            prev.unpersist()
-        except Exception:
-            pass
-    _CACHE[slot] = df.persist()
-    return _CACHE[slot]
+# Persisted working sets, one slot per (query, sf_dir) — bounded-cache
+# helper shared across the LLM tier (see llm/cache.py).
+from .cache import tracked_persist as _tracked_persist
 
 # --------------------------------------------------------------------------
 # Shingling

@@ -33,21 +33,9 @@ from ..functions.exact import rnd
 from ..registry import query
 
 
-# Persisted working sets, one slot per (query, sf_dir) — same bounded-cache
-# pattern as llm/dedup.py: re-invoking a query unpersists the previous
-# invocation's copy first.
-_CACHE: dict[str, DataFrame] = {}
-
-
-def _tracked_persist(df: DataFrame, slot: str) -> DataFrame:
-    prev = _CACHE.get(slot)
-    if prev is not None:
-        try:
-            prev.unpersist()
-        except Exception:
-            pass
-    _CACHE[slot] = df.persist()
-    return _CACHE[slot]
+# Persisted working sets, one slot per (query, sf_dir) — bounded-cache
+# helper shared across the LLM tier (see llm/cache.py).
+from .cache import tracked_persist as _tracked_persist
 
 
 def _as_double(col: str | Column) -> Column:

@@ -667,12 +667,16 @@ def source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     stable. KL(source‖corpus) is finite by construction: every source
     term is also a corpus term, so q > 0 always.
     """
+    from .cache import tracked_persist
+
     docs = load_table(spark, sf_dir, "documents")
-    st = (
+    # 3 consumers below; without the persist, 3 corpus re-scans. Tracked
+    # per (query, sf_dir) slot so repeated invocations don't leak copies.
+    st = tracked_persist(
         docs.select("source", F.explode(tokens_col()).alias("term"))
         .groupBy("source", "term")
-        .agg(F.count(F.lit(1)).alias("c_st"))
-        .persist()  # 3 consumers below; without this, 3 corpus re-scans
+        .agg(F.count(F.lit(1)).alias("c_st")),
+        f"source_unigram_kl:{sf_dir}",
     )
     s_tot = st.groupBy("source").agg(
         F.sum("c_st").alias("c_s"), F.count(F.lit(1)).alias("n_terms")
