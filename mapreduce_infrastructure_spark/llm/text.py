@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..catalog import load_table
 from ..functions.exact import rnd
 from ..registry import query
+from .cache import tracked_persist
 
 # Tokenizer contract shared by Spark and the DuckDB oracle. Equivalent to the
 # reference's strtok delimiter set on this corpus (lowercase words joined by
@@ -667,8 +668,6 @@ def source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     stable. KL(source‖corpus) is finite by construction: every source
     term is also a corpus term, so q > 0 always.
     """
-    from .cache import tracked_persist
-
     docs = load_table(spark, sf_dir, "documents")
     # 3 consumers below; without the persist, 3 corpus re-scans. Tracked
     # per (query, sf_dir) slot so repeated invocations don't leak copies.
@@ -737,9 +736,11 @@ def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation — partial map-side count per (doc_id, ch) (at most
     ~alphabet-size rows per doc survive the partial agg), shuffle on
     doc_id, final per-doc fold. No Python, whole-stage codegen throughout.
-    Caveat (documented, not hit by the ASCII fixtures): Spark's split("")
-    yields UTF-16 code units for non-BMP code points while DuckDB splits
-    code points, so supplementary-plane text would count surrogate halves.
+    Both engines split by CODE POINT, including supplementary-plane text:
+    Java's zero-width Pattern.split never splits inside a surrogate pair
+    (so Spark's split("") yields whole code points, not UTF-16 halves) and
+    DuckDB's regexp_split_to_array is code-point based — pinned by the
+    emoji parity test in tests/test_text_telemetry.py.
     """
     docs = load_table(spark, sf_dir, "documents")
     cc = (

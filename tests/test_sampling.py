@@ -311,3 +311,71 @@ def test_weighted_aes_biases_long_docs_and_stays_driver_bounded(spark, sf_dir):
     assert sample_mean > corpus_mean, (sample_mean, corpus_mean)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_weighted_aes_key_parity_and_selection_margin(spark, sf_dir):
+    """Quantify the cross-engine float risk in the A-ES oracle instead of
+    assuming it away. JVM Math.pow and libm pow each get 1 ulp of spec
+    slack, and on this fixture they DO disagree in the last bit for a few
+    documents — so this pins the two properties that keep the
+    differential gate safe anyway:
+
+    1. per-doc divergence is ≤ 2 ulp (not bit-identity, but tightly
+       bounded), and
+    2. the key gap at the rank-K selection boundary dwarfs that
+       divergence, so both engines select the same K documents.
+
+    (The reported `sample_key` column additionally survives the 1e-6
+    rounding unless a key lands within ~1 ulp of a rounding boundary —
+    the end-to-end oracle test covers the rounded output.)"""
+    import math
+
+    import duckdb
+
+    from mapreduce_infrastructure_spark.llm.text import TOKEN_DELIM
+
+    m = F.conv(sampling._u6("aes", F.col("doc_id")), 16, 10).cast("long")
+    u = (m.cast("double") + F.lit(1.0)) / F.lit(16777216.0)
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(sampling.tokens_col()).cast("long").alias("w"))
+        .filter(F.col("w") > 0)
+    )
+    spark_keys = {
+        r.doc_id: r.k
+        for r in toks.select(
+            "doc_id", F.pow(u, F.lit(1.0) / F.col("w").cast("double")).alias("k")
+        ).collect()
+    }
+    con = duckdb.connect()
+    duck_keys = dict(
+        con.execute(
+            f"""
+        SELECT doc_id,
+               POWER((CAST(CAST('0x' || substr(md5('aes:' || CAST(doc_id AS VARCHAR)), 1, 6)
+                                AS INTEGER) AS DOUBLE) + 1.0) / 16777216.0,
+                     1.0 / CAST(len(list_filter(regexp_split_to_array(lower(text), '{TOKEN_DELIM}'),
+                                                t -> t <> '')) AS DOUBLE)) AS k
+        FROM read_parquet('{sf_dir}/documents.parquet')
+        WHERE len(list_filter(regexp_split_to_array(lower(text), '{TOKEN_DELIM}'),
+                              t -> t <> '')) > 0
+        """
+        ).fetchall()
+    )
+    assert set(spark_keys) == set(duck_keys)
+    max_div = 0.0
+    for d, ks in spark_keys.items():
+        div = abs(ks - duck_keys[d])
+        assert div <= 2 * math.ulp(ks), (d, ks, duck_keys[d])
+        max_div = max(max_div, div)
+    # Selection safety: the gap between rank K and rank K+1 must dwarf the
+    # worst observed engine divergence (keys are md5-uniform, so near-ties
+    # at the boundary are ~P(gap < 1e-16) ≈ 1e-13 per round).
+    ordered = sorted(spark_keys.values(), reverse=True)
+    k = sampling._AES_K
+    if len(ordered) > k:
+        boundary_gap = ordered[k - 1] - ordered[k]
+        assert boundary_gap > max(1000 * max_div, 1e-12), (
+            boundary_gap,
+            max_div,
+        )

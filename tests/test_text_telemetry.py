@@ -31,6 +31,9 @@ def test_source_kl_gibbs_and_scalar_reference(spark, sf_dir):
     per_source: dict[str, Counter] = {}
     for source, text in zip(tbl["source"], tbl["text"]):
         per_source.setdefault(source, Counter()).update(_tokens(text))
+    # A source whose documents yield no tokens produces no (source, term)
+    # rows, hence no output row — mirror that in the reference.
+    per_source = {s: c for s, c in per_source.items() if c}
     corpus: Counter = Counter()
     for c in per_source.values():
         corpus.update(c)
@@ -69,3 +72,26 @@ def test_char_entropy_bounds_and_scalar_reference(spark, sf_dir):
         assert r.n_chars == n
         assert r.distinct_chars == len(counts)
         assert abs(r.entropy_nats - h) <= 2e-6, (r.doc_id, r.entropy_nats, h)
+
+
+def test_char_split_code_point_parity_non_bmp(spark):
+    """Both engines split text by CODE POINT, surrogate pairs intact —
+    the property the doc_char_entropy oracle relies on, pinned here with
+    supplementary-plane input since the fixtures are ASCII-only."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    s = "ab\U0001F600c\U0001F680\U0001F680"  # emoji = non-BMP code points
+    got_spark = (
+        spark.createDataFrame([(s,)], "t string")
+        .select(F.split("t", "").alias("cs"))
+        .collect()[0]
+        .cs
+    )
+    got_duck = duckdb.sql(
+        "select regexp_split_to_array(?, '')", params=[s]
+    ).fetchone()[0]
+    expect = list(s)  # Python strings are code-point sequences
+    assert got_spark == expect
+    assert got_duck == expect
