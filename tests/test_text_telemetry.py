@@ -95,3 +95,129 @@ def test_char_split_code_point_parity_non_bmp(spark):
     expect = list(s)  # Python strings are code-point sequences
     assert got_spark == expect
     assert got_duck == expect
+
+
+def _boundary_margin(x: float, digits: int = 6) -> float:
+    """Distance from x·10^d + 0.5 to the nearest integer — how close the
+    convention-free rounding floor(x·10^d + 0.5) is to flipping."""
+    import math as _m
+
+    y = x * (10**digits) + 0.5
+    return abs(y - round(y)) / (10**digits)
+
+
+def test_kl_and_entropy_rounding_margins_cross_engine(spark, sf_dir):
+    """The certified outputs round an order-dependent double sum at 1e-6;
+    a cross-engine flake needs the UNROUNDED values to differ AND to
+    straddle a rounding boundary. Measure both margins on the real
+    fixture instead of assuming them: unrounded Spark-vs-DuckDB
+    divergence must stay tiny, and no value may sit so close to a
+    boundary that that divergence could flip the rounded output."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_infrastructure_spark.catalog import load_table
+    from mapreduce_infrastructure_spark.llm.text import TOKEN_DELIM, tokens_col
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+
+    # --- source_unigram_kl, unrounded ---
+    docs = load_table(spark, sf_dir, "documents")
+    st = (
+        docs.select("source", F.explode(tokens_col()).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c_st"))
+    )
+    s_tot = st.groupBy("source").agg(F.sum("c_st").alias("c_s"))
+    g = st.groupBy("term").agg(F.sum("c_st").alias("g_t"))
+    tot = s_tot.agg(F.sum("c_s").alias("g_total"))
+    p = F.col("c_st").cast("double") / F.col("c_s")
+    q = F.col("g_t").cast("double") / F.col("g_total")
+    kl_spark = {
+        r.source: r.kl
+        for r in st.join(g, "term")
+        .join(F.broadcast(s_tot), "source")
+        .join(F.broadcast(tot))
+        .groupBy("source")
+        .agg(F.sum(p * F.log(p / q)).alias("kl"))
+        .collect()
+    }
+    kl_duck = dict(
+        con.execute(
+            f"""
+        WITH toks AS (
+          SELECT source,
+                 unnest(list_filter(regexp_split_to_array(lower(text), '{TOKEN_DELIM}'),
+                                    x -> x <> '')) AS term
+          FROM documents
+        ), st AS (
+          SELECT source, term, COUNT(*) AS c_st FROM toks GROUP BY source, term
+        ), s_tot AS (
+          SELECT source, CAST(SUM(c_st) AS BIGINT) AS c_s FROM st GROUP BY source
+        ), g AS (
+          SELECT term, CAST(SUM(c_st) AS BIGINT) AS g_t FROM st GROUP BY term
+        ), tot AS (SELECT CAST(SUM(g_t) AS BIGINT) AS g_total FROM g)
+        SELECT st.source,
+               SUM((CAST(c_st AS DOUBLE) / c_s)
+                   * ln((CAST(c_st AS DOUBLE) / c_s)
+                        / (CAST(g_t AS DOUBLE) / g_total))) AS kl
+        FROM st JOIN g USING (term) JOIN s_tot USING (source) CROSS JOIN tot
+        GROUP BY st.source
+        """
+        ).fetchall()
+    )
+
+    # --- doc_char_entropy, unrounded ---
+    cc = (
+        docs.select("doc_id", F.explode(F.split(F.col("text"), "")).alias("ch"))
+        .filter(F.col("ch") != "")
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = F.sum("c")
+    h_spark = {
+        r.doc_id: r.h
+        for r in cc.groupBy("doc_id")
+        .agg(
+            (
+                F.log(n.cast("double"))
+                - F.sum(F.col("c") * F.log(F.col("c").cast("double"))) / n
+            ).alias("h")
+        )
+        .collect()
+    }
+    h_duck = dict(
+        con.execute(
+            """
+        WITH chars AS (
+          SELECT doc_id, unnest(regexp_split_to_array(text, '')) AS ch
+          FROM documents
+        ), cc AS (
+          SELECT doc_id, ch, COUNT(*) AS c FROM chars WHERE ch <> ''
+          GROUP BY doc_id, ch
+        )
+        SELECT doc_id,
+               ln(CAST(SUM(c) AS DOUBLE))
+                 - SUM(c * ln(CAST(c AS DOUBLE))) / SUM(c) AS h
+        FROM cc GROUP BY doc_id
+        """
+        ).fetchall()
+    )
+
+    for name, spark_vals, duck_vals in [
+        ("kl", kl_spark, kl_duck),
+        ("entropy", h_spark, h_duck),
+    ]:
+        assert set(spark_vals) == set(duck_vals)
+        max_div = max(abs(spark_vals[k] - duck_vals[k]) for k in spark_vals)
+        # ln ulp slack + summation-order noise: orders below the rounding
+        # granularity.
+        assert max_div < 1e-9, (name, max_div)
+        min_margin = min(_boundary_margin(v) for v in spark_vals.values())
+        # No value sits within 100x the worst divergence of a boundary.
+        assert min_margin > 100 * max(max_div, 1e-15), (name, min_margin, max_div)
