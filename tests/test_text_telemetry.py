@@ -221,3 +221,66 @@ def test_kl_and_entropy_rounding_margins_cross_engine(spark, sf_dir):
         min_margin = min(_boundary_margin(v) for v in spark_vals.values())
         # No value sits within 100x the worst divergence of a boundary.
         assert min_margin > 100 * max(max_div, 1e-15), (name, min_margin, max_div)
+
+
+def test_tfidf_rounding_margin_cross_engine(spark, sf_dir):
+    """Completes the transcendental-math margin audit: tfidf is the one
+    other certified query whose float output passes through `ln` (which,
+    unlike + - * / sqrt, is NOT required to be correctly rounded). Pin the
+    unrounded tf·ln(N/df) divergence and its distance to the 1e-4
+    rounding boundary."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_infrastructure_spark.catalog import load_table
+    from mapreduce_infrastructure_spark.llm.text import TOKEN_DELIM, tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tf = (
+        docs.select("doc_id", F.explode(tokens_col()).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    spark_vals = {
+        (r.doc_id, r.term): r.tfidf
+        for r in tf.join(F.broadcast(df), "term")
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias(
+                "tfidf"
+            ),
+        )
+        .collect()
+    }
+    con = duckdb.connect()
+    duck_vals = {
+        (doc_id, term): v
+        for doc_id, term, v in con.execute(
+            f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_filter(regexp_split_to_array(lower(text), '{TOKEN_DELIM}'),
+                                    x -> x <> '')) AS term
+          FROM read_parquet('{sf_dir}/documents.parquet')
+        ), tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+        ), df AS (
+          SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+        ), n AS (SELECT COUNT(*) AS n FROM read_parquet('{sf_dir}/documents.parquet'))
+        SELECT tf.doc_id, tf.term,
+               tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n
+        """
+        ).fetchall()
+    }
+    assert set(spark_vals) == set(duck_vals)
+    max_div = max(
+        abs(spark_vals[k] - duck_vals[k]) for k in spark_vals
+    )
+    assert max_div < 1e-9, max_div
+    min_margin = min(_boundary_margin(v, 4) for v in spark_vals.values())
+    assert min_margin > 100 * max(max_div, 1e-15), (min_margin, max_div)
