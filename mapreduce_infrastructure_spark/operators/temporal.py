@@ -42,37 +42,39 @@ def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     or before it (inner — purchases with no prior click drop, matching
     DuckDB's ASOF JOIN).
 
-    Union+window form: tag clicks side=0 / purchases side=1, sort per user
-    by (ts, side) so a same-instant click sorts before the purchase (>= in
-    the oracle), and carry the last click forward. Cost at 100 TB: ONE
-    shuffle on user_id and a per-user sort — no nested loop, no range-join
-    explosion; skewed users split by AQE."""
-    ev = load_table(spark, sf_dir, "events")
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id",
-        F.col("ts"),
-        F.lit(0).alias("side"),
-        F.lit(None).cast("bigint").alias("event_id"),
-        F.col("event_id").alias("tiebreak"),
-        F.struct(F.unix_micros("ts").alias("us"), "value").alias("click"),
+    Tagged-window form: ONE scan with a pushed
+    event_type IN ('click','purchase') filter projects both sides in place
+    (side=0 for clicks, 1 for purchases — an earlier union-of-two-filters
+    formulation scanned the events table twice for the same rows), sorted
+    per user by (ts, side) so a same-instant click sorts before the
+    purchase (>= in the oracle), carrying the last click forward. Cost at
+    100 TB: one scan, ONE shuffle on user_id and a per-user sort — no
+    nested loop, no range-join explosion; skewed users split by AQE."""
+    is_click = F.col("event_type") == "click"
+    merged = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "user_id",
+            F.col("ts"),
+            F.when(is_click, F.lit(0)).otherwise(F.lit(1)).alias("side"),
+            F.when(~is_click, F.col("event_id")).alias("event_id"),
+            # (ts, side, tiebreak): the unique event_id breaks ties among
+            # clicks sharing (user_id, ts) — without it last() picks
+            # whichever the sort happened to place last, varying across
+            # partitionings.
+            F.col("event_id").alias("tiebreak"),
+            F.when(
+                is_click, F.struct(F.unix_micros("ts").alias("us"), "value")
+            ).alias("click"),
+        )
     )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id",
-        F.col("ts"),
-        F.lit(1).alias("side"),
-        "event_id",
-        F.col("event_id").alias("tiebreak"),
-        F.lit(None).cast("struct<us:bigint,value:double>").alias("click"),
-    )
-    # (ts, side, tiebreak): the unique event_id breaks ties among clicks
-    # sharing (user_id, ts) — without it last() picks whichever the sort
-    # happened to place last, varying across partitionings.
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "side", "tiebreak")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    merged = clicks.unionByName(purchases).withColumn(
+    merged = merged.withColumn(
         "last_click", F.last("click", ignorenulls=True).over(w)
     )
     return (
