@@ -735,3 +735,101 @@ def sample_weighted_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.col("k"), 6).alias("sample_key"),
         )
     )
+
+
+# Weight cap for the quality-weighted draw: bounds any single doc's draw
+# probability so one megadoc can't dominate the sample.
+_QAES_CAP = 512
+
+
+@query(
+    "sample_weighted_by_quality",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(lower(text), '{TOKEN_DELIM}'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, lang,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CASE WHEN len(toks) >= 20
+                   AND len(list_filter(toks, x -> x = 'the' OR x = 'a')) * 2
+                       <= len(toks)
+                  THEN 'ok' ELSE 'low' END AS quality_flag
+      FROM t WHERE len(toks) > 0
+    ), keyed AS (
+      SELECT doc_id, lang, n_tokens, quality_flag,
+             CASE WHEN quality_flag = 'ok'
+                  THEN least(n_tokens, {_QAES_CAP}) ELSE 1 END AS w,
+             POWER((CAST(CAST('0x' || substr(md5('qaes:' || CAST(doc_id AS VARCHAR)), 1, 6)
+                              AS INTEGER) AS DOUBLE) + 1.0) / 16777216.0,
+                   1.0 / CAST(CASE WHEN quality_flag = 'ok'
+                                   THEN least(n_tokens, {_QAES_CAP})
+                                   ELSE 1 END AS DOUBLE)) AS k
+      FROM scored
+    )
+    SELECT doc_id, lang, n_tokens, quality_flag,
+           CAST(w AS BIGINT) AS weight,
+           floor(k * 1000000 + 0.5) / 1000000 AS sample_key
+    FROM keyed
+    ORDER BY k DESC, doc_id
+    LIMIT {_AES_K}
+    """,
+    tags=("sampling", "quality", "llm"),
+)
+def sample_weighted_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ES weighted sampling with a QUALITY weight instead of raw token
+    mass: the same one-pass Efraimidis–Spirakis machinery as
+    `sample_weighted_aes`, parameterized by the `quality_scores` heuristic
+    — docs flagged 'ok' draw with weight min(n_tokens, 512) (token mass,
+    capped so no single megadoc dominates), docs flagged 'low' draw with
+    weight 1 (still sampleable, ~never chosen ahead of quality mass).
+    This is the "sample a high-quality epoch slice" primitive a training
+    mix runs after scoring, and demonstrates the sampler tier composes
+    with any per-doc weight expression.
+
+    Beyond the reference (no sampling surface at all).
+
+    Plan shape at 100 TB: identical to `sample_weighted_aes` — scan →
+    per-row codegen key expression → TakeOrderedAndProject(K=64); no
+    shuffle of the corpus, driver merge bounded at partitions·K rows.
+    Cross-engine float margins: the weight is an exact INTEGER in both
+    engines (flag logic is integer-exact, `least` on integers), so
+    1/w is one correctly-rounded division and the pow ulp analysis
+    measured for `sample_weighted_aes` (≤2 ulp per key, rank-K boundary
+    gap ~1e-13-probable to violate) carries over unchanged; the selected
+    set is additionally pinned against a scalar-Python reference in
+    tests/test_sampling.py.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(tokens_col())
+    n_stop = F.size(F.filter(tokens_col(), lambda x: (x == "the") | (x == "a")))
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        n_tokens.cast("long").alias("n_tokens"),
+        F.when((n_tokens >= 20) & (n_stop * 2 <= n_tokens), "ok")
+        .otherwise("low")
+        .alias("quality_flag"),
+    ).filter(F.col("n_tokens") > 0)
+    w = F.when(
+        F.col("quality_flag") == "ok",
+        F.least(F.col("n_tokens"), F.lit(_QAES_CAP)),
+    ).otherwise(F.lit(1))
+    m = F.conv(_u6("qaes", F.col("doc_id")), 16, 10).cast("long")
+    u = (m.cast("double") + F.lit(1.0)) / F.lit(16777216.0)
+    return (
+        scored.withColumn("weight", w.cast("long"))
+        .withColumn("k", F.pow(u, F.lit(1.0) / F.col("weight").cast("double")))
+        .orderBy(F.desc("k"), F.asc("doc_id"))
+        .limit(_AES_K)
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "quality_flag",
+            "weight",
+            rnd(F.col("k"), 6).alias("sample_key"),
+        )
+    )

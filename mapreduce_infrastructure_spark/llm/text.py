@@ -759,3 +759,166 @@ def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("entropy_nats"),
     )
+
+
+@query(
+    "doc_unigram_logloss",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '{TOKEN_DELIM}'),
+                                x -> x <> '')) AS term
+      FROM documents
+    ), dt AS (
+      SELECT doc_id, term, COUNT(*) AS c_dt FROM toks GROUP BY doc_id, term
+    ), g AS (
+      SELECT term, CAST(SUM(c_dt) AS BIGINT) AS g_t FROM dt GROUP BY term
+    ), tot AS (SELECT CAST(SUM(g_t) AS BIGINT) AS g_total FROM g)
+    SELECT dt.doc_id,
+           CAST(SUM(c_dt) AS BIGINT) AS n_tokens,
+           floor((-SUM(c_dt * ln(CAST(g_t AS DOUBLE) / g_total)) / SUM(c_dt))
+                 * 1000000 + 0.5) / 1000000 AS logloss_nats
+    FROM dt
+    JOIN g USING (term)
+    CROSS JOIN tot
+    GROUP BY dt.doc_id
+    """,
+    tags=("text", "quality", "llm"),
+)
+def doc_unigram_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean negative log-likelihood (nats/token) under the
+    CORPUS unigram distribution — the SQL-expressible stand-in for the
+    CCNet/Wikipedia-LM perplexity quality filter (Wenzek et al., "CCNet",
+    LREC 2020): documents whose token mix is far from the corpus
+    distribution (rare-token soup, boilerplate IDs, encoding junk) score
+    high and are prune candidates; exp(logloss) is the doc's unigram
+    perplexity. Complements `doc_char_entropy` (character level, no
+    corpus model) with a corpus-relative token-level signal.
+
+    Beyond the reference (its text surface is word count,
+    ``test/user_tasks.cc:9-35``).
+
+    Plan shape at 100 TB: ONE explode+groupBy pass builds the
+    (doc_id, term) count table — shuffle on the composite key with
+    map-side partial aggregation — persisted because two consumers read
+    it (the corpus term-count fold and the scoring join); without the
+    persist each would re-tokenize the corpus. The corpus model `g` is
+    vocabulary-sized and derived FROM the persisted table, not from a
+    second corpus pass; the single-row total folds from `g`. The scoring
+    join on `term` is vocabulary-keyed on both sides (doc×term rows vs
+    vocab rows), so it stays a shuffle hash join; the final per-doc fold
+    shuffles on doc_id. Every ln input is an exact integer ratio
+    (IEEE division is correctly rounded in both engines) and the output
+    is rounded at 1e-6, far above ~1e-13 summation-order noise.
+    −ln q is finite by construction: every doc term is a corpus term.
+    Zero-token docs produce no (doc_id, term) rows and hence no output
+    row, mirroring the oracle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    dt = tracked_persist(
+        docs.select("doc_id", F.explode(tokens_col()).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c_dt")),
+        f"doc_unigram_logloss:{sf_dir}",
+    )
+    g = dt.groupBy("term").agg(F.sum("c_dt").alias("g_t"))
+    tot = g.agg(F.sum("g_t").alias("g_total"))
+    q = F.col("g_t").cast("double") / F.col("g_total")
+    return (
+        dt.join(g, "term")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c_dt").alias("n_tokens"),
+            rnd(-F.sum(F.col("c_dt") * F.log(q)) / F.sum("c_dt"), 6).alias(
+                "logloss_nats"
+            ),
+        )
+    )
+
+
+@query(
+    "source_js_divergence",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source,
+             unnest(list_filter(regexp_split_to_array(lower(text), '{TOKEN_DELIM}'),
+                                x -> x <> '')) AS term
+      FROM documents
+    ), st AS (
+      SELECT source, term, COUNT(*) AS c_st FROM toks GROUP BY source, term
+    ), s_tot AS (
+      SELECT source, CAST(SUM(c_st) AS BIGINT) AS c_s FROM st GROUP BY source
+    ), g AS (
+      SELECT term, CAST(SUM(c_st) AS BIGINT) AS g_t FROM st GROUP BY term
+    ), tot AS (SELECT CAST(SUM(g_t) AS BIGINT) AS g_total FROM g
+    ), scored AS (
+      SELECT st.source, s_tot.c_s,
+             CAST(c_st AS DOUBLE) / c_s AS p,
+             CAST(g_t AS DOUBLE) / g_total AS q
+      FROM st
+      JOIN g USING (term)
+      JOIN s_tot USING (source)
+      CROSS JOIN tot
+    )
+    SELECT source, c_s AS n_tokens,
+           floor((0.5 * SUM(p * ln(2 * p / (p + q)) + q * ln(2 * q / (p + q)))
+                  + 0.5 * ln(2) * (1 - SUM(q))) * 1000000 + 0.5)
+             / 1000000 AS jsd_nats
+    FROM scored
+    GROUP BY source, c_s
+    """,
+    tags=("text", "stats", "llm"),
+)
+def source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Jensen–Shannon divergence JSD(P_source, P_corpus) —
+    the symmetric, bounded-[0, ln 2] companion to `source_unigram_kl`
+    (Lin, IEEE Trans. IT 37(1), 1991): a dashboard-friendly mixture-drift
+    metric that cannot blow up on a divergent source the way KL can.
+
+    The sum runs ONLY over terms present in the source. With
+    M = (P+Q)/2, terms outside the source's support have p = 0 and
+    contribute q·ln(q/(q/2)) = q·ln 2 to the Q-side KL, and their total
+    corpus mass is 1 − Σ_(t∈supp P) q — so
+      JSD = ½·Σ_(t∈supp P) [p·ln(2p/(p+q)) + q·ln(2q/(p+q))]
+            + ½·ln 2·(1 − Σ_(t∈supp P) q),
+    and no (source × full-vocabulary) expansion is ever materialized.
+    (Source terms are always corpus terms, so there is no p-only case.)
+
+    Plan shape at 100 TB: identical machinery to `source_unigram_kl` —
+    one explode+groupBy corpus pass into a persisted (source, term)
+    count table (aggregate-sized), vocabulary-keyed shuffle join for the
+    corpus counts, broadcast per-source totals and single-row corpus
+    total, one final |sources|-row fold. The closed-form correction term
+    keeps the absent-term mass exact instead of densifying. The 1e-6
+    rounding absorbs cross-engine summation-order noise and the ≤1-ulp
+    ln(2) difference between libm and Math.log.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    st = tracked_persist(
+        docs.select("source", F.explode(tokens_col()).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c_st")),
+        f"source_js_divergence:{sf_dir}",
+    )
+    s_tot = st.groupBy("source").agg(F.sum("c_st").alias("c_s"))
+    g = st.groupBy("term").agg(F.sum("c_st").alias("g_t"))
+    tot = s_tot.agg(F.sum("c_s").alias("g_total"))
+    p = F.col("c_st").cast("double") / F.col("c_s")
+    q = F.col("g_t").cast("double") / F.col("g_total")
+    two = F.lit(2.0)
+    inside = p * F.log(two * p / (p + q)) + q * F.log(two * q / (p + q))
+    return (
+        st.join(g, "term")
+        .join(F.broadcast(s_tot), "source")
+        .join(F.broadcast(tot))
+        .groupBy("source", "c_s")
+        .agg(
+            rnd(
+                F.lit(0.5) * F.sum(inside)
+                + F.lit(0.5) * F.log(two) * (F.lit(1.0) - F.sum(q)),
+                6,
+            ).alias("jsd_nats")
+        )
+        .select("source", F.col("c_s").alias("n_tokens"), "jsd_nats")
+    )

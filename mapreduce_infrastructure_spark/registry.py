@@ -50,24 +50,28 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # Ordering is therefore a curated, per-round decision, not an accident of
 # imports; CERTIFIED_HISTORY.md tracks which rounds certified what.
 #
-# Round-7 window: the 3 queries ADDED this round lead (first-time
+# Round-7 window: the 6 queries ADDED this round lead (first-time
 # certification — new queries must land inside the window or they'd have
 # no driver row at all), followed by re-certification of the stalest
 # standing rows by vintage (vintage = most recent round with a green
 # driver row): the 25 queries whose only green row is from round 1 — six
-# rounds old by now — then the 22 oldest round-4-vintage rows (the
+# rounds old by now — then the oldest round-4-vintage rows (the
 # rounds-2–4 window was byte-identical; its last green is r04), in that
-# window's recorded order. The 3 r4-vintage rows displaced by the new
-# queries (stream_sliding_1h_15m, stream_session_window_30m, wordcount)
+# window's recorded order. The 6 r4-vintage rows displaced by the new
+# queries (stream_sliding_1h_15m, stream_session_window_30m, wordcount,
+# stream_user_totals, stream_join_click_purchase, stream_dedup_events)
 # keep their standing r04 green rows and lead the round-8 rotation with
 # the remaining r4 cohort. Green rows stand when a query rotates out;
 # tests/test_oracle_queries.py still mirrors every oracle-backed query
 # each pytest run.
 CERTIFIED_FIRST: tuple[str, ...] = (
-    # --- new in round 7: corpus-telemetry + weighted-sampling tier (3) ---
+    # --- new in round 7: corpus-telemetry + weighted-sampling tier (6) ---
     "source_unigram_kl",
     "doc_char_entropy",
     "sample_weighted_aes",
+    "doc_unigram_logloss",
+    "source_js_divergence",
+    "sample_weighted_by_quality",
     # --- round-1-vintage re-certifications (25) ---
     "q5_supplier_revenue",
     "join_right_orders_customer",
@@ -94,7 +98,7 @@ CERTIFIED_FIRST: tuple[str, ...] = (
     "json_extract_props",
     "json_agg_by_type",
     "array_functions",
-    # --- round-4-vintage re-certifications (22, rounds-2–4 window order) ---
+    # --- round-4-vintage re-certifications (19, rounds-2–4 window order) ---
     "case_when_buckets",
     "pivot_status_by_priority",
     "funnel_click_purchase",
@@ -114,9 +118,6 @@ CERTIFIED_FIRST: tuple[str, ...] = (
     "sessionize_gaps",
     "rollup_hierarchical_daily",
     "stream_tumbling_hourly",
-    "stream_user_totals",
-    "stream_join_click_purchase",
-    "stream_dedup_events",
 )
 
 

@@ -379,3 +379,55 @@ def test_weighted_aes_key_parity_and_selection_margin(spark, sf_dir):
             boundary_gap,
             max_div,
         )
+
+
+def test_weighted_by_quality_selection_matches_scalar_reference(spark, sf_dir):
+    """The quality-weighted top-K must equal a pure-Python A-ES with
+    w = ('ok' ? min(n_tokens, 512) : 1) computed from raw parquet — pins
+    the flag logic, the integer weight, the md5 draw, and pow end-to-end;
+    also asserts the weight column round-trips and the plan stays a
+    per-partition top-K + driver merge."""
+    import hashlib
+    import re
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pydict()
+    keys, weights = {}, {}
+    for doc_id, text in zip(tbl["doc_id"], tbl["text"]):
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        n = len(toks)
+        if n == 0:
+            continue
+        n_stop = sum(1 for t in toks if t in ("the", "a"))
+        ok = n >= 20 and n_stop * 2 <= n
+        w = min(n, sampling._QAES_CAP) if ok else 1
+        m = int(hashlib.md5(f"qaes:{doc_id}".encode()).hexdigest()[:6], 16)
+        keys[doc_id] = ((m + 1) / 16777216.0) ** (1.0 / w)
+        weights[doc_id] = w
+    expect = set(sorted(keys, key=lambda d: (-keys[d], d))[: sampling._AES_K])
+    df = sampling.sample_weighted_by_quality(spark, sf_dir)
+    rows = df.collect()
+    assert {r.doc_id for r in rows} == expect
+    assert len(rows) == sampling._AES_K
+    for r in rows:
+        assert r.weight == weights[r.doc_id], (r.doc_id, r.weight)
+        assert r.quality_flag in ("ok", "low")
+        if r.quality_flag == "low":
+            assert r.weight == 1
+    # Quality weighting must make the sample overwhelmingly 'ok' docs.
+    n_ok = sum(1 for r in rows if r.quality_flag == "ok")
+    assert n_ok >= 0.9 * len(rows), n_ok
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    # Selection-boundary safety under the measured ≤2-ulp pow divergence
+    # (same argument as test_weighted_aes_key_parity_and_selection_margin).
+    import math
+
+    ordered = sorted(keys.values(), reverse=True)
+    k = sampling._AES_K
+    if len(ordered) > k:
+        gap = ordered[k - 1] - ordered[k]
+        assert gap > max(1000 * 2 * math.ulp(ordered[k - 1]), 1e-12), gap

@@ -284,3 +284,70 @@ def test_tfidf_rounding_margin_cross_engine(spark, sf_dir):
     assert max_div < 1e-9, max_div
     min_margin = min(_boundary_margin(v, 4) for v in spark_vals.values())
     assert min_margin > 100 * max(max_div, 1e-15), (min_margin, max_div)
+
+
+def test_doc_unigram_logloss_gibbs_and_scalar_reference(spark, sf_dir):
+    """Per-doc cross-entropy H(P_d, Q_corpus) ≥ per-doc entropy H(P_d)
+    (Gibbs), token totals match, coverage = docs with ≥1 token, and each
+    score matches a scalar-Python recomputation to the 1e-6 rounding."""
+    from mapreduce_infrastructure_spark.llm.text import doc_unigram_logloss
+
+    rows = {r.doc_id: r for r in doc_unigram_logloss(spark, sf_dir).collect()}
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pydict()
+    per_doc: dict[int, Counter] = {
+        d: Counter(_tokens(t)) for d, t in zip(tbl["doc_id"], tbl["text"])
+    }
+    per_doc = {d: c for d, c in per_doc.items() if c}
+    corpus: Counter = Counter()
+    for c in per_doc.values():
+        corpus.update(c)
+    g_total = sum(corpus.values())
+    assert set(rows) == set(per_doc)
+    for doc_id in sorted(per_doc)[:50]:
+        counts = per_doc[doc_id]
+        n_d = sum(counts.values())
+        ll = -sum(c * math.log(corpus[t] / g_total) for t, c in counts.items()) / n_d
+        h_d = -sum((c / n_d) * math.log(c / n_d) for c in counts.values())
+        got = rows[doc_id]
+        assert got.n_tokens == n_d
+        assert abs(got.logloss_nats - ll) <= 2e-6, (doc_id, got.logloss_nats, ll)
+        assert got.logloss_nats >= h_d - 2e-6, (doc_id, got.logloss_nats, h_d)
+
+
+def test_source_jsd_bounds_and_scalar_reference(spark, sf_dir):
+    """0 ≤ JSD ≤ ln 2 per source; closed-form absent-term correction must
+    equal a scalar recomputation over the FULL corpus vocabulary (the
+    dense sum the operator deliberately avoids materializing)."""
+    from mapreduce_infrastructure_spark.llm.text import source_js_divergence
+
+    rows = {r.source: r for r in source_js_divergence(spark, sf_dir).collect()}
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    ).to_pydict()
+    per_source: dict[str, Counter] = {}
+    for source, text in zip(tbl["source"], tbl["text"]):
+        per_source.setdefault(source, Counter()).update(_tokens(text))
+    per_source = {s: c for s, c in per_source.items() if c}
+    corpus: Counter = Counter()
+    for c in per_source.values():
+        corpus.update(c)
+    g_total = sum(corpus.values())
+    assert set(rows) == set(per_source)
+    ln2 = math.log(2.0)
+    for source, counts in per_source.items():
+        c_s = sum(counts.values())
+        # Dense reference: iterate the WHOLE vocabulary, p=0 terms included.
+        jsd = 0.0
+        for t, g_t in corpus.items():
+            p = counts.get(t, 0) / c_s
+            q = g_t / g_total
+            m = (p + q) / 2.0
+            if p > 0:
+                jsd += 0.5 * p * math.log(p / m)
+            jsd += 0.5 * q * math.log(q / m)
+        got = rows[source]
+        assert got.n_tokens == c_s
+        assert -1e-9 <= got.jsd_nats <= ln2 + 1e-9, (source, got.jsd_nats)
+        assert abs(got.jsd_nats - jsd) <= 2e-6, (source, got.jsd_nats, jsd)
