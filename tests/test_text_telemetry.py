@@ -351,3 +351,128 @@ def test_source_jsd_bounds_and_scalar_reference(spark, sf_dir):
         assert got.n_tokens == c_s
         assert -1e-9 <= got.jsd_nats <= ln2 + 1e-9, (source, got.jsd_nats)
         assert abs(got.jsd_nats - jsd) <= 2e-6, (source, got.jsd_nats, jsd)
+
+
+def test_logloss_and_jsd_rounding_margins_cross_engine(spark, sf_dir):
+    """Extends the transcendental-math margin audit to the wave-2
+    telemetry outputs (both pass double ratios through `ln`, which is not
+    required to be correctly rounded): unrounded Spark-vs-DuckDB
+    divergence must stay orders below the 1e-6 rounding granularity, and
+    no value may sit within 100x that divergence of a rounding boundary."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_infrastructure_spark.catalog import load_table
+    from mapreduce_infrastructure_spark.llm.text import TOKEN_DELIM, tokens_col
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    docs = load_table(spark, sf_dir, "documents")
+
+    # --- doc_unigram_logloss, unrounded ---
+    dt = (
+        docs.select("doc_id", F.explode(tokens_col()).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c_dt"))
+    )
+    g = dt.groupBy("term").agg(F.sum("c_dt").alias("g_t"))
+    tot = g.agg(F.sum("g_t").alias("g_total"))
+    q = F.col("g_t").cast("double") / F.col("g_total")
+    ll_spark = {
+        r.doc_id: r.ll
+        for r in dt.join(g, "term")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg((-F.sum(F.col("c_dt") * F.log(q)) / F.sum("c_dt")).alias("ll"))
+        .collect()
+    }
+    ll_duck = dict(
+        con.execute(
+            f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_filter(regexp_split_to_array(lower(text), '{TOKEN_DELIM}'),
+                                    x -> x <> '')) AS term
+          FROM documents
+        ), dt AS (
+          SELECT doc_id, term, COUNT(*) AS c_dt FROM toks GROUP BY doc_id, term
+        ), g AS (
+          SELECT term, CAST(SUM(c_dt) AS BIGINT) AS g_t FROM dt GROUP BY term
+        ), tot AS (SELECT CAST(SUM(g_t) AS BIGINT) AS g_total FROM g)
+        SELECT dt.doc_id,
+               -SUM(c_dt * ln(CAST(g_t AS DOUBLE) / g_total)) / SUM(c_dt) AS ll
+        FROM dt JOIN g USING (term) CROSS JOIN tot
+        GROUP BY dt.doc_id
+        """
+        ).fetchall()
+    )
+
+    # --- source_js_divergence, unrounded ---
+    st = (
+        docs.select("source", F.explode(tokens_col()).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c_st"))
+    )
+    s_tot = st.groupBy("source").agg(F.sum("c_st").alias("c_s"))
+    gs = st.groupBy("term").agg(F.sum("c_st").alias("g_t"))
+    tots = s_tot.agg(F.sum("c_s").alias("g_total"))
+    p = F.col("c_st").cast("double") / F.col("c_s")
+    qs = F.col("g_t").cast("double") / F.col("g_total")
+    two = F.lit(2.0)
+    inside = p * F.log(two * p / (p + qs)) + qs * F.log(two * qs / (p + qs))
+    jsd_spark = {
+        r.source: r.jsd
+        for r in st.join(gs, "term")
+        .join(F.broadcast(s_tot), "source")
+        .join(F.broadcast(tots))
+        .groupBy("source")
+        .agg(
+            (
+                F.lit(0.5) * F.sum(inside)
+                + F.lit(0.5) * F.log(two) * (F.lit(1.0) - F.sum(qs))
+            ).alias("jsd")
+        )
+        .collect()
+    }
+    jsd_duck = dict(
+        con.execute(
+            f"""
+        WITH toks AS (
+          SELECT source,
+                 unnest(list_filter(regexp_split_to_array(lower(text), '{TOKEN_DELIM}'),
+                                    x -> x <> '')) AS term
+          FROM documents
+        ), st AS (
+          SELECT source, term, COUNT(*) AS c_st FROM toks GROUP BY source, term
+        ), s_tot AS (
+          SELECT source, CAST(SUM(c_st) AS BIGINT) AS c_s FROM st GROUP BY source
+        ), g AS (
+          SELECT term, CAST(SUM(c_st) AS BIGINT) AS g_t FROM st GROUP BY term
+        ), tot AS (SELECT CAST(SUM(g_t) AS BIGINT) AS g_total FROM g
+        ), scored AS (
+          SELECT st.source, s_tot.c_s,
+                 CAST(c_st AS DOUBLE) / c_s AS p,
+                 CAST(g_t AS DOUBLE) / g_total AS q
+          FROM st JOIN g USING (term) JOIN s_tot USING (source) CROSS JOIN tot
+        )
+        SELECT source,
+               0.5 * SUM(p * ln(2 * p / (p + q)) + q * ln(2 * q / (p + q)))
+                 + 0.5 * ln(2) * (1 - SUM(q)) AS jsd
+        FROM scored GROUP BY source
+        """
+        ).fetchall()
+    )
+
+    for name, spark_vals, duck_vals in [
+        ("logloss", ll_spark, ll_duck),
+        ("jsd", jsd_spark, jsd_duck),
+    ]:
+        assert set(spark_vals) == set(duck_vals)
+        max_div = max(abs(spark_vals[k] - duck_vals[k]) for k in spark_vals)
+        assert max_div < 1e-9, (name, max_div)
+        min_margin = min(_boundary_margin(v) for v in spark_vals.values())
+        assert min_margin > 100 * max(max_div, 1e-15), (name, min_margin, max_div)
