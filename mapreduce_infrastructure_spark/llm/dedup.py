@@ -1093,3 +1093,79 @@ def ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= PPJOIN_TAU)
     )
+
+
+# --------------------------------------------------------------------------
+# N-gram novelty (contribution telemetry)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ngram_novelty_ratio",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 2, 0)),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS g
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '') AS toks
+            FROM documents)
+    ), f AS (
+      SELECT g, MIN(doc_id) AS first_doc FROM t GROUP BY g
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN f.first_doc = t.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           floor((CAST(SUM(CASE WHEN f.first_doc = t.doc_id THEN 1 ELSE 0 END)
+                       AS DOUBLE) / COUNT(*)) * 1000000 + 0.5)
+             / 1000000 AS novelty_ratio
+    FROM t JOIN f USING (g)
+    GROUP BY t.doc_id
+    """,
+    tags=("dedup", "text", "llm"),
+)
+def ngram_novelty_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document share of its distinct 3-gram shingles that NO earlier
+    document (by doc_id) contains — "what does this doc contribute that
+    the corpus prefix didn't already have?". The soft, per-doc companion
+    to the hard dedup tier: exact/near duplicates score ~0, boilerplate
+    scores low, genuinely new text scores high — the ordering is the same
+    keep-first convention as `dedup_exact`/`dedup_canonical_docs`
+    (MIN(doc_id) wins), so novelty here predicts survival there.
+
+    Plan shape at 100 TB: the same one-pass shingle table the dedup tier
+    builds (explode of `shingles_col`, persisted — two consumers), then
+    a gram-keyed MIN(doc_id) aggregation (shuffle on gram, map-side
+    partial MIN) and one gram-keyed join back, finishing with a per-doc
+    fold. Strictly linear — the gram table is the corpus's distinct
+    (doc, gram) incidence, the same asymptotics as `minhash_signatures`'
+    input; no pairwise term anywhere. Docs with <3 tokens have no
+    shingles and produce no row (mirrored by the oracle). Counts are
+    exact integers; the single ratio division is correctly rounded and
+    rounded at 1e-6.
+    """
+    grams = _tracked_persist(
+        _doc_shingles(spark, sf_dir).select(
+            "doc_id", F.explode("sh").alias("g")
+        ),
+        f"ngram_novelty_ratio:{sf_dir}",
+    )
+    first = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return (
+        grams.join(first, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            novel.alias("n_novel"),
+            rnd(
+                novel.cast("double") / F.count(F.lit(1)),
+                6,
+            ).alias("novelty_ratio"),
+        )
+    )

@@ -12,7 +12,7 @@ all as codegen'd column expressions: at 100 TB these run at scan speed.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..catalog import load_table
 from ..functions.exact import rnd
@@ -921,4 +921,229 @@ def source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jsd_nats")
         )
         .select("source", F.col("c_s").alias("n_tokens"), "jsd_nats")
+    )
+
+
+# Stopword profile vocabulary: the union of the language-ID marker sets —
+# small, fixed, and guaranteed present in the fixture corpus. The drift
+# metric is over the CONDITIONAL distribution "which stopword, given the
+# token is one", so it is insensitive to overall stopword density (that
+# signal is `quality_scores.stopword_ratio`).
+_DRIFT_WORDS: tuple[str, ...] = (
+    "the", "a", "of",
+    "data", "table", "row", "column", "batch",
+    "query", "join", "filter", "agg", "sort",
+)
+
+
+@query(
+    "stopword_profile_drift",
+    oracle=f"""
+    WITH sw AS (
+      SELECT source,
+             unnest(list_filter(regexp_split_to_array(lower(text), '{TOKEN_DELIM}'),
+                                x -> x IN {_DRIFT_WORDS!r})) AS w
+      FROM documents
+    ), c AS (
+      SELECT source, w, COUNT(*) AS c_sw FROM sw GROUP BY source, w
+    ), s_tot AS (
+      SELECT source, CAST(SUM(c_sw) AS BIGINT) AS t_s FROM c GROUP BY source
+    ), g AS (
+      SELECT w, CAST(SUM(c_sw) AS BIGINT) AS c_w FROM c GROUP BY w
+    ), tot AS (SELECT CAST(SUM(c_w) AS BIGINT) AS t_all FROM g
+    ), scored AS (
+      SELECT c.source, s_tot.t_s,
+             CAST(c_sw AS DOUBLE) / t_s AS p,
+             CAST(c_w AS DOUBLE) / t_all AS q
+      FROM c
+      JOIN g USING (w)
+      JOIN s_tot USING (source)
+      CROSS JOIN tot
+    )
+    SELECT source, t_s AS n_stop_tokens,
+           floor((SUM(abs(p - q)) + (1 - SUM(q))) * 1000000 + 0.5)
+             / 1000000 AS l1_drift
+    FROM scored
+    GROUP BY source, t_s
+    """,
+    tags=("text", "stats", "llm"),
+)
+def stopword_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source L1 (total-variation ×2) distance between the source's
+    stopword-usage profile and the corpus profile, over a small fixed
+    stopword vocabulary — the cheapest style-drift monitor there is:
+    machine-generated or templated text shifts its function-word mix long
+    before its topic vocabulary shifts, and a 13-word profile is
+    computable at scan speed with no per-source vocabulary state.
+
+    Same absent-term trick as `source_js_divergence`: the sum runs only
+    over (source, word) pairs that OCCUR; a vocabulary word absent from
+    the source contributes |0 − q| = q, and those q sum to
+    1 − Σ_(present) q, so the closed form
+      L1 = Σ_(present) |p − q| + (1 − Σ_(present) q)
+    never materializes the source × vocabulary grid. Range [0, 2].
+
+    Plan shape at 100 TB: the token filter (`isin` over 13 literals) is
+    a codegen'd scan-speed predicate; everything after it aggregates a
+    table bounded by |sources| × 13 rows. One corpus pass, period.
+    Sources with zero stopword tokens yield no rows (profile undefined).
+    Every p, q is one correctly-rounded division of exact integers; abs
+    and the 1e-6 rounding make the differential check engine-stable.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sw = docs.select(
+        "source",
+        F.explode(
+            F.filter(tokens_col(), lambda x: x.isin(*_DRIFT_WORDS))
+        ).alias("w"),
+    )
+    c = tracked_persist(
+        sw.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c_sw")),
+        f"stopword_profile_drift:{sf_dir}",
+    )
+    s_tot = c.groupBy("source").agg(F.sum("c_sw").alias("t_s"))
+    g = c.groupBy("w").agg(F.sum("c_sw").alias("c_w"))
+    tot = s_tot.agg(F.sum("t_s").alias("t_all"))
+    p = F.col("c_sw").cast("double") / F.col("t_s")
+    q = F.col("c_w").cast("double") / F.col("t_all")
+    return (
+        c.join(F.broadcast(g), "w")
+        .join(F.broadcast(s_tot), "source")
+        .join(F.broadcast(tot))
+        .groupBy("source", "t_s")
+        .agg(
+            rnd(F.sum(F.abs(p - q)) + (F.lit(1.0) - F.sum(q)), 6).alias(
+                "l1_drift"
+            )
+        )
+        .select("source", F.col("t_s").alias("n_stop_tokens"), "l1_drift")
+    )
+
+
+# Token budgets at which the Heaps-law (type/token) curve is sampled.
+# Budget membership is WHOLE-DOC granular: a doc is inside budget b iff the
+# per-source running token total through that doc (doc_id order) is <= b —
+# the same prefix a packing pass would actually take.
+_HEAPS_BUDGETS: tuple[int, ...] = (500, 2000, 8000)
+
+
+@query(
+    "source_type_token_curve",
+    oracle=f"""
+    WITH dt AS (
+      SELECT source, doc_id,
+             list_filter(regexp_split_to_array(lower(text), '{TOKEN_DELIM}'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), cum AS (
+      SELECT source, doc_id,
+             CAST(len(toks) AS BIGINT) AS n_toks,
+             SUM(CAST(len(toks) AS BIGINT))
+               OVER (PARTITION BY source ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) AS cum
+      FROM dt
+    ), term AS (
+      SELECT source, doc_id, unnest(toks) AS term FROM dt
+    ), first AS (
+      SELECT t.source, t.term, MIN(c.cum) AS fc
+      FROM term t JOIN cum c ON t.doc_id = c.doc_id
+      GROUP BY t.source, t.term
+    ), b(budget) AS (VALUES (500), (2000), (8000)
+    ), docstats AS (
+      SELECT source, budget,
+             CAST(COUNT(CASE WHEN cum <= budget THEN 1 END) AS BIGINT) AS n_docs,
+             CAST(COALESCE(SUM(CASE WHEN cum <= budget THEN n_toks END), 0) AS BIGINT) AS n_tokens
+      FROM cum CROSS JOIN b GROUP BY source, budget
+    ), types AS (
+      SELECT source, budget,
+             CAST(COUNT(CASE WHEN fc <= budget THEN 1 END) AS BIGINT) AS n_types
+      FROM first CROSS JOIN b GROUP BY source, budget
+    )
+    SELECT d.source, CAST(d.budget AS BIGINT) AS budget,
+           d.n_docs, d.n_tokens, t.n_types,
+           floor((CAST(t.n_types AS DOUBLE) / nullif(d.n_tokens, 0))
+                 * 1000000 + 0.5) / 1000000 AS type_token_ratio
+    FROM docstats d
+    JOIN types t ON d.source = t.source AND d.budget = t.budget
+    """,
+    tags=("text", "stats", "llm"),
+)
+def source_type_token_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source type/token ratio sampled at fixed token budgets — a
+    three-point Heaps-law curve (Heaps, "Information Retrieval", 1978:
+    vocabulary grows ~ tokens^beta). A source whose curve is abnormally
+    flat is repeating itself (templates, boilerplate); abnormally steep
+    flags ID-soup or encoding junk. Complements `doc_unigram_logloss`
+    (per-doc) with a per-source growth signal.
+
+    Budget membership is whole-doc granular (running per-source token
+    total through each doc, doc_id order) — the same prefix a packing
+    pass takes, and deterministic on both engines.
+
+    Plan shape at 100 TB: the running totals live on the DOC-level table
+    (|docs| rows, ~3 orders below the corpus) — a per-source window sort
+    of metadata, not of text. The corpus-sized work is ONE explode into
+    (source, doc, term), one join against the doc-level cum column
+    (doc_id-keyed), and one (source, term) aggregation taking MIN(cum) —
+    each term's first-appearance position, from which every budget's
+    type count is a conditional count over the vocabulary-sized result.
+    No count-distinct expand, no per-budget corpus rescan: the budgets
+    multiply only vocabulary- and doc-level rows. All counts are exact
+    integers; the single ratio division is correctly rounded, rounded at
+    1e-6. Sources with zero docs inside a budget get n_docs = 0 and a
+    NULL ratio in both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = tracked_persist(
+        docs.select(
+            "source", "doc_id", F.size(toks).cast("long").alias("n_toks")
+        ).withColumn("cum", F.sum("n_toks").over(w)),
+        f"source_type_token_curve:{sf_dir}",
+    )
+    term = docs.select("source", "doc_id", F.explode(toks).alias("term"))
+    first = (
+        term.join(cum.select("doc_id", "cum"), "doc_id")
+        .groupBy("source", "term")
+        .agg(F.min("cum").alias("fc"))
+    )
+    doc_aggs, type_aggs, stack_parts = [], [], []
+    for b in _HEAPS_BUDGETS:
+        doc_aggs += [
+            F.count(F.when(F.col("cum") <= b, F.lit(1))).alias(f"d{b}"),
+            F.coalesce(
+                F.sum(F.when(F.col("cum") <= b, F.col("n_toks"))), F.lit(0)
+            ).alias(f"t{b}"),
+        ]
+        type_aggs.append(
+            F.count(F.when(F.col("fc") <= b, F.lit(1))).alias(f"y{b}")
+        )
+        stack_parts.append(f"CAST({b} AS BIGINT), d{b}, t{b}, y{b}")
+    docstats = cum.groupBy("source").agg(*doc_aggs)
+    types = first.groupBy("source").agg(*type_aggs)
+    stack = (
+        f"stack({len(_HEAPS_BUDGETS)}, "
+        + ", ".join(stack_parts)
+        + ") as (budget, n_docs, n_tokens, n_types)"
+    )
+    return (
+        docstats.join(types, "source")
+        .selectExpr("source", stack)
+        .select(
+            "source",
+            "budget",
+            "n_docs",
+            "n_tokens",
+            "n_types",
+            rnd(
+                F.col("n_types").cast("double")
+                / F.nullif(F.col("n_tokens"), F.lit(0)),
+                6,
+            ).alias("type_token_ratio"),
+        )
     )

@@ -50,28 +50,32 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # Ordering is therefore a curated, per-round decision, not an accident of
 # imports; CERTIFIED_HISTORY.md tracks which rounds certified what.
 #
-# Round-7 window: the 6 queries ADDED this round lead (first-time
+# Round-7 window: the 9 queries ADDED this round lead (first-time
 # certification — new queries must land inside the window or they'd have
 # no driver row at all), followed by re-certification of the stalest
 # standing rows by vintage (vintage = most recent round with a green
 # driver row): the 25 queries whose only green row is from round 1 — six
 # rounds old by now — then the oldest round-4-vintage rows (the
 # rounds-2–4 window was byte-identical; its last green is r04), in that
-# window's recorded order. The 6 r4-vintage rows displaced by the new
+# window's recorded order. The 9 r4-vintage rows displaced by the new
 # queries (stream_sliding_1h_15m, stream_session_window_30m, wordcount,
-# stream_user_totals, stream_join_click_purchase, stream_dedup_events)
+# stream_user_totals, stream_join_click_purchase, stream_dedup_events,
+# sessionize_gaps, rollup_hierarchical_daily, stream_tumbling_hourly)
 # keep their standing r04 green rows and lead the round-8 rotation with
 # the remaining r4 cohort. Green rows stand when a query rotates out;
 # tests/test_oracle_queries.py still mirrors every oracle-backed query
 # each pytest run.
 CERTIFIED_FIRST: tuple[str, ...] = (
-    # --- new in round 7: corpus-telemetry + weighted-sampling tier (6) ---
+    # --- new in round 7: corpus-telemetry + weighted-sampling tier (9) ---
     "source_unigram_kl",
     "doc_char_entropy",
     "sample_weighted_aes",
     "doc_unigram_logloss",
     "source_js_divergence",
     "sample_weighted_by_quality",
+    "ngram_novelty_ratio",
+    "source_type_token_curve",
+    "stopword_profile_drift",
     # --- round-1-vintage re-certifications (25) ---
     "q5_supplier_revenue",
     "join_right_orders_customer",
@@ -98,7 +102,7 @@ CERTIFIED_FIRST: tuple[str, ...] = (
     "json_extract_props",
     "json_agg_by_type",
     "array_functions",
-    # --- round-4-vintage re-certifications (19, rounds-2–4 window order) ---
+    # --- round-4-vintage re-certifications (16, rounds-2–4 window order) ---
     "case_when_buckets",
     "pivot_status_by_priority",
     "funnel_click_purchase",
@@ -115,9 +119,6 @@ CERTIFIED_FIRST: tuple[str, ...] = (
     "window_tumbling_hourly",
     "window_sliding_1h_15m",
     "session_window_30m",
-    "sessionize_gaps",
-    "rollup_hierarchical_daily",
-    "stream_tumbling_hourly",
 )
 
 

@@ -476,3 +476,118 @@ def test_logloss_and_jsd_rounding_margins_cross_engine(spark, sf_dir):
         assert max_div < 1e-9, (name, max_div)
         min_margin = min(_boundary_margin(v) for v in spark_vals.values())
         assert min_margin > 100 * max(max_div, 1e-15), (name, min_margin, max_div)
+
+
+def test_ngram_novelty_scalar_reference_and_bounds(spark, sf_dir):
+    """Novelty ∈ [0, 1]; the earliest shingle-bearing doc is 100% novel;
+    every doc matches a scalar first-seen recomputation exactly (counts)
+    and to 1e-6 (ratio)."""
+    from mapreduce_infrastructure_spark.llm.dedup import ngram_novelty_ratio
+
+    rows = {r.doc_id: r for r in ngram_novelty_ratio(spark, sf_dir).collect()}
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pydict()
+    shingles = {}
+    for doc_id, text in zip(tbl["doc_id"], tbl["text"]):
+        toks = _tokens(text)
+        sh = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+        if sh:
+            shingles[doc_id] = sh
+    first: dict[str, int] = {}
+    for doc_id in sorted(shingles):
+        for g in shingles[doc_id]:
+            first.setdefault(g, doc_id)
+    assert set(rows) == set(shingles)
+    earliest = min(shingles)
+    assert rows[earliest].novelty_ratio == 1.0
+    for doc_id, sh in shingles.items():
+        n_novel = sum(1 for g in sh if first[g] == doc_id)
+        got = rows[doc_id]
+        assert got.n_grams == len(sh)
+        assert got.n_novel == n_novel
+        assert 0.0 <= got.novelty_ratio <= 1.0
+        assert abs(got.novelty_ratio - n_novel / len(sh)) <= 1e-6
+
+
+def test_type_token_curve_scalar_reference_and_monotonicity(spark, sf_dir):
+    """Whole-doc-prefix budget semantics pinned against a scalar
+    recomputation; per source, n_docs/n_tokens/n_types are all
+    non-decreasing in the budget and n_tokens ≤ budget."""
+    from mapreduce_infrastructure_spark.llm.text import (
+        _HEAPS_BUDGETS,
+        source_type_token_curve,
+    )
+
+    rows = {
+        (r.source, r.budget): r
+        for r in source_type_token_curve(spark, sf_dir).collect()
+    }
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    ).to_pydict()
+    per_source: dict[str, list[tuple[int, list[str]]]] = {}
+    for doc_id, source, text in zip(tbl["doc_id"], tbl["source"], tbl["text"]):
+        per_source.setdefault(source, []).append((doc_id, _tokens(text)))
+    expected_keys = set()
+    for source, docs in per_source.items():
+        docs.sort()
+        for b in _HEAPS_BUDGETS:
+            expected_keys.add((source, b))
+            cum, n_docs, types = 0, 0, set()
+            for _, toks in docs:
+                if cum + len(toks) > b:
+                    break
+                cum += len(toks)
+                n_docs += 1
+                types.update(toks)
+            got = rows[(source, b)]
+            assert got.n_docs == n_docs, (source, b)
+            assert got.n_tokens == cum <= b
+            assert got.n_types == len(types)
+            if cum == 0:
+                assert got.type_token_ratio is None
+            else:
+                assert abs(got.type_token_ratio - len(types) / cum) <= 1e-6
+        series = [rows[(source, b)] for b in sorted(_HEAPS_BUDGETS)]
+        for a, c in zip(series, series[1:]):
+            assert a.n_docs <= c.n_docs
+            assert a.n_tokens <= c.n_tokens
+            assert a.n_types <= c.n_types
+    assert set(rows) == expected_keys
+
+
+def test_stopword_drift_closed_form_matches_dense_reference(spark, sf_dir):
+    """0 ≤ L1 ≤ 2 per source, and the operator's closed-form absent-word
+    correction must equal a dense scalar L1 over the FULL 13-word
+    vocabulary."""
+    from mapreduce_infrastructure_spark.llm.text import (
+        _DRIFT_WORDS,
+        stopword_profile_drift,
+    )
+
+    rows = {r.source: r for r in stopword_profile_drift(spark, sf_dir).collect()}
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    ).to_pydict()
+    vocab = set(_DRIFT_WORDS)
+    per_source: dict[str, Counter] = {}
+    for source, text in zip(tbl["source"], tbl["text"]):
+        per_source.setdefault(source, Counter()).update(
+            t for t in _tokens(text) if t in vocab
+        )
+    per_source = {s: c for s, c in per_source.items() if c}
+    corpus: Counter = Counter()
+    for c in per_source.values():
+        corpus.update(c)
+    t_all = sum(corpus.values())
+    assert set(rows) == set(per_source)
+    for source, counts in per_source.items():
+        t_s = sum(counts.values())
+        l1 = sum(
+            abs(counts.get(w, 0) / t_s - corpus[w] / t_all) for w in vocab
+        )
+        got = rows[source]
+        assert got.n_stop_tokens == t_s
+        assert -1e-9 <= got.l1_drift <= 2.0 + 1e-9
+        assert abs(got.l1_drift - l1) <= 2e-6, (source, got.l1_drift, l1)
