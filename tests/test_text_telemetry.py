@@ -591,3 +591,78 @@ def test_stopword_drift_closed_form_matches_dense_reference(spark, sf_dir):
         assert got.n_stop_tokens == t_s
         assert -1e-9 <= got.l1_drift <= 2.0 + 1e-9
         assert abs(got.l1_drift - l1) <= 2e-6, (source, got.l1_drift, l1)
+
+
+def test_stopword_drift_rounding_margin_cross_engine(spark, sf_dir):
+    """l1_drift has no transcendental term (novelty_ratio and
+    type_token_ratio are single correctly-rounded divisions, identical
+    across engines by IEEE 754), but its Σ|p−q| is order-dependent —
+    measure the unrounded cross-engine divergence and the rounding
+    boundary margin like the ln-path audits."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_infrastructure_spark.catalog import load_table
+    from mapreduce_infrastructure_spark.llm.text import (
+        _DRIFT_WORDS,
+        TOKEN_DELIM,
+        tokens_col,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sw = docs.select(
+        "source",
+        F.explode(F.filter(tokens_col(), lambda x: x.isin(*_DRIFT_WORDS))).alias("w"),
+    )
+    c = sw.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c_sw"))
+    s_tot = c.groupBy("source").agg(F.sum("c_sw").alias("t_s"))
+    g = c.groupBy("w").agg(F.sum("c_sw").alias("c_w"))
+    tot = s_tot.agg(F.sum("t_s").alias("t_all"))
+    p = F.col("c_sw").cast("double") / F.col("t_s")
+    q = F.col("c_w").cast("double") / F.col("t_all")
+    spark_vals = {
+        r.source: r.l1
+        for r in c.join(F.broadcast(g), "w")
+        .join(F.broadcast(s_tot), "source")
+        .join(F.broadcast(tot))
+        .groupBy("source")
+        .agg((F.sum(F.abs(p - q)) + (F.lit(1.0) - F.sum(q))).alias("l1"))
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    duck_vals = dict(
+        con.execute(
+            f"""
+        WITH sw AS (
+          SELECT source,
+                 unnest(list_filter(regexp_split_to_array(lower(text), '{TOKEN_DELIM}'),
+                                    x -> x IN {_DRIFT_WORDS!r})) AS w
+          FROM documents
+        ), c AS (
+          SELECT source, w, COUNT(*) AS c_sw FROM sw GROUP BY source, w
+        ), s_tot AS (
+          SELECT source, CAST(SUM(c_sw) AS BIGINT) AS t_s FROM c GROUP BY source
+        ), g AS (
+          SELECT w, CAST(SUM(c_sw) AS BIGINT) AS c_w FROM c GROUP BY w
+        ), tot AS (SELECT CAST(SUM(c_w) AS BIGINT) AS t_all FROM g
+        ), scored AS (
+          SELECT c.source, s_tot.t_s,
+                 CAST(c_sw AS DOUBLE) / t_s AS p,
+                 CAST(c_w AS DOUBLE) / t_all AS q
+          FROM c JOIN g USING (w) JOIN s_tot USING (source) CROSS JOIN tot
+        )
+        SELECT source, SUM(abs(p - q)) + (1 - SUM(q)) AS l1
+        FROM scored GROUP BY source
+        """
+        ).fetchall()
+    )
+    assert set(spark_vals) == set(duck_vals)
+    max_div = max(abs(spark_vals[k] - duck_vals[k]) for k in spark_vals)
+    assert max_div < 1e-12, max_div
+    min_margin = min(_boundary_margin(v) for v in spark_vals.values())
+    assert min_margin > 100 * max(max_div, 1e-15), (min_margin, max_div)
