@@ -1169,3 +1169,76 @@ def ngram_novelty_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty_ratio"),
         )
     )
+
+
+@query(
+    "source_dup_mass",
+    oracle="""
+    WITH t AS (
+      SELECT source, doc_id, md5(text) AS fp,
+             CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                  x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), keep AS (
+      SELECT fp, MIN(doc_id) AS keep_doc_id FROM t GROUP BY fp
+    )
+    SELECT t.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(t.n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN t.doc_id <> k.keep_doc_id THEN t.n_tokens
+                         ELSE 0 END) AS BIGINT) AS dup_tokens,
+           floor((CAST(SUM(CASE WHEN t.doc_id <> k.keep_doc_id THEN t.n_tokens
+                               ELSE 0 END) AS DOUBLE)
+                  / nullif(SUM(t.n_tokens), 0)) * 1000000 + 0.5)
+             / 1000000 AS dup_mass_ratio
+    FROM t JOIN keep k USING (fp)
+    GROUP BY t.source
+    """,
+    tags=("dedup", "stats", "llm"),
+)
+def source_dup_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source share of token mass sitting in documents exact dedup
+    would DROP (same md5-fingerprint + keep-MIN(doc_id) convention as
+    `dedup_exact`) — "where do the dedup savings actually come from?",
+    the number a corpus team uses to decide which crawl source to
+    throttle. Token mass, not doc count: a source duplicating its
+    longest pages wastes more than one duplicating stubs.
+
+    Plan shape at 100 TB: one scan computing (source, doc_id, fp,
+    n_tokens) — fingerprint and token count are scan-speed expressions —
+    then a fp-keyed MIN aggregation (map-side partial) and one fp-keyed
+    join back, finishing in a |sources|-row fold. Same asymptotics as
+    `dedup_exact` itself plus one join; nothing pairwise. The ratio is a
+    single correctly-rounded division of exact integer sums, rounded at
+    1e-6; zero-token sources yield a NULL ratio in both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = _tracked_persist(
+        docs.select(
+            "source",
+            "doc_id",
+            F.md5(F.col("text").cast("binary")).alias("fp"),
+            F.size(tokens_col()).cast("long").alias("n_tokens"),
+        ),
+        f"source_dup_mass:{sf_dir}",
+    )
+    keep = t.groupBy("fp").agg(F.min("doc_id").alias("keep_doc_id"))
+    dup_toks = F.sum(
+        F.when(F.col("doc_id") != F.col("keep_doc_id"), F.col("n_tokens")).otherwise(
+            F.lit(0)
+        )
+    )
+    return (
+        t.join(keep, "fp")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            dup_toks.alias("dup_tokens"),
+            rnd(
+                dup_toks.cast("double")
+                / F.nullif(F.sum("n_tokens"), F.lit(0)),
+                6,
+            ).alias("dup_mass_ratio"),
+        )
+    )

@@ -1147,3 +1147,164 @@ def source_type_token_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("type_token_ratio"),
         )
     )
+
+
+@query(
+    "budget_pack_efficiency",
+    oracle=f"""
+    WITH dt AS (
+      SELECT source, doc_id,
+             CAST(len(list_filter(regexp_split_to_array(lower(text), '{TOKEN_DELIM}'),
+                                  x -> x <> '')) AS BIGINT) AS n_toks
+      FROM documents
+    ), cum AS (
+      SELECT source, doc_id, n_toks,
+             SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM dt
+    ), b(budget) AS (VALUES (500), (2000), (8000))
+    SELECT source, CAST(budget AS BIGINT) AS budget,
+           CAST(COUNT(CASE WHEN cum <= budget THEN 1 END) AS BIGINT) AS n_docs,
+           CAST(COALESCE(SUM(CASE WHEN cum <= budget THEN n_toks END), 0)
+                AS BIGINT) AS n_tokens,
+           CAST(budget - COALESCE(SUM(CASE WHEN cum <= budget THEN n_toks END), 0)
+                AS BIGINT) AS waste,
+           CAST(COUNT(CASE WHEN cum > budget THEN 1 END) AS BIGINT) AS n_overflow_docs,
+           floor((CAST(budget - COALESCE(SUM(CASE WHEN cum <= budget THEN n_toks END), 0)
+                       AS DOUBLE) / budget) * 1000000 + 0.5)
+             / 1000000 AS waste_ratio
+    FROM cum CROSS JOIN b
+    GROUP BY source, budget
+    """,
+    tags=("sampling", "stats", "llm"),
+)
+def budget_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing waste under the whole-doc prefix budget the engine's
+    budget-aware operators use (`source_type_token_curve`,
+    `pack_sequences`): per (source, budget), how many tokens of the
+    budget go UNUSED because the next doc doesn't fit — the
+    bin-packing-efficiency dashboard a token-budgeted mix is tuned
+    against (waste_ratio near 1 with overflow docs present = the
+    source's docs are too big for the budget granularity).
+
+    Plan shape at 100 TB: runs ENTIRELY on the doc-level metadata table
+    (per-source running totals over |docs| rows — the corpus text is
+    touched only by the scan-speed token count); budgets multiply
+    doc-level rows only. waste = budget − Σ(prefix tokens) is exact
+    integer arithmetic; the single ratio division is correctly rounded,
+    rounded at 1e-6. A source with no overflow docs simply has
+    n_overflow_docs = 0 (its waste is real slack, not granularity loss).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = docs.select(
+        "source", "doc_id", F.size(tokens_col()).cast("long").alias("n_toks")
+    ).withColumn("cum", F.sum("n_toks").over(w))
+    rows = cum.withColumn(
+        "budget",
+        F.explode(F.array(*[F.lit(b).cast("long") for b in _HEAPS_BUDGETS])),
+    )
+    packed = F.coalesce(
+        F.sum(F.when(F.col("cum") <= F.col("budget"), F.col("n_toks"))),
+        F.lit(0),
+    )
+    waste = F.first("budget") - packed
+    return rows.groupBy("source", "budget").agg(
+        F.count(F.when(F.col("cum") <= F.col("budget"), F.lit(1))).alias("n_docs"),
+        packed.alias("n_tokens"),
+        waste.alias("waste"),
+        F.count(F.when(F.col("cum") > F.col("budget"), F.lit(1))).alias(
+            "n_overflow_docs"
+        ),
+        rnd(waste.cast("double") / F.first("budget"), 6).alias("waste_ratio"),
+    )
+
+
+@query(
+    "doc_lang_confusion",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(lower(text), '{TOKEN_DELIM}'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), c AS (
+      SELECT lang AS actual_lang,
+             CASE WHEN len(list_filter(toks, x -> x IN ('the','a','of')))
+                       >= len(list_filter(toks, x -> x IN ('data','table','row','column','batch')))
+                   AND len(list_filter(toks, x -> x IN ('the','a','of')))
+                       >= len(list_filter(toks, x -> x IN ('query','join','filter','agg','sort')))
+                  THEN 'en'
+                  WHEN len(list_filter(toks, x -> x IN ('data','table','row','column','batch')))
+                       >= len(list_filter(toks, x -> x IN ('query','join','filter','agg','sort')))
+                  THEN 'tech'
+                  ELSE 'sql' END AS predicted
+      FROM t
+    ), m AS (
+      SELECT actual_lang, predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM c GROUP BY actual_lang, predicted
+    ), tot AS (
+      SELECT actual_lang, CAST(SUM(n_docs) AS BIGINT) AS n_actual
+      FROM m GROUP BY actual_lang
+    )
+    SELECT m.actual_lang, m.predicted, m.n_docs, t.n_actual,
+           floor((CAST(m.n_docs AS DOUBLE) / t.n_actual) * 1000000 + 0.5)
+             / 1000000 AS share_of_actual
+    FROM m JOIN tot t USING (actual_lang)
+    """,
+    tags=("text", "langid", "stats", "llm"),
+)
+def doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix for the `lang_id_heuristic` classifier: per
+    (actual_lang, predicted marker class) doc counts and row-normalized
+    shares — the drift monitor for ANY cheap classifier in the pipeline
+    (when a source's share mass moves between predicted classes, either
+    the corpus or the classifier shifted). Label spaces intentionally
+    differ (fixture langs vs the 3 illustrative marker classes), so the
+    matrix is the right telemetry — not precision/recall, which would
+    need a shared label space.
+
+    Plan shape at 100 TB: the marker counts are the same scan-speed
+    `isin`-filter expressions `lang_id_heuristic` certifies; the matrix
+    aggregate is bounded by |langs| × |classes| rows and its row totals
+    fold from the matrix itself (no second corpus pass). Counts are
+    exact integers; the share division is correctly rounded, rounded at
+    1e-6.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+
+    def marker_count(words: tuple[str, ...]) -> F.Column:
+        return F.size(F.filter(toks, lambda x: x.isin(*words)))
+
+    counts = {k: marker_count(v) for k, v in _LANG_MARKERS.items()}
+    predicted = (
+        F.when(
+            (counts["en"] >= counts["tech"]) & (counts["en"] >= counts["sql"]),
+            "en",
+        )
+        .when(counts["tech"] >= counts["sql"], "tech")
+        .otherwise("sql")
+    )
+    m = (
+        docs.select(F.col("lang").alias("actual_lang"), predicted.alias("predicted"))
+        .groupBy("actual_lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    tot = m.groupBy("actual_lang").agg(F.sum("n_docs").alias("n_actual"))
+    return (
+        m.join(F.broadcast(tot), "actual_lang")
+        .select(
+            "actual_lang",
+            "predicted",
+            "n_docs",
+            "n_actual",
+            rnd(
+                F.col("n_docs").cast("double") / F.col("n_actual"), 6
+            ).alias("share_of_actual"),
+        )
+    )

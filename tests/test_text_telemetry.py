@@ -666,3 +666,110 @@ def test_stopword_drift_rounding_margin_cross_engine(spark, sf_dir):
     assert max_div < 1e-12, max_div
     min_margin = min(_boundary_margin(v) for v in spark_vals.values())
     assert min_margin > 100 * max(max_div, 1e-15), (min_margin, max_div)
+
+
+def test_source_dup_mass_scalar_reference(spark, sf_dir):
+    """Dup mass recomputed scalar-side with the same md5/keep-MIN
+    convention as dedup_exact; totals partition the corpus token mass and
+    ratios stay in [0, 1]."""
+    import hashlib
+
+    from mapreduce_infrastructure_spark.llm.dedup import source_dup_mass
+
+    rows = {r.source: r for r in source_dup_mass(spark, sf_dir).collect()}
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    ).to_pydict()
+    keep: dict[str, int] = {}
+    for doc_id, text in sorted(zip(tbl["doc_id"], tbl["text"])):
+        keep.setdefault(hashlib.md5(text.encode()).hexdigest(), doc_id)
+    per_source: dict[str, list[int]] = {}
+    for doc_id, source, text in zip(tbl["doc_id"], tbl["source"], tbl["text"]):
+        n = len(_tokens(text))
+        dup = keep[hashlib.md5(text.encode()).hexdigest()] != doc_id
+        per_source.setdefault(source, [0, 0, 0])
+        per_source[source][0] += 1
+        per_source[source][1] += n
+        per_source[source][2] += n if dup else 0
+    assert set(rows) == set(per_source)
+    for source, (n_docs, total, dup_toks) in per_source.items():
+        got = rows[source]
+        assert got.n_docs == n_docs
+        assert got.total_tokens == total
+        assert got.dup_tokens == dup_toks
+        if total:
+            assert 0.0 <= got.dup_mass_ratio <= 1.0
+            assert abs(got.dup_mass_ratio - dup_toks / total) <= 1e-6
+        else:
+            assert got.dup_mass_ratio is None
+
+
+def test_budget_pack_efficiency_scalar_reference(spark, sf_dir):
+    """Packing waste pinned against the same scalar whole-doc prefix as
+    the Heaps-curve test; waste + packed tokens = budget, overflow count
+    complements the prefix count."""
+    from mapreduce_infrastructure_spark.llm.text import (
+        _HEAPS_BUDGETS,
+        budget_pack_efficiency,
+    )
+
+    rows = {
+        (r.source, r.budget): r
+        for r in budget_pack_efficiency(spark, sf_dir).collect()
+    }
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    ).to_pydict()
+    per_source: dict[str, list[tuple[int, int]]] = {}
+    for doc_id, source, text in zip(tbl["doc_id"], tbl["source"], tbl["text"]):
+        per_source.setdefault(source, []).append((doc_id, len(_tokens(text))))
+    for source, docs in per_source.items():
+        docs.sort()
+        for b in _HEAPS_BUDGETS:
+            cum, n_docs = 0, 0
+            for _, n in docs:
+                if cum + n > b:
+                    break
+                cum += n
+                n_docs += 1
+            got = rows[(source, b)]
+            assert got.n_docs == n_docs
+            assert got.n_tokens == cum
+            assert got.waste == b - cum
+            assert got.n_overflow_docs == len(docs) - n_docs
+            assert abs(got.waste_ratio - (b - cum) / b) <= 1e-6
+    assert len(rows) == len(per_source) * len(_HEAPS_BUDGETS)
+
+
+def test_lang_confusion_partitions_and_scalar_reference(spark, sf_dir):
+    """The confusion matrix partitions the corpus (cell counts sum to the
+    doc count, shares sum to 1 per actual lang) and matches a scalar
+    re-run of the lang_id_heuristic argmax."""
+    from mapreduce_infrastructure_spark.llm.text import (
+        _LANG_MARKERS,
+        doc_lang_confusion,
+    )
+
+    rows = doc_lang_confusion(spark, sf_dir).collect()
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+    ).to_pydict()
+    expect: dict[tuple[str, str], int] = {}
+    for lang, text in zip(tbl["lang"], tbl["text"]):
+        toks = _tokens(text)
+        c = {k: sum(1 for t in toks if t in set(v)) for k, v in _LANG_MARKERS.items()}
+        if c["en"] >= c["tech"] and c["en"] >= c["sql"]:
+            pred = "en"
+        elif c["tech"] >= c["sql"]:
+            pred = "tech"
+        else:
+            pred = "sql"
+        expect[(lang, pred)] = expect.get((lang, pred), 0) + 1
+    assert {(r.actual_lang, r.predicted): r.n_docs for r in rows} == expect
+    assert sum(r.n_docs for r in rows) == len(tbl["lang"])
+    by_actual: dict[str, float] = {}
+    for r in rows:
+        assert abs(r.share_of_actual - r.n_docs / r.n_actual) <= 1e-6
+        by_actual[r.actual_lang] = by_actual.get(r.actual_lang, 0.0) + r.share_of_actual
+    for lang, s in by_actual.items():
+        assert abs(s - 1.0) <= 1e-5, (lang, s)
