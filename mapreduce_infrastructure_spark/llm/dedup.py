@@ -1242,3 +1242,145 @@ def source_dup_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_mass_ratio"),
         )
     )
+
+
+@query(
+    "dup_cluster_size_histogram",
+    oracle="""
+    WITH c AS (
+      SELECT md5(text) AS fp, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM documents GROUP BY md5(text)
+    ), tot AS (SELECT CAST(SUM(cluster_size) AS BIGINT) AS n_total FROM c)
+    SELECT cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs,
+           floor((CAST(cluster_size * COUNT(*) AS DOUBLE) / n_total)
+                 * 1000000 + 0.5) / 1000000 AS share_of_docs
+    FROM c CROSS JOIN tot
+    GROUP BY cluster_size, n_total
+    """,
+    tags=("dedup", "stats", "llm"),
+)
+def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of exact-duplicate cluster sizes (same md5-fingerprint
+    groups as `dedup_exact`): how much of the corpus sits in singletons
+    vs 2-copies vs boilerplate blasted hundreds of times — the shape
+    that decides both the dedup savings (Σ (s−1)·n_clusters) and the
+    hot-key risk of the dedup shuffle itself (a cluster of millions is a
+    skewed fingerprint key; see the salting tier).
+
+    Plan shape at 100 TB: one scan → fp-keyed count (map-side partial) →
+    a second aggregation over the CLUSTER table (one row per distinct
+    document text — far below corpus size) keyed by cluster_size, whose
+    distinct values are at most ~log-range many. The single-row total
+    folds from the cluster table, not from a second corpus pass. Counts
+    are exact integers; the share division is correctly rounded, rounded
+    at 1e-6. Exact sizes, not log buckets, deliberately: bucketing via
+    floor(ln s/ln 2) is float-unsafe at exact powers of two and the
+    distinct-size cardinality is already tiny.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    c = (
+        docs.select(F.md5(F.col("text").cast("binary")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+    )
+    h = c.groupBy("cluster_size").agg(F.count(F.lit(1)).alias("n_clusters"))
+    tot = h.agg(F.sum(F.col("cluster_size") * F.col("n_clusters")).alias("n_total"))
+    n_docs = F.col("cluster_size") * F.col("n_clusters")
+    return (
+        h.join(F.broadcast(tot))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            n_docs.alias("n_docs"),
+            rnd(n_docs.cast("double") / F.col("n_total"), 6).alias(
+                "share_of_docs"
+            ),
+        )
+    )
+
+
+@query(
+    "source_novelty_trend",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 2, 0)),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS g
+      FROM (SELECT doc_id, source,
+                   list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '') AS toks
+            FROM documents)
+    ), f AS (
+      SELECT g, MIN(doc_id) AS first_doc FROM t GROUP BY g
+    ), per_doc AS (
+      SELECT t.source, t.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(SUM(CASE WHEN f.first_doc = t.doc_id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_novel
+      FROM t JOIN f USING (g)
+      GROUP BY t.source, t.doc_id
+    ), dec AS (
+      SELECT source, doc_id, n_grams, n_novel,
+             CAST(ntile(4) OVER (PARTITION BY source ORDER BY doc_id)
+                  AS BIGINT) AS quartile
+      FROM per_doc
+    )
+    SELECT source, quartile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_grams) AS BIGINT) AS n_grams,
+           CAST(SUM(n_novel) AS BIGINT) AS n_novel,
+           floor((CAST(SUM(n_novel) AS DOUBLE) / SUM(n_grams))
+                 * 1000000 + 0.5) / 1000000 AS novelty_rate
+    FROM dec
+    GROUP BY source, quartile
+    """,
+    tags=("dedup", "stats", "llm"),
+)
+def source_novelty_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is a source's marginal contribution decaying? `ngram_novelty_ratio`
+    pooled per (source, intake quartile): docs are split into 4 ntile
+    buckets by doc_id within each source (doc_id order = intake order in
+    this corpus) and each bucket reports its POOLED novelty rate
+    Σ n_novel / Σ n_grams — pooled, not mean-of-ratios, so the output is
+    a single correctly-rounded division of exact integer sums (engine-
+    stable) and long docs weigh what they weigh. A monotonically falling
+    curve is the signature of a crawl source exhausting its value —
+    the trigger for the throttle decision `source_dup_mass` prices.
+
+    Plan shape at 100 TB: the same persisted (doc, gram) incidence and
+    gram-keyed MIN/join as `ngram_novelty_ratio`, one per-doc fold, then
+    an ntile window over DOC-level rows (per-source sort of metadata,
+    not text) and a |sources|×4-row final aggregate. ntile is
+    deterministic here (ORDER BY the unique doc_id).
+    """
+    grams = _tracked_persist(
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", shingles_col(tokens_col()).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select("doc_id", "source", F.explode("sh").alias("g")),
+        f"source_novelty_trend:{sf_dir}",
+    )
+    first = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        grams.join(first, "g")
+        .groupBy("source", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    dec = per_doc.withColumn("quartile", F.ntile(4).over(w).cast("long"))
+    return dec.groupBy("source", "quartile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_grams").alias("n_grams"),
+        F.sum("n_novel").alias("n_novel"),
+        rnd(
+            F.sum("n_novel").cast("double") / F.sum("n_grams"), 6
+        ).alias("novelty_rate"),
+    )

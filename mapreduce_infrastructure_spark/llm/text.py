@@ -1308,3 +1308,94 @@ def doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("share_of_actual"),
         )
     )
+
+
+@query(
+    "quality_flag_transition_by_source",
+    oracle=f"""
+    WITH t AS (
+      SELECT source,
+             list_filter(regexp_split_to_array(lower(text), '{TOKEN_DELIM}'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), c AS (
+      SELECT source,
+             CASE WHEN len(toks) >= 20
+                   AND len(list_filter(toks, x -> x = 'the' OR x = 'a')) * 2
+                       <= len(toks)
+                  THEN 'ok' ELSE 'low' END AS quality_flag,
+             CASE WHEN len(list_filter(toks, x -> x IN ('the','a','of')))
+                       >= len(list_filter(toks, x -> x IN ('data','table','row','column','batch')))
+                   AND len(list_filter(toks, x -> x IN ('the','a','of')))
+                       >= len(list_filter(toks, x -> x IN ('query','join','filter','agg','sort')))
+                  THEN 'en'
+                  WHEN len(list_filter(toks, x -> x IN ('data','table','row','column','batch')))
+                       >= len(list_filter(toks, x -> x IN ('query','join','filter','agg','sort')))
+                  THEN 'tech'
+                  ELSE 'sql' END AS predicted
+      FROM t
+    ), m AS (
+      SELECT source, quality_flag, predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM c GROUP BY source, quality_flag, predicted
+    ), tot AS (
+      SELECT source, CAST(SUM(n_docs) AS BIGINT) AS n_source FROM m GROUP BY source
+    )
+    SELECT m.source, m.quality_flag, m.predicted, m.n_docs,
+           floor((CAST(m.n_docs AS DOUBLE) / t.n_source) * 1000000 + 0.5)
+             / 1000000 AS share_of_source
+    FROM m JOIN tot t USING (source)
+    """,
+    tags=("text", "quality", "stats", "llm"),
+)
+def quality_flag_transition_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joint distribution of the two scan-speed classifiers per source —
+    (quality_scores flag × lang_id_heuristic class) shares. The corpus
+    team's drift cross-tab: a source whose mass moves from (ok, en) to
+    (low, sql) changed either its content or its scraper, and the joint
+    view catches correlated shifts the two marginals
+    (`quality_quantile_filter` coverage, `doc_lang_confusion`) hide.
+
+    Plan shape at 100 TB: both classifiers are codegen'd `isin`/size
+    expressions over one shared token split (Spark CSEs the split across
+    the CASE branches within a projection); one shuffle on the composite
+    key into an aggregate bounded by |sources| × 2 × 3 rows; per-source
+    totals fold from the matrix itself. Counts exact; the share division
+    is correctly rounded, rounded at 1e-6.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: (x == "the") | (x == "a")))
+    flag = F.when((n_tokens >= 20) & (n_stop * 2 <= n_tokens), "ok").otherwise(
+        "low"
+    )
+
+    def marker_count(words: tuple[str, ...]) -> F.Column:
+        return F.size(F.filter(toks, lambda x: x.isin(*words)))
+
+    counts = {k: marker_count(v) for k, v in _LANG_MARKERS.items()}
+    predicted = (
+        F.when(
+            (counts["en"] >= counts["tech"]) & (counts["en"] >= counts["sql"]),
+            "en",
+        )
+        .when(counts["tech"] >= counts["sql"], "tech")
+        .otherwise("sql")
+    )
+    m = (
+        docs.select(
+            "source", flag.alias("quality_flag"), predicted.alias("predicted")
+        )
+        .groupBy("source", "quality_flag", "predicted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    tot = m.groupBy("source").agg(F.sum("n_docs").alias("n_source"))
+    return m.join(F.broadcast(tot), "source").select(
+        "source",
+        "quality_flag",
+        "predicted",
+        "n_docs",
+        rnd(F.col("n_docs").cast("double") / F.col("n_source"), 6).alias(
+            "share_of_source"
+        ),
+    )

@@ -50,24 +50,26 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # Ordering is therefore a curated, per-round decision, not an accident of
 # imports; CERTIFIED_HISTORY.md tracks which rounds certified what.
 #
-# Round-7 window: the 12 queries ADDED this round lead (first-time
+# Round-7 window: the 15 queries ADDED this round lead (first-time
 # certification — new queries must land inside the window or they'd have
 # no driver row at all), followed by re-certification of the stalest
 # standing rows by vintage (vintage = most recent round with a green
 # driver row): the 25 queries whose only green row is from round 1 — six
 # rounds old by now — then the oldest round-4-vintage rows (the
 # rounds-2–4 window was byte-identical; its last green is r04), in that
-# window's recorded order. The 12 r4-vintage rows displaced by the new
+# window's recorded order. The 15 r4-vintage rows displaced by the new
 # queries (stream_sliding_1h_15m, stream_session_window_30m, wordcount,
 # stream_user_totals, stream_join_click_purchase, stream_dedup_events,
 # sessionize_gaps, rollup_hierarchical_daily, stream_tumbling_hourly,
-# window_tumbling_hourly, window_sliding_1h_15m, session_window_30m)
+# window_tumbling_hourly, window_sliding_1h_15m, session_window_30m,
+# parquet_partitioned_prune, bucketed_join_orders_customer,
+# zorder_pruning_stats)
 # keep their standing r04 green rows and lead the round-8 rotation with
 # the remaining r4 cohort. Green rows stand when a query rotates out;
 # tests/test_oracle_queries.py still mirrors every oracle-backed query
 # each pytest run.
 CERTIFIED_FIRST: tuple[str, ...] = (
-    # --- new in round 7: corpus-telemetry + weighted-sampling tier (12) ---
+    # --- new in round 7: corpus-telemetry + weighted-sampling tier (15) ---
     "source_unigram_kl",
     "doc_char_entropy",
     "sample_weighted_aes",
@@ -80,6 +82,9 @@ CERTIFIED_FIRST: tuple[str, ...] = (
     "source_dup_mass",
     "budget_pack_efficiency",
     "doc_lang_confusion",
+    "dup_cluster_size_histogram",
+    "source_novelty_trend",
+    "quality_flag_transition_by_source",
     # --- round-1-vintage re-certifications (25) ---
     "q5_supplier_revenue",
     "join_right_orders_customer",
@@ -106,7 +111,7 @@ CERTIFIED_FIRST: tuple[str, ...] = (
     "json_extract_props",
     "json_agg_by_type",
     "array_functions",
-    # --- round-4-vintage re-certifications (13, rounds-2–4 window order) ---
+    # --- round-4-vintage re-certifications (10, rounds-2–4 window order) ---
     "case_when_buckets",
     "pivot_status_by_priority",
     "funnel_click_purchase",
@@ -117,9 +122,6 @@ CERTIFIED_FIRST: tuple[str, ...] = (
     "csv_roundtrip_nation",
     "json_roundtrip_events",
     "text_scan_doc_langs",
-    "parquet_partitioned_prune",
-    "bucketed_join_orders_customer",
-    "zorder_pruning_stats",
 )
 
 

@@ -773,3 +773,118 @@ def test_lang_confusion_partitions_and_scalar_reference(spark, sf_dir):
         by_actual[r.actual_lang] = by_actual.get(r.actual_lang, 0.0) + r.share_of_actual
     for lang, s in by_actual.items():
         assert abs(s - 1.0) <= 1e-5, (lang, s)
+
+
+def test_dup_histogram_and_dup_mass_on_duplicated_corpus(spark, sf_dir, tmp_path):
+    """The fixture corpus has no exact duplicates (histogram = one
+    singleton row), so exercise the duplicate path on a synthetic corpus:
+    the fixture plus byte-identical copies of its first 10 docs under new
+    doc_ids. The histogram must show exactly ten 2-clusters and
+    source_dup_mass must attribute exactly the copies' token mass."""
+    import pyarrow as pa
+
+    from mapreduce_infrastructure_spark.llm.dedup import (
+        dup_cluster_size_histogram,
+        source_dup_mass,
+    )
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet")
+    d = tbl.to_pydict()
+    n = len(d["doc_id"])
+    assert len(set(d["text"])) == n, "fixture gained duplicate texts; update test"
+    max_id = max(d["doc_id"])
+    dup = {k: list(v[:10]) for k, v in d.items()}
+    dup["doc_id"] = [max_id + 1 + i for i in range(10)]
+    merged = {k: list(d[k]) + dup[k] for k in d}
+    out = tmp_path / "dupfix"
+    out.mkdir()
+    pq.write_table(pa.table(merged, schema=tbl.schema), out / "documents.parquet")
+
+    hist = {r.cluster_size: r for r in dup_cluster_size_histogram(spark, str(out)).collect()}
+    assert set(hist) == {1, 2}
+    assert hist[2].n_clusters == 10 and hist[2].n_docs == 20
+    assert hist[1].n_clusters == n - 10
+    assert abs(sum(r.share_of_docs for r in hist.values()) - 1.0) <= 1e-5
+
+    mass = {r.source: r for r in source_dup_mass(spark, str(out)).collect()}
+    expect_dup: dict[str, int] = {}
+    for src, text in zip(dup["source"], dup["text"]):
+        expect_dup[src] = expect_dup.get(src, 0) + len(_tokens(text))
+    for src, r in mass.items():
+        assert r.dup_tokens == expect_dup.get(src, 0), src
+    assert sum(r.n_docs for r in mass.values()) == n + 10
+
+
+def test_novelty_trend_pools_per_doc_novelty(spark, sf_dir):
+    """The quartiled trend must equal the per-doc novelty query pooled
+    through a scalar ntile(4) (first n%4 buckets get the extra doc), and
+    each (source, quartile) rate is the pooled Σnovel/Σgrams."""
+    from mapreduce_infrastructure_spark.llm.dedup import (
+        ngram_novelty_ratio,
+        source_novelty_trend,
+    )
+
+    per_doc = {r.doc_id: r for r in ngram_novelty_ratio(spark, sf_dir).collect()}
+    meta = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    ).to_pydict()
+    src_of = dict(zip(meta["doc_id"], meta["source"]))
+    by_source: dict[str, list[int]] = {}
+    for doc_id in sorted(per_doc):
+        by_source.setdefault(src_of[doc_id], []).append(doc_id)
+    expect: dict[tuple[str, int], list[int]] = {}
+    for source, ids in by_source.items():
+        n = len(ids)
+        base, extra = divmod(n, 4)
+        i = 0
+        for qt in range(1, 5):
+            size = base + (1 if qt <= extra else 0)
+            for doc_id in ids[i : i + size]:
+                expect.setdefault((source, qt), [0, 0, 0])
+                expect[(source, qt)][0] += 1
+                expect[(source, qt)][1] += per_doc[doc_id].n_grams
+                expect[(source, qt)][2] += per_doc[doc_id].n_novel
+            i += size
+    rows = {(r.source, r.quartile): r for r in source_novelty_trend(spark, sf_dir).collect()}
+    assert set(rows) == set(expect)
+    for key, (n_docs, n_grams, n_novel) in expect.items():
+        got = rows[key]
+        assert (got.n_docs, got.n_grams, got.n_novel) == (n_docs, n_grams, n_novel)
+        assert abs(got.novelty_rate - n_novel / n_grams) <= 1e-6
+
+
+def test_quality_flag_transition_partitions_corpus(spark, sf_dir):
+    """The joint (flag × predicted) table partitions each source (shares
+    sum to 1, counts sum to the source doc count) and matches a scalar
+    composition of the two classifier rules."""
+    from mapreduce_infrastructure_spark.llm.text import (
+        _LANG_MARKERS,
+        quality_flag_transition_by_source,
+    )
+
+    rows = quality_flag_transition_by_source(spark, sf_dir).collect()
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    ).to_pydict()
+    expect: dict[tuple[str, str, str], int] = {}
+    for source, text in zip(tbl["source"], tbl["text"]):
+        toks = _tokens(text)
+        n = len(toks)
+        n_stop = sum(1 for t in toks if t in ("the", "a"))
+        flag = "ok" if (n >= 20 and n_stop * 2 <= n) else "low"
+        c = {k: sum(1 for t in toks if t in set(v)) for k, v in _LANG_MARKERS.items()}
+        if c["en"] >= c["tech"] and c["en"] >= c["sql"]:
+            pred = "en"
+        elif c["tech"] >= c["sql"]:
+            pred = "tech"
+        else:
+            pred = "sql"
+        expect[(source, flag, pred)] = expect.get((source, flag, pred), 0) + 1
+    assert {
+        (r.source, r.quality_flag, r.predicted): r.n_docs for r in rows
+    } == expect
+    shares: dict[str, float] = {}
+    for r in rows:
+        shares[r.source] = shares.get(r.source, 0.0) + r.share_of_source
+    for source, s in shares.items():
+        assert abs(s - 1.0) <= 1e-5, (source, s)
