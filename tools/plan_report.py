@@ -78,6 +78,10 @@ FLAGSHIP_EXTRA = [
     "source_dup_mass",
     "budget_pack_efficiency",
     "doc_lang_confusion",
+    # round-7 wave 5
+    "dup_cluster_size_histogram",
+    "source_novelty_trend",
+    "quality_flag_transition_by_source",
 ]
 
 JOIN_KINDS = [
