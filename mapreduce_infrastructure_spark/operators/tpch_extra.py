@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..catalog import load_table
 from ..functions.exact import dec, dsum, lcount, rnd
+from ..llm.cache import tracked_persist
 from ..registry import query
 
 
@@ -364,13 +365,14 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties (if any) resolve identically in both engines.
 
     Scale: the per-supplier aggregate shrinks the fact table to |supplier|
-    rows; the global max is then a window over that already-dimension-sized
-    frame — ONE fact-table scan total (a scalar-subquery formulation would
-    scan lineitem twice; the single-partition window exchange moves only
-    |supplier| aggregated rows, which is broadcast-scale by construction).
+    rows. The global max is taken with a scalar ``agg`` reduced tree-wise
+    across partitions, then re-attached as a 1-row broadcast crossJoin —
+    no single-partition exchange anywhere, so the plan holds even when
+    supplier itself scales to billions of rows (TPC-H dimensions grow
+    with SF; an unpartitioned-window formulation would squeeze the whole
+    per-supplier aggregate through one task). The revenue aggregate is
+    persisted so the scalar pass and the filter pass share one fact scan.
     """
-    from pyspark.sql import Window
-
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     revenue = (
@@ -388,10 +390,10 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_revenue")
         )
     )
+    revenue = tracked_persist(revenue, f"q15_revenue:{sf_dir}")
+    mx = revenue.agg(F.max("total_revenue").alias("_mx"))
     return (
-        revenue.withColumn(
-            "_mx", F.max("total_revenue").over(Window.partitionBy())
-        )
+        revenue.crossJoin(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("_mx"))
         .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
@@ -783,11 +785,13 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     precision-cap rules can round the threshold.
 
     Scale: the group-by shrinks the region's fact rows to |part|; the
-    scalar (total, count) is a 1-row broadcast. Same two-aggregate plan as
-    canonical Q11, one fact scan.
+    scalar (total, count) is computed with a tree-reduced ``agg`` and
+    re-attached as a 1-row broadcast crossJoin — no single-partition
+    exchange, so the plan holds even when part scales to tens of billions
+    of rows (an unpartitioned-window formulation would route the whole
+    per-part value table through one task). The per-part aggregate is
+    persisted so the scalar pass and the filter pass share one fact scan.
     """
-    from pyspark.sql import Window
-
     li = load_table(spark, sf_dir, "lineitem")
     s_n = (
         load_table(spark, sf_dir, "supplier")
@@ -804,10 +808,12 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(F.sum(dec("l_extendedprice")).alias("v"))
     )
-    w = Window.partitionBy()
+    val = tracked_persist(val, f"q11_val:{sf_dir}")
+    tot = val.agg(
+        F.sum("v").alias("_t"), F.count(F.lit(1)).alias("_np")
+    )
     return (
-        val.withColumn("_t", F.sum("v").over(w))
-        .withColumn("_np", F.count(F.lit(1)).over(w))
+        val.crossJoin(F.broadcast(tot))
         .filter(
             (F.col("v") * 100).cast("long") * F.col("_np")
             > F.lit(2) * (F.col("_t") * 100).cast("long")

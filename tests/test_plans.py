@@ -186,14 +186,20 @@ def test_q19_disjunction_pushes_to_part_scan(spark, sf_dir):
 
 
 def test_q15_single_fact_scan(spark, sf_dir):
-    """Max-of-aggregate must not rescan lineitem for the scalar max: one
-    fact scan, then a window over the |supplier|-sized aggregate."""
+    """Max-of-aggregate must not rescan lineitem for the scalar max (the
+    persisted per-supplier aggregate feeds both the 1-row max and the
+    filter), and the max must NOT be an unpartitioned window — the scalar
+    agg + broadcast crossJoin shape keeps every exchange bounded even when
+    supplier scales to billions of rows."""
     from mapreduce_infrastructure_spark.operators.tpch_extra import (
         q15_top_supplier,
     )
 
-    plan = checks.explain_str(q15_top_supplier(spark, sf_dir))
+    df = q15_top_supplier(spark, sf_dir)
+    plan = checks.explain_str(df)
     assert plan.count("lineitem") == 1, plan
+    assert "Window" not in plan, plan
+    checks.assert_no_unbounded_single_partition(df)
 
 
 def test_q21_single_fact_scan_and_broadcasts(spark, sf_dir):
@@ -262,14 +268,19 @@ def test_q2_single_fact_scan_correlated_min(spark, sf_dir):
 
 
 def test_q11_single_fact_scan_scalar_total(spark, sf_dir):
-    """Q11's global-total threshold must come from a window over the
-    |part|-sized aggregate, not a second fact scan."""
+    """Q11's global (total, count) threshold must come from a scalar agg
+    broadcast back over the persisted |part|-sized aggregate — one fact
+    scan, no unpartitioned window, no volume-scaled single-partition
+    exchange."""
     from mapreduce_infrastructure_spark.operators.tpch_extra import (
         q11_important_stock,
     )
 
-    plan = checks.explain_str(q11_important_stock(spark, sf_dir))
+    df = q11_important_stock(spark, sf_dir)
+    plan = checks.explain_str(df)
     assert plan.count("lineitem") == 1, plan
+    assert "Window" not in plan, plan
+    checks.assert_no_unbounded_single_partition(df)
 
 
 def test_q20_nested_in_is_semi_join_chain(spark, sf_dir):
@@ -284,6 +295,38 @@ def test_q20_nested_in_is_semi_join_chain(spark, sf_dir):
     assert "LeftSemi" in plan
     checks.assert_broadcast_join(df)
     assert plan.count("lineitem") == 1, plan
+
+
+# Queries allowed to keep a single-partition exchange over a keyed input,
+# each with the reason the input is bounded by something other than data
+# volume. Additions here need the same justification, reviewed against
+# checks.single_partition_squeezes()'s docstring.
+_SINGLE_PARTITION_ALLOWED = {
+    # The cross-bucket offset pass sums one delta row per HOUR — bounded by
+    # the dataset's timespan (~1e5 rows for a decade), not by row volume.
+    "concurrent_sessions_peak",
+}
+
+
+def test_no_registered_query_squeezes_volume_through_one_partition(spark, sf_dir):
+    """Repo-wide scale guard: no registered query's physical plan may route
+    a volume-scaled input through an ``Exchange SinglePartition`` (the
+    round-7 q15/q11 finding — invisible at test SF, fatal at 100 TB).
+    Streaming queries are excluded: their callables execute full
+    micro-batch pipelines (covered by tests/test_streaming.py), and their
+    stateful plans are per-micro-batch, not volume-scaled."""
+    from mapreduce_infrastructure_spark.registry import all_queries
+
+    failures = {}
+    for name, q in all_queries().items():
+        if "streaming" in q.tags or name in _SINGLE_PARTITION_ALLOWED:
+            continue
+        bad = checks.single_partition_squeezes(
+            checks.explain_str(q.fn(spark, sf_dir), "simple")
+        )
+        if bad:
+            failures[name] = bad
+    assert not failures, failures
 
 
 def test_ppjoin_no_cartesian(spark, sf_dir):
