@@ -569,7 +569,15 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
+    # The returned rules frame is driver-local, so every persisted ``cur``
+    # is released before return: a superseded iteration unpersists as soon
+    # as its successor is materialized (the argmax collect scans — and
+    # therefore caches — the live ``cur``), and the final one on exit.
+    # Bare .persist() is correct here precisely because the lifetime is
+    # function-local; cross-invocation slots (tracked_persist) are for
+    # frames that must outlive their query function.
     cur = words.withColumn("syms", F.split("word", "")).persist()
+    prev: DataFrame | None = None
     rules: list[tuple[int, str, str, int]] = []
     for step in range(1, BPE_MERGES + 1):
         pairs = cur.filter(F.size("syms") >= 2).select(
@@ -589,6 +597,9 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
             .collect()
         )[0]
+        if prev is not None:  # the collect above materialized ``cur``
+            prev.unpersist()
+            prev = None
         rules.append((step, best["p1"], best["p2"], int(best["cnt"])))
         if step < BPE_MERGES:
             # Tokens are [a-z0-9]+ so the learned symbols are safe to inline.
@@ -599,7 +610,7 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f" THEN concat(slice(acc, 1, size(acc) - 1), array('{p1}{p2}'))"
                 f" ELSE concat(acc, array(x)) END)"
             )
-            cur = (
+            prev, cur = cur, (
                 cur.withColumn("_m", F.expr(fold))
                 .select(
                     "word",
@@ -608,6 +619,7 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 .persist()
             )
+    cur.unpersist()
     return spark.createDataFrame(rules, "step int, p1 string, p2 string, cnt bigint")
 
 

@@ -888,3 +888,19 @@ def test_quality_flag_transition_partitions_corpus(spark, sf_dir):
         shares[r.source] = shares.get(r.source, 0.0) + r.share_of_source
     for source, s in shares.items():
         assert abs(s - 1.0) <= 1e-5, (source, s)
+
+
+def test_bpe_trainer_releases_all_persisted_frames(spark, sf_dir):
+    """The BPE trainer's per-merge-step persists are function-local (the
+    returned rules frame is driver-built), so two invocations must leave
+    ZERO additional cached tables behind — the round-7 leak was
+    BPE_MERGES-1 vocab-sized cached frames per call."""
+    from mapreduce_infrastructure_spark.llm.text import bpe_learn_merges
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    r1 = bpe_learn_merges(spark, sf_dir).collect()
+    r2 = bpe_learn_merges(spark, sf_dir).collect()
+    after = jsc.getPersistentRDDs().size()
+    assert after == before, (before, after)
+    assert r1 == r2 and len(r1) >= 3
