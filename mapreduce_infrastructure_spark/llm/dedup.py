@@ -70,6 +70,21 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.size("sh") > 0)
 
 
+def _gram_incidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exploded (doc_id, source, gram) distinct-3-gram incidence table,
+    persisted under ONE sf_dir-keyed slot so its consumers
+    (``ngram_novelty_ratio``, ``source_novelty_trend``,
+    ``ngram_idf_weighted_novelty``) share a single corpus-scale cached
+    copy per session instead of each holding their own."""
+    return _tracked_persist(
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", shingles_col(tokens_col()).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select("doc_id", "source", F.explode("sh").alias("g")),
+        f"gram_incidence:{sf_dir}",
+    )
+
+
 # --------------------------------------------------------------------------
 # Exact dedup
 # --------------------------------------------------------------------------
@@ -1136,8 +1151,9 @@ def ngram_novelty_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep-first convention as `dedup_exact`/`dedup_canonical_docs`
     (MIN(doc_id) wins), so novelty here predicts survival there.
 
-    Plan shape at 100 TB: the same one-pass shingle table the dedup tier
-    builds (explode of `shingles_col`, persisted — two consumers), then
+    Plan shape at 100 TB: the shared persisted (doc, gram) incidence
+    (`_gram_incidence` — one cached copy serves every novelty-telemetry
+    consumer in a session), then
     a gram-keyed MIN(doc_id) aggregation (shuffle on gram, map-side
     partial MIN) and one gram-keyed join back, finishing with a per-doc
     fold. Strictly linear — the gram table is the corpus's distinct
@@ -1147,12 +1163,7 @@ def ngram_novelty_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integers; the single ratio division is correctly rounded and
     rounded at 1e-6.
     """
-    grams = _tracked_persist(
-        _doc_shingles(spark, sf_dir).select(
-            "doc_id", F.explode("sh").alias("g")
-        ),
-        f"ngram_novelty_ratio:{sf_dir}",
-    )
+    grams = _gram_incidence(spark, sf_dir)
     first = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
     novel = F.sum(
         F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
@@ -1356,13 +1367,7 @@ def source_novelty_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     not text) and a |sources|×4-row final aggregate. ntile is
     deterministic here (ORDER BY the unique doc_id).
     """
-    grams = _tracked_persist(
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", "source", shingles_col(tokens_col()).alias("sh"))
-        .filter(F.size("sh") > 0)
-        .select("doc_id", "source", F.explode("sh").alias("g")),
-        f"source_novelty_trend:{sf_dir}",
-    )
+    grams = _gram_incidence(spark, sf_dir)
     first = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
     per_doc = (
         grams.join(first, "g")

@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from ..catalog import load_table
 from ..functions.exact import rnd
 from ..registry import query
-from .text import TOKEN_DELIM, tokens_col
+from .text import TOKEN_DELIM, quality_flag_col, quality_flag_sql, tokens_col
 
 # Per-language sampling rates for the stratified mix (domain mixing à la
 # The Pile / RefinedWeb recipes: upweight the head language, downsample
@@ -753,10 +753,7 @@ _QAES_CAP = 512
     ), scored AS (
       SELECT doc_id, lang,
              CAST(len(toks) AS BIGINT) AS n_tokens,
-             CASE WHEN len(toks) >= 20
-                   AND len(list_filter(toks, x -> x = 'the' OR x = 'a')) * 2
-                       <= len(toks)
-                  THEN 'ok' ELSE 'low' END AS quality_flag
+             {quality_flag_sql()} AS quality_flag
       FROM t WHERE len(toks) > 0
     ), keyed AS (
       SELECT doc_id, lang, n_tokens, quality_flag,
@@ -782,7 +779,10 @@ def sample_weighted_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A-ES weighted sampling with a QUALITY weight instead of raw token
     mass: the same one-pass Efraimidis–Spirakis machinery as
     `sample_weighted_aes`, parameterized by the `quality_scores` heuristic
-    — docs flagged 'ok' draw with weight min(n_tokens, 512) (token mass,
+    (the flag is built by the shared `text.quality_flag_col` /
+    `text.quality_flag_sql` pair, so the coupling is structural, not
+    copy-pasted) — docs flagged 'ok' draw with weight min(n_tokens, 512)
+    (token mass,
     capped so no single megadoc dominates), docs flagged 'low' draw with
     weight 1 (still sampleable, ~never chosen ahead of quality mass).
     This is the "sample a high-quality epoch slice" primitive a training
@@ -803,15 +803,12 @@ def sample_weighted_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_sampling.py.
     """
     docs = load_table(spark, sf_dir, "documents")
-    n_tokens = F.size(tokens_col())
-    n_stop = F.size(F.filter(tokens_col(), lambda x: (x == "the") | (x == "a")))
+    toks = tokens_col()
     scored = docs.select(
         "doc_id",
         "lang",
-        n_tokens.cast("long").alias("n_tokens"),
-        F.when((n_tokens >= 20) & (n_stop * 2 <= n_tokens), "ok")
-        .otherwise("low")
-        .alias("quality_flag"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        quality_flag_col(toks).alias("quality_flag"),
     ).filter(F.col("n_tokens") > 0)
     w = F.when(
         F.col("quality_flag") == "ok",

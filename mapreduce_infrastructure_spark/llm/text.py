@@ -32,6 +32,95 @@ def tokens_col(text_col: str = "text") -> F.Column:
     )
 
 
+# --------------------------------------------------------------------------
+# Shared classifier builders (single source of truth)
+#
+# The quality keep/drop heuristic and the marker-vocabulary language ID are
+# referenced by SIX operators (quality_scores, corpus_clean_pipeline,
+# lang_id_heuristic, doc_lang_confusion, quality_flag_transition_by_source,
+# sampling.sample_weighted_by_quality), each needing BOTH a Column
+# expression and the equivalent DuckDB oracle fragment. Both sides are
+# built here once, so editing a threshold or marker list cannot silently
+# desynchronize the telemetry operators that claim to mirror the
+# classifiers.
+# --------------------------------------------------------------------------
+
+# Marker vocabularies for the language-ID heuristic (argmax of marker hits
+# with a fixed preference order — integer counts, engine-stable).
+_LANG_MARKERS = {
+    "en": ("the", "a", "of"),
+    "tech": ("data", "table", "row", "column", "batch"),
+    "sql": ("query", "join", "filter", "agg", "sort"),
+}
+
+
+def quality_keep_col(toks: F.Column) -> F.Column:
+    """The boolean keep predicate: ≥20 tokens AND stopwords ≤ half
+    (integer-exact comparisons, so the flag is engine-stable)."""
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: (x == "the") | (x == "a")))
+    return (n_tokens >= 20) & (n_stop * 2 <= n_tokens)
+
+
+def quality_flag_col(toks: F.Column) -> F.Column:
+    """'ok'/'low' quality flag over a token-array column."""
+    return F.when(quality_keep_col(toks), "ok").otherwise("low")
+
+
+def quality_keep_sql(toks: str = "toks") -> str:
+    """Oracle-SQL form of :func:`quality_keep_col` over a token-list
+    expression named ``toks``."""
+    return (
+        f"len({toks}) >= 20 AND "
+        f"len(list_filter({toks}, x -> x = 'the' OR x = 'a')) * 2 <= len({toks})"
+    )
+
+
+def quality_flag_sql(toks: str = "toks") -> str:
+    """Oracle-SQL form of :func:`quality_flag_col`."""
+    return f"CASE WHEN {quality_keep_sql(toks)} THEN 'ok' ELSE 'low' END"
+
+
+def lang_marker_counts(toks: F.Column) -> dict[str, F.Column]:
+    """Per-class marker-hit counts over a token-array column."""
+    return {
+        k: F.size(F.filter(toks, lambda x: x.isin(*v)))
+        for k, v in _LANG_MARKERS.items()
+    }
+
+
+def predicted_lang_col(toks: F.Column) -> F.Column:
+    """Argmax marker class with the fixed en > tech > sql tie order."""
+    c = lang_marker_counts(toks)
+    return (
+        F.when((c["en"] >= c["tech"]) & (c["en"] >= c["sql"]), "en")
+        .when(c["tech"] >= c["sql"], "tech")
+        .otherwise("sql")
+    )
+
+
+def marker_count_sql(lang: str, toks: str = "toks") -> str:
+    """Oracle-SQL marker-hit count for one class."""
+    words = ",".join(f"'{w}'" for w in _LANG_MARKERS[lang])
+    return f"len(list_filter({toks}, x -> x IN ({words})))"
+
+
+def predicted_lang_case_sql(en: str, tech: str, sql_: str) -> str:
+    """Oracle-SQL argmax over three count expressions (same tie order as
+    :func:`predicted_lang_col`)."""
+    return (
+        f"CASE WHEN {en} >= {tech} AND {en} >= {sql_} THEN 'en' "
+        f"WHEN {tech} >= {sql_} THEN 'tech' ELSE 'sql' END"
+    )
+
+
+def predicted_lang_sql(toks: str = "toks") -> str:
+    """Oracle-SQL form of :func:`predicted_lang_col`."""
+    return predicted_lang_case_sql(
+        *(marker_count_sql(k, toks) for k in ("en", "tech", "sql"))
+    )
+
+
 @query(
     "wordcount",
     oracle=f"""
@@ -141,9 +230,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
            floor((CAST(n_chars AS DOUBLE) / nullif(len(toks), 0)) * 10000 + 0.5) / 10000 AS chars_per_token,
            floor((CAST(len(list_filter(toks, x -> x = 'the' OR x = 'a')) AS DOUBLE)
                  / nullif(len(toks), 0)) * 10000 + 0.5) / 10000 AS stopword_ratio,
-           CASE WHEN len(toks) >= 20
-                 AND len(list_filter(toks, x -> x = 'the' OR x = 'a')) * 2 <= len(toks)
-                THEN 'ok' ELSE 'low' END AS quality_flag
+           {quality_flag_sql()} AS quality_flag
     FROM t
     """,
     tags=("text", "quality"),
@@ -168,19 +255,8 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tokens.cast("long").alias("n_tokens"),
         rnd(F.col("n_chars").cast("double") / n_tokens_nz, 4).alias("chars_per_token"),
         rnd(n_stop.cast("double") / n_tokens_nz, 4).alias("stopword_ratio"),
-        F.when((n_tokens >= 20) & (n_stop * 2 <= n_tokens), "ok")
-        .otherwise("low")
-        .alias("quality_flag"),
+        quality_flag_col(toks).alias("quality_flag"),
     )
-
-
-# Marker vocabularies for the language-ID heuristic (argmax of marker hits
-# with a fixed preference order — integer counts, engine-stable).
-_LANG_MARKERS = {
-    "en": ("the", "a", "of"),
-    "tech": ("data", "table", "row", "column", "batch"),
-    "sql": ("query", "join", "filter", "agg", "sort"),
-}
 
 
 @query(
@@ -192,16 +268,14 @@ _LANG_MARKERS = {
       FROM documents
     ), c AS (
       SELECT doc_id, lang,
-             len(list_filter(toks, x -> x IN ('the','a','of'))) AS c_en,
-             len(list_filter(toks, x -> x IN ('data','table','row','column','batch'))) AS c_tech,
-             len(list_filter(toks, x -> x IN ('query','join','filter','agg','sort'))) AS c_sql
+             {marker_count_sql("en")} AS c_en,
+             {marker_count_sql("tech")} AS c_tech,
+             {marker_count_sql("sql")} AS c_sql
       FROM t
     )
     SELECT doc_id, lang AS actual_lang,
            CAST(c_en AS BIGINT) AS c_en, CAST(c_tech AS BIGINT) AS c_tech, CAST(c_sql AS BIGINT) AS c_sql,
-           CASE WHEN c_en >= c_tech AND c_en >= c_sql THEN 'en'
-                WHEN c_tech >= c_sql THEN 'tech'
-                ELSE 'sql' END AS predicted
+           {predicted_lang_case_sql("c_en", "c_tech", "c_sql")} AS predicted
     FROM c
     """,
     tags=("text", "langid"),
@@ -213,24 +287,14 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan speed — is the real deliverable.)"""
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens_col()
-    def marker_count(words: tuple[str, ...]) -> F.Column:
-        return F.size(F.filter(toks, lambda x: x.isin(*words)))
-
-    counts = {k: marker_count(v) for k, v in _LANG_MARKERS.items()}
-    predicted = (
-        F.when(
-            (counts["en"] >= counts["tech"]) & (counts["en"] >= counts["sql"]), "en"
-        )
-        .when(counts["tech"] >= counts["sql"], "tech")
-        .otherwise("sql")
-    )
+    counts = lang_marker_counts(toks)
     return docs.select(
         "doc_id",
         F.col("lang").alias("actual_lang"),
         counts["en"].cast("long").alias("c_en"),
         counts["tech"].cast("long").alias("c_tech"),
         counts["sql"].cast("long").alias("c_sql"),
-        predicted.alias("predicted"),
+        predicted_lang_col(toks).alias("predicted"),
     )
 
 
@@ -349,8 +413,7 @@ def token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
              len(toks) AS n_tokens,
              len(list_filter(toks, x -> x = 'the' OR x = 'a')) AS n_stop
       FROM scored
-      WHERE len(toks) >= 20
-        AND len(list_filter(toks, x -> x = 'the' OR x = 'a')) * 2 <= len(toks)
+      WHERE {quality_keep_sql()}
     ), deduped AS (
       SELECT * FROM (
         SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
@@ -378,15 +441,12 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens_col()
-    is_stop = lambda x: (x == "the") | (x == "a")  # noqa: E731
-    n_tokens = F.size(toks)
-    n_stop = F.size(F.filter(toks, is_stop))
     kept = docs.select(
         "doc_id",
         "lang",
         F.md5(F.col("text").cast("binary")).alias("fp"),
-        n_tokens.alias("n_tokens"),
-    ).filter((n_tokens >= 20) & (n_stop * 2 <= n_tokens))
+        F.size(toks).alias("n_tokens"),
+    ).filter(quality_keep_col(toks))
     w = Window.partitionBy("fp").orderBy("doc_id")
     deduped = kept.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     return deduped.groupBy("lang").agg(
@@ -1246,15 +1306,7 @@ def budget_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ), c AS (
       SELECT lang AS actual_lang,
-             CASE WHEN len(list_filter(toks, x -> x IN ('the','a','of')))
-                       >= len(list_filter(toks, x -> x IN ('data','table','row','column','batch')))
-                   AND len(list_filter(toks, x -> x IN ('the','a','of')))
-                       >= len(list_filter(toks, x -> x IN ('query','join','filter','agg','sort')))
-                  THEN 'en'
-                  WHEN len(list_filter(toks, x -> x IN ('data','table','row','column','batch')))
-                       >= len(list_filter(toks, x -> x IN ('query','join','filter','agg','sort')))
-                  THEN 'tech'
-                  ELSE 'sql' END AS predicted
+             {predicted_lang_sql()} AS predicted
       FROM t
     ), m AS (
       SELECT actual_lang, predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
@@ -1288,22 +1340,11 @@ def doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     1e-6.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens_col()
-
-    def marker_count(words: tuple[str, ...]) -> F.Column:
-        return F.size(F.filter(toks, lambda x: x.isin(*words)))
-
-    counts = {k: marker_count(v) for k, v in _LANG_MARKERS.items()}
-    predicted = (
-        F.when(
-            (counts["en"] >= counts["tech"]) & (counts["en"] >= counts["sql"]),
-            "en",
-        )
-        .when(counts["tech"] >= counts["sql"], "tech")
-        .otherwise("sql")
-    )
     m = (
-        docs.select(F.col("lang").alias("actual_lang"), predicted.alias("predicted"))
+        docs.select(
+            F.col("lang").alias("actual_lang"),
+            predicted_lang_col(tokens_col()).alias("predicted"),
+        )
         .groupBy("actual_lang", "predicted")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
@@ -1332,19 +1373,8 @@ def doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ), c AS (
       SELECT source,
-             CASE WHEN len(toks) >= 20
-                   AND len(list_filter(toks, x -> x = 'the' OR x = 'a')) * 2
-                       <= len(toks)
-                  THEN 'ok' ELSE 'low' END AS quality_flag,
-             CASE WHEN len(list_filter(toks, x -> x IN ('the','a','of')))
-                       >= len(list_filter(toks, x -> x IN ('data','table','row','column','batch')))
-                   AND len(list_filter(toks, x -> x IN ('the','a','of')))
-                       >= len(list_filter(toks, x -> x IN ('query','join','filter','agg','sort')))
-                  THEN 'en'
-                  WHEN len(list_filter(toks, x -> x IN ('data','table','row','column','batch')))
-                       >= len(list_filter(toks, x -> x IN ('query','join','filter','agg','sort')))
-                  THEN 'tech'
-                  ELSE 'sql' END AS predicted
+             {quality_flag_sql()} AS quality_flag,
+             {predicted_lang_sql()} AS predicted
       FROM t
     ), m AS (
       SELECT source, quality_flag, predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
@@ -1376,27 +1406,11 @@ def quality_flag_transition_by_source(spark: SparkSession, sf_dir: str) -> DataF
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens_col()
-    n_tokens = F.size(toks)
-    n_stop = F.size(F.filter(toks, lambda x: (x == "the") | (x == "a")))
-    flag = F.when((n_tokens >= 20) & (n_stop * 2 <= n_tokens), "ok").otherwise(
-        "low"
-    )
-
-    def marker_count(words: tuple[str, ...]) -> F.Column:
-        return F.size(F.filter(toks, lambda x: x.isin(*words)))
-
-    counts = {k: marker_count(v) for k, v in _LANG_MARKERS.items()}
-    predicted = (
-        F.when(
-            (counts["en"] >= counts["tech"]) & (counts["en"] >= counts["sql"]),
-            "en",
-        )
-        .when(counts["tech"] >= counts["sql"], "tech")
-        .otherwise("sql")
-    )
     m = (
         docs.select(
-            "source", flag.alias("quality_flag"), predicted.alias("predicted")
+            "source",
+            quality_flag_col(toks).alias("quality_flag"),
+            predicted_lang_col(toks).alias("predicted"),
         )
         .groupBy("source", "quality_flag", "predicted")
         .agg(F.count(F.lit(1)).alias("n_docs"))

@@ -43,15 +43,26 @@ def run(label: str, argv: list[str], env: dict | None = None) -> None:
 def main() -> None:
     quick = "--quick" in sys.argv
     py = sys.executable
-    run("window gate", [py, "tools/full_gate.py", "--window=50"])
-    if not quick:
-        run("hostile sweep (all queries)", [py, "tools/full_gate.py", "--hostile"])
-        run("plain sweep (all queries)", [py, "tools/full_gate.py"])
-    run(
-        "bench smoke (sf0.01)",
-        [py, "bench.py"],
-        env={"SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.01"},
+    # ONE sf-dir knob for every step, so the gate and the bench smoke can
+    # never silently run against different datasets: SPARK_GRAFT_GATE_SF
+    # (full_gate's own knob) wins if set, else the generic
+    # SPARK_GRAFT_SF_DIR, else the sf0.01 default. The caller's value is
+    # honored, never overridden.
+    sf = (
+        os.environ.get("SPARK_GRAFT_GATE_SF")
+        or os.environ.get("SPARK_GRAFT_SF_DIR")
+        or "/root/testdata/sf0.01"
     )
+    env = {"SPARK_GRAFT_GATE_SF": sf, "SPARK_GRAFT_SF_DIR": sf}
+    run("window gate", [py, "tools/full_gate.py", "--window=50"], env=env)
+    if not quick:
+        run(
+            "hostile sweep (all queries)",
+            [py, "tools/full_gate.py", "--hostile"],
+            env=env,
+        )
+        run("plain sweep (all queries)", [py, "tools/full_gate.py"], env=env)
+    run(f"bench smoke ({sf})", [py, "bench.py"], env=env)
     print("PREFLIGHT GREEN" + (" (quick)" if quick else ""))
 
 
