@@ -1389,3 +1389,84 @@ def source_novelty_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_novel").cast("double") / F.sum("n_grams"), 6
         ).alias("novelty_rate"),
     )
+
+
+@query(
+    "ngram_idf_weighted_novelty",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 2, 0)),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS g
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '') AS toks
+            FROM documents)
+    ), f AS (
+      SELECT g, MIN(doc_id) AS first_doc, COUNT(*) AS df FROM t GROUP BY g
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           floor(SUM(ln(CAST(n.n_docs AS DOUBLE) / f.df)) * 1000000 + 0.5)
+             / 1000000 AS idf_mass,
+           floor(SUM(CASE WHEN f.first_doc = t.doc_id
+                          THEN ln(CAST(n.n_docs AS DOUBLE) / f.df)
+                          ELSE 0 END) * 1000000 + 0.5) / 1000000
+             AS novel_idf_mass,
+           floor((SUM(CASE WHEN f.first_doc = t.doc_id
+                           THEN ln(CAST(n.n_docs AS DOUBLE) / f.df)
+                           ELSE 0 END)
+                  / nullif(SUM(ln(CAST(n.n_docs AS DOUBLE) / f.df)), 0))
+                 * 1000000 + 0.5) / 1000000 AS weighted_novelty
+    FROM t JOIN f USING (g) CROSS JOIN n
+    GROUP BY t.doc_id
+    """,
+    tags=("dedup", "text", "llm", "novelty"),
+)
+def ngram_idf_weighted_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`ngram_novelty_ratio` with rarity weighting: each first-seen 3-gram
+    counts its corpus IDF ln(N_docs / df_g) instead of 1, so a doc whose
+    novel grams are RARE scores higher than one whose novelty is shared
+    boilerplate that merely arrived first. weighted_novelty = novel IDF
+    mass / total IDF mass ∈ [0, 1]; a doc whose every gram appears in
+    every doc has zero IDF mass and reports NULL (pinned via nullif on
+    both engines).
+
+    Plan shape at 100 TB: the shared persisted (doc, gram) incidence
+    (`_gram_incidence`), ONE gram-keyed aggregation producing BOTH
+    MIN(doc_id) and df (first-seen and document frequency share the
+    shuffle), the corpus doc count as a scalar-agg 1-row broadcast
+    crossJoin (keys=[] partial — passes the single-partition plan guard),
+    then one gram-keyed join back and a per-doc fold. Same linear
+    asymptotics as `ngram_novelty_ratio` — the df column rides along for
+    free. Float note: the per-doc IDF sums add hundreds of O(1) doubles
+    whose accumulation order differs between engines (~1e-13 relative
+    error); rounding at 1e-6 leaves a >1e6× margin, audited in
+    tests/test_text_telemetry.py.
+    """
+    grams = _gram_incidence(spark, sf_dir)
+    stats = grams.groupBy("g").agg(
+        F.min("doc_id").alias("first_doc"), F.count(F.lit(1)).alias("df")
+    )
+    n = load_table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("n_docs_corpus")
+    )
+    idf = F.log(F.col("n_docs_corpus").cast("double") / F.col("df"))
+    novel_idf = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), idf).otherwise(F.lit(0.0))
+    )
+    total_idf = F.sum(idf)
+    return (
+        grams.join(stats, "g")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            rnd(total_idf, 6).alias("idf_mass"),
+            rnd(novel_idf, 6).alias("novel_idf_mass"),
+            rnd(novel_idf / F.nullif(total_idf, F.lit(0.0)), 6).alias(
+                "weighted_novelty"
+            ),
+        )
+    )

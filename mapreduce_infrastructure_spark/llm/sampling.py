@@ -830,3 +830,82 @@ def sample_weighted_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.col("k"), 6).alias("sample_key"),
         )
     )
+
+
+@query(
+    "packing_bin_fill_histogram",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(regexp_split_to_array(lower(text), '{TOKEN_DELIM}'),
+                                  t -> t <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), packed AS (
+      SELECT lang, n_tokens,
+             CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                             ROWS UNBOUNDED PRECEDING)
+                         - n_tokens) / {_PACK_BUDGET}.0) AS BIGINT) AS bin
+      FROM toks
+    ), bins AS (
+      SELECT lang, bin, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+      FROM packed GROUP BY lang, bin
+    ), hist AS (
+      SELECT lang, bin_tokens * 10 // {_PACK_BUDGET} AS fill_decile,
+             bin_tokens
+      FROM bins
+    ), m AS (
+      SELECT lang, fill_decile,
+             CAST(COUNT(*) AS BIGINT) AS n_bins,
+             CAST(SUM(bin_tokens) AS BIGINT) AS decile_tokens
+      FROM hist GROUP BY lang, fill_decile
+    ), tot AS (
+      SELECT lang, CAST(SUM(n_bins) AS BIGINT) AS lang_bins FROM m GROUP BY lang
+    )
+    SELECT m.lang, m.fill_decile, m.n_bins, m.decile_tokens,
+           floor((CAST(m.n_bins AS DOUBLE) / t.lang_bins) * 1000000 + 0.5)
+             / 1000000 AS share_of_bins
+    FROM m JOIN tot t USING (lang)
+    """,
+    tags=("sampling", "packing", "stats", "llm"),
+)
+def packing_bin_fill_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of `pack_sequences` bin fill levels per language: each
+    ~2048-token training bin lands in a fill decile (bin_tokens·10 div
+    budget — deciles above 10 are bins a boundary-straddling doc
+    overfilled, decile <10 means padding waste), with per-decile bin
+    counts, token mass, and the share of the language's bins. The packing
+    QA view: a healthy packer concentrates mass at decile 10; a fat tail
+    below means short-doc fragmentation, above means megadocs the chunker
+    should have split first.
+
+    Plan shape at 100 TB: composes the registered `pack_sequences` plan
+    (per-language cumulative window — partition key widens to
+    (lang, shard) at scale, see its docstring) with a |langs|×|deciles|-
+    bounded histogram aggregate; per-language totals fold from the
+    histogram itself, no second corpus pass. The decile is computed with
+    INTEGER division (never a float boundary), counts are exact; the one
+    share division is correctly rounded at 1e-6.
+    """
+    bins = pack_sequences(spark, sf_dir)
+    m = (
+        bins.select(
+            "lang",
+            F.expr(f"bin_tokens * 10 div {_PACK_BUDGET}").alias("fill_decile"),
+            "bin_tokens",
+        )
+        .groupBy("lang", "fill_decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_bins"),
+            F.sum("bin_tokens").alias("decile_tokens"),
+        )
+    )
+    tot = m.groupBy("lang").agg(F.sum("n_bins").alias("lang_bins"))
+    return m.join(F.broadcast(tot), "lang").select(
+        "lang",
+        "fill_decile",
+        "n_bins",
+        "decile_tokens",
+        rnd(F.col("n_bins").cast("double") / F.col("lang_bins"), 6).alias(
+            "share_of_bins"
+        ),
+    )

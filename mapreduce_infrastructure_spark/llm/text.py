@@ -1425,3 +1425,262 @@ def quality_flag_transition_by_source(spark: SparkSession, sf_dir: str) -> DataF
             "share_of_source"
         ),
     )
+
+
+@query(
+    "source_pair_jaccard",
+    oracle=f"""
+    WITH st AS (
+      SELECT DISTINCT source, term FROM (
+        SELECT source,
+               unnest(list_filter(regexp_split_to_array(lower(text), '{TOKEN_DELIM}'),
+                                  x -> x <> '')) AS term
+        FROM documents)
+    ), sizes AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS v FROM st GROUP BY source
+    ), inter AS (
+      SELECT a.source AS s1, b.source AS s2, CAST(COUNT(*) AS BIGINT) AS n_inter
+      FROM st a JOIN st b ON a.term = b.term AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT x.source AS s1, y.source AS s2,
+           x.v AS v1, y.v AS v2,
+           COALESCE(i.n_inter, 0) AS n_inter,
+           floor((CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+                  / (x.v + y.v - COALESCE(i.n_inter, 0))) * 1000000 + 0.5)
+             / 1000000 AS jaccard
+    FROM sizes x JOIN sizes y ON x.source < y.source
+    LEFT JOIN inter i ON i.s1 = x.source AND i.s2 = y.source
+    """,
+    tags=("text", "stats", "llm", "dedup"),
+)
+def source_pair_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level vocabulary overlap matrix: Jaccard similarity of the
+    distinct-token vocabularies of every unordered source pair. The corpus
+    team's mirror detector — two crawl sources whose vocabularies are
+    near-identical are duplicating each other's content upstream of any
+    per-document dedup, and the pair belongs on the `source_dup_mass`
+    throttle list.
+
+    Plan shape at 100 TB: one corpus scan builds the distinct
+    (source, term) incidence (shuffle on the pair); per-source vocabulary
+    sizes are a |sources|-row aggregate (broadcast). The intersection
+    self-join is TERM-keyed: each term joins only the ≤|sources| sources
+    containing it, so the fanout is bounded by |sources|²/2 per term —
+    linear in vocabulary with a tiny constant, never pairwise in
+    documents. The final |sources|²/2 dense grid is an intentional
+    broadcast crossJoin of two |sources|-row frames. All counts exact
+    integers; the single Jaccard division is correctly rounded at 1e-6.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    st = (
+        docs.select("source", F.explode(tokens_col()).alias("term"))
+        .distinct()
+    )
+    st = tracked_persist(st, f"source_term_vocab:{sf_dir}")
+    sizes = st.groupBy("source").agg(F.count(F.lit(1)).alias("v"))
+    a, b = st.alias("a"), st.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("s1"), F.col("b.source").alias("s2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    x = sizes.select(F.col("source").alias("s1"), F.col("v").alias("v1"))
+    y = sizes.select(F.col("source").alias("s2"), F.col("v").alias("v2"))
+    grid = x.join(F.broadcast(y), F.col("s1") < F.col("s2"))
+    n_inter = F.coalesce(F.col("n_inter"), F.lit(0))
+    return (
+        grid.join(F.broadcast(inter), ["s1", "s2"], "left")
+        .select(
+            "s1",
+            "s2",
+            "v1",
+            "v2",
+            n_inter.alias("n_inter"),
+            rnd(
+                n_inter.cast("double") / (F.col("v1") + F.col("v2") - n_inter),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+@query(
+    "doc_bigram_cond_entropy",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '{TOKEN_DELIM}'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), bg AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+                                   i -> toks[i])) AS x,
+             unnest(list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+                                   i -> toks[i+1])) AS y
+      FROM t
+    ), cxy AS (
+      SELECT doc_id, x, y, CAST(COUNT(*) AS BIGINT) AS c FROM bg
+      GROUP BY doc_id, x, y
+    ), cx AS (
+      SELECT doc_id, x, CAST(SUM(c) AS BIGINT) AS c_x FROM cxy
+      GROUP BY doc_id, x
+    )
+    SELECT cxy.doc_id,
+           CAST(SUM(cxy.c) AS BIGINT) AS n_bigrams,
+           floor((-SUM(cxy.c * ln(CAST(cxy.c AS DOUBLE) / cx.c_x))
+                  / SUM(cxy.c)) * 1000000 + 0.5) / 1000000 AS cond_entropy
+    FROM cxy JOIN cx USING (doc_id, x)
+    GROUP BY cxy.doc_id
+    """,
+    tags=("text", "stats", "quality", "llm"),
+)
+def doc_bigram_cond_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document conditional entropy H(next | current) of adjacent token
+    bigrams, in nats: -Σ p(x,y)·ln(p(x,y)/p(x)) over the doc's own bigram
+    distribution. The predictability quality signal `doc_char_entropy`
+    can't see: template/boilerplate text repeats the same continuations
+    (low H(Y|X)) even when its character distribution looks healthy,
+    while natural prose keeps many next-token options open. Docs with <2
+    tokens have no bigrams and produce no row (mirrored by the oracle).
+
+    Plan shape at 100 TB: one scan explodes positional bigrams (zip_with
+    over two shifted slice views — constant re-splitting per row, the
+    `shingles_col` lesson); (doc, x, y) counts shuffle once, the (doc, x)
+    marginals fold FROM those counts (no second corpus pass), one
+    (doc, x)-keyed join back, one per-doc fold. Linear in token count.
+    Float note: the entropy sum adds O(tokens) doubles whose accumulation
+    order differs between engines (~1e-13 relative); rounding at 1e-6
+    leaves a wide margin, audited in tests/test_text_telemetry.py.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    m = F.size(toks) - 1
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.zip_with(
+            F.slice(toks, 1, m),
+            F.slice(toks, 2, m),
+            lambda x, y: F.struct(x.alias("x"), y.alias("y")),
+        ),
+    ).otherwise(F.array().cast("array<struct<x:string,y:string>>"))
+    bg = docs.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.x").alias("x"), F.col("p.y").alias("y")
+    )
+    cxy = bg.groupBy("doc_id", "x", "y").agg(F.count(F.lit(1)).alias("c"))
+    cx = cxy.groupBy("doc_id", "x").agg(F.sum("c").alias("c_x"))
+    return (
+        cxy.join(cx, ["doc_id", "x"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            rnd(
+                -F.sum(
+                    F.col("c")
+                    * F.log(F.col("c").cast("double") / F.col("c_x"))
+                )
+                / F.sum("c"),
+                6,
+            ).alias("cond_entropy"),
+        )
+    )
+
+
+@query(
+    "source_vocab_gini",
+    oracle=f"""
+    WITH tc AS (
+      SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT source,
+                   unnest(list_filter(regexp_split_to_array(lower(text), '{TOKEN_DELIM}'),
+                                      x -> x <> '')) AS term
+            FROM documents)
+      GROUP BY source, term
+    ), hist AS (
+      SELECT source, c, CAST(COUNT(*) AS BIGINT) AS m
+      FROM tc GROUP BY source, c
+    ), ranked AS (
+      SELECT source, c, m,
+             CAST(COALESCE(SUM(m) OVER (PARTITION BY source ORDER BY c
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           0) AS BIGINT) AS cumb
+      FROM hist
+    ), agg AS (
+      SELECT source,
+             CAST(SUM(m) AS BIGINT) AS n_terms,
+             CAST(SUM(m * c) AS BIGINT) AS total_tokens,
+             CAST(SUM(c * (m * cumb + (m * (m + 1)) // 2)) AS BIGINT) AS s_rank
+      FROM ranked GROUP BY source
+    )
+    SELECT source, n_terms, total_tokens,
+           floor((2.0 * s_rank / (n_terms * total_tokens)
+                  - (n_terms + 1.0) / n_terms) * 1000000 + 0.5)
+             / 1000000 AS gini
+    FROM agg
+    """,
+    tags=("text", "stats", "llm"),
+)
+def source_vocab_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Gini concentration of the term-frequency distribution:
+    0 = every term used equally, →1 = a handful of terms carry all the
+    mass. The boilerplate detector at the SOURCE level — a crawl source
+    whose Gini jumps started stamping the same template text onto every
+    page, before per-doc dedup ever sees a pair.
+
+    Exactness/scale design: the textbook Gini needs terms RANKED by
+    frequency — a per-source sort of the whole vocabulary. This
+    implementation never ranks terms: within a tie-block of m terms
+    sharing count c the ranks are consecutive whatever the tiebreak, so
+    Σ rank·count folds per COUNT-VALUE block as c·(m·cum_before +
+    m(m+1)/2). The per-source window therefore runs over the count-value
+    HISTOGRAM (|distinct frequency values| rows — log-scale cardinality,
+    Zipf corpora have thousands of distinct counts, not billions), and
+    the result is deterministic with NO term-order tiebreak and exact in
+    BIGINT until the single final division (rounded 1e-6). One
+    vocabulary-bounded shuffle for (source, term) counts, one
+    histogram-sized aggregate; nothing sorts data-volume-scaled rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (
+        docs.select("source", F.explode(tokens_col()).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    hist = tc.groupBy("source", "c").agg(F.count(F.lit(1)).alias("m"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = hist.withColumn(
+        "cumb", F.coalesce(F.sum("m").over(w), F.lit(0)).cast("long")
+    )
+    agg = ranked.groupBy("source").agg(
+        F.sum("m").alias("n_terms"),
+        F.sum(F.col("m") * F.col("c")).alias("total_tokens"),
+        F.sum(
+            F.col("c")
+            * (
+                F.col("m") * F.col("cumb")
+                + F.expr("(m * (m + 1)) div 2")
+            )
+        ).alias("s_rank"),
+    )
+    return agg.select(
+        "source",
+        "n_terms",
+        "total_tokens",
+        rnd(
+            F.lit(2.0) * F.col("s_rank")
+            / (F.col("n_terms") * F.col("total_tokens"))
+            - (F.col("n_terms") + F.lit(1.0)) / F.col("n_terms"),
+            6,
+        ).alias("gini"),
+    )

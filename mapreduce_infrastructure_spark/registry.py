@@ -50,78 +50,73 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # Ordering is therefore a curated, per-round decision, not an accident of
 # imports; CERTIFIED_HISTORY.md tracks which rounds certified what.
 #
-# Round-7 window: the 15 queries ADDED this round lead (first-time
+# Round-8 window: the 5 queries ADDED this round lead (first-time
 # certification — new queries must land inside the window or they'd have
-# no driver row at all), followed by re-certification of the stalest
-# standing rows by vintage (vintage = most recent round with a green
-# driver row): the 25 queries whose only green row is from round 1 — six
-# rounds old by now — then the oldest round-4-vintage rows (the
-# rounds-2–4 window was byte-identical; its last green is r04), in that
-# window's recorded order. The 15 r4-vintage rows displaced by the new
-# queries (stream_sliding_1h_15m, stream_session_window_30m, wordcount,
-# stream_user_totals, stream_join_click_purchase, stream_dedup_events,
-# sessionize_gaps, rollup_hierarchical_daily, stream_tumbling_hourly,
-# window_tumbling_hourly, window_sliding_1h_15m, session_window_30m,
-# parquet_partitioned_prune, bucketed_join_orders_customer,
-# zorder_pruning_stats)
-# keep their standing r04 green rows and lead the round-8 rotation with
-# the remaining r4 cohort. Green rows stand when a query rotates out;
+# no driver row at all), then staleness rotation continues: the 15
+# r4-vintage rows displaced by round 7's additions, the remaining 25
+# r4-vintage rows (rounds-2–4 window order), and 5 round-5-vintage slots.
+# Within the r5 cohort, q15_top_supplier and q11_important_stock jump the
+# staleness queue because their implementations CHANGED this round (the
+# unpartitioned-window → scalar-agg-broadcast rewrite) — changed code gets
+# a fresh driver row ahead of merely-stale rows; q2/q4/q6 fill the rest in
+# round-5 window order. Green rows stand when a query rotates out;
 # tests/test_oracle_queries.py still mirrors every oracle-backed query
 # each pytest run.
 CERTIFIED_FIRST: tuple[str, ...] = (
-    # --- new in round 7: corpus-telemetry + weighted-sampling tier (15) ---
-    "source_unigram_kl",
-    "doc_char_entropy",
-    "sample_weighted_aes",
-    "doc_unigram_logloss",
-    "source_js_divergence",
-    "sample_weighted_by_quality",
-    "ngram_novelty_ratio",
-    "source_type_token_curve",
-    "stopword_profile_drift",
-    "source_dup_mass",
-    "budget_pack_efficiency",
-    "doc_lang_confusion",
-    "dup_cluster_size_histogram",
-    "source_novelty_trend",
-    "quality_flag_transition_by_source",
-    # --- round-1-vintage re-certifications (25) ---
-    "q5_supplier_revenue",
-    "join_right_orders_customer",
-    "cross_join_region_status",
-    "salted_agg_user_value",
-    "set_ops_all_variants",
-    "argmax_top_order",
-    "correlated_max_acctbal",
-    "in_subquery_parts",
-    "approx_percentiles_price",
-    "window_rank_acctbal",
-    "window_running_total",
-    "window_lag_lead",
-    "window_movavg_ntile",
-    "window_first_last",
-    "window_range_7day_sum",
-    "asof_join_purchase_click",
-    "latest_event_per_user",
-    "stats_corr_qty_price",
-    "stats_moments_by_status",
-    "scalar_string_funcs",
-    "scalar_date_funcs",
-    "scalar_math_funcs",
-    "json_extract_props",
-    "json_agg_by_type",
-    "array_functions",
-    # --- round-4-vintage re-certifications (10, rounds-2–4 window order) ---
-    "case_when_buckets",
-    "pivot_status_by_priority",
-    "funnel_click_purchase",
-    "map_functions",
-    "posexplode_tokens",
-    "udf_price_per_unit",
-    "udaf_median_price",
-    "csv_roundtrip_nation",
-    "json_roundtrip_events",
-    "text_scan_doc_langs",
+    # --- new in round 8: telemetry + packing-QA tier (5) ---
+    "ngram_idf_weighted_novelty",
+    "source_pair_jaccard",
+    "packing_bin_fill_histogram",
+    "doc_bigram_cond_entropy",
+    "source_vocab_gini",
+    # --- r4-vintage rows displaced from the round-7 window (15) ---
+    "stream_sliding_1h_15m",
+    "stream_session_window_30m",
+    "wordcount",
+    "stream_user_totals",
+    "stream_join_click_purchase",
+    "stream_dedup_events",
+    "sessionize_gaps",
+    "rollup_hierarchical_daily",
+    "stream_tumbling_hourly",
+    "window_tumbling_hourly",
+    "window_sliding_1h_15m",
+    "session_window_30m",
+    "parquet_partitioned_prune",
+    "bucketed_join_orders_customer",
+    "zorder_pruning_stats",
+    # --- remaining r4-vintage rows (25, rounds-2-4 window order) ---
+    "text_stats_by_lang",
+    "doc_token_counts",
+    "doc_fingerprint",
+    "quality_scores",
+    "lang_id_heuristic",
+    "tfidf_top_terms",
+    "token_counts_bpe",
+    "corpus_clean_pipeline",
+    "dedup_exact",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_neardup_pairs",
+    "containment_pairs",
+    "dedup_clusters",
+    "substring_dedup",
+    "knn_bruteforce",
+    "neardup_cosine_pairs",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "neardup_cosine_ivf",
+    "semantic_dedup_clusters",
+    "ann_pq_topk",
+    "multimodal_meta",
+    "mr_wordcount",
+    "mr_inverted_index",
+    # --- r5-vintage slots (5): changed-code first, then staleness order ---
+    "q15_top_supplier",
+    "q11_important_stock",
+    "q2_min_cost_supplier",
+    "q4_priority_exists",
+    "q6_forecast_revenue",
 )
 
 

@@ -431,3 +431,50 @@ def test_weighted_by_quality_selection_matches_scalar_reference(spark, sf_dir):
     if len(ordered) > k:
         gap = ordered[k - 1] - ordered[k]
         assert gap > max(1000 * 2 * math.ulp(ordered[k - 1]), 1e-12), gap
+
+
+def test_packing_bin_fill_histogram_scalar_reference(spark, sf_dir):
+    """The fill histogram matches a scalar recomputation of the packer
+    (per-lang doc_id-ordered running token sums), deciles are integer-
+    exact, and per-language shares sum to 1."""
+    from collections import Counter as _C
+
+    import pyarrow.parquet as pq
+
+    from mapreduce_infrastructure_spark.llm.sampling import (
+        _PACK_BUDGET,
+        packing_bin_fill_histogram,
+    )
+
+    rows = [r.asDict() for r in packing_bin_fill_histogram(spark, sf_dir).collect()]
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    ).to_pydict()
+    import re as _re
+
+    per_lang: dict[str, list[tuple[int, int]]] = {}
+    for doc_id, lang, text in zip(tbl["doc_id"], tbl["lang"], tbl["text"]):
+        n = len([t for t in _re.split(r"[^a-z0-9]+", text.lower()) if t])
+        per_lang.setdefault(lang, []).append((doc_id, n))
+    bins: dict[tuple[str, int], int] = {}
+    for lang, docs in per_lang.items():
+        cum = 0
+        for _doc_id, n in sorted(docs):
+            b = cum // _PACK_BUDGET
+            bins[(lang, b)] = bins.get((lang, b), 0) + n
+            cum += n
+    expected: dict[tuple[str, int], list[int]] = {}
+    for (lang, _b), tokens in bins.items():
+        d = tokens * 10 // _PACK_BUDGET
+        e = expected.setdefault((lang, d), [0, 0])
+        e[0] += 1
+        e[1] += tokens
+    assert {(r["lang"], r["fill_decile"]) for r in rows} == set(expected)
+    share_sums: dict[str, float] = _C()
+    for r in rows:
+        n_bins, decile_tokens = expected[(r["lang"], r["fill_decile"])]
+        assert r["n_bins"] == n_bins
+        assert r["decile_tokens"] == decile_tokens
+        share_sums[r["lang"]] += r["share_of_bins"]
+    for lang, s in share_sums.items():
+        assert abs(s - 1.0) <= 1e-4, (lang, s)

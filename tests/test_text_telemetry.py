@@ -904,3 +904,136 @@ def test_bpe_trainer_releases_all_persisted_frames(spark, sf_dir):
     after = jsc.getPersistentRDDs().size()
     assert after == before, (before, after)
     assert r1 == r2 and len(r1) >= 3
+
+
+def test_idf_weighted_novelty_scalar_reference(spark, sf_dir):
+    """IDF-weighted novelty matches a scalar recomputation: exact gram
+    counts, IDF masses to 1e-6, ratio in [0, 1] (or NULL when the doc has
+    zero IDF mass). The Python recomputation accumulates in a different
+    order than both engines, so agreement doubles as the rounding-margin
+    audit for this ln-sum."""
+    from mapreduce_infrastructure_spark.llm.dedup import ngram_idf_weighted_novelty
+
+    rows = {r.doc_id: r for r in ngram_idf_weighted_novelty(spark, sf_dir).collect()}
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pydict()
+    n_docs = len(tbl["doc_id"])
+    shingles = {}
+    for doc_id, text in zip(tbl["doc_id"], tbl["text"]):
+        toks = _tokens(text)
+        sh = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+        if sh:
+            shingles[doc_id] = sh
+    first: dict[str, int] = {}
+    df: dict[str, int] = {}
+    for doc_id in sorted(shingles):
+        for g in shingles[doc_id]:
+            first.setdefault(g, doc_id)
+            df[g] = df.get(g, 0) + 1
+    assert set(rows) == set(shingles)
+    for doc_id, sh in shingles.items():
+        got = rows[doc_id]
+        total = sum(math.log(n_docs / df[g]) for g in sh)
+        novel = sum(
+            math.log(n_docs / df[g]) for g in sh if first[g] == doc_id
+        )
+        assert got.n_grams == len(sh)
+        assert abs(got.idf_mass - total) <= 2e-6
+        assert abs(got.novel_idf_mass - novel) <= 2e-6
+        if total == 0.0:
+            assert got.weighted_novelty is None
+        else:
+            assert 0.0 <= got.weighted_novelty <= 1.0
+            assert abs(got.weighted_novelty - novel / total) <= 2e-6
+            margin = _boundary_margin(novel / total)
+            assert margin > 1e-9 or got.weighted_novelty is not None
+
+
+def test_source_pair_jaccard_scalar_reference(spark, sf_dir):
+    """Every unordered source pair appears exactly once (s1 < s2), sizes
+    and intersections are exact set arithmetic, Jaccard ∈ [0, 1]."""
+    from mapreduce_infrastructure_spark.llm.text import source_pair_jaccard
+
+    rows = {(r.s1, r.s2): r for r in source_pair_jaccard(spark, sf_dir).collect()}
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    ).to_pydict()
+    vocab: dict[str, set] = {}
+    for source, text in zip(tbl["source"], tbl["text"]):
+        vocab.setdefault(source, set()).update(_tokens(text))
+    sources = sorted(vocab)
+    expected_pairs = {
+        (a, b) for i, a in enumerate(sources) for b in sources[i + 1 :]
+    }
+    assert set(rows) == expected_pairs
+    for (a, b), r in rows.items():
+        inter = len(vocab[a] & vocab[b])
+        union = len(vocab[a] | vocab[b])
+        assert r.v1 == len(vocab[a]) and r.v2 == len(vocab[b])
+        assert r.n_inter == inter
+        assert 0.0 <= r.jaccard <= 1.0
+        assert abs(r.jaccard - inter / union) <= 1e-6
+
+
+def test_bigram_cond_entropy_scalar_reference_and_bounds(spark, sf_dir):
+    """H(next|current) matches a scalar recomputation to 1e-6 and sits in
+    [0, ln(n_bigrams)]; docs with <2 tokens produce no row. The scalar
+    sum uses a different accumulation order than both engines — the
+    margin audit for this ln-sum."""
+    from collections import Counter as _C
+
+    from mapreduce_infrastructure_spark.llm.text import doc_bigram_cond_entropy
+
+    rows = {r.doc_id: r for r in doc_bigram_cond_entropy(spark, sf_dir).collect()}
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pydict()
+    expected = {}
+    for doc_id, text in zip(tbl["doc_id"], tbl["text"]):
+        toks = _tokens(text)
+        if len(toks) < 2:
+            continue
+        cxy = _C(zip(toks, toks[1:]))
+        cx = _C(toks[:-1])
+        n = len(toks) - 1
+        h = -sum(
+            c * math.log(c / cx[x]) for (x, _y), c in cxy.items()
+        ) / n
+        expected[doc_id] = (n, h)
+    assert set(rows) == set(expected)
+    for doc_id, (n, h) in expected.items():
+        got = rows[doc_id]
+        assert got.n_bigrams == n
+        assert -1e-12 <= got.cond_entropy <= math.log(n) + 1e-6
+        assert abs(got.cond_entropy - h) <= 2e-6
+
+
+def test_source_vocab_gini_matches_textbook_rank_formula(spark, sf_dir):
+    """The histogram-block Gini must equal the textbook sorted-rank
+    formula (2·Σ i·c_i)/(n·Σ c_i) − (n+1)/n computed by actually sorting
+    the vocabulary — proving the tie-block shortcut is exact, not an
+    approximation — and sit in [0, 1)."""
+    from collections import Counter as _C
+
+    from mapreduce_infrastructure_spark.llm.text import source_vocab_gini
+
+    rows = {r.source: r for r in source_vocab_gini(spark, sf_dir).collect()}
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    ).to_pydict()
+    counts: dict[str, _C] = {}
+    for source, text in zip(tbl["source"], tbl["text"]):
+        counts.setdefault(source, _C()).update(_tokens(text))
+    counts = {s: c for s, c in counts.items() if c}
+    assert set(rows) == set(counts)
+    for source, c in counts.items():
+        ordered = sorted(c.values())  # any tiebreak: ranks of ties commute
+        n = len(ordered)
+        t = sum(ordered)
+        s_rank = sum(i * ci for i, ci in enumerate(ordered, start=1))
+        gini = 2.0 * s_rank / (n * t) - (n + 1.0) / n
+        got = rows[source]
+        assert got.n_terms == n and got.total_tokens == t
+        assert 0.0 <= got.gini < 1.0
+        assert abs(got.gini - gini) <= 1e-6
