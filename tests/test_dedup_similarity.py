@@ -563,3 +563,53 @@ def test_simhash_udf_matches_scalar_reference(spark):
     got = list(dedup._simhash64.func(batch))
     want = [scalar(t) for t in rows]
     assert got == want
+
+
+def test_lsh_hot_band_cap_spares_healthy_buckets_in_mixed_corpus(spark, tmp_path):
+    """Skew stress for the PARTIAL-collapse case the all-identical test
+    can't see: one band hash covers 30% of the corpus (a boilerplate
+    cohort) while the rest is healthy, including genuine near-dup pairs.
+    The cap must fire (warning + bounded pair volume in the hot buckets)
+    while dropping rows FROM THE HOT BUCKETS ONLY — every healthy
+    near-dup pair must still be found with the cap active, i.e. recall
+    loss is confined to the cohort the warning names."""
+    import pytest
+    from mapreduce_infrastructure_spark.llm import dedup
+
+    cap = 32
+    sf = str(tmp_path)
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (i, boiler, "en", "boiler", len(boiler)) for i in range(120)
+    ]  # 30% of 400: every band bucket holds 120 > cap docs
+    # 130 healthy near-dup PAIRS: 12 unique tokens, last token differs ->
+    # shingle Jaccard 9/11 ~ 0.82, well over the 0.5 verify threshold.
+    healthy_pairs = []
+    doc_id = 1000
+    for p in range(130):
+        base = " ".join(f"w{p}x{j}" for j in range(11))
+        a, b = f"{base} endone{p}", f"{base} endtwo{p}"
+        healthy_pairs.append((doc_id, doc_id + 1))
+        rows.append((doc_id, a, "en", "web", len(a)))
+        rows.append((doc_id + 1, b, "en", "web", len(b)))
+        doc_id += 2
+    spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    with pytest.warns(RuntimeWarning, match="hot-band cap"):
+        pairs = dedup.minhash_lsh_pairs(spark, sf, hot_band_cap=cap).collect()
+    got = {(r.doc_a, r.doc_b) for r in pairs}
+    boiler_pairs = {p for p in got if p[0] < 1000 and p[1] < 1000}
+    cross = {p for p in got if (p[0] < 1000) != (p[1] < 1000)}
+    healthy_found = got - boiler_pairs - cross
+    # Hot cohort bounded at cap^2/2 (not 120*119/2 = 7140) and exactly the
+    # cap lowest doc_ids survive.
+    assert len(boiler_pairs) == cap * (cap - 1) // 2
+    assert max(max(p) for p in boiler_pairs) == cap - 1
+    assert not cross  # boilerplate never pairs with healthy text
+    # ZERO recall loss outside the hot buckets: every planted healthy
+    # near-dup pair is found despite the active cap.
+    missing = [p for p in healthy_pairs if p not in healthy_found]
+    assert not missing, missing[:5]
