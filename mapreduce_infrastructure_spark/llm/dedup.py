@@ -1470,3 +1470,155 @@ def ngram_idf_weighted_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "cross_source_dup_matrix",
+    oracle="""
+    WITH fpc AS (
+      SELECT md5(text) AS fp, source, CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1, 2
+    ), srcs AS (SELECT DISTINCT source FROM documents),
+    cross_p AS (
+      SELECT a.source AS s1, b.source AS s2, CAST(SUM(a.c * b.c) AS BIGINT) AS n
+      FROM fpc a JOIN fpc b ON a.fp = b.fp AND a.source < b.source
+      GROUP BY 1, 2
+    ), diag AS (
+      SELECT source AS s1, source AS s2,
+             CAST(SUM((c * (c - 1)) // 2) AS BIGINT) AS n
+      FROM fpc GROUP BY source
+    ), grid AS (
+      SELECT x.source AS s1, y.source AS s2
+      FROM srcs x JOIN srcs y ON x.source <= y.source
+    )
+    SELECT g.s1, g.s2,
+           COALESCE(CASE WHEN g.s1 = g.s2 THEN d.n ELSE c.n END, 0)
+             AS n_dup_pairs
+    FROM grid g
+    LEFT JOIN cross_p c ON c.s1 = g.s1 AND c.s2 = g.s2
+    LEFT JOIN diag d ON d.s1 = g.s1 AND g.s1 = g.s2
+    """,
+    tags=("dedup", "stats", "llm"),
+)
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate PAIR counts per source pair (diagonal = within-
+    source): for each content fingerprint with c_s copies in source s,
+    cross-source cells count c_s1·c_s2 pairs and diagonal cells
+    c·(c−1)/2. The companion to `source_pair_jaccard` one tier down:
+    vocabulary overlap says two sources *cover* the same language; this
+    matrix says they *ship the same bytes* — the direct evidence for a
+    scraper-overlap throttle. The full |sources|²/2 grid is emitted with
+    zeros so the matrix shape is stable whatever the corpus (the fixture
+    has no exact dups; the duplicated-corpus path is pinned in
+    tests/test_text_telemetry.py alongside the dup-histogram test).
+
+    Plan shape at 100 TB: one corpus scan to (fp, source) counts (the
+    `dedup_exact` shuffle with a source key), a fingerprint-keyed
+    self-join whose per-fp fanout is bounded by |sources| (never
+    pairwise in documents), and an intentional |sources|² broadcast
+    grid. All counts exact integers — no floats anywhere.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fpc = (
+        docs.select(F.md5(F.col("text").cast("binary")).alias("fp"), "source")
+        .groupBy("fp", "source")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    fpc = _tracked_persist(fpc, f"cross_source_fpc:{sf_dir}")
+    srcs = docs.select("source").distinct()
+    a, b = fpc.alias("a"), fpc.alias("b")
+    cross_p = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(F.col("a.source").alias("s1"), F.col("b.source").alias("s2"))
+        .agg(F.sum(F.col("a.c") * F.col("b.c")).alias("n"))
+    )
+    diag = fpc.groupBy(F.col("source").alias("s1")).agg(
+        F.sum(F.expr("(c * (c - 1)) div 2")).alias("n")
+    )
+    x = srcs.select(F.col("source").alias("s1"))
+    y = srcs.select(F.col("source").alias("s2"))
+    grid = x.join(F.broadcast(y), F.col("s1") <= F.col("s2"))
+    return (
+        grid.join(F.broadcast(cross_p), ["s1", "s2"], "left")
+        .join(F.broadcast(diag.withColumnRenamed("n", "n_diag")), ["s1"], "left")
+        .select(
+            "s1",
+            "s2",
+            F.coalesce(
+                F.when(F.col("s1") == F.col("s2"), F.col("n_diag")).otherwise(
+                    F.col("n")
+                ),
+                F.lit(0),
+            ).alias("n_dup_pairs"),
+        )
+    )
+
+
+@query(
+    "doc_repeated_ngram_ratio",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS gs
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '') AS toks
+            FROM documents)
+    ), g AS (
+      SELECT doc_id, unnest(gs) AS g FROM t
+    ), c AS (
+      SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c FROM g GROUP BY doc_id, g
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+             AS repeated_mass,
+           floor((CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS DOUBLE)
+                  / SUM(c)) * 1000000 + 0.5) / 1000000 AS repeated_ratio
+    FROM c GROUP BY doc_id
+    """,
+    tags=("dedup", "text", "quality", "llm"),
+)
+def doc_repeated_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document repetition: the share of a doc's 3-gram instances
+    (positional, NOT distinct) whose gram occurs at least twice in the
+    same doc. The template-stamping signal the cross-doc dedup tier and
+    `doc_bigram_cond_entropy` both miss at the extremes: a doc that
+    repeats one paragraph five times scores ~1 here while its bigram
+    entropy can stay moderate. Docs with <3 tokens have no grams and
+    produce no row (mirrored by the oracle).
+
+    Plan shape at 100 TB: one scan explodes positional 3-grams (the
+    slice/zip_with construction of `shingles_col` WITHOUT the distinct —
+    constant re-splitting per row), one (doc, gram) count shuffle, one
+    per-doc fold. Linear in token count; counts exact, one correctly-
+    rounded division at 1e-6.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    m = F.size(toks) - 2
+    z = F.zip_with(
+        F.slice(toks, 1, m), F.slice(toks, 2, m), lambda x, y: F.concat_ws(" ", x, y)
+    )
+    z = F.zip_with(
+        z, F.slice(toks, 3, m), lambda x, y: F.concat_ws(" ", x, y)
+    )
+    grams = F.when(F.size(toks) >= 3, z).otherwise(
+        F.array().cast("array<string>")
+    )
+    c = (
+        docs.select("doc_id", F.explode(grams).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rep = F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(F.lit(0)))
+    return c.groupBy("doc_id").agg(
+        F.sum("c").alias("n_grams"),
+        rep.alias("repeated_mass"),
+        rnd(rep.cast("double") / F.sum("c"), 6).alias("repeated_ratio"),
+    )

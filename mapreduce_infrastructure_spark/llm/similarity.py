@@ -886,3 +886,77 @@ def neardup_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", cosine.alias("cosine"))
         .filter(F.col("cosine") >= 0.4)
     )
+
+
+@query(
+    "label_centroid_cohesion",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS d FROM embeddings
+    ), x AS (
+      SELECT vec_id, label,
+             unnest(generate_series(1, len(d))) AS i,
+             unnest(d) AS v
+      FROM e
+    ), c AS (
+      SELECT label, i, AVG(v) AS cv FROM x GROUP BY label, i
+    ), c2 AS (
+      SELECT label, SUM(cv * cv) AS nc2 FROM c GROUP BY label
+    ), s AS (
+      SELECT x.vec_id, x.label,
+             SUM(x.v * c.cv) AS dot, SUM(x.v * x.v) AS nv2
+      FROM x JOIN c USING (label, i) GROUP BY x.vec_id, x.label
+    ), cos AS (
+      SELECT s.label, s.dot / (sqrt(s.nv2) * sqrt(c2.nc2)) AS cs
+      FROM s JOIN c2 USING (label)
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           floor(AVG(cs) * 1000000 + 0.5) / 1000000 AS mean_cohesion,
+           floor(MIN(cs) * 1000000 + 0.5) / 1000000 AS min_cohesion
+    FROM cos GROUP BY label
+    """,
+    tags=("similarity", "stats", "embeddings", "llm"),
+)
+def label_centroid_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space cluster-quality telemetry: per label, the mean and
+    worst cosine of members to their label centroid. The embedding QA
+    monitor a training pipeline runs after (re)embedding a corpus — a
+    label whose cohesion drops between snapshots has drifting or noisy
+    vectors upstream of any ANN index built on them.
+
+    Plan shape at 100 TB: the (vec, dim) incidence is posexplode — n·d
+    rows, linear with d fixed; centroids are a |labels|·d aggregate
+    broadcast back onto the incidence (no second corpus shuffle for the
+    dot products — they fold per (vec, label) from the same exploded
+    rows); per-label norms are a |labels|-row broadcast. Nothing is
+    pairwise. Float note: the centroid means and dot sums accumulate in
+    engine-specific order (~1e-15 relative divergence at fixture scale);
+    rounding at 1e-6 leaves a wide margin, audited by the scalar
+    reference in tests/test_dedup_similarity.py.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(_as_double("embedding")).alias("i", "v"),
+    )
+    c = x.groupBy("label", "i").agg(F.avg("v").alias("cv"))
+    c2 = c.groupBy("label").agg(F.sum(F.col("cv") * F.col("cv")).alias("nc2"))
+    s = (
+        x.join(F.broadcast(c), ["label", "i"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("v") * F.col("cv")).alias("dot"),
+            F.sum(F.col("v") * F.col("v")).alias("nv2"),
+        )
+    )
+    cos = s.join(F.broadcast(c2), "label").select(
+        "label",
+        (F.col("dot") / (F.sqrt("nv2") * F.sqrt("nc2"))).alias("cs"),
+    )
+    return cos.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        rnd(F.avg("cs"), 6).alias("mean_cohesion"),
+        rnd(F.min("cs"), 6).alias("min_cohesion"),
+    )

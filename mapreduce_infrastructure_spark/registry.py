@@ -50,25 +50,29 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # Ordering is therefore a curated, per-round decision, not an accident of
 # imports; CERTIFIED_HISTORY.md tracks which rounds certified what.
 #
-# Round-8 window: the 5 queries ADDED this round lead (first-time
+# Round-8 window: the 8 queries ADDED this round lead (first-time
 # certification — new queries must land inside the window or they'd have
 # no driver row at all), then staleness rotation continues: the 15
 # r4-vintage rows displaced by round 7's additions, the remaining 25
-# r4-vintage rows (rounds-2–4 window order), and 5 round-5-vintage slots.
-# Within the r5 cohort, q15_top_supplier and q11_important_stock jump the
-# staleness queue because their implementations CHANGED this round (the
+# r4-vintage rows (rounds-2–4 window order), and 2 round-5-vintage slots:
+# q15_top_supplier and q11_important_stock jump the staleness queue
+# because their implementations CHANGED this round (the
 # unpartitioned-window → scalar-agg-broadcast rewrite) — changed code gets
-# a fresh driver row ahead of merely-stale rows; q2/q4/q6 fill the rest in
-# round-5 window order. Green rows stand when a query rotates out;
+# a fresh driver row ahead of merely-stale rows. The wave-2 additions
+# displaced the q2/q4/q6 staleness slots (those keep their standing r05
+# rows and lead the round-9 rotation). Green rows stand when a query rotates out;
 # tests/test_oracle_queries.py still mirrors every oracle-backed query
 # each pytest run.
 CERTIFIED_FIRST: tuple[str, ...] = (
-    # --- new in round 8: telemetry + packing-QA tier (5) ---
+    # --- new in round 8: telemetry + packing-QA + embedding-QA tier (8) ---
     "ngram_idf_weighted_novelty",
     "source_pair_jaccard",
     "packing_bin_fill_histogram",
     "doc_bigram_cond_entropy",
     "source_vocab_gini",
+    "cross_source_dup_matrix",
+    "doc_repeated_ngram_ratio",
+    "label_centroid_cohesion",
     # --- r4-vintage rows displaced from the round-7 window (15) ---
     "stream_sliding_1h_15m",
     "stream_session_window_30m",
@@ -111,12 +115,9 @@ CERTIFIED_FIRST: tuple[str, ...] = (
     "multimodal_meta",
     "mr_wordcount",
     "mr_inverted_index",
-    # --- r5-vintage slots (5): changed-code first, then staleness order ---
+    # --- r5-vintage slots (2): the queries whose code changed this round ---
     "q15_top_supplier",
     "q11_important_stock",
-    "q2_min_cost_supplier",
-    "q4_priority_exists",
-    "q6_forecast_revenue",
 )
 
 

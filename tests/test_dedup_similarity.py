@@ -613,3 +613,33 @@ def test_lsh_hot_band_cap_spares_healthy_buckets_in_mixed_corpus(spark, tmp_path
     # near-dup pair is found despite the active cap.
     missing = [p for p in healthy_pairs if p not in healthy_found]
     assert not missing, missing[:5]
+
+
+def test_label_centroid_cohesion_scalar_reference(spark, sf_dir):
+    """Cohesion matches a numpy recomputation (different accumulation
+    order — doubles as the rounding-margin audit), min ≤ mean, and all
+    cosines sit in [-1, 1]."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from mapreduce_infrastructure_spark.llm.similarity import (
+        label_centroid_cohesion,
+    )
+
+    rows = {r.label: r for r in label_centroid_cohesion(spark, sf_dir).collect()}
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pydict()
+    by_label: dict[int, list] = {}
+    for label, emb in zip(tbl["label"], tbl["embedding"]):
+        by_label.setdefault(label, []).append(np.asarray(emb, dtype=np.float64))
+    assert set(rows) == set(by_label)
+    for label, vecs in by_label.items():
+        m = np.stack(vecs)
+        centroid = m.mean(axis=0)
+        cs = (m @ centroid) / (
+            np.linalg.norm(m, axis=1) * np.linalg.norm(centroid)
+        )
+        got = rows[label]
+        assert got.n_vecs == len(vecs)
+        assert -1.0 - 1e-9 <= got.min_cohesion <= got.mean_cohesion <= 1.0 + 1e-9
+        assert abs(got.mean_cohesion - cs.mean()) <= 2e-6
+        assert abs(got.min_cohesion - cs.min()) <= 2e-6

@@ -1037,3 +1037,66 @@ def test_source_vocab_gini_matches_textbook_rank_formula(spark, sf_dir):
         assert got.n_terms == n and got.total_tokens == t
         assert 0.0 <= got.gini < 1.0
         assert abs(got.gini - gini) <= 1e-6
+
+
+def test_doc_repeated_ngram_ratio_scalar_reference(spark, sf_dir):
+    """Repeated-gram mass matches a scalar positional recomputation
+    exactly (integer counts) and the ratio to 1e-6; a synthetic
+    paragraph-stamped doc scores near 1."""
+    from collections import Counter as _C
+
+    from mapreduce_infrastructure_spark.llm.dedup import doc_repeated_ngram_ratio
+
+    rows = {r.doc_id: r for r in doc_repeated_ngram_ratio(spark, sf_dir).collect()}
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pydict()
+    expected = {}
+    for doc_id, text in zip(tbl["doc_id"], tbl["text"]):
+        toks = _tokens(text)
+        grams = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+        if grams:
+            c = _C(grams)
+            rep = sum(v for v in c.values() if v >= 2)
+            expected[doc_id] = (len(grams), rep)
+    assert set(rows) == set(expected)
+    for doc_id, (n, rep) in expected.items():
+        got = rows[doc_id]
+        assert got.n_grams == n and got.repeated_mass == rep
+        assert abs(got.repeated_ratio - rep / n) <= 1e-6
+
+
+def test_cross_source_dup_matrix_zero_fixture_and_duplicated_corpus(
+    spark, sf_dir, tmp_path
+):
+    """The fixture has no exact dups, so the full grid must be all-zero
+    with a stable |sources|(|sources|+1)/2 shape; a synthetic corpus with
+    planted cross- and within-source copies must count pairs exactly
+    (c1·c2 off-diagonal, c·(c−1)/2 on it)."""
+    from mapreduce_infrastructure_spark.llm.dedup import cross_source_dup_matrix
+
+    rows = cross_source_dup_matrix(spark, sf_dir).collect()
+    n_sources = len({r.s1 for r in rows} | {r.s2 for r in rows})
+    assert len(rows) == n_sources * (n_sources + 1) // 2
+    assert all(r.n_dup_pairs == 0 for r in rows)
+    assert all(r.s1 <= r.s2 for r in rows)
+
+    sf = str(tmp_path)
+    rows_in = []
+    # "same" appears 2x in A, 3x in B -> A-B 6 pairs, A-A 1, B-B 3;
+    # "only_b" appears 2x in B -> B-B +1; unique texts contribute 0.
+    for i, (text, src) in enumerate(
+        [("same", "A"), ("same", "A"), ("same", "B"), ("same", "B"),
+         ("same", "B"), ("only b", "B"), ("only b", "B"), ("uniq one", "A"),
+         ("uniq two", "C")]
+    ):
+        rows_in.append((i, text, "en", src, len(text)))
+    spark.createDataFrame(
+        rows_in,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    got = {(r.s1, r.s2): r.n_dup_pairs for r in cross_source_dup_matrix(spark, sf).collect()}
+    assert got == {
+        ("A", "A"): 1, ("A", "B"): 6, ("A", "C"): 0,
+        ("B", "B"): 3 + 1, ("B", "C"): 0, ("C", "C"): 0,
+    }
