@@ -909,3 +909,63 @@ def packing_bin_fill_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_of_bins"
         ),
     )
+
+
+_EPOCH_BUDGET = 1_000_000  # global token budget for the planned mix
+_EPOCH_ALPHA = 0.5  # temperature on token mass (sqrt smoothing)
+
+
+@query(
+    "token_budget_epoch_plan",
+    oracle=f"""
+    WITH m AS (
+      SELECT source,
+             CAST(SUM(len(list_filter(regexp_split_to_array(lower(text), '{TOKEN_DELIM}'),
+                                      t -> t <> ''))) AS BIGINT) AS tokens
+      FROM documents GROUP BY source
+    ), z AS (
+      SELECT SUM(POWER(CAST(tokens AS DOUBLE), {_EPOCH_ALPHA})) AS z FROM m
+    )
+    SELECT m.source, m.tokens,
+           floor((POWER(CAST(m.tokens AS DOUBLE), {_EPOCH_ALPHA}) / z.z)
+                 * 1000000 + 0.5) / 1000000 AS target_share,
+           floor(({_EPOCH_BUDGET} * (POWER(CAST(m.tokens AS DOUBLE), {_EPOCH_ALPHA})
+                  / z.z) / m.tokens) * 1000000 + 0.5) / 1000000 AS epochs
+    FROM m CROSS JOIN z
+    """,
+    tags=("sampling", "mixing", "llm"),
+)
+def token_budget_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The static data-mixing PLAN: given per-source token masses and a
+    global token budget, assign each source a temperature-smoothed target
+    share (m^α / Σ m^α, α = 0.5 — the sqrt mixing of mT5/XLM-R applied to
+    sources) and report the implied EPOCH factor budget·share/m — how many
+    times the source would be repeated (>1) or subsampled (<1) to hit its
+    share. This is the planning half the samplers execute:
+    `sample_temperature_mix` draws documents; this op emits the
+    per-source repetition ledger a trainer's data loader consumes.
+
+    Plan shape at 100 TB: one scan folds per-source token masses
+    (|sources| rows); the normalizer Σ m^α is a scalar agg over that
+    dimension-sized frame, re-attached as a 1-row broadcast crossJoin
+    (keys=[] partial — passes the single-partition plan guard). Token
+    masses are exact integers; share and epochs are IEEE pow/divide on
+    identically-ordered operands, rounded at 1e-6 (the Σ m^α
+    accumulation order differs between engines by ~1e-16 relative —
+    margin audited with the scalar reference in tests/test_sampling.py).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.groupBy("source").agg(
+        F.sum(F.size(tokens_col())).cast("long").alias("tokens")
+    )
+    pw = F.pow(F.col("tokens").cast("double"), F.lit(_EPOCH_ALPHA))
+    z = m.agg(F.sum(pw).alias("z"))
+    share = pw / F.col("z")
+    return m.crossJoin(F.broadcast(z)).select(
+        "source",
+        "tokens",
+        rnd(share, 6).alias("target_share"),
+        rnd(
+            F.lit(_EPOCH_BUDGET) * share / F.col("tokens"), 6
+        ).alias("epochs"),
+    )

@@ -960,3 +960,72 @@ def label_centroid_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.avg("cs"), 6).alias("mean_cohesion"),
         rnd(F.min("cs"), 6).alias("min_cohesion"),
     )
+
+
+@query(
+    "embedding_dim_variance",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS d FROM embeddings
+    ), x AS (
+      SELECT vec_id,
+             unnest(generate_series(1, len(d))) AS i,
+             unnest(d) AS v
+      FROM e
+    ), s AS (
+      SELECT i, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(v) AS sv, SUM(v * v) AS sv2
+      FROM x GROUP BY i
+    ), vr AS (
+      SELECT i, n, sv / n AS mean, sv2 / n - (sv / n) * (sv / n) AS var
+      FROM s
+    ), tot AS (SELECT SUM(var) AS tv FROM vr)
+    SELECT CAST(vr.i AS INTEGER) AS dim, vr.n,
+           floor(vr.mean * 1000000 + 0.5) / 1000000 AS mean,
+           floor(vr.var * 1000000 + 0.5) / 1000000 AS variance,
+           floor((vr.var / tot.tv) * 1000000 + 0.5) / 1000000 AS var_share
+    FROM vr CROSS JOIN tot
+    """,
+    tags=("similarity", "stats", "embeddings", "llm"),
+)
+def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension variance profile of the embedding space — the
+    representation-collapse monitor: a dimension whose variance share
+    goes to ~0 is dead (the encoder stopped using it), a single dimension
+    grabbing most of the share signals anisotropic collapse. Standard
+    embedding QA ahead of building ANN indexes (PQ/OPQ codebooks waste
+    bits on dead dims).
+
+    Plan shape at 100 TB: the (vec, dim) posexplode incidence — n·d rows,
+    linear with d fixed — folds to d algebraic-moment rows (count, Σv,
+    Σv²; one shuffle, map-side partial); the variance-share normalizer is
+    a scalar agg over that d-row frame re-attached as a 1-row broadcast
+    crossJoin (keys=[] partial — passes the single-partition plan guard).
+    The variance is computed as Σv²/n − (Σv/n)² with the SAME operand
+    order in both engines (embeddings are zero-centered-ish, so no
+    cancellation blowup); moment sums accumulate in engine-specific order
+    (~1e-15 relative), rounded at 1e-6 with the margin audited by the
+    numpy scalar reference in tests/test_dedup_similarity.py.
+
+    1-based dim index matches the oracle's generate_series.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id", F.posexplode(_as_double("embedding")).alias("i0", "v")
+    ).select((F.col("i0") + 1).alias("i"), "v")
+    s = x.groupBy("i").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("v") * F.col("v")).alias("sv2"),
+    )
+    mean = F.col("sv") / F.col("n")
+    var = F.col("sv2") / F.col("n") - mean * mean
+    vr = s.select("i", "n", mean.alias("mean"), var.alias("var"))
+    tot = vr.agg(F.sum("var").alias("tv"))
+    return vr.crossJoin(F.broadcast(tot)).select(
+        F.col("i").cast("int").alias("dim"),
+        "n",
+        rnd(F.col("mean"), 6).alias("mean"),
+        rnd(F.col("var"), 6).alias("variance"),
+        rnd(F.col("var") / F.col("tv"), 6).alias("var_share"),
+    )

@@ -1684,3 +1684,60 @@ def source_vocab_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@query(
+    "source_quality_trend",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             list_filter(regexp_split_to_array(lower(text), '{TOKEN_DELIM}'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), c AS (
+      SELECT doc_id, source,
+             CASE WHEN {quality_keep_sql()} THEN 1 ELSE 0 END AS ok,
+             CAST(ntile(4) OVER (PARTITION BY source ORDER BY doc_id)
+                  AS BIGINT) AS quartile
+      FROM t
+    )
+    SELECT source, quartile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ok) AS BIGINT) AS n_ok,
+           floor((CAST(SUM(ok) AS DOUBLE) / COUNT(*)) * 1000000 + 0.5)
+             / 1000000 AS ok_share
+    FROM c GROUP BY source, quartile
+    """,
+    tags=("text", "quality", "stats", "llm"),
+)
+def source_quality_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is a source's QUALITY decaying over intake? The `quality_scores`
+    keep-rate per (source, intake quartile) — docs split into 4 ntile
+    buckets by doc_id within each source (doc_id order = intake order in
+    this corpus). The quality-axis companion to `source_novelty_trend`:
+    novelty decay says a crawl source is exhausting its value; a falling
+    keep-rate says its scraper or upstream content is degrading — the
+    two trends together separate "mined out" from "broken".
+
+    Plan shape at 100 TB: the flag is the shared scan-speed
+    `quality_keep_col` expression; the ntile window sorts per-source
+    DOC-level metadata (id + one bit), and the final aggregate is
+    bounded at |sources|×4 rows. Counts exact; one correctly-rounded
+    division at 1e-6. ntile is deterministic here (ORDER BY the unique
+    doc_id).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    flagged = docs.select(
+        "doc_id",
+        "source",
+        quality_keep_col(tokens_col()).cast("int").alias("ok"),
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    q = flagged.withColumn("quartile", F.ntile(4).over(w).cast("long"))
+    return q.groupBy("source", "quartile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ok").alias("n_ok"),
+        rnd(F.sum("ok").cast("double") / F.count(F.lit(1)), 6).alias(
+            "ok_share"
+        ),
+    )

@@ -50,7 +50,7 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # Ordering is therefore a curated, per-round decision, not an accident of
 # imports; CERTIFIED_HISTORY.md tracks which rounds certified what.
 #
-# Round-8 window: the 8 queries ADDED this round lead (first-time
+# Round-8 window: the 11 queries ADDED this round lead (first-time
 # certification — new queries must land inside the window or they'd have
 # no driver row at all), then staleness rotation continues: the 15
 # r4-vintage rows displaced by round 7's additions, the remaining 25
@@ -59,8 +59,10 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # because their implementations CHANGED this round (the
 # unpartitioned-window → scalar-agg-broadcast rewrite) — changed code gets
 # a fresh driver row ahead of merely-stale rows. The wave-2 additions
-# displaced the q2/q4/q6 staleness slots (those keep their standing r05
-# rows and lead the round-9 rotation). Green rows stand when a query rotates out;
+# displaced the q2/q4/q6 staleness slots and wave 3 displaced the three
+# rows-only r4 entries (ann_lsh_topk, semantic_dedup_clusters,
+# ann_pq_topk) whose driver signal is weakest — no-oracle rows repeat in
+# round 9 alongside the r5 cohort; displaced rows keep standing greens. Green rows stand when a query rotates out;
 # tests/test_oracle_queries.py still mirrors every oracle-backed query
 # each pytest run.
 CERTIFIED_FIRST: tuple[str, ...] = (
@@ -73,6 +75,9 @@ CERTIFIED_FIRST: tuple[str, ...] = (
     "cross_source_dup_matrix",
     "doc_repeated_ngram_ratio",
     "label_centroid_cohesion",
+    "token_budget_epoch_plan",
+    "source_quality_trend",
+    "embedding_dim_variance",
     # --- r4-vintage rows displaced from the round-7 window (15) ---
     "stream_sliding_1h_15m",
     "stream_session_window_30m",
@@ -107,11 +112,8 @@ CERTIFIED_FIRST: tuple[str, ...] = (
     "substring_dedup",
     "knn_bruteforce",
     "neardup_cosine_pairs",
-    "ann_lsh_topk",
     "ann_ivf_topk",
     "neardup_cosine_ivf",
-    "semantic_dedup_clusters",
-    "ann_pq_topk",
     "multimodal_meta",
     "mr_wordcount",
     "mr_inverted_index",

@@ -643,3 +643,32 @@ def test_label_centroid_cohesion_scalar_reference(spark, sf_dir):
         assert -1.0 - 1e-9 <= got.min_cohesion <= got.mean_cohesion <= 1.0 + 1e-9
         assert abs(got.mean_cohesion - cs.mean()) <= 2e-6
         assert abs(got.min_cohesion - cs.min()) <= 2e-6
+
+
+def test_embedding_dim_variance_scalar_reference(spark, sf_dir):
+    """Per-dim moments match numpy (population variance), var_share sums
+    to 1, and every dimension appears exactly once."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from mapreduce_infrastructure_spark.llm.similarity import (
+        embedding_dim_variance,
+    )
+
+    rows = {r.dim: r for r in embedding_dim_variance(spark, sf_dir).collect()}
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pydict()
+    m = np.asarray(tbl["embedding"], dtype=np.float64)
+    n, d = m.shape
+    assert set(rows) == set(range(1, d + 1))
+    mean = m.mean(axis=0)
+    var = (m * m).mean(axis=0) - mean * mean
+    share = var / var.sum()
+    total_share = 0.0
+    for i in range(d):
+        got = rows[i + 1]
+        assert got.n == n
+        assert abs(got.mean - mean[i]) <= 2e-6
+        assert abs(got.variance - var[i]) <= 2e-6
+        assert abs(got.var_share - share[i]) <= 2e-6
+        total_share += got.var_share
+    assert abs(total_share - 1.0) <= 1e-4

@@ -478,3 +478,38 @@ def test_packing_bin_fill_histogram_scalar_reference(spark, sf_dir):
         share_sums[r["lang"]] += r["share_of_bins"]
     for lang, s in share_sums.items():
         assert abs(s - 1.0) <= 1e-4, (lang, s)
+
+
+def test_token_budget_epoch_plan_scalar_reference(spark, sf_dir):
+    """Shares sum to 1, epochs·tokens recovers budget·share, and every
+    value matches a scalar recomputation (different accumulation order —
+    the margin audit for the Σ m^α normalizer)."""
+    import re as _re
+
+    import pyarrow.parquet as pq
+
+    from mapreduce_infrastructure_spark.llm.sampling import (
+        _EPOCH_ALPHA,
+        _EPOCH_BUDGET,
+        token_budget_epoch_plan,
+    )
+
+    rows = {r.source: r for r in token_budget_epoch_plan(spark, sf_dir).collect()}
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    ).to_pydict()
+    masses: dict[str, int] = {}
+    for source, text in zip(tbl["source"], tbl["text"]):
+        n = len([t for t in _re.split(r"[^a-z0-9]+", text.lower()) if t])
+        masses[source] = masses.get(source, 0) + n
+    z = sum(m**_EPOCH_ALPHA for m in masses.values())
+    assert set(rows) == set(masses)
+    share_sum = 0.0
+    for source, m in masses.items():
+        got = rows[source]
+        share = m**_EPOCH_ALPHA / z
+        assert got.tokens == m
+        assert abs(got.target_share - share) <= 2e-6
+        assert abs(got.epochs - _EPOCH_BUDGET * share / m) <= 2e-6
+        share_sum += got.target_share
+    assert abs(share_sum - 1.0) <= 1e-4

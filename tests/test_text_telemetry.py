@@ -1100,3 +1100,56 @@ def test_cross_source_dup_matrix_zero_fixture_and_duplicated_corpus(
         ("A", "A"): 1, ("A", "B"): 6, ("A", "C"): 0,
         ("B", "B"): 3 + 1, ("B", "C"): 0, ("C", "C"): 0,
     }
+
+
+def test_source_quality_trend_pools_quality_flags(spark, sf_dir):
+    """Each (source, quartile) cell matches a scalar ntile recomputation;
+    quartile doc counts partition the source and n_ok sums to the
+    source's quality_scores 'ok' total."""
+    from mapreduce_infrastructure_spark.llm.text import (
+        quality_scores,
+        source_quality_trend,
+    )
+
+    rows = {
+        (r.source, r.quartile): r
+        for r in source_quality_trend(spark, sf_dir).collect()
+    }
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    ).to_pydict()
+    per_source: dict[str, list] = {}
+    for doc_id, source, text in zip(tbl["doc_id"], tbl["source"], tbl["text"]):
+        toks = _tokens(text)
+        ok = int(len(toks) >= 20 and 2 * sum(1 for t in toks if t in ("the", "a")) <= len(toks))
+        per_source.setdefault(source, []).append((doc_id, ok))
+    expected = {}
+    for source, docs in per_source.items():
+        docs.sort()
+        n = len(docs)
+        # ntile(4): first (n % 4) buckets get ceil(n/4), rest floor(n/4)
+        base, extra = divmod(n, 4)
+        idx = 0
+        for q in range(1, 5):
+            size = base + (1 if q <= extra else 0)
+            chunk = docs[idx : idx + size]
+            idx += size
+            if chunk:
+                expected[(source, q)] = (len(chunk), sum(ok for _, ok in chunk))
+    assert set(rows) == set(expected)
+    flags = {
+        r.doc_id: r.quality_flag for r in quality_scores(spark, sf_dir).collect()
+    }
+    ok_by_source: dict[str, int] = {}
+    for doc_id, source in zip(tbl["doc_id"], tbl["source"]):
+        ok_by_source[source] = ok_by_source.get(source, 0) + (
+            flags[doc_id] == "ok"
+        )
+    for (source, q), (n_docs, n_ok) in expected.items():
+        got = rows[(source, q)]
+        assert got.n_docs == n_docs and got.n_ok == n_ok
+        assert abs(got.ok_share - n_ok / n_docs) <= 1e-6
+    for source, total_ok in ok_by_source.items():
+        assert total_ok == sum(
+            r.n_ok for (s, _q), r in rows.items() if s == source
+        )
