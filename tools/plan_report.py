@@ -82,6 +82,23 @@ FLAGSHIP_EXTRA = [
     "dup_cluster_size_histogram",
     "source_novelty_trend",
     "quality_flag_transition_by_source",
+    # round-8 q15/q11 rewrite (scalar-agg broadcast, no unpartitioned window)
+    "q15_top_supplier",
+    "q11_important_stock",
+    # round-8 wave 1
+    "ngram_idf_weighted_novelty",
+    "source_pair_jaccard",
+    "packing_bin_fill_histogram",
+    "doc_bigram_cond_entropy",
+    "source_vocab_gini",
+    # round-8 wave 2
+    "cross_source_dup_matrix",
+    "doc_repeated_ngram_ratio",
+    "label_centroid_cohesion",
+    # round-8 wave 3
+    "token_budget_epoch_plan",
+    "source_quality_trend",
+    "embedding_dim_variance",
 ]
 
 JOIN_KINDS = [
