@@ -10,7 +10,9 @@ is bounded at one copy per slot instead of leaking a copy per call.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
 
 _CACHE: dict[str, DataFrame] = {}
 
@@ -24,3 +26,26 @@ def tracked_persist(df: DataFrame, slot: str) -> DataFrame:
             pass
     _CACHE[slot] = df.persist()
     return _CACHE[slot]
+
+
+def shared_persist(
+    spark: SparkSession, build: Callable[[], DataFrame], slot: str
+) -> DataFrame:
+    """Get-or-create for slots whose plan is DETERMINISTIC in the slot key
+    (e.g. keyed only by sf_dir): return the existing persisted frame when
+    present instead of rebuilding it, so several consumer queries in one
+    session genuinely share a single cached copy. ``tracked_persist`` is
+    wrong for this shape — it unconditionally unpersists the (already
+    materialized) previous occupant and re-registers an identical cold
+    plan, making every consumer recompute.
+
+    The slot is additionally keyed by the Spark application id so a frame
+    built on one session is never handed to another (the hostile-session
+    tests run a second session in the same process).
+    """
+    key = f"{slot}@{spark.sparkContext.applicationId}"
+    df = _CACHE.get(key)
+    if df is None:
+        df = build().persist()
+        _CACHE[key] = df
+    return df

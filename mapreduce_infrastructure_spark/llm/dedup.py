@@ -33,7 +33,7 @@ from .text import tokens_col
 
 # Persisted working sets, one slot per (query, sf_dir) — bounded-cache
 # helper shared across the LLM tier (see llm/cache.py).
-from .cache import tracked_persist as _tracked_persist
+from .cache import shared_persist, tracked_persist as _tracked_persist
 
 # --------------------------------------------------------------------------
 # Shingling
@@ -72,12 +72,15 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _gram_incidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The exploded (doc_id, source, gram) distinct-3-gram incidence table,
-    persisted under ONE sf_dir-keyed slot so its consumers
+    get-or-created under ONE sf_dir-keyed slot so its consumers
     (``ngram_novelty_ratio``, ``source_novelty_trend``,
-    ``ngram_idf_weighted_novelty``) share a single corpus-scale cached
-    copy per session instead of each holding their own."""
-    return _tracked_persist(
-        load_table(spark, sf_dir, "documents")
+    ``ngram_idf_weighted_novelty``) genuinely share a single corpus-scale
+    cached copy per session: the second and later consumers receive the
+    already-materialized frame instead of re-registering (and therefore
+    recomputing) an identical cold plan."""
+    return shared_persist(
+        spark,
+        lambda: load_table(spark, sf_dir, "documents")
         .select("doc_id", "source", shingles_col(tokens_col()).alias("sh"))
         .filter(F.size("sh") > 0)
         .select("doc_id", "source", F.explode("sh").alias("g")),

@@ -941,6 +941,9 @@ def label_centroid_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.posexplode(_as_double("embedding")).alias("i", "v"),
     )
+    # Two independent subtrees consume x (the centroid aggregate and the
+    # dot-product fold) — persist so the scan+posexplode runs once.
+    x = _tracked_persist(x, f"label_cohesion_x:{sf_dir}")
     c = x.groupBy("label", "i").agg(F.avg("v").alias("cv"))
     c2 = c.groupBy("label").agg(F.sum(F.col("cv") * F.col("cv")).alias("nc2"))
     s = (

@@ -639,47 +639,59 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     cur = words.withColumn("syms", F.split("word", "")).persist()
     prev: DataFrame | None = None
     rules: list[tuple[int, str, str, int]] = []
-    for step in range(1, BPE_MERGES + 1):
-        pairs = cur.filter(F.size("syms") >= 2).select(
-            "freq",
-            F.explode(
-                F.expr(
-                    "zip_with(slice(syms, 1, size(syms) - 1),"
-                    " slice(syms, 2, size(syms) - 1),"
-                    " (x, y) -> named_struct('p1', x, 'p2', y))"
-                )
-            ).alias("p"),
-        )
-        best = (
-            pairs.groupBy(F.col("p.p1").alias("p1"), F.col("p.p2").alias("p2"))
-            .agg(F.sum("freq").alias("cnt"))
-            .orderBy(F.col("cnt").desc(), "p1", "p2")
-            .limit(1)
-            .collect()
-        )[0]
-        if prev is not None:  # the collect above materialized ``cur``
-            prev.unpersist()
-            prev = None
-        rules.append((step, best["p1"], best["p2"], int(best["cnt"])))
-        if step < BPE_MERGES:
-            # Tokens are [a-z0-9]+ so the learned symbols are safe to inline.
-            p1, p2 = best["p1"], best["p2"]
-            fold = (
-                f"aggregate(syms, array('~'), (acc, x) ->"
-                f" CASE WHEN element_at(acc, -1) = '{p1}' AND x = '{p2}'"
-                f" THEN concat(slice(acc, 1, size(acc) - 1), array('{p1}{p2}'))"
-                f" ELSE concat(acc, array(x)) END)"
+    # try/finally so an exception mid-loop (empty pairs frame, analysis
+    # error in the fold) cannot leak the up-to-two live persisted frames —
+    # they sit outside any tracked slot, so nothing else would release
+    # them.
+    try:
+        for step in range(1, BPE_MERGES + 1):
+            pairs = cur.filter(F.size("syms") >= 2).select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "zip_with(slice(syms, 1, size(syms) - 1),"
+                        " slice(syms, 2, size(syms) - 1),"
+                        " (x, y) -> named_struct('p1', x, 'p2', y))"
+                    )
+                ).alias("p"),
             )
-            prev, cur = cur, (
-                cur.withColumn("_m", F.expr(fold))
-                .select(
-                    "word",
-                    "freq",
-                    F.expr("slice(_m, 2, size(_m) - 1)").alias("syms"),
+            best = (
+                pairs.groupBy(F.col("p.p1").alias("p1"), F.col("p.p2").alias("p2"))
+                .agg(F.sum("freq").alias("cnt"))
+                .orderBy(F.col("cnt").desc(), "p1", "p2")
+                .limit(1)
+                .collect()
+            )[0]
+            if prev is not None:  # the collect above materialized ``cur``
+                prev.unpersist()
+                prev = None
+            rules.append((step, best["p1"], best["p2"], int(best["cnt"])))
+            if step < BPE_MERGES:
+                # Tokens are [a-z0-9]+ so the learned symbols are safe to
+                # inline.
+                p1, p2 = best["p1"], best["p2"]
+                fold = (
+                    f"aggregate(syms, array('~'), (acc, x) ->"
+                    f" CASE WHEN element_at(acc, -1) = '{p1}' AND x = '{p2}'"
+                    f" THEN concat(slice(acc, 1, size(acc) - 1), array('{p1}{p2}'))"
+                    f" ELSE concat(acc, array(x)) END)"
                 )
-                .persist()
-            )
-    cur.unpersist()
+                prev, cur = cur, (
+                    cur.withColumn("_m", F.expr(fold))
+                    .select(
+                        "word",
+                        "freq",
+                        F.expr("slice(_m, 2, size(_m) - 1)").alias("syms"),
+                    )
+                    .persist()
+                )
+    finally:
+        for df in (cur, prev):
+            if df is not None:
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
     return spark.createDataFrame(rules, "step int, p1 string, p2 string, cnt bigint")
 
 
@@ -1616,11 +1628,12 @@ def doc_bigram_cond_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT source,
              CAST(SUM(m) AS BIGINT) AS n_terms,
              CAST(SUM(m * c) AS BIGINT) AS total_tokens,
-             CAST(SUM(c * (m * cumb + (m * (m + 1)) // 2)) AS BIGINT) AS s_rank
+             SUM(CAST(c AS DOUBLE) * (m * cumb + (m * (m + 1)) // 2))
+               AS s_rank
       FROM ranked GROUP BY source
     )
     SELECT source, n_terms, total_tokens,
-           floor((2.0 * s_rank / (n_terms * total_tokens)
+           floor((2.0 * s_rank / (CAST(n_terms AS DOUBLE) * total_tokens)
                   - (n_terms + 1.0) / n_terms) * 1000000 + 0.5)
              / 1000000 AS gini
     FROM agg
@@ -1642,8 +1655,10 @@ def source_vocab_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     m(m+1)/2). The per-source window therefore runs over the count-value
     HISTOGRAM (|distinct frequency values| rows — log-scale cardinality,
     Zipf corpora have thousands of distinct counts, not billions), and
-    the result is deterministic with NO term-order tiebreak and exact in
-    BIGINT until the single final division (rounded 1e-6). One
+    the result is deterministic with NO term-order tiebreak; counts stay
+    exact BIGINT while the rank-sum and the n·T denominator convert to
+    DOUBLE before multiplying (their integer products would pass 2^63 at
+    extreme SF — see the inline overflow note), rounded 1e-6. One
     vocabulary-bounded shuffle for (source, term) counts, one
     histogram-sized aggregate; nothing sorts data-volume-scaled rows.
     """
@@ -1665,8 +1680,15 @@ def source_vocab_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = ranked.groupBy("source").agg(
         F.sum("m").alias("n_terms"),
         F.sum(F.col("m") * F.col("c")).alias("total_tokens"),
+        # The rank-sum and the n·T denominator go DOUBLE before any
+        # multiply: at extreme SF (n_terms ~1e9, total_tokens ~1e13) their
+        # BIGINT products pass 2^63, where Spark (ANSI off) wraps silently
+        # while DuckDB errors — the one place the engines would diverge
+        # invisibly to the fixture-scale gate. The inner block term stays
+        # integer (bounded ~1e18); the double sums accumulate at 1e-15
+        # relative, far inside the 1e-6 rounding margin.
         F.sum(
-            F.col("c")
+            F.col("c").cast("double")
             * (
                 F.col("m") * F.col("cumb")
                 + F.expr("(m * (m + 1)) div 2")
@@ -1679,7 +1701,7 @@ def source_vocab_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_tokens",
         rnd(
             F.lit(2.0) * F.col("s_rank")
-            / (F.col("n_terms") * F.col("total_tokens"))
+            / (F.col("n_terms").cast("double") * F.col("total_tokens"))
             - (F.col("n_terms") + F.lit(1.0)) / F.col("n_terms"),
             6,
         ).alias("gini"),

@@ -66,7 +66,7 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # tests/test_oracle_queries.py still mirrors every oracle-backed query
 # each pytest run.
 CERTIFIED_FIRST: tuple[str, ...] = (
-    # --- new in round 8: telemetry + packing-QA + embedding-QA tier (8) ---
+    # --- new in round 8: telemetry + packing-QA + embedding-QA tier (11) ---
     "ngram_idf_weighted_novelty",
     "source_pair_jaccard",
     "packing_bin_fill_histogram",
@@ -94,7 +94,8 @@ CERTIFIED_FIRST: tuple[str, ...] = (
     "parquet_partitioned_prune",
     "bucketed_join_orders_customer",
     "zorder_pruning_stats",
-    # --- remaining r4-vintage rows (25, rounds-2-4 window order) ---
+    # --- remaining r4-vintage rows (22, rounds-2-4 window order; the three
+    # rows-only entries were displaced by wave 3 and rotate in round 9) ---
     "text_stats_by_lang",
     "doc_token_counts",
     "doc_fingerprint",

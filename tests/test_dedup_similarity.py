@@ -581,7 +581,7 @@ def test_lsh_hot_band_cap_spares_healthy_buckets_in_mixed_corpus(spark, tmp_path
     boiler = "the quick brown fox jumps over the lazy dog again and again"
     rows = [
         (i, boiler, "en", "boiler", len(boiler)) for i in range(120)
-    ]  # 30% of 400: every band bucket holds 120 > cap docs
+    ]  # 120 of 380 docs (~32%): every boiler band bucket holds 120 > cap
     # 130 healthy near-dup PAIRS: 12 unique tokens, last token differs ->
     # shingle Jaccard 9/11 ~ 0.82, well over the 0.5 verify threshold.
     healthy_pairs = []

@@ -946,8 +946,12 @@ def test_idf_weighted_novelty_scalar_reference(spark, sf_dir):
         else:
             assert 0.0 <= got.weighted_novelty <= 1.0
             assert abs(got.weighted_novelty - novel / total) <= 2e-6
-            margin = _boundary_margin(novel / total)
-            assert margin > 1e-9 or got.weighted_novelty is not None
+            # No fixture value may sit so close to a rounding boundary
+            # that the ~1e-13 cross-engine sum-order divergence could
+            # flip the rounded output (100× headroom; the min margin over
+            # ~500 uniform values is expected around 1e-9, so the bound
+            # must sit well below that).
+            assert _boundary_margin(novel / total) > 1e-11
 
 
 def test_source_pair_jaccard_scalar_reference(spark, sf_dir):
@@ -1153,3 +1157,17 @@ def test_source_quality_trend_pools_quality_flags(spark, sf_dir):
         assert total_ok == sum(
             r.n_ok for (s, _q), r in rows.items() if s == source
         )
+
+
+def test_gram_incidence_is_shared_across_consumers(spark, sf_dir):
+    """The novelty tier's (doc, gram) incidence must be get-or-create:
+    the second consumer receives the SAME persisted frame, not a fresh
+    cold plan re-registered under the slot (the round-8 review finding —
+    tracked_persist would unpersist the materialized copy and force
+    every consumer to recompute the corpus-scale explode)."""
+    from mapreduce_infrastructure_spark.llm.dedup import _gram_incidence
+
+    a = _gram_incidence(spark, sf_dir)
+    b = _gram_incidence(spark, sf_dir)
+    assert a is b
+    assert a.storageLevel.useMemory or a.storageLevel.useDisk
