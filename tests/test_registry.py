@@ -47,3 +47,74 @@ def test_coverage_doc_counts_match_registry():
     assert int(m.group(2)) == oracled, (m.group(2), oracled)
     m2 = re.search(r"(\d+) rows-only", doc)
     assert m2 and int(m2.group(1)) == registered - oracled
+
+
+def test_driver_materialization_sites_are_allowlisted():
+    """Scale guard: every driver-side materialization (.collect/.first/
+    .take/.toPandas/.toLocalIterator) in the package must sit in a
+    function whose result size is bounded BY CONSTRUCTION (k centroids,
+    1-row census, limit(1) argmax, parquet footer stats). A new call site
+    outside this ledger is presumed a scale bug until justified here —
+    iterating a data-sized collect on the driver is the anti-pattern the
+    100 TB design bans."""
+    import ast
+    import os
+
+    pkg = os.path.join(
+        os.path.dirname(__file__), "..", "mapreduce_infrastructure_spark"
+    )
+    MATERIALIZERS = {"collect", "first", "take", "toPandas", "toLocalIterator"}
+    ALLOWED = {
+        # (module-relative path, function): why the result is bounded
+        ("plans/checks.py", "assert_whole_stage_codegen"),  # test helper: AQE finalize
+        ("llm/kmeans.py", "kmeans_parallel_seeds"),  # k-bounded seed rows
+        ("llm/dedup.py", "_cap_hot_bands"),  # 1-row truncation census
+        ("llm/text.py", "bpe_learn_merges"),  # limit(1) argmax per merge
+        ("llm/similarity.py", "_fit_centroids_sample"),  # sample-bounded fit
+        ("llm/similarity.py", "_fit_centroids_distributed"),  # k×dim stats
+        ("llm/similarity.py", "_fit_pq_codebooks"),  # codebook-bounded
+        ("llm/similarity.py", "_fit_opq"),  # rotation-matrix-bounded
+        ("sources/hilbert.py", "hilbert_pruning_stats"),  # footer stats
+        ("sources/zorder.py", "zorder_pruning_stats"),  # footer stats
+        ("sources/zorder.py", "_box"),  # 1-row min/max bounding box
+    }
+
+    found = set()
+    for root, _dirs, files in os.walk(pkg):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(root, fn)
+            rel = os.path.relpath(path, pkg).replace(os.sep, "/")
+            tree = ast.parse(open(path).read())
+
+            class V(ast.NodeVisitor):
+                def __init__(self):
+                    self.stack = []
+
+                def visit_FunctionDef(self, node):
+                    self.stack.append(node.name)
+                    self.generic_visit(node)
+                    self.stack.pop()
+
+                visit_AsyncFunctionDef = visit_FunctionDef
+
+                def visit_Call(self, node):
+                    if (
+                        isinstance(node.func, ast.Attribute)
+                        and node.func.attr in MATERIALIZERS
+                        # F.first(...) is the AGGREGATE function, not a
+                        # driver materialization — skip the F receiver.
+                        and not (
+                            isinstance(node.func.value, ast.Name)
+                            and node.func.value.id == "F"
+                        )
+                    ):
+                        found.add((rel, self.stack[-1] if self.stack else "<module>"))
+                    self.generic_visit(node)
+
+            V().visit(tree)
+    unexpected = found - ALLOWED
+    assert not unexpected, f"unallowlisted driver materialization: {unexpected}"
+    gone = ALLOWED - found
+    assert not gone, f"stale allowlist entries: {gone}"
