@@ -29,16 +29,31 @@ def _wstart_epoch(alias: str = "wstart") -> F.Column:
     return F.unix_timestamp(F.col("w.start")).cast("long").alias(alias)
 
 
-@query(
-    "window_tumbling_hourly",
-    oracle="""
+# Window oracles shared with the streaming twins in stream.py — ONE string
+# per window shape, so a boundary fix can never leave the batch and
+# streaming queries certified against different oracles.
+TUMBLING_ORACLE = """
     SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS wstart,
            event_type,
            COUNT(*) AS n_events,
            floor((CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)) * 100 + 0.5) / 100 AS sum_value
     FROM events
     GROUP BY 1, 2
-    """,
+"""
+
+SLIDING_ORACLE = """
+    SELECT CAST(epoch(time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes') AS BIGINT) AS wstart,
+           COUNT(*) AS n_events,
+           floor((CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)) * 100 + 0.5) / 100 AS sum_value
+    FROM events
+    CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) offsets
+    GROUP BY 1
+"""
+
+
+@query(
+    "window_tumbling_hourly",
+    oracle=TUMBLING_ORACLE,
     tags=("events", "window-time"),
 )
 def window_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -56,14 +71,7 @@ def window_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "window_sliding_1h_15m",
-    oracle="""
-    SELECT CAST(epoch(time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes') AS BIGINT) AS wstart,
-           COUNT(*) AS n_events,
-           floor((CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)) * 100 + 0.5) / 100 AS sum_value
-    FROM events
-    CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) offsets
-    GROUP BY 1
-    """,
+    oracle=SLIDING_ORACLE,
     tags=("events", "window-time"),
 )
 def window_sliding_1h_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -84,7 +92,7 @@ def window_sliding_1h_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in both engines: Spark sees the fixture's ns timestamps truncated to µs
 # (catalog.load_table), DuckDB's epoch_us() applies the same truncation, and
 # flooring (not CAST-rounding) matches Spark's unix_timestamp semantics.
-_SESSION_ORACLE = """
+SESSION_ORACLE = """
     WITH flagged AS (
       SELECT user_id, ts, value,
              CASE WHEN lag(ts) OVER w IS NULL
@@ -107,7 +115,7 @@ _SESSION_ORACLE = """
 """
 
 
-@query("session_window_30m", oracle=_SESSION_ORACLE, tags=("events", "window-time"))
+@query("session_window_30m", oracle=SESSION_ORACLE, tags=("events", "window-time"))
 def session_window_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session windows (30-minute gap) per user. A new session starts
     when the gap since the previous event is >= the timeout (Spark's session
@@ -129,7 +137,7 @@ def session_window_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sessionize_gaps", oracle=_SESSION_ORACLE, tags=("events", "window-time"))
+@query("sessionize_gaps", oracle=SESSION_ORACLE, tags=("events", "window-time"))
 def sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same sessionization built from first principles (lag + cumulative
     sum gaps-and-islands) instead of `session_window` — the custom-stateful-

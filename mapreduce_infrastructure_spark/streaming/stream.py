@@ -32,6 +32,7 @@ from __future__ import annotations
 import os
 from typing import Any, Iterator, Tuple
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -40,6 +41,7 @@ from ..functions.exact import dsum
 from ..operators.relational import MERGE_ORACLE as _MERGE_ORACLE
 from ..registry import query
 from ..session import tune
+from .batch_windows import SESSION_ORACLE, SLIDING_ORACLE, TUMBLING_ORACLE
 
 # Wire schema for the Kafka JSON path ONLY (our own serialization: ts as
 # epoch-nanos BIGINT). File-source readers must NOT assume a ts storage
@@ -148,14 +150,7 @@ def run_to_table(stream_df: DataFrame, name: str, mode: str = "complete") -> Dat
 
 @query(
     "stream_tumbling_hourly",
-    oracle="""
-    SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS wstart,
-           event_type,
-           COUNT(*) AS n_events,
-           floor((CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)) * 100 + 0.5) / 100 AS sum_value
-    FROM events
-    GROUP BY 1, 2
-    """,
+    oracle=TUMBLING_ORACLE,
     tags=("streaming", "window-time"),
 )
 def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -194,8 +189,6 @@ def _user_totals_fn(
         # same exactness contract (test/user_tasks.cc:29-33). Rounding is
         # HALF_UP (away from zero) to match DECIMAL(18,2) casts in the
         # oracle and batch paths — pandas .round() is half-to-even.
-        import numpy as np
-
         v = pdf["value"].to_numpy() * 100
         cents += int(np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)).sum())
     state.update((n, cents))
@@ -329,14 +322,7 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stream_sliding_1h_15m",
-    oracle="""
-    SELECT CAST(epoch(time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes') AS BIGINT) AS wstart,
-           COUNT(*) AS n_events,
-           floor((CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)) * 100 + 0.5) / 100 AS sum_value
-    FROM events
-    CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) offsets
-    GROUP BY 1
-    """,
+    oracle=SLIDING_ORACLE,
     tags=("streaming", "window-time"),
 )
 def stream_sliding_1h_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -360,27 +346,7 @@ def stream_sliding_1h_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stream_session_window_30m",
-    oracle="""
-    WITH flagged AS (
-      SELECT user_id, ts, value,
-             CASE WHEN lag(ts) OVER w IS NULL
-                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
-                  THEN 1 ELSE 0 END AS new_session
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-    ), numbered AS (
-      SELECT user_id, ts, value,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                    ROWS UNBOUNDED PRECEDING) AS session_no
-      FROM flagged
-    )
-    SELECT user_id,
-           MIN(epoch_us(ts)) // 1000000 AS session_start,
-           COUNT(*) AS n_events,
-           floor((CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)) * 100 + 0.5) / 100 AS sum_value
-    FROM numbered
-    GROUP BY user_id, session_no
-    """,
+    oracle=SESSION_ORACLE,
     tags=("streaming", "window-time", "session"),
 )
 def stream_session_window_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -388,10 +354,9 @@ def stream_session_window_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     state per user, watermark-bounded — the streaming twin of
     batch_windows.session_window_30m with the same gaps-and-islands oracle.
     Spark restricts session-window streaming aggregation to complete/append
-    output (update is rejected); complete mode materializes the full current
-    session set each trigger, and the max-struct pick keeps the final
-    (largest) row per session under multi-batch replay (n_events is
-    strictly monotone within a session)."""
+    output (update is rejected); complete mode materializes the full
+    current session set each trigger, so the final table already holds one
+    row per merged session — no reconciliation step is needed."""
     ev = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
     agg = (
         ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
@@ -421,8 +386,19 @@ _KAFKA_PROVIDER = "org.apache.spark.sql.kafka010.KafkaSourceProvider"
 def kafka_available(spark: SparkSession) -> bool:
     """True iff the spark-sql-kafka connector JAR is on the session's
     classpath. The connector is a JVM artifact, not a Python package, so
-    the guard asks the JVM directly instead of a Python import-try."""
+    the guard asks the JVM — via Spark's own loader-aware lookup
+    (``Utils.classForName``), because plain ``java.lang.Class.forName``
+    resolves against the root classloader and cannot see jars loaded
+    after JVM start via ``spark.jars.packages`` (it would report False in
+    exactly the deployment that configured the connector that way)."""
     try:
+        spark._jvm.org.apache.spark.util.Utils.classForName(  # noqa: SLF001
+            _KAFKA_PROVIDER, True, False
+        )
+        return True
+    except Exception:
+        pass
+    try:  # fallback for JVMs where the Utils signature differs
         spark._jvm.java.lang.Class.forName(_KAFKA_PROVIDER)  # noqa: SLF001
         return True
     except Exception:
@@ -682,6 +658,8 @@ def _anomaly_fn(
     )}
 
     def r(x: float, nd: int) -> float:
+        if math.isnan(x):  # the batch twin's floor(NaN·p + 0.5) is NaN
+            return x
         p = 10 ** nd
         return math.floor(x * p + 0.5) / p
 
@@ -698,10 +676,21 @@ def _anomaly_fn(
         sx = sum(hist) / 100.0
         sxx = sum(c * c for c in hist) / 10000.0
         mean_w = sx / n
-        std_w = (
-            math.sqrt((n * sxx - sx * sx) / (float(n) * (n - 1))) if n >= 2 else None
-        )
-        z = r((v - mean_w) / std_w, 3) if std_w else None
+        if n >= 2:
+            # Float rounding can drive the closed-form variance a few ulps
+            # negative on an all-identical window; the batch twin's F.sqrt
+            # yields NaN there (not an error), so mirror that instead of
+            # letting math.sqrt raise and kill the whole stream.
+            arg = (n * sxx - sx * sx) / (float(n) * (n - 1))
+            std_w = math.sqrt(arg) if arg >= 0 else float("nan")
+        else:
+            std_w = None
+        # Batch semantics: std NULL or 0 -> z NULL (nullif path); std NaN
+        # -> z NaN (propagates, never flags).
+        if std_w is None or std_w == 0:
+            z = None
+        else:
+            z = r((v - mean_w) / std_w, 3)
         out["user_id"].append(key[0])
         out["event_id"].append(ev_id)
         out["ts_us"].append(ts_us)

@@ -203,3 +203,63 @@ def test_stream_anomaly_multibatch_state_seeding(spark, sf_dir, tmp_path):
     want = anomaly_zscore_events(spark, sf_dir)
     cols = ["user_id", "event_id", "ts_us", "n_window", "mean_20", "std_20", "z", "flag"]
     assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_stream_anomaly_survives_identical_value_window(spark, tmp_path):
+    """Regression (round-8 review): an all-identical trailing window drives
+    the closed-form variance a few ulps NEGATIVE (2·0.02 − 0.2² < 0 in
+    doubles), where math.sqrt raises and killed the whole stream. The
+    batch twin's F.sqrt yields NaN there and flags 'ok' — the streaming
+    path must mirror that, not crash."""
+    import os
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from mapreduce_infrastructure_spark.streaming.stream import (
+        _anomaly_fn,
+        run_to_table,
+    )
+
+    src = str(tmp_path / "src")
+    rows = [
+        (i, f"2024-01-01 00:0{i}:00", 7, "click", 0.10, "{}")
+        for i in range(4)  # identical values -> degenerate variance
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts string, user_id bigint, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    sdf = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint,"
+            " event_type string, value double, props string"
+        )
+        .parquet(src)
+        .select("user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _anomaly_fn,
+            outputStructType=(
+                "user_id bigint, event_id bigint, ts_us bigint, value double,"
+                " n_window bigint, mean_20 double, std_20 double, z double,"
+                " flag string"
+            ),
+            stateStructType="hist array<bigint>",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    got = run_to_table(sdf, "anomaly_identical_vals", mode="append").collect()
+    assert len(got) == 4
+    # warm-up row (n=1): no std, no z; degenerate windows (n>=2): NaN std
+    # like the batch twin, z NaN, never flagged
+    import math
+
+    for r in sorted(got, key=lambda r: r.event_id):
+        assert r.flag == "ok"
+        if r.n_window >= 2:
+            assert r.std_20 is None or math.isnan(r.std_20) or r.std_20 == 0.0
