@@ -22,6 +22,16 @@ from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
 from .session import tune
 
+
+def scratch_dir(*sub: str) -> str:
+    """<repo-root>/.scratch/<sub...> — the ONE derivation of the shared
+    scratch root. Modules previously each hand-rolled a triple-dirname
+    expression that had to agree on package depth; moving any module one
+    directory deeper would have silently split the shared tree."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return os.path.join(root, ".scratch", *sub)
+
+
 TABLES = [
     "region",
     "nation",

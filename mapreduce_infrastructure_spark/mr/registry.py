@@ -29,17 +29,10 @@ def register_tasks(
     return True
 
 
-def get_mapper(user_id: str) -> BaseMapper:
-    """Fresh mapper instance for a task (reference: ``mr_task_factory.cc:57-63``)."""
-    return _TASKS[user_id][0]()
-
-
-def get_reducer(user_id: str) -> BaseReducer:
-    """Fresh reducer instance for a task (reference: ``mr_task_factory.cc:65-70``)."""
-    return _TASKS[user_id][1]()
-
-
 def get_factories(user_id: str) -> tuple[MapperFactory, ReducerFactory]:
+    """The registered (mapper, reducer) factory pair — the runner
+    instantiates one fresh mapper/reducer per task from these
+    (reference: ``mr_task_factory.cc:57-70``)."""
     return _TASKS[user_id]
 
 

@@ -58,8 +58,9 @@ def run_mr_job(
         df = spark.read.text(records)  # newline records, split planning built in
     else:
         df = records
-    first_col = df.columns[0]
-    rdd = df.select(F.col(first_col).cast("string")).rdd.map(lambda r: r[0])
+    # Positional access, not F.col(name): a first column named e.g.
+    # "doc.text" would otherwise be parsed as a nested-field reference.
+    rdd = df.select(df[df.columns[0]].cast("string")).rdd.map(lambda r: r[0])
 
     def map_partition(lines):
         mapper = mapper_factory()  # fresh instance per task, like the factory

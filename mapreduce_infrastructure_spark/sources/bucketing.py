@@ -20,12 +20,11 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, scratch_dir
 from ..functions.exact import dsum, lcount
 from ..registry import query
 
-_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__)))), ".scratch", "bucketed")
+_SCRATCH = scratch_dir("bucketed")
 
 N_BUCKETS = 8
 
@@ -56,9 +55,14 @@ def bucketed_table(
     per session)."""
     tbl = _tbl(sf_dir, name)
     path = os.path.join(_SCRATCH, tbl)
-    if spark.catalog.tableExists(tbl) and os.path.isdir(path):
+    # Reuse requires the writer's COMMIT marker, not bare existence: a
+    # crashed bucketed write leaves a partial directory (possibly with
+    # committed bucket files under a v2 committer) that bare isdir would
+    # re-register as the complete table forever.
+    committed = os.path.isfile(os.path.join(path, "_SUCCESS"))
+    if spark.catalog.tableExists(tbl) and committed:
         return spark.table(tbl)
-    if os.path.isdir(path):
+    if committed:
         # Files exist from a prior session: register, don't rewrite.
         # (StructType.toDDL is JVM-only; build the column DDL by hand.)
         schema = load_table(spark, sf_dir, name).schema

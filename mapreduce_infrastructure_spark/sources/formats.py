@@ -26,17 +26,24 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, scratch_dir
 from ..functions.exact import dsum, lcount
 from ..registry import query
 
-_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__)))), ".scratch", "io")
+_SCRATCH = scratch_dir("io")
 
 
 def sink_dir(sf_dir: str, name: str) -> str:
-    """Scratch sink path, keyed by scale-factor directory basename."""
-    return os.path.join(_SCRATCH, os.path.basename(sf_dir.rstrip("/")), name)
+    """Scratch sink path keyed by the FULL fixture path (basename + 8-hex
+    abspath digest, the same no-aliasing rule as bucketing._tbl): two
+    datasets whose directories share a basename (/a/sf0.1 and /b/sf0.1)
+    must never write/read each other's roundtrip sinks — an overwrite from
+    one concurrent gate run would race the other's read."""
+    import hashlib
+
+    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    base = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(_SCRATCH, f"{base}_{digest}", name)
 
 
 NATION_DDL = "n_nationkey int, n_name string, n_regionkey int"

@@ -31,8 +31,6 @@ round-trip) and that hilbert prunes ≫ natural and ≈ zorder.
 
 from __future__ import annotations
 
-import os
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -43,9 +41,9 @@ from ..catalog import load_table
 from ..registry import query
 from .zorder import (
     BOX_COLS,
-    _SCRATCH,
-    _box,
+    _layout_ready,
     files_overlapping_box,
+    layout_context,
     write_layout,
     zvalue,
 )
@@ -125,36 +123,27 @@ def hilbert_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write lineitem range-partitioned + sorted on the Hilbert index of
     (l_partkey, l_suppkey) and report footer-stats file overlap for the
     standard 2-D box predicate, next to the z-ordered and natural layouts
-    (written with the same cache keys zorder_pruning_stats uses). Smaller
-    is better; tests assert hilbert ≪ natural and ≈ zorder. Rows-only
-    (file layout is engine-specific; no SQL oracle exists for footers).
+    (sharing zorder_pruning_stats' cache keys BY CONSTRUCTION via
+    zorder.layout_context). Smaller is better; tests assert hilbert ≪
+    natural and ≈ zorder. Rows-only (file layout is engine-specific; no
+    SQL oracle exists for footers).
     """
-    import hashlib
-
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
-    )
-    m = li.agg(
-        F.max("l_partkey").alias("p"), F.max("l_suppkey").alias("s")
-    ).first()
-    bits = max(int(m.p).bit_length(), int(m.s).bit_length())
-    digest = hashlib.md5(f"{os.path.abspath(sf_dir)}|{bits}".encode()).hexdigest()[:8]
-    sfb = os.path.basename(sf_dir.rstrip("/"))
-    h_path = os.path.join(_SCRATCH, f"{sfb}_{digest}", "hilbert")
-    z_path = os.path.join(_SCRATCH, f"{sfb}_{digest}", "z")
-    n_path = os.path.join(_SCRATCH, f"{sfb}_{digest}", "natural")
-    if not os.path.isdir(h_path):
-        write_layout(li, hilbert_col("l_partkey", "l_suppkey", bits), h_path)
-    if not os.path.isdir(z_path):
+    li, bits, paths, (lo, hi) = layout_context(spark, sf_dir)
+    if not _layout_ready(paths["hilbert"]):
         write_layout(
-            li, zvalue(F.col("l_partkey"), F.col("l_suppkey"), bits), z_path
+            li, hilbert_col("l_partkey", "l_suppkey", bits), paths["hilbert"]
         )
-    if not os.path.isdir(n_path):
-        write_layout(li, F.col("l_orderkey"), n_path)
-    lo, hi = _box(spark, sf_dir)
+    if not _layout_ready(paths["z"]):
+        write_layout(
+            li, zvalue(F.col("l_partkey"), F.col("l_suppkey"), bits), paths["z"]
+        )
+    if not _layout_ready(paths["natural"]):
+        write_layout(li, F.col("l_orderkey"), paths["natural"])
     rows = []
     for layout, path in [
-        ("hilbert", h_path), ("zorder", z_path), ("natural", n_path)
+        ("hilbert", paths["hilbert"]),
+        ("zorder", paths["z"]),
+        ("natural", paths["natural"]),
     ]:
         n_overlap, n_total = files_overlapping_box(path, BOX_COLS, lo, hi)
         rows.append((layout, n_overlap, n_total))

@@ -25,11 +25,10 @@ import os
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, scratch_dir
 from ..registry import query
 
-_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__)))), ".scratch", "zorder")
+_SCRATCH = scratch_dir("zorder")
 
 Z_BITS = 10  # default per-dimension bits (tests); real layouts derive from domain
 N_FILES = 16
@@ -123,12 +122,45 @@ def files_overlapping_box(
 BOX_COLS = ["l_partkey", "l_suppkey"]
 
 
-def _box(spark: SparkSession, sf_dir: str) -> tuple[list[int], list[int]]:
-    li = load_table(spark, sf_dir, "lineitem")
+def _layout_ready(path: str) -> bool:
+    """A cached layout is reusable only when the writer COMMITTED it — the
+    _SUCCESS marker. A bare isdir check would resurrect a partial layout
+    from an interrupted write forever, and these queries are rows-only (no
+    SQL oracle exists for footer stats), so the wrong overlap counts would
+    go unnoticed."""
+    return os.path.isfile(os.path.join(path, "_SUCCESS"))
+
+
+def layout_context(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, int, dict[str, str], tuple[list[int], list[int]]]:
+    """Shared derivation for the layout-pruning queries (zorder + hilbert):
+    ONE lineitem max-aggregation supplies the interleave bit width, the
+    layout-cache digest AND the box predicate, so the two queries share
+    cache keys by construction (they previously copy-pasted the
+    derivation, coupled only by a comment, and re-scanned lineitem a
+    second time for the box).
+
+    Bits are sized to the ACTUAL key domain: truncating (e.g. 10 bits vs
+    partkey max 19999) would interleave only the low bits and collapse
+    that dimension's clustering to noise. The cache digest keys on full
+    fixture path + bits so stale layouts from a different dataset or an
+    older bit-width are never reused."""
+    import hashlib
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
     m = li.agg(
         F.max("l_partkey").alias("p"), F.max("l_suppkey").alias("s")
     ).first()
-    return [0, 0], [int(m.p) // 8, int(m.s) // 8]
+    bits = max(int(m.p).bit_length(), int(m.s).bit_length())
+    digest = hashlib.md5(f"{os.path.abspath(sf_dir)}|{bits}".encode()).hexdigest()[:8]
+    sfb = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(_SCRATCH, f"{sfb}_{digest}")
+    paths = {k: os.path.join(root, k) for k in ("z", "natural", "hilbert")}
+    box = ([0, 0], [int(m.p) // 8, int(m.s) // 8])
+    return li, bits, paths, box
 
 
 @query("zorder_pruning_stats", tags=("layout", "zorder", "pruning"))
@@ -138,33 +170,15 @@ def zorder_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     2-D box predicate overlaps according to footer min/max stats. Smaller
     is better; the z-ordered layout must overlap fewer (asserted in
     tests/test_zorder.py). Rows-only (file layout is engine-specific)."""
-    import hashlib
-
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
-    )
-    # Bits sized to the ACTUAL key domain: truncating (e.g. 10 bits vs
-    # partkey max 19999) would interleave only the low bits and collapse
-    # that dimension's clustering to noise.
-    m = li.agg(
-        F.max("l_partkey").alias("p"), F.max("l_suppkey").alias("s")
-    ).first()
-    bits = max(int(m.p).bit_length(), int(m.s).bit_length())
-    # Layout cache keyed by full fixture path + bits (stale/partial layouts
-    # from a different dataset or an older bit-width must not be reused).
-    digest = hashlib.md5(f"{os.path.abspath(sf_dir)}|{bits}".encode()).hexdigest()[:8]
-    sfb = os.path.basename(sf_dir.rstrip("/"))
-    z_path = os.path.join(_SCRATCH, f"{sfb}_{digest}", "z")
-    n_path = os.path.join(_SCRATCH, f"{sfb}_{digest}", "natural")
-    if not os.path.isdir(z_path):
+    li, bits, paths, (lo, hi) = layout_context(spark, sf_dir)
+    if not _layout_ready(paths["z"]):
         write_layout(
-            li, zvalue(F.col("l_partkey"), F.col("l_suppkey"), bits), z_path
+            li, zvalue(F.col("l_partkey"), F.col("l_suppkey"), bits), paths["z"]
         )
-    if not os.path.isdir(n_path):
-        write_layout(li, F.col("l_orderkey"), n_path)
-    lo, hi = _box(spark, sf_dir)
+    if not _layout_ready(paths["natural"]):
+        write_layout(li, F.col("l_orderkey"), paths["natural"])
     rows = []
-    for layout, path in [("zorder", z_path), ("natural", n_path)]:
+    for layout, path in [("zorder", paths["z"]), ("natural", paths["natural"])]:
         n_overlap, n_total = files_overlapping_box(path, BOX_COLS, lo, hi)
         rows.append((layout, n_overlap, n_total))
     return spark.createDataFrame(

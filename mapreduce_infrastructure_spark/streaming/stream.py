@@ -37,6 +37,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from ..catalog import scratch_dir
 from ..functions.exact import dsum
 from ..operators.relational import MERGE_ORACLE as _MERGE_ORACLE
 from ..registry import query
@@ -54,8 +55,7 @@ _RAW_EVENTS = (
     " value double, props string"
 )
 
-_CHECKPOINTS = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__)))), ".scratch", "checkpoints")
+_CHECKPOINTS = scratch_dir("checkpoints")
 
 
 def _staged_events_dir(sf_dir: str) -> str:

@@ -74,9 +74,7 @@ def test_driver_materialization_sites_are_allowlisted():
         ("llm/similarity.py", "_fit_centroids_distributed"),  # k×dim stats
         ("llm/similarity.py", "_fit_pq_codebooks"),  # codebook-bounded
         ("llm/similarity.py", "_fit_opq"),  # rotation-matrix-bounded
-        ("sources/hilbert.py", "hilbert_pruning_stats"),  # footer stats
-        ("sources/zorder.py", "zorder_pruning_stats"),  # footer stats
-        ("sources/zorder.py", "_box"),  # 1-row min/max bounding box
+        ("sources/zorder.py", "layout_context"),  # 1-row min/max for bits+box
     }
 
     found = set()
