@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..catalog import load_table
 from ..registry import query
+from .cache import tracked_persist as _tracked_persist
 
 K = 8
 N_ITERS = 3
@@ -117,7 +118,17 @@ def kmeans_embeddings(
 ) -> DataFrame:
     """K-means (K=8, 3 Lloyd iterations, seeds = vec_id < K) over the 64-d
     embedding corpus; returns each vector's final cluster assignment and
-    its exact squared distance to that centroid."""
+    its exact squared distance to that centroid.
+
+    Empty-cell policy — INTENDED semantics, mirrored by the oracle: a cell
+    that attracts zero points in an iteration is dropped (centroids are
+    rebuilt only from assigned cids), so the final clustering can have
+    fewer than K clusters on degenerate seeds. This is classic Lloyd
+    drop-empty; the IVF quantizer fit in similarity.py makes the opposite
+    choice (keep the previous centroid, "C never shrinks") because an ANN
+    index needs a fixed cell count — a clustering REPORT doesn't. The
+    unrolled-CTE oracle implements the same drop, so the differential
+    gate certifies the policy rather than hiding it."""
     emb = load_table(spark, sf_dir, "embeddings")
     pts = emb.select(
         "vec_id",
@@ -128,8 +139,9 @@ def kmeans_embeddings(
     )
     # Every iteration's assignment re-derives from pts; persist once so the
     # corpus is scanned once, not once per iteration (PageRank does the same
-    # with its edge list). Iteration-scoped scratch; unpersist left to GC.
-    pts = pts.persist()
+    # with its edge list). Slot-tracked: re-invocation releases the prior
+    # copy instead of leaving cleanup to driver GC timing.
+    pts = _tracked_persist(pts, f"kmeans_pts:{sf_dir}")
     centroids = pts.filter(F.col("vec_id") < K).select(
         F.col("vec_id").alias("cid"), F.col("x").alias("c")
     )
@@ -326,7 +338,8 @@ def kmeans_parallel_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"transform(CAST(embedding AS ARRAY<DOUBLE>),"
             f" e -> floor(e * {_G} + 0.5) / {_G})"
         ).alias("x"),
-    ).persist()
+    )
+    pts = _tracked_persist(pts, f"kmeans_seeds_pts:{sf_dir}")
 
     cand = pts.filter(F.col("vec_id") == 0).select(F.col("vec_id").alias("cid"))
     for r in range(1, N_ROUNDS + 1):
@@ -374,15 +387,15 @@ def kmeans_parallel_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min(F.struct("dist", "cid")).alias("best"))
         .groupBy(F.col("best.cid").alias("cid"))
         .agg(F.count(F.lit(1)).alias("w"))
-        .persist()
     )
+    candw = _tracked_persist(candw, f"kmeans_seeds_candw:{sf_dir}")
     cdist = (
         cpts.select(F.col("cid").alias("ca"), F.col("c").alias("x"))
         .crossJoin(F.broadcast(cpts.select(F.col("cid").alias("cb"), "c")))
         .withColumn("dist", F.expr(_DIST_EXPR))
         .select("ca", "cb", "dist")
-        .persist()
     )
+    cdist = _tracked_persist(cdist, f"kmeans_seeds_cdist:{sf_dir}")
 
     first = candw.orderBy(F.col("w").desc(), "cid").limit(1).collect()
     chosen: list[tuple[int, int]] = [(int(first[0]["cid"]), 1)]

@@ -153,8 +153,9 @@ def neardup_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Deterministic random hyperplanes (seed fixed; regenerated identically on
 # every call — never shipped through a closure at scale, just 6×64 literals).
-# 6 planes → 64 buckets; with 1-bit multi-probe each query scans ~7/64 of the
-# corpus — the bucket-count / probe-count pair is the recall-vs-cost dial.
+# 6 planes → 64 buckets; the probe set below (own bucket + 6 one-bit flips
+# + 4 multi-bit low-margin combos, deduped) scans ~11/64 of the corpus —
+# the bucket-count / probe-count pair is the recall-vs-cost dial.
 _N_PLANES = 6
 _DIM = 64
 
@@ -172,11 +173,12 @@ _PROBE_PLANES = 3  # 2^3 = 8 probe buckets per query
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-3 neighbors via random-hyperplane (sign) LSH with
     MARGIN-GUIDED multi-probe: bucket = 6 sign bits of plane dot products;
-    each query probes its own bucket plus every sign-flip combination of its
-    3 lowest-|margin| planes (the planes its vector sits closest to — where
-    a true neighbor most likely lands on the other side). 8 targeted probes
-    replace the 7 blind 1-bit flips and roughly double recall at the same
-    scan fraction.
+    each query probes its own bucket, every 1-bit flip (isolated wrong
+    bits), AND the 2-/3-bit sign-flip combinations of its 3 lowest-|margin|
+    planes (the planes its vector sits closest to — where multi-bit errors
+    concentrate): ~11 distinct probes of 64 buckets. The margin-guided
+    combos are what lift recall over blind flips at a similar scan
+    fraction.
 
     Linear-shuffle ANN: at 100 TB the bucket join replaces the O(|Q|·N)
     scan — each query touches ~(probes/2^planes) of the corpus; margins are
@@ -270,6 +272,12 @@ def _fit_centroids_sample(vecs: DataFrame) -> np.ndarray:
     returns (cells × dim) centroids. Empty cells keep their previous
     centroid, so the result is stable for any sample."""
     rows = vecs.orderBy("vec_id").limit(_IVF_SAMPLE).select("d").collect()
+    if not rows:
+        # Fail with the real cause — rng.integers(0) below would raise an
+        # inscrutable "low >= high" from inside the seeding math.
+        raise ValueError(
+            "cannot fit IVF centroids: the embeddings input is empty"
+        )
     X = np.array([r.d for r in rows])
     rng = np.random.default_rng(7)
     # k-means++ seeding (seeded → deterministic): spread initial centroids
@@ -520,7 +528,7 @@ def _sub_dists(books: np.ndarray, col: str) -> Column:
     higher-order expression over a nested codebook literal, returning
     array (per m) of array<struct<dist,code>>.
 
-    Same codegen lesson as minhash_signature above: the unrolled form
+    Same codegen lesson as dedup.minhash_signatures (llm/dedup.py): the unrolled form
     (M×K separate F.aggregate expressions, 128 here) made Janino compile
     a huge whole-stage method that dominated small-scale runtime (~5-8 s
     per PQ/OPQ plan); this single nested expression compiles in
@@ -570,7 +578,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB the PQ code table is the only thing scanned per query —
     ~1/16th the bytes of the raw vectors — and the exact re-rank touches a
-    constant 20 rows per query. Codebooks, like the IVF quantizer, are fit
+    constant _PQ_CANDIDATES=40 rows per query. Codebooks, like the IVF quantizer, are fit
     driver-side on a deterministic seeded sample. No SQL oracle
     (quantization is engine-specific); tests assert recall@3 vs
     knn_bruteforce and that re-ranked cosines are exact."""
@@ -791,11 +799,12 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = F.slice(F.array_sort(_cell_dists(C, "u")), 1, _SEM_ASSIGN)
     # Persisted: the bucket self-join reads this twice, and without the
     # barrier projection collapse re-inlines the normalize + 16-centroid
-    # distance expressions into both sides.
+    # distance expressions into both sides. ID + cell ONLY — the exact
+    # verify re-joins the unit vectors fresh, so caching the 64-double
+    # payload here would inflate the working set ~65× for nothing.
     assigned = _tracked_persist(
         unit.select(
             "vec_id",
-            "u",
             F.explode(F.transform(cells, lambda s: s["cell"])).alias("cell"),
         ),
         f"semantic_assigned:{sf_dir}",
@@ -815,7 +824,10 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         candidates.join(ua, "vec_a")
         .join(ub, "vec_b")
-        .filter(_dot(F.col("ua"), F.col("ub")) >= SEMANTIC_TAU)
+        # Threshold the ROUNDED cosine like every other tier of this
+        # contract (neardup_cosine_pairs / _ivf round at 1e-4 before the
+        # >= 0.4 test) so boundary pairs never diverge between tiers.
+        .filter(rnd(_dot(F.col("ua"), F.col("ub")), 4) >= SEMANTIC_TAU)
         .select("vec_a", "vec_b")
     )
     edges = pairs.selectExpr("vec_a AS src", "vec_b AS dst").unionByName(
@@ -848,12 +860,12 @@ def neardup_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     two_cells = F.slice(F.array_sort(_cell_dists(C, "d")), 1, 2)
     # Persisted for the same reason as the semantic tier: the bucket
     # self-join would otherwise recompute the 16-centroid assignment
-    # expression for both sides.
+    # expression for both sides. ID + cell ONLY (the verify joins the
+    # vector payload back fresh) — caching d/nrm here would store dead
+    # 64-double payloads per exploded assignment.
     assigned = _tracked_persist(
         vecs.select(
             "vec_id",
-            "d",
-            "nrm",
             F.explode(F.transform(two_cells, lambda s: s["cell"])).alias("cell"),
         ),
         f"neardup_ivf_assigned:{sf_dir}",
