@@ -70,6 +70,18 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.size("sh") > 0)
 
 
+def _shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (doc_id, lang, sh) distinct-shingle table, get-or-created under
+    ONE sf_dir-keyed slot (shared_persist) so the dedup tier's consumers
+    (Jaccard/containment pairs, MinHash, cluster edges, PPJoin) share a
+    single cached copy per session — tracked_persist under a common slot
+    would unpersist the materialized copy and force every consumer to
+    re-tokenize and re-shingle the corpus."""
+    return shared_persist(
+        spark, lambda: _doc_shingles(spark, sf_dir), f"shingles:{sf_dir}"
+    )
+
+
 def _gram_incidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The exploded (doc_id, source, gram) distinct-3-gram incidence table,
     get-or-created under ONE sf_dir-keyed slot so its consumers
@@ -154,7 +166,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is validated against. The `lang` block bounds the quadratic term; at
     100 TB the blocking key must be finer (LSH buckets — see
     minhash_lsh_pairs) but the verify step is this same expression."""
-    t = _tracked_persist(_doc_shingles(spark, sf_dir), f"shingles:{sf_dir}")
+    t = _shingle_table(spark, sf_dir)
     a, b = t.alias("a"), t.alias("b")
     inter = F.array_intersect(F.col("a.sh"), F.col("b.sh"))
     union = F.array_union(F.col("a.sh"), F.col("b.sh"))
@@ -320,7 +332,7 @@ def minhash_lsh_pairs(
     see HOT_BAND_CAP. No SQL oracle (LSH recall is probabilistic); tests
     assert recall vs the exact ngram ground truth.
     """
-    t = _tracked_persist(_doc_shingles(spark, sf_dir), f"shingles:{sf_dir}")
+    t = _shingle_table(spark, sf_dir)
     sig = _signatures(t)
     bands = sig.select(
         "doc_id",
@@ -512,7 +524,7 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB is the MinHash LSH bucketer; this is the verify expression).
     Directed pairs: (contained, container) with doc_a ≠ doc_b, both
     directions evaluated."""
-    t = _tracked_persist(_doc_shingles(spark, sf_dir), f"shingles:{sf_dir}")
+    t = _shingle_table(spark, sf_dir)
     a, b = t.alias("a"), t.alias("b")
     containment = rnd(
         F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).cast("double")
@@ -700,9 +712,19 @@ def prefix_filter_candidates(
 
     Input ``t``: (doc_id, [block_col,] sh: array<string>). Output:
     (doc_a, doc_b) distinct candidate pairs with doc_a < doc_b, same block.
+
+    All three bounds are computed in INTEGER arithmetic from the
+    threshold's exact rational form: float ceil(sz·t) rounds UP on
+    exact-integer products (double(0.07)·100 = 7.000…001 → ceil 8),
+    which would shorten the prefix by one and silently void the
+    recall-1.0 contract for general thresholds.
     """
+    from fractions import Fraction
+
     from pyspark.sql import Window
 
+    frac = Fraction(threshold).limit_denominator(1_000_000)
+    num, den = frac.numerator, frac.denominator
     sz = t.select("doc_id", *( [block_col] if block_col else [] ),
                   F.size("sh").alias("sz"), F.explode("sh").alias("s"))
     df_freq = (
@@ -716,16 +738,20 @@ def prefix_filter_candidates(
             Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("s").asc())
         ),
     )
-    prefix_len = (F.col("sz") - F.ceil(F.col("sz") * F.lit(threshold)) + 1).cast("int")
+    # prefix_len = sz − ⌈sz·num/den⌉ + 1, integer-exact
+    prefix_len = (
+        F.col("sz") - F.expr(f"(sz * {num} + {den - 1}) div {den}") + 1
+    ).cast("int")
     prefix = ranked.filter(F.col("rn") <= prefix_len)
     a, b = prefix.alias("a"), prefix.alias("b")
     cond = (
         (F.col("a.s") == F.col("b.s"))
         & (F.col("a.doc_id") < F.col("b.doc_id"))
-        # PPJoin length filter: survivors need min(sz) >= t * max(sz).
+        # PPJoin length filter: min(sz) ≥ t·max(sz) ⇔ den·min ≥ num·max
+        # (integer-exact, no float boundary).
         & (
-            F.least(F.col("a.sz"), F.col("b.sz"))
-            >= F.lit(threshold) * F.greatest(F.col("a.sz"), F.col("b.sz"))
+            F.lit(den) * F.least(F.col("a.sz"), F.col("b.sz"))
+            >= F.lit(num) * F.greatest(F.col("a.sz"), F.col("b.sz"))
         )
     )
     if block_col:
@@ -752,8 +778,10 @@ def prefix_filter_candidates(
     ubound = F.lit(1) + F.least(
         F.col("m.sz_a") - F.col("m.rn_a"), F.col("m.sz_b") - F.col("m.rn_b")
     )
-    min_overlap = F.ceil(
-        F.lit(threshold / (1.0 + threshold)) * (F.col("m.sz_a") + F.col("m.sz_b"))
+    # overlap ≥ ⌈(sa+sb)·t/(1+t)⌉ with t/(1+t) = num/(num+den), integer-exact
+    nd = num + den
+    min_overlap = F.expr(
+        f"((m.sz_a + m.sz_b) * {num} + {nd - 1}) div {nd}"
     )
     return first_match.filter(ubound >= min_overlap).select("doc_a", "doc_b")
 
@@ -891,7 +919,7 @@ def _cluster_edges(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFra
     admit boundary pairs, e.g. raw 0.49996 rounds to 0.5000, that the
     oracle rejects)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    t = _tracked_persist(_doc_shingles(spark, sf_dir), f"shingles:{sf_dir}")
+    t = _shingle_table(spark, sf_dir)
     candidates = prefix_filter_candidates(t, threshold=0.5, block_col="lang")
     sh_a = t.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sh_b = t.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
@@ -1044,8 +1072,8 @@ _PPJOIN_ORACLE = """
     FROM t a JOIN t b ON a.doc_id < b.doc_id
     WHERE len(a.sh) > 0 AND len(b.sh) > 0
       AND 2 * least(len(a.sh), len(b.sh)) >= greatest(len(a.sh), len(b.sh))
-      AND floor((CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                / len(list_distinct(list_concat(a.sh, b.sh)))) * 10000 + 0.5) / 10000 >= 0.5
+      AND 2 * len(list_intersect(a.sh, b.sh))
+          >= len(list_distinct(list_concat(a.sh, b.sh)))
 """
 
 
@@ -1055,14 +1083,15 @@ def ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Xiao et al., WWW'08) — the EXACT counterpart to the probabilistic
     MinHash tier: zero false negatives by construction, no all-pairs scan.
 
-    Shingles are ordered rarest-first by corpus document frequency (ties by
-    shingle text); a pair can reach Jaccard ≥ τ only if the first
-    ``n − ⌈τ·n⌉ + 1`` shingles of each side share a token, so candidates
-    come from a prefix-token equi-join instead of a cartesian block. A
-    length filter (2·min(n_a,n_b) ≥ max at τ=0.5) prunes further; survivors
-    get the exact intersect/union verify — the same expression the oracle
-    runs over all pairs, which is the correctness claim: the pruned plan
-    returns IDENTICAL rows to brute force.
+    Candidate generation is the shared ``prefix_filter_candidates`` helper
+    (rarest-first prefixes + PPJoin's length AND positional filters);
+    survivors get the exact intersect/union verify. The threshold test is
+    INTEGER-exact on both engines — ``2·|A∩B| ≥ |A∪B|`` — never a test on
+    the rounded display value: the prefix theorem guarantees recall only
+    for RAW jaccard ≥ τ, so a rounded-value filter could admit a
+    [0.49995, 0.5) pair in the quadratic oracle that candidate generation
+    is allowed to miss (the `_cluster_edges` lesson). With the raw test
+    the pruned plan returns IDENTICAL rows to brute force.
 
     Scale (100 TB): two linear shuffles (df counts, per-doc rank), one
     equi-join on prefix tokens whose fan-out concentrates on RARE tokens by
@@ -1070,46 +1099,23 @@ def ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates only. The oracle stays quadratic — it is the spec, not the
     plan.
     """
-    t = _tracked_persist(
-        _doc_shingles(spark, sf_dir).select("doc_id", "sh"),
-        f"ppjoin:{sf_dir}",
-    )
-    tok = t.select(
-        "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("tok")
-    )
-    df_counts = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy("doc_id").orderBy("df", "tok")
-    prefix = (
-        tok.join(df_counts, "tok")
-        .withColumn("rn", F.row_number().over(w))
-        # τ = 0.5 → prefix length n − ⌈n/2⌉ + 1 = floor(n/2) + 1
-        .filter(F.col("rn") <= F.floor(F.col("n") / 2) + 1)
-        .select("tok", "doc_id", "n")
-    )
-    a, b = prefix.alias("a"), prefix.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.tok") == F.col("b.tok"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (
-                F.lit(2) * F.least(F.col("a.n"), F.col("b.n"))
-                >= F.greatest(F.col("a.n"), F.col("b.n"))
-            ),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    t = _shingle_table(spark, sf_dir)
+    cand = prefix_filter_candidates(
+        t.select("doc_id", "sh"), PPJOIN_TAU, block_col=None
     )
     sa = t.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = t.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    inter = F.array_intersect(F.col("sh_a"), F.col("sh_b"))
-    union = F.array_union(F.col("sh_a"), F.col("sh_b"))
-    jac = rnd(F.size(inter).cast("double") / F.size(union), 4)
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= PPJOIN_TAU)
+        .filter(F.lit(2) * inter >= union)
+        .select(
+            "doc_a",
+            "doc_b",
+            rnd(inter.cast("double") / union, 4).alias("jaccard"),
+        )
     )
 
 

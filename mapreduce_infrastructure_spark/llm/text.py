@@ -655,13 +655,20 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 ).alias("p"),
             )
-            best = (
+            top = (
                 pairs.groupBy(F.col("p.p1").alias("p1"), F.col("p.p2").alias("p2"))
                 .agg(F.sum("freq").alias("cnt"))
                 .orderBy(F.col("cnt").desc(), "p1", "p2")
                 .limit(1)
                 .collect()
-            )[0]
+            )
+            if not top:
+                # Vocabulary collapsed to single symbols before BPE_MERGES
+                # rounds — return the rules learned so far, exactly like
+                # the oracle's LIMIT-1-of-empty degrades to fewer rows
+                # (an unguarded [0] would crash where the oracle succeeds).
+                break
+            best = top[0]
             if prev is not None:  # the collect above materialized ``cur``
                 prev.unpersist()
                 prev = None
@@ -1013,10 +1020,12 @@ def source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 # metric is over the CONDITIONAL distribution "which stopword, given the
 # token is one", so it is insensitive to overall stopword density (that
 # signal is `quality_scores.stopword_ratio`).
-_DRIFT_WORDS: tuple[str, ...] = (
-    "the", "a", "of",
-    "data", "table", "row", "column", "batch",
-    "query", "join", "filter", "agg", "sort",
+# Derived, not hand-copied: the drift vocabulary IS the union of the
+# language-ID marker sets, so editing _LANG_MARKERS automatically keeps
+# stopword_profile_drift (Column AND oracle, which interpolates this
+# tuple) measuring the stated vocabulary.
+_DRIFT_WORDS: tuple[str, ...] = tuple(
+    w for ws in _LANG_MARKERS.values() for w in ws
 )
 
 
@@ -1109,6 +1118,9 @@ def stopword_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per-source running token total through that doc (doc_id order) is <= b —
 # the same prefix a packing pass would actually take.
 _HEAPS_BUDGETS: tuple[int, ...] = (500, 2000, 8000)
+# Oracle-side VALUES list, interpolated into both consuming oracles so a
+# budget edit can never desynchronize the Spark plans from the SQL.
+_HEAPS_BUDGETS_SQL = ", ".join(f"({b})" for b in _HEAPS_BUDGETS)
 
 
 @query(
@@ -1132,7 +1144,7 @@ _HEAPS_BUDGETS: tuple[int, ...] = (500, 2000, 8000)
       SELECT t.source, t.term, MIN(c.cum) AS fc
       FROM term t JOIN cum c ON t.doc_id = c.doc_id
       GROUP BY t.source, t.term
-    ), b(budget) AS (VALUES (500), (2000), (8000)
+    ), b(budget) AS (VALUES {_HEAPS_BUDGETS_SQL}
     ), docstats AS (
       SELECT source, budget,
              CAST(COUNT(CASE WHEN cum <= budget THEN 1 END) AS BIGINT) AS n_docs,
@@ -1246,7 +1258,7 @@ def source_type_token_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
                                ROWS UNBOUNDED PRECEDING) AS cum
       FROM dt
-    ), b(budget) AS (VALUES (500), (2000), (8000))
+    ), b(budget) AS (VALUES {_HEAPS_BUDGETS_SQL})
     SELECT source, CAST(budget AS BIGINT) AS budget,
            CAST(COUNT(CASE WHEN cum <= budget THEN 1 END) AS BIGINT) AS n_docs,
            CAST(COALESCE(SUM(CASE WHEN cum <= budget THEN n_toks END), 0)

@@ -1171,3 +1171,23 @@ def test_gram_incidence_is_shared_across_consumers(spark, sf_dir):
     b = _gram_incidence(spark, sf_dir)
     assert a is b
     assert a.storageLevel.useMemory or a.storageLevel.useDisk
+
+
+def test_bpe_trainer_degrades_gracefully_when_vocab_collapses(spark, tmp_path):
+    """Regression (round-8 review): a corpus whose only multi-char word is
+    exhausted after one merge must return the rules learned so far —
+    matching the oracle's LIMIT-1-of-empty behavior — not crash on an
+    empty argmax, and must still leave zero persisted frames behind."""
+    from mapreduce_infrastructure_spark.llm.text import bpe_learn_merges
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(i, "ab ab ab", "en", "s", 8) for i in range(5)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    rules = bpe_learn_merges(spark, sf).collect()
+    after = jsc.getPersistentRDDs().size()
+    assert [(r.step, r.p1, r.p2) for r in rules] == [(1, "a", "b")]
+    assert after == before
