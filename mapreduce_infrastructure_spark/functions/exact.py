@@ -39,6 +39,14 @@ def rnd(col: Column, ndigits: int = 2) -> Column:
     return F.floor(col * p + F.lit(0.5)) / F.lit(p)
 
 
+def disc_rev() -> Column:
+    """Discounted revenue l_extendedprice·(1−l_discount) as exact DECIMAL —
+    THE revenue convention every TPC-H-shaped query and oracle shares (the
+    oracle-side twin is the CAST(… AS DECIMAL(18,2)) form). One definition
+    so a precision change cannot silently diverge between queries."""
+    return dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+
+
 def dsum(col: Column | str, alias: str, ndigits: int = 2) -> Column:
     """Exact sum of a 2-decimal double column, returned as rounded DOUBLE."""
     return rnd(F.sum(dec(col)).cast("double"), ndigits).alias(alias)

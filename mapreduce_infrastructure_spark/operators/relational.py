@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..catalog import load_table, register_views
-from ..functions.exact import davg, dec, dsum, lcount, rnd
+from ..functions.exact import davg, dec, disc_rev, dsum, lcount, rnd
 from ..registry import query
 
 
@@ -58,7 +58,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial+final HashAggregate pass, no Python in the hot path.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    disc_price = disc_rev()
     charge = disc_price.cast("decimal(18,4)") * (F.lit(1) + dec("l_tax"))
     return (
         li.filter(F.col("l_shipdate") <= "2000-12-31")
@@ -363,10 +363,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
     l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
-    revenue = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    revenue = disc_rev()
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderpriority")
         .agg(rnd(F.sum(revenue).cast("double"), 2).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderpriority")
@@ -458,7 +458,7 @@ def join_range_quantity_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (l.l_quantity <= p.p_size + 2)
     )
     return (
-        l.join(F.broadcast(p), cond)
+        l.join(p, cond)
         .groupBy("p_brand")
         .agg(lcount("n_matches"), dsum("l_extendedprice", "sum_price"))
     )
@@ -690,13 +690,13 @@ def q5_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
     revenue = F.sum(
-        dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+        disc_rev()
     ).cast("double")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -1120,8 +1120,9 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     side vs customer side) — the self-referencing-dimension shape that
     exercises alias handling in the join planner.
 
-    Plan at 100 TB: both nation copies and supplier broadcast; customer
-    broadcasts at small SF and shuffles at scale (AQE decides); the one
+    Plan at 100 TB: both nation copies broadcast (bounded, hard hint);
+    supplier and customer scale with SF so they carry NO hint — size-based
+    planning broadcasts them at test SF and shuffles at scale; the one
     unavoidable big shuffle is lineitem⋈orders on orderkey. The inequality
     filter runs on broadcast-local columns, before the fact shuffle."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -1135,12 +1136,12 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
     )
     revenue = F.sum(
-        dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+        disc_rev()
     ).cast("double")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
@@ -1184,10 +1185,10 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = load_table(spark, sf_dir, "nation")
-    rev_exact = F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+    rev_exact = F.sum(disc_rev())
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(lcount("n_items"), rev_exact.alias("rev_exact"))
@@ -1237,7 +1238,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(o, big.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select(
             "c_custkey",
             "c_name",
@@ -1330,7 +1331,6 @@ def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 BLOOM_BITS = 1024  # m: filter width (16 longs)
-BLOOM_WORDS = BLOOM_BITS // 64
 
 
 @query(
@@ -1395,7 +1395,7 @@ def bloom_prune_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) != 0
     pruned = probe.filter(hit(1) & hit(2)).select("l_suppkey")
     return (
-        pruned.join(F.broadcast(s), pruned.l_suppkey == s.s_suppkey, "left_semi")
+        pruned.join(s, pruned.l_suppkey == s.s_suppkey, "left_semi")
         .groupBy("l_suppkey")
         .agg(F.count(F.lit(1)).alias("n_lines"))
     )

@@ -24,10 +24,15 @@ lessons baked into the oracles):
 - ratios divide two *exact* decimal sums as doubles — deterministic because
   each operand is bit-stable regardless of partitioning.
 
-Scale notes (100 TB): every dimension join (part/supplier/nation/customer)
-is broadcast; the only big shuffles are lineitem⋈orders on orderkey and the
-per-key aggregates, all algebraic (partial+final). Nothing collects to the
-driver; no Python in any hot path.
+Scale notes (100 TB): nation/region are bounded (25/5 rows) and carry
+hard broadcast hints; part/supplier/customer SCALE WITH SF, so they carry
+NO hint — size-based planning broadcasts them at every test SF (all far
+under the 10 MB threshold) and falls back to a shuffle join at cluster
+scale, where a forced broadcast of a multi-billion-row table would be
+honored unconditionally and OOM the executors. The only guaranteed big
+shuffles are lineitem⋈orders on orderkey and the per-key aggregates, all
+algebraic (partial+final). Nothing collects to the driver; no Python in
+any hot path.
 """
 
 from __future__ import annotations
@@ -35,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..catalog import load_table
-from ..functions.exact import dec, dsum, lcount, rnd
+from ..functions.exact import dec, disc_rev, dsum, lcount, rnd
 from ..llm.cache import tracked_persist
 from ..registry import query
 
@@ -116,8 +121,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     single double division of two bit-stable operands is itself bit-stable,
     so no summation-order drift can reach the 4-decimal rounding.
 
-    Scale: part/supplier/customer/nation all broadcast; the one big shuffle
-    is lineitem⋈orders. The CASE-gated numerator avoids a second pass.
+    Scale: nation broadcasts (bounded); part/supplier/customer carry no
+    hint (size-based planning broadcasts them at test SF, shuffles at
+    scale); the one big shuffle is lineitem⋈orders. The CASE-gated
+    numerator avoids a second pass.
     """
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
@@ -130,7 +137,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ns = load_table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
     )
-    rev = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    rev = disc_rev()
     num = F.sum(F.when(F.col("supp_nation") == "NATION_3", rev)).cast("double")
     den = F.sum(rev).cast("double")
     return (
@@ -141,12 +148,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             li.l_orderkey == o.o_orderkey,
         )
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
         .filter(F.col("nc_region") == 1)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(p, li.l_partkey == p.p_partkey)
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(rnd(num / den, 4).alias("mkt_share"))
     )
@@ -186,12 +193,12 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     o = load_table(spark, sf_dir, "orders")
-    profit = F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast(
+    profit = F.sum(disc_rev()).cast(
         "double"
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(o, li.l_orderkey == o.o_orderkey)
         .groupBy(
@@ -295,7 +302,7 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q14 — promotion revenue share
 # --------------------------------------------------------------------------
 
-_Q14_REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+_Q14_REV = _Q8_REV  # one oracle-side revenue convention (see disc_rev())
 
 
 @query(
@@ -321,7 +328,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    rev = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    rev = disc_rev()
     num = F.sum(F.when(F.col("p_type") == "PROMO", rev)).cast("double")
     den = F.sum(rev).cast("double")
     return (
@@ -329,7 +336,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= "1997-03-01")
             & (F.col("l_shipdate") < "1997-04-01")
         )
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(p, li.l_partkey == p.p_partkey)
         .agg(rnd(F.lit(100) * num / den, 2).alias("promo_revenue_pct"))
     )
 
@@ -383,7 +390,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(
             rnd(
-                F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast(
+                F.sum(disc_rev()).cast(
                     "double"
                 ),
                 2,
@@ -395,7 +402,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.crossJoin(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("_mx"))
-        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(s, F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -439,8 +446,8 @@ def q16_parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -486,7 +493,7 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         lcount("cnt"),
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(pq, li.l_partkey == F.col("pq_partkey"))
         .filter(
             F.lit(5) * F.col("l_quantity").cast("long") * F.col("cnt")
@@ -546,9 +553,9 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & q.between(20, 30)
         )
     )
-    rev = F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast("double")
+    rev = F.sum(disc_rev()).cast("double")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(lcount("n_lines"), rnd(rev, 2).alias("revenue"))
     )
@@ -602,7 +609,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_order.filter((F.col("n_supp") > 1) & (F.col("n_r_supp") == 1))
         .join(o, F.col("l_orderkey") == o.o_orderkey)
-        .join(F.broadcast(s), F.col("r_supp") == s.s_suppkey)
+        .join(s, F.col("r_supp") == s.s_suppkey)
         .groupBy("s_name")
         .agg(lcount("numwait"))
     )
@@ -728,8 +735,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("partkey")
     return (
-        ps.join(F.broadcast(s_n), F.col("suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(p), F.col("partkey") == F.col("p_partkey"))
+        ps.join(s_n, F.col("suppkey") == F.col("s_suppkey"))
+        .join(p, F.col("partkey") == F.col("p_partkey"))
         .withColumn("_mn", F.min("supplycost").over(w))
         .filter(F.col("supplycost") == F.col("_mn"))
         .orderBy(
@@ -804,7 +811,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     val = (
-        li.join(F.broadcast(s_n), li.l_suppkey == F.col("s_suppkey"))
+        li.join(s_n, li.l_suppkey == F.col("s_suppkey"))
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(F.sum(dec("l_extendedprice")).alias("v"))
     )
@@ -872,7 +879,7 @@ def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = F.col("l_quantity").cast("long")
     in97 = (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
     spq = (
-        li.join(F.broadcast(promo), li.l_partkey == F.col("p_partkey"), "left_semi")
+        li.join(promo, li.l_partkey == F.col("p_partkey"), "left_semi")
         .groupBy(F.col("l_suppkey").alias("suppkey"), F.col("l_partkey").alias("partkey"))
         .agg(
             F.sum(q).alias("qty_all"),

@@ -336,7 +336,9 @@ def test_ppjoin_no_cartesian(spark, sf_dir):
 
     df = ppjoin_pairs(spark, sf_dir)
     checks.assert_no_cartesian(df)
-    # Candidate generation must be a token equi-join (hash-joinable key),
-    # with the doc ordering + length bound as residual conditions.
+    # Candidate generation (the shared prefix_filter_candidates helper)
+    # must be a shingle equi-join (hash-joinable key), with the doc
+    # ordering + length bound as residual conditions and the per-doc
+    # prefix rank present.
     plan = checks.explain_str(df)
-    assert "tok" in plan and "least(" in plan
+    assert "least(" in plan and "row_number" in plan.lower()
