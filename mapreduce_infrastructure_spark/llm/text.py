@@ -348,8 +348,11 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("doc_id").orderBy(
         F.desc("tf"), F.asc("df"), F.asc("term")
     )
+    # No hint on df: it is VOCABULARY-sized (scales with the corpus), so a
+    # forced broadcast would be fatal at cluster scale; size-based planning
+    # broadcasts it at test SF and shuffles on the term key at scale.
     return (
-        tf.join(F.broadcast(df), "term")
+        tf.join(df, "term")
         .select(
             "doc_id",
             "term",

@@ -624,7 +624,9 @@ def stream_enrich_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment", "c_nationkey"
     )
-    joined = ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey).select(
+    # No hint on customer (SF-scaled): per micro-batch Spark joins the
+    # static side by size — broadcast at test SF, shuffled hash at scale.
+    joined = ev.join(cust, ev.user_id == cust.c_custkey).select(
         "event_id",
         "user_id",
         F.unix_micros("ts").alias("ts_us"),
