@@ -614,10 +614,12 @@ def stream_enrich_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard streaming-ETL shape (enrich-on-ingest), stateless, append
     mode, no watermark needed because the static side never changes.
 
-    The dimension is explicitly broadcast: each micro-batch plans a
-    broadcast hash join, so the stream side never shuffles — at 100 TB/day
-    ingest the enrichment is scan-speed. Oracle = the same join in batch
-    SQL (unified semantics: same input, same answer)."""
+    The dimension carries NO hard hint (customer scales with SF): each
+    micro-batch plans a broadcast hash join while the static side fits the
+    size threshold — the stream side never shuffles and enrichment runs at
+    scan speed — and degrades to a shuffled join rather than an executor
+    OOM when it doesn't. Oracle = the same join in batch SQL (unified
+    semantics: same input, same answer)."""
     from ..catalog import load_table
 
     ev = stream_events(spark, sf_dir)
