@@ -171,7 +171,7 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_range_7day_sum",
     oracle="""
     SELECT o_orderkey,
-           CAST(epoch(o_orderdate) AS BIGINT) AS od_epoch,
+           epoch_us(o_orderdate) // 1000000 AS od_epoch,
            floor((CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
                     PARTITION BY o_custkey ORDER BY o_orderdate
                     RANGE BETWEEN INTERVAL '7 days' PRECEDING AND CURRENT ROW
@@ -189,7 +189,10 @@ def window_range_7day_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB this is the rolling-feature generator for training data; one
     shuffle on the partition key, sorted within partitions."""
     o = load_table(spark, sf_dir, "orders")
-    od_epoch = F.unix_timestamp("o_orderdate").cast("long")
+    # Integer-exact epoch: unix_timestamp truncates while DuckDB's
+    # CAST(epoch(...)) rounds — both sides now floor microseconds, so a
+    # fractional-second orderdate can never split the engines.
+    od_epoch = F.expr("unix_micros(o_orderdate) div 1000000")
     # Frame over MICROseconds: unix_timestamp() truncates to whole seconds,
     # which would shift sub-second order dates in/out of the 7-day bound
     # relative to the oracle's full-precision interval arithmetic.

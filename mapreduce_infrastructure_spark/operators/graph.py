@@ -31,7 +31,14 @@ N_ITERS = 5
 _DAMP = 0.85
 _BASE = 0.15
 # Supplier node ids are offset so the two key spaces can share one column.
-_SUPP_OFFSET = 10000
+# The offset must DOMINATE the customer key space at every scale or the two
+# vertex sets collide and merge (round-8 review finding: at sf0.1 c_custkey
+# reaches 14999, so the old 10000 offset merged 999 customers into supplier
+# nodes and mislabeled 5000 more — silent, because the oracle interpolates
+# the same constant and tests ran at sf0.001). TPC-H custkey ≈ 150k·SF, so
+# 10^12 clears SF 10^5 (the 100 TB target) with 10^5 headroom while
+# supplier ids stay far inside int64.
+_SUPP_OFFSET = 10**12
 
 _EDGES_SQL = f"""
     pairs AS (
@@ -46,6 +53,39 @@ _EDGES_SQL = f"""
     nodes AS (SELECT DISTINCT src AS node FROM edges),
     deg AS (SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src)
 """
+
+
+def _build_graph(spark, sf_dir: str):
+    """(edges, nodes, deg) for the customer–supplier trade graph — ONE
+    engine-side builder mirroring the shared _EDGES_SQL oracle fragment, so
+    the two PageRank queries cannot drift (the oracle side was factored
+    from day one; the engine side was hand-copied until round 8). The edge
+    list is get-or-created under an sf_dir-keyed slot: both queries (and
+    every iteration) read one cached copy per session instead of each
+    pinning an unreleased duplicate."""
+    from ..llm.cache import shared_persist
+
+    def build():
+        o = load_table(spark, sf_dir, "orders")
+        li = load_table(spark, sf_dir, "lineitem")
+        pairs = (
+            o.join(li, o.o_orderkey == li.l_orderkey)
+            .select(
+                F.col("o_custkey").alias("cust"),
+                (F.lit(_SUPP_OFFSET) + F.col("l_suppkey")).alias("supp"),
+            )
+            .distinct()
+        )
+        return pairs.selectExpr("cust AS src", "supp AS dst").unionAll(
+            pairs.selectExpr("supp AS src", "cust AS dst")
+        )
+
+    edges = shared_persist(spark, build, f"trade_graph_edges:{sf_dir}")
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    deg = edges.groupBy(F.col("src").alias("deg_node")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    return edges, nodes, deg
 
 
 def _pagerank_oracle(iters: int = N_ITERS) -> str:
@@ -92,25 +132,7 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges, after the combine). The driver loop only orchestrates; no data
     touches the driver. See module docstring for the exact-arithmetic
     contract that makes the trajectory engine-identical."""
-    o = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    pairs = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .select(
-            F.col("o_custkey").alias("cust"),
-            (F.lit(_SUPP_OFFSET) + F.col("l_suppkey")).alias("supp"),
-        )
-        .distinct()
-    )
-    edges = pairs.selectExpr("cust AS src", "supp AS dst").unionAll(
-        pairs.selectExpr("supp AS src", "cust AS dst")
-    )
-    # Edge list is reused every iteration: persist once, unpersist at end.
-    edges = edges.persist()
-    nodes = edges.select(F.col("src").alias("node")).distinct()
-    deg = edges.groupBy(F.col("src").alias("deg_node")).agg(
-        F.count(F.lit(1)).alias("out_deg")
-    )
+    edges, nodes, deg = _build_graph(spark, sf_dir)
     ranks = nodes.select("node", F.lit(1.0).alias("rank"))
     for _ in range(N_ITERS):
         contribs = (
@@ -135,8 +157,6 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("node_type"),
         "rank",
     )
-    # Materialization happens downstream; defer unpersist to GC (the edge
-    # cache is iteration-scoped scratch, small relative to the corpus).
     return out
 
 
@@ -195,24 +215,8 @@ def pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract and per-iteration cost as `pagerank_trade_graph`; the only
     structural difference is a broadcast-sized LEFT JOIN against the seed
     list per iteration."""
-    o = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
     cust = load_table(spark, sf_dir, "customer")
-    pairs = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .select(
-            F.col("o_custkey").alias("cust"),
-            (F.lit(_SUPP_OFFSET) + F.col("l_suppkey")).alias("supp"),
-        )
-        .distinct()
-    )
-    edges = pairs.selectExpr("cust AS src", "supp AS dst").unionAll(
-        pairs.selectExpr("supp AS src", "cust AS dst")
-    ).persist()
-    nodes = edges.select(F.col("src").alias("node")).distinct()
-    deg = edges.groupBy(F.col("src").alias("deg_node")).agg(
-        F.count(F.lit(1)).alias("out_deg")
-    )
+    edges, nodes, deg = _build_graph(spark, sf_dir)
     seeds = (
         nodes.join(
             cust.filter(F.col("c_nationkey") == 0).select(
@@ -318,8 +322,10 @@ def triangle_counts_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= TRI_MIN_SHARED)
         .select(F.col("pa").alias("x"), F.col("pb").alias("y"))
-        .persist()
     )
+    from ..llm.cache import tracked_persist
+
+    e = tracked_persist(e, f"triangle_edges:{sf_dir}")
     deg = (
         e.select(F.col("x").alias("node"))
         .union(e.select("y"))
@@ -338,7 +344,8 @@ def triangle_counts_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fwd, F.col("x")).otherwise(F.col("y")).alias("lo"),
         F.when(fwd, F.col("y")).otherwise(F.col("x")).alias("hi"),
         F.when(fwd, ykey).otherwise(xkey).alias("hikey"),
-    ).persist()
+    )
+    oe = tracked_persist(oe, f"triangle_oriented:{sf_dir}")
     e1 = oe.select(F.col("lo").alias("u"), F.col("hi").alias("v"), F.col("hikey").alias("vk"))
     e2 = oe.select(F.col("lo").alias("u2"), F.col("hi").alias("w"), F.col("hikey").alias("wk"))
     wedges = e1.join(e2, (F.col("u") == F.col("u2")) & (F.col("vk") < F.col("wk"))).select(

@@ -33,6 +33,19 @@ from ..registry import query
 _PROD = "decimal(28,4)"
 
 
+def _sample_std(n, sx_d, sxx_d):
+    """Sample stddev from exact power sums with degenerate-group guards,
+    shared by the moments/winsorized queries: NULL when n < 2 (the n−1
+    denominator — the session runs ANSI mode, so an unguarded divide
+    throws instead of returning NULL), and the few-ulps-NEGATIVE variance
+    float rounding produces on a constant column clamps to 0 (DuckDB
+    hard-errors on sqrt(negative) while Spark yields NaN — either way the
+    engines would diverge). The oracles mirror both guards."""
+    var = (n * sxx_d - sx_d * sx_d) / (n.cast("double") * (n - 1))
+    return F.when(n >= 2, F.sqrt(F.greatest(var, F.lit(0.0))))
+
+
+
 @query(
     "stats_moments_by_status",
     oracle="""
@@ -45,7 +58,9 @@ _PROD = "decimal(28,4)"
     )
     SELECT o_orderstatus, n,
            floor((CAST(sx AS DOUBLE) / n) * 100 + 0.5) / 100 AS mean_price,
-           floor(sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / (CAST(n AS DOUBLE) * (n - 1))) * 100 + 0.5) / 100 AS stddev_price
+           CASE WHEN n >= 2 THEN
+             floor(sqrt(greatest((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / (CAST(n AS DOUBLE) * (n - 1)), 0)) * 100 + 0.5) / 100
+           END AS stddev_price
     FROM s
     """,
     tags=("agg", "stats"),
@@ -68,9 +83,7 @@ def stats_moments_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         "n",
         rnd(sx / n, 2).alias("mean_price"),
-        rnd(
-            F.sqrt((n * sxx - sx * sx) / (n.cast("double") * (n - 1))), 2
-        ).alias("stddev_price"),
+        rnd(_sample_std(n, sx, sxx), 2).alias("stddev_price"),
     )
 
 
@@ -88,9 +101,12 @@ def stats_moments_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, n,
-           floor(((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                  / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                       * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) * 1000000 + 0.5) / 1000000 AS corr_qty_price
+           CASE WHEN (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0 THEN
+             floor(((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) * 1000000 + 0.5) / 1000000
+           END AS corr_qty_price
     FROM s
     """,
     tags=("agg", "stats"),
@@ -115,9 +131,11 @@ def stats_corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("syy").cast("double"),
         F.col("sxy").cast("double"),
     )
-    corr = (n * sxy - sx * sy) / F.sqrt(
-        (n * sxx - sx * sx) * (n * syy - sy * sy)
-    )
+    # Degenerate guard: a constant column makes the denominator product
+    # ≤ 0 (possibly a few ulps negative) — NULL rather than an ANSI divide
+    # error / cross-engine sqrt(negative) split; the oracle mirrors it.
+    den = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    corr = F.when(den > 0, (n * sxy - sx * sy) / F.sqrt(den))
     return agg.select("l_returnflag", "n", rnd(corr, 6).alias("corr_qty_price"))
 
 
@@ -345,8 +363,10 @@ def anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT s.o_orderpriority, s.n, t.p05, t.p95,
            floor((CAST(sx AS DOUBLE) / n) * 100 + 0.5) / 100 AS mean_w,
-           floor(sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                      / (CAST(n AS DOUBLE) * (n - 1))) * 100 + 0.5) / 100 AS std_w
+           CASE WHEN n >= 2 THEN
+             floor(sqrt(greatest((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        / (CAST(n AS DOUBLE) * (n - 1)), 0)) * 100 + 0.5) / 100
+           END AS std_w
     FROM s JOIN thresholds t USING (o_orderpriority)
     """,
     tags=("agg", "stats", "robust"),
@@ -395,7 +415,5 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p05",
         "p95",
         rnd(sx / n, 2).alias("mean_w"),
-        rnd(
-            F.sqrt((n * sxx - sx * sx) / (n.cast("double") * (n - 1))), 2
-        ).alias("std_w"),
+        rnd(_sample_std(n, sx, sxx), 2).alias("std_w"),
     )

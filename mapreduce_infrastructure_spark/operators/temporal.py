@@ -23,17 +23,52 @@ from ..functions.exact import dec, dsum, rnd
 from ..registry import query
 
 
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # the 30-min gap every session query shares
+
+
+def _gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, sno, s, e) — 30-min-gap sessions over events in integer
+    microseconds, THE sessionization every interval/concurrency query
+    composes (previously byte-identical inline copies; a gap or tie-break
+    edit now lands everywhere at once). The matching oracle CTE lives in
+    each query's SQL with the same gap constant."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    numbered = ev.withColumn(
+        "new_s",
+        F.when(gap.isNull() | (gap >= _SESSION_GAP_US), 1).otherwise(0),
+    ).withColumn("sno", F.sum("new_s").over(wrun))
+    return numbered.groupBy("user_id", "sno").agg(
+        F.min(us).alias("s"), F.max(us).alias("e")
+    )
+
+
 @query(
     "asof_join_purchase_click",
+    # Explicit (ts DESC, event_id DESC) tiebreak instead of DuckDB's ASOF
+    # JOIN: ASOF picks an ARBITRARY right row among clicks sharing
+    # (user_id, ts), while the engine deterministically carries the
+    # highest event_id — a latent gate flake on any fixture with duplicate
+    # click timestamps. The ranked form pins the same winner the engine's
+    # (ts, side, tiebreak) sort produces.
     oracle="""
-    SELECT p.event_id,
-           p.user_id,
-           epoch_us(p.ts) AS purchase_us,
-           epoch_us(c.ts) AS click_us,
-           c.value AS click_value
-    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-    ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
-      ON p.user_id = c.user_id AND p.ts >= c.ts
+    WITH m AS (
+      SELECT p.event_id,
+             p.user_id,
+             epoch_us(p.ts) AS purchase_us,
+             epoch_us(c.ts) AS click_us,
+             c.value AS click_value,
+             row_number() OVER (PARTITION BY p.event_id
+                                ORDER BY c.ts DESC, c.event_id DESC) AS rn
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND p.ts >= c.ts
+    )
+    SELECT event_id, user_id, purchase_us, click_us, click_value
+    FROM m WHERE rn = 1
     """,
     tags=("join", "asof", "temporal"),
 )
@@ -419,18 +454,7 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     All arithmetic is integer microseconds (closed intervals, `<=`), so the
     differential check is exact."""
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts")
-    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    us = F.unix_micros(F.col("ts"))
-    gap = us - F.lag(us).over(w)
-    numbered = ev.withColumn(
-        "new_s",
-        F.when(gap.isNull() | (gap >= 30 * 60 * 1_000_000), 1).otherwise(0),
-    ).withColumn("sno", F.sum("new_s").over(wrun))
-    sessions = numbered.groupBy("user_id", "sno").agg(
-        F.min(us).alias("s"), F.max(us).alias("e")
-    )
+    sessions = _gap_sessions(spark, sf_dir)
     buckets = sessions.withColumn(
         "bucket", F.explode(F.sequence(F.expr("s div 3600000000"), F.expr("e div 3600000000")))
     )
@@ -516,18 +540,7 @@ def concurrent_sessions_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     Peaks are reported for hours containing at least one change-point
     (closed intervals; a session active through a whole silent hour raises
     no event in it) — the same contract in both formulations."""
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts")
-    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    us = F.unix_micros(F.col("ts"))
-    gap = us - F.lag(us).over(w)
-    numbered = ev.withColumn(
-        "new_s",
-        F.when(gap.isNull() | (gap >= 30 * 60 * 1_000_000), 1).otherwise(0),
-    ).withColumn("sno", F.sum("new_s").over(wrun))
-    sessions = numbered.groupBy("user_id", "sno").agg(
-        F.min(us).alias("s"), F.max(us).alias("e")
-    )
+    sessions = _gap_sessions(spark, sf_dir)
     deltas = sessions.select(
         F.col("s").alias("t"), F.lit(1).alias("delta"), "user_id", F.col("s").alias("st")
     ).unionAll(
