@@ -38,7 +38,11 @@ from .text import TOKEN_DELIM, tokens_col
 
 # Java-regex AND RE2 compatible (no lookarounds/backrefs): the same literal
 # runs in Spark and in the DuckDB oracle.
-EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+# (?i): organic emails are mixed-case; a lowercase-only class would leave
+# 'User@Example.COM' uncounted AND unredacted — a silent PII leak the
+# differential oracle can't see because it runs the identical pattern.
+# (?i) is supported by both Java regex and RE2.
+EMAIL_RE = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
 IPV4_RE = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
 
 CHUNK_TOKENS = 32  # chunk size
@@ -96,14 +100,23 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
+    # ONE O(L²) pass builds (−count, gram) structs; array_min then yields
+    # max count with the smallest-gram tiebreak in O(L). The earlier form
+    # ran the quadratic per-bigram count scan twice (once for the max,
+    # again for the argmin), doubling the operator's dominant cost.
     stage = docs.select(
         "doc_id", toks.alias("toks"), bigrams.alias("bigrams")
     ).withColumn(
-        "top2_raw",
-        F.array_max(
+        "top2_best",
+        F.array_min(
             F.transform(
                 F.col("bigrams"),
-                lambda g: F.size(F.filter(F.col("bigrams"), lambda x: x == g)),
+                lambda g: F.struct(
+                    (
+                        -F.size(F.filter(F.col("bigrams"), lambda x: x == g))
+                    ).alias("nc"),
+                    g.alias("g"),
+                ),
             )
         ),
     )
@@ -111,19 +124,13 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tokens = F.size(toks_c)
     n_unique = F.size(F.array_distinct(toks_c))
     n_bigrams = F.size(bigrams_c)
-    top2 = F.coalesce(F.col("top2_raw"), F.lit(0))
+    top2 = F.coalesce(-F.col("top2_best.nc"), F.lit(0))
     return stage.select(
         "doc_id",
         n_tokens.cast("long").alias("n_tokens"),
         n_unique.cast("long").alias("n_unique"),
         top2.cast("long").alias("top2_count"),
-        F.array_min(
-            F.filter(
-                bigrams_c,
-                lambda g: F.size(F.filter(bigrams_c, lambda x: x == g))
-                == F.col("top2_raw"),
-            )
-        ).alias("top2gram"),
+        F.col("top2_best.g").alias("top2gram"),
         rnd(
             F.lit(1) - n_unique.cast("double") / F.nullif(n_tokens, F.lit(0)), 4
         ).alias("dup_token_frac"),
@@ -151,12 +158,16 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(doc_id % 100 AS VARCHAR) || ' ' || text AS raw
       FROM documents
     )
+    , masked AS (
+      SELECT doc_id, raw,
+             regexp_replace(raw, '{EMAIL_RE}', '<EMAIL>', 'g') AS em
+      FROM aug
+    )
     SELECT doc_id,
            CAST(len(regexp_extract_all(raw, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
-           CAST(len(regexp_extract_all(raw, '{IPV4_RE}')) AS BIGINT) AS n_ips,
-           regexp_replace(regexp_replace(raw, '{EMAIL_RE}', '<EMAIL>', 'g'),
-                          '{IPV4_RE}', '<IP>', 'g') AS redacted
-    FROM aug
+           CAST(len(regexp_extract_all(em, '{IPV4_RE}')) AS BIGINT) AS n_ips,
+           regexp_replace(em, '{IPV4_RE}', '<IP>', 'g') AS redacted
+    FROM masked
     """,
     tags=("llm", "quality", "pii"),
 )
@@ -189,17 +200,23 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text"),
     )
     aug = docs.select("doc_id", raw.alias("raw"))
-    return aug.select(
+    # n_ips counts on the EMAIL-MASKED intermediate so the count always
+    # equals the number of <IP> tokens in `redacted`: an IP embedded in an
+    # email ('10.0.0.1@example.com') is consumed by the email mask, and
+    # counting it on the raw string would report an IP the redaction never
+    # emitted.
+    masked = aug.withColumn(
+        "em", F.regexp_replace("raw", EMAIL_RE, "<EMAIL>")
+    )
+    return masked.select(
         "doc_id",
         F.size(F.regexp_extract_all("raw", F.lit(EMAIL_RE), F.lit(0)))
         .cast("long")
         .alias("n_emails"),
-        F.size(F.regexp_extract_all("raw", F.lit(IPV4_RE), F.lit(0)))
+        F.size(F.regexp_extract_all("em", F.lit(IPV4_RE), F.lit(0)))
         .cast("long")
         .alias("n_ips"),
-        F.regexp_replace(
-            F.regexp_replace("raw", EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
-        ).alias("redacted"),
+        F.regexp_replace("em", IPV4_RE, "<IP>").alias("redacted"),
     )
 
 

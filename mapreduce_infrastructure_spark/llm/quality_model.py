@@ -11,10 +11,15 @@ labeled a slice"), so the query is self-contained on the fixture tables.
 
 Scale shape: feature hashing is stateless per-row (no vocabulary build),
 IDF and the L-BFGS aggregations are treeAggregate reductions (one pass
-per iteration over the training SLICE only), and scoring the full corpus
-is a single map over the scan — no shuffle at all. The model is a few KB
-of coefficients broadcast to executors. At 100 TB you train on a 1M-doc
-sample and score everything, exactly this plan.
+per iteration over the training SLICE only), and the model.transform
+scoring step itself is a per-row map with a few KB of broadcast
+coefficients. The full query is NOT shuffle-free, though: the weak-label
+column it emits comes from a per-language percent_rank window, i.e. one
+corpus-wide shuffle+sort — the price of carrying label_weak in the
+output. At 100 TB you would label a bounded sample instead (the window
+over the sample only), train there, and score everything with the pure
+scan-speed map; this fixture-scale query keeps the label column on every
+row so its AUC/calibration tests can read it.
 
 No SQL oracle: L-BFGS coefficient fitting is not SQL-expressible (the
 double reductions are also summation-order sensitive at the last ulp), so

@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from ..catalog import load_table
 from ..functions.exact import rnd
 from ..registry import query
+from .dedup import shingles_col
 from .text import TOKEN_DELIM, quality_flag_col, quality_flag_sql, tokens_col
 
 # Per-language sampling rates for the stratified mix (domain mixing à la
@@ -59,6 +60,16 @@ def _u6(salt: str, key: Column) -> Column:
     )
 
 
+def _mix_threshold_col() -> Column:
+    """The per-lang keep threshold as a Column — the Spark-side twin of
+    ``_rate_case_sql``, built ONCE so the standalone sampler and the
+    assembled pipeline can never diverge on a rate edit."""
+    thr = F.lit(_hex_threshold(_DEFAULT_RATE))
+    for lang, r in sorted(MIX_RATES.items()):
+        thr = F.when(F.col("lang") == lang, F.lit(_hex_threshold(r))).otherwise(thr)
+    return thr
+
+
 def _rate_case_sql(salt: str) -> str:
     """Oracle-side keep predicate matching _u6/_hex_threshold."""
     branches = " ".join(
@@ -89,9 +100,7 @@ def sample_stratified_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     draw depends on split boundaries). At 100 TB this runs at scan speed
     and the mix is exactly reproducible."""
     docs = load_table(spark, sf_dir, "documents")
-    thr = F.lit(_hex_threshold(_DEFAULT_RATE))
-    for lang, r in sorted(MIX_RATES.items()):
-        thr = F.when(F.col("lang") == lang, F.lit(_hex_threshold(r))).otherwise(thr)
+    thr = _mix_threshold_col()
     return (
         docs.filter(_u6("mix", F.col("doc_id")) < thr)
         .groupBy("lang")
@@ -188,8 +197,16 @@ def sample_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps its local top-k, the driver merges k·P rows — no global sort,
     no shuffle of the data itself. Scale: k rows cross the wire, period."""
     docs = load_table(spark, sf_dir, "documents")
+    # Order by the FULL 32-hex md5, exactly like the oracle (and like
+    # global_shuffle_shards): the 6-hex _u6 prefix is a different
+    # comparator — at corpus scale prefix collisions are guaranteed, and
+    # Spark's doc_id tiebreak would pick a different k-set than DuckDB's
+    # remaining 26 hex chars.
+    h = F.md5(
+        F.concat_ws(":", F.lit("fk"), F.col("doc_id").cast("string")).cast("binary")
+    )
     return (
-        docs.select("doc_id", "lang", _u6("fk", F.col("doc_id")).alias("_h"))
+        docs.select("doc_id", "lang", h.alias("_h"))
         .orderBy(F.col("_h"), F.col("doc_id"))
         .limit(_FIXED_K)
         .select("doc_id", "lang")
@@ -381,7 +398,7 @@ def decontaminate_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = docs.select(
         "doc_id",
         F.explode(
-            _ngrams_col(tokens_col(), _CONTAM_N)
+            shingles_col(tokens_col(), _CONTAM_N)
         ).alias("g"),
     )
     bench = (
@@ -619,7 +636,7 @@ def corpus_assemble_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("pr")
     )
     grams = docs.select(
-        "doc_id", F.explode(_ngrams_col(tokens_col(), _CONTAM_N)).alias("g")
+        "doc_id", F.explode(shingles_col(tokens_col(), _CONTAM_N)).alias("g")
     )
     bench = grams.filter(F.col("doc_id") < _BENCH_MAX_DOC).select("g").distinct()
     contaminated = (
@@ -632,9 +649,7 @@ def corpus_assemble_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality.filter(F.col("doc_id") >= _BENCH_MAX_DOC)
         .join(contaminated, "doc_id", "left_anti")
     )
-    thr = F.lit(_hex_threshold(_DEFAULT_RATE))
-    for lang, r in sorted(MIX_RATES.items()):
-        thr = F.when(F.col("lang") == lang, F.lit(_hex_threshold(r))).otherwise(thr)
+    thr = _mix_threshold_col()
     return (
         clean.filter(_u6("mix", F.col("doc_id")) < thr)
         .groupBy("lang")
@@ -642,21 +657,6 @@ def corpus_assemble_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
         )
-    )
-
-
-def _ngrams_col(toks: Column, n: int) -> Column:
-    """Distinct word n-grams of a token array (empty below n tokens) —
-    same zip_with-over-slices construction as dedup.shingles_col (avoids
-    per-element re-evaluation of the token split; see that docstring)."""
-    m = F.size(toks) - (n - 1)
-    zipped = F.slice(toks, 1, m)
-    for j in range(1, n):
-        zipped = F.zip_with(
-            zipped, F.slice(toks, j + 1, m), lambda x, y: F.concat_ws(" ", x, y)
-        )
-    return F.array_distinct(
-        F.when(F.size(toks) >= n, zipped).otherwise(F.array().cast("array<string>"))
     )
 
 
