@@ -47,7 +47,9 @@ HEADLINE = [
 
 
 def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from mapreduce_infrastructure_spark.catalog import DEFAULT_SF_DIR
+
+    sf_dir = DEFAULT_SF_DIR
     m = re.search(r"sf([0-9]+(?:\.[0-9]+)?)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
     spark = get_spark(app_name="mri-spark-bench")

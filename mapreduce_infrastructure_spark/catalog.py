@@ -65,7 +65,22 @@ def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
         # (~1.7e18) exceed 2^53, so a double-typed `/ 1000` loses ulps and
         # lands a microsecond off the oracle's truncation. `div` stays in
         # 64-bit integer arithmetic.
-        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+        #
+        # Magnitude tripwire: a BIGINT ts stored as MICROS or MILLIS (the
+        # fixture-drift class that cost round 3 on the streaming path)
+        # would convert 1000×/10⁶× off while the post-normalization TYPE
+        # still passes load_table's check — fail loudly instead. Nanos for
+        # any plausible event time are ~1e18; micros ~1e15; millis ~1e12.
+        # ASSERT_TRUE raises at scan time on the first offending row.
+        guard = F.expr(
+            f"assert_true({col} IS NULL OR {col} > 100000000000000000, "
+            f"'catalog.normalize_ts: BIGINT ts magnitude is not epoch-nanos "
+            f"(fixture drift? micros/millis need a different divisor)')"
+        )
+        return df.withColumn(
+            col,
+            F.when(guard.isNull(), F.timestamp_micros(F.expr(f"{col} div 1000"))),
+        )
     if isinstance(dt, TimestampNTZType):
         # NTZ -> LTZ is a wall-clock reinterpretation in the session tz
         # (UTC), so values match the oracle's naive timestamps exactly.

@@ -27,6 +27,7 @@ from pyspark.sql.types import DoubleType
 
 from ..catalog import load_table
 from ..registry import query
+from .exact import rnd
 
 
 # DataType instances (not DDL strings) so the decorators don't need an
@@ -69,7 +70,7 @@ def udf_price_per_unit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        (F.floor(unit * 10000 + F.lit(0.5)) / 10000).alias("unit_price"),
+        (rnd(unit, 4)).alias("unit_price"),
     )
 
 

@@ -73,9 +73,13 @@ def get_spark(
     coalescing handling the long tail).
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
-    if cpus != "*" and not cpus.isdigit():
-        # Set-but-empty / non-numeric env (common CI plumbing): fall back to
-        # all cores rather than crashing on int() or an invalid master URL.
+    # ASCII digits AND > 0: bare isdigit() admits '0' (local[0] is rejected
+    # by Spark), superscripts ('²' passes isdigit but int() raises), and
+    # non-ASCII decimal digits (int() works but the master URL doesn't) —
+    # each defeating this guard's promise to fall back instead of crashing.
+    if cpus != "*" and not (
+        cpus.isascii() and cpus.isdigit() and int(cpus) > 0
+    ):
         cpus = "*"
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:

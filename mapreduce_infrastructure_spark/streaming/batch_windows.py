@@ -130,7 +130,7 @@ def session_window_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "user_id",
-            F.unix_timestamp(F.col("w.start")).cast("long").alias("session_start"),
+            _wstart_epoch("session_start"),
             "n_events",
             "sum_value",
         )
