@@ -1191,6 +1191,26 @@ def ngram_novelty_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dup_mass_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (source, lang, doc_id, fp, n_tokens) scan table behind the
+    dup-mass attribution operators, get-or-created under ONE sf_dir-keyed
+    slot so ``source_dup_mass`` and ``dup_mass_by_lang_cross`` share a
+    single cached copy per session — fingerprint and token count are the
+    expensive scan-speed expressions; neither consumer should recompute
+    them."""
+    return shared_persist(
+        spark,
+        lambda: load_table(spark, sf_dir, "documents").select(
+            "source",
+            "lang",
+            "doc_id",
+            F.md5(F.col("text").cast("binary")).alias("fp"),
+            F.size(tokens_col()).cast("long").alias("n_tokens"),
+        ),
+        f"dup_mass_base:{sf_dir}",
+    )
+
+
 @query(
     "source_dup_mass",
     oracle="""
@@ -1224,24 +1244,17 @@ def source_dup_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     throttle. Token mass, not doc count: a source duplicating its
     longest pages wastes more than one duplicating stubs.
 
-    Plan shape at 100 TB: one scan computing (source, doc_id, fp,
-    n_tokens) — fingerprint and token count are scan-speed expressions —
+    Plan shape at 100 TB: one scan computing (source, lang, doc_id, fp,
+    n_tokens) — fingerprint and token count are scan-speed expressions,
+    persisted under the shared ``_dup_mass_base`` slot that
+    ``dup_mass_by_lang_cross`` also reads —
     then a fp-keyed MIN aggregation (map-side partial) and one fp-keyed
     join back, finishing in a |sources|-row fold. Same asymptotics as
     `dedup_exact` itself plus one join; nothing pairwise. The ratio is a
     single correctly-rounded division of exact integer sums, rounded at
     1e-6; zero-token sources yield a NULL ratio in both engines.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    t = _tracked_persist(
-        docs.select(
-            "source",
-            "doc_id",
-            F.md5(F.col("text").cast("binary")).alias("fp"),
-            F.size(tokens_col()).cast("long").alias("n_tokens"),
-        ),
-        f"source_dup_mass:{sf_dir}",
-    )
+    t = _dup_mass_base(spark, sf_dir)
     keep = t.groupBy("fp").agg(F.min("doc_id").alias("keep_doc_id"))
     dup_toks = F.sum(
         F.when(F.col("doc_id") != F.col("keep_doc_id"), F.col("n_tokens")).otherwise(
@@ -1630,4 +1643,73 @@ def doc_repeated_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").alias("n_grams"),
         rep.alias("repeated_mass"),
         rnd(rep.cast("double") / F.sum("c"), 6).alias("repeated_ratio"),
+    )
+
+
+@query(
+    "dup_mass_by_lang_cross",
+    oracle="""
+    WITH t AS (
+      SELECT source, lang, doc_id, md5(text) AS fp,
+             CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                  x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), keep AS (
+      SELECT fp, MIN(doc_id) AS keep_doc_id FROM t GROUP BY fp
+    )
+    SELECT t.source, t.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(t.n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN t.doc_id <> k.keep_doc_id THEN t.n_tokens
+                         ELSE 0 END) AS BIGINT) AS dup_tokens,
+           floor((CAST(SUM(CASE WHEN t.doc_id <> k.keep_doc_id THEN t.n_tokens
+                               ELSE 0 END) AS DOUBLE)
+                  / nullif(SUM(t.n_tokens), 0)) * 1000000 + 0.5)
+             / 1000000 AS dup_mass_ratio
+    FROM t JOIN keep k USING (fp)
+    GROUP BY t.source, t.lang
+    """,
+    tags=("dedup", "stats", "llm"),
+)
+def dup_mass_by_lang_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-savings attribution on the (source × lang) grid — the
+    cross-tab refinement of `source_dup_mass` (same md5-fingerprint +
+    keep-MIN(doc_id) convention as `dedup_exact`): a source can look
+    healthy in aggregate while one of its language slices is pure
+    boilerplate — this is the drill-down that finds WHICH (source, lang)
+    cell to throttle, the same composition idiom as
+    `cross_source_dup_matrix` applied to token mass instead of pair
+    counts. Note the keep-winner is still corpus-global (a dup whose
+    keeper lives in another cell still counts as dup mass HERE — the
+    cell pays for shipping redundant bytes regardless of who keeps them).
+
+    Plan shape at 100 TB: reads the SAME persisted ``_dup_mass_base``
+    scan table as `source_dup_mass` (one cached copy per session serves
+    both), then an fp-keyed MIN aggregation (map-side partial) and one
+    fp-keyed join back, finishing in a |sources|×|langs|-row fold. Same
+    asymptotics as `dedup_exact` plus one join; nothing pairwise. The
+    ratio is one correctly-rounded division of exact integer sums,
+    rounded at 1e-6; zero-token cells yield a NULL ratio in both
+    engines.
+    """
+    t = _dup_mass_base(spark, sf_dir)
+    keep = t.groupBy("fp").agg(F.min("doc_id").alias("keep_doc_id"))
+    dup_toks = F.sum(
+        F.when(F.col("doc_id") != F.col("keep_doc_id"), F.col("n_tokens")).otherwise(
+            F.lit(0)
+        )
+    )
+    return (
+        t.join(keep, "fp")
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            dup_toks.alias("dup_tokens"),
+            rnd(
+                dup_toks.cast("double")
+                / F.nullif(F.sum("n_tokens"), F.lit(0)),
+                6,
+            ).alias("dup_mass_ratio"),
+        )
     )

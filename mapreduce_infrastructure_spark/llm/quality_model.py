@@ -96,3 +96,38 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label_weak"),
         rnd(prob_pos, 4).alias("prob"),
     )
+
+
+@query("quality_model_calibration_bins", tags=("quality", "model", "stats", "llm"))
+def quality_model_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins for `quality_classifier_scores` against its
+    weak labels — the model-QA step after training a quality classifier:
+    on the LABELED slice, bucket predicted probability into 10 fixed bins
+    [0,0.1) … [0.9,1.0] and report per-bin count, mean predicted prob,
+    and observed positive share. A well-calibrated scorer has mean_prob ≈
+    pos_share per bin; divergence says the score threshold the curation
+    pipeline cuts at doesn't mean what it claims. Scale shape: everything
+    downstream of the scorer is one 10-row aggregate over the labeled
+    slice — the classifier's own cost dominates (see its docstring).
+
+    No SQL oracle, inherited from `quality_classifier_scores` (L-BFGS
+    coefficients are not SQL-expressible; exact bin COUNTS could flip on
+    a probability sitting at a bin edge across engine builds anyway), so
+    the driver applies its rows-only check; tests assert the semantic
+    contract instead — bins partition the labeled slice, mean_prob lies
+    inside each bin's interval, and the bin ranking is calibration-
+    consistent (pos_share broadly increases with the bin index).
+    """
+    scored = quality_classifier_scores(spark, sf_dir).filter(
+        F.col("label_weak").isNotNull()
+    )
+    bin_ = F.least(F.floor(F.col("prob") * 10), F.lit(9)).cast("int")
+    return (
+        scored.select("label_weak", "prob", bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            rnd(F.avg("prob"), 4).alias("mean_prob"),
+            rnd(F.avg("label_weak"), 4).alias("pos_share"),
+        )
+    )

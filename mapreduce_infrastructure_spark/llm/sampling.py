@@ -969,3 +969,82 @@ def token_budget_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_EPOCH_BUDGET) * share / F.col("tokens"), 6
         ).alias("epochs"),
     )
+
+
+@query(
+    "packing_overflow_report",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(regexp_split_to_array(lower(text), '{TOKEN_DELIM}'),
+                                  t -> t <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), placed AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM toks
+    ), spans AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST(FLOOR((cum - n_tokens) / {_PACK_BUDGET}.0) AS BIGINT) AS start_bin,
+             CAST(FLOOR((cum - 1) / {_PACK_BUDGET}.0) AS BIGINT) AS end_bin
+      FROM placed WHERE n_tokens >= 1
+    )
+    SELECT doc_id, lang, n_tokens, start_bin, end_bin,
+           end_bin - start_bin AS n_splits
+    FROM spans
+    WHERE end_bin > start_bin
+    """,
+    tags=("sampling", "packing", "llm"),
+)
+def packing_overflow_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chunker worklist for `pack_sequences`: every document whose
+    token span CROSSES a 2048-token bin boundary under the same
+    deterministic per-language doc_id-order placement — start_bin is the
+    budget multiple its first token lands in (pack_sequences' bin),
+    end_bin the multiple of its last token, n_splits the number of
+    boundaries crossed (= extra fragments `chunk_documents` must cut it
+    into for the packed batches to stay contiguous). pack_sequences'
+    per-bin occupancy says bins overflow; this names the docs to split
+    and by how much. Zero-token docs occupy no span and are excluded
+    (mirrored by the oracle).
+
+    Plan shape at 100 TB: identical to `pack_sequences` — one scan for
+    (doc, lang, n_tokens), a per-language cumulative-sum window
+    (parallel across languages; at 100 TB the partition key widens to
+    (lang, shard) to keep each running sum executor-local), then
+    scan-speed bin arithmetic and a selective filter — boundary-crossing
+    docs are ~(mean doc length / 2048) of the corpus, so the output is a
+    small fraction of the input. The budget 2048 is a power of two, so
+    the float divisions are IEEE-exact at any cumulative magnitude below
+    2^53 and floor is boundary-safe; all other columns are exact
+    integers.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.size(tokens_col()).cast("long").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    spans = (
+        toks.withColumn("cum", cum)
+        .filter(F.col("n_tokens") >= 1)
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.floor((F.col("cum") - F.col("n_tokens")) / F.lit(float(_PACK_BUDGET)))
+            .alias("start_bin"),
+            F.floor((F.col("cum") - 1) / F.lit(float(_PACK_BUDGET)))
+            .alias("end_bin"),
+        )
+    )
+    return spans.filter(F.col("end_bin") > F.col("start_bin")).withColumn(
+        "n_splits", F.col("end_bin") - F.col("start_bin")
+    )

@@ -1044,3 +1044,93 @@ def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.col("var"), 6).alias("variance"),
         rnd(F.col("var") / F.col("tv"), 6).alias("var_share"),
     )
+
+
+@query(
+    "source_embedding_centroid_drift",
+    oracle="""
+    WITH e AS (
+      SELECT d.source, em.vec_id, CAST(em.embedding AS DOUBLE[]) AS v
+      FROM embeddings em JOIN documents d ON em.vec_id = d.doc_id
+    ), x AS (
+      SELECT source, vec_id,
+             unnest(generate_series(1, len(v))) AS i,
+             unnest(v) AS val
+      FROM e
+    ), sc AS (
+      SELECT source, i, CAST(COUNT(*) AS BIGINT) AS n, SUM(val) AS sv
+      FROM x GROUP BY source, i
+    ), g AS (
+      SELECT i, SUM(sv) / SUM(n) AS gv FROM sc GROUP BY i
+    ), dotp AS (
+      SELECT sc.source, MAX(sc.n) AS n_vecs,
+             SUM((sc.sv / sc.n) * g.gv) AS dot,
+             SUM((sc.sv / sc.n) * (sc.sv / sc.n)) AS ns2,
+             SUM(g.gv * g.gv) AS ng2
+      FROM sc JOIN g USING (i) GROUP BY sc.source
+    )
+    SELECT source, n_vecs,
+           floor((dot / (sqrt(ns2) * sqrt(ng2))) * 1000000 + 0.5) / 1000000
+             AS centroid_cosine
+    FROM dotp
+    """,
+    tags=("similarity", "stats", "embeddings", "llm"),
+)
+def source_embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE embedding drift: cosine between each source's embedding
+    centroid and the corpus centroid (over the embedded subset). The
+    cross-table companion to `label_centroid_cohesion` — that one QAs the
+    label geometry inside `embeddings`; this one joins back to the
+    `documents` provenance (vec_id ≡ doc_id in these fixtures, an inner
+    join so only embedded docs count) and answers the curation question:
+    which crawl source's content is drifting away from the corpus mix in
+    REPRESENTATION space, catching semantic drift that token-level
+    telemetry (`source_unigram_kl`) can miss when the vocabulary stays
+    stable but meaning shifts.
+
+    Plan shape at 100 TB: one hash join embeddings⋈documents on the id
+    (both SF-scaled — no broadcast hint, AQE picks the strategy), one
+    posexplode to the (vec, dim) incidence (n·d rows, linear, d fixed),
+    folded immediately to |sources|·d partial sums (map-side partial —
+    the only corpus-scale shuffle). The corpus centroid folds FROM those
+    partials (Σ sv / Σ n per dim — no second pass), is d rows, and joins
+    back broadcast. Output is |sources| rows. The per-(source,i) count n
+    is constant across i (= the source's vector count); MAX(n) reads it
+    back without a separate count pass. Centroid means and dot sums
+    accumulate in engine-specific order (~1e-15 relative at fixture
+    scale), rounded at 1e-6 with the margin audited by the numpy scalar
+    reference in tests/test_dedup_similarity.py.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "source"
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = (
+        emb.join(docs, "vec_id")
+        .select("source", F.posexplode(_as_double("embedding")).alias("i", "v"))
+    )
+    sc = _tracked_persist(
+        x.groupBy("source", "i").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")
+        ),
+        f"source_centroid_sc:{sf_dir}",
+    )
+    g = sc.groupBy("i").agg((F.sum("sv") / F.sum("n")).alias("gv"))
+    cv = F.col("sv") / F.col("n")
+    dotp = (
+        sc.join(F.broadcast(g), "i")
+        .groupBy("source")
+        .agg(
+            F.max("n").alias("n_vecs"),
+            F.sum(cv * F.col("gv")).alias("dot"),
+            F.sum(cv * cv).alias("ns2"),
+            F.sum(F.col("gv") * F.col("gv")).alias("ng2"),
+        )
+    )
+    return dotp.select(
+        "source",
+        "n_vecs",
+        rnd(
+            F.col("dot") / (F.sqrt("ns2") * F.sqrt("ng2")), 6
+        ).alias("centroid_cosine"),
+    )

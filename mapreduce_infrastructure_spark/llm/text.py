@@ -1538,6 +1538,36 @@ def source_pair_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bigram_pairs_col(toks: F.Column) -> F.Column:
+    """Adjacent-token bigram structs of a token-array column — zip_with
+    over two shifted slice views (constant re-splitting per row, the
+    `shingles_col` lesson). Docs with <2 tokens yield an empty array.
+    Shared by `doc_bigram_cond_entropy` and `ngram_lm_bigram_logloss` so
+    the bigram convention cannot desynchronize between the per-doc
+    entropy and the corpus-LM scorer."""
+    m = F.size(toks) - 1
+    return F.when(
+        F.size(toks) >= 2,
+        F.zip_with(
+            F.slice(toks, 1, m),
+            F.slice(toks, 2, m),
+            lambda x, y: F.struct(x.alias("x"), y.alias("y")),
+        ),
+    ).otherwise(F.array().cast("array<struct<x:string,y:string>>"))
+
+
+# Oracle-SQL form of :func:`bigram_pairs_col` — two aligned unnests over
+# generate_series, shared by the same two oracles.
+BIGRAM_SQL = """
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+                                   i -> toks[i])) AS x,
+             unnest(list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+                                   i -> toks[i+1])) AS y
+      FROM t
+"""
+
+
 @query(
     "doc_bigram_cond_entropy",
     oracle=f"""
@@ -1546,13 +1576,7 @@ def source_pair_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_filter(regexp_split_to_array(lower(text), '{TOKEN_DELIM}'),
                          x -> x <> '') AS toks
       FROM documents
-    ), bg AS (
-      SELECT doc_id,
-             unnest(list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
-                                   i -> toks[i])) AS x,
-             unnest(list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
-                                   i -> toks[i+1])) AS y
-      FROM t
+    ), bg AS ({BIGRAM_SQL}
     ), cxy AS (
       SELECT doc_id, x, y, CAST(COUNT(*) AS BIGINT) AS c FROM bg
       GROUP BY doc_id, x, y
@@ -1588,17 +1612,7 @@ def doc_bigram_cond_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     leaves a wide margin, audited in tests/test_text_telemetry.py.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens_col()
-    m = F.size(toks) - 1
-    pairs = F.when(
-        F.size(toks) >= 2,
-        F.zip_with(
-            F.slice(toks, 1, m),
-            F.slice(toks, 2, m),
-            lambda x, y: F.struct(x.alias("x"), y.alias("y")),
-        ),
-    ).otherwise(F.array().cast("array<struct<x:string,y:string>>"))
-    bg = docs.select("doc_id", F.explode(pairs).alias("p")).select(
+    bg = docs.select("doc_id", F.explode(bigram_pairs_col(tokens_col())).alias("p")).select(
         "doc_id", F.col("p.x").alias("x"), F.col("p.y").alias("y")
     )
     cxy = bg.groupBy("doc_id", "x", "y").agg(F.count(F.lit(1)).alias("c"))
@@ -1777,4 +1791,96 @@ def source_quality_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.sum("ok").cast("double") / F.count(F.lit(1)), 6).alias(
             "ok_share"
         ),
+    )
+
+
+@query(
+    "ngram_lm_bigram_logloss",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '{TOKEN_DELIM}'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), bg AS ({BIGRAM_SQL}
+    ), dbg AS (
+      SELECT doc_id, x, y, CAST(COUNT(*) AS BIGINT) AS c FROM bg
+      GROUP BY doc_id, x, y
+    ), cxy AS (
+      SELECT x, y, CAST(SUM(c) AS BIGINT) AS c_xy FROM dbg GROUP BY x, y
+    ), cx AS (
+      SELECT x, CAST(SUM(c_xy) AS BIGINT) AS c_x FROM cxy GROUP BY x
+    ), v AS (
+      SELECT CAST(COUNT(DISTINCT term) AS BIGINT) AS vocab
+      FROM (SELECT unnest(toks) AS term FROM t)
+    )
+    SELECT dbg.doc_id,
+           CAST(SUM(dbg.c) AS BIGINT) AS n_bigrams,
+           floor((-SUM(dbg.c * ln(CAST(c_xy + 1 AS DOUBLE) / (c_x + vocab)))
+                  / SUM(dbg.c)) * 1000000 + 0.5) / 1000000 AS logloss_nats
+    FROM dbg
+    JOIN cxy USING (x, y)
+    JOIN cx USING (x)
+    CROSS JOIN v
+    GROUP BY dbg.doc_id
+    """,
+    tags=("text", "quality", "stats", "llm"),
+)
+def ngram_lm_bigram_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean negative log-likelihood (nats/bigram) under an
+    add-one-smoothed CORPUS bigram language model: the conditional-order
+    upgrade of `doc_unigram_logloss` — p(y|x) = (C(x,y)+1)/(C(x)+V) with
+    corpus-wide bigram counts C(x,y), context totals C(x) = Σ_y C(x,y),
+    and unigram vocabulary size V. A doc can look unigram-typical yet
+    bigram-surprising (shuffled-word soup, concatenated fragments); this
+    catches exactly that, the CCNet-style LM perplexity filter one
+    conditioning order up. exp(logloss) is the doc's bigram perplexity.
+
+    Beyond the reference (its text surface is word count,
+    ``test/user_tasks.cc:9-35``).
+
+    Plan shape at 100 TB: ONE explode pass builds the (doc, x, y) bigram
+    count table (shuffle on the composite key, map-side partial),
+    persisted because three consumers read it — the corpus C(x,y) fold,
+    (via that) the C(x) fold, and the scoring join. Both corpus models
+    derive FROM the persisted table, never from a second bigram pass; V
+    is one extra scan-speed distinct-count over tokens (the only thing
+    the bigram table can't supply: tokens of 1-token docs and the
+    corpus-initial/final positions) folded to a 1-row broadcast. The
+    scoring joins on (x, y) then (x) are vocabulary-keyed shuffle hash
+    joins; the final per-doc fold shuffles on doc_id. Strictly linear in
+    bigram incidence. Every ln input is an exact integer ratio (add-one
+    keeps it finite and positive by construction — any doc bigram has
+    C(x,y) ≥ 1); the per-doc double sum accumulates in engine-specific
+    order (~1e-13 relative), rounded at 1e-6 with the margin audited in
+    tests/test_text_telemetry.py. Docs with <2 tokens have no bigrams
+    and produce no row (mirrored by the oracle).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    dbg = tracked_persist(
+        docs.select(
+            "doc_id", F.explode(bigram_pairs_col(tokens_col())).alias("p")
+        )
+        .select("doc_id", F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+        .groupBy("doc_id", "x", "y")
+        .agg(F.count(F.lit(1)).alias("c")),
+        f"bigram_lm_dbg:{sf_dir}",
+    )
+    cxy = dbg.groupBy("x", "y").agg(F.sum("c").alias("c_xy"))
+    cx = cxy.groupBy("x").agg(F.sum("c_xy").alias("c_x"))
+    v = docs.select(F.explode(tokens_col()).alias("term")).agg(
+        F.count_distinct("term").alias("vocab")
+    )
+    p = (F.col("c_xy") + 1).cast("double") / (F.col("c_x") + F.col("vocab"))
+    return (
+        dbg.join(cxy, ["x", "y"])
+        .join(cx, "x")
+        .join(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            rnd(-F.sum(F.col("c") * F.log(p)) / F.sum("c"), 6).alias(
+                "logloss_nats"
+            ),
+        )
     )

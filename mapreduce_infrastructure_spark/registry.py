@@ -66,7 +66,15 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # tests/test_oracle_queries.py still mirrors every oracle-backed query
 # each pytest run.
 CERTIFIED_FIRST: tuple[str, ...] = (
-    # --- new in round 8: telemetry + packing-QA + embedding-QA tier (11) ---
+    # --- new in round 8, wave 4: LM/embedding-drift/dup-cross/packing-QA
+    # tier (5; quality_model_calibration_bins is rows-only by design) ---
+    "ngram_lm_bigram_logloss",
+    "source_embedding_centroid_drift",
+    "dup_mass_by_lang_cross",
+    "packing_overflow_report",
+    "quality_model_calibration_bins",
+    # --- new in round 8, waves 1-3: telemetry + packing-QA + embedding-QA
+    # tier (11) ---
     "ngram_idf_weighted_novelty",
     "source_pair_jaccard",
     "packing_bin_fill_histogram",
@@ -112,13 +120,17 @@ CERTIFIED_FIRST: tuple[str, ...] = (
     "dedup_clusters",
     "substring_dedup",
     "knn_bruteforce",
-    "neardup_cosine_pairs",
-    "ann_ivf_topk",
-    "neardup_cosine_ivf",
-    "multimodal_meta",
-    "mr_wordcount",
-    "mr_inverted_index",
-    # --- r5-vintage slots (2): the queries whose code changed this round ---
+    # (neardup_cosine_pairs, ann_ivf_topk, neardup_cosine_ivf,
+    #  multimodal_meta, mr_wordcount, mr_inverted_index displaced to the
+    #  round-9 rotation by wave 4 — standing r2/r4 greens keep them
+    #  covered, and tests/test_oracle_queries.py re-runs their oracles
+    #  every pytest run.)
+    # --- changed-code slots (3): queries whose implementation changed
+    # this round jump the staleness queue (q15/q11: the
+    # unpartitioned-window → scalar-agg-broadcast rewrite;
+    # source_dup_mass: its scan table moved to the shared
+    # _dup_mass_base slot that dup_mass_by_lang_cross reads) ---
+    "source_dup_mass",
     "q15_top_supplier",
     "q11_important_stock",
 )

@@ -672,3 +672,78 @@ def test_embedding_dim_variance_scalar_reference(spark, sf_dir):
         assert abs(got.var_share - share[i]) <= 2e-6
         total_share += got.var_share
     assert abs(total_share - 1.0) <= 1e-4
+
+
+def test_source_centroid_drift_scalar_reference(spark, sf_dir):
+    """Centroid cosines match a numpy recomputation over the
+    doc_id-joined embedded subset (different accumulation order — doubles
+    as the rounding-margin audit), every cosine sits in [-1, 1], and
+    n_vecs partitions the embedded subset by source."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from mapreduce_infrastructure_spark.llm.similarity import (
+        source_embedding_centroid_drift,
+    )
+
+    rows = {
+        r.source: r
+        for r in source_embedding_centroid_drift(spark, sf_dir).collect()
+    }
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pydict()
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    ).to_pydict()
+    source_of = dict(zip(docs["doc_id"], docs["source"]))
+    by_source: dict[str, list] = {}
+    for vec_id, v in zip(emb["vec_id"], emb["embedding"]):
+        if vec_id in source_of:  # inner-join semantics
+            by_source.setdefault(source_of[vec_id], []).append(
+                np.asarray(v, dtype=np.float64)
+            )
+    assert set(rows) == set(by_source)
+    assert sum(r.n_vecs for r in rows.values()) == sum(
+        1 for vid in emb["vec_id"] if vid in source_of
+    )
+    allv = np.stack([v for vs in by_source.values() for v in vs])
+    g = allv.mean(axis=0)
+    for source, vecs in by_source.items():
+        c = np.stack(vecs).mean(axis=0)
+        cos = float(c @ g / (np.linalg.norm(c) * np.linalg.norm(g)))
+        got = rows[source]
+        assert got.n_vecs == len(vecs)
+        assert -1.0 - 1e-9 <= got.centroid_cosine <= 1.0 + 1e-9
+        assert abs(got.centroid_cosine - cos) <= 2e-6, (source, cos)
+
+
+def test_dup_mass_by_lang_cross_marginalizes_to_source_dup_mass(spark, sf_dir):
+    """The (source × lang) dup-mass grid marginalizes exactly to the
+    per-source attribution — same fingerprint convention, same corpus-
+    global keep winners — and every ratio is consistent with its own
+    cell's integer sums."""
+    from mapreduce_infrastructure_spark.llm.dedup import (
+        dup_mass_by_lang_cross,
+        source_dup_mass,
+    )
+
+    cells = dup_mass_by_lang_cross(spark, sf_dir).collect()
+    per_source = {r.source: r for r in source_dup_mass(spark, sf_dir).collect()}
+    marg: dict[str, dict[str, int]] = {}
+    for c in cells:
+        m = marg.setdefault(
+            c.source, {"n_docs": 0, "total_tokens": 0, "dup_tokens": 0}
+        )
+        m["n_docs"] += c.n_docs
+        m["total_tokens"] += c.total_tokens
+        m["dup_tokens"] += c.dup_tokens
+        assert 0 <= c.dup_tokens <= c.total_tokens
+        if c.total_tokens > 0:
+            assert abs(c.dup_mass_ratio - c.dup_tokens / c.total_tokens) <= 2e-6
+    assert set(marg) == set(per_source)
+    for s, m in marg.items():
+        got = per_source[s]
+        assert (m["n_docs"], m["total_tokens"], m["dup_tokens"]) == (
+            got.n_docs,
+            got.total_tokens,
+            got.dup_tokens,
+        )

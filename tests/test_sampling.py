@@ -513,3 +513,75 @@ def test_token_budget_epoch_plan_scalar_reference(spark, sf_dir):
         assert abs(got.epochs - _EPOCH_BUDGET * share / m) <= 2e-6
         share_sum += got.target_share
     assert abs(share_sum - 1.0) <= 1e-4
+
+
+def test_packing_overflow_report_matches_scalar_packing(spark, sf_dir):
+    """The overflow worklist matches a scalar recomputation of the same
+    per-language doc_id-order running placement: exactly the boundary-
+    crossing docs appear, with the right start/end bins, and each doc's
+    start_bin equals its pack_sequences bin."""
+    import pyarrow.parquet as pq
+
+    from mapreduce_infrastructure_spark.llm.sampling import (
+        _PACK_BUDGET,
+        packing_overflow_report,
+    )
+
+    rows = {r.doc_id: r for r in packing_overflow_report(spark, sf_dir).collect()}
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    ).to_pydict()
+    docs = sorted(
+        zip(tbl["doc_id"], tbl["lang"], tbl["text"]), key=lambda t: t[0]
+    )
+    import re
+
+    cum: dict[str, int] = {}
+    expect = {}
+    for doc_id, lang, text in docs:
+        n = len([t for t in re.split(r"[^a-z0-9]+", text.lower()) if t])
+        start = cum.get(lang, 0)
+        cum[lang] = start + n
+        if n < 1:
+            continue
+        start_bin = start // _PACK_BUDGET
+        end_bin = (start + n - 1) // _PACK_BUDGET
+        if end_bin > start_bin:
+            expect[doc_id] = (lang, n, start_bin, end_bin)
+    assert set(rows) == set(expect)
+    for doc_id, (lang, n, sb, eb) in expect.items():
+        got = rows[doc_id]
+        assert (got.lang, got.n_tokens, got.start_bin, got.end_bin) == (
+            lang,
+            n,
+            sb,
+            eb,
+        )
+        assert got.n_splits == eb - sb >= 1
+
+
+def test_quality_model_calibration_contract(spark, sf_dir):
+    """Calibration bins partition the labeled slice, each bin's mean
+    predicted prob lies inside the bin interval, pos_share is a valid
+    share, and the count-weighted pos_share reproduces the slice's
+    overall positive rate."""
+    from mapreduce_infrastructure_spark.llm.quality_model import (
+        quality_classifier_scores,
+        quality_model_calibration_bins,
+    )
+
+    bins = quality_model_calibration_bins(spark, sf_dir).collect()
+    labeled = quality_classifier_scores(spark, sf_dir).filter(
+        "label_weak is not null"
+    )
+    n_labeled = labeled.count()
+    n_pos = labeled.filter("label_weak = 1.0").count()
+    assert sum(b.n for b in bins) == n_labeled
+    assert len({b.bin for b in bins}) == len(bins)
+    for b in bins:
+        assert 0 <= b.bin <= 9
+        lo, hi = b.bin / 10.0, (b.bin + 1) / 10.0 if b.bin < 9 else 1.0
+        assert lo - 1e-4 <= b.mean_prob <= hi + 1e-4, b
+        assert 0.0 <= b.pos_share <= 1.0
+    weighted = sum(b.n * b.pos_share for b in bins)
+    assert abs(weighted - n_pos) <= 1e-3 * n_labeled + 1.0

@@ -1191,3 +1191,38 @@ def test_bpe_trainer_degrades_gracefully_when_vocab_collapses(spark, tmp_path):
     after = jsc.getPersistentRDDs().size()
     assert [(r.step, r.p1, r.p2) for r in rules] == [(1, "a", "b")]
     assert after == before
+
+
+def test_bigram_lm_logloss_scalar_reference(spark, sf_dir):
+    """Per-doc bigram-LM logloss matches a scalar-Python recomputation of
+    the add-one-smoothed corpus model to the 1e-6 rounding, exactly the
+    ≥2-token docs are covered, and each loss is positive (every smoothed
+    probability is < 1 whenever V ≥ 2)."""
+    from mapreduce_infrastructure_spark.llm.text import ngram_lm_bigram_logloss
+
+    rows = {r.doc_id: r for r in ngram_lm_bigram_logloss(spark, sf_dir).collect()}
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pydict()
+    doc_toks = {d: _tokens(t) for d, t in zip(tbl["doc_id"], tbl["text"])}
+    cxy: Counter = Counter()
+    vocab = set()
+    for toks in doc_toks.values():
+        vocab.update(toks)
+        cxy.update(zip(toks, toks[1:]))
+    cx: Counter = Counter()
+    for (x, _), c in cxy.items():
+        cx[x] += c
+    v = len(vocab)
+    assert set(rows) == {d for d, t in doc_toks.items() if len(t) >= 2}
+    for doc_id, toks in list(doc_toks.items())[:40]:
+        if len(toks) < 2:
+            continue
+        bg = list(zip(toks, toks[1:]))
+        ll = -sum(
+            math.log((cxy[p] + 1) / (cx[p[0]] + v)) for p in bg
+        ) / len(bg)
+        got = rows[doc_id]
+        assert got.n_bigrams == len(bg)
+        assert got.logloss_nats > 0
+        assert abs(got.logloss_nats - ll) <= 2e-6, (doc_id, got.logloss_nats, ll)

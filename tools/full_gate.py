@@ -89,12 +89,26 @@ def _diag(spark_ms: Counter, oracle_ms: Counter) -> str:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
     window = None
-    hostile = "--hostile" in sys.argv[1:]
-    for a in sys.argv[1:]:
+    hostile = "--hostile" in argv
+    skip = set()
+    for i, a in enumerate(argv):
         if a.startswith("--window"):
-            window = int(a.split("=", 1)[1]) if "=" in a else 50
+            if "=" in a:
+                window = int(a.split("=", 1)[1])
+            elif i + 1 < len(argv) and argv[i + 1].isdigit():
+                # "--window 50": consume the count so it isn't mistaken
+                # for a query-name filter (which silently matches nothing)
+                window = int(argv[i + 1])
+                skip.add(i + 1)
+            else:
+                window = 50
+    args = [
+        a
+        for i, a in enumerate(argv)
+        if not a.startswith("--") and i not in skip
+    ]
 
     import duckdb
 
