@@ -1134,3 +1134,74 @@ def source_embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFra
             F.col("dot") / (F.sqrt("ns2") * F.sqrt("ng2")), 6
         ).alias("centroid_cosine"),
     )
+
+
+@query(
+    "embedding_norm_profile",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), n AS (
+      SELECT vec_id, label,
+             sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm
+      FROM e
+    ), mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS cnt, SUM(nrm) AS s, SUM(nrm * nrm) AS s2
+      FROM n
+    )
+    SELECT vec_id, label,
+           floor(nrm * 1000000 + 0.5) / 1000000 AS norm,
+           CASE WHEN s2 / cnt - (s / cnt) * (s / cnt) > 1e-18
+                THEN floor(((nrm - s / cnt)
+                            / sqrt(s2 / cnt - (s / cnt) * (s / cnt)))
+                           * 1000000 + 0.5) / 1000000
+                ELSE 0.0 END AS z
+    FROM n CROSS JOIN mom
+    """,
+    tags=("similarity", "stats", "embeddings", "llm"),
+)
+def embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector L2 norm and its corpus z-score — the unnormalized-
+    magnitude QA pass run before any cosine-based tier: near-zero norms
+    are dead/failed encodes (their cosines are noise), extreme norms
+    dominate dot-product retrieval and signal encoder saturation or
+    corrupt rows. Downstream consumers threshold the z column (|z| > 3
+    is the usual cut); the operator returns ALL vectors rather than
+    pre-filtering so the cut is the consumer's choice and no
+    float-boundary row-membership flip can exist between engines.
+
+    Plan shape at 100 TB: norms are one scan-speed JVM fold per row (no
+    explode — the array folds in place); the corpus moments (n, Σ, Σ²)
+    are one scalar aggregate re-attached as a 1-row broadcast crossJoin
+    (keys=[] partial — passes the single-partition plan guard); output
+    is one row per vector, linear. Degenerate-dispersion guard: when the
+    population norm variance is ≤ 1e-18 (an already-unit-normalized
+    corpus — exactly these fixtures — where the "variance" is pure
+    float-rounding noise ~1e-32), z is pinned to 0.0 in BOTH engines:
+    no dispersion means nothing is an outlier, and dividing by noise
+    would amplify engine-specific last-ulp differences into garbage.
+    The 1e-18 cutoff compares a corpus-wide SCALAR, 14+ orders of
+    magnitude from either regime, so engines cannot straddle it. The
+    array fold accumulates in index order in Spark and DuckDB alike,
+    but the corpus moment sums are shuffle-order-dependent (~1e-15
+    relative); both outputs round at 1e-6, margin audited by the numpy
+    reference in tests/test_dedup_similarity.py.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.select("vec_id", "label", _norm(_as_double("embedding")).alias("nrm"))
+    mom = n.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("nrm").alias("s"),
+        F.sum(F.col("nrm") * F.col("nrm")).alias("s2"),
+    )
+    mean = F.col("s") / F.col("cnt")
+    var = F.col("s2") / F.col("cnt") - mean * mean
+    z = F.when(
+        var > 1e-18, rnd((F.col("nrm") - mean) / F.sqrt(var), 6)
+    ).otherwise(F.lit(0.0))
+    return n.crossJoin(F.broadcast(mom)).select(
+        "vec_id",
+        "label",
+        rnd(F.col("nrm"), 6).alias("norm"),
+        z.alias("z"),
+    )

@@ -1884,3 +1884,159 @@ def ngram_lm_bigram_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "source_char_class_profile",
+    oracle="""
+    WITH t AS (
+      SELECT source,
+             CAST(length(text) AS BIGINT) AS n,
+             CAST(length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS not_alpha,
+             CAST(length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS not_digit,
+             CAST(length(regexp_replace(text, '[ \t\n\r]', '', 'g')) AS BIGINT) AS not_space
+      FROM documents
+    ), agg AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n) AS BIGINT) AS n_chars,
+             CAST(SUM(n - not_alpha) AS BIGINT) AS alpha_chars,
+             CAST(SUM(n - not_digit) AS BIGINT) AS digit_chars,
+             CAST(SUM(n - not_space) AS BIGINT) AS space_chars
+      FROM t GROUP BY source
+    )
+    SELECT source, n_docs, n_chars, alpha_chars, digit_chars, space_chars,
+           n_chars - alpha_chars - digit_chars - space_chars AS other_chars,
+           floor((CAST(alpha_chars AS DOUBLE) / nullif(n_chars, 0)) * 1000000 + 0.5)
+             / 1000000 AS alpha_share,
+           floor((CAST(digit_chars AS DOUBLE) / nullif(n_chars, 0)) * 1000000 + 0.5)
+             / 1000000 AS digit_share,
+           floor((CAST(n_chars - alpha_chars - digit_chars - space_chars AS DOUBLE)
+                  / nullif(n_chars, 0)) * 1000000 + 0.5) / 1000000 AS symbol_share
+    FROM agg
+    """,
+    tags=("text", "quality", "stats", "llm"),
+)
+def source_char_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source character-class composition: alpha / digit / whitespace /
+    other totals and shares. The encoding-junk detector at the SOURCE
+    level — a crawl source whose symbol_share jumps started emitting
+    mojibake, markup soup, or base64 blobs; digit_share separates
+    numeric-table dumps from prose. Complements the per-doc
+    `doc_char_entropy` (distribution shape) with interpretable absolute
+    class masses a dashboard can threshold.
+
+    Plan shape at 100 TB: pure scan-speed expressions — each class count
+    is length(text) − length(regexp_replace(text, class, '')), computed
+    per row inside whole-stage codegen, folded in ONE map-side-partial
+    aggregation to |sources| rows; no joins, no second pass, nothing
+    driver-side. Counts are exact integers (both engines count code
+    points); the three share divisions are correctly rounded at 1e-6;
+    zero-char sources yield NULL shares in both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.length("text").cast("long")
+
+    def _cnt(pat: str) -> F.Column:
+        return n - F.length(F.regexp_replace(F.col("text"), pat, "")).cast("long")
+
+    agg = docs.select(
+        "source",
+        n.alias("n"),
+        _cnt("[A-Za-z]").alias("alpha"),
+        _cnt("[0-9]").alias("digit"),
+        _cnt("[ \t\n\r]").alias("space"),
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").alias("n_chars"),
+        F.sum("alpha").alias("alpha_chars"),
+        F.sum("digit").alias("digit_chars"),
+        F.sum("space").alias("space_chars"),
+    )
+    other = (
+        F.col("n_chars")
+        - F.col("alpha_chars")
+        - F.col("digit_chars")
+        - F.col("space_chars")
+    )
+    nz = F.nullif(F.col("n_chars"), F.lit(0))
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_chars",
+        "alpha_chars",
+        "digit_chars",
+        "space_chars",
+        other.alias("other_chars"),
+        rnd(F.col("alpha_chars").cast("double") / nz, 6).alias("alpha_share"),
+        rnd(F.col("digit_chars").cast("double") / nz, 6).alias("digit_share"),
+        rnd(other.cast("double") / nz, 6).alias("symbol_share"),
+    )
+
+
+@query(
+    "source_zipf_alpha_mle",
+    oracle=f"""
+    WITH tc AS (
+      SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT source,
+                   unnest(list_filter(regexp_split_to_array(lower(text), '{TOKEN_DELIM}'),
+                                      x -> x <> '')) AS term
+            FROM documents)
+      GROUP BY source, term
+    ), hist AS (
+      SELECT source, c, CAST(COUNT(*) AS BIGINT) AS m
+      FROM tc GROUP BY source, c
+    )
+    SELECT source,
+           CAST(SUM(m) AS BIGINT) AS n_terms,
+           CAST(SUM(m * c) AS BIGINT) AS total_tokens,
+           floor((1.0 + CAST(SUM(m) AS DOUBLE) / SUM(m * ln(2.0 * c)))
+                 * 1000000 + 0.5) / 1000000 AS zipf_alpha
+    FROM hist GROUP BY source
+    """,
+    tags=("text", "stats", "llm"),
+)
+def source_zipf_alpha_mle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Zipf/power-law exponent of the term-frequency
+    distribution via the discrete maximum-likelihood estimator of
+    Clauset, Shalizi & Newman (SIAM Review 51(4), 2009, eq. 3.7 with
+    x_min = 1): alpha = 1 + N / Σ_terms ln(c / (x_min − ½)) = 1 + N / Σ
+    ln(2c). Natural-language sources sit near alpha ≈ 2; template or
+    generated text collapses the tail (alpha drifts high), ID/log dumps
+    flatten it (alpha → 1). The parametric companion to
+    `source_vocab_gini`: Gini says HOW concentrated, the MLE exponent
+    says WHICH power law, and tracking both across snapshots separates
+    real vocabulary drift from volume effects (the MLE is
+    sample-size-consistent where rank-regression slopes are biased —
+    the reason this is NOT fit by regressing log-rank on log-freq,
+    which would also need a vocabulary-scale sort).
+
+    Plan shape at 100 TB: one vocabulary-bounded (source, term) count
+    shuffle (map-side partial), folded through the count-value HISTOGRAM
+    (same |distinct frequency values| cardinality trick as
+    `source_vocab_gini` — Σ m·ln(2c) needs no per-term rows, no ranks,
+    no sort at any scale). Counts exact BIGINT; ln(2c) of an exact
+    integer is correctly rounded in both engines, the weighted sum
+    accumulates in engine-specific order (~1e-15 relative), and the
+    output rounds at 1e-6. The denominator is strictly positive (every
+    block contributes m·ln(2c) ≥ m·ln 2), so the division is always
+    defined; a source with zero tokens produces no rows at all.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (
+        docs.select("source", F.explode(tokens_col()).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    hist = tc.groupBy("source", "c").agg(F.count(F.lit(1)).alias("m"))
+    return hist.groupBy("source").agg(
+        F.sum("m").alias("n_terms"),
+        F.sum(F.col("m") * F.col("c")).alias("total_tokens"),
+        rnd(
+            F.lit(1.0)
+            + F.sum("m").cast("double")
+            / F.sum(F.col("m") * F.log(F.lit(2.0) * F.col("c"))),
+            6,
+        ).alias("zipf_alpha"),
+    )

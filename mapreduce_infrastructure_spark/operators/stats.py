@@ -417,3 +417,86 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(sx / n, 2).alias("mean_w"),
         rnd(_sample_std(n, sx, sxx), 2).alias("std_w"),
     )
+
+
+@query(
+    "user_activity_skew",
+    oracle="""
+    WITH uc AS (
+      SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY event_type, user_id
+    ), hist AS (
+      SELECT event_type, c, CAST(COUNT(*) AS BIGINT) AS m
+      FROM uc GROUP BY event_type, c
+    ), ranked AS (
+      SELECT event_type, c, m,
+             CAST(COALESCE(SUM(m) OVER (PARTITION BY event_type ORDER BY c
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           0) AS BIGINT) AS cumb
+      FROM hist
+    )
+    SELECT event_type,
+           CAST(SUM(m) AS BIGINT) AS n_users,
+           CAST(SUM(m * c) AS BIGINT) AS n_events,
+           CAST(MAX(c) AS BIGINT) AS max_user_events,
+           floor((CAST(MAX(c) AS DOUBLE) / SUM(m * c)) * 1000000 + 0.5)
+             / 1000000 AS top_user_share,
+           floor((2.0 * SUM(CAST(c AS DOUBLE) * (m * cumb + (m * (m + 1)) // 2))
+                    / (CAST(SUM(m) AS DOUBLE) * SUM(m * c))
+                  - (SUM(m) + 1.0) / SUM(m)) * 1000000 + 0.5)
+             / 1000000 AS gini
+    FROM ranked GROUP BY event_type
+    """,
+    tags=("stats", "events", "skew"),
+)
+def user_activity_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type skew profile of the user-activity distribution:
+    user count, event count, the heaviest user's absolute count and
+    share, and the Gini concentration of per-user counts. This is the
+    OPERATIONAL telemetry behind the shuffle-strategy decisions this
+    repo makes elsewhere — `salted_join_hot_users` assumes hot keys
+    exist; this measures them, per key-domain, so a pipeline can decide
+    WHEN to salt (top_user_share above ~1/parallelism means one task
+    owns that key's whole hash bucket) and track whether skew is
+    growing between snapshots.
+
+    Plan shape at 100 TB: one (event_type, user_id) count shuffle
+    (map-side partial) bounded by the distinct key-pair cardinality,
+    folded through the count-value HISTOGRAM so the Gini rank-sum needs
+    NO per-user sort at any scale (the tie-block closed form of
+    `source_vocab_gini`; the per-type window runs over |distinct count
+    values| rows — log-scale cardinality). Counts exact BIGINT; the
+    rank-sum and the n·T denominator go DOUBLE before multiplying (the
+    `source_vocab_gini` overflow discipline); two correctly-rounded
+    divisions at 1e-6. Every event has a user in these fixtures, so
+    n_users ≥ 1 per type and no division is degenerate (a type with one
+    user gets gini 0 via the (n+1)/n identity, exact in both engines).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    uc = ev.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("c"))
+    hist = uc.groupBy("event_type", "c").agg(F.count(F.lit(1)).alias("m"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = hist.withColumn(
+        "cumb", F.coalesce(F.sum("m").over(w), F.lit(0)).cast("long")
+    )
+    n_users = F.sum("m")
+    n_events = F.sum(F.col("m") * F.col("c"))
+    s_rank = F.sum(
+        F.col("c").cast("double")
+        * (F.col("m") * F.col("cumb") + F.expr("(m * (m + 1)) div 2"))
+    )
+    return ranked.groupBy("event_type").agg(
+        n_users.alias("n_users"),
+        n_events.alias("n_events"),
+        F.max("c").alias("max_user_events"),
+        rnd(F.max("c").cast("double") / n_events, 6).alias("top_user_share"),
+        rnd(
+            F.lit(2.0) * s_rank / (n_users.cast("double") * n_events)
+            - (n_users + F.lit(1.0)) / n_users,
+            6,
+        ).alias("gini"),
+    )

@@ -66,6 +66,12 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # tests/test_oracle_queries.py still mirrors every oracle-backed query
 # each pytest run.
 CERTIFIED_FIRST: tuple[str, ...] = (
+    # --- new in round 8, wave 5: char-class/Zipf-MLE/norm-QA/skew
+    # telemetry (4) ---
+    "source_char_class_profile",
+    "source_zipf_alpha_mle",
+    "embedding_norm_profile",
+    "user_activity_skew",
     # --- new in round 8, wave 4: LM/embedding-drift/dup-cross/packing-QA
     # tier (5; quality_model_calibration_bins is rows-only by design) ---
     "ngram_lm_bigram_logloss",
@@ -116,15 +122,13 @@ CERTIFIED_FIRST: tuple[str, ...] = (
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
     "simhash_neardup_pairs",
-    "containment_pairs",
-    "dedup_clusters",
-    "substring_dedup",
-    "knn_bruteforce",
-    # (neardup_cosine_pairs, ann_ivf_topk, neardup_cosine_ivf,
-    #  multimodal_meta, mr_wordcount, mr_inverted_index displaced to the
-    #  round-9 rotation by wave 4 — standing r2/r4 greens keep them
-    #  covered, and tests/test_oracle_queries.py re-runs their oracles
-    #  every pytest run.)
+    # (containment_pairs, dedup_clusters, substring_dedup, knn_bruteforce
+    #  displaced by wave 5; neardup_cosine_pairs, ann_ivf_topk,
+    #  neardup_cosine_ivf, multimodal_meta, mr_wordcount,
+    #  mr_inverted_index displaced by wave 4 — all rotate to round 9;
+    #  standing r2/r4 greens keep them covered, and
+    #  tests/test_oracle_queries.py re-runs their oracles every pytest
+    #  run.)
     # --- changed-code slots (3): queries whose implementation changed
     # this round jump the staleness queue (q15/q11: the
     # unpartitioned-window → scalar-agg-broadcast rewrite;

@@ -747,3 +747,45 @@ def test_dup_mass_by_lang_cross_marginalizes_to_source_dup_mass(spark, sf_dir):
             got.total_tokens,
             got.dup_tokens,
         )
+
+
+def test_embedding_norm_profile_degenerate_pin_and_numpy_reference(
+    spark, sf_dir, tmp_path
+):
+    """On the unit-normalized fixtures the dispersion guard must pin
+    every z to exactly 0.0 (variance is rounding noise, not signal); on
+    a synthetic corpus with real norm dispersion the z column must match
+    a numpy population-z recomputation and flag the planted outlier."""
+    import numpy as np
+
+    from mapreduce_infrastructure_spark.llm.similarity import (
+        embedding_norm_profile,
+    )
+
+    # 1. Fixture: all-unit norms → guard fires corpus-wide.
+    rows = embedding_norm_profile(spark, sf_dir).collect()
+    import pyarrow.parquet as pq
+
+    n_vecs = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id"]).num_rows
+    assert len(rows) == n_vecs
+    assert all(abs(r.norm - 1.0) <= 2e-6 for r in rows)
+    assert all(r.z == 0.0 for r in rows)
+
+    # 2. Synthetic: scaled vectors + one extreme-norm outlier.
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(40, 8))
+    scales = np.linspace(0.5, 2.0, 40)
+    vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True) * scales[:, None]
+    vecs[-1] *= 50.0  # planted dead-giveaway outlier
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]], int(i % 3)) for i in range(len(vecs))],
+        "vec_id bigint, embedding array<double>, label bigint",
+    ).write.mode("overwrite").parquet(f"{sf}/embeddings.parquet")
+    got = {r.vec_id: r for r in embedding_norm_profile(spark, sf).collect()}
+    norms = np.linalg.norm(vecs, axis=1)
+    z = (norms - norms.mean()) / norms.std()  # population std
+    for i in range(len(vecs)):
+        assert abs(got[i].norm - norms[i]) <= 2e-6
+        assert abs(got[i].z - z[i]) <= 2e-6, (i, got[i].z, z[i])
+    assert got[len(vecs) - 1].z > 3.0

@@ -94,3 +94,38 @@ def test_cohort_retention_invariants(spark, sf_dir):
         assert 0 in cells, cw  # first week always present
         for off, n in cells.items():
             assert n <= cells[0], (cw, off)
+
+
+def test_user_activity_skew_matches_sorted_rank_reference(spark, sf_dir):
+    """The histogram-block Gini and skew stats must match a scalar
+    recomputation that actually sorts per-user counts (tie-block
+    shortcut is exact), totals must partition the events table, and the
+    share/gini values sit in their admissible ranges."""
+    import pyarrow.parquet as pq
+
+    from mapreduce_infrastructure_spark.operators.stats import user_activity_skew
+
+    rows = {r.event_type: r for r in user_activity_skew(spark, sf_dir).collect()}
+    tbl = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    ).to_pydict()
+    per_type: dict[str, dict] = {}
+    for et, uid in zip(tbl["event_type"], tbl["user_id"]):
+        per_type.setdefault(et, {}).setdefault(uid, 0)
+        per_type[et][uid] += 1
+    assert set(rows) == set(per_type)
+    assert sum(r.n_events for r in rows.values()) == len(tbl["event_type"])
+    for et, users in per_type.items():
+        ordered = sorted(users.values())
+        n, t = len(ordered), sum(ordered)
+        s_rank = sum(i * c for i, c in enumerate(ordered, start=1))
+        gini = 2.0 * s_rank / (n * t) - (n + 1.0) / n
+        got = rows[et]
+        assert (got.n_users, got.n_events, got.max_user_events) == (
+            n,
+            t,
+            ordered[-1],
+        )
+        assert abs(got.top_user_share - ordered[-1] / t) <= 2e-6
+        assert 0.0 <= got.gini < 1.0
+        assert abs(got.gini - gini) <= 1e-6

@@ -1226,3 +1226,69 @@ def test_bigram_lm_logloss_scalar_reference(spark, sf_dir):
         assert got.n_bigrams == len(bg)
         assert got.logloss_nats > 0
         assert abs(got.logloss_nats - ll) <= 2e-6, (doc_id, got.logloss_nats, ll)
+
+
+def test_source_char_class_profile_partitions_and_scalar_reference(spark, sf_dir):
+    """Character classes partition every source's char mass exactly
+    (alpha + digit + space + other = n_chars), and counts plus shares
+    match a scalar-Python recomputation."""
+    from mapreduce_infrastructure_spark.llm.text import source_char_class_profile
+
+    rows = {
+        r.source: r for r in source_char_class_profile(spark, sf_dir).collect()
+    }
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    ).to_pydict()
+    expect: dict[str, list[int]] = {}
+    for source, text in zip(tbl["source"], tbl["text"]):
+        e = expect.setdefault(source, [0, 0, 0, 0, 0])  # docs,n,alpha,digit,space
+        e[0] += 1
+        e[1] += len(text)
+        e[2] += sum(1 for ch in text if ch.isascii() and ch.isalpha())
+        e[3] += sum(1 for ch in text if ch.isdigit())
+        e[4] += sum(1 for ch in text if ch in " \t\n\r")
+    assert set(rows) == set(expect)
+    for source, (nd, n, a, d, sp) in expect.items():
+        got = rows[source]
+        assert (got.n_docs, got.n_chars, got.alpha_chars) == (nd, n, a)
+        assert (got.digit_chars, got.space_chars) == (d, sp)
+        assert got.other_chars == n - a - d - sp
+        assert (
+            got.alpha_chars
+            + got.digit_chars
+            + got.space_chars
+            + got.other_chars
+            == got.n_chars
+        )
+        if n:
+            assert abs(got.alpha_share - a / n) <= 2e-6
+            assert abs(got.digit_share - d / n) <= 2e-6
+            assert abs(got.symbol_share - (n - a - d - sp) / n) <= 2e-6
+
+
+def test_source_zipf_alpha_mle_scalar_reference(spark, sf_dir):
+    """The histogram-folded CSN estimator matches a per-term scalar
+    recomputation alpha = 1 + N / Σ ln(2c) (proving the count-value
+    histogram shortcut is exact), and alpha > 1 always (the MLE's
+    admissible range for x_min = 1)."""
+    from collections import Counter as _C
+
+    from mapreduce_infrastructure_spark.llm.text import source_zipf_alpha_mle
+
+    rows = {r.source: r for r in source_zipf_alpha_mle(spark, sf_dir).collect()}
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    ).to_pydict()
+    counts: dict[str, _C] = {}
+    for source, text in zip(tbl["source"], tbl["text"]):
+        counts.setdefault(source, _C()).update(_tokens(text))
+    counts = {s: c for s, c in counts.items() if c}
+    assert set(rows) == set(counts)
+    for source, c in counts.items():
+        n = len(c)
+        alpha = 1.0 + n / sum(math.log(2.0 * ci) for ci in c.values())
+        got = rows[source]
+        assert got.n_terms == n and got.total_tokens == sum(c.values())
+        assert got.zipf_alpha > 1.0
+        assert abs(got.zipf_alpha - alpha) <= 2e-6, (source, got.zipf_alpha, alpha)
