@@ -99,6 +99,16 @@ FLAGSHIP_EXTRA = [
     "token_budget_epoch_plan",
     "source_quality_trend",
     "embedding_dim_variance",
+    # round-8 wave 4
+    "ngram_lm_bigram_logloss",
+    "source_embedding_centroid_drift",
+    "dup_mass_by_lang_cross",
+    "packing_overflow_report",
+    # round-8 wave 5
+    "source_char_class_profile",
+    "source_zipf_alpha_mle",
+    "embedding_norm_profile",
+    "user_activity_skew",
 ]
 
 JOIN_KINDS = [
