@@ -2040,3 +2040,149 @@ def source_zipf_alpha_mle(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("zipf_alpha"),
     )
+
+
+@query(
+    "source_bigram_js_divergence",
+    oracle=f"""
+    WITH t AS (
+      SELECT source,
+             list_filter(regexp_split_to_array(lower(text), '{TOKEN_DELIM}'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), bg AS (
+      SELECT source,
+             unnest(list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+                                   i -> toks[i])) AS x,
+             unnest(list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+                                   i -> toks[i+1])) AS y
+      FROM t
+    ), st AS (
+      SELECT source, x, y, CAST(COUNT(*) AS BIGINT) AS c_st FROM bg
+      GROUP BY source, x, y
+    ), s_tot AS (
+      SELECT source, CAST(SUM(c_st) AS BIGINT) AS c_s FROM st GROUP BY source
+    ), g AS (
+      SELECT x, y, CAST(SUM(c_st) AS BIGINT) AS g_t FROM st GROUP BY x, y
+    ), tot AS (SELECT CAST(SUM(g_t) AS BIGINT) AS g_total FROM g
+    ), scored AS (
+      SELECT st.source, s_tot.c_s,
+             CAST(c_st AS DOUBLE) / c_s AS p,
+             CAST(g_t AS DOUBLE) / g_total AS q
+      FROM st
+      JOIN g USING (x, y)
+      JOIN s_tot USING (source)
+      CROSS JOIN tot
+    )
+    SELECT source, c_s AS n_bigrams,
+           floor((0.5 * SUM(p * ln(2 * p / (p + q)) + q * ln(2 * q / (p + q)))
+                  + 0.5 * ln(2) * (1 - SUM(q))) * 1000000 + 0.5)
+             / 1000000 AS jsd_nats
+    FROM scored
+    GROUP BY source, c_s
+    """,
+    tags=("text", "stats", "llm"),
+)
+def source_bigram_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Jensen–Shannon divergence between the source's BIGRAM
+    distribution and the corpus bigram distribution — the conditional-
+    order upgrade of `source_js_divergence`, exactly as
+    `ngram_lm_bigram_logloss` upgrades `doc_unigram_logloss`: a source
+    can keep the corpus vocabulary (unigram JSD flat) while recombining
+    it into alien phrasing (template slot-filling, shuffled-word spam) —
+    visible only at bigram order. Same truncated-support identity (Lin
+    1991): the sum runs only over bigrams in the source's support, with
+    the absent-bigram corpus mass folded in closed form as
+    ½·ln 2·(1 − Σ q); bounded [0, ln 2].
+
+    Plan shape at 100 TB: one explode pass (shared `bigram_pairs_col`
+    convention) into a persisted (source, x, y) count table; the corpus
+    bigram model and the single-row total fold FROM that table (no
+    second corpus pass); one bigram-keyed shuffle join + broadcast
+    per-source totals; |sources|-row output. Same machinery and
+    asymptotics as the unigram JSD with the key widened to (x, y) —
+    bigram-type-bounded, never corpus-scale after the first fold. 1e-6
+    rounding absorbs summation-order noise and the ≤1-ulp ln(2)
+    difference between libm and Math.log.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    st = tracked_persist(
+        docs.select(
+            "source", F.explode(bigram_pairs_col(tokens_col())).alias("p")
+        )
+        .select("source", F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+        .groupBy("source", "x", "y")
+        .agg(F.count(F.lit(1)).alias("c_st")),
+        f"source_bigram_jsd:{sf_dir}",
+    )
+    s_tot = st.groupBy("source").agg(F.sum("c_st").alias("c_s"))
+    g = st.groupBy("x", "y").agg(F.sum("c_st").alias("g_t"))
+    tot = s_tot.agg(F.sum("c_s").alias("g_total"))
+    p = F.col("c_st").cast("double") / F.col("c_s")
+    q = F.col("g_t").cast("double") / F.col("g_total")
+    two = F.lit(2.0)
+    inside = p * F.log(two * p / (p + q)) + q * F.log(two * q / (p + q))
+    return (
+        st.join(g, ["x", "y"])
+        .join(F.broadcast(s_tot), "source")
+        .join(F.broadcast(tot))
+        .groupBy("source", "c_s")
+        .agg(
+            rnd(
+                F.lit(0.5) * F.sum(inside)
+                + F.lit(0.5) * F.log(two) * (F.lit(1.0) - F.sum(q)),
+                6,
+            ).alias("jsd_nats")
+        )
+        .select("source", F.col("c_s").alias("n_bigrams"), "jsd_nats")
+    )
+
+
+@query(
+    "doc_length_percentile_by_source",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(regexp_split_to_array(lower(text), '{TOKEN_DELIM}'),
+                                  x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, source, n_tokens,
+           floor(percent_rank() OVER (PARTITION BY source
+                                      ORDER BY n_tokens, doc_id)
+                 * 1000000 + 0.5) / 1000000 AS length_pct
+    FROM t
+    """,
+    tags=("text", "quality", "stats", "llm"),
+)
+def doc_length_percentile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each document's exact token-count percentile WITHIN its source —
+    the per-doc length feature curation rules consume ("drop the bottom
+    decile per source", "sample long-tail docs at higher weight")
+    exported as telemetry, normalized per source because length
+    distributions differ wildly between crawl sources and a global
+    percentile would just encode source identity. Deterministic: the
+    percent_rank window orders by (n_tokens, doc_id) — a unique key —
+    so ranks are engine-stable; (rank−1)/(n−1) is one IEEE division
+    computed identically by both engines, rounded 1e-6.
+
+    Plan shape at 100 TB: token count is a scan-speed expression; the
+    window sorts per-source DOC METADATA (id + one integer — bytes per
+    row, not document text), partitioned across sources. This is the
+    same window class as `quality_quantile_filter` (which cuts by the
+    same statistic per language); at extreme per-source cardinality the
+    sort is the cost, and the two-pass histogram alternative documented
+    in `source_vocab_gini` applies if a coarser percentile suffices.
+    Output is one row per document, linear.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source", F.size(tokens_col()).cast("long").alias("n_tokens")
+    )
+    w = Window.partitionBy("source").orderBy("n_tokens", "doc_id")
+    return t.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        rnd(F.percent_rank().over(w), 6).alias("length_pct"),
+    )

@@ -806,3 +806,98 @@ def scd2_event_type_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         (F.col("run_id") == F.max("run_id").over(wcur)).alias("is_current"),
     )
+
+
+@query(
+    "event_interarrival_stats",
+    oracle="""
+    WITH o AS (
+      SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY epoch_us(ts), event_id) AS gap
+      FROM events
+    ), g AS (
+      SELECT event_type, gap FROM o WHERE gap IS NOT NULL
+    ), s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_gaps,
+             CAST(SUM(gap) AS HUGEINT) AS sg,
+             SUM(CAST(gap AS HUGEINT) * CAST(gap AS HUGEINT)) AS sg2,
+             CAST(MIN(gap) AS BIGINT) AS min_gap,
+             CAST(MAX(gap) AS BIGINT) AS max_gap
+      FROM g GROUP BY event_type
+    )
+    SELECT event_type, n_gaps,
+           floor((CAST(sg AS DOUBLE) / n_gaps / 1000000.0) * 1000000 + 0.5)
+             / 1000000 AS mean_gap_sec,
+           floor((sqrt(greatest(CAST(sg2 AS DOUBLE) / n_gaps
+                                - (CAST(sg AS DOUBLE) / n_gaps)
+                                  * (CAST(sg AS DOUBLE) / n_gaps), 0.0))
+                  / 1000000.0) * 1000000 + 0.5) / 1000000 AS std_gap_sec,
+           floor((CAST(min_gap AS DOUBLE) / 1000000.0) * 1000000 + 0.5)
+             / 1000000 AS min_gap_sec,
+           floor((CAST(max_gap AS DOUBLE) / 1000000.0) * 1000000 + 0.5)
+             / 1000000 AS max_gap_sec
+    FROM s
+    """,
+    tags=("temporal", "stats", "events"),
+)
+def event_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type inter-arrival statistics over each user's OWN
+    stream of that type (gap = time since the same user's previous
+    event of the same type): mean/std/min/max gap in seconds plus gap
+    count. The rate-and-burstiness telemetry behind streaming capacity
+    choices made elsewhere in this repo — watermark delays and session
+    gap thresholds (`_SESSION_GAP_US`) are assumptions about exactly
+    this distribution, and a std collapsing toward 0 flags bot/replay
+    traffic (metronomic arrivals) that quality filters on content never
+    see.
+
+    Determinism/scale: the lag window is per (user, event_type), ordered
+    by the unique (epoch-µs, event_id) key — metadata-width rows, the
+    same partitioned-window class as `sessionize_gaps`. Gaps are exact
+    integer microseconds; Σgap and Σgap² aggregate in DECIMAL(38,0)
+    (Spark) / HUGEINT (DuckDB) — exact and associative, so any
+    partitioning yields identical bits (Σgap² of µs gaps overflows
+    int64 at ~month-scale gaps, hence the wide accumulators; bounds in
+    the 38-digit envelope through ~1e9 users × decade spans). The
+    variance is computed from the exact sums in ONE double expression
+    with identical operand order in both engines (population variance,
+    clamped ≥ 0 against last-ulp cancellation), so even the
+    cancellation error is bit-identical; outputs round at 1e-6 s = the
+    µs grid itself.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        us, F.col("event_id")
+    )
+    gaps = (
+        ev.select("event_type", (us - F.lag(us).over(w)).alias("gap"))
+        .filter(F.col("gap").isNotNull())
+    )
+    d38 = "decimal(38,0)"
+    s = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum(dec("gap", d38)).alias("sg"),
+        F.sum(dec("gap", "decimal(19,0)") * dec("gap", "decimal(19,0)")).alias(
+            "sg2"
+        ),
+        F.min("gap").alias("min_gap"),
+        F.max("gap").alias("max_gap"),
+    )
+    n = F.col("n_gaps")
+    mean_us = F.col("sg").cast("double") / n
+    var_us = F.greatest(
+        F.col("sg2").cast("double") / n - mean_us * mean_us, F.lit(0.0)
+    )
+    m = F.lit(1_000_000.0)
+    return s.select(
+        "event_type",
+        "n_gaps",
+        rnd(mean_us / m, 6).alias("mean_gap_sec"),
+        rnd(F.sqrt(var_us) / m, 6).alias("std_gap_sec"),
+        rnd(F.col("min_gap").cast("double") / m, 6).alias("min_gap_sec"),
+        rnd(F.col("max_gap").cast("double") / m, 6).alias("max_gap_sec"),
+    )

@@ -66,6 +66,11 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # tests/test_oracle_queries.py still mirrors every oracle-backed query
 # each pytest run.
 CERTIFIED_FIRST: tuple[str, ...] = (
+    # --- new in round 8, wave 6: bigram-JSD/length-percentile/
+    # inter-arrival telemetry (3) ---
+    "source_bigram_js_divergence",
+    "doc_length_percentile_by_source",
+    "event_interarrival_stats",
     # --- new in round 8, wave 5: char-class/Zipf-MLE/norm-QA/skew
     # telemetry (4) ---
     "source_char_class_profile",
@@ -119,16 +124,14 @@ CERTIFIED_FIRST: tuple[str, ...] = (
     "token_counts_bpe",
     "corpus_clean_pipeline",
     "dedup_exact",
-    "ngram_jaccard_pairs",
-    "minhash_lsh_pairs",
-    "simhash_neardup_pairs",
-    # (containment_pairs, dedup_clusters, substring_dedup, knn_bruteforce
-    #  displaced by wave 5; neardup_cosine_pairs, ann_ivf_topk,
-    #  neardup_cosine_ivf, multimodal_meta, mr_wordcount,
-    #  mr_inverted_index displaced by wave 4 — all rotate to round 9;
-    #  standing r2/r4 greens keep them covered, and
-    #  tests/test_oracle_queries.py re-runs their oracles every pytest
-    #  run.)
+    # (ngram_jaccard_pairs, minhash_lsh_pairs, simhash_neardup_pairs
+    #  displaced by wave 6; containment_pairs, dedup_clusters,
+    #  substring_dedup, knn_bruteforce displaced by wave 5;
+    #  neardup_cosine_pairs, ann_ivf_topk, neardup_cosine_ivf,
+    #  multimodal_meta, mr_wordcount, mr_inverted_index displaced by
+    #  wave 4 — all rotate to round 9; standing r2/r4 greens keep them
+    #  covered, and tests/test_oracle_queries.py re-runs their oracles
+    #  every pytest run.)
     # --- changed-code slots (3): queries whose implementation changed
     # this round jump the staleness queue (q15/q11: the
     # unpartitioned-window → scalar-agg-broadcast rewrite;

@@ -129,3 +129,47 @@ def test_user_activity_skew_matches_sorted_rank_reference(spark, sf_dir):
         assert abs(got.top_user_share - ordered[-1] / t) <= 2e-6
         assert 0.0 <= got.gini < 1.0
         assert abs(got.gini - gini) <= 1e-6
+
+
+def test_event_interarrival_stats_scalar_reference(spark, sf_dir):
+    """Gap stats match a scalar recomputation over each user's per-type
+    stream (population std), gap totals partition events minus first
+    arrivals, and min ≤ mean ≤ max."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from mapreduce_infrastructure_spark.operators.temporal import (
+        event_interarrival_stats,
+    )
+
+    rows = {r.event_type: r for r in event_interarrival_stats(spark, sf_dir).collect()}
+    tbl = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id", "ts", "event_id"]
+    ).to_pydict()
+    streams: dict[tuple, list] = {}
+    for et, uid, ts, eid in zip(
+        tbl["event_type"], tbl["user_id"], tbl["ts"], tbl["event_id"]
+    ):
+        us = ts.value // 1000 if hasattr(ts, "value") else int(ts.timestamp() * 1e6)
+        streams.setdefault((uid, et), []).append((us, eid))
+    gaps: dict[str, list] = {}
+    n_first = 0
+    for (uid, et), evs in streams.items():
+        evs.sort()
+        n_first += 1
+        for (a, _), (b, _) in zip(evs, evs[1:]):
+            gaps.setdefault(et, []).append(b - a)
+    assert set(rows) == set(gaps)
+    assert sum(r.n_gaps for r in rows.values()) == len(tbl["event_type"]) - n_first
+    for et, gs in gaps.items():
+        n = len(gs)
+        mean = sum(gs) / n
+        var = sum(g * g for g in gs) / n - mean * mean
+        got = rows[et]
+        assert got.n_gaps == n
+        assert abs(got.mean_gap_sec - mean / 1e6) <= 2e-6
+        assert abs(got.std_gap_sec - math.sqrt(max(var, 0.0)) / 1e6) <= 2e-6
+        assert got.min_gap_sec == min(gs) / 1e6
+        assert got.max_gap_sec == max(gs) / 1e6
+        assert got.min_gap_sec <= got.mean_gap_sec <= got.max_gap_sec

@@ -1292,3 +1292,77 @@ def test_source_zipf_alpha_mle_scalar_reference(spark, sf_dir):
         assert got.n_terms == n and got.total_tokens == sum(c.values())
         assert got.zipf_alpha > 1.0
         assert abs(got.zipf_alpha - alpha) <= 2e-6, (source, got.zipf_alpha, alpha)
+
+
+def test_source_bigram_jsd_bounds_and_scalar_reference(spark, sf_dir):
+    """0 ≤ JSD ≤ ln 2 per source (Lin's bound), bigram totals partition
+    the corpus bigram count, and each divergence matches a scalar
+    recomputation of the truncated-support identity to the 1e-6
+    rounding."""
+    from mapreduce_infrastructure_spark.llm.text import source_bigram_js_divergence
+
+    rows = {
+        r.source: r for r in source_bigram_js_divergence(spark, sf_dir).collect()
+    }
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    ).to_pydict()
+    per_source: dict[str, Counter] = {}
+    for source, text in zip(tbl["source"], tbl["text"]):
+        toks = _tokens(text)
+        per_source.setdefault(source, Counter()).update(zip(toks, toks[1:]))
+    per_source = {s: c for s, c in per_source.items() if c}
+    corpus: Counter = Counter()
+    for c in per_source.values():
+        corpus.update(c)
+    g_total = sum(corpus.values())
+    assert set(rows) == set(per_source)
+    assert sum(r.n_bigrams for r in rows.values()) == g_total
+    ln2 = math.log(2.0)
+    for source, counts in per_source.items():
+        c_s = sum(counts.values())
+        inside = q_mass = 0.0
+        for bg, c in counts.items():
+            p = c / c_s
+            q = corpus[bg] / g_total
+            inside += p * math.log(2 * p / (p + q)) + q * math.log(
+                2 * q / (p + q)
+            )
+            q_mass += q
+        jsd = 0.5 * inside + 0.5 * ln2 * (1.0 - q_mass)
+        got = rows[source]
+        assert got.n_bigrams == c_s
+        assert -1e-9 <= got.jsd_nats <= ln2 + 1e-9
+        assert abs(got.jsd_nats - jsd) <= 2e-6, (source, got.jsd_nats, jsd)
+
+
+def test_doc_length_percentile_scalar_reference(spark, sf_dir):
+    """Every document gets exactly one row; within each source the
+    percentile matches the (rank-1)/(n-1) of the (n_tokens, doc_id)
+    sort, the shortest doc sits at 0 and the longest at 1."""
+    from mapreduce_infrastructure_spark.llm.text import (
+        doc_length_percentile_by_source,
+    )
+
+    rows = {
+        r.doc_id: r
+        for r in doc_length_percentile_by_source(spark, sf_dir).collect()
+    }
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    ).to_pydict()
+    assert set(rows) == set(tbl["doc_id"])
+    per_source: dict[str, list] = {}
+    for doc_id, source, text in zip(tbl["doc_id"], tbl["source"], tbl["text"]):
+        per_source.setdefault(source, []).append((len(_tokens(text)), doc_id))
+    for source, docs in per_source.items():
+        docs.sort()
+        n = len(docs)
+        for i, (n_tokens, doc_id) in enumerate(docs):
+            got = rows[doc_id]
+            expect = 0.0 if n == 1 else i / (n - 1)
+            assert got.source == source and got.n_tokens == n_tokens
+            assert abs(got.length_pct - expect) <= 2e-6, (doc_id, got.length_pct)
+        assert rows[docs[0][1]].length_pct == 0.0
+        if n > 1:
+            assert rows[docs[-1][1]].length_pct == 1.0

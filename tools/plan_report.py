@@ -109,6 +109,10 @@ FLAGSHIP_EXTRA = [
     "source_zipf_alpha_mle",
     "embedding_norm_profile",
     "user_activity_skew",
+    # round-8 wave 6
+    "source_bigram_js_divergence",
+    "doc_length_percentile_by_source",
+    "event_interarrival_stats",
 ]
 
 JOIN_KINDS = [
