@@ -789,3 +789,40 @@ def test_embedding_norm_profile_degenerate_pin_and_numpy_reference(
         assert abs(got[i].norm - norms[i]) <= 2e-6
         assert abs(got[i].z - z[i]) <= 2e-6, (i, got[i].z, z[i])
     assert got[len(vecs) - 1].z > 3.0
+
+
+def test_minhash_estimator_calibration_vs_exact_jaccard(spark, sf_dir):
+    """Sketch calibration: for ground-truth pairs the MinHash signature
+    agreement fraction must estimate the exact Jaccard within the
+    binomial error of k=32 independent permutations per pair
+    (|est − J| ≤ 4·σ with σ = sqrt(J(1−J)/k), plus the one-permutation
+    quantum 1/k), and the MEAN signed error across pairs must be near 0
+    — the estimator is unbiased, so a systematic offset would flag a
+    broken permutation family (e.g. correlated seeds)."""
+    import math
+
+    from mapreduce_infrastructure_spark.llm.dedup import (
+        N_HASHES,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+
+    sigs = {
+        r.doc_id: r.signature
+        for r in minhash_signatures(spark, sf_dir, include_array=True).collect()
+    }
+    pairs = ngram_jaccard_pairs(spark, sf_dir).collect()
+    assert pairs, "ground-truth pair set is empty"
+    errors = []
+    for p in pairs:
+        a, b = sigs[p.doc_a], sigs[p.doc_b]
+        est = sum(1 for x, y in zip(a, b) if x == y) / N_HASHES
+        j = p.jaccard
+        sigma = math.sqrt(max(j * (1 - j), 0.0) / N_HASHES)
+        tol = 4.0 * sigma + 1.0 / N_HASHES
+        assert abs(est - j) <= tol, (p.doc_a, p.doc_b, est, j, tol)
+        errors.append(est - j)
+    mean_err = sum(errors) / len(errors)
+    # Mean of per-pair binomial errors: generous 3/sqrt(k·n_pairs)-ish bar
+    # (pairs share docs so they are not fully independent).
+    assert abs(mean_err) <= max(0.05, 3.0 / math.sqrt(N_HASHES * len(errors))), mean_err
