@@ -1211,18 +1211,50 @@ def _dup_mass_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "source_dup_mass",
-    oracle="""
+def _dup_mass_report(spark: SparkSession, sf_dir: str, keys: list[str]) -> DataFrame:
+    """ONE dup-mass attribution body shared by `source_dup_mass` and
+    `dup_mass_by_lang_cross`, parameterized by the grouping grain: reads
+    the shared ``_dup_mass_base`` scan, computes the corpus-global
+    keep-MIN(doc_id) winners, and folds count/token/dup-token mass per
+    key tuple — so an edit to the dup-token convention (keep tie-break,
+    NULL-ratio guard) cannot desynchronize the cross-tab from the
+    per-source attribution it marginalizes to."""
+    t = _dup_mass_base(spark, sf_dir)
+    keep = t.groupBy("fp").agg(F.min("doc_id").alias("keep_doc_id"))
+    dup_toks = F.sum(
+        F.when(F.col("doc_id") != F.col("keep_doc_id"), F.col("n_tokens")).otherwise(
+            F.lit(0)
+        )
+    )
+    return (
+        t.join(keep, "fp")
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            dup_toks.alias("dup_tokens"),
+            rnd(
+                dup_toks.cast("double")
+                / F.nullif(F.sum("n_tokens"), F.lit(0)),
+                6,
+            ).alias("dup_mass_ratio"),
+        )
+    )
+
+
+def _dup_mass_oracle(keys_sql: str) -> str:
+    """Oracle-SQL twin of :func:`_dup_mass_report`, parameterized by the
+    same grouping grain (a comma-separated column list)."""
+    return f"""
     WITH t AS (
-      SELECT source, doc_id, md5(text) AS fp,
+      SELECT source, lang, doc_id, md5(text) AS fp,
              CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
                                   x -> x <> '')) AS BIGINT) AS n_tokens
       FROM documents
     ), keep AS (
       SELECT fp, MIN(doc_id) AS keep_doc_id FROM t GROUP BY fp
     )
-    SELECT t.source,
+    SELECT {keys_sql},
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(t.n_tokens) AS BIGINT) AS total_tokens,
            CAST(SUM(CASE WHEN t.doc_id <> k.keep_doc_id THEN t.n_tokens
@@ -1232,8 +1264,13 @@ def _dup_mass_base(spark: SparkSession, sf_dir: str) -> DataFrame:
                   / nullif(SUM(t.n_tokens), 0)) * 1000000 + 0.5)
              / 1000000 AS dup_mass_ratio
     FROM t JOIN keep k USING (fp)
-    GROUP BY t.source
-    """,
+    GROUP BY {keys_sql}
+    """
+
+
+@query(
+    "source_dup_mass",
+    oracle=_dup_mass_oracle("t.source"),
     tags=("dedup", "stats", "llm"),
 )
 def source_dup_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1254,27 +1291,7 @@ def source_dup_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     single correctly-rounded division of exact integer sums, rounded at
     1e-6; zero-token sources yield a NULL ratio in both engines.
     """
-    t = _dup_mass_base(spark, sf_dir)
-    keep = t.groupBy("fp").agg(F.min("doc_id").alias("keep_doc_id"))
-    dup_toks = F.sum(
-        F.when(F.col("doc_id") != F.col("keep_doc_id"), F.col("n_tokens")).otherwise(
-            F.lit(0)
-        )
-    )
-    return (
-        t.join(keep, "fp")
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tokens").alias("total_tokens"),
-            dup_toks.alias("dup_tokens"),
-            rnd(
-                dup_toks.cast("double")
-                / F.nullif(F.sum("n_tokens"), F.lit(0)),
-                6,
-            ).alias("dup_mass_ratio"),
-        )
-    )
+    return _dup_mass_report(spark, sf_dir, ["source"])
 
 
 @query(
@@ -1648,27 +1665,7 @@ def doc_repeated_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dup_mass_by_lang_cross",
-    oracle="""
-    WITH t AS (
-      SELECT source, lang, doc_id, md5(text) AS fp,
-             CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-                                  x -> x <> '')) AS BIGINT) AS n_tokens
-      FROM documents
-    ), keep AS (
-      SELECT fp, MIN(doc_id) AS keep_doc_id FROM t GROUP BY fp
-    )
-    SELECT t.source, t.lang,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(t.n_tokens) AS BIGINT) AS total_tokens,
-           CAST(SUM(CASE WHEN t.doc_id <> k.keep_doc_id THEN t.n_tokens
-                         ELSE 0 END) AS BIGINT) AS dup_tokens,
-           floor((CAST(SUM(CASE WHEN t.doc_id <> k.keep_doc_id THEN t.n_tokens
-                               ELSE 0 END) AS DOUBLE)
-                  / nullif(SUM(t.n_tokens), 0)) * 1000000 + 0.5)
-             / 1000000 AS dup_mass_ratio
-    FROM t JOIN keep k USING (fp)
-    GROUP BY t.source, t.lang
-    """,
+    oracle=_dup_mass_oracle("t.source, t.lang"),
     tags=("dedup", "stats", "llm"),
 )
 def dup_mass_by_lang_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1692,24 +1689,4 @@ def dup_mass_by_lang_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded at 1e-6; zero-token cells yield a NULL ratio in both
     engines.
     """
-    t = _dup_mass_base(spark, sf_dir)
-    keep = t.groupBy("fp").agg(F.min("doc_id").alias("keep_doc_id"))
-    dup_toks = F.sum(
-        F.when(F.col("doc_id") != F.col("keep_doc_id"), F.col("n_tokens")).otherwise(
-            F.lit(0)
-        )
-    )
-    return (
-        t.join(keep, "fp")
-        .groupBy("source", "lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tokens").alias("total_tokens"),
-            dup_toks.alias("dup_tokens"),
-            rnd(
-                dup_toks.cast("double")
-                / F.nullif(F.sum("n_tokens"), F.lit(0)),
-                6,
-            ).alias("dup_mass_ratio"),
-        )
-    )
+    return _dup_mass_report(spark, sf_dir, ["source", "lang"])

@@ -1542,9 +1542,11 @@ def bigram_pairs_col(toks: F.Column) -> F.Column:
     """Adjacent-token bigram structs of a token-array column — zip_with
     over two shifted slice views (constant re-splitting per row, the
     `shingles_col` lesson). Docs with <2 tokens yield an empty array.
-    Shared by `doc_bigram_cond_entropy` and `ngram_lm_bigram_logloss` so
-    the bigram convention cannot desynchronize between the per-doc
-    entropy and the corpus-LM scorer."""
+    Shared by `doc_bigram_cond_entropy`, `ngram_lm_bigram_logloss`, and
+    `source_bigram_js_divergence` (the latter two via
+    `_bigram_incidence`) so the bigram convention cannot desynchronize
+    between the per-doc entropy, the corpus-LM scorer, and the
+    source-drift metric."""
     m = F.size(toks) - 1
     return F.when(
         F.size(toks) >= 2,
@@ -1556,16 +1558,48 @@ def bigram_pairs_col(toks: F.Column) -> F.Column:
     ).otherwise(F.array().cast("array<struct<x:string,y:string>>"))
 
 
-# Oracle-SQL form of :func:`bigram_pairs_col` — two aligned unnests over
-# generate_series, shared by the same two oracles.
-BIGRAM_SQL = """
-      SELECT doc_id,
+def bigram_sql(key: str = "doc_id") -> str:
+    """Oracle-SQL form of :func:`bigram_pairs_col` — two aligned unnests
+    over generate_series from a CTE ``t(key, toks)``, parameterized by
+    the carried key column so every bigram oracle (doc-keyed entropy/LM,
+    source-keyed JSD) interpolates the SAME convention."""
+    return f"""
+      SELECT {key},
              unnest(list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
                                    i -> toks[i])) AS x,
              unnest(list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
                                    i -> toks[i+1])) AS y
       FROM t
 """
+
+
+# Backward-compatible doc-keyed form (existing oracles interpolate this).
+BIGRAM_SQL = bigram_sql("doc_id")
+
+
+def _bigram_incidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (doc_id, source, x, y, c) adjacent-bigram count table,
+    get-or-created under ONE sf_dir-keyed slot (the `_dup_mass_base` /
+    `_gram_incidence` discipline) so `ngram_lm_bigram_logloss` and
+    `source_bigram_js_divergence` share a single corpus-scale cached
+    copy per session instead of each paying its own tokenize+explode
+    pass. doc_id determines source, so the (doc_id, x, y) grouping
+    grain is unchanged by carrying source."""
+    from .cache import shared_persist
+
+    return shared_persist(
+        spark,
+        lambda: load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            F.explode(bigram_pairs_col(tokens_col())).alias("p"),
+        )
+        .select("doc_id", "source", F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+        .groupBy("doc_id", "source", "x", "y")
+        .agg(F.count(F.lit(1)).alias("c")),
+        f"bigram_incidence:{sf_dir}",
+    )
 
 
 @query(
@@ -1840,10 +1874,12 @@ def ngram_lm_bigram_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``test/user_tasks.cc:9-35``).
 
     Plan shape at 100 TB: ONE explode pass builds the (doc, x, y) bigram
-    count table (shuffle on the composite key, map-side partial),
-    persisted because three consumers read it — the corpus C(x,y) fold,
-    (via that) the C(x) fold, and the scoring join. Both corpus models
-    derive FROM the persisted table, never from a second bigram pass; V
+    count table (shuffle on the composite key, map-side partial) — the
+    shared `_bigram_incidence` slot, one cached copy per session serving
+    this query AND `source_bigram_js_divergence` — read here by three
+    consumers: the corpus C(x,y) fold, (via that) the C(x) fold, and the
+    scoring join. Both corpus models derive FROM the persisted table,
+    never from a second bigram pass; V
     is one extra scan-speed distinct-count over tokens (the only thing
     the bigram table can't supply: tokens of 1-token docs and the
     corpus-initial/final positions) folded to a 1-row broadcast. The
@@ -1857,15 +1893,7 @@ def ngram_lm_bigram_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
     and produce no row (mirrored by the oracle).
     """
     docs = load_table(spark, sf_dir, "documents")
-    dbg = tracked_persist(
-        docs.select(
-            "doc_id", F.explode(bigram_pairs_col(tokens_col())).alias("p")
-        )
-        .select("doc_id", F.col("p.x").alias("x"), F.col("p.y").alias("y"))
-        .groupBy("doc_id", "x", "y")
-        .agg(F.count(F.lit(1)).alias("c")),
-        f"bigram_lm_dbg:{sf_dir}",
-    )
+    dbg = _bigram_incidence(spark, sf_dir).select("doc_id", "x", "y", "c")
     cxy = dbg.groupBy("x", "y").agg(F.sum("c").alias("c_xy"))
     cx = cxy.groupBy("x").agg(F.sum("c_xy").alias("c_x"))
     v = docs.select(F.explode(tokens_col()).alias("term")).agg(
@@ -2050,13 +2078,7 @@ def source_zipf_alpha_mle(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_filter(regexp_split_to_array(lower(text), '{TOKEN_DELIM}'),
                          x -> x <> '') AS toks
       FROM documents
-    ), bg AS (
-      SELECT source,
-             unnest(list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
-                                   i -> toks[i])) AS x,
-             unnest(list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
-                                   i -> toks[i+1])) AS y
-      FROM t
+    ), bg AS ({bigram_sql("source")}
     ), st AS (
       SELECT source, x, y, CAST(COUNT(*) AS BIGINT) AS c_st FROM bg
       GROUP BY source, x, y
@@ -2095,25 +2117,22 @@ def source_bigram_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     the absent-bigram corpus mass folded in closed form as
     ½·ln 2·(1 − Σ q); bounded [0, ln 2].
 
-    Plan shape at 100 TB: one explode pass (shared `bigram_pairs_col`
-    convention) into a persisted (source, x, y) count table; the corpus
-    bigram model and the single-row total fold FROM that table (no
-    second corpus pass); one bigram-keyed shuffle join + broadcast
+    Plan shape at 100 TB: folds its (source, x, y) counts FROM the
+    shared persisted `_bigram_incidence` table (one cached copy per
+    session also serving `ngram_lm_bigram_logloss` — no tokenize or
+    explode pass of its own); the corpus bigram model and the
+    single-row total fold from the same table (no second corpus pass);
+    one bigram-keyed shuffle join + broadcast
     per-source totals; |sources|-row output. Same machinery and
     asymptotics as the unigram JSD with the key widened to (x, y) —
     bigram-type-bounded, never corpus-scale after the first fold. 1e-6
     rounding absorbs summation-order noise and the ≤1-ulp ln(2)
     difference between libm and Math.log.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    st = tracked_persist(
-        docs.select(
-            "source", F.explode(bigram_pairs_col(tokens_col())).alias("p")
-        )
-        .select("source", F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+    st = (
+        _bigram_incidence(spark, sf_dir)
         .groupBy("source", "x", "y")
-        .agg(F.count(F.lit(1)).alias("c_st")),
-        f"source_bigram_jsd:{sf_dir}",
+        .agg(F.sum("c").alias("c_st"))
     )
     s_tot = st.groupBy("source").agg(F.sum("c_st").alias("c_s"))
     g = st.groupBy("x", "y").agg(F.sum("c_st").alias("g_t"))

@@ -538,16 +538,32 @@ def test_packing_overflow_report_matches_scalar_packing(spark, sf_dir):
 
     cum: dict[str, int] = {}
     expect = {}
+    placement: dict[tuple, list] = {}  # (lang, bin) -> [n_docs, bin_tokens]
     for doc_id, lang, text in docs:
         n = len([t for t in re.split(r"[^a-z0-9]+", text.lower()) if t])
         start = cum.get(lang, 0)
         cum[lang] = start + n
+        b = start // _PACK_BUDGET
+        p = placement.setdefault((lang, b), [0, 0])
+        p[0] += 1
+        p[1] += n
         if n < 1:
             continue
-        start_bin = start // _PACK_BUDGET
+        start_bin = b
         end_bin = (start + n - 1) // _PACK_BUDGET
         if end_bin > start_bin:
             expect[doc_id] = (lang, n, start_bin, end_bin)
+    # The worklist must be consistent with pack_sequences' OWN placement,
+    # not just with an independent re-derivation: the registered packer's
+    # per-bin occupancy must match the same scalar placement that start_bin
+    # is checked against below, pinning the cross-operator contract.
+    from mapreduce_infrastructure_spark.llm.sampling import pack_sequences
+
+    packed = {
+        (r.lang, r.bin): (r.n_docs, r.bin_tokens)
+        for r in pack_sequences(spark, sf_dir).collect()
+    }
+    assert packed == {k: tuple(v) for k, v in placement.items()}
     assert set(rows) == set(expect)
     for doc_id, (lang, n, sb, eb) in expect.items():
         got = rows[doc_id]

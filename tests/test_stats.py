@@ -147,11 +147,20 @@ def test_event_interarrival_stats_scalar_reference(spark, sf_dir):
     tbl = pq.read_table(
         f"{sf_dir}/events.parquet", columns=["event_type", "user_id", "ts", "event_id"]
     ).to_pydict()
+    from datetime import datetime
+
+    epoch = datetime(1970, 1, 1)
     streams: dict[tuple, list] = {}
     for et, uid, ts, eid in zip(
         tbl["event_type"], tbl["user_id"], tbl["ts"], tbl["event_id"]
     ):
-        us = ts.value // 1000 if hasattr(ts, "value") else int(ts.timestamp() * 1e6)
+        # Exact integer µs via timedelta arithmetic: tz-naive fixture
+        # timestamps REPRESENT UTC, and .timestamp() would reinterpret
+        # them in the machine's local timezone (a DST-straddling fixture
+        # span would shift one reference gap by 3600 s) with float µs
+        # rounding on top.
+        td = ts - epoch
+        us = (td.days * 86_400 + td.seconds) * 1_000_000 + td.microseconds
         streams.setdefault((uid, et), []).append((us, eid))
     gaps: dict[str, list] = {}
     n_first = 0

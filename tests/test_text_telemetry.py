@@ -1246,7 +1246,7 @@ def test_source_char_class_profile_partitions_and_scalar_reference(spark, sf_dir
         e[0] += 1
         e[1] += len(text)
         e[2] += sum(1 for ch in text if ch.isascii() and ch.isalpha())
-        e[3] += sum(1 for ch in text if ch.isdigit())
+        e[3] += sum(1 for ch in text if ch.isascii() and ch.isdigit())
         e[4] += sum(1 for ch in text if ch in " \t\n\r")
     assert set(rows) == set(expect)
     for source, (nd, n, a, d, sp) in expect.items():
