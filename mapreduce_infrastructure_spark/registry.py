@@ -66,6 +66,8 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # tests/test_oracle_queries.py still mirrors every oracle-backed query
 # each pytest run.
 CERTIFIED_FIRST: tuple[str, ...] = (
+    # --- new in round 8, wave 7: exact distributed PCA (rows-only) ---
+    "embedding_pca_top_components",
     # --- new in round 8, wave 6: bigram-JSD/length-percentile/
     # inter-arrival telemetry (3) ---
     "source_bigram_js_divergence",
@@ -123,8 +125,8 @@ CERTIFIED_FIRST: tuple[str, ...] = (
     "tfidf_top_terms",
     "token_counts_bpe",
     "corpus_clean_pipeline",
-    "dedup_exact",
-    # (ngram_jaccard_pairs, minhash_lsh_pairs, simhash_neardup_pairs
+    # (dedup_exact displaced by wave 7;
+    #  ngram_jaccard_pairs, minhash_lsh_pairs, simhash_neardup_pairs
     #  displaced by wave 6; containment_pairs, dedup_clusters,
     #  substring_dedup, knn_bruteforce displaced by wave 5;
     #  neardup_cosine_pairs, ann_ivf_topk, neardup_cosine_ivf,

@@ -826,3 +826,49 @@ def test_minhash_estimator_calibration_vs_exact_jaccard(spark, sf_dir):
     # Mean of per-pair binomial errors: generous 3/sqrt(k·n_pairs)-ish bar
     # (pairs share docs so they are not fully independent).
     assert abs(mean_err) <= max(0.05, 3.0 / math.sqrt(N_HASHES * len(errors))), mean_err
+
+
+def test_embedding_pca_matches_numpy_eigh(spark, sf_dir):
+    """The distributed Gram-partial PCA must match a single-machine numpy
+    eigendecomposition of the full-data covariance: eigenvalues equal,
+    loading vectors aligned (|cos| ≈ 1 — the exact method has no
+    iteration error, so even this fixture's near-flat spectrum must
+    align tightly), components orthonormal with the documented sign fix,
+    and explained ratios consistent with the covariance trace."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from mapreduce_infrastructure_spark.llm.similarity import (
+        _PCA_TOP_K,
+        embedding_pca_top_components,
+    )
+
+    rows = embedding_pca_top_components(spark, sf_dir).collect()
+    m = np.asarray(
+        pq.read_table(f"{sf_dir}/embeddings.parquet").to_pydict()["embedding"],
+        dtype=np.float64,
+    )
+    n, d = m.shape
+    assert len(rows) == _PCA_TOP_K * d
+    c = m - m.mean(axis=0)
+    cov = c.T @ c / n
+    w, v = np.linalg.eigh(cov)
+    total = np.trace(cov)
+    comps = {}
+    for r in rows:
+        comps.setdefault(r.component, {})[r.dim] = r
+    for k in range(1, _PCA_TOP_K + 1):
+        vec = np.array([comps[k][i + 1].loading for i in range(d)])
+        lam = comps[k][1].eigenvalue
+        ref = v[:, -k]
+        assert abs(lam - w[-k]) <= 2e-6
+        assert abs(abs(vec @ ref) - 1.0) <= 1e-4, (k, abs(vec @ ref))
+        assert abs(np.linalg.norm(vec) - 1.0) <= 1e-4
+        assert vec[int(np.argmax(np.abs(vec)))] > 0  # sign convention
+        assert abs(comps[k][1].explained_var_ratio - w[-k] / total) <= 2e-6
+    # orthogonality across the returned components
+    for a in range(1, _PCA_TOP_K + 1):
+        for b in range(a + 1, _PCA_TOP_K + 1):
+            va = np.array([comps[a][i + 1].loading for i in range(d)])
+            vb = np.array([comps[b][i + 1].loading for i in range(d)])
+            assert abs(va @ vb) <= 1e-3
