@@ -66,6 +66,8 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # tests/test_oracle_queries.py still mirrors every oracle-backed query
 # each pytest run.
 CERTIFIED_FIRST: tuple[str, ...] = (
+    # --- new in round 8, wave 8: streaming top-K ranked state ---
+    "stream_topk_users_per_window",
     # --- new in round 8, wave 7: exact distributed PCA (rows-only) ---
     "embedding_pca_top_components",
     # --- new in round 8, wave 6: bigram-JSD/length-percentile/
@@ -123,9 +125,8 @@ CERTIFIED_FIRST: tuple[str, ...] = (
     "quality_scores",
     "lang_id_heuristic",
     "tfidf_top_terms",
-    "token_counts_bpe",
     "corpus_clean_pipeline",
-    # (dedup_exact displaced by wave 7;
+    # (token_counts_bpe displaced by wave 8; dedup_exact by wave 7;
     #  ngram_jaccard_pairs, minhash_lsh_pairs, simhash_neardup_pairs
     #  displaced by wave 6; containment_pairs, dedup_clusters,
     #  substring_dedup, knn_bruteforce displaced by wave 5;

@@ -263,3 +263,80 @@ def test_stream_anomaly_survives_identical_value_window(spark, tmp_path):
         assert r.flag == "ok"
         if r.n_window >= 2:
             assert r.std_20 is None or math.isnan(r.std_20) or r.std_20 == 0.0
+
+
+def test_stream_topk_multibatch_ranked_state(spark, sf_dir, tmp_path):
+    """The ranked keyed state must merge across micro-batches: split the
+    event log into two time-ordered files, force one file per trigger,
+    and the final per-window top-3 must equal a batch recomputation —
+    in particular a user who is ranked low in batch 1 but overtakes in
+    batch 2 must surface, which only works because state keeps the FULL
+    per-user count map, not just the current leaders."""
+    import os
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from mapreduce_infrastructure_spark.catalog import load_table
+    from mapreduce_infrastructure_spark.streaming.stream import (
+        _topk_window_fn,
+        run_to_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    early = ev.filter(F.col("ts") < F.lit("2024-01-15")).orderBy("ts")
+    late = ev.filter(F.col("ts") >= F.lit("2024-01-15")).orderBy("ts")
+    early.coalesce(1).write.parquet(os.path.join(src, "b=1"))
+    late.coalesce(1).write.parquet(os.path.join(src, "b=2"))
+
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string"
+    )
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b=*")
+        .select(F.expr("unix_micros(ts) div 3600000000").alias("h"), "user_id")
+        .groupBy("h")
+        .applyInPandasWithState(
+            _topk_window_fn,
+            outputStructType=(
+                "wstart bigint, n_total bigint, users array<bigint>, "
+                "counts array<bigint>"
+            ),
+            stateStructType="users array<bigint>, counts array<bigint>",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    per_batch = run_to_table(sdf, "topk_multibatch_test", mode="update")
+    final = (
+        per_batch.groupBy("wstart")
+        .agg(F.max(F.struct("n_total", "users", "counts")).alias("s"))
+        .collect()
+    )
+    got = {
+        r.wstart: list(zip(r.s.users, r.s.counts)) for r in final
+    }
+    # batch reference from the raw parquet
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    ).to_pydict()
+    from datetime import datetime
+
+    epoch = datetime(1970, 1, 1)
+    counts: dict[int, dict] = {}
+    for ts, uid in zip(tbl["ts"], tbl["user_id"]):
+        td = ts - epoch
+        us = (td.days * 86_400 + td.seconds) * 1_000_000 + td.microseconds
+        w = (us // 3_600_000_000) * 3600
+        counts.setdefault(w, {}).setdefault(uid, 0)
+        counts[w][uid] += 1
+    assert set(got) == set(counts)
+    for w, users in counts.items():
+        top = sorted(users.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        assert got[w] == top, (w, got[w], top)
