@@ -135,3 +135,73 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.element_at("feature", 1), 1).alias("f0"),
         rnd(F.element_at("feature", 4), 1).alias("f3"),
     )
+
+
+_FRAME_BYTES = 32
+_FRAME_STRIDE = 64
+_MAX_FRAMES = 8
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, text, unnest(generate_series(0, {_MAX_FRAMES - 1})) AS idx
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(idx AS INTEGER) AS frame_idx,
+           CAST(idx * {_FRAME_STRIDE} + 1 AS BIGINT) AS frame_off,
+           CAST(octet_length(encode(substring(text,
+                 CAST(idx * {_FRAME_STRIDE} + 1 AS BIGINT), {_FRAME_BYTES})))
+             AS BIGINT) AS n_frame_bytes,
+           md5(substring(text, CAST(idx * {_FRAME_STRIDE} + 1 AS BIGINT),
+               {_FRAME_BYTES})) AS frame_md5
+    FROM f
+    WHERE idx * {_FRAME_STRIDE} + 1 <= octet_length(encode(text))
+    """,
+    tags=("multimodal", "sampling"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over opaque binary payloads — the video-style
+    multimodal primitive (grab every k-th fixed-size frame, up to N, for
+    downstream decode/embedding): 32-byte frames at stride 64, first 8
+    frames per payload, each emitted with its offset, actual byte count
+    (the tail frame may be short) and an md5 fingerprint so a
+    downstream de-duplicator can drop repeated frames without touching
+    payload bytes again. Entirely JVM-side — binary `substring` and
+    `md5` are codegen'd expressions; no Python, no decode (a real
+    pipeline points `decode_payload` at each sampled frame).
+
+    Oracle note: DuckDB cannot slice BLOBs, so the oracle slices the
+    TEXT and relies on byte-offset ≡ char-offset, which holds because
+    the fixture corpus is pure ASCII — a premise PINNED by
+    tests/test_filters.py::test_frame_sample_ascii_premise_and_scalar_reference
+    (md5(VARCHAR) hashes the same UTF-8 bytes Spark's binary md5 sees).
+    The OPERATOR itself is byte-correct for arbitrary binary payloads.
+
+    Plan shape at 100 TB: one scan, an 8-element array explode (bounded
+    fan-out, unlike token explodes), scan-speed slicing/hashing, a
+    selective length filter; no shuffle at all — the shuffle-free
+    sampling front of a decode pipeline, with `maxPartitionBytes` sizing
+    batches so frames of fat payloads fit executor memory (see module
+    docstring).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pay = attach_payload(docs)
+    n = F.length("payload")
+    frames = pay.select(
+        "doc_id",
+        "payload",
+        n.alias("n_bytes"),
+        F.explode(F.sequence(F.lit(0), F.lit(_MAX_FRAMES - 1))).alias("idx"),
+    ).filter(F.col("idx") * _FRAME_STRIDE + 1 <= F.col("n_bytes"))
+    off = F.col("idx") * _FRAME_STRIDE + 1
+    frame = F.substring(F.col("payload"), off, F.lit(_FRAME_BYTES))
+    return frames.select(
+        "doc_id",
+        F.col("idx").cast("int").alias("frame_idx"),
+        off.cast("long").alias("frame_off"),
+        F.length(frame).cast("long").alias("n_frame_bytes"),
+        F.md5(frame).alias("frame_md5"),
+    )

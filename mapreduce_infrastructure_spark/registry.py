@@ -66,6 +66,8 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # tests/test_oracle_queries.py still mirrors every oracle-backed query
 # each pytest run.
 CERTIFIED_FIRST: tuple[str, ...] = (
+    # --- new in round 8, wave 9: multimodal frame sampling ---
+    "multimodal_frame_sample",
     # --- new in round 8, wave 8: streaming top-K ranked state ---
     "stream_topk_users_per_window",
     # --- new in round 8, wave 7: exact distributed PCA (rows-only) ---
@@ -124,9 +126,9 @@ CERTIFIED_FIRST: tuple[str, ...] = (
     "doc_fingerprint",
     "quality_scores",
     "lang_id_heuristic",
-    "tfidf_top_terms",
     "corpus_clean_pipeline",
-    # (token_counts_bpe displaced by wave 8; dedup_exact by wave 7;
+    # (tfidf_top_terms displaced by wave 9;
+    #  token_counts_bpe displaced by wave 8; dedup_exact by wave 7;
     #  ngram_jaccard_pairs, minhash_lsh_pairs, simhash_neardup_pairs
     #  displaced by wave 6; containment_pairs, dedup_clusters,
     #  substring_dedup, knn_bruteforce displaced by wave 5;

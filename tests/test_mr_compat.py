@@ -178,3 +178,45 @@ def test_multimodal_real_mode_stubbed():
 
     with pytest.raises(NotImplementedError):
         decode_payload(b"\x89PNG", mode="image")
+
+
+def test_frame_sample_ascii_premise_and_scalar_reference(spark, sf_dir):
+    """Pins (1) the oracle's premise — the fixture corpus is pure ASCII,
+    so the oracle's text-slice equals the operator's byte-slice — and
+    (2) a scalar recomputation of the sampled frames: offsets on the
+    stride grid, exact md5 per frame, short tail frames, and full
+    coverage of every payload long enough for at least one frame."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from mapreduce_infrastructure_spark.llm.multimodal import (
+        _FRAME_BYTES,
+        _FRAME_STRIDE,
+        _MAX_FRAMES,
+        multimodal_frame_sample,
+    )
+
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pydict()
+    assert all(t.isascii() for t in tbl["text"]), (
+        "oracle premise broken: corpus is no longer pure ASCII — "
+        "the text-slice oracle must be replaced with a byte-aware one"
+    )
+    rows = multimodal_frame_sample(spark, sf_dir).collect()
+    got = {(r.doc_id, r.frame_idx): r for r in rows}
+    expect_keys = set()
+    for doc_id, text in zip(tbl["doc_id"], tbl["text"]):
+        payload = text.encode("utf-8")
+        for idx in range(_MAX_FRAMES):
+            off = idx * _FRAME_STRIDE
+            if off >= len(payload):
+                break
+            expect_keys.add((doc_id, idx))
+            frame = payload[off : off + _FRAME_BYTES]
+            r = got[(doc_id, idx)]
+            assert r.frame_off == off + 1
+            assert r.n_frame_bytes == len(frame)
+            assert r.frame_md5 == hashlib.md5(frame).hexdigest()
+    assert set(got) == expect_keys
