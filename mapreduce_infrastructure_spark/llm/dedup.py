@@ -1690,3 +1690,75 @@ def dup_mass_by_lang_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines.
     """
     return _dup_mass_report(spark, sf_dir, ["source", "lang"])
+
+
+_INCR_OLD_MAX = 250  # doc_id < 250 stands in for the previously-ingested corpus
+
+
+@query(
+    "dedup_incremental_new_batch",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, md5(text) AS fp FROM documents
+    ), old_fp AS (
+      SELECT DISTINCT fp FROM t WHERE doc_id < {_INCR_OLD_MAX}
+    ), batch AS (
+      SELECT doc_id, fp FROM t WHERE doc_id >= {_INCR_OLD_MAX}
+    ), first_in_batch AS (
+      SELECT fp, MIN(doc_id) AS first_doc FROM batch GROUP BY fp
+    )
+    SELECT b.doc_id,
+           CASE WHEN o.fp IS NOT NULL THEN 'dup_of_old'
+                WHEN b.doc_id <> f.first_doc THEN 'dup_in_batch'
+                ELSE 'novel' END AS status
+    FROM batch b
+    JOIN first_in_batch f USING (fp)
+    LEFT JOIN old_fp o USING (fp)
+    """,
+    tags=("dedup", "incremental", "llm"),
+)
+def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL exact dedup — the shape a continuously-ingesting
+    pipeline actually runs: classify each document of the NEW batch
+    (doc_id ≥ 250; the boundary stands in for "everything ingested
+    before this crawl") as `dup_of_old` (its fingerprint already exists
+    in the ingested corpus — drop, the keeper is already stored),
+    `dup_in_batch` (first seen within this batch by another doc —
+    keep-MIN(doc_id), same convention as `dedup_exact`), or `novel`
+    (enters the corpus and its fingerprint joins the index).
+    `dedup_exact` answers "dedup the whole corpus at once"; this
+    answers "what does TODAY'S crawl add" without re-fingerprinting
+    history — at 100 TB the old side is a stored fingerprint INDEX
+    (16-byte keys), not the corpus.
+
+    Plan shape at 100 TB: fingerprints are scan-speed; the old side
+    reduces to a distinct-fp projection (in production: a pre-built
+    fingerprint table, read directly); the batch side folds its own
+    keep-first MIN in one fp-keyed aggregation; one fp-keyed left join
+    against the index. The join is new-batch-sized vs index-sized —
+    both shuffle hash joins on 16-byte keys, nothing pairwise, and
+    daily batch ≪ corpus makes the batch side the small one (AQE
+    decides broadcast; no hard hint, the index is SF-scaled). Statuses
+    are exact string facts — no floats anywhere.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.md5(F.col("text").cast("binary")).alias("fp"))
+    old_fp = (
+        t.filter(F.col("doc_id") < _INCR_OLD_MAX)
+        .select("fp")
+        .distinct()
+        .withColumn("in_old", F.lit(True))
+    )
+    batch = t.filter(F.col("doc_id") >= _INCR_OLD_MAX)
+    first = batch.groupBy("fp").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        batch.join(first, "fp")
+        .join(old_fp, "fp", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("in_old"), "dup_of_old")
+            .when(F.col("doc_id") != F.col("first_doc"), "dup_in_batch")
+            .otherwise("novel")
+            .alias("status"),
+        )
+    )

@@ -2205,3 +2205,71 @@ def doc_length_percentile_by_source(spark: SparkSession, sf_dir: str) -> DataFra
         "n_tokens",
         rnd(F.percent_rank().over(w), 6).alias("length_pct"),
     )
+
+
+@query(
+    "source_length_lognormal_fit",
+    oracle=f"""
+    WITH t AS (
+      SELECT source,
+             CAST(len(list_filter(regexp_split_to_array(lower(text), '{TOKEN_DELIM}'),
+                                  x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), s AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             SUM(ln(CAST(n_tokens AS DOUBLE))) AS sl,
+             SUM(ln(CAST(n_tokens AS DOUBLE)) * ln(CAST(n_tokens AS DOUBLE))) AS sl2
+      FROM t WHERE n_tokens >= 1 GROUP BY source
+    )
+    SELECT source, n_docs,
+           floor((sl / n_docs) * 1000000 + 0.5) / 1000000 AS mu_log,
+           floor(sqrt(greatest(sl2 / n_docs - (sl / n_docs) * (sl / n_docs), 0.0))
+                 * 1000000 + 0.5) / 1000000 AS sigma_log,
+           floor(exp(sl / n_docs) * 1000000 + 0.5) / 1000000 AS median_est
+    FROM s
+    """,
+    tags=("text", "stats", "llm"),
+)
+def source_length_lognormal_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lognormal fit of the document-length distribution —
+    the MLE (μ, σ) of ln(token count) plus the implied median exp(μ).
+    Document lengths are canonically lognormal-ish; a source whose σ
+    collapses is stamping fixed-size templates, one whose μ drifts down
+    is fragmenting pages — the LENGTH-distribution companion to
+    `source_zipf_alpha_mle` (term frequencies) and the model behind
+    choosing `pack_sequences`' budget (a 2048-token bin holds
+    ~2048/exp(μ) median docs). Zero-token docs carry no length
+    information and are excluded (both engines).
+
+    Plan shape at 100 TB: token count and its log are scan-speed
+    expressions folded in ONE map-side-partial aggregation to |sources|
+    rows — same shape as `source_char_class_profile`, no joins, no
+    second pass. ln of an exact integer is correctly rounded in both
+    engines; the moment sums accumulate in engine-specific order
+    (~1e-15 relative) and every output rounds at 1e-6; the variance is
+    computed from the sums in one double expression with identical
+    operand order in both engines, clamped ≥ 0 against last-ulp
+    cancellation (population σ, the MLE).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ln_n = F.log(F.size(tokens_col()).cast("double"))
+    s = (
+        docs.select("source", F.size(tokens_col()).alias("nt"), ln_n.alias("l"))
+        .filter(F.col("nt") >= 1)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("l").alias("sl"),
+            F.sum(F.col("l") * F.col("l")).alias("sl2"),
+        )
+    )
+    mu = F.col("sl") / F.col("n_docs")
+    var = F.greatest(F.col("sl2") / F.col("n_docs") - mu * mu, F.lit(0.0))
+    return s.select(
+        "source",
+        "n_docs",
+        rnd(mu, 6).alias("mu_log"),
+        rnd(F.sqrt(var), 6).alias("sigma_log"),
+        rnd(F.exp(mu), 6).alias("median_est"),
+    )

@@ -66,6 +66,9 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # tests/test_oracle_queries.py still mirrors every oracle-backed query
 # each pytest run.
 CERTIFIED_FIRST: tuple[str, ...] = (
+    # --- new in round 8, wave 10: incremental dedup + length model ---
+    "dedup_incremental_new_batch",
+    "source_length_lognormal_fit",
     # --- new in round 8, wave 9: multimodal frame sampling ---
     "multimodal_frame_sample",
     # --- new in round 8, wave 8: streaming top-K ranked state ---
@@ -121,13 +124,12 @@ CERTIFIED_FIRST: tuple[str, ...] = (
     "zorder_pruning_stats",
     # --- remaining r4-vintage rows (22, rounds-2-4 window order; the three
     # rows-only entries were displaced by wave 3 and rotate in round 9) ---
-    "text_stats_by_lang",
-    "doc_token_counts",
     "doc_fingerprint",
     "quality_scores",
     "lang_id_heuristic",
     "corpus_clean_pipeline",
-    # (tfidf_top_terms displaced by wave 9;
+    # (text_stats_by_lang, doc_token_counts displaced by wave 10;
+    #  tfidf_top_terms displaced by wave 9;
     #  token_counts_bpe displaced by wave 8; dedup_exact by wave 7;
     #  ngram_jaccard_pairs, minhash_lsh_pairs, simhash_neardup_pairs
     #  displaced by wave 6; containment_pairs, dedup_clusters,

@@ -872,3 +872,48 @@ def test_embedding_pca_matches_numpy_eigh(spark, sf_dir):
             va = np.array([comps[a][i + 1].loading for i in range(d)])
             vb = np.array([comps[b][i + 1].loading for i in range(d)])
             assert abs(va @ vb) <= 1e-3
+
+
+def test_incremental_dedup_consistent_with_full_dedup(spark, sf_dir):
+    """The incremental classification must agree with the full-corpus
+    dedup convention: a batch doc is dup_of_old iff its fingerprint
+    occurs before the boundary, dup_in_batch iff its batch keep-first
+    predecessor exists but no old occurrence does, else novel — checked
+    against a scalar recomputation AND against dedup_exact's keepers
+    (every 'novel' doc is its fingerprint's batch-side keeper; any doc
+    dedup_exact would keep that sits in the batch is never dup_of_old)."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from mapreduce_infrastructure_spark.llm.dedup import (
+        _INCR_OLD_MAX,
+        dedup_exact,
+        dedup_incremental_new_batch,
+    )
+
+    rows = {r.doc_id: r.status for r in dedup_incremental_new_batch(spark, sf_dir).collect()}
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pydict()
+    fp = {d: hashlib.md5(t.encode()).hexdigest() for d, t in zip(tbl["doc_id"], tbl["text"])}
+    old_fps = {fp[d] for d in fp if d < _INCR_OLD_MAX}
+    batch = sorted(d for d in fp if d >= _INCR_OLD_MAX)
+    assert set(rows) == set(batch)
+    first_in_batch: dict[str, int] = {}
+    for d in batch:
+        first_in_batch.setdefault(fp[d], d)
+    for d in batch:
+        if fp[d] in old_fps:
+            want = "dup_of_old"
+        elif first_in_batch[fp[d]] != d:
+            want = "dup_in_batch"
+        else:
+            want = "novel"
+        assert rows[d] == want, (d, rows[d], want)
+    keepers = {r.keep_doc_id for r in dedup_exact(spark, sf_dir).collect()}
+    for d in batch:
+        if rows[d] == "novel":
+            assert first_in_batch[fp[d]] == d
+        if d in keepers:  # global keeper in the batch ⇒ fp unseen before it
+            assert rows[d] != "dup_of_old"

@@ -1366,3 +1366,31 @@ def test_doc_length_percentile_scalar_reference(spark, sf_dir):
         assert rows[docs[0][1]].length_pct == 0.0
         if n > 1:
             assert rows[docs[-1][1]].length_pct == 1.0
+
+
+def test_source_length_lognormal_scalar_reference(spark, sf_dir):
+    """(μ, σ, median) match a scalar recomputation over ln token counts
+    (population MLE, zero-token docs excluded), σ ≥ 0, and the median
+    estimate is exp(μ)."""
+    from mapreduce_infrastructure_spark.llm.text import source_length_lognormal_fit
+
+    rows = {r.source: r for r in source_length_lognormal_fit(spark, sf_dir).collect()}
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    ).to_pydict()
+    lens: dict[str, list] = {}
+    for source, text in zip(tbl["source"], tbl["text"]):
+        n = len(_tokens(text))
+        if n >= 1:
+            lens.setdefault(source, []).append(math.log(n))
+    assert set(rows) == set(lens)
+    for source, ls in lens.items():
+        n = len(ls)
+        mu = sum(ls) / n
+        var = sum(l * l for l in ls) / n - mu * mu
+        got = rows[source]
+        assert got.n_docs == n
+        assert got.sigma_log >= 0.0
+        assert abs(got.mu_log - mu) <= 2e-6
+        assert abs(got.sigma_log - math.sqrt(max(var, 0.0))) <= 2e-6
+        assert abs(got.median_est - math.exp(mu)) <= max(2e-6, 1e-5 * math.exp(mu))
