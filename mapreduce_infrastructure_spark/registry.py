@@ -66,6 +66,9 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # tests/test_oracle_queries.py still mirrors every oracle-backed query
 # each pytest run.
 CERTIFIED_FIRST: tuple[str, ...] = (
+    # --- new in round 8, wave 11: XML + binaryFile source formats ---
+    "xml_roundtrip_region",
+    "binaryfile_ingest_stats",
     # --- new in round 8, wave 10: incremental dedup + length model ---
     "dedup_incremental_new_batch",
     "source_length_lognormal_fit",
@@ -121,14 +124,15 @@ CERTIFIED_FIRST: tuple[str, ...] = (
     "session_window_30m",
     "parquet_partitioned_prune",
     "bucketed_join_orders_customer",
-    "zorder_pruning_stats",
+    # (zorder_pruning_stats displaced by wave 11 — rows-only, weakest
+    #  driver signal, same policy as the wave-3/6 rows-only displacements)
     # --- remaining r4-vintage rows (22, rounds-2-4 window order; the three
     # rows-only entries were displaced by wave 3 and rotate in round 9) ---
-    "doc_fingerprint",
     "quality_scores",
     "lang_id_heuristic",
     "corpus_clean_pipeline",
-    # (text_stats_by_lang, doc_token_counts displaced by wave 10;
+    # (doc_fingerprint displaced by wave 11;
+    #  text_stats_by_lang, doc_token_counts displaced by wave 10;
     #  tfidf_top_terms displaced by wave 9;
     #  token_counts_bpe displaced by wave 8; dedup_exact by wave 7;
     #  ngram_jaccard_pairs, minhash_lsh_pairs, simhash_neardup_pairs

@@ -354,3 +354,99 @@ def avro_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(out)
         .select("n_nationkey", "n_name", "n_regionkey")
     )
+
+
+@query(
+    "xml_roundtrip_region",
+    oracle="SELECT r_regionkey, r_name FROM region",
+    tags=("source", "sink", "xml"),
+)
+def xml_roundtrip_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink → XML scan with a DECLARED schema — the document/feed
+    interchange format next to CSV/JSON (Spark 4 ships the former
+    spark-xml as a built-in source). Same schema-on-read contract as
+    `csv_roundtrip_nation`: the read trusts the DDL instead of paying an
+    O(data) inference pass, and rowTag scoping means a 100 TB feed of
+    concatenated documents splits by element, not by line. The
+    dimension-sized region table keeps the roundtrip cheap; the format
+    machinery is identical for a fact-sized feed."""
+    out = sink_dir(sf_dir, "region_xml")
+    load_table(spark, sf_dir, "region").write.mode("overwrite").format(
+        "xml"
+    ).option("rootTag", "regions").option("rowTag", "region").save(out)
+    return (
+        spark.read.format("xml")
+        .schema("r_regionkey int, r_name string")
+        .option("rowTag", "region")
+        .load(out)
+        .select("r_regionkey", "r_name")
+    )
+
+
+_BINARYFILE_N = 50  # bounded staging: doc_id < 50 written as one file each
+
+
+@query(
+    "binaryfile_ingest_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS payload_md5
+    FROM documents WHERE doc_id < {_BINARYFILE_N}
+    """,
+    tags=("source", "multimodal", "binary"),
+)
+def binaryfile_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`binaryFile` source ingestion — the entry point for multimodal
+    corpora: a directory of opaque media files read as (path, length,
+    content) rows, here reduced to per-file byte counts and md5
+    fingerprints with the doc id recovered from the file name. This is
+    the scan that feeds `multimodal_frame_sample`/`extract_features` in
+    a real pipeline (images/audio land as FILES, not parquet); at
+    100 TB the reader parallelizes over files and
+    `maxPartitionBytes`-sized batches of small files, content never
+    touches the driver. Staging note: the fixture has no media files,
+    so the query stages a BOUNDED set (doc_id < 50, one file per doc)
+    from the documents table via a driver loop — scaffolding that
+    simulates the external file drop, bounded by construction and
+    allowlisted; the distributed part is the binaryFile scan itself.
+    """
+    import hashlib
+
+    out = sink_dir(sf_dir, "payload_files")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _BINARYFILE_N)
+        .select("doc_id", "text")
+        .collect()
+    )
+    os.makedirs(out, exist_ok=True)
+    # Content-addressed staging marker: skip the rewrite when the staged
+    # set is already complete and current (same no-partial-write rule as
+    # the bucketing/zorder layout caches).
+    digest = hashlib.md5(
+        b"\x00".join(r.text.encode() for r in sorted(docs, key=lambda r: r.doc_id))
+    ).hexdigest()
+    marker = os.path.join(out, "_STAGED")
+    if not (
+        os.path.exists(marker) and open(marker).read() == digest
+    ):
+        for r in docs:
+            with open(os.path.join(out, f"doc_{r.doc_id}.bin"), "wb") as f:
+                f.write(r.text.encode())
+        with open(marker, "w") as f:
+            f.write(digest)
+    files = spark.read.format("binaryFile").option(
+        "pathGlobFilter", "*.bin"
+    ).load(out)
+    return files.select(
+        F.regexp_extract(
+            F.element_at(F.split(F.input_file_name(), "/"), -1),
+            r"doc_(\d+)\.bin",
+            1,
+        )
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5("content").alias("payload_md5"),
+    )

@@ -116,3 +116,56 @@ def test_avro_guard_raises_clear_error(spark, sf_dir):
     else:
         with pytest.raises(RuntimeError, match="spark-avro"):
             formats.avro_roundtrip_nation(spark, sf_dir)
+
+
+def test_xml_roundtrip_preserves_region(spark, sf_dir):
+    """The XML sink→scan roundtrip returns exactly the source rows (the
+    declared-schema read neither drops nor coerces), and rowTag scoping
+    yields one row per element."""
+    from mapreduce_infrastructure_spark.catalog import load_table
+    from mapreduce_infrastructure_spark.sources.formats import xml_roundtrip_region
+
+    got = sorted(
+        (r.r_regionkey, r.r_name) for r in xml_roundtrip_region(spark, sf_dir).collect()
+    )
+    want = sorted(
+        (r.r_regionkey, r.r_name)
+        for r in load_table(spark, sf_dir, "region").collect()
+    )
+    assert got == want
+
+
+def test_binaryfile_ingest_checksums_and_restage_skip(spark, sf_dir):
+    """binaryFile ingestion returns one row per staged file with exact
+    byte counts and md5s (scalar reference), and a second invocation
+    reuses the staged set (the content-addressed marker) instead of
+    rewriting — files keep their mtimes."""
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+
+    from mapreduce_infrastructure_spark.sources.formats import (
+        _BINARYFILE_N,
+        binaryfile_ingest_stats,
+        sink_dir,
+    )
+
+    rows = {r.doc_id: r for r in binaryfile_ingest_stats(spark, sf_dir).collect()}
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pydict()
+    expect = {
+        d: t for d, t in zip(tbl["doc_id"], tbl["text"]) if d < _BINARYFILE_N
+    }
+    assert set(rows) == set(expect)
+    for d, t in expect.items():
+        payload = t.encode()
+        assert rows[d].n_bytes == len(payload)
+        assert rows[d].payload_md5 == hashlib.md5(payload).hexdigest()
+    out = sink_dir(sf_dir, "payload_files")
+    sample = os.path.join(out, f"doc_{min(expect)}.bin")
+    mtime = os.path.getmtime(sample)
+    again = binaryfile_ingest_stats(spark, sf_dir).count()
+    assert again == len(expect)
+    assert os.path.getmtime(sample) == mtime  # restage skipped
