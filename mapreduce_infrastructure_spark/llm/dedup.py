@@ -105,6 +105,18 @@ def _gram_incidence(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def content_fp() -> F.Column:
+    """THE content fingerprint: md5 over the text's UTF-8 bytes — one
+    definition for every dedup-tier consumer (exact dedup, dup-mass
+    attribution, cross-source matrix, cluster histogram, incremental
+    batch dedup), byte-identical to the oracles' ``md5(text)``. A
+    future change (e.g. normalizing text first) lands everywhere at
+    once instead of silently desynchronizing the keeper conventions the
+    docstrings promise to share."""
+    return F.md5(F.col("text").cast("binary"))
+
+
+
 @query(
     "dedup_exact",
     oracle="""
@@ -123,7 +135,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier and runs before any near-dup pass."""
     docs = load_table(spark, sf_dir, "documents")
     return (
-        docs.select(F.md5(F.col("text").cast("binary")).alias("fp"), "doc_id")
+        docs.select(content_fp().alias("fp"), "doc_id")
         .groupBy("fp")
         .agg(
             F.min("doc_id").alias("keep_doc_id"),
@@ -1204,7 +1216,7 @@ def _dup_mass_base(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "lang",
             "doc_id",
-            F.md5(F.col("text").cast("binary")).alias("fp"),
+            content_fp().alias("fp"),
             F.size(tokens_col()).cast("long").alias("n_tokens"),
         ),
         f"dup_mass_base:{sf_dir}",
@@ -1331,7 +1343,7 @@ def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     c = (
-        docs.select(F.md5(F.col("text").cast("binary")).alias("fp"))
+        docs.select(content_fp().alias("fp"))
         .groupBy("fp")
         .agg(F.count(F.lit(1)).alias("cluster_size"))
     )
@@ -1559,7 +1571,7 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     fpc = (
-        docs.select(F.md5(F.col("text").cast("binary")).alias("fp"), "source")
+        docs.select(content_fp().alias("fp"), "source")
         .groupBy("fp", "source")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -1742,7 +1754,7 @@ def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     are exact string facts — no floats anywhere.
     """
     docs = load_table(spark, sf_dir, "documents")
-    t = docs.select("doc_id", F.md5(F.col("text").cast("binary")).alias("fp"))
+    t = docs.select("doc_id", content_fp().alias("fp"))
     old_fp = (
         t.filter(F.col("doc_id") < _INCR_OLD_MAX)
         .select("fp")

@@ -176,7 +176,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle note: DuckDB cannot slice BLOBs, so the oracle slices the
     TEXT and relies on byte-offset ≡ char-offset, which holds because
     the fixture corpus is pure ASCII — a premise PINNED by
-    tests/test_filters.py::test_frame_sample_ascii_premise_and_scalar_reference
+    tests/test_mr_compat.py::test_frame_sample_ascii_premise_and_scalar_reference
     (md5(VARCHAR) hashes the same UTF-8 bytes Spark's binary md5 sees).
     The OPERATOR itself is byte-correct for arbitrary binary payloads.
 

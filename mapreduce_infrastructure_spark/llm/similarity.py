@@ -1216,8 +1216,6 @@ def _gram_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch folds its vectors into one d-vector and one d×d matrix with
     numpy (vectorized, Arrow transfer), so the shuffle-free job output
     is #batches rows of size O(d²), never data-scale."""
-    import pandas as pd  # noqa: F401 (signature requirement)
-
     emb = load_table(spark, sf_dir, "embeddings").select(
         _as_double("embedding").alias("v")
     )
@@ -1272,6 +1270,11 @@ def embedding_pca_top_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     parts = _gram_partials(spark, sf_dir).collect()
+    if not parts:
+        raise ValueError(
+            "embedding_pca_top_components: embeddings table is empty — "
+            "no covariance to decompose"
+        )
     n = sum(p.n for p in parts)
     d = len(parts[0].s)
     s = np.zeros(d)
@@ -1289,6 +1292,9 @@ def embedding_pca_top_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         vec = v[:, -k]
         if vec[int(np.argmax(np.abs(vec)))] < 0:  # deterministic sign
             vec = -vec
+        # A constant corpus has zero total variance — every ratio is
+        # defined as 0.0 rather than nan (no dominant direction exists).
+        ratio = lam / total if total > 0.0 else 0.0
         for i in range(d):
             rows.append(
                 (
@@ -1296,7 +1302,7 @@ def embedding_pca_top_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                     i + 1,
                     round(float(vec[i]), 6),
                     round(lam, 6),
-                    round(lam / total, 6),
+                    round(ratio, 6),
                 )
             )
     return spark.createDataFrame(

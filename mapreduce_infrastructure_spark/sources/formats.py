@@ -423,14 +423,24 @@ def binaryfile_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(out, exist_ok=True)
     # Content-addressed staging marker: skip the rewrite when the staged
     # set is already complete and current (same no-partial-write rule as
-    # the bucketing/zorder layout caches).
+    # the bucketing/zorder layout caches). The digest covers doc_ids AND
+    # texts (a pure renumbering must restage — file NAMES change), and a
+    # restage first clears every previously staged .bin so a regenerated
+    # fixture with fewer/renumbered docs cannot leave stale files that
+    # the *.bin glob would scan into the result.
     digest = hashlib.md5(
-        b"\x00".join(r.text.encode() for r in sorted(docs, key=lambda r: r.doc_id))
+        b"\x00".join(
+            f"{r.doc_id}:".encode() + r.text.encode()
+            for r in sorted(docs, key=lambda r: r.doc_id)
+        )
     ).hexdigest()
     marker = os.path.join(out, "_STAGED")
     if not (
         os.path.exists(marker) and open(marker).read() == digest
     ):
+        for stale in os.listdir(out):
+            if stale.endswith(".bin"):
+                os.unlink(os.path.join(out, stale))
         for r in docs:
             with open(os.path.join(out, f"doc_{r.doc_id}.bin"), "wb") as f:
                 f.write(r.text.encode())
