@@ -113,6 +113,13 @@ FLAGSHIP_EXTRA = [
     "source_bigram_js_divergence",
     "doc_length_percentile_by_source",
     "event_interarrival_stats",
+    # round-8 waves 9-11 (batch-plan queries; PCA and the streaming top-K
+    # execute eagerly/driver-side and are audited by their tests instead)
+    "multimodal_frame_sample",
+    "dedup_incremental_new_batch",
+    "source_length_lognormal_fit",
+    "xml_roundtrip_region",
+    "binaryfile_ingest_stats",
 ]
 
 JOIN_KINDS = [
