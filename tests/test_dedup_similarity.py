@@ -917,3 +917,50 @@ def test_incremental_dedup_consistent_with_full_dedup(spark, sf_dir):
             assert first_in_batch[fp[d]] == d
         if d in keepers:  # global keeper in the batch ⇒ fp unseen before it
             assert rows[d] != "dup_of_old"
+
+
+def test_incremental_dedup_planted_duplicates_hit_all_statuses(spark, tmp_path):
+    """The fixture corpus has no duplicates across the ingest boundary
+    (every batch doc is 'novel' there), so this synthetic corpus plants
+    both dup kinds and pins each branch: a batch doc repeating an OLD
+    text is dup_of_old even when another batch doc shares it (old wins
+    over batch-first), a text first seen IN the batch marks its later
+    copies dup_in_batch and its first copy novel, and unique texts are
+    novel."""
+    from mapreduce_infrastructure_spark.llm.dedup import (
+        _INCR_OLD_MAX,
+        dedup_incremental_new_batch,
+    )
+
+    B = _INCR_OLD_MAX
+    rows = [
+        # old corpus
+        (0, "shared old text one"),
+        (1, "shared old text two"),
+        (2, "old only text"),
+        # batch: dup_of_old (two copies of an old text — BOTH are dup_of_old)
+        (B + 0, "shared old text one"),
+        (B + 1, "shared old text one"),
+        (B + 2, "shared old text two"),
+        # batch: first copy novel, later copies dup_in_batch
+        (B + 3, "fresh batch text"),
+        (B + 4, "fresh batch text"),
+        (B + 5, "fresh batch text"),
+        # batch: plain novel
+        (B + 6, "unique batch text"),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(d, t, "en", "s", len(t)) for d, t in rows],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    got = {r.doc_id: r.status for r in dedup_incremental_new_batch(spark, sf).collect()}
+    assert got == {
+        B + 0: "dup_of_old",
+        B + 1: "dup_of_old",
+        B + 2: "dup_of_old",
+        B + 3: "novel",
+        B + 4: "dup_in_batch",
+        B + 5: "dup_in_batch",
+        B + 6: "novel",
+    }
