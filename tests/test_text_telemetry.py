@@ -1394,3 +1394,61 @@ def test_source_length_lognormal_scalar_reference(spark, sf_dir):
         assert abs(got.mu_log - mu) <= 2e-6
         assert abs(got.sigma_log - math.sqrt(max(var, 0.0))) <= 2e-6
         assert abs(got.median_est - math.exp(mu)) <= max(2e-6, 1e-5 * math.exp(mu))
+
+
+def test_tokenizer_cross_engine_parity_and_dotted_i_premise(spark, sf_dir):
+    """The tokenizer premise behind every text-operator oracle: Spark's
+    lower()+split and DuckDB's lower()+regexp_split agree on an
+    adversarial battery spanning accents, fullwidth forms, CJK,
+    ligatures, titlecase digraphs, Greek final sigma, and sharp s. The
+    ONE known divergence — Turkish dotted capital İ (U+0130): Java
+    lowercases to i + combining dot U+0307 (a delimiter → extra split),
+    DuckDB to plain i — is pinned as a divergence, and the fixture
+    corpus is asserted free of it (it is pure ASCII), which is what
+    keeps the differential gate sound."""
+    import duckdb
+
+    from mapreduce_infrastructure_spark.llm.text import TOKEN_DELIM, tokens_col
+
+    battery = [
+        "héllo wörld 123",
+        "naïve café",
+        "ＡＢＣ ab",          # fullwidth: lowercases outside [a-z], dropped
+        "日本語 abc",
+        "a_b-c.d e|f",
+        "ß STRASSE",          # sharp s / uppercase mapping
+        "ΣΙΣΥΦΟΣ σ",          # final-sigma mapping
+        "ǅungla ǲoo",         # titlecase digraphs
+        "ﬁle ﬂow",            # ligatures
+        "",
+        "   ",
+        "0x1F 2e10 a1b2c3",
+    ]
+    df = spark.createDataFrame([(c,) for c in battery], "text string")
+    got_spark = [r[0] for r in df.select(tokens_col().alias("t")).collect()]
+    for text, sp in zip(battery, got_spark):
+        dk = duckdb.sql(
+            f"select list_filter(regexp_split_to_array(lower(?), "
+            f"'{TOKEN_DELIM}'), x -> x <> '')",
+            params=[text],
+        ).fetchone()[0]
+        assert sp == dk, (text, sp, dk)
+
+    # The known divergence, pinned AS a divergence (if an engine upgrade
+    # ever aligns them, this assert says the premise comment can go).
+    [sp] = [
+        r[0]
+        for r in spark.createDataFrame([("İstanbul",)], "text string")
+        .select(tokens_col().alias("t"))
+        .collect()
+    ]
+    dk = duckdb.sql(
+        f"select list_filter(regexp_split_to_array(lower('İstanbul'), "
+        f"'{TOKEN_DELIM}'), x -> x <> '')"
+    ).fetchone()[0]
+    assert sp == ["i", "stanbul"] and dk == ["istanbul"], (sp, dk)
+
+    # Fixture premise: the corpus is pure ASCII, so the divergence can
+    # never reach the differential gate on these fixtures.
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"]).to_pydict()
+    assert all(t.isascii() for t in tbl["text"])
