@@ -1452,3 +1452,45 @@ def test_tokenizer_cross_engine_parity_and_dotted_i_premise(spark, sf_dir):
     # never reach the differential gate on these fixtures.
     tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"]).to_pydict()
     assert all(t.isascii() for t in tbl["text"])
+
+
+def test_fingerprint_and_epoch_cross_engine_parity(spark):
+    """Companion premises to the tokenizer pin: (1) Spark's
+    md5(cast-to-binary), DuckDB's md5(VARCHAR), and Python's
+    md5-of-UTF-8 agree on every script probed INCLUDING the characters
+    the tokenizer diverges on (fingerprints hash raw bytes — no case
+    mapping involved); (2) unix_micros and epoch_us agree on pre-1970
+    and epoch-boundary timestamps (negative microseconds included), the
+    premise behind every integer time-bucket oracle."""
+    import hashlib
+
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    cases = ["héllo", "日本語", "ß", "İ", "a b", "emoji \U0001F600"]
+    df = spark.createDataFrame([(c,) for c in cases], "t string")
+    got = {
+        r.t: r.h
+        for r in df.select(
+            "t", F.md5(F.col("t").cast("binary")).alias("h")
+        ).collect()
+    }
+    for t in cases:
+        d = duckdb.sql("select md5(?)", params=[t]).fetchone()[0]
+        assert got[t] == d == hashlib.md5(t.encode()).hexdigest(), t
+
+    stamps = ["1965-03-02 12:34:56.789123", "1969-12-31 23:59:59.999999"]
+    df2 = spark.createDataFrame([(s,) for s in stamps], "s string")
+    sp = [
+        r.us
+        for r in df2.select(
+            F.unix_micros(F.col("s").cast("timestamp")).alias("us")
+        ).collect()
+    ]
+    for s, us in zip(stamps, sp):
+        d = duckdb.sql(
+            "select epoch_us(CAST(? AS TIMESTAMP))", params=[s]
+        ).fetchone()[0]
+        assert us == d, (s, us, d)
+    assert sp[1] == -1  # epoch boundary: last pre-epoch microsecond
