@@ -1494,3 +1494,36 @@ def test_fingerprint_and_epoch_cross_engine_parity(spark):
         ).fetchone()[0]
         assert us == d, (s, us, d)
     assert sp[1] == -1  # epoch boundary: last pre-epoch microsecond
+
+
+def test_rnd_floor_rounding_cross_engine_parity(spark):
+    """The convention-free rounding floor(x·10⁶+0.5)/10⁶ that every
+    oracle output shares must be bit-identical between engines for
+    arbitrary doubles — seeded random values across magnitudes plus the
+    half-boundary and sign edge cases where engines' round() conventions
+    differ. Pure IEEE arithmetic has one correct answer; this pins that
+    both engines give it."""
+    import numpy as np
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_infrastructure_spark.functions.exact import rnd
+
+    rng = np.random.default_rng(1234)
+    vals = list(
+        np.concatenate(
+            [
+                rng.uniform(-1, 1, 40),
+                rng.uniform(-1e6, 1e6, 30),
+                rng.uniform(-1e-6, 1e-6, 20),
+            ]
+        )
+    ) + [0.0, -0.0, 0.1234565, -0.1234565, 2.5e-6, -2.5e-6, 1.9999995]
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    got = [r.y for r in df.select(rnd(F.col("x"), 6).alias("y")).collect()]
+    for v, g in zip(vals, got):
+        d = duckdb.sql(
+            "select floor(? * 1000000 + 0.5) / 1000000", params=[float(v)]
+        ).fetchone()[0]
+        assert g == d, (v, g, d)
