@@ -964,3 +964,40 @@ def test_incremental_dedup_planted_duplicates_hit_all_statuses(spark, tmp_path):
         B + 5: "dup_in_batch",
         B + 6: "novel",
     }
+
+
+def test_vector_fold_cross_engine_bit_parity(spark):
+    """The similarity oracles assume Spark's zip_with/aggregate fold and
+    DuckDB's list_transform/list_sum compute dot products and norms in
+    the SAME index order, hence bit-identically BEFORE any rounding.
+    Pin it on seeded random vectors (mixed magnitudes, negatives) by
+    comparing the raw doubles exactly — no tolerance."""
+    import duckdb
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_infrastructure_spark.llm.similarity import _dot, _norm
+
+    rng = np.random.default_rng(99)
+    pairs = [
+        (
+            [float(x) for x in rng.uniform(-m, m, 16)],
+            [float(x) for x in rng.uniform(-m, m, 16)],
+        )
+        for m in (1.0, 1e3, 1e-3)
+        for _ in range(5)
+    ]
+    df = spark.createDataFrame(pairs, "a array<double>, b array<double>")
+    got = df.select(
+        _dot(F.col("a"), F.col("b")).alias("dot"), _norm(F.col("a")).alias("nrm")
+    ).collect()
+    for (a, b), r in zip(pairs, got):
+        dd = duckdb.sql(
+            "select list_sum(list_transform(generate_series(1, len(?::DOUBLE[])),"
+            " i -> (?::DOUBLE[])[i] * (?::DOUBLE[])[i])),"
+            " sqrt(list_sum(list_transform(?::DOUBLE[], x -> x * x)))",
+            params=[a, a, b, a],
+        ).fetchone()
+        assert r.dot == dd[0], (r.dot, dd[0])
+        assert r.nrm == dd[1], (r.nrm, dd[1])
