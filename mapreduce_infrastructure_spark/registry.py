@@ -50,19 +50,18 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # Ordering is therefore a curated, per-round decision, not an accident of
 # imports; CERTIFIED_HISTORY.md tracks which rounds certified what.
 #
-# Round-8 window: the 11 queries ADDED this round lead (first-time
-# certification — new queries must land inside the window or they'd have
-# no driver row at all), then staleness rotation continues: the 15
-# r4-vintage rows displaced by round 7's additions, the remaining 25
-# r4-vintage rows (rounds-2–4 window order), and 2 round-5-vintage slots:
-# q15_top_supplier and q11_important_stock jump the staleness queue
-# because their implementations CHANGED this round (the
-# unpartitioned-window → scalar-agg-broadcast rewrite) — changed code gets
-# a fresh driver row ahead of merely-stale rows. The wave-2 additions
-# displaced the q2/q4/q6 staleness slots and wave 3 displaced the three
-# rows-only r4 entries (ann_lsh_topk, semantic_dedup_clusters,
-# ann_pq_topk) whose driver signal is weakest — no-oracle rows repeat in
-# round 9 alongside the r5 cohort; displaced rows keep standing greens. Green rows stand when a query rotates out;
+# Round-8 window, final state (the amendment-by-amendment history is in
+# CERTIFIED_HISTORY.md): the 30 queries ADDED this round lead, newest
+# wave first (first-time certification — new queries must land inside
+# the window or they'd have no driver row at all), then the staleness
+# rotation the judge directed for round 8 (the 15 r4-vintage rows
+# displaced from the round-7 window, then the oldest remaining
+# r4-vintage rows), and finally 3 changed-code slots that jump the
+# staleness queue (q15/q11's unpartitioned-window → scalar-agg rewrite;
+# source_dup_mass's move to the shared _dup_mass_base scan). Each new
+# wave displaced the tail of the r4-vintage block (rows-only entries
+# first — their no-oracle driver signal loses least by waiting);
+# displaced rows keep their standing greens, rotate in round 9, and
 # tests/test_oracle_queries.py still mirrors every oracle-backed query
 # each pytest run.
 CERTIFIED_FIRST: tuple[str, ...] = (
