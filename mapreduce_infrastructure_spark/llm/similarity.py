@@ -1210,33 +1210,67 @@ def embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PCA_TOP_K = 4
 
 
-def _gram_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-Arrow-batch (n, Σx, flat ΣxxT) partial sufficient statistics
-    for the embedding covariance — the RowMatrix/Gramian reduction: each
-    batch folds its vectors into one d-vector and one d×d matrix with
-    numpy (vectorized, Arrow transfer), so the shuffle-free job output
-    is #batches rows of size O(d²), never data-scale."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        _as_double("embedding").alias("v")
-    )
+def _gram_partials(vectors: DataFrame) -> DataFrame:
+    """ONE (n, Σx, flat ΣxxT) partial sufficient-statistics row per
+    non-empty PARTITION for the covariance of `vectors.v` — the
+    RowMatrix/Gramian reduction: the fold accumulates across the
+    partition's entire Arrow-batch iterator with vectorized numpy and
+    yields a single O(d²) row at the end, so the job output is
+    #partitions rows regardless of how many Arrow batches each
+    partition decodes (a per-BATCH yield would be data-linear: batch
+    count grows with rows, partition count is an explicit knob)."""
 
     def fold(batches):
         import numpy as np
         import pandas as pd
 
+        n = 0
+        s = g = None
         for pdf in batches:
             if not len(pdf):
                 continue
             m = np.asarray(pdf["v"].tolist(), dtype=np.float64)
+            n += len(m)
+            if s is None:
+                s = m.sum(axis=0)
+                g = m.T @ m
+            else:
+                s += m.sum(axis=0)
+                g += m.T @ m
+        if n:
             yield pd.DataFrame(
-                {
-                    "n": [len(m)],
-                    "s": [m.sum(axis=0).tolist()],
-                    "g": [(m.T @ m).ravel().tolist()],
-                }
+                {"n": [n], "s": [s.tolist()], "g": [g.ravel().tolist()]}
             )
 
-    return emb.mapInPandas(fold, "n long, s array<double>, g array<double>")
+    return vectors.mapInPandas(fold, "n long, s array<double>, g array<double>")
+
+
+def _gram_reduce(parts: DataFrame):
+    """Distributed tree reduction of the per-partition Gram partials:
+    ``treeAggregate`` (depth 2) element-wise-sums the (n, Σx, ΣxxᵀT)
+    triples on the EXECUTORS, so the driver receives exactly ONE triple
+    — never a row count proportional to partitions or batches. Returns
+    ``(n, Σx as np.ndarray, flat ΣxxᵀT as np.ndarray)`` or None if the
+    input is empty. Float-sum reassociation vs a single-pass sum is
+    below the repo's 1e-6 rounding pin (audited by the numpy-reference
+    test)."""
+    import numpy as np
+
+    def seq(acc, row):
+        s = np.asarray(row.s, dtype=np.float64)
+        g = np.asarray(row.g, dtype=np.float64)
+        if acc is None:
+            return (row.n, s, g)
+        return (acc[0] + row.n, acc[1] + s, acc[2] + g)
+
+    def comb(a, b):
+        if a is None:
+            return b
+        if b is None:
+            return a
+        return (a[0] + b[0], a[1] + b[1], a[2] + b[2])
+
+    return parts.rdd.treeAggregate(None, seq, comb, depth=2)
 
 
 @query("embedding_pca_top_components", tags=("similarity", "embeddings", "stats", "llm"))
@@ -1251,15 +1285,19 @@ def embedding_pca_top_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     component's largest-|loading| entry is positive.
 
     Distributed shape (the MLlib RowMatrix Gramian pattern): ONE
-    shuffle-free pass folds each Arrow batch into (n, Σx, ΣxxT) partial
-    sufficient statistics with vectorized numpy — this is the legitimate
+    shuffle-free pass folds each PARTITION's full Arrow-batch iterator
+    into a single (n, Σx, ΣxxT) partial — this is the legitimate
     Pandas-tier use, a per-partition matrix reduction no built-in
-    expression covers — and the driver sums #batches O(d²) rows
-    (driver-bounded: d=64 ⇒ 4 KB each), forms cov = ΣxxT/n − μμᵀ, and
-    runs an exact d×d eigh. No iterations, so a near-flat spectrum
-    (exactly these fixtures: λ2/λ1 ≈ 0.99, where power iteration needs
-    ~300 passes) costs nothing extra. At 100 TB the pass is scan-bound
-    and the driver work is unchanged.
+    expression covers — then a depth-2 ``treeAggregate`` element-wise
+    sums the partials on the executors, so the driver receives exactly
+    ONE O(d²) triple (d=64 ⇒ ~33 KB) no matter the data volume or
+    partition count. It forms cov = ΣxxT/n − μμᵀ and runs an exact d×d
+    eigh. No iterations, so a near-flat spectrum (exactly these
+    fixtures: λ2/λ1 ≈ 0.99, where power iteration needs ~300 passes)
+    costs nothing extra. At 100 TB the pass is scan-bound and the
+    driver work is genuinely constant: tests assert the fold emits one
+    row per partition (not per batch) and that the driver-side result
+    of the reduction is a single triple.
 
     No SQL oracle (eigendecomposition is not SQL-expressible); driver
     row is rows-only, and tests assert the numpy ground truth: loading
@@ -1269,19 +1307,18 @@ def embedding_pca_top_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import numpy as np
 
-    parts = _gram_partials(spark, sf_dir).collect()
-    if not parts:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        _as_double("embedding").alias("v")
+    )
+    reduced = _gram_reduce(_gram_partials(emb))
+    if reduced is None:
         raise ValueError(
             "embedding_pca_top_components: embeddings table is empty — "
             "no covariance to decompose"
         )
-    n = sum(p.n for p in parts)
-    d = len(parts[0].s)
-    s = np.zeros(d)
-    g = np.zeros((d, d))
-    for p in parts:
-        s += np.asarray(p.s)
-        g += np.asarray(p.g).reshape(d, d)
+    n, s, g_flat = reduced
+    d = len(s)
+    g = np.asarray(g_flat).reshape(d, d)
     mu = s / n
     cov = g / n - np.outer(mu, mu)
     w, v = np.linalg.eigh(cov)  # ascending

@@ -874,6 +874,44 @@ def test_embedding_pca_matches_numpy_eigh(spark, sf_dir):
             assert abs(va @ vb) <= 1e-3
 
 
+def test_pca_gram_partials_one_row_per_partition_and_driver_gets_one_triple(spark):
+    """Scale contract for the PCA reduction: the Gram fold must emit ONE
+    partial per PARTITION — not per Arrow batch (batch count is
+    data-linear; at 100 TB a per-batch yield collects ~TBs to the
+    driver) — and the tree reduction must hand the driver exactly one
+    (n, Σx, ΣxxᵀT) triple. Forces multiple Arrow batches per partition
+    via a tiny maxRecordsPerBatch to prove the fold crosses batch
+    boundaries."""
+    import numpy as np
+
+    from mapreduce_infrastructure_spark.llm.similarity import (
+        _gram_partials,
+        _gram_reduce,
+    )
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "7")  # 40 rows / 4 partitions = 10 rows → 2 batches each
+    try:
+        rows = [([float(i), float(i % 3)],) for i in range(40)]
+        df = spark.createDataFrame(rows, "v array<double>").repartition(4)
+        parts = _gram_partials(df).collect()
+        assert len(parts) <= 4, f"per-batch yield detected: {len(parts)} partials"
+        assert sum(p.n for p in parts) == 40
+        reduced = _gram_reduce(_gram_partials(df))
+        n, s, g = reduced
+        assert n == 40
+        m = np.asarray([r[0] for r in rows])
+        assert np.allclose(np.asarray(s), m.sum(axis=0))
+        assert np.allclose(np.asarray(g).reshape(2, 2), m.T @ m)
+        assert _gram_reduce(_gram_partials(df.limit(0))) is None
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
 def test_incremental_dedup_consistent_with_full_dedup(spark, sf_dir):
     """The incremental classification must agree with the full-corpus
     dedup convention: a batch doc is dup_of_old iff its fingerprint

@@ -74,7 +74,6 @@ def test_driver_materialization_sites_are_allowlisted():
         ("llm/similarity.py", "_fit_centroids_distributed"),  # k×dim stats
         ("llm/similarity.py", "_fit_pq_codebooks"),  # codebook-bounded
         ("llm/similarity.py", "_fit_opq"),  # rotation-matrix-bounded
-        ("llm/similarity.py", "embedding_pca_top_components"),  # #batches O(d²) Gram partials
         ("sources/formats.py", "binaryfile_ingest_stats"),  # 50-file bounded staging scaffold
         ("sources/zorder.py", "layout_context"),  # 1-row min/max for bits+box
     }
