@@ -1,0 +1,200 @@
+"""Scale-safe exact rank / percentile / prefix-sum building blocks.
+
+The naive exact form of these operators is a window partitioned by a
+LOW-CARDINALITY stratum (source, lang, order priority, …) over the full
+fact table — which routes every row of a volume-scaled stratum through
+ONE task: at 100 TB a 20-language corpus gives each task ~1/20 of the
+data to sort serially, with zero intra-stratum parallelism (the
+partitioned cousin of the single-partition q15/q11 shape; see
+tests/test_plans.py). The helpers here compute the SAME exact answers
+with bounded window inputs:
+
+* ``hist_cume_counts`` / ``hist_percent_rank`` — the count-value
+  HISTOGRAM closed form (the ``source_vocab_gini`` trick): group rows by
+  (stratum, value) first, run the cumulative window over the DISTINCT
+  VALUE histogram — |domain| rows per stratum, never |rows| (token
+  counts and 2-decimal prices are domain-bounded however large the
+  corpus grows) — then derive per-row ranks by adding a within-VALUE
+  row_number, whose window key (stratum, value) has histogram-scale
+  cardinality so group sizes shrink as 1/|domain|.
+* ``bucketed_prefix_sum`` — two-pass distributed running sum for
+  genuinely positional quantities (packing cumsums, intake ranks):
+  deterministic contiguous ORDER-KEY RANGE buckets (no sampling, no
+  spark_partition_id — reproducible across runs and cluster sizes),
+  per-(stratum, bucket) subtotals, a cumulative offset window over the
+  |strata|×|buckets| subtotal table (tiny), then a running sum within
+  each (stratum, bucket) — every window group is ~1/n_buckets of a
+  stratum, and n_buckets scales with the cluster.
+
+All arithmetic is exact-integer until the single final division the
+caller makes, so results are bit-identical to the naive window forms
+(both engines compute the same ints and the same one IEEE division).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+# Default order-key range buckets for the two-pass prefix sum. At test SF
+# this exceeds parallelism already; a 1000-executor deployment raises it —
+# each window group is stratum_rows / n_buckets.
+PREFIX_SUM_BUCKETS = 32
+
+
+def hist_cume_counts(
+    df: DataFrame,
+    stratum_cols: list[str],
+    value_col: str,
+    descending: bool = False,
+) -> DataFrame:
+    """Count-value histogram with cumulative counts per stratum.
+
+    Returns one row per distinct (strata, value): ``m`` (rows at this
+    value), ``cumb`` (rows at strictly earlier values in the given
+    order), ``cum`` (rows at this value or earlier) and ``n_stratum``
+    (stratum total). The cumulative window runs over the HISTOGRAM —
+    |distinct values| rows per stratum, domain-bounded — so the
+    low-cardinality partition key is safe (the plan guard's
+    histogram-input exemption recognises this shape by the upstream
+    aggregate keyed on the window's order column).
+    """
+    hist = df.groupBy(*stratum_cols, value_col).agg(F.count(F.lit(1)).alias("m"))
+    order = F.col(value_col).desc() if descending else F.col(value_col).asc()
+    before = (
+        Window.partitionBy(*stratum_cols)
+        .orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    whole = Window.partitionBy(*stratum_cols)
+    return hist.select(
+        *stratum_cols,
+        value_col,
+        "m",
+        F.coalesce(F.sum("m").over(before), F.lit(0)).cast("long").alias("cumb"),
+        F.sum("m").over(whole).cast("long").alias("n_stratum"),
+    ).withColumn("cum", (F.col("cumb") + F.col("m")).cast("long"))
+
+
+def hist_disc_percentile(value_col: str, q: float, alias: str) -> Column:
+    """Aggregate expression selecting the exact *discrete* percentile
+    from ``hist_cume_counts`` output (ascending order): the smallest
+    value whose cume_dist = cum/n reaches ``q`` — exactly
+    ``MIN(CASE WHEN cume_dist >= q THEN value END)`` over the raw rows,
+    because cume_dist at a value's last tied row is cum/n (same exact
+    integers, same one IEEE division in both engines). Use inside
+    ``hist_cume_counts(...).groupBy(strata).agg(...)``.
+    """
+    cd = F.col("cum").cast("double") / F.col("n_stratum")
+    return F.min(F.when(cd >= q, F.col(value_col))).alias(alias)
+
+
+def hist_percent_rank(
+    df: DataFrame,
+    stratum_cols: list[str],
+    value_col: str,
+    id_col: str,
+    descending: bool = False,
+) -> DataFrame:
+    """Per-row exact ``percent_rank() OVER (PARTITION BY strata ORDER BY
+    value [DESC], id)`` without a per-stratum window: rank = (rows at
+    strictly earlier values, from the histogram) + (row_number within
+    this value block by id). The only data-scale window is keyed by
+    (strata, value) — histogram-cardinality groups whose sizes shrink as
+    1/|domain|. Adds ``pr`` (double). percent_rank of a 1-row stratum is
+    0.0, matching both engines' convention for (rank-1)/(n-1).
+    """
+    cume = hist_cume_counts(df, stratum_cols, value_col, descending=descending)
+    order = F.col(id_col).asc()
+    within = Window.partitionBy(*stratum_cols, value_col).orderBy(order)
+    joined = df.join(
+        cume.select(*stratum_cols, value_col, "cumb", "n_stratum"),
+        [*stratum_cols, value_col],
+    )
+    rank = F.col("cumb") + F.row_number().over(within)
+    pr = F.when(
+        F.col("n_stratum") > 1,
+        (rank - F.lit(1)).cast("double") / (F.col("n_stratum") - F.lit(1)),
+    ).otherwise(F.lit(0.0))
+    return joined.withColumn("pr", pr).drop("cumb")
+
+
+def bucketed_prefix_sum(
+    df: DataFrame,
+    stratum_cols: list[str],
+    order_col: str,
+    value_col: Column | str,
+    n_buckets: int = PREFIX_SUM_BUCKETS,
+    cum_alias: str = "cum",
+) -> DataFrame:
+    """Exact running sum of ``value_col`` over ``order_col`` order within
+    each stratum, two-pass distributed: (1) deterministic contiguous
+    range buckets over the GLOBAL order-key span (one 2-value aggregate,
+    broadcast — no sampling, so bucket ids are reproducible across runs
+    and cluster layouts), (2) per-(stratum, bucket) subtotals and a
+    cumulative-offset window over that |strata|×n_buckets table, (3) a
+    running-sum window within each (stratum, bucket) — group size
+    ~stratum_rows/n_buckets, parallelism scales with the bucket knob
+    instead of collapsing to one task per stratum. Integer-exact, so
+    bit-identical to the naive single-window form.
+
+    Adds ``cum_alias`` (inclusive running sum) and keeps all input
+    columns; the internal ``_psb`` bucket column is dropped.
+    """
+    val = F.col(value_col) if isinstance(value_col, str) else value_col
+    bounds = df.agg(
+        F.min(order_col).cast("long").alias("_lo"),
+        F.max(order_col).cast("long").alias("_hi"),
+    )
+    span = F.col("_hi") - F.col("_lo") + 1
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.floor(
+            (F.col(order_col).cast("long") - F.col("_lo"))
+            * F.lit(n_buckets)
+            / span
+        ),
+    ).cast("int")
+    b = (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn("_psv", val.cast("long"))
+        .withColumn("_psb", bucket)
+        .drop("_lo", "_hi")
+    )
+    subtotals = b.groupBy(*stratum_cols, "_psb").agg(F.sum("_psv").alias("_bsum"))
+    off_w = (
+        Window.partitionBy(*stratum_cols)
+        .orderBy("_psb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = subtotals.select(
+        *stratum_cols,
+        "_psb",
+        F.coalesce(F.sum("_bsum").over(off_w), F.lit(0)).alias("_off"),
+    )
+    run_w = (
+        Window.partitionBy(*stratum_cols, "_psb")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        b.join(F.broadcast(offsets), [*stratum_cols, "_psb"])
+        .withColumn(cum_alias, (F.col("_off") + F.sum("_psv").over(run_w)).cast("long"))
+        .drop("_psb", "_psv", "_off")
+    )
+
+
+def ntile_from_rank(rank: Column, n: Column, k: int) -> Column:
+    """``ntile(k)`` bucket from a 1-based rank and the stratum size n —
+    the closed form of the window function (first n % k buckets take
+    ceil(n/k) rows, the rest floor(n/k)), so a distributed rank can
+    replace an ``ntile OVER (PARTITION BY low-card stratum)`` window.
+    Integer arithmetic only; matches both engines' ntile exactly.
+    """
+    q = F.floor(n / k).cast("long")
+    rem = (n % k).cast("long")
+    big = (q + 1) * rem  # rows living in the first `rem` (larger) buckets
+    return (
+        F.when(rank <= big, F.floor((rank - 1) / (q + 1)) + 1)
+        .otherwise(rem + F.floor((rank - big - 1) / F.greatest(q, F.lit(1))) + 1)
+        .cast("long")
+    )

@@ -28,6 +28,7 @@ from pyspark.sql.types import LongType
 
 from ..catalog import load_table
 from ..functions.exact import rnd
+from ..functions.ranks import bucketed_prefix_sum, ntile_from_rank
 from ..registry import query
 from .text import tokens_col
 
@@ -1414,9 +1415,14 @@ def source_novelty_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape at 100 TB: the same persisted (doc, gram) incidence and
     gram-keyed MIN/join as `ngram_novelty_ratio`, one per-doc fold, then
-    an ntile window over DOC-level rows (per-source sort of metadata,
-    not text) and a |sources|×4-row final aggregate. ntile is
-    deterministic here (ORDER BY the unique doc_id).
+    the ntile CLOSED FORM over a distributed rank: the doc's intake rank
+    comes from the two-pass prefix sum (`bucketed_prefix_sum` of 1s over
+    doc_id-range buckets — never an ntile window that would route every
+    doc of a source through ONE task), the stratum size from a
+    |sources|-row broadcast aggregate, and `ntile_from_rank` reproduces
+    ntile(4)'s bucket-size split with integer arithmetic. Deterministic
+    (rank orders by the unique doc_id), then a |sources|×4-row final
+    aggregate.
     """
     grams = _gram_incidence(spark, sf_dir)
     first = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
@@ -1430,8 +1436,13 @@ def source_novelty_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_novel"),
         )
     )
-    w = Window.partitionBy("source").orderBy("doc_id")
-    dec = per_doc.withColumn("quartile", F.ntile(4).over(w).cast("long"))
+    sizes = per_doc.groupBy("source").agg(F.count(F.lit(1)).alias("_n"))
+    ranked = bucketed_prefix_sum(
+        per_doc, ["source"], "doc_id", F.lit(1), cum_alias="_rank"
+    ).join(F.broadcast(sizes), "source")
+    dec = ranked.withColumn(
+        "quartile", ntile_from_rank(F.col("_rank"), F.col("_n"), 4)
+    )
     return dec.groupBy("source", "quartile").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_grams").alias("n_grams"),

@@ -14,12 +14,13 @@ IDF and the L-BFGS aggregations are treeAggregate reductions (one pass
 per iteration over the training SLICE only), and the model.transform
 scoring step itself is a per-row map with a few KB of broadcast
 coefficients. The full query is NOT shuffle-free, though: the weak-label
-column it emits comes from a per-language percent_rank window, i.e. one
-corpus-wide shuffle+sort — the price of carrying label_weak in the
-output. At 100 TB you would label a bounded sample instead (the window
-over the sample only), train there, and score everything with the pure
-scan-speed map; this fixture-scale query keeps the label column on every
-row so its AUC/calibration tests can read it.
+column it emits comes from an exact per-language percent_rank — computed
+via the count-value histogram closed form (functions/ranks.py), so the
+shuffles are keyed by (lang, token-count), never by the ~20-language key
+alone. At 100 TB you would label a bounded sample instead, train there,
+and score everything with the pure scan-speed map; this fixture-scale
+query keeps the label column on every row so its AUC/calibration tests
+can read it.
 
 No SQL oracle: L-BFGS coefficient fitting is not SQL-expressible (the
 double reductions are also summation-order sensitive at the last ulp), so
@@ -35,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..catalog import load_table
 from ..functions.exact import rnd
+from ..functions.ranks import hist_percent_rank
 from ..registry import query
 from .text import tokens_col
 
@@ -53,19 +55,29 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled slice is the training set, the rest is inference."""
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import IDF, HashingTF
-    from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", tokens_col().alias("toks")
     )
-    w = Window.partitionBy("lang").orderBy(
-        F.size("toks").desc(), F.col("doc_id")
-    )
-    labeled = docs.withColumn("pr", F.percent_rank().over(w)).withColumn(
-        "label_weak",
-        F.when(F.col("pr") <= 0.25, F.lit(1.0))
-        .when(F.col("pr") >= 0.75, F.lit(0.0))
-        .otherwise(F.lit(None).cast("double")),
+    # Weak-label rank via the count-value histogram closed form (see
+    # functions/ranks.py): the ranking statistic is the token count —
+    # small-domain — so no window ever partitions the volume-scaled doc
+    # table by the ~20-language key.
+    labeled = (
+        hist_percent_rank(
+            docs.withColumn("_n_toks", F.size("toks").cast("long")),
+            ["lang"],
+            "_n_toks",
+            "doc_id",
+            descending=True,
+        )
+        .withColumn(
+            "label_weak",
+            F.when(F.col("pr") <= 0.25, F.lit(1.0))
+            .when(F.col("pr") >= 0.75, F.lit(0.0))
+            .otherwise(F.lit(None).cast("double")),
+        )
+        .drop("_n_toks", "n_stratum")
     )
     tf = HashingTF(
         inputCol="toks", outputCol="tf", numFeatures=_HASH_DIM, binary=False

@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from ..catalog import load_table
 from ..functions.exact import rnd
+from ..functions.ranks import bucketed_prefix_sum, hist_percent_rank
 from ..registry import query
 from .dedup import shingles_col
 from .text import TOKEN_DELIM, quality_flag_col, quality_flag_sql, tokens_col
@@ -280,23 +281,25 @@ def global_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 def quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile-based quality cut: keep the top 75% of documents per
     language by token count (the scalable stand-in for a model-based
-    quality score — swap the ORDER BY for any scoring column). Quantiles
-    via percent_rank with a deterministic tiebreaker, so the cut is exact
-    and reproducible — not approximate like approxQuantile — and the
-    window runs per-stratum, parallel across languages. (rank-1)/(n-1) is
-    one IEEE division computed identically by both engines; rounded to 6
-    places on output anyway."""
-    from pyspark.sql import Window
+    quality score — swap the ranking statistic for any scoring column).
+    Quantiles via exact percent_rank with a deterministic tiebreaker, so
+    the cut is exact and reproducible — not approximate like
+    approxQuantile. (rank-1)/(n-1) is one IEEE division computed
+    identically by both engines; rounded to 6 places on output anyway.
 
+    Scale: the rank comes from the count-value HISTOGRAM closed form
+    (`hist_percent_rank`, descending) — cumulative counts over the
+    distinct token-count histogram plus a within-value row_number keyed
+    by (lang, n_tokens) — so no window ever partitions a volume-scaled
+    input by the ~20-language key (which would serialize each language
+    through one task at 100 TB)."""
     docs = load_table(spark, sf_dir, "documents")
     scored = docs.select(
         "doc_id", "lang", F.size(tokens_col()).cast("long").alias("n_tokens")
     )
-    w = Window.partitionBy("lang").orderBy(F.col("n_tokens").desc(), F.col("doc_id"))
-    pr = F.percent_rank().over(w)
+    ranked = hist_percent_rank(scored, ["lang"], "n_tokens", "doc_id", descending=True)
     return (
-        scored.withColumn("pr", pr)
-        .filter(F.col("pr") <= 0.75)
+        ranked.filter(F.col("pr") <= 0.75)
         .select("doc_id", "lang", "n_tokens", rnd(F.col("pr"), 6).alias("pr"))
     )
 
@@ -332,24 +335,22 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     per language) to consecutive ~2048-token training bins — bin = which
     budget multiple the doc's running token total starts in. This is the
     contiguous-packing approximation used when assembling fixed-length
-    training batches; the cumulative window is per-language (parallel),
-    and at 100 TB the partition key widens (lang, shard) to keep each
-    running sum executor-local. Returns per-bin occupancy for inspection."""
-    from pyspark.sql import Window
-
+    training batches. The running total is the two-pass distributed
+    prefix sum (`bucketed_prefix_sum`): per-(lang, doc_id-range-bucket)
+    subtotals, a cumulative-offset window over that tiny subtotal table,
+    and a within-bucket running sum — so no window partitions a
+    volume-scaled input by the ~20-language key (the naive per-lang
+    cumsum serializes each language through ONE task at 100 TB; bucket
+    count is the parallelism knob). Integer-exact, so bit-identical to
+    the single-window form. Returns per-bin occupancy for inspection."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", "lang", F.size(tokens_col()).cast("long").alias("n_tokens")
     )
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = F.sum("n_tokens").over(w)
-    bin_ = F.floor((cum - F.col("n_tokens")) / F.lit(float(_PACK_BUDGET)))
+    cum = bucketed_prefix_sum(toks, ["lang"], "doc_id", "n_tokens")
+    bin_ = F.floor((F.col("cum") - F.col("n_tokens")) / F.lit(float(_PACK_BUDGET)))
     return (
-        toks.withColumn("bin", bin_)
+        cum.withColumn("bin", bin_)
         .groupBy("lang", "bin")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -624,16 +625,11 @@ def corpus_assemble_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "text", F.size(tokens_col()).cast("long").alias("n_tokens")
     )
     quality = (
-        scored.withColumn(
-            "pr",
-            F.percent_rank().over(
-                Window.partitionBy("lang").orderBy(
-                    F.col("n_tokens").desc(), F.col("doc_id")
-                )
-            ),
+        hist_percent_rank(
+            scored, ["lang"], "n_tokens", "doc_id", descending=True
         )
         .filter(F.col("pr") <= 0.75)
-        .drop("pr")
+        .drop("pr", "n_stratum")
     )
     grams = docs.select(
         "doc_id", F.explode(shingles_col(tokens_col(), _CONTAM_N)).alias("g")
@@ -1010,9 +1006,10 @@ def packing_overflow_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (mirrored by the oracle).
 
     Plan shape at 100 TB: identical to `pack_sequences` — one scan for
-    (doc, lang, n_tokens), a per-language cumulative-sum window
-    (parallel across languages; at 100 TB the partition key widens to
-    (lang, shard) to keep each running sum executor-local), then
+    (doc, lang, n_tokens), the same two-pass distributed prefix sum
+    (`bucketed_prefix_sum`: per-(lang, id-range-bucket) subtotals +
+    offset window over the tiny subtotal table + within-bucket running
+    sum — never a per-language window over volume-scaled rows), then
     scan-speed bin arithmetic and a selective filter — boundary-crossing
     docs are ~(mean doc length / 2048) of the corpus, so the output is a
     small fraction of the input. The budget 2048 is a power of two, so
@@ -1020,20 +1017,12 @@ def packing_overflow_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     2^53 and floor is boundary-safe; all other columns are exact
     integers.
     """
-    from pyspark.sql import Window
-
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", "lang", F.size(tokens_col()).cast("long").alias("n_tokens")
     )
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = F.sum("n_tokens").over(w)
     spans = (
-        toks.withColumn("cum", cum)
+        bucketed_prefix_sum(toks, ["lang"], "doc_id", "n_tokens")
         .filter(F.col("n_tokens") >= 1)
         .select(
             "doc_id",

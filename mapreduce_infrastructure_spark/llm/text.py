@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..catalog import load_table
 from ..functions.exact import rnd
+from ..functions.ranks import bucketed_prefix_sum, hist_percent_rank, ntile_from_rank
 from ..registry import query
 from .cache import tracked_persist
 
@@ -1190,8 +1191,11 @@ def source_type_token_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass takes, and deterministic on both engines.
 
     Plan shape at 100 TB: the running totals live on the DOC-level table
-    (|docs| rows, ~3 orders below the corpus) — a per-source window sort
-    of metadata, not of text. The corpus-sized work is ONE explode into
+    (|docs| rows, ~3 orders below the corpus) and come from the two-pass
+    distributed prefix sum (`bucketed_prefix_sum` — per-(source,
+    id-range-bucket) subtotals + offset window over the tiny subtotal
+    table; never a per-source window that would serialize each source's
+    docs through one task). The corpus-sized work is ONE explode into
     (source, doc, term), one join against the doc-level cum column
     (doc_id-keyed), and one (source, term) aggregation taking MIN(cum) —
     each term's first-appearance position, from which every budget's
@@ -1204,15 +1208,15 @@ def source_type_token_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens_col()
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     cum = tracked_persist(
-        docs.select(
-            "source", "doc_id", F.size(toks).cast("long").alias("n_toks")
-        ).withColumn("cum", F.sum("n_toks").over(w)),
+        bucketed_prefix_sum(
+            docs.select(
+                "source", "doc_id", F.size(toks).cast("long").alias("n_toks")
+            ),
+            ["source"],
+            "doc_id",
+            "n_toks",
+        ),
         f"source_type_token_curve:{sf_dir}",
     )
     term = docs.select("source", "doc_id", F.explode(toks).alias("term"))
@@ -1297,22 +1301,24 @@ def budget_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     source's docs are too big for the budget granularity).
 
     Plan shape at 100 TB: runs ENTIRELY on the doc-level metadata table
-    (per-source running totals over |docs| rows — the corpus text is
-    touched only by the scan-speed token count); budgets multiply
+    (per-source running totals over |docs| rows via the two-pass
+    distributed prefix sum — the corpus text is touched only by the
+    scan-speed token count; no per-source window over volume-scaled
+    rows); budgets multiply
     doc-level rows only. waste = budget − Σ(prefix tokens) is exact
     integer arithmetic; the single ratio division is correctly rounded,
     rounded at 1e-6. A source with no overflow docs simply has
     n_overflow_docs = 0 (its waste is real slack, not granularity loss).
     """
     docs = load_table(spark, sf_dir, "documents")
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = bucketed_prefix_sum(
+        docs.select(
+            "source", "doc_id", F.size(tokens_col()).cast("long").alias("n_toks")
+        ),
+        ["source"],
+        "doc_id",
+        "n_toks",
     )
-    cum = docs.select(
-        "source", "doc_id", F.size(tokens_col()).cast("long").alias("n_toks")
-    ).withColumn("cum", F.sum("n_toks").over(w))
     rows = cum.withColumn(
         "budget",
         F.explode(F.array(*[F.lit(b).cast("long") for b in _HEAPS_BUDGETS])),
@@ -1815,11 +1821,12 @@ def source_quality_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     two trends together separate "mined out" from "broken".
 
     Plan shape at 100 TB: the flag is the shared scan-speed
-    `quality_keep_col` expression; the ntile window sorts per-source
-    DOC-level metadata (id + one bit), and the final aggregate is
-    bounded at |sources|×4 rows. Counts exact; one correctly-rounded
-    division at 1e-6. ntile is deterministic here (ORDER BY the unique
-    doc_id).
+    `quality_keep_col` expression; the quartile is the ntile CLOSED FORM
+    over the two-pass distributed rank (`bucketed_prefix_sum` of 1s +
+    `ntile_from_rank` — never an ntile window routing each source's
+    docs through one task), and the final aggregate is bounded at
+    |sources|×4 rows. Counts exact; one correctly-rounded division at
+    1e-6. The rank is deterministic (ordered by the unique doc_id).
     """
     docs = load_table(spark, sf_dir, "documents")
     flagged = docs.select(
@@ -1827,8 +1834,13 @@ def source_quality_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         quality_keep_col(tokens_col()).cast("int").alias("ok"),
     )
-    w = Window.partitionBy("source").orderBy("doc_id")
-    q = flagged.withColumn("quartile", F.ntile(4).over(w).cast("long"))
+    sizes = flagged.groupBy("source").agg(F.count(F.lit(1)).alias("_n"))
+    ranked = bucketed_prefix_sum(
+        flagged, ["source"], "doc_id", F.lit(1), cum_alias="_rank"
+    ).join(F.broadcast(sizes), "source")
+    q = ranked.withColumn(
+        "quartile", ntile_from_rank(F.col("_rank"), F.col("_n"), 4)
+    )
     return q.groupBy("source", "quartile").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("ok").alias("n_ok"),
@@ -2190,30 +2202,32 @@ def doc_length_percentile_by_source(spark: SparkSession, sf_dir: str) -> DataFra
     decile per source", "sample long-tail docs at higher weight")
     exported as telemetry, normalized per source because length
     distributions differ wildly between crawl sources and a global
-    percentile would just encode source identity. Deterministic: the
-    percent_rank window orders by (n_tokens, doc_id) — a unique key —
-    so ranks are engine-stable; (rank−1)/(n−1) is one IEEE division
-    computed identically by both engines, rounded 1e-6.
+    percentile would just encode source identity. Deterministic: ranks
+    order by (n_tokens, doc_id) — a unique key — so they are
+    engine-stable; (rank−1)/(n−1) is one IEEE division computed
+    identically by both engines, rounded 1e-6.
 
     Plan shape at 100 TB: token count is a scan-speed expression; the
-    window sorts per-source DOC METADATA (id + one integer — bytes per
-    row, not document text), partitioned across sources. This is the
-    same window class as `quality_quantile_filter` (which cuts by the
-    same statistic per language); at extreme per-source cardinality the
-    sort is the cost, and the two-pass histogram alternative documented
-    in `source_vocab_gini` applies if a coarser percentile suffices.
-    Output is one row per document, linear.
+    exact percent_rank comes from the count-value HISTOGRAM closed form
+    (`hist_percent_rank`): cumulative counts run over the distinct
+    token-count histogram (|token-count domain| rows per source — small
+    ints, domain-bounded) and the only data-scale window is the
+    within-VALUE row_number keyed by (source, n_tokens), whose group
+    sizes shrink as 1/|domain|. A per-source percent_rank window would
+    instead route every doc of a source through ONE task — 20 sources ⇒
+    20 tasks for the whole corpus. Output is one row per document,
+    linear.
     """
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select(
         "doc_id", "source", F.size(tokens_col()).cast("long").alias("n_tokens")
     )
-    w = Window.partitionBy("source").orderBy("n_tokens", "doc_id")
-    return t.select(
+    ranked = hist_percent_rank(t, ["source"], "n_tokens", "doc_id")
+    return ranked.select(
         "doc_id",
         "source",
         "n_tokens",
-        rnd(F.percent_rank().over(w), 6).alias("length_pct"),
+        rnd(F.col("pr"), 6).alias("length_pct"),
     )
 
 

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..catalog import load_table
 from ..functions.exact import dec, rnd
+from ..functions.ranks import hist_cume_counts, hist_disc_percentile
 from ..registry import query
 
 # Power sums in DECIMAL(28,4): products of two DECIMAL(18,2) values are
@@ -184,21 +185,31 @@ def exact_percentiles_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded against): percentile_disc(q) = the smallest actual value whose
     cume_dist reaches q. Discrete selection returns a REAL data value — no
     interpolation arithmetic, so no cross-engine float drift by
-    construction (cume_dist is an exact rational rank/n in both engines,
-    compared against exact decimal literals; ties broken by o_orderkey).
+    construction (the histogram cume/n is the same exact rational
+    cume_dist computes at each value's last tied row, compared against
+    exact decimal literals).
 
-    Scale: one window sort per group + one aggregation — the cost exact
-    quantiles fundamentally require; use approx_percentiles_price when a
-    bounded-error sketch is acceptable at 100 TB."""
+    Scale: count-value HISTOGRAM closed form (the `source_vocab_gini`
+    discipline) — group to (priority, totalprice) counts first, run the
+    cumulative window over the DISTINCT-VALUE histogram, then one
+    aggregation. The window input is |distinct 2-decimal prices| per
+    priority — bounded by the price DOMAIN, not row volume — where the
+    naive per-row cume_dist window would route every order of a priority
+    through one task (5 strata ⇒ 5 tasks total at 100 TB). The per-row
+    tiebreak (o_orderkey) is irrelevant here: threshold selection only
+    reads each value block's LAST row, whose cume_dist is cum/n whatever
+    the intra-block order."""
     o = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
-    cd = F.cume_dist().over(w)
-    ranked = o.select("o_orderpriority", "o_totalprice", cd.alias("cd"))
-    return ranked.groupBy("o_orderpriority").agg(
-        F.min(F.when(F.col("cd") >= 0.5, F.col("o_totalprice"))).alias("p50"),
-        F.min(F.when(F.col("cd") >= 0.95, F.col("o_totalprice"))).alias("p95"),
-        F.min(F.when(F.col("cd") >= 0.99, F.col("o_totalprice"))).alias("p99"),
-        F.count(F.lit(1)).alias("n_orders"),
+    cume = hist_cume_counts(
+        o.select("o_orderpriority", "o_totalprice"),
+        ["o_orderpriority"],
+        "o_totalprice",
+    )
+    return cume.groupBy("o_orderpriority").agg(
+        hist_disc_percentile("o_totalprice", 0.5, "p50"),
+        hist_disc_percentile("o_totalprice", 0.95, "p95"),
+        hist_disc_percentile("o_totalprice", 0.99, "p99"),
+        F.sum("m").alias("n_orders"),
     )
 
 
@@ -379,21 +390,22 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     few whale orders would dominate the plain mean.
 
     Cross-engine exactness: the thresholds are REAL data values (discrete
-    cume_dist selection, o_orderkey tiebreak — no interpolation), clipping
-    is min/max on identical doubles, and the power sums are decimal, so
-    every stage is bit-stable. Plan: one window pass for thresholds, a
-    broadcast join back (thresholds are group-cardinality), one aggregation
-    — two shuffles at any scale."""
+    cume_dist selection — no interpolation), clipping is min/max on
+    identical doubles, and the power sums are decimal, so every stage is
+    bit-stable. Scale: thresholds come from the count-value HISTOGRAM
+    closed form (window over |distinct prices| per priority — price-domain
+    bounded, never a per-row sort of a whole priority's orders through one
+    task), then a broadcast join back (thresholds are group-cardinality)
+    and one aggregation."""
     o = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
-    ranked = o.select(
-        "o_orderpriority",
+    cume = hist_cume_counts(
+        o.select("o_orderpriority", "o_totalprice"),
+        ["o_orderpriority"],
         "o_totalprice",
-        F.cume_dist().over(w).alias("cd"),
     )
-    thresholds = ranked.groupBy("o_orderpriority").agg(
-        F.min(F.when(F.col("cd") >= 0.05, F.col("o_totalprice"))).alias("p05"),
-        F.min(F.when(F.col("cd") >= 0.95, F.col("o_totalprice"))).alias("p95"),
+    thresholds = cume.groupBy("o_orderpriority").agg(
+        hist_disc_percentile("o_totalprice", 0.05, "p05"),
+        hist_disc_percentile("o_totalprice", 0.95, "p95"),
     )
     clipped = o.join(F.broadcast(thresholds), "o_orderpriority").select(
         "o_orderpriority",

@@ -329,6 +329,63 @@ def test_no_registered_query_squeezes_volume_through_one_partition(spark, sf_dir
     assert not failures, failures
 
 
+def test_no_registered_query_windows_volume_by_low_card_stratum(spark, sf_dir):
+    """Repo-wide scale guard #2 (the round-8 verdict's 8-site family): no
+    registered query's plan may run a Window partitioned ONLY by
+    low-cardinality stratum columns (source/lang/priority/…) over a
+    volume-scaled input — each stratum would flow through ONE task at
+    100 TB (the hash-partitioned cousin of the SinglePartition squeeze).
+    Histogram-bounded windows are exempt automatically: the checker
+    recognises an upstream aggregate keyed by (strata + a non-identity
+    value column) as the count-value-histogram closed form, whose window
+    input is |distinct values|, not |rows| (functions/ranks.py). No
+    allowlist — every registered query must pass as-is."""
+    from mapreduce_infrastructure_spark.registry import all_queries
+
+    failures = {}
+    for name, q in all_queries().items():
+        if "streaming" in q.tags:
+            continue
+        bad = checks.low_card_stratum_windows(
+            checks.explain_str(q.fn(spark, sf_dir), "simple")
+        )
+        if bad:
+            failures[name] = bad
+    assert not failures, failures
+
+
+def test_low_card_window_checker_detects_the_banned_shape(spark, sf_dir):
+    """The checker itself must flag the naive shapes the round-9 rewrites
+    removed (per-stratum percent_rank/ntile/cumsum over raw rows) and
+    pass the histogram replacement — guards against the checker rotting
+    into a no-op."""
+    from pyspark.sql import Window, functions as F
+
+    from mapreduce_infrastructure_spark.catalog import load_table
+    from mapreduce_infrastructure_spark.functions.ranks import hist_percent_rank
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(F.split("text", " ")).cast("long").alias("n")
+    )
+    naive = docs.withColumn(
+        "pr",
+        F.percent_rank().over(
+            Window.partitionBy("lang").orderBy("n", "doc_id")
+        ),
+    )
+    assert checks.low_card_stratum_windows(checks.explain_str(naive, "simple"))
+    ntile_naive = docs.withColumn(
+        "q", F.ntile(4).over(Window.partitionBy("lang").orderBy("doc_id"))
+    )
+    assert checks.low_card_stratum_windows(
+        checks.explain_str(ntile_naive, "simple")
+    )
+    hist = hist_percent_rank(docs, ["lang"], "n", "doc_id")
+    assert not checks.low_card_stratum_windows(
+        checks.explain_str(hist, "simple")
+    )
+
+
 def test_ppjoin_no_cartesian(spark, sf_dir):
     """The prefix-filter join must get all candidates from the token
     equi-join — no cartesian/nested-loop block anywhere in the plan."""

@@ -1,0 +1,132 @@
+"""functions/ranks.py — the scale-safe exact rank/percentile/prefix-sum
+building blocks must be BIT-IDENTICAL to the naive per-stratum window
+forms they replace (the round-9 rewrite's correctness contract), across
+ties, single-row strata, empty inputs, and hostile bucket counts."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window, functions as F
+
+from mapreduce_infrastructure_spark.functions.ranks import (
+    bucketed_prefix_sum,
+    hist_cume_counts,
+    hist_disc_percentile,
+    hist_percent_rank,
+    ntile_from_rank,
+)
+
+
+def _fixture(spark, seed_rows):
+    return spark.createDataFrame(seed_rows, "stratum string, id long, v long")
+
+
+def _rows(seed=0):
+    """Deterministic synthetic strata with heavy ties, a singleton stratum
+    and skewed sizes (no RNG — content-addressed like the house style)."""
+    rows = []
+    rid = 0
+    for s, n in (("a", 37), ("b", 11), ("c", 1), ("d", 101)):
+        for i in range(n):
+            # many ties: v cycles through a small domain, offset per stratum
+            rows.append((s, rid, (i * i + seed) % 7))
+            rid += 1
+    return rows
+
+
+def test_hist_percent_rank_matches_window_percent_rank(spark):
+    df = _fixture(spark, _rows())
+    for desc in (False, True):
+        order = [F.col("v").desc() if desc else F.col("v").asc(), F.col("id")]
+        w = Window.partitionBy("stratum").orderBy(*order)
+        naive = {
+            (r.stratum, r.id): r.pr
+            for r in df.withColumn("pr", F.percent_rank().over(w)).collect()
+        }
+        fast = {
+            (r.stratum, r.id): r.pr
+            for r in hist_percent_rank(
+                df, ["stratum"], "v", "id", descending=desc
+            ).collect()
+        }
+        assert fast == naive  # bit-identical, including the n=1 stratum -> 0.0
+
+
+def test_hist_disc_percentile_matches_cume_dist_selection(spark):
+    df = _fixture(spark, _rows(seed=3))
+    w = Window.partitionBy("stratum").orderBy("v", "id")
+    naive = (
+        df.withColumn("cd", F.cume_dist().over(w))
+        .groupBy("stratum")
+        .agg(
+            *[
+                F.min(F.when(F.col("cd") >= q, F.col("v"))).alias(f"p{int(q*100)}")
+                for q in (0.05, 0.5, 0.95, 0.99)
+            ]
+        )
+    )
+    cume = hist_cume_counts(df, ["stratum"], "v")
+    fast = cume.groupBy("stratum").agg(
+        *[
+            hist_disc_percentile("v", q, f"p{int(q*100)}")
+            for q in (0.05, 0.5, 0.95, 0.99)
+        ]
+    )
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, naive.collect()))
+
+
+@pytest.mark.parametrize("n_buckets", [1, 2, 7, 32, 1000])
+def test_bucketed_prefix_sum_matches_window_cumsum(spark, n_buckets):
+    df = _fixture(spark, _rows(seed=5))
+    w = (
+        Window.partitionBy("stratum")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    naive = {
+        (r.stratum, r.id): r.cum
+        for r in df.withColumn("cum", F.sum("v").over(w)).collect()
+    }
+    fast = {
+        (r.stratum, r.id): r.cum
+        for r in bucketed_prefix_sum(
+            df, ["stratum"], "id", "v", n_buckets=n_buckets
+        ).collect()
+    }
+    assert fast == naive
+
+
+def test_bucketed_prefix_sum_empty_input(spark):
+    df = _fixture(spark, []).limit(0)
+    assert bucketed_prefix_sum(df, ["stratum"], "id", "v").count() == 0
+
+
+@pytest.mark.parametrize("k", [1, 2, 4, 7, 10])
+def test_ntile_from_rank_matches_window_ntile(spark, k):
+    df = _fixture(spark, _rows(seed=9))
+    w = Window.partitionBy("stratum").orderBy("id")
+    naive = {
+        (r.stratum, r.id): r.t
+        for r in df.withColumn("t", F.ntile(k).over(w).cast("long")).collect()
+    }
+    sizes = df.groupBy("stratum").agg(F.count(F.lit(1)).alias("n"))
+    ranked = (
+        df.withColumn("rank", F.row_number().over(w).cast("long"))
+        .join(sizes, "stratum")
+        .withColumn("t", ntile_from_rank(F.col("rank"), F.col("n"), k))
+    )
+    fast = {(r.stratum, r.id): r.t for r in ranked.collect()}
+    assert fast == naive
+
+
+def test_bucketed_prefix_sum_plan_has_no_low_card_stratum_window(spark):
+    """The whole point: the replacement's own plan must pass the guard
+    that bans the shape it replaces (the offset window's input is the
+    |strata|x|buckets| subtotal aggregate — exempt by the histogram
+    rule), and parallelism must exceed the stratum count (the window
+    keys include the bucket id)."""
+    from mapreduce_infrastructure_spark.plans import checks
+
+    df = _fixture(spark, _rows()).withColumnRenamed("stratum", "lang")
+    out = bucketed_prefix_sum(df, ["lang"], "id", "v")
+    assert not checks.low_card_stratum_windows(checks.explain_str(out, "simple"))
