@@ -432,6 +432,90 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "event_value_winsor_by_type",
+    oracle="""
+    WITH hist AS (
+      SELECT event_type, value, CAST(COUNT(*) AS BIGINT) AS m
+      FROM events GROUP BY event_type, value
+    ), cume AS (
+      SELECT event_type, value, m,
+             CAST(SUM(m) OVER (PARTITION BY event_type ORDER BY value
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             CAST(SUM(m) OVER (PARTITION BY event_type) AS BIGINT) AS n_stratum
+      FROM hist
+    ), thresholds AS (
+      SELECT event_type,
+             MIN(CASE WHEN CAST(cum AS DOUBLE) / n_stratum >= 0.05 THEN value END) AS p05,
+             MIN(CASE WHEN CAST(cum AS DOUBLE) / n_stratum >= 0.95 THEN value END) AS p95
+      FROM cume GROUP BY event_type
+    ), clipped AS (
+      SELECT e.event_type, t.p05, t.p95,
+             least(greatest(e.value, t.p05), t.p95) AS v
+      FROM events e JOIN thresholds t USING (event_type)
+    ), s AS (
+      SELECT event_type, p05, p95,
+             COUNT(*) AS n,
+             SUM(CAST(v AS DECIMAL(18,2))) AS sx,
+             SUM(CAST(CAST(v AS DECIMAL(18,2)) * CAST(v AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS sxx
+      FROM clipped GROUP BY event_type, p05, p95
+    )
+    SELECT event_type, n, p05, p95,
+           floor((CAST(sx AS DOUBLE) / n) * 100 + 0.5) / 100 AS mean_w,
+           CASE WHEN n >= 2 THEN
+             floor(sqrt(greatest((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        / (CAST(n AS DOUBLE) * (n - 1)), 0)) * 100 + 0.5) / 100
+           END AS std_w
+    FROM s
+    """,
+    tags=("agg", "stats", "robust", "events"),
+)
+def event_value_winsor_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized event-value moments per event type — `winsorized_stats`
+    for the EVENTS stream: clip each type's value to its exact discrete
+    [p05, p95] band, then mean/stddev from exact DECIMAL power sums. The
+    telemetry an event pipeline alarms on when a few whale purchase
+    values would otherwise swamp the plain per-type mean.
+
+    Scale shape (round-9 discipline, born scale-safe): thresholds come
+    from the count-value HISTOGRAM closed form (`hist_cume_counts` +
+    `hist_disc_percentile` — the cumulative window runs over |distinct
+    2-decimal values| per type, value-domain-bounded, never a per-row
+    window keyed by the 5-value event_type), broadcast back, then one
+    decimal power-sum aggregation. Identical structure to the oracle's
+    histogram CTE, so every stage is bit-stable cross-engine."""
+    e = load_table(spark, sf_dir, "events")
+    cume = hist_cume_counts(
+        e.select("event_type", "value"), ["event_type"], "value"
+    )
+    thresholds = cume.groupBy("event_type").agg(
+        hist_disc_percentile("value", 0.05, "p05"),
+        hist_disc_percentile("value", 0.95, "p95"),
+    )
+    clipped = e.join(F.broadcast(thresholds), "event_type").select(
+        "event_type",
+        "p05",
+        "p95",
+        F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95")).alias("v"),
+    )
+    x = dec("v")
+    s = clipped.groupBy("event_type", "p05", "p95").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum((x * x).cast(_PROD)).alias("sxx"),
+    )
+    n = F.col("n")
+    sx, sxx = F.col("sx").cast("double"), F.col("sxx").cast("double")
+    return s.select(
+        "event_type",
+        "n",
+        "p05",
+        "p95",
+        rnd(sx / n, 2).alias("mean_w"),
+        rnd(_sample_std(n, sx, sxx), 2).alias("std_w"),
+    )
+
+
+@query(
     "user_activity_skew",
     oracle="""
     WITH uc AS (
