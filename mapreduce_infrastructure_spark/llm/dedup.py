@@ -30,7 +30,7 @@ from ..catalog import load_table
 from ..functions.exact import rnd
 from ..functions.ranks import bucketed_prefix_sum, ntile_from_rank
 from ..registry import query
-from .text import tokens_col
+from .text import quality_keep_col, quality_keep_sql, tokens_col
 
 # Persisted working sets, one slot per (query, sf_dir) — bounded-cache
 # helper shared across the LLM tier (see llm/cache.py).
@@ -195,6 +195,123 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.05)
+    )
+
+
+_KM_PERMS = 16  # md5-derived Kirsch-Mitzenmacher permutations (see below)
+
+
+@query(
+    "minhash_estimate_error",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 2, 0)),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      FROM (SELECT doc_id, lang,
+                   list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '') AS toks
+            FROM documents)
+    ), sig AS (
+      SELECT doc_id, lang, sh,
+             list_transform(range(0, 16), i ->
+               list_min(list_transform(sh, s ->
+                 CAST('0x' || substr(md5(s), 1, 7) AS BIGINT)
+                 + i * CAST('0x' || substr(md5(s), 8, 7) AS BIGINT)))) AS sig
+      FROM t WHERE len(sh) > 0
+    ), pairs AS (
+      SELECT a.lang, a.doc_id AS doc_a, b.doc_id AS doc_b,
+             floor((CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.sh, b.sh)))) * 10000 + 0.5)
+               / 10000 AS jaccard,
+             CAST(len(list_filter(range(1, 17), k -> a.sig[k] = b.sig[k]))
+                  AS DOUBLE) / 16 AS est_jaccard
+      FROM sig a JOIN sig b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    )
+    SELECT lang, doc_a, doc_b, jaccard, est_jaccard,
+           floor(abs(est_jaccard - jaccard) * 10000 + 0.5) / 10000 AS abs_err
+    FROM pairs WHERE jaccard >= 0.05
+    """,
+    tags=("dedup", "minhash", "stats", "llm"),
+)
+def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-calibration telemetry: for every exact-Jaccard ground-truth
+    pair (the `ngram_jaccard_pairs` set), the MinHash ESTIMATE of the
+    same Jaccard (matching-position share of a 16-permutation signature)
+    and its absolute error — the per-pair evidence behind choosing
+    N_HASHES/band geometry: if errors at the 0.5 verify threshold exceed
+    the binomial envelope, the LSH tier's recall math is off.
+
+    Unlike the production signatures (xxhash64-seeded,
+    `minhash_signature` — not reproducible in SQL), these permutations
+    are the Kirsch-Mitzenmacher construction over ONE md5 per shingle:
+    h_i(s) = h1(s) + i·h2(s), with h1/h2 the first/second 7 hex digits
+    (28 bits each, so h1 + 15·h2 < 2^32 — no BIGINT overflow in either
+    engine's ANSI mode), which BOTH engines compute bit-identically —
+    making this the repo's only hash-certifiable MinHash: the estimator
+    itself is under the differential oracle, not just under recall
+    tests. Estimates are exact multiples of 1/16 (representable
+    doubles), so est, jaccard (rounded 1e-4) and their difference are
+    bit-stable.
+
+    Scale shape: the signature pass is linear (one md5 + 16 mins per
+    shingle, all codegen'd HOFs over a materialized struct column — no
+    UDF, no shuffle); the pair set is the deliberately-exact lang-blocked
+    ground-truth tier (same bound as `ngram_jaccard_pairs` — at 100 TB
+    calibration runs on a sampled block, production candidates come from
+    the LSH path)."""
+    t = _shingle_table(spark, sf_dir)
+    hh = F.transform(
+        "sh",
+        lambda s: F.struct(
+            F.conv(F.substring(F.md5(s.cast("binary")), 1, 7), 16, 10)
+            .cast("long")
+            .alias("h1"),
+            F.conv(F.substring(F.md5(s.cast("binary")), 8, 7), 16, 10)
+            .cast("long")
+            .alias("h2"),
+        ),
+    )
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(_KM_PERMS - 1)),
+        lambda i: F.array_min(
+            F.transform(F.col("hh"), lambda p: p.h1 + i * p.h2)
+        ),
+    )
+    sigt = (
+        t.withColumn("hh", hh)
+        .select("doc_id", "lang", "sh", sig.alias("sig"))
+    )
+    a, b = sigt.alias("a"), sigt.alias("b")
+    jac = rnd(
+        F.size(F.array_intersect("a.sh", "b.sh")).cast("double")
+        / F.size(F.array_union("a.sh", "b.sh")),
+        4,
+    )
+    matches = F.aggregate(
+        F.zip_with(
+            "a.sig", "b.sig", lambda x, y: F.when(x == y, 1).otherwise(0)
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    est = matches.cast("double") / F.lit(_KM_PERMS)
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.lang").alias("lang"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac.alias("jaccard"),
+            est.alias("est_jaccard"),
+            rnd(F.abs(est - jac), 4).alias("abs_err"),
         )
         .filter(F.col("jaccard") >= 0.05)
     )
@@ -1305,6 +1422,82 @@ def source_dup_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     1e-6; zero-token sources yield a NULL ratio in both engines.
     """
     return _dup_mass_report(spark, sf_dir, ["source"])
+
+
+@query(
+    "source_quality_dup_interaction",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, md5(text) AS fp,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), keep AS (
+      SELECT fp, MIN(doc_id) AS keep_doc_id FROM t GROUP BY fp
+    ), flagged AS (
+      SELECT t.source,
+             CASE WHEN t.doc_id <> k.keep_doc_id THEN 1 ELSE 0 END AS is_dup,
+             CASE WHEN {quality_keep_sql("t.toks")} THEN 0 ELSE 1 END AS is_lowq
+      FROM t JOIN keep k USING (fp)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(is_dup) AS BIGINT) AS n_dup,
+           CAST(SUM(is_lowq) AS BIGINT) AS n_lowq,
+           CAST(SUM(is_dup * is_lowq) AS BIGINT) AS n_dup_lowq,
+           floor((CAST(SUM(is_dup * is_lowq) AS DOUBLE) * COUNT(*)
+                  / nullif(CAST(SUM(is_dup) AS BIGINT)
+                           * CAST(SUM(is_lowq) AS BIGINT), 0))
+                 * 1000000 + 0.5) / 1000000 AS lift
+    FROM flagged GROUP BY source
+    """,
+    tags=("dedup", "quality", "stats", "llm"),
+)
+def source_quality_dup_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Are a source's duplicates ALSO its low-quality docs? Per source, the
+    2×2 of (exact-dup? × low-quality?) plus the association LIFT
+    P(dup ∧ lowq) / (P(dup)·P(lowq)) — the number that decides whether
+    running dedup before quality filtering changes the surviving mix:
+    lift ≈ 1 means the two filters are independent (order doesn't
+    matter); lift ≫ 1 means boilerplate is both duplicated and junky, so
+    dedup already removes most of what quality filtering would, and the
+    pipeline can run the cheap tier first. Dup convention = `dedup_exact`
+    (keep-MIN per content fingerprint); quality = the shared
+    `quality_keep_col` predicate.
+
+    Plan shape at 100 TB: one scan (fingerprint + the integer-exact
+    quality flag are scan-speed), one fp-keyed MIN aggregate + join back
+    (same asymptotics as `dedup_exact`), one |sources|-row fold. The
+    lift is one correctly-rounded division of exact integer products
+    (counts < 2^31 per source keep n_dup·n_lowq < 2^62 — no overflow);
+    a source with no dups or no low-quality docs yields NULL in both
+    engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        content_fp().alias("fp"),
+        (~quality_keep_col(tokens_col())).cast("int").alias("is_lowq"),
+    )
+    keep = t.groupBy("fp").agg(F.min("doc_id").alias("keep_doc_id"))
+    flagged = t.join(keep, "fp").select(
+        "source",
+        (F.col("doc_id") != F.col("keep_doc_id")).cast("int").alias("is_dup"),
+        "is_lowq",
+    )
+    n = F.count(F.lit(1))
+    nd = F.sum("is_dup")
+    nl = F.sum("is_lowq")
+    ndl = F.sum(F.col("is_dup") * F.col("is_lowq"))
+    return flagged.groupBy("source").agg(
+        n.alias("n_docs"),
+        nd.alias("n_dup"),
+        nl.alias("n_lowq"),
+        ndl.alias("n_dup_lowq"),
+        rnd(
+            ndl.cast("double") * n / F.nullif(nd * nl, F.lit(0)), 6
+        ).alias("lift"),
+    )
 
 
 @query(

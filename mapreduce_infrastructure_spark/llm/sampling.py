@@ -26,7 +26,7 @@ from ..catalog import load_table
 from ..functions.exact import rnd
 from ..functions.ranks import bucketed_prefix_sum, hist_percent_rank
 from ..registry import query
-from .dedup import shingles_col
+from .dedup import content_fp, shingles_col
 from .text import TOKEN_DELIM, quality_flag_col, quality_flag_sql, tokens_col
 
 # Per-language sampling rates for the stratified mix (domain mixing à la
@@ -356,6 +356,119 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("bin_tokens"),
         )
+    )
+
+
+_N_EPOCHS = 3  # sampled training epochs for the overlap telemetry
+_EPOCH_RATE = 0.5  # per-epoch Bernoulli keep rate
+
+
+@query(
+    "epoch_sample_overlap",
+    oracle=f"""
+    WITH s AS (
+      SELECT e.epoch, d.doc_id, md5(d.text) AS fp,
+             CAST(len(list_filter(regexp_split_to_array(lower(d.text), '{TOKEN_DELIM}'),
+                                  t -> t <> '')) AS BIGINT) AS n_tokens
+      FROM documents d
+      CROSS JOIN (VALUES (1), (2), (3)) e(epoch)
+      WHERE substr(md5('ep' || e.epoch || ':' || CAST(d.doc_id AS VARCHAR)), 1, 6)
+            < '{_hex_threshold(_EPOCH_RATE)}'
+    ), id_common AS (
+      SELECT a.epoch AS epoch_a, b.epoch AS epoch_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common_docs,
+             CAST(SUM(a.n_tokens) AS BIGINT) AS common_tokens
+      FROM s a JOIN s b ON a.doc_id = b.doc_id AND a.epoch < b.epoch
+      GROUP BY a.epoch, b.epoch
+    ), fp_common AS (
+      SELECT a.epoch AS epoch_a, b.epoch AS epoch_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common_fps
+      FROM (SELECT DISTINCT epoch, fp FROM s) a
+      JOIN (SELECT DISTINCT epoch, fp FROM s) b
+        ON a.fp = b.fp AND a.epoch < b.epoch
+      GROUP BY a.epoch, b.epoch
+    )
+    SELECT i.epoch_a, i.epoch_b, i.n_common_docs, i.common_tokens,
+           f.n_common_fps
+    FROM id_common i JOIN fp_common f USING (epoch_a, epoch_b)
+    """,
+    tags=("sampling", "dedup", "llm"),
+)
+def epoch_sample_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-epoch contamination check for a multi-epoch sampled training
+    plan: three independent md5-salted Bernoulli epoch draws (rate 0.5 —
+    the `token_budget_epoch_plan` regime where epochs < 1 pass), and for
+    each epoch PAIR how much repeats — common doc_ids (the expected
+    repeat exposure r² of the corpus), their token mass, and common
+    content FINGERPRINTS, which additionally catches a document the
+    second epoch re-sees through a DUPLICATE with a different doc_id
+    (n_common_fps > n_common_fps-from-ids signals dedup should run
+    before epoch sampling, or the dedup tier missed copies). This is the
+    epoch-level companion of `decontaminate_benchmark` (eval leakage)
+    and `dedup_incremental_new_batch` (ingestion leakage).
+
+    Determinism: draws are the house md5(salt:key) content-addressed
+    randomness — both engines compute the identical sample, so the
+    overlap counts are exact integers, no tolerance needed. Scale shape:
+    the epoch axis is a 3-row broadcast explode (linear scan, rate-
+    thinned); the id-level overlap is a doc_id-keyed self-join of the
+    sampled sets and the content-level one an fp-keyed join of their
+    distinct-fingerprint projections — both shuffle-bounded by the
+    sample size, nothing pairwise beyond the 3 epoch pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    epochs = F.explode(
+        F.array(*[F.lit(e) for e in range(1, _N_EPOCHS + 1)])
+    ).alias("epoch")
+    thr = F.lit(_hex_threshold(_EPOCH_RATE))
+    draw = F.substring(
+        F.md5(
+            F.concat(
+                F.lit("ep"),
+                F.col("epoch").cast("string"),
+                F.lit(":"),
+                F.col("doc_id").cast("string"),
+            ).cast("binary")
+        ),
+        1,
+        6,
+    )
+    s = docs.select(
+        "doc_id",
+        content_fp().alias("fp"),
+        F.size(tokens_col()).cast("long").alias("n_tokens"),
+        epochs,
+    ).filter(draw < thr)
+    a = s.select(
+        F.col("epoch").alias("epoch_a"),
+        "doc_id",
+        F.col("fp").alias("fp_a"),
+        "n_tokens",
+    )
+    b = s.select(F.col("epoch").alias("epoch_b"), "doc_id")
+    id_common = (
+        a.join(b, "doc_id")
+        .filter(F.col("epoch_a") < F.col("epoch_b"))
+        .groupBy("epoch_a", "epoch_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common_docs"),
+            F.sum("n_tokens").alias("common_tokens"),
+        )
+    )
+    fps = s.select("epoch", "fp").distinct()
+    fa = fps.select(F.col("epoch").alias("epoch_a"), "fp")
+    fb = fps.select(F.col("epoch").alias("epoch_b"), "fp")
+    fp_common = (
+        fa.join(fb, "fp")
+        .filter(F.col("epoch_a") < F.col("epoch_b"))
+        .groupBy("epoch_a", "epoch_b")
+        .agg(F.count(F.lit(1)).alias("n_common_fps"))
+    )
+    return id_common.join(fp_common, ["epoch_a", "epoch_b"]).select(
+        "epoch_a",
+        "epoch_b",
+        "n_common_docs",
+        "common_tokens",
+        "n_common_fps",
     )
 
 
