@@ -200,7 +200,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_KM_PERMS = 16  # md5-derived Kirsch-Mitzenmacher permutations (see below)
+_CAL_PERMS = 16  # independently md5-salted calibration permutations (see below)
 
 
 @query(
@@ -219,8 +219,8 @@ _KM_PERMS = 16  # md5-derived Kirsch-Mitzenmacher permutations (see below)
       SELECT doc_id, lang, sh,
              list_transform(range(0, 16), i ->
                list_min(list_transform(sh, s ->
-                 CAST('0x' || substr(md5(s), 1, 7) AS BIGINT)
-                 + i * CAST('0x' || substr(md5(s), 8, 7) AS BIGINT)))) AS sig
+                 CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || s), 1, 15)
+                      AS BIGINT)))) AS sig
       FROM t WHERE len(sh) > 0
     ), pairs AS (
       SELECT a.lang, a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -247,44 +247,48 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Unlike the production signatures (xxhash64-seeded,
     `minhash_signature` — not reproducible in SQL), these permutations
-    are the Kirsch-Mitzenmacher construction over ONE md5 per shingle:
-    h_i(s) = h1(s) + i·h2(s), with h1/h2 the first/second 7 hex digits
-    (28 bits each, so h1 + 15·h2 < 2^32 — no BIGINT overflow in either
-    engine's ANSI mode), which BOTH engines compute bit-identically —
-    making this the repo's only hash-certifiable MinHash: the estimator
-    itself is under the differential oracle, not just under recall
-    tests. Estimates are exact multiples of 1/16 (representable
-    doubles), so est, jaccard (rounded 1e-4) and their difference are
-    bit-stable.
+    are 16 INDEPENDENTLY-SALTED md5 hashes — h_i(s) = first 15 hex
+    digits of md5(i || ':' || s) as a 60-bit integer — which BOTH
+    engines compute bit-identically, making this the repo's only
+    hash-certifiable MinHash: the estimator itself is under the
+    differential oracle, not just under recall tests. (A one-md5
+    Kirsch-Mitzenmacher variant h1 + i·h2 was tried first and REJECTED:
+    min over linear combinations correlates across i — one shingle with
+    small h1 AND h2 wins every permutation, and a measured 0.03-Jaccard
+    pair estimated at 0.56. KM is fine for Bloom membership, not for
+    minwise agreement.) Estimates are exact multiples of 1/16
+    (representable doubles), so est, jaccard (rounded 1e-4) and their
+    difference are bit-stable.
 
-    Scale shape: the signature pass is linear (one md5 + 16 mins per
-    shingle, all codegen'd HOFs over a materialized struct column — no
-    UDF, no shuffle); the pair set is the deliberately-exact lang-blocked
-    ground-truth tier (same bound as `ngram_jaccard_pairs` — at 100 TB
-    calibration runs on a sampled block, production candidates come from
-    the LSH path)."""
+    Scale shape: the signature pass is linear (16 md5s per shingle, all
+    codegen'd HOFs — no UDF, no shuffle; the honest price of SQL-
+    mirrorable independence); the pair set is the deliberately-exact
+    lang-blocked ground-truth tier (same bound as `ngram_jaccard_pairs`
+    — at 100 TB calibration runs on a sampled block, production
+    candidates come from the xxhash64 LSH path)."""
     t = _shingle_table(spark, sf_dir)
-    hh = F.transform(
-        "sh",
-        lambda s: F.struct(
-            F.conv(F.substring(F.md5(s.cast("binary")), 1, 7), 16, 10)
-            .cast("long")
-            .alias("h1"),
-            F.conv(F.substring(F.md5(s.cast("binary")), 8, 7), 16, 10)
-            .cast("long")
-            .alias("h2"),
-        ),
-    )
     sig = F.transform(
-        F.sequence(F.lit(0), F.lit(_KM_PERMS - 1)),
+        F.sequence(F.lit(0), F.lit(_CAL_PERMS - 1)),
         lambda i: F.array_min(
-            F.transform(F.col("hh"), lambda p: p.h1 + i * p.h2)
+            F.transform(
+                "sh",
+                lambda s: F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(i.cast("string"), F.lit(":"), s).cast(
+                                "binary"
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+            )
         ),
     )
-    sigt = (
-        t.withColumn("hh", hh)
-        .select("doc_id", "lang", "sh", sig.alias("sig"))
-    )
+    sigt = t.select("doc_id", "lang", "sh", sig.alias("sig"))
     a, b = sigt.alias("a"), sigt.alias("b")
     jac = rnd(
         F.size(F.array_intersect("a.sh", "b.sh")).cast("double")
@@ -298,7 +302,7 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0),
         lambda acc, v: acc + v,
     )
-    est = matches.cast("double") / F.lit(_KM_PERMS)
+    est = matches.cast("double") / F.lit(_CAL_PERMS)
     return (
         a.join(
             b,

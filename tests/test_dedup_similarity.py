@@ -1039,3 +1039,101 @@ def test_vector_fold_cross_engine_bit_parity(spark):
         ).fetchone()
         assert r.dot == dd[0], (r.dot, dd[0])
         assert r.nrm == dd[1], (r.nrm, dd[1])
+
+
+def test_minhash_estimate_error_scalar_reference_and_calibration(spark, sf_dir):
+    """The salted-md5 minhash estimator must (a) exactly match a scalar
+    Python recomputation of the same construction — h_i(s) = 60-bit
+    prefix of md5(i:s), matching-position share of 16 — and (b) sit
+    within the binomial envelope of the exact Jaccard it estimates (the
+    calibration property the rejected Kirsch-Mitzenmacher variant
+    violated — see the operator docstring)."""
+    import hashlib
+    import math
+    import re
+
+    import pyarrow.parquet as pq
+
+    from mapreduce_infrastructure_spark.llm.dedup import (
+        _CAL_PERMS,
+        minhash_estimate_error,
+    )
+
+    rows = minhash_estimate_error(spark, sf_dir).collect()
+    assert rows, "fixture should contain ground-truth pairs"
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pydict()
+    texts = dict(zip(tbl["doc_id"], tbl["text"]))
+
+    def shingles(text):
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    def sig(sh):
+        return [
+            min(
+                int(hashlib.md5(f"{i}:{s}".encode()).hexdigest()[:15], 16)
+                for s in sh
+            )
+            for i in range(_CAL_PERMS)
+        ]
+
+    for r in rows:
+        sa, sb = shingles(texts[r.doc_a]), shingles(texts[r.doc_b])
+        jac = len(sa & sb) / len(sa | sb)
+        assert abs(r.jaccard - round(jac, 4)) <= 1e-9
+        ga, gb = sig(sa), sig(sb)
+        est = sum(x == y for x, y in zip(ga, gb)) / _CAL_PERMS
+        assert r.est_jaccard == est, (r.doc_a, r.doc_b, r.est_jaccard, est)
+        # multiples of 1/16 by construction
+        assert (r.est_jaccard * _CAL_PERMS) == int(r.est_jaccard * _CAL_PERMS)
+        # binomial envelope: 4 sigma + one quantum
+        sigma = math.sqrt(max(jac * (1 - jac), 0.0) / _CAL_PERMS)
+        assert abs(est - jac) <= 4 * sigma + 1.0 / _CAL_PERMS, (r.doc_a, r.doc_b)
+
+
+def test_source_quality_dup_interaction_scalar_reference(spark, sf_dir):
+    """Per-source 2x2 counts and lift must match a scalar recomputation
+    from the parquet bytes using the shared conventions (md5 keep-MIN
+    dup; >=20 tokens & stopword<=half quality)."""
+    import hashlib
+    import re
+
+    import pyarrow.parquet as pq
+
+    from mapreduce_infrastructure_spark.llm.dedup import (
+        source_quality_dup_interaction,
+    )
+
+    rows = {r.source: r for r in source_quality_dup_interaction(spark, sf_dir).collect()}
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    ).to_pydict()
+    keep: dict[str, int] = {}
+    for d, t in zip(tbl["doc_id"], tbl["text"]):
+        fp = hashlib.md5(t.encode()).hexdigest()
+        keep[fp] = min(keep.get(fp, d), d)
+    agg: dict[str, list[int]] = {}
+    for d, s, t in zip(tbl["doc_id"], tbl["source"], tbl["text"]):
+        toks = [x for x in re.split(r"[^a-z0-9]+", t.lower()) if x]
+        lowq = not (
+            len(toks) >= 20
+            and 2 * sum(x in ("the", "a") for x in toks) <= len(toks)
+        )
+        dup = keep[hashlib.md5(t.encode()).hexdigest()] != d
+        a = agg.setdefault(s, [0, 0, 0, 0])
+        a[0] += 1
+        a[1] += dup
+        a[2] += lowq
+        a[3] += dup and lowq
+    assert set(rows) == set(agg)
+    for s, (n, nd, nl, ndl) in agg.items():
+        r = rows[s]
+        assert (r.n_docs, r.n_dup, r.n_lowq, r.n_dup_lowq) == (n, nd, nl, ndl)
+        if nd and nl:
+            import math
+
+            assert abs(r.lift - (ndl * n) / (nd * nl)) <= 1e-6
+        else:
+            assert r.lift is None

@@ -601,3 +601,52 @@ def test_quality_model_calibration_contract(spark, sf_dir):
         assert 0.0 <= b.pos_share <= 1.0
     weighted = sum(b.n * b.pos_share for b in bins)
     assert abs(weighted - n_pos) <= 1e-3 * n_labeled + 1.0
+
+
+def test_epoch_sample_overlap_scalar_reference(spark, sf_dir):
+    """Overlap counts must match a scalar recomputation of the md5 epoch
+    draws (salt 'ep{e}:doc_id', rate 0.5) — id-level commons, their token
+    mass, and fingerprint-level commons including cross-id duplicates."""
+    import hashlib
+    import re
+
+    import pyarrow.parquet as pq
+
+    from mapreduce_infrastructure_spark.llm.sampling import (
+        _EPOCH_RATE,
+        _N_EPOCHS,
+        _hex_threshold,
+        epoch_sample_overlap,
+    )
+
+    rows = {
+        (r.epoch_a, r.epoch_b): r
+        for r in epoch_sample_overlap(spark, sf_dir).collect()
+    }
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pydict()
+    thr = _hex_threshold(_EPOCH_RATE)
+    samples: dict[int, dict[int, tuple[str, int]]] = {}
+    for d, t in zip(tbl["doc_id"], tbl["text"]):
+        fp = hashlib.md5(t.encode()).hexdigest()
+        n_tok = len([x for x in re.split(r"[^a-z0-9]+", t.lower()) if x])
+        for e in range(1, _N_EPOCHS + 1):
+            if hashlib.md5(f"ep{e}:{d}".encode()).hexdigest()[:6] < thr:
+                samples.setdefault(e, {})[d] = (fp, n_tok)
+    for ea in range(1, _N_EPOCHS + 1):
+        for eb in range(ea + 1, _N_EPOCHS + 1):
+            common = set(samples.get(ea, {})) & set(samples.get(eb, {}))
+            fps_a = {fp for fp, _ in samples.get(ea, {}).values()}
+            fps_b = {fp for fp, _ in samples.get(eb, {}).values()}
+            r = rows[(ea, eb)]
+            assert r.n_common_docs == len(common)
+            assert r.common_tokens == sum(
+                samples[ea][d][1] for d in common
+            )
+            assert r.n_common_fps == len(fps_a & fps_b)
+    assert set(rows) == {
+        (a, b)
+        for a in range(1, _N_EPOCHS + 1)
+        for b in range(a + 1, _N_EPOCHS + 1)
+    }

@@ -182,3 +182,49 @@ def test_event_interarrival_stats_scalar_reference(spark, sf_dir):
         assert got.min_gap_sec == min(gs) / 1e6
         assert got.max_gap_sec == max(gs) / 1e6
         assert got.min_gap_sec <= got.mean_gap_sec <= got.max_gap_sec
+
+
+def test_event_value_winsor_matches_numpy_reference(spark, sf_dir):
+    """The winsorized per-type event moments must match a single-machine
+    numpy recomputation using the same discrete-percentile definition
+    (smallest value whose cume share reaches q), within the 1e-2 display
+    rounding; thresholds must be REAL data values of the type."""
+    import math
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from mapreduce_infrastructure_spark.operators.stats import (
+        event_value_winsor_by_type,
+    )
+
+    rows = {r.event_type: r for r in event_value_winsor_by_type(spark, sf_dir).collect()}
+    tbl = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    ).to_pydict()
+    by_type: dict[str, list[float]] = {}
+    for t, v in zip(tbl["event_type"], tbl["value"]):
+        by_type.setdefault(t, []).append(v)
+    assert set(rows) == set(by_type)
+    for t, vals in by_type.items():
+        vals.sort()
+        n = len(vals)
+
+        def disc(q):
+            for i, v in enumerate(vals, 1):
+                if i / n >= q:
+                    return v
+            return vals[-1]
+
+        p05, p95 = disc(0.05), disc(0.95)
+        r = rows[t]
+        assert r.p05 == p05 and r.p95 == p95, (t, r.p05, p05, r.p95, p95)
+        assert p05 in vals and p95 in vals  # discrete: real data values
+        clipped = np.clip(np.asarray(vals), p05, p95)
+        assert r.n == n
+        assert abs(r.mean_w - clipped.mean()) <= 0.005 + 1e-9
+        std = clipped.std(ddof=1) if n >= 2 else None
+        if std is None:
+            assert r.std_w is None
+        else:
+            assert abs(r.std_w - std) <= 0.005 + 1e-6, (t, r.std_w, std)
