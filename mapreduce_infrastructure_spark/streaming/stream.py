@@ -376,6 +376,186 @@ def stream_session_window_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_table(agg, "stream_session_window_30m", mode="complete")
 
 
+_SESSION_GAP_US = 1_800_000_000  # 30 minutes, the tier's shared gap
+_TOPK_PER_SESSION = 3
+
+
+def _session_topk_fn(
+    key: Tuple[Any, ...],
+    pdf_iter: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user session state as MERGED INTERVALS with per-type counts:
+    each micro-batch inserts its events and re-chains intervals whose
+    gap is < 30 min (interval extremes are all that future merges can
+    touch, so event-level granularity inside a closed interval is
+    droppable — the state bound is sessions × types, never raw events).
+    Emits the user's FULL current session list each batch plus a
+    monotone update counter; the post-stream reconcile keeps each
+    user's LAST emit, which is batch-split- and arrival-order-
+    independent because interval merging is confluent: late events
+    bridging two previously-separate sessions simply merge them on
+    arrival, and the superseded emit loses by the counter."""
+    sessions: list = []  # [start_us, end_us, {type: cnt}]
+    upd = 0
+    if state.exists:
+        starts, ends, sess_of, types, cnts, upd = state.get
+        sessions = [[s, e, {}] for s, e in zip(starts, ends)]
+        for i, t, c in zip(sess_of, types, cnts):
+            sessions[i][2][t] = c
+    new = []
+    for pdf in pdf_iter:
+        new.extend(
+            (int(us), t) for us, t in zip(pdf["us"], pdf["event_type"])
+        )
+    for us, t in new:
+        sessions.append([us, us, {t: 1}])
+    sessions.sort(key=lambda s: s[0])
+    merged: list = []
+    for s in sessions:
+        if merged and s[0] - merged[-1][1] < _SESSION_GAP_US:
+            m = merged[-1]
+            m[1] = max(m[1], s[1])
+            for t, c in s[2].items():
+                m[2][t] = m[2].get(t, 0) + c
+        else:
+            merged.append(s)
+    upd += 1
+    starts, ends, sess_of, types, cnts = [], [], [], [], []
+    for i, (s, e, tc) in enumerate(merged):
+        starts.append(s)
+        ends.append(e)
+        for t, c in tc.items():
+            sess_of.append(i)
+            types.append(t)
+            cnts.append(c)
+    state.update((starts, ends, sess_of, types, cnts, upd))
+    top_types, top_counts = [], []
+    for _s, _e, tc in merged:
+        top = sorted(tc.items(), key=lambda kv: (-kv[1], kv[0]))
+        top = top[:_TOPK_PER_SESSION]
+        top_types.append([t for t, _ in top])
+        top_counts.append([c for _, c in top])
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "upd": [upd],
+            "starts": [[s // 1_000_000 for s, _, _ in merged]],
+            "n_events": [[sum(tc.values()) for _, _, tc in merged]],
+            "top_types": [top_types],
+            "top_counts": [top_counts],
+        }
+    )
+
+
+@query(
+    "stream_session_topk_event_types",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+      SELECT user_id, ts, event_type,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    ), sessions AS (
+      SELECT user_id, session_no,
+             CAST(MIN(epoch_us(ts)) // 1000000 AS BIGINT) AS session_start,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM numbered GROUP BY user_id, session_no
+    ), typed AS (
+      SELECT user_id, session_no, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_type_events
+      FROM numbered GROUP BY user_id, session_no, event_type
+    ), ranked AS (
+      SELECT user_id, session_no, event_type, n_type_events,
+             CAST(row_number() OVER (PARTITION BY user_id, session_no
+                                     ORDER BY n_type_events DESC, event_type)
+                  AS INTEGER) AS rank
+      FROM typed
+    )
+    SELECT s.user_id, s.session_start, s.n_events,
+           r.rank, r.event_type, r.n_type_events
+    FROM sessions s JOIN ranked r USING (user_id, session_no)
+    WHERE r.rank <= 3
+    """,
+    tags=("streaming", "stateful", "session", "topk"),
+)
+def stream_session_topk_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SESSION top-K: for every user session (30-minute gap,
+    the tier's shared convention), the session's total event count and
+    its top-3 event types — "what did this session mostly do", the shape
+    a product-analytics stream emits per visit. Combines the two
+    stateful primitives the tier already certifies separately: session
+    merging (`stream_session_window_30m`) and ranked keyed state
+    (`stream_topk_users_per_window`) — but the built-in session_window
+    cannot express it (grouping by (session_window, event_type) would
+    sessionize each TYPE's events independently, giving different
+    session boundaries per type), so sessions live as explicit keyed
+    state via ``applyInPandasWithState``: merged intervals with
+    per-type counts, re-chained on every batch (late events bridging
+    two sessions merge them — confluent under any batch split, which
+    the multi-batch test pins). Each batch re-emits the user's full
+    session list with a monotone update counter; the post-stream
+    reconcile keeps the last emit and explodes it to ranked rows.
+
+    State/scale: per user, sessions × distinct-types rows — interval
+    extremes + type counts, never raw events; state store partitioned
+    by user, nothing on the driver. Ranking ties break by event_type
+    ascending (deterministic in both engines)."""
+    ev = stream_events(spark, sf_dir).select(
+        "user_id", F.expr("unix_micros(ts)").alias("us"), "event_type"
+    )
+    updated = ev.groupBy("user_id").applyInPandasWithState(
+        _session_topk_fn,
+        outputStructType=(
+            "user_id bigint, upd bigint, starts array<bigint>, "
+            "n_events array<bigint>, top_types array<array<string>>, "
+            "top_counts array<array<bigint>>"
+        ),
+        stateStructType=(
+            "starts array<bigint>, ends array<bigint>, sess_of array<int>, "
+            "types array<string>, cnts array<bigint>, upd bigint"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    per_batch = run_to_table(
+        updated, "stream_session_topk_event_types", mode="update"
+    )
+    last = per_batch.groupBy("user_id").agg(
+        F.max(
+            F.struct("upd", "starts", "n_events", "top_types", "top_counts")
+        ).alias("s")
+    )
+    sessions = last.select(
+        "user_id",
+        F.explode(
+            F.arrays_zip("s.starts", "s.n_events", "s.top_types", "s.top_counts")
+        ).alias("z"),
+    ).select(
+        "user_id",
+        F.col("z.starts").alias("session_start"),
+        F.col("z.n_events").alias("n_events"),
+        F.posexplode(F.arrays_zip("z.top_types", "z.top_counts")).alias(
+            "i", "tc"
+        ),
+    )
+    return sessions.select(
+        "user_id",
+        "session_start",
+        "n_events",
+        (F.col("i") + 1).cast("int").alias("rank"),
+        F.col("tc.top_types").alias("event_type"),
+        F.col("tc.top_counts").alias("n_type_events"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Kafka source (guarded): the production ingest for this tier
 # ---------------------------------------------------------------------------

@@ -340,3 +340,126 @@ def test_stream_topk_multibatch_ranked_state(spark, sf_dir, tmp_path):
     for w, users in counts.items():
         top = sorted(users.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
         assert got[w] == top, (w, got[w], top)
+
+
+def test_stream_session_topk_multibatch_bridges_sessions(spark, tmp_path):
+    """Confluence of the interval-merge state: batch 1 delivers two events
+    30+ min apart (two sessions); batch 2 delivers a LATE event between
+    them, bridging both. The final emit must be ONE merged session with
+    summed type counts and the earliest start — exactly what a batch
+    recomputation over all three events gives."""
+    import os
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from mapreduce_infrastructure_spark.streaming.stream import (
+        _session_topk_fn,
+        run_to_table,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    t0 = 1_700_000_000_000_000  # µs
+    rows_b1 = [(1, t0, "click"), (1, t0 + 3_000_000_000, "click")]  # 50 min apart
+    rows_b2 = [(1, t0 + 1_500_000_000, "purchase")]  # bridges: both gaps 25 min
+    schema = "user_id bigint, us bigint, event_type string"
+    spark.createDataFrame(rows_b1, schema).coalesce(1).write.parquet(src + "/b=1")
+    spark.createDataFrame(rows_b2, schema).coalesce(1).write.parquet(src + "/b=2")
+
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b=*")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_topk_fn,
+            outputStructType=(
+                "user_id bigint, upd bigint, starts array<bigint>, "
+                "n_events array<bigint>, top_types array<array<string>>, "
+                "top_counts array<array<bigint>>"
+            ),
+            stateStructType=(
+                "starts array<bigint>, ends array<bigint>, sess_of array<int>, "
+                "types array<string>, cnts array<bigint>, upd bigint"
+            ),
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    per_batch = run_to_table(sdf, "session_topk_bridge_test", mode="update")
+    rows = sorted(per_batch.collect(), key=lambda r: r.upd)
+    assert len(rows) >= 2, "expected one emit per micro-batch"
+    first, last = rows[0], rows[-1]
+    assert len(first.starts) == 2  # two sessions before the bridge
+    assert len(last.starts) == 1  # merged after the late bridging event
+    assert last.starts[0] == t0 // 1_000_000
+    assert last.n_events[0] == 3
+    assert last.top_types[0] == ["click", "purchase"]  # 2 clicks > 1 purchase
+    assert list(last.top_counts[0]) == [2, 1]
+
+
+def test_stream_session_topk_multibatch_equals_single_batch(spark, sf_dir, tmp_path):
+    """Splitting the fixture event log across two triggers must not change
+    the final reconciled answer (the query result is already
+    oracle-certified in single-batch form; this pins batch-split
+    independence of the stateful merge)."""
+    import os
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from mapreduce_infrastructure_spark.catalog import load_table
+    from mapreduce_infrastructure_spark.streaming.stream import (
+        _session_topk_fn,
+        run_to_table,
+        stream_session_topk_event_types,
+    )
+
+    single = {
+        (r.user_id, r.session_start, r.rank): (r.n_events, r.event_type, r.n_type_events)
+        for r in stream_session_topk_event_types(spark, sf_dir).collect()
+    }
+
+    ev = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # Adversarial split: by event_id parity, so each batch holds an
+    # arbitrary (non-chronological) half of every session.
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(src + "/b=1")
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(src + "/b=2")
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string"
+    )
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b=*")
+        .select("user_id", F.expr("unix_micros(ts)").alias("us"), "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_topk_fn,
+            outputStructType=(
+                "user_id bigint, upd bigint, starts array<bigint>, "
+                "n_events array<bigint>, top_types array<array<string>>, "
+                "top_counts array<array<bigint>>"
+            ),
+            stateStructType=(
+                "starts array<bigint>, ends array<bigint>, sess_of array<int>, "
+                "types array<string>, cnts array<bigint>, upd bigint"
+            ),
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    per_batch = run_to_table(sdf, "session_topk_split_test", mode="update")
+    last = per_batch.groupBy("user_id").agg(
+        F.max(F.struct("upd", "starts", "n_events", "top_types", "top_counts")).alias("s")
+    )
+    got = {}
+    for r in last.collect():
+        for start, n, tts, tcs in zip(
+            r.s.starts, r.s.n_events, r.s.top_types, r.s.top_counts
+        ):
+            for i, (t, c) in enumerate(zip(tts, tcs), 1):
+                got[(r.user_id, start, i)] = (n, t, c)
+    assert got == single
