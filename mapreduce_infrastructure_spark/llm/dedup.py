@@ -1963,13 +1963,23 @@ def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", content_fp().alias("fp"))
+    return incremental_dedup_classify(t, _INCR_OLD_MAX)
+
+
+def incremental_dedup_classify(t: DataFrame, boundary: int) -> DataFrame:
+    """The classification core of `dedup_incremental_new_batch` over any
+    (doc_id, fp) frame and old/batch boundary — factored out so the
+    property test can drive hypothesis-generated corpora through the
+    REAL plan and prove the keep-MIN convention provably consistent
+    with `dedup_exact` (union of old keepers and incremental 'novel'
+    docs == the batch keep-set), not just fixture-consistent."""
     old_fp = (
-        t.filter(F.col("doc_id") < _INCR_OLD_MAX)
+        t.filter(F.col("doc_id") < boundary)
         .select("fp")
         .distinct()
         .withColumn("in_old", F.lit(True))
     )
-    batch = t.filter(F.col("doc_id") >= _INCR_OLD_MAX)
+    batch = t.filter(F.col("doc_id") >= boundary)
     first = batch.groupBy("fp").agg(F.min("doc_id").alias("first_doc"))
     return (
         batch.join(first, "fp")

@@ -1137,3 +1137,59 @@ def test_source_quality_dup_interaction_scalar_reference(spark, sf_dir):
             assert abs(r.lift - (ndl * n) / (nd * nl)) <= 1e-6
         else:
             assert r.lift is None
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    fps=st.lists(st.integers(min_value=0, max_value=6), min_size=1, max_size=30),
+    boundary_frac=st.floats(min_value=0.0, max_value=1.0),
+)
+def test_incremental_dedup_provably_consistent_with_batch_dedup(
+    spark, fps, boundary_frac
+):
+    """Property (round-8 verdict item 8): for ANY corpus and old/batch
+    boundary, classifying the batch incrementally against the old
+    fingerprint index must agree with batch `dedup_exact` semantics —
+    {old keepers} ∪ {incremental 'novel' docs} == the keep-MIN set of
+    the full corpus, dup_of_old iff the fingerprint predates the
+    boundary, dup_in_batch iff the batch keep-first predecessor exists
+    with no old occurrence. fp classes are drawn from a small alphabet
+    to force heavy collisions across the boundary."""
+    from mapreduce_infrastructure_spark.llm.dedup import (
+        incremental_dedup_classify,
+    )
+
+    docs = [(i, f"fp{c}") for i, c in enumerate(fps)]
+    boundary = int(len(docs) * boundary_frac)
+    t = spark.createDataFrame(docs, "doc_id long, fp string")
+    got = {
+        r.doc_id: r.status
+        for r in incremental_dedup_classify(t, boundary).collect()
+    }
+    old = {fp for d, fp in docs if d < boundary}
+    batch = [(d, fp) for d, fp in docs if d >= boundary]
+    assert set(got) == {d for d, _ in batch}
+    first_in_batch: dict[str, int] = {}
+    for d, fp in batch:
+        first_in_batch.setdefault(fp, d)
+    for d, fp in batch:
+        if fp in old:
+            want = "dup_of_old"
+        elif first_in_batch[fp] != d:
+            want = "dup_in_batch"
+        else:
+            want = "novel"
+        assert got[d] == want, (d, fp, got[d], want)
+    # the dedup_exact equivalence: global keep-MIN set == old keepers ∪ novel
+    keep_global = {min(d for d, f in docs if f == fp) for fp in {f for _, f in docs}}
+    old_keepers = {min(d for d, f in docs if f == fp) for fp in old}
+    novel = {d for d, s in got.items() if s == "novel"}
+    assert keep_global == old_keepers | novel
