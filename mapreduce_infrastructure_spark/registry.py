@@ -50,106 +50,72 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # Ordering is therefore a curated, per-round decision, not an accident of
 # imports; CERTIFIED_HISTORY.md tracks which rounds certified what.
 #
-# Round-8 window, final state (the amendment-by-amendment history is in
-# CERTIFIED_HISTORY.md): the 30 queries ADDED this round lead, newest
-# wave first (first-time certification — new queries must land inside
-# the window or they'd have no driver row at all), then the staleness
-# rotation the judge directed for round 8 (the 15 r4-vintage rows
-# displaced from the round-7 window, then the oldest remaining
-# r4-vintage rows), and finally 3 changed-code slots that jump the
-# staleness queue (q15/q11's unpartitioned-window → scalar-agg rewrite;
-# source_dup_mass's move to the shared _dup_mass_base scan). Each new
-# wave displaced the tail of the r4-vintage block (rows-only entries
-# first — their no-oracle driver signal loses least by waiting);
-# displaced rows keep their standing greens, rotate in round 9, and
-# tests/test_oracle_queries.py still mirrors every oracle-backed query
-# each pytest run.
+# Round-9 window: the 5 queries ADDED this round lead (first-time
+# certification), then 15 changed-code slots (the round-8 verdict's two
+# scale findings: the PCA tree-reduction and the 12-site stratum-window
+# rewrite family, plus the incremental-dedup refactor), then the
+# staleness rotation the verdict directed — the 20 wave-4/5-displaced
+# r2/r4-vintage rows, the 3 displaced rows-only r4 entries, and the
+# stalest r5-vintage cohort (CORRECTNESS_r05 order) in the remaining
+# slots. Displaced rows keep their standing greens and
+# tests/test_oracle_queries.py mirrors every oracle-backed query each
+# pytest run.
 CERTIFIED_FIRST: tuple[str, ...] = (
-    # --- new in round 8, wave 11: XML + binaryFile source formats ---
-    "xml_roundtrip_region",
-    "binaryfile_ingest_stats",
-    # --- new in round 8, wave 10: incremental dedup + length model ---
-    "dedup_incremental_new_batch",
-    "source_length_lognormal_fit",
-    # --- new in round 8, wave 9: multimodal frame sampling ---
-    "multimodal_frame_sample",
-    # --- new in round 8, wave 8: streaming top-K ranked state ---
-    "stream_topk_users_per_window",
-    # --- new in round 8, wave 7: exact distributed PCA (rows-only) ---
-    "embedding_pca_top_components",
-    # --- new in round 8, wave 6: bigram-JSD/length-percentile/
-    # inter-arrival telemetry (3) ---
-    "source_bigram_js_divergence",
-    "doc_length_percentile_by_source",
-    "event_interarrival_stats",
-    # --- new in round 8, wave 5: char-class/Zipf-MLE/norm-QA/skew
-    # telemetry (4) ---
-    "source_char_class_profile",
-    "source_zipf_alpha_mle",
-    "embedding_norm_profile",
-    "user_activity_skew",
-    # --- new in round 8, wave 4: LM/embedding-drift/dup-cross/packing-QA
-    # tier (5; quality_model_calibration_bins is rows-only by design) ---
-    "ngram_lm_bigram_logloss",
-    "source_embedding_centroid_drift",
-    "dup_mass_by_lang_cross",
-    "packing_overflow_report",
-    "quality_model_calibration_bins",
-    # --- new in round 8, waves 1-3: telemetry + packing-QA + embedding-QA
-    # tier (11) ---
-    "ngram_idf_weighted_novelty",
-    "source_pair_jaccard",
-    "packing_bin_fill_histogram",
-    "doc_bigram_cond_entropy",
-    "source_vocab_gini",
-    "cross_source_dup_matrix",
-    "doc_repeated_ngram_ratio",
-    "label_centroid_cohesion",
-    "token_budget_epoch_plan",
-    "source_quality_trend",
-    "embedding_dim_variance",
-    # --- r4-vintage rows displaced from the round-7 window (15) ---
-    "stream_sliding_1h_15m",
-    "stream_session_window_30m",
-    "wordcount",
-    "stream_user_totals",
-    "stream_join_click_purchase",
-    "stream_dedup_events",
-    "sessionize_gaps",
-    "rollup_hierarchical_daily",
-    "stream_tumbling_hourly",
-    "window_tumbling_hourly",
-    "window_sliding_1h_15m",
-    "session_window_30m",
-    "parquet_partitioned_prune",
-    "bucketed_join_orders_customer",
-    # (zorder_pruning_stats displaced by wave 11 — rows-only, weakest
-    #  driver signal, same policy as the wave-3/6 rows-only displacements)
-    # --- remaining r4-vintage rows (22, rounds-2-4 window order; the three
-    # rows-only entries were displaced by wave 3 and rotate in round 9) ---
-    "quality_scores",
-    "lang_id_heuristic",
-    "corpus_clean_pipeline",
-    # (doc_fingerprint displaced by wave 11;
-    #  text_stats_by_lang, doc_token_counts displaced by wave 10;
-    #  tfidf_top_terms displaced by wave 9;
-    #  token_counts_bpe displaced by wave 8; dedup_exact by wave 7;
-    #  ngram_jaccard_pairs, minhash_lsh_pairs, simhash_neardup_pairs
-    #  displaced by wave 6; containment_pairs, dedup_clusters,
-    #  substring_dedup, knn_bruteforce displaced by wave 5;
-    #  neardup_cosine_pairs, ann_ivf_topk, neardup_cosine_ivf,
-    #  multimodal_meta, mr_wordcount, mr_inverted_index displaced by
-    #  wave 4 — all rotate to round 9; standing r2/r4 greens keep them
-    #  covered, and tests/test_oracle_queries.py re-runs their oracles
-    #  every pytest run.)
-    # --- changed-code slots (3): queries whose implementation changed
-    # this round jump the staleness queue (q15/q11: the
-    # unpartitioned-window → scalar-agg-broadcast rewrite;
-    # source_dup_mass: its scan table moved to the shared
-    # _dup_mass_base slot that dup_mass_by_lang_cross reads) ---
-    "source_dup_mass",
-    "q15_top_supplier",
-    "q11_important_stock",
+    # --- new in round 9 (5) ---
+    "stream_session_topk_event_types",
+    "epoch_sample_overlap",
+    "minhash_estimate_error",
+    "source_quality_dup_interaction",
+    "event_value_winsor_by_type",
+    # --- changed-code slots (15): round-8 verdict items 1-2 rewrites ---
+    "embedding_pca_top_components",  # per-partition partials + treeAggregate
+    "exact_percentiles_disc",  # histogram closed form
+    "winsorized_stats",  # histogram thresholds
+    "doc_length_percentile_by_source",  # hist_percent_rank
+    "quality_quantile_filter",  # hist_percent_rank desc
+    "corpus_assemble_pipeline",  # quality stage via hist_percent_rank
+    "pack_sequences",  # bucketed_prefix_sum
+    "packing_overflow_report",  # bucketed_prefix_sum
+    "source_novelty_trend",  # distributed rank + ntile closed form
+    "source_quality_trend",  # distributed rank + ntile closed form
+    "source_type_token_curve",  # bucketed_prefix_sum
+    "budget_pack_efficiency",  # bucketed_prefix_sum
+    "quality_classifier_scores",  # weak labels via hist_percent_rank
+    "quality_model_calibration_bins",  # inherits the scorer rewrite
+    "dedup_incremental_new_batch",  # classification core factored out
+    # --- verdict-directed rotation: wave-4/5-displaced r2/r4 rows (20) ---
+    "neardup_cosine_pairs",
+    "ann_ivf_topk",
+    "neardup_cosine_ivf",
+    "multimodal_meta",
+    "mr_wordcount",
+    "mr_inverted_index",
+    "containment_pairs",
+    "dedup_clusters",
+    "substring_dedup",
+    "knn_bruteforce",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_neardup_pairs",
+    "tfidf_top_terms",
+    "token_counts_bpe",
+    "dedup_exact",
+    "doc_fingerprint",
+    "text_stats_by_lang",
+    "doc_token_counts",
+    "zorder_pruning_stats",
+    # --- the three rows-only r4 entries displaced by round-8 wave 3 ---
+    "ann_lsh_topk",
+    "semantic_dedup_clusters",
+    "ann_pq_topk",
+    # --- stalest r5-vintage cohort (CORRECTNESS_r05 order, 7 slots) ---
+    "q2_min_cost_supplier",
+    "q4_priority_exists",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "q10_returned_items",
 )
 
 
