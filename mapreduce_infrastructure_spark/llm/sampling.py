@@ -359,6 +359,72 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "corpus_interleave_plan",
+    oracle="""
+    WITH slots AS (
+      SELECT doc_id, source,
+             CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1
+                  AS BIGINT) AS slot
+      FROM documents
+    )
+    SELECT doc_id, source, slot,
+           CAST(row_number() OVER (ORDER BY slot, source) - 1 AS BIGINT)
+             AS global_pos
+    FROM slots
+    """,
+    tags=("sampling", "packing", "llm"),
+)
+def corpus_interleave_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic round-robin SOURCE INTERLEAVE for the training data
+    loader: each source's docs (doc_id order) take slots 0,1,2,…, and the
+    global training order cycles source-by-source within each slot — the
+    standard way to keep a mixed corpus locally balanced (no 10⁹-doc run
+    of one crawl at the front) without any RNG. Emits every doc's slot
+    and its exact global position.
+
+    Scale design — NO global window (the oracle's row_number over the
+    whole corpus is the semantics, not the plan): slot comes from the
+    two-pass distributed rank (`bucketed_prefix_sum` of 1s), and
+    global_pos from the closed form over the |sources|-row count table —
+    pos(slot, src) = Σ_src' min(slot, n_src') + |{src' < src : n_src' >
+    slot}| (docs at earlier slots from every source, plus same-slot docs
+    of lexicographically earlier sources) — evaluated as a codegen'd HOF
+    fold over one broadcast ~20-element array per row. Pure integer
+    arithmetic, bit-identical to the oracle's global sort; total-order
+    uniqueness is asserted in tests."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    ranked = bucketed_prefix_sum(
+        docs, ["source"], "doc_id", F.lit(1), cum_alias="_rank"
+    ).withColumn("slot", (F.col("_rank") - 1).cast("long"))
+    counts = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("source", "n"))
+            ).alias("_counts")
+        )
+    )
+    pos = F.aggregate(
+        F.col("_counts"),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc
+        + F.least(F.col("slot"), x.n)
+        + F.when((x.source < F.col("source")) & (x.n > F.col("slot")), 1)
+        .otherwise(0),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(counts))
+        .select(
+            "doc_id",
+            "source",
+            "slot",
+            pos.alias("global_pos"),
+        )
+    )
+
+
 _N_EPOCHS = 3  # sampled training epochs for the overlap telemetry
 _EPOCH_RATE = 0.5  # per-epoch Bernoulli keep rate
 

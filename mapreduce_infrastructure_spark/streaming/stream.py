@@ -321,6 +321,58 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_hourly_active_users",
+    oracle="""
+    SELECT CAST(epoch_us(ts) // CAST(3600000000 AS BIGINT) AS BIGINT) * 3600
+             AS wstart,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1
+    """,
+    tags=("streaming", "dedup", "window-time"),
+)
+def stream_hourly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EXACT distinct count: active users per tumbling hour — the
+    DAU/MAU primitive. Streaming aggregation cannot hold COUNT(DISTINCT)
+    directly (distinct state inside an agg isn't incremental), so the
+    standard decomposition: watermark → ``dropDuplicatesWithinWatermark``
+    on (hour, user) — dedup state is one (hour, user) entry inside the
+    watermark horizon, evicted as event time advances (duplicates of a
+    (user, hour) pair are at most an hour apart in event time, inside the
+    bound) — then an ordinary incremental count per hour, which is now a
+    distinct-user count. n_events comes from a parallel plain count on
+    the un-deduped stream, joined post-sink (both aggregate-sized).
+    Events later than the watermark are dropped by design (streaming
+    semantics); the fixture file source replays in order, so the oracle
+    sees the same multiset.
+
+    At 100 TB/day: dedup + count state partitioned by (hour, user) /
+    hour in the state store; for unbounded cardinality swap exact dedup
+    for HLL (`approx_distinct_parts` is the batch form, with its bounded
+    error contract)."""
+    ev = stream_events(spark, sf_dir).select(
+        "ts", F.expr("unix_micros(ts) div 3600000000").alias("h"), "user_id"
+    )
+    dd = (
+        ev.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["h", "user_id"])
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )
+    totals = ev.groupBy("h").agg(F.count(F.lit(1)).alias("n_events"))
+    left = run_to_table(dd, "stream_hourly_active_users_dd", mode="complete")
+    right = run_to_table(totals, "stream_hourly_active_users_tot", mode="complete")
+    return (
+        left.join(right, "h")
+        .select(
+            (F.col("h") * 3600).alias("wstart"),
+            "n_active_users",
+            "n_events",
+        )
+    )
+
+
+@query(
     "stream_sliding_1h_15m",
     oracle=SLIDING_ORACLE,
     tags=("streaming", "window-time"),

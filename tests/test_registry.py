@@ -23,8 +23,12 @@ def test_window_queries_exist_and_mostly_oracle_backed():
     assert not missing
     # Rows-only (no-oracle) entries are allowed but should stay a small
     # minority of the certified window — approximate operators only.
+    # (12, not 10, since round 9: the verdict-directed rotation carries
+    # ALL the rows-only entries displaced during round 8 in one window —
+    # ann_lsh/semantic_dedup/ann_pq plus the changed-code PCA/classifier
+    # re-certs land together.)
     no_oracle = [n for n in CERTIFIED_FIRST if qs[n].oracle is None]
-    assert len(no_oracle) <= 10, no_oracle
+    assert len(no_oracle) <= 12, no_oracle
 
 
 def test_coverage_doc_counts_match_registry():

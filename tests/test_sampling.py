@@ -650,3 +650,24 @@ def test_epoch_sample_overlap_scalar_reference(spark, sf_dir):
         for a in range(1, _N_EPOCHS + 1)
         for b in range(a + 1, _N_EPOCHS + 1)
     }
+
+
+def test_corpus_interleave_plan_is_a_round_robin_permutation(spark, sf_dir):
+    """global_pos must be a permutation of 0..n-1 equal to sorting by
+    (slot, source); slots must be 0..n_src-1 within each source in doc_id
+    order — the closed form must reproduce the global sort exactly."""
+    from mapreduce_infrastructure_spark.llm.sampling import (
+        corpus_interleave_plan,
+    )
+
+    rows = corpus_interleave_plan(spark, sf_dir).collect()
+    n = len(rows)
+    assert sorted(r.global_pos for r in rows) == list(range(n))
+    by_pos = sorted(rows, key=lambda r: r.global_pos)
+    assert by_pos == sorted(rows, key=lambda r: (r.slot, r.source))
+    per_src: dict[str, list] = {}
+    for r in rows:
+        per_src.setdefault(r.source, []).append(r)
+    for src, rs in per_src.items():
+        rs.sort(key=lambda r: r.doc_id)
+        assert [r.slot for r in rs] == list(range(len(rs))), src
