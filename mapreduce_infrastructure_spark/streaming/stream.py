@@ -293,6 +293,89 @@ def stream_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_left_join_click_purchase",
+    oracle="""
+    WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+    p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    wm AS (
+      SELECT least((SELECT MAX(epoch_us(ts)) FROM c),
+                   (SELECT MAX(epoch_us(ts)) FROM p))
+             - CAST(3600000000 AS BIGINT) AS w
+    ),
+    matched AS (
+      SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+             c.user_id, epoch_us(c.ts) AS click_us,
+             epoch_us(p.ts) AS purchase_us
+      FROM c JOIN p
+        ON c.user_id = p.user_id
+       AND p.ts >= c.ts
+       AND p.ts <= c.ts + INTERVAL '30 minutes'
+    )
+    SELECT * FROM matched
+    UNION ALL
+    SELECT c.event_id, CAST(NULL AS BIGINT), c.user_id,
+           epoch_us(c.ts), CAST(NULL AS BIGINT)
+    FROM c CROSS JOIN wm
+    WHERE c.event_id NOT IN (SELECT click_id FROM matched)
+      AND epoch_us(c.ts) + CAST(1800000000 AS BIGINT) < wm.w
+    """,
+    tags=("streaming", "join"),
+)
+def stream_left_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM LEFT OUTER join — the attribution variant that also
+    reports clicks that never converted: matches emit as they arrive
+    (same plan as the inner join), and an unmatched click emits with a
+    NULL purchase side once the WATERMARK passes the end of its match
+    window (c_ts + 30 min) — the only moment an infinite stream can
+    prove "no purchase will ever arrive". That cutoff is part of the
+    operator's real semantics, not an artifact, and the oracle states it
+    exactly: Spark's global watermark at end-of-input is
+    min(max click ts, max purchase ts) − the 1-hour delay (two
+    withWatermark nodes, multipleWatermarkPolicy=min default), so
+    unmatched clicks with c_ts + 30 min ≥ that value are still in state
+    when input ends and are correctly NOT reported (verified: 1981 of
+    1983 batch-unmatched clicks emit at sf0.01, the 2 inside the horizon
+    hold). An empty side leaves the watermark unset and both engines
+    emit matches only.
+
+    State/scale: identical eviction bound to the inner join — both
+    sides buffered only inside the watermark horizon."""
+    ev = stream_events(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user").alias("user_id"),
+        F.unix_micros("c_ts").alias("click_us"),
+        F.unix_micros("p_ts").alias("purchase_us"),
+    )
+    return run_to_table(joined, "stream_left_join_click_purchase", mode="append")
+
+
+@query(
     "stream_dedup_events",
     oracle="""
     SELECT event_type, COUNT(*) AS n_unique
