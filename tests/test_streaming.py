@@ -463,3 +463,69 @@ def test_stream_session_topk_multibatch_equals_single_batch(spark, sf_dir, tmp_p
             for i, (t, c) in enumerate(zip(tts, tcs), 1):
                 got[(r.user_id, start, i)] = (n, t, c)
     assert got == single
+
+
+def test_stream_left_join_multibatch_same_final_set(spark, sf_dir, tmp_path):
+    """Splitting the event log across two time-ordered triggers must
+    produce the same FINAL left-join result set as the single-batch run
+    (unmatched rows may emit earlier as the watermark advances
+    mid-stream, but the end-of-input set is watermark-determined either
+    way)."""
+    import os
+
+    from mapreduce_infrastructure_spark.catalog import load_table
+    from mapreduce_infrastructure_spark.streaming.stream import (
+        run_to_table,
+        stream_left_join_click_purchase,
+    )
+
+    single = {
+        (r.click_id, r.purchase_id)
+        for r in stream_left_join_click_purchase(spark, sf_dir).collect()
+    }
+
+    ev = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    mid = ev.agg(F.expr("percentile_approx(unix_micros(ts), 0.5)")).collect()[0][0]
+    ev.filter(F.expr(f"unix_micros(ts) < {mid}")).coalesce(1).write.parquet(src + "/b=1")
+    ev.filter(F.expr(f"unix_micros(ts) >= {mid}")).coalesce(1).write.parquet(src + "/b=2")
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string"
+    )
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b=*")
+    )
+    clicks = (
+        raw.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        raw.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
+    ).select("click_id", "purchase_id")
+    got = {
+        (r.click_id, r.purchase_id)
+        for r in run_to_table(joined, "left_join_split_test", mode="append").collect()
+    }
+    assert got == single
