@@ -431,6 +431,119 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_APPROX_QS = (0.5, 0.95, 0.99)
+_APPROX_ACC = 10000  # percentile_approx accuracy: rank error <= n/accuracy
+
+
+@query("approx_vs_exact_quantile_error", tags=("stats", "percentile", "calibration"))
+def approx_vs_exact_quantile_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-calibration for quantiles — the `minhash_estimate_error`
+    pattern applied to `approx_percentiles_price`: per (order priority,
+    q), the approximate quantile next to the exact one, the value error,
+    and the exact RANK error with its formal bound. Rank error is the
+    contract percentile_approx actually makes (≤ n/accuracy positions,
+    the GK/KLL guarantee) — value error can be huge on a sparse tail at
+    zero rank error, so a quantile-sketch dashboard must alarm on ranks,
+    which needs the exact rank of the approximate value: computed here
+    from the count-value HISTOGRAM (rank(v) = Σ counts at values ≤ v),
+    never a per-row window.
+
+    No SQL oracle: DuckDB's approx_quantile is t-digest, a different
+    sketch — the approximate column is engine-specific by nature. Driver
+    row is rows-only; tests assert the invariant that IS the operator's
+    point: every rank error within the documented bound, and the exact
+    side equal to `exact_percentiles_disc` where qs overlap.
+
+    Scale: the sketch is one partial+final aggregate (KB of state per
+    group); exact side + rank lookup are histogram-bounded joins —
+    domain-scale, not row-scale."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    )
+    cume = hist_cume_counts(o, ["o_orderpriority"], "o_totalprice")
+    approx = (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.percentile_approx(
+                "o_totalprice", list(_APPROX_QS), _APPROX_ACC
+            ).alias("avs")
+        )
+        .select(
+            "o_orderpriority",
+            F.explode(
+                F.arrays_zip(
+                    F.array(*[F.lit(q) for q in _APPROX_QS]).alias("q"),
+                    F.col("avs").alias("approx_value"),
+                )
+            ).alias("z"),
+        )
+        .select(
+            "o_orderpriority",
+            F.col("z.q").alias("q"),
+            F.col("z.approx_value").alias("approx_value"),
+        )
+    )
+    exact = cume.groupBy("o_orderpriority").agg(
+        *[
+            hist_disc_percentile("o_totalprice", q, f"_e{int(q * 100)}")
+            for q in _APPROX_QS
+        ],
+        F.sum("m").alias("n"),
+    )
+    exact_long = exact.select(
+        "o_orderpriority",
+        "n",
+        F.explode(
+            F.arrays_zip(
+                F.array(*[F.lit(q) for q in _APPROX_QS]).alias("q"),
+                F.array(
+                    *[F.col(f"_e{int(q * 100)}") for q in _APPROX_QS]
+                ).alias("exact_value"),
+            )
+        ).alias("z"),
+    ).select(
+        "o_orderpriority",
+        "n",
+        F.col("z.q").alias("q"),
+        F.col("z.exact_value").alias("exact_value"),
+    )
+    # exact rank of the approximate value: max cum over histogram values
+    # <= approx_value (0 when the sketch returns below the stratum min,
+    # which GK cannot, but the coalesce keeps the column total).
+    ranks = (
+        approx.join(
+            cume.select(
+                "o_orderpriority",
+                F.col("o_totalprice").alias("_v"),
+                "cum",
+            ),
+            "o_orderpriority",
+        )
+        .filter(F.col("_v") <= F.col("approx_value"))
+        .groupBy("o_orderpriority", "q", "approx_value")
+        .agg(F.max("cum").alias("approx_rank"))
+    )
+    target = F.ceil(F.col("q") * F.col("n")).cast("long")
+    rank_err = F.abs(F.col("approx_rank") - target)
+    bound = F.ceil(F.col("n") / F.lit(_APPROX_ACC)).cast("long") + 1
+    return (
+        exact_long.join(ranks, ["o_orderpriority", "q"])
+        .select(
+            "o_orderpriority",
+            "q",
+            "n",
+            "exact_value",
+            "approx_value",
+            rnd(F.abs(F.col("approx_value") - F.col("exact_value")), 2).alias(
+                "value_err"
+            ),
+            rank_err.alias("rank_err"),
+            bound.alias("rank_err_bound"),
+            (rank_err <= bound).alias("within_bound"),
+        )
+    )
+
+
 @query(
     "event_value_winsor_by_type",
     oracle="""

@@ -228,3 +228,25 @@ def test_event_value_winsor_matches_numpy_reference(spark, sf_dir):
             assert r.std_w is None
         else:
             assert abs(r.std_w - std) <= 0.005 + 1e-6, (t, r.std_w, std)
+
+
+def test_approx_quantile_calibration_within_formal_bound(spark, sf_dir):
+    """Every approximate quantile's exact rank error must sit inside the
+    GK/KLL bound (n/accuracy), the exact side must match
+    exact_percentiles_disc on the shared qs, and within_bound must be
+    the comparison's truth (the operator's alarm column)."""
+    from mapreduce_infrastructure_spark.operators.stats import (
+        approx_vs_exact_quantile_error,
+        exact_percentiles_disc,
+    )
+
+    rows = approx_vs_exact_quantile_error(spark, sf_dir).collect()
+    assert rows
+    exact = {r.o_orderpriority: r for r in exact_percentiles_disc(spark, sf_dir).collect()}
+    for r in rows:
+        assert r.rank_err <= r.rank_err_bound, (r.o_orderpriority, r.q, r.rank_err)
+        assert r.within_bound
+        e = exact[r.o_orderpriority]
+        want = {0.5: e.p50, 0.95: e.p95, 0.99: e.p99}[r.q]
+        assert r.exact_value == want
+        assert e.n_orders == r.n
