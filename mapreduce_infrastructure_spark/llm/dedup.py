@@ -1505,6 +1505,86 @@ def source_quality_dup_interaction(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "dedup_keeper_policy_sensitivity",
+    oracle=f"""
+    WITH clusters AS ({_CLUSTERS_ORACLE}),
+    q AS (
+      SELECT doc_id, source,
+             CASE WHEN {quality_keep_sql("list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')")}
+                  THEN 0 ELSE 1 END AS is_lowq
+      FROM documents
+    ), c AS (
+      SELECT cl.cluster, CAST(COUNT(*) AS BIGINT) AS k,
+             (min({{'id': q.doc_id, 'src': q.source}})).src AS keeper_src,
+             (min({{'id': q.doc_id, 'src': q.source}})).id AS intake_id,
+             (min({{'lq': q.is_lowq, 'id': q.doc_id}})).id AS quality_id
+      FROM clusters cl JOIN q ON q.doc_id = cl.doc_id
+      GROUP BY cl.cluster
+    )
+    SELECT keeper_src AS source,
+           CAST(COUNT(*) AS BIGINT) AS n_multi_clusters,
+           CAST(SUM(CASE WHEN quality_id <> intake_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_keeper_changed,
+           floor((CAST(SUM(CASE WHEN quality_id <> intake_id THEN 1 ELSE 0 END)
+                       AS DOUBLE) / COUNT(*)) * 1000000 + 0.5) / 1000000
+             AS changed_share
+    FROM c WHERE k >= 2 GROUP BY keeper_src
+    """,
+    tags=("dedup", "quality", "clusters", "stats", "llm"),
+)
+def dedup_keeper_policy_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does the dedup KEEPER POLICY matter? For every NEAR-DUP cluster
+    (`dedup_clusters`' jaccard ≥ 0.5 connected components — exact-dup
+    clusters would be vacuous here: byte-identical copies share the
+    quality flag, so the policies can never disagree on them), compare
+    the intake keeper (keep-MIN doc_id — the convention every dedup
+    operator here shares) against a quality-first keeper (keep the
+    best-quality member, doc_id tiebreak): per source of the intake
+    keeper, how many multi-member clusters exist and in how many the two
+    policies pick DIFFERENT documents. A high changed_share says the
+    crawl's first near-copy is often its worst one (truncated first
+    fetch, boilerplate-wrapped variant) and the pipeline should rank
+    cluster members by quality before keeping — the policy-decision
+    telemetry behind the keep-MIN convention.
+
+    Both keepers are lexicographic struct-MIN aggregates over cluster
+    members ((doc_id, source) and (is_lowq, doc_id)) — engine-exact
+    (both engines compare structs field-by-field). Plan: the cluster
+    fixpoint is `dedup_clusters`' own iterative shape (its cost
+    dominates), then one cluster-keyed aggregation and a |sources|-row
+    fold — no join-back, nothing new at scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    labels = dedup_clusters(spark, sf_dir)
+    t = docs.select(
+        "doc_id",
+        "source",
+        (~quality_keep_col(tokens_col())).cast("int").alias("is_lowq"),
+    )
+    c = labels.join(t, "doc_id").groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.min(F.struct(F.col("doc_id").alias("id"), F.col("source").alias("src")))
+        .alias("intake"),
+        F.min(F.struct(F.col("is_lowq").alias("lq"), F.col("doc_id").alias("id")))
+        .getField("id")
+        .alias("quality_id"),
+    )
+    changed = F.sum(
+        F.when(F.col("quality_id") != F.col("intake.id"), 1).otherwise(0)
+    )
+    return (
+        c.filter(F.col("k") >= 2)
+        .groupBy(F.col("intake.src").alias("source"))
+        .agg(
+            F.count(F.lit(1)).alias("n_multi_clusters"),
+            changed.alias("n_keeper_changed"),
+            rnd(
+                changed.cast("double") / F.count(F.lit(1)), 6
+            ).alias("changed_share"),
+        )
+    )
+
+
+@query(
     "dup_cluster_size_histogram",
     oracle="""
     WITH c AS (

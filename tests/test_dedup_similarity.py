@@ -1193,3 +1193,61 @@ def test_incremental_dedup_provably_consistent_with_batch_dedup(
     old_keepers = {min(d for d, f in docs if f == fp) for fp in old}
     novel = {d for d, s in got.items() if s == "novel"}
     assert keep_global == old_keepers | novel
+
+
+def test_keeper_policy_sensitivity_on_planted_corpus(spark, sf_dir, tmp_path):
+    """Plant two near-dup clusters (jaccard >= 0.5, DIFFERENT texts so the
+    quality flag can differ inside a cluster — the exact-dup case is
+    vacuous by construction and the operator deliberately runs on the
+    near-dup components): one whose FIRST member is the low-quality one
+    (quality policy flips the keeper) and one whose first member is
+    already good (no flip). Planted sources must report exactly that."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mapreduce_infrastructure_spark.llm.dedup import (
+        dedup_keeper_policy_sensitivity,
+    )
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet")
+    d = tbl.to_pydict()
+    max_id = max(d["doc_id"])
+    rows = {k: [] for k in d}
+
+    def add(doc_id, text, source):
+        for k in rows:
+            if k == "doc_id":
+                rows[k].append(doc_id)
+            elif k == "text":
+                rows[k].append(text)
+            elif k == "source":
+                rows[k].append(source)
+            elif k == "n_chars":
+                rows[k].append(len(text))
+            else:
+                rows[k].append(d[k][0])
+
+    good_a = "alpha beta gamma delta " * 10  # 40 tokens, 0 stopwords: keep
+    bad_a = good_a + "the " * 45  # 85 tokens, 45 stopwords: 90 > 85 -> low quality
+    # shingle sets: cyclic pattern gives 4 distinct 3-grams for good_a,
+    # bad_a adds 3 boundary/stopword shingles -> jaccard 4/7 ~ 0.57 >= 0.5
+    add(max_id + 1, bad_a, "src_flip")  # low-quality copy arrives FIRST
+    add(max_id + 2, good_a, "src_flip")
+    good_b = "epsilon zeta eta theta " * 10
+    bad_b = good_b + "the " * 45
+    add(max_id + 3, good_b, "src_ok")  # good copy arrives first: no flip
+    add(max_id + 4, bad_b, "src_ok")
+    out = tmp_path / "policyfix"
+    out.mkdir()
+    merged = {k: list(d[k]) + rows[k] for k in d}
+    pq.write_table(pa.table(merged, schema=tbl.schema), out / "documents.parquet")
+
+    got = {r.source: r for r in dedup_keeper_policy_sensitivity(spark, str(out)).collect()}
+    flip = got["src_flip"]
+    assert flip.n_multi_clusters == 1
+    assert flip.n_keeper_changed == 1  # quality policy keeps the good doc
+    assert flip.changed_share == 1.0
+    ok = got["src_ok"]
+    assert ok.n_multi_clusters == 1
+    assert ok.n_keeper_changed == 0
+    assert ok.changed_share == 0.0
