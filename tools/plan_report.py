@@ -120,6 +120,20 @@ FLAGSHIP_EXTRA = [
     "source_length_lognormal_fit",
     "xml_roundtrip_region",
     "binaryfile_ingest_stats",
+    # round-9 stratum-window rewrites (histogram / bucketed-prefix-sum
+    # forms — the plans the round-8 verdict asked to change)
+    "exact_percentiles_disc",
+    "winsorized_stats",
+    "quality_quantile_filter",
+    # round-9 additions (batch-plan queries; the three stream_* additions
+    # execute eagerly and are audited by their tests instead)
+    "minhash_estimate_error",
+    "event_value_winsor_by_type",
+    "source_quality_dup_interaction",
+    "epoch_sample_overlap",
+    "corpus_interleave_plan",
+    "approx_vs_exact_quantile_error",
+    "dedup_keeper_policy_sensitivity",
 ]
 
 JOIN_KINDS = [
