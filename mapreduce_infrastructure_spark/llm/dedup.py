@@ -1995,9 +1995,10 @@ def dup_mass_by_lang_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
 _INCR_OLD_MAX = 250  # doc_id < 250 stands in for the previously-ingested corpus
 
 
-@query(
-    "dedup_incremental_new_batch",
-    oracle=f"""
+# Shared by the batch operator and its streaming twin
+# (streaming/stream.py:stream_ingest_dedup_status) — ONE statement of the
+# incremental-classification semantics, so the two forms can never drift.
+INCR_DEDUP_ORACLE = f"""
     WITH t AS (
       SELECT doc_id, md5(text) AS fp FROM documents
     ), old_fp AS (
@@ -2014,7 +2015,12 @@ _INCR_OLD_MAX = 250  # doc_id < 250 stands in for the previously-ingested corpus
     FROM batch b
     JOIN first_in_batch f USING (fp)
     LEFT JOIN old_fp o USING (fp)
-    """,
+    """
+
+
+@query(
+    "dedup_incremental_new_batch",
+    oracle=INCR_DEDUP_ORACLE,
     tags=("dedup", "incremental", "llm"),
 )
 def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:

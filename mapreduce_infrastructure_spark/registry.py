@@ -50,7 +50,7 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # Ordering is therefore a curated, per-round decision, not an accident of
 # imports; CERTIFIED_HISTORY.md tracks which rounds certified what.
 #
-# Round-9 window: the 10 queries ADDED this round lead (first-time
+# Round-9 window: the 11 queries ADDED this round lead (first-time
 # certification), then 15 changed-code slots (the round-8 verdict's two
 # scale findings: the PCA tree-reduction and the 12-site stratum-window
 # rewrite family, plus the incremental-dedup refactor), then the
@@ -61,7 +61,8 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # tests/test_oracle_queries.py mirrors every oracle-backed query each
 # pytest run.
 CERTIFIED_FIRST: tuple[str, ...] = (
-    # --- new in round 9 (10) ---
+    # --- new in round 9 (11) ---
+    "stream_ingest_dedup_status",
     "dedup_keeper_policy_sensitivity",
     "approx_vs_exact_quantile_error",
     "stream_left_join_click_purchase",
@@ -115,8 +116,7 @@ CERTIFIED_FIRST: tuple[str, ...] = (
     "ann_pq_topk",
     # --- stalest r5-vintage cohort (CORRECTNESS_r05 order; late additions displaced the tail) ---
     "q2_min_cost_supplier",
-    "q4_priority_exists",
-    # (q6_forecast_revenue, q7_nation_volume, q8_market_share,
+    # (q4_priority_exists, q6_forecast_revenue, q7_nation_volume, q8_market_share,
     #  q9_profit_by_nation_year, q10_returned_items displaced by the
     #  late round-9 additions — they lead the round-10 r5-cohort rotation;
     #  their r5 greens stand and pytest mirrors their oracles each run.)

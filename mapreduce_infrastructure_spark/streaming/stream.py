@@ -39,6 +39,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..catalog import scratch_dir
 from ..functions.exact import dsum
+from ..llm.dedup import _INCR_OLD_MAX, INCR_DEDUP_ORACLE, content_fp
 from ..operators.relational import MERGE_ORACLE as _MERGE_ORACLE
 from ..registry import query
 from ..session import tune
@@ -58,24 +59,24 @@ _RAW_EVENTS = (
 _CHECKPOINTS = scratch_dir("checkpoints")
 
 
-def _staged_events_dir(sf_dir: str) -> str:
+def _staged_table_dir(sf_dir: str, table: str) -> str:
     """The file streaming source tails a DIRECTORY (new files = new data —
     the event-log layout at scale); the fixture is a single parquet file, so
-    stage a symlink to it in a per-SF scratch directory. When events.parquet
+    stage a symlink to it in a per-SF scratch directory. When the fixture
     is already a directory of part files (Spark-written datasets, e.g. the
     tools/scale_check.py replicas), tail it directly — staging a symlinked
     SUBdirectory would hide the files from the source's non-recursive
     listing."""
-    target_ds = os.path.join(os.path.abspath(sf_dir), "events.parquet")
+    target_ds = os.path.join(os.path.abspath(sf_dir), f"{table}.parquet")
     if os.path.isdir(target_ds):
         return target_ds
     d = os.path.join(
         os.path.dirname(_CHECKPOINTS), "stream_src",
-        os.path.basename(sf_dir.rstrip("/")), "events",
+        os.path.basename(sf_dir.rstrip("/")), table,
     )
     os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, "events.parquet")
-    target = os.path.join(os.path.abspath(sf_dir), "events.parquet")
+    link = os.path.join(d, f"{table}.parquet")
+    target = target_ds
     # lexists (not exists): a broken symlink must be replaced, not trip
     # FileExistsError; and a link left by a DIFFERENT fixture path with the
     # same basename must be re-pointed, not silently served stale.
@@ -95,9 +96,32 @@ def _staged_events_dir(sf_dir: str) -> str:
 _FOOTER_SCHEMA_CACHE: dict = {}
 
 
-def _events_fingerprint(sf_dir: str) -> tuple:
-    st = os.stat(os.path.join(os.path.abspath(sf_dir), "events.parquet"))
+def _table_fingerprint(sf_dir: str, table: str) -> tuple:
+    st = os.stat(os.path.join(os.path.abspath(sf_dir), f"{table}.parquet"))
     return (st.st_mtime_ns, st.st_size)
+
+
+def _events_fingerprint(sf_dir: str) -> tuple:
+    return _table_fingerprint(sf_dir, "events")
+
+
+def _staged_events_dir(sf_dir: str) -> str:
+    return _staged_table_dir(sf_dir, "events")
+
+
+def stream_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """File-source readStream over any fixture table, schema from the
+    parquet footer (cached) — the generic form behind `stream_events`;
+    no timestamp normalization (callers that need event time go through
+    `stream_events`)."""
+    tune(spark)
+    d = _staged_table_dir(sf_dir, table)
+    key = (d, _table_fingerprint(sf_dir, table))
+    file_schema = _FOOTER_SCHEMA_CACHE.get(key)
+    if file_schema is None:
+        file_schema = spark.read.parquet(d).schema
+        _FOOTER_SCHEMA_CACHE[key] = file_schema
+    return spark.readStream.schema(file_schema).parquet(d)
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -689,6 +713,112 @@ def stream_session_topk_event_types(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("tc.top_types").alias("event_type"),
         F.col("tc.top_counts").alias("n_type_events"),
     )
+
+
+def _ingest_dedup_fn(
+    key: Tuple[Any, ...],
+    pdf_iter: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-fingerprint ingest state: the set of batch doc_ids seen so far
+    plus the (static-join-provided) old-index membership flag. Each
+    micro-batch merges arrivals and re-emits the fingerprint's FULL id
+    list with a monotone update counter — arrival order and batch splits
+    cannot change the final reconciled emit (set union is confluent), so
+    keep-MIN stays deterministic even when a smaller doc_id arrives
+    AFTER a larger one was provisionally 'novel'. State is
+    cluster-size-bounded (ids of THIS fingerprint only)."""
+    ids: set = set()
+    in_old = False
+    upd = 0
+    if state.exists:
+        prev_ids, prev_old, upd = state.get
+        ids = set(prev_ids)
+        in_old = bool(prev_old)
+    for pdf in pdf_iter:
+        ids.update(int(i) for i in pdf["doc_id"])
+        if pdf["in_old"].notna().any():
+            in_old = True
+    upd += 1
+    state.update((sorted(ids), in_old, upd))
+    yield pd.DataFrame(
+        {
+            "fp": [key[0]],
+            "upd": [upd],
+            "ids": [sorted(ids)],
+            "in_old": [in_old],
+        }
+    )
+
+
+@query(
+    "stream_ingest_dedup_status",
+    oracle=INCR_DEDUP_ORACLE,  # the batch twin's oracle, shared verbatim
+    tags=("streaming", "dedup", "incremental", "stateful"),
+)
+def stream_ingest_dedup_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING incremental ingest dedup — `dedup_incremental_new_batch`
+    as a continuously-running pipeline: the document firehose is
+    stream-static LEFT-joined against the ingested fingerprint INDEX
+    (static side — in production a stored 16-byte-key table), then
+    per-fingerprint keyed state accumulates the batch doc_ids so the
+    keep-MIN convention holds under ANY arrival order: a doc that looked
+    'novel' in batch 1 is demoted to 'dup_in_batch' when a smaller
+    doc_id arrives later — which is why the state holds the id SET and
+    each batch re-emits the full list with an update counter; the
+    post-stream reconcile keeps the last emit per fingerprint and
+    derives every member's status in one pass (in_old → dup_of_old;
+    id ≠ min → dup_in_batch; else novel). Same oracle as the batch twin
+    — the two forms share ONE statement of the semantics and must agree
+    row-for-row.
+
+    State/scale: per fingerprint, the ids of ITS batch duplicates only
+    (cluster-size-bounded); the static index join is fp-keyed hash; the
+    state store partitions by fingerprint. The adversarial-split test
+    delivers the smaller doc_id in the LATER batch and asserts the
+    demotion."""
+    from ..catalog import load_table
+
+    docs = stream_table(spark, sf_dir, "documents").select(
+        "doc_id", content_fp().alias("fp")
+    )
+    old_fp = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _INCR_OLD_MAX)
+        .select(content_fp().alias("fp"))
+        .distinct()
+        .withColumn("in_old", F.lit(True))
+    )
+    batch = docs.filter(F.col("doc_id") >= _INCR_OLD_MAX).join(
+        old_fp, "fp", "left"
+    )
+    updated = batch.groupBy("fp").applyInPandasWithState(
+        _ingest_dedup_fn,
+        outputStructType=(
+            "fp string, upd bigint, ids array<bigint>, in_old boolean"
+        ),
+        stateStructType="ids array<bigint>, in_old boolean, upd bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    per_batch = run_to_table(updated, "stream_ingest_dedup_status", mode="update")
+    last = per_batch.groupBy("fp").agg(
+        F.max(F.struct("upd", "ids", "in_old")).alias("s")
+    )
+    exploded = last.select(
+        "fp",
+        F.col("s.in_old").alias("in_old"),
+        F.array_min("s.ids").alias("first_doc"),
+        F.explode("s.ids").alias("doc_id"),
+    )
+    return exploded.select(
+        "doc_id",
+        F.when(F.col("in_old"), "dup_of_old")
+        .when(F.col("doc_id") != F.col("first_doc"), "dup_in_batch")
+        .otherwise("novel")
+        .alias("status"),
+    )
+
 
 
 # ---------------------------------------------------------------------------

@@ -529,3 +529,86 @@ def test_stream_left_join_multibatch_same_final_set(spark, sf_dir, tmp_path):
         for r in run_to_table(joined, "left_join_split_test", mode="append").collect()
     }
     assert got == single
+
+
+def test_stream_ingest_dedup_demotes_provisional_novel_across_batches(spark, tmp_path):
+    """keep-MIN under adversarial arrival: batch 1 delivers the LARGER
+    doc_id of a duplicate pair (provisionally 'novel'); batch 2 delivers
+    the smaller one. The reconciled result must demote the first arrival
+    to 'dup_in_batch' and crown the smaller id 'novel' — plus a
+    dup_of_old doc whose fingerprint sits in the static index."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from mapreduce_infrastructure_spark.llm.dedup import _INCR_OLD_MAX, content_fp
+    from mapreduce_infrastructure_spark.streaming.stream import (
+        _ingest_dedup_fn,
+        run_to_table,
+    )
+
+    old_text = "previously ingested corpus text"
+    dup_text = "today the crawler fetched this page twice"
+    b = _INCR_OLD_MAX
+    # static old side: one doc below the boundary
+    old = spark.createDataFrame(
+        [(1, old_text)], "doc_id long, text string"
+    ).select(content_fp().alias("fp")).distinct().withColumn("in_old", F.lit(True))
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    schema = "doc_id long, text string"
+    spark.createDataFrame(
+        [(b + 9, dup_text), (b + 5, old_text)], schema
+    ).coalesce(1).write.parquet(src + "/b=1")
+    spark.createDataFrame(
+        [(b + 3, dup_text), (b + 7, "a genuinely fresh page")], schema
+    ).coalesce(1).write.parquet(src + "/b=2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b=*")
+        .select("doc_id", content_fp().alias("fp"))
+        .filter(F.col("doc_id") >= b)
+        .join(old, "fp", "left")
+        .groupBy("fp")
+        .applyInPandasWithState(
+            _ingest_dedup_fn,
+            outputStructType=(
+                "fp string, upd bigint, ids array<bigint>, in_old boolean"
+            ),
+            stateStructType="ids array<bigint>, in_old boolean, upd bigint",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    per_batch = run_to_table(stream, "ingest_dedup_demote_test", mode="update")
+    rows = per_batch.collect()
+    # the duplicate fingerprint must have been emitted twice: first with
+    # only the larger id (provisional novel), then with both
+    dup_emits = sorted(
+        (r for r in rows if len(r.ids) >= 1 and b + 9 in r.ids),
+        key=lambda r: r.upd,
+    )
+    assert len(dup_emits) == 2
+    assert list(dup_emits[0].ids) == [b + 9]
+    assert list(dup_emits[1].ids) == [b + 3, b + 9]
+    last = per_batch.groupBy("fp").agg(
+        F.max(F.struct("upd", "ids", "in_old")).alias("s")
+    )
+    status = {}
+    for r in last.collect():
+        first = min(r.s.ids)
+        for i in r.s.ids:
+            status[i] = (
+                "dup_of_old"
+                if r.s.in_old
+                else ("dup_in_batch" if i != first else "novel")
+            )
+    assert status[b + 9] == "dup_in_batch"  # demoted after batch 2
+    assert status[b + 3] == "novel"
+    assert status[b + 5] == "dup_of_old"
+    assert status[b + 7] == "novel"
