@@ -680,9 +680,9 @@ def attribution_first_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Time-series resample: hourly OHLC bars
 # --------------------------------------------------------------------------
 
-@query(
-    "ohlc_hourly_purchases",
-    oracle="""
+# Shared with streaming.stream.stream_ohlc_hourly (the incremental twin) so
+# the batch and streaming resamples can never diverge on the oracle text.
+OHLC_ORACLE = """
     WITH e AS (
       SELECT epoch_us(ts) AS us, event_id, value,
              epoch_us(ts) // 3600000000 AS hr
@@ -701,7 +701,12 @@ def attribution_first_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
            MAX(CASE WHEN rl = 1 THEN value END) AS close,
            COUNT(*) AS n_trades
     FROM r GROUP BY hr
-    """,
+    """
+
+
+@query(
+    "ohlc_hourly_purchases",
+    oracle=OHLC_ORACLE,
     tags=("temporal", "resample", "ohlc"),
 )
 def ohlc_hourly_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -61,7 +61,8 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # tests/test_oracle_queries.py mirrors every oracle-backed query each
 # pytest run.
 CERTIFIED_FIRST: tuple[str, ...] = (
-    # --- new in round 9 (11) ---
+    # --- new in round 9 (12) ---
+    "stream_ohlc_hourly",
     "stream_ingest_dedup_status",
     "dedup_keeper_policy_sensitivity",
     "approx_vs_exact_quantile_error",
@@ -114,12 +115,11 @@ CERTIFIED_FIRST: tuple[str, ...] = (
     "ann_lsh_topk",
     "semantic_dedup_clusters",
     "ann_pq_topk",
-    # --- stalest r5-vintage cohort (CORRECTNESS_r05 order; late additions displaced the tail) ---
-    "q2_min_cost_supplier",
-    # (q4_priority_exists, q6_forecast_revenue, q7_nation_volume, q8_market_share,
-    #  q9_profit_by_nation_year, q10_returned_items displaced by the
-    #  late round-9 additions — they lead the round-10 r5-cohort rotation;
-    #  their r5 greens stand and pytest mirrors their oracles each run.)
+    # (the r5-vintage cohort q2_min_cost_supplier, q4_priority_exists,
+    #  q6_forecast_revenue, q7_nation_volume, q8_market_share,
+    #  q9_profit_by_nation_year, q10_returned_items was displaced by the
+    #  late round-9 additions — it leads the round-10 r5-cohort rotation;
+    #  the r5 greens stand and pytest mirrors their oracles each run.)
 )
 
 

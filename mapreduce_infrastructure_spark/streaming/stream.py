@@ -41,6 +41,7 @@ from ..catalog import scratch_dir
 from ..functions.exact import dsum
 from ..llm.dedup import _INCR_OLD_MAX, INCR_DEDUP_ORACLE, content_fp
 from ..operators.relational import MERGE_ORACLE as _MERGE_ORACLE
+from ..operators.temporal import OHLC_ORACLE
 from ..registry import query
 from ..session import tune
 from .batch_windows import SESSION_ORACLE, SLIDING_ORACLE, TUMBLING_ORACLE
@@ -477,6 +478,48 @@ def stream_hourly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "stream_ohlc_hourly",
+    oracle=OHLC_ORACLE,
+    tags=("streaming", "resample", "ohlc"),
+)
+def stream_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars computed INCREMENTALLY — the streaming twin of
+    temporal.ohlc_hourly_purchases, same oracle verbatim (the shared
+    OHLC_ORACLE constant), completing the batch↔stream twin matrix for
+    the time-series resample tier.
+
+    The whole bar is ONE incremental hash aggregate: open/close are
+    min/max over the (us, event_id, value) struct total order (struct
+    Min/Max are ordinary Catalyst aggregates, so they fold per
+    micro-batch exactly like count — each trigger merges the batch's
+    partial struct-extremes into the state-store value). No window
+    ranking, no per-bar sort, no custom state: the same
+    partial-aggregatable shape the batch docstring argues for is what
+    makes the operator streamable at all.
+
+    At 100 TB/day: state is one (hr → 5 scalars + 2 structs) entry per
+    bar, partitioned by hr in the state store; with a watermark +
+    append mode the same plan emits finalized bars and evicts them
+    (complete mode here only because the memory-sink bridge replays
+    the full table for the batch oracle)."""
+    ev = stream_events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    e = ev.select(
+        F.expr("unix_micros(ts) div 3600000000").alias("hr"),
+        F.unix_micros(F.col("ts")).alias("us"),
+        "event_id",
+        "value",
+    )
+    agg = e.groupBy("hr").agg(
+        F.min(F.struct("us", "event_id", "value"))["value"].alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.struct("us", "event_id", "value"))["value"].alias("close"),
+        F.count(F.lit(1)).alias("n_trades"),
+    )
+    return run_to_table(agg, "stream_ohlc_hourly", mode="complete")
 
 
 @query(

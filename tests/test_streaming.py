@@ -612,3 +612,54 @@ def test_stream_ingest_dedup_demotes_provisional_novel_across_batches(spark, tmp
     assert status[b + 3] == "novel"
     assert status[b + 5] == "dup_of_old"
     assert status[b + 7] == "novel"
+
+
+def test_stream_ohlc_multibatch_merges_struct_extremes(spark, sf_dir, tmp_path):
+    """Splitting the event log at the time median puts the boundary hour's
+    OPEN in trigger 1 and its CLOSE in trigger 2 — the final bars must
+    still equal the batch resample, proving the struct-extreme state
+    merges across micro-batches (not just within one)."""
+    import os
+
+    from mapreduce_infrastructure_spark.catalog import load_table
+    from mapreduce_infrastructure_spark.operators.temporal import (
+        ohlc_hourly_purchases,
+    )
+    from mapreduce_infrastructure_spark.streaming.stream import run_to_table
+
+    cols = ["hr", "open", "high", "low", "close", "n_trades"]
+    want = _rows(ohlc_hourly_purchases(spark, sf_dir), cols)
+
+    ev = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    mid = ev.agg(F.expr("percentile_approx(unix_micros(ts), 0.5)")).collect()[0][0]
+    # Not on an hour boundary -> the median hour genuinely straddles both
+    # triggers (its open arrives in batch 1, its close in batch 2).
+    assert mid % 3_600_000_000 != 0
+    ev.filter(F.expr(f"unix_micros(ts) < {mid}")).coalesce(1).write.parquet(src + "/b=1")
+    ev.filter(F.expr(f"unix_micros(ts) >= {mid}")).coalesce(1).write.parquet(src + "/b=2")
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string"
+    )
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b=*")
+    )
+    e = raw.filter(F.col("event_type") == "purchase").select(
+        F.expr("unix_micros(ts) div 3600000000").alias("hr"),
+        F.unix_micros(F.col("ts")).alias("us"),
+        "event_id",
+        "value",
+    )
+    agg = e.groupBy("hr").agg(
+        F.min(F.struct("us", "event_id", "value"))["value"].alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.struct("us", "event_id", "value"))["value"].alias("close"),
+        F.count(F.lit(1)).alias("n_trades"),
+    )
+    got = _rows(run_to_table(agg, "ohlc_split_test", mode="complete"), cols)
+    assert got == want
