@@ -1216,3 +1216,96 @@ def packing_overflow_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spans.filter(F.col("end_bin") > F.col("start_bin")).withColumn(
         "n_splits", F.col("end_bin") - F.col("start_bin")
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic train/val/test split assignment
+# --------------------------------------------------------------------------
+
+# 24-bit md5-draw thresholds: u < _SPLIT_VAL_T -> val (P = 167772/2^24 ~ 1%),
+# _SPLIT_VAL_T <= u < _SPLIT_TEST_T -> test (~2%), else train (~97%).
+_SPLIT_VAL_T = int(0.01 * 16**6)
+_SPLIT_TEST_T = int(0.03 * 16**6)
+
+
+@query(
+    "corpus_split_assign",
+    oracle=f"""
+    WITH d AS (
+      SELECT source,
+             CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 6)
+                  AS BIGINT) AS u,
+             CAST(len(list_filter(regexp_split_to_array(lower(text), '{TOKEN_DELIM}'),
+                                  t -> t <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    a AS (
+      SELECT source,
+             CASE WHEN u < {_SPLIT_VAL_T} THEN 'val'
+                  WHEN u < {_SPLIT_TEST_T} THEN 'test'
+                  ELSE 'train' END AS split,
+             n_tokens
+      FROM d
+    ),
+    g AS (
+      SELECT source, split, COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+      FROM a GROUP BY 1, 2
+    )
+    SELECT source, split, n_docs, total_tokens,
+           CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (PARTITION BY source)
+             AS doc_share
+    FROM g
+    """,
+    tags=("sampling", "llm", "split"),
+)
+def corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment + per-source split telemetry
+    — the holdout-carving step every training corpus needs before mixing.
+
+    Membership is content-addressed (md5(salt:doc_id) 24-bit draw against
+    integer thresholds: ~1% val, ~2% test), so a document's split is a pure
+    function of its id — stable across runs, cluster sizes, corpus
+    re-shards, and incremental re-ingests (a re-crawled doc lands in the
+    same split, so val never silently leaks into train). The draw is the
+    same lexicographic-hex primitive as the samplers above: shuffle-free,
+    pushable, no RNG state.
+
+    Plan: one scan computing (source, split, n_tokens) at scan speed, ONE
+    partial-aggregatable group-by on (source, split), then the share ratio
+    via a window over the aggregate (<= 3 rows per source — bounded, the
+    histogram-input shape the plan guard exempts). doc_share is a division
+    of two exact int64 counts: IEEE-deterministic, hash-identical across
+    engines without rounding.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    u = F.conv(_u6("split", F.col("doc_id")), 16, 10).cast("bigint")
+    split = (
+        F.when(u < _SPLIT_VAL_T, F.lit("val"))
+        .when(u < _SPLIT_TEST_T, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    g = (
+        docs.select(
+            "source",
+            split.alias("split"),
+            F.size(tokens_col()).cast("long").alias("n_tokens"),
+        )
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source")
+    return g.select(
+        "source",
+        "split",
+        "n_docs",
+        "total_tokens",
+        (F.col("n_docs").cast("double") / F.sum("n_docs").over(w)).alias(
+            "doc_share"
+        ),
+    )

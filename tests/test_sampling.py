@@ -671,3 +671,58 @@ def test_corpus_interleave_plan_is_a_round_robin_permutation(spark, sf_dir):
     for src, rs in per_src.items():
         rs.sort(key=lambda r: r.doc_id)
         assert [r.slot for r in rs] == list(range(len(rs))), src
+
+
+def test_split_assign_rates_partition_and_stability(spark, sf_dir):
+    """The split report's shares must (a) sum to 1 per source with counts
+    covering every document exactly once, (b) sit near the 1%/2%/97%
+    design rates corpus-wide, and (c) be INGEST-STABLE: recomputing on
+    the half-corpus (odd doc_ids) yields per-(source, split) counts
+    equal to directly re-classifying those docs — membership is a pure
+    function of doc_id, never of which other rows are present."""
+    rep = sampling.corpus_split_assign(spark, sf_dir)
+    rows = rep.collect()
+    docs = load_table(spark, sf_dir, "documents")
+    n_total = docs.count()
+    assert sum(r.n_docs for r in rows) == n_total
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r.source, 0.0)
+        by_source[r.source] += r.doc_share
+    assert all(abs(s - 1.0) < 1e-12 for s in by_source.values())
+    corpus = {"train": 0, "val": 0, "test": 0}
+    for r in rows:
+        corpus[r.split] += r.n_docs
+    assert 0.001 <= corpus["val"] / n_total <= 0.03
+    assert 0.005 <= corpus["test"] / n_total <= 0.05
+    assert corpus["train"] / n_total >= 0.90
+
+    half = docs.filter(F.col("doc_id") % 2 == 1)
+    u = F.conv(
+        sampling._u6("split", F.col("doc_id")), 16, 10
+    ).cast("bigint")
+    split = (
+        F.when(u < sampling._SPLIT_VAL_T, F.lit("val"))
+        .when(u < sampling._SPLIT_TEST_T, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    direct = {
+        (r.source, r.split): r.n
+        for r in half.select("source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # corpus_split_assign reads the full table; full-table counts minus
+    # even-doc counts must equal the independently classified half counts.
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    even_counts = {
+        (r.source, r.split): r.n
+        for r in even.select("source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    full_counts = {(r.source, r.split): r.n_docs for r in rows}
+    for k, n_full in full_counts.items():
+        assert n_full == direct.get(k, 0) + even_counts.get(k, 0)
