@@ -384,3 +384,76 @@ def boilerplate_ngram_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("ok"))
         .alias("boiler_flag"),
     )
+
+
+# --------------------------------------------------------------------------
+# Compression-ratio quality signal (zlib compressibility)
+# --------------------------------------------------------------------------
+
+_ZLIB_LEVEL = 6  # fixed so the signal is a pure function of the bytes
+
+COMPRESSION_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, n_zlib bigint, comp_ratio double,"
+    " comp_flag string"
+)
+
+
+def _compression_batches(pdf_iter):
+    """Arrow-batched zlib pass: one C-speed deflate per document, no
+    Python-level tokenization. Emits exact byte counts; ratio is
+    display-only (the flag below re-derives from the integers)."""
+    import zlib
+
+    import pandas as pd
+
+    for pdf in pdf_iter:
+        raw = pdf["text"].fillna("").map(lambda t: t.encode("utf-8"))
+        n_bytes = raw.map(len).astype("int64")
+        n_zlib = raw.map(
+            lambda b: len(zlib.compress(b, _ZLIB_LEVEL))
+        ).astype("int64")
+        ratio = (n_zlib / n_bytes.where(n_bytes > 0)).fillna(0.0)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": n_bytes,
+                "n_zlib": n_zlib,
+                "comp_ratio": (ratio * 10000 + 0.5).astype("int64") / 10000.0,
+                # Integer-exact thresholds (no float compare): a doc whose
+                # deflate output is under 30% of its size is template-like
+                # (low entropy); one that deflate cannot shrink at all is
+                # noise-like (high entropy). Both are standard pretraining
+                # drop signals (the Gopher/CCNet compressibility cut).
+                "comp_flag": [
+                    (
+                        "low_entropy"
+                        if z * 10 < b * 3
+                        else ("high_entropy" if z >= b and b > 0 else "ok")
+                    )
+                    for b, z in zip(n_bytes, n_zlib)
+                ],
+            }
+        )
+
+
+@query(
+    "doc_compression_ratio",
+    # No oracle: DuckDB has no deflate; tests/test_filters.py pins exact
+    # zlib byte counts for sampled docs plus the flag/ratio contracts.
+    tags=("llm", "quality", "compression"),
+)
+def doc_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document zlib compressibility — the quality cut that catches
+    what token statistics miss: templated/boilerplate text deflates far
+    below natural prose, and binary-ish noise refuses to deflate at all.
+    (`repetition_signals` sees token repeats; deflate sees CHARACTER-level
+    structure, e.g. repeated markup or base64 blobs.)
+
+    Plan: a pure map — mapInPandas over Arrow batches, one C-speed
+    deflate per document at a pinned level, no shuffle anywhere. At
+    100 TB this runs at scan speed with perfect partition parallelism;
+    the output is one short row per doc. Python is unavoidable here
+    (no JVM/SQL deflate surface), so the UDF tier is the honest cost —
+    the batch loop is the same shape a real zstd scorer would use."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(_compression_batches, schema=COMPRESSION_SCHEMA)

@@ -61,7 +61,8 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # tests/test_oracle_queries.py mirrors every oracle-backed query each
 # pytest run.
 CERTIFIED_FIRST: tuple[str, ...] = (
-    # --- new in round 9 (13) ---
+    # --- new in round 9 (14) ---
+    "doc_compression_ratio",
     "corpus_split_assign",
     "stream_ohlc_hourly",
     "stream_ingest_dedup_status",
@@ -114,9 +115,9 @@ CERTIFIED_FIRST: tuple[str, ...] = (
     "zorder_pruning_stats",
     # --- the three rows-only r4 entries displaced by round-8 wave 3 ---
     "ann_lsh_topk",
-    "semantic_dedup_clusters",
-    # (ann_pq_topk displaced by the corpus_split_assign amendment — its r4
-    #  green stands and its recall invariants run each pytest.)
+    # (semantic_dedup_clusters and ann_pq_topk displaced by the
+    #  doc_compression_ratio / corpus_split_assign amendments — their r4
+    #  greens stand and their precision/recall invariants run each pytest.)
     # (the r5-vintage cohort q2_min_cost_supplier, q4_priority_exists,
     #  q6_forecast_revenue, q7_nation_volume, q8_market_share,
     #  q9_profit_by_nation_year, q10_returned_items was displaced by the

@@ -109,3 +109,64 @@ def test_boilerplate_ngram_filter_invariants(spark, sf_dir):
         for i in range(BOILER_MIN_DF):
             assert got[i].boiler_flag == "boilerplate" and got[i].boiler_frac == 1.0
         assert got[99].boiler_flag == "ok" and got[99].n_boiler == 0
+
+
+def test_compression_ratio_matches_scalar_zlib(spark, sf_dir):
+    """Exact zlib byte counts for every sampled doc, plus the integer-exact
+    flag contract and a planted low/high-entropy pair — the no-oracle
+    operator's scalar ground truth."""
+    import zlib
+
+    from pyspark.sql import Row
+
+    from mapreduce_infrastructure_spark.catalog import load_table
+    from mapreduce_infrastructure_spark.llm.filters import (
+        _ZLIB_LEVEL,
+        doc_compression_ratio,
+    )
+
+    got = {r.doc_id: r for r in doc_compression_ratio(spark, sf_dir).collect()}
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .limit(50)
+        .collect()
+    }
+    assert docs and set(docs) <= set(got)
+    for doc_id, text in docs.items():
+        raw = (text or "").encode("utf-8")
+        b, z = len(raw), len(zlib.compress(raw, _ZLIB_LEVEL))
+        r = got[doc_id]
+        assert (r.n_bytes, r.n_zlib) == (b, z)
+        want_flag = (
+            "low_entropy"
+            if z * 10 < b * 3
+            else ("high_entropy" if z >= b and b > 0 else "ok")
+        )
+        assert r.comp_flag == want_flag
+        assert abs(r.comp_ratio - (z / b if b else 0.0)) <= 5e-5
+
+    # Planted extremes: pure repetition must flag low_entropy; a doc the
+    # deflate cannot shrink (here: shorter than the deflate header itself,
+    # the honest way a *text* column reaches ratio >= 1) must flag
+    # high_entropy.
+    planted = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="spam " * 400),
+            Row(doc_id=2, text="k9$wp2m!x"),
+        ]
+    )
+    flags = {
+        r.doc_id: r.comp_flag
+        for r in planted.mapInPandas(
+            __import__(
+                "mapreduce_infrastructure_spark.llm.filters", fromlist=["x"]
+            )._compression_batches,
+            schema=__import__(
+                "mapreduce_infrastructure_spark.llm.filters", fromlist=["x"]
+            ).COMPRESSION_SCHEMA,
+        ).collect()
+    }
+    assert flags[1] == "low_entropy"
+    assert flags[2] == "high_entropy"
