@@ -1347,3 +1347,66 @@ def embedding_pca_top_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component int, dim int, loading double, eigenvalue double, "
         "explained_var_ratio double",
     )
+
+
+# --------------------------------------------------------------------------
+# ANN method calibration: recall vs exact ground truth
+# --------------------------------------------------------------------------
+
+@query(
+    "ann_recall_report",
+    # No oracle: the approximate methods are engine-specific by
+    # construction (the same reason each of them is rows-only). The
+    # report's arithmetic is pinned against an independent scalar
+    # recomputation in tests/test_dedup_similarity.py, and the ivf row
+    # inherits the >= 0.4 recall floor asserted there.
+    tags=("similarity", "ann", "calibration"),
+)
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of every ANN tier (sign-LSH, IVF, PQ, OPQ) against the
+    exact knn_bruteforce top-3 — the sketch-calibration pattern
+    (minhash_estimate_error, approx_vs_exact_quantile_error) applied to
+    the similarity tier: the operator a pipeline runs before trusting an
+    index, and re-runs after refitting it on drifted data.
+
+    Plan: each method's candidate set is aggregate-sized (|Q| queries ×
+    3), so the union + hit-join + per-method count is a few KB of data
+    regardless of corpus size — the expensive part is the index passes
+    themselves, each of which keeps its own scale shape (bucket join /
+    cell probe / ADC scan). The truth total joins in as a broadcast
+    1-row scalar aggregate; recall is a division of two exact int64
+    counts, IEEE-deterministic."""
+    truth = (
+        knn_bruteforce(spark, sf_dir)
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    methods = [
+        ("sign_lsh", ann_lsh_topk),
+        ("ivf", ann_ivf_topk),
+        ("pq", ann_pq_topk),
+        ("opq", ann_opq_topk),
+    ]
+    per = None
+    for name, fn in methods:
+        cand = fn(spark, sf_dir).select(
+            F.lit(name).alias("method"), "query_id", "neighbor_id"
+        )
+        per = cand if per is None else per.unionByName(cand)
+    hits = per.join(truth, ["query_id", "neighbor_id"]).groupBy("method").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    base = per.groupBy("method").agg(F.count(F.lit(1)).alias("n_returned"))
+    tot = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    nh = F.coalesce("n_hits", F.lit(0))
+    return (
+        base.join(hits, "method", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "method",
+            "n_returned",
+            nh.alias("n_hits"),
+            "n_truth",
+            (nh.cast("double") / F.col("n_truth")).alias("recall_at_3"),
+        )
+    )

@@ -50,7 +50,7 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # Ordering is therefore a curated, per-round decision, not an accident of
 # imports; CERTIFIED_HISTORY.md tracks which rounds certified what.
 #
-# Round-9 window: the 11 queries ADDED this round lead (first-time
+# Round-9 window: the 15 queries ADDED this round lead (first-time
 # certification), then 15 changed-code slots (the round-8 verdict's two
 # scale findings: the PCA tree-reduction and the 12-site stratum-window
 # rewrite family, plus the incremental-dedup refactor), then the
@@ -61,7 +61,8 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # tests/test_oracle_queries.py mirrors every oracle-backed query each
 # pytest run.
 CERTIFIED_FIRST: tuple[str, ...] = (
-    # --- new in round 9 (14) ---
+    # --- new in round 9 (15) ---
+    "ann_recall_report",
     "doc_compression_ratio",
     "corpus_split_assign",
     "stream_ohlc_hourly",
@@ -114,10 +115,11 @@ CERTIFIED_FIRST: tuple[str, ...] = (
     "doc_token_counts",
     "zorder_pruning_stats",
     # --- the three rows-only r4 entries displaced by round-8 wave 3 ---
-    "ann_lsh_topk",
-    # (semantic_dedup_clusters and ann_pq_topk displaced by the
-    #  doc_compression_ratio / corpus_split_assign amendments — their r4
-    #  greens stand and their precision/recall invariants run each pytest.)
+    # (ann_lsh_topk, semantic_dedup_clusters and ann_pq_topk displaced by
+    #  the ann_recall_report / doc_compression_ratio / corpus_split_assign
+    #  amendments — their r4 greens stand, their precision/recall
+    #  invariants run each pytest, and ann_recall_report itself re-runs
+    #  all four ANN tiers against the exact ground truth in-window.)
     # (the r5-vintage cohort q2_min_cost_supplier, q4_priority_exists,
     #  q6_forecast_revenue, q7_nation_volume, q8_market_share,
     #  q9_profit_by_nation_year, q10_returned_items was displaced by the

@@ -1251,3 +1251,26 @@ def test_keeper_policy_sensitivity_on_planted_corpus(spark, sf_dir, tmp_path):
     assert ok.n_multi_clusters == 1
     assert ok.n_keeper_changed == 0
     assert ok.changed_share == 0.0
+
+
+def test_ann_recall_report_matches_scalar_recount(spark, sf_dir):
+    """The calibration report's counts must equal an independent scalar
+    recomputation (sign_lsh row), cover all four tiers with exact
+    ratio arithmetic, and preserve the IVF recall floor."""
+    rep = {r.method: r for r in similarity.ann_recall_report(spark, sf_dir).collect()}
+    assert set(rep) == {"sign_lsh", "ivf", "pq", "opq"}
+    for r in rep.values():
+        assert 0 <= r.n_hits <= r.n_returned
+        assert r.recall_at_3 == r.n_hits / r.n_truth
+    assert rep["ivf"].recall_at_3 >= 0.4
+
+    brute = {}
+    for r in similarity.knn_bruteforce(spark, sf_dir).collect():
+        if r.rank <= 3:
+            brute.setdefault(r.query_id, set()).add(r.neighbor_id)
+    ann = {}
+    for r in similarity.ann_lsh_topk(spark, sf_dir).collect():
+        ann.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(ann.get(q, set()) & s) for q, s in brute.items())
+    assert rep["sign_lsh"].n_hits == hits
+    assert rep["sign_lsh"].n_truth == sum(len(s) for s in brute.values())
