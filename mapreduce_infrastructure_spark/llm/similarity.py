@@ -1410,3 +1410,77 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             (nh.cast("double") / F.col("n_truth")).alias("recall_at_3"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Pairwise-cosine histogram over a fixed-size sample
+# --------------------------------------------------------------------------
+
+_PDH_K = 128  # fixed sample size -> at most K(K-1)/2 = 8128 pairs at ANY corpus size
+
+
+@query(
+    "embedding_cosine_histogram",
+    oracle=_ORACLE_VECTORS
+    + f"""
+    , s AS (
+      SELECT vec_id, d, nrm FROM n
+      ORDER BY md5('pdh:' || CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT {_PDH_K}
+    ),
+    pairs AS (
+      SELECT floor((list_sum(list_transform(generate_series(1, len(a.d)),
+                                            i -> a.d[i] * b.d[i]))
+                    / (a.nrm * b.nrm)) * 10000 + 0.5) / 10000 AS cosine
+      FROM s a JOIN s b ON a.vec_id < b.vec_id
+    )
+    SELECT CAST(floor(cosine * 10) AS INTEGER) AS bucket,
+           COUNT(*) AS n_pairs,
+           MIN(cosine) AS min_cos,
+           MAX(cosine) AS max_cos
+    FROM pairs GROUP BY 1
+    """,
+    tags=("similarity", "calibration", "histogram"),
+)
+def embedding_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of pairwise cosines over a FIXED-SIZE content-addressed
+    sample — the telemetry that picks near-dup/clustering thresholds: where
+    the corpus's similarity mass sits tells you whether 0.4 is a dedup
+    threshold or background noise.
+
+    The sample is the md5-order top-K (`sample_fixed_k`'s reservoir
+    equivalent, full-hash comparator), so the pair count is bounded at
+    K(K-1)/2 = 8128 at ANY corpus size — the all-pairs step can never
+    re-grow quadratically as data scales, unlike a rate-based sample whose
+    pair count is (r·N)². Plan: TakeOrderedAndProject for the sample (K
+    rows cross the wire), then a broadcast self-join over K rows — the
+    corpus scan is the only data-sized stage."""
+    vecs = _vectors(spark, sf_dir)
+    h = F.md5(
+        F.concat_ws(":", F.lit("pdh"), F.col("vec_id").cast("string")).cast(
+            "binary"
+        )
+    )
+    s = (
+        vecs.select("vec_id", "d", "nrm", h.alias("_h"))
+        .orderBy(F.col("_h"), F.col("vec_id"))
+        .limit(_PDH_K)
+        .select("vec_id", "d", "nrm")
+    )
+    a = s.select(
+        F.col("vec_id").alias("ida"), F.col("d").alias("da"), F.col("nrm").alias("na")
+    )
+    b = s.select(
+        F.col("vec_id").alias("idb"), F.col("d").alias("db"), F.col("nrm").alias("nb")
+    )
+    cosine = rnd(_dot(F.col("da"), F.col("db")) / (F.col("na") * F.col("nb")), 4)
+    pairs = a.join(F.broadcast(b), F.col("ida") < F.col("idb")).select(
+        cosine.alias("cosine")
+    )
+    return pairs.groupBy(
+        F.floor(F.col("cosine") * 10).cast("int").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min("cosine").alias("min_cos"),
+        F.max("cosine").alias("max_cos"),
+    )

@@ -1274,3 +1274,18 @@ def test_ann_recall_report_matches_scalar_recount(spark, sf_dir):
     hits = sum(len(ann.get(q, set()) & s) for q, s in brute.items())
     assert rep["sign_lsh"].n_hits == hits
     assert rep["sign_lsh"].n_truth == sum(len(s) for s in brute.values())
+
+
+def test_cosine_histogram_covers_all_sample_pairs(spark, sf_dir):
+    """Histogram mass must equal exactly C(K, 2) pairs (the fixed-size
+    sample bound that keeps the op scale-safe), every bucket must contain
+    its own min/max, and bucket ids must be consistent with the rounded
+    cosine range [-1, 1]."""
+    rows = similarity.embedding_cosine_histogram(spark, sf_dir).collect()
+    k = similarity._PDH_K
+    assert sum(r.n_pairs for r in rows) == k * (k - 1) // 2
+    for r in rows:
+        assert -10 <= r.bucket <= 10
+        assert r.min_cos <= r.max_cos
+        assert int(r.min_cos * 10 // 1) == r.bucket or r.min_cos * 10 == r.bucket + 1
+        assert -1.0 <= r.min_cos and r.max_cos <= 1.0
