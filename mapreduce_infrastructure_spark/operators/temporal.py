@@ -906,3 +906,105 @@ def event_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.col("min_gap").cast("double") / m, 6).alias("min_gap_sec"),
         rnd(F.col("max_gap").cast("double") / m, 6).alias("max_gap_sec"),
     )
+
+
+# --------------------------------------------------------------------------
+# Windowed sequential funnel (3 steps with per-step conversion windows)
+# --------------------------------------------------------------------------
+
+@query(
+    "funnel_3step_windowed",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click'
+        AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL '7 days'
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.ts > s2.t2 AND e.ts <= s2.t2 + INTERVAL '30 minutes'
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users,
+           (SELECT COUNT(*) FROM s1) AS n_signup,
+           (SELECT COUNT(*) FROM s2) AS n_click_7d,
+           (SELECT COUNT(*) FROM s3) AS n_purchase_30m,
+           CAST((SELECT COUNT(*) FROM s2) AS DOUBLE)
+             / (SELECT COUNT(*) FROM s1) AS conv_s1_s2,
+           CAST((SELECT COUNT(*) FROM s3) AS DOUBLE)
+             / (SELECT COUNT(*) FROM s2) AS conv_s2_s3
+    """,
+    tags=("events", "funnel", "temporal"),
+)
+def funnel_3step_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel with PER-STEP conversion windows: first signup →
+    first click within 7 days OF THAT SIGNUP → first purchase within 30
+    minutes OF THAT CLICK. Unlike `funnel_click_purchase`'s conditional
+    MINs (which only order the global firsts), each step anchors on the
+    previous step's qualifying timestamp — the semantics real funnel
+    products (and the windowed attribution ops above) define.
+
+    Plan: one cascaded (filter → groupBy user → join) stage per step.
+    Every shuffle is keyed on user_id, so the exchanges are co-partitioned
+    and each stage's input is the (small) filtered event subset for one
+    type with its predicate pushed to the scan; per-step state is one
+    timestamp per surviving user — no per-user event sort anywhere, and
+    nothing global except the final 1-row scalar summary. Conversion
+    ratios are divisions of exact int64 counts (IEEE-deterministic)."""
+    ev = load_table(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 7 DAYS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 30 MINUTES"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    n_users = ev.agg(
+        F.countDistinct("user_id").cast("long").alias("n_users")
+    )
+    c1 = s1.agg(F.count(F.lit(1)).alias("n_signup"))
+    c2 = s2.agg(F.count(F.lit(1)).alias("n_click_7d"))
+    c3 = s3.agg(F.count(F.lit(1)).alias("n_purchase_30m"))
+    return (
+        n_users.crossJoin(F.broadcast(c1))
+        .crossJoin(F.broadcast(c2))
+        .crossJoin(F.broadcast(c3))
+        .select(
+            "n_users",
+            "n_signup",
+            "n_click_7d",
+            "n_purchase_30m",
+            (
+                F.col("n_click_7d").cast("double") / F.col("n_signup")
+            ).alias("conv_s1_s2"),
+            (
+                F.col("n_purchase_30m").cast("double") / F.col("n_click_7d")
+            ).alias("conv_s2_s3"),
+        )
+    )

@@ -250,3 +250,21 @@ def test_approx_quantile_calibration_within_formal_bound(spark, sf_dir):
         want = {0.5: e.p50, 0.95: e.p95, 0.99: e.p99}[r.q]
         assert r.exact_value == want
         assert e.n_orders == r.n
+
+
+def test_funnel_3step_monotone_and_anchored(spark, sf_dir):
+    """Funnel counts must be monotone down the steps, ratios exact
+    divisions, and the windowed anchoring must be strictly tighter than
+    the orderless 2-step funnel's conversion (every windowed convert is
+    also an ordered convert)."""
+    from mapreduce_infrastructure_spark.operators.temporal import (
+        funnel_3step_windowed,
+        funnel_click_purchase,
+    )
+
+    row = funnel_3step_windowed(spark, sf_dir).collect()[0]
+    assert row.n_users >= row.n_signup >= row.n_click_7d >= row.n_purchase_30m
+    assert row.conv_s1_s2 == row.n_click_7d / row.n_signup
+    assert row.conv_s2_s3 == row.n_purchase_30m / row.n_click_7d
+    two = funnel_click_purchase(spark, sf_dir).collect()[0]
+    assert row.n_users == two.n_users
