@@ -1008,3 +1008,77 @@ def funnel_3step_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("conv_s2_s3"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Time-weighted average (TWAP) per user
+# --------------------------------------------------------------------------
+
+@query(
+    "twap_purchase_by_user",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    seg AS (
+      SELECT user_id, us, value,
+             lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us
+               AS dur
+      FROM p
+    ),
+    a AS (
+      SELECT user_id, COUNT(*) AS n_purchases,
+             MIN(us) AS s, MAX(us) AS e,
+             SUM(CAST(value AS DECIMAL(18,2)) * dur) AS wsum
+      FROM seg GROUP BY user_id
+    )
+    SELECT user_id, n_purchases, e - s AS span_us,
+           floor((CAST(wsum AS DOUBLE) / (e - s)) * 1000000 + 0.5) / 1000000
+             AS twap
+    FROM a WHERE e > s
+    """,
+    tags=("events", "temporal", "twap"),
+)
+def twap_purchase_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average purchase value per user — the resampling-free
+    TWAP every tick-store exposes: each value holds until the user's next
+    purchase, so the mean weights each price by how long it was 'current'
+    (a plain AVG over-weights burst periods). Users with a single purchase
+    (zero span) have no defined holding period and drop.
+
+    Exactness: value×duration accumulates in DECIMAL (duration is exact
+    int64 micros, value a 2-decimal money double) so the weighted sum is
+    associative — identical bits at any partitioning; the final divide is
+    one IEEE op, rounded with the shared floor(+0.5) convention.
+
+    Scale: one pushed-filter scan, ONE shuffle on user_id shared by the
+    lead() window and the aggregate (same key, co-partitioned), per-user
+    state = a sort of that user's purchases — the high-cardinality
+    partition key pattern (users grow with data; no stratum squeeze)."""
+    p = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("us"),
+            "event_id",
+            "value",
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    seg = p.withColumn("dur", F.lead("us").over(w) - F.col("us"))
+    a = seg.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.min("us").alias("s"),
+        F.max("us").alias("e"),
+        F.sum(dec("value") * F.col("dur")).alias("wsum"),
+    )
+    return a.filter(F.col("e") > F.col("s")).select(
+        "user_id",
+        "n_purchases",
+        (F.col("e") - F.col("s")).alias("span_us"),
+        rnd(
+            F.col("wsum").cast("double") / (F.col("e") - F.col("s")), 6
+        ).alias("twap"),
+    )

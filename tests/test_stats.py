@@ -268,3 +268,49 @@ def test_funnel_3step_monotone_and_anchored(spark, sf_dir):
     assert row.conv_s2_s3 == row.n_purchase_30m / row.n_click_7d
     two = funnel_click_purchase(spark, sf_dir).collect()[0]
     assert row.n_users == two.n_users
+
+
+def test_twap_matches_scalar_reference(spark, sf_dir):
+    """TWAP for a handful of users recomputed scalar-side from the raw
+    purchase sequence (decimal-exact weighting), plus bound checks: the
+    time-weighted mean must sit inside [min, max] of the user's values."""
+    from decimal import Decimal
+
+    from mapreduce_infrastructure_spark.catalog import load_table
+    from mapreduce_infrastructure_spark.operators.temporal import (
+        twap_purchase_by_user,
+    )
+
+    got = {r.user_id: r for r in twap_purchase_by_user(spark, sf_dir).collect()}
+    assert got
+    purchases = {}
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .filter("event_type = 'purchase'")
+        .select("user_id", F.unix_micros("ts").alias("us"), "event_id", "value")
+        .collect()
+    ):
+        purchases.setdefault(r.user_id, []).append((r.us, r.event_id, r.value))
+    checked = 0
+    for uid, seq in purchases.items():
+        if len(seq) < 2 or checked >= 25:
+            continue
+        seq.sort()
+        span = seq[-1][0] - seq[0][0]
+        if span == 0:
+            assert uid not in got
+            continue
+        wsum = sum(
+            (Decimal(str(v)).quantize(Decimal("0.01"))) * (seq[i + 1][0] - us)
+            for i, (us, _, v) in enumerate(seq[:-1])
+        )
+        import math
+
+        want = math.floor(float(wsum) / span * 1e6 + 0.5) / 1e6
+        r = got[uid]
+        assert (r.n_purchases, r.span_us) == (len(seq), span)
+        assert r.twap == want
+        vals = [v for _, _, v in seq]
+        assert min(vals) - 1e-6 <= r.twap <= max(vals) + 1e-6
+        checked += 1
+    assert checked >= 10
