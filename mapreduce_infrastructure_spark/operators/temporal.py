@@ -1082,3 +1082,66 @@ def twap_purchase_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("wsum").cast("double") / (F.col("e") - F.col("s")), 6
         ).alias("twap"),
     )
+
+
+# --------------------------------------------------------------------------
+# Month-over-month revenue growth per nation
+# --------------------------------------------------------------------------
+
+@query(
+    "revenue_mom_growth_by_nation",
+    oracle="""
+    WITH m AS (
+      SELECT n.n_name AS nation,
+             CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+             floor((CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)) * 100 + 0.5) / 100 AS revenue
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT nation, month, revenue,
+           floor(((revenue - lag(revenue) OVER w)
+                  / lag(revenue) OVER w) * 1000000 + 0.5) / 1000000
+             AS mom_growth
+    FROM m WINDOW w AS (PARTITION BY nation ORDER BY month)
+    """,
+    tags=("agg", "temporal", "growth"),
+)
+def revenue_mom_growth_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth per nation — the period-over-period
+    comparison every revenue dashboard leads with. First month per nation
+    reports NULL growth (no prior period), gap months divide against the
+    last OBSERVED month (calendar gap-filling is `gapfill_hourly_value`'s
+    job, composable upstream).
+
+    Scale: the volume-scaled work is ONE decimal-exact aggregate on
+    (nation, month) with broadcast dimension joins; the lag() window runs
+    over the AGGREGATE — ≤ |nations|×|months| rows, bounded by the
+    calendar not the data, the histogram-input shape the plan guard
+    exempts. Growth is a division of two already-rounded doubles, rounded
+    with the shared floor(+0.5) convention."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    # customer is SF-scaled: no broadcast hint (AQE picks the strategy at
+    # runtime); nation is a fixed 25-row dimension and stays broadcast.
+    m = (
+        o.join(c.select("c_custkey", "c_nationkey"),
+               o.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(n.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        )
+        .agg(dsum("o_totalprice", "revenue"))
+    )
+    w = Window.partitionBy("nation").orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "nation",
+        "month",
+        "revenue",
+        rnd((F.col("revenue") - prev) / prev, 6).alias("mom_growth"),
+    )

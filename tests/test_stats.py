@@ -314,3 +314,31 @@ def test_twap_matches_scalar_reference(spark, sf_dir):
         assert min(vals) - 1e-6 <= r.twap <= max(vals) + 1e-6
         checked += 1
     assert checked >= 10
+
+
+def test_mom_growth_first_month_null_and_arithmetic(spark, sf_dir):
+    """Per nation: exactly one NULL-growth row (the first month), and each
+    growth value must equal the rounded ratio of consecutive revenues."""
+    import math
+
+    from mapreduce_infrastructure_spark.operators.temporal import (
+        revenue_mom_growth_by_nation,
+    )
+
+    rows = revenue_mom_growth_by_nation(spark, sf_dir).collect()
+    by_nation = {}
+    for r in rows:
+        by_nation.setdefault(r.nation, []).append(r)
+    assert len(by_nation) > 1
+    for seq in by_nation.values():
+        seq.sort(key=lambda r: r.month)
+        assert seq[0].mom_growth is None
+        assert all(r.mom_growth is not None for r in seq[1:])
+        for prev, cur in zip(seq, seq[1:]):
+            want = (
+                math.floor(
+                    (cur.revenue - prev.revenue) / prev.revenue * 1e6 + 0.5
+                )
+                / 1e6
+            )
+            assert cur.mom_growth == want
