@@ -2078,3 +2078,108 @@ def incremental_dedup_classify(t: DataFrame, boundary: int) -> DataFrame:
             .alias("status"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# LSH candidate-generation calibration: precision/recall vs exact pairs
+# --------------------------------------------------------------------------
+
+@query(
+    "lsh_precision_recall_report",
+    # No oracle: the LSH side is the engine's md5-minhash banding
+    # (rows-only by construction, like minhash_lsh_pairs itself); the
+    # report's set arithmetic is pinned against an independent scalar
+    # recount in tests/test_dedup_similarity.py.
+    tags=("dedup", "lsh", "calibration"),
+)
+def lsh_precision_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration of the MinHash-LSH dedup tier against the exact
+    lang-blocked Jaccard ground truth — `ann_recall_report`'s twin for
+    the text side, and the number a pipeline owner checks before
+    trusting a band configuration on new data.
+
+    The comparison has a real asymmetry the report names instead of
+    hiding: the exact side blocks on lang (its quadratic bound), while
+    LSH buckets by SIGNATURE — so LSH legitimately finds cross-lang
+    near-dups the ground truth cannot see (19 of 25 pairs on the
+    fixtures: identical boilerplate recurring across languages).
+    Within the shared block, every LSH pair is exact-verified
+    ≥ VERIFY_THRESHOLD, so same-block consistency must be exact
+    (n_hits = n_lsh_same_block; a shortfall means the verify step
+    regressed), recall@0.8 should sit at ~1.0 (P(miss) ≈ (1−0.8²)¹⁶ ≈
+    1e-7 per pair), and recall@threshold is legitimately < 1 (banding
+    is designed to miss weak pairs). Both candidate sets are the
+    REGISTERED plans — the report composes, never re-implements, the
+    tier it measures.
+
+    Scale: both inputs are the pair lists (output-sized, far smaller
+    than the corpus); the joins/aggregates here are trivial next to
+    producing them. At 100 TB ground truth comes from a sampled block;
+    same report shape."""
+    langs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    exact = ngram_jaccard_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.col("jaccard").alias("j_exact")
+    )
+    lsh = (
+        minhash_lsh_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        # langs is the SF-scaled side: no broadcast hint (AQE broadcasts
+        # the output-sized pair list at runtime instead).
+        .join(
+            langs.select(
+                F.col("doc_id").alias("doc_a"), F.col("lang").alias("la")
+            ),
+            "doc_a",
+        )
+        .join(
+            langs.select(
+                F.col("doc_id").alias("doc_b"), F.col("lang").alias("lb")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a", "doc_b", (F.col("la") == F.col("lb")).alias("same_block")
+        )
+    )
+    truth = exact.filter(F.col("j_exact") >= VERIFY_THRESHOLD)
+    strong = exact.filter(F.col("j_exact") >= 0.8)
+    c_lsh = lsh.agg(
+        F.count(F.lit(1)).alias("n_lsh"),
+        F.sum(F.col("same_block").cast("long")).alias("n_lsh_same_block"),
+    )
+    c_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    c_strong = strong.agg(F.count(F.lit(1)).alias("n_strong"))
+    c_hits = (
+        lsh.join(truth, ["doc_a", "doc_b"])
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    c_sh = (
+        lsh.join(strong, ["doc_a", "doc_b"])
+        .agg(F.count(F.lit(1)).alias("n_strong_hits"))
+    )
+    return (
+        c_lsh.crossJoin(F.broadcast(c_truth))
+        .crossJoin(F.broadcast(c_strong))
+        .crossJoin(F.broadcast(c_hits))
+        .crossJoin(F.broadcast(c_sh))
+        .select(
+            "n_lsh",
+            "n_lsh_same_block",
+            (F.col("n_lsh") - F.col("n_lsh_same_block")).alias(
+                "n_lsh_cross_block"
+            ),
+            "n_truth",
+            "n_strong",
+            "n_hits",
+            "n_strong_hits",
+            (F.col("n_hits") == F.col("n_lsh_same_block")).alias(
+                "same_block_consistent"
+            ),
+            (F.col("n_hits").cast("double") / F.col("n_truth")).alias(
+                "recall_at_threshold"
+            ),
+            (
+                F.col("n_strong_hits").cast("double") / F.col("n_strong")
+            ).alias("recall_at_strong"),
+        )
+    )

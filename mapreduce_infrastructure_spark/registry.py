@@ -50,7 +50,7 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # Ordering is therefore a curated, per-round decision, not an accident of
 # imports; CERTIFIED_HISTORY.md tracks which rounds certified what.
 #
-# Round-9 window: the 20 queries ADDED this round lead (first-time
+# Round-9 window: the 21 queries ADDED this round lead (first-time
 # certification), then 15 changed-code slots (the round-8 verdict's two
 # scale findings: the PCA tree-reduction and the 12-site stratum-window
 # rewrite family, plus the incremental-dedup refactor), then the
@@ -61,7 +61,8 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # tests/test_oracle_queries.py mirrors every oracle-backed query each
 # pytest run.
 CERTIFIED_FIRST: tuple[str, ...] = (
-    # --- new in round 9 (20) ---
+    # --- new in round 9 (21) ---
+    "lsh_precision_recall_report",
     "revenue_mom_growth_by_nation",
     "twap_purchase_by_user",
     "funnel_3step_windowed",
@@ -113,13 +114,10 @@ CERTIFIED_FIRST: tuple[str, ...] = (
     "minhash_lsh_pairs",
     "simhash_neardup_pairs",
     "tfidf_top_terms",
-    "token_counts_bpe",
-    # (dedup_exact, doc_fingerprint, text_stats_by_lang, doc_token_counts
-    #  and zorder_pruning_stats displaced by the stream_full_join /
-    #  embedding_cosine_histogram / funnel_3step_windowed /
-    #  twap_purchase_by_user / revenue_mom_growth_by_nation amendments —
-    #  their r2/r4 greens stand; their oracles and the pruning invariants
-    #  run each pytest.)
+    # (token_counts_bpe, dedup_exact, doc_fingerprint, text_stats_by_lang,
+    #  doc_token_counts and zorder_pruning_stats displaced by the late
+    #  round-9 additions — their r2/r4 greens stand; their oracles and
+    #  the pruning invariants run each pytest.)
     # --- the three rows-only r4 entries displaced by round-8 wave 3 ---
     # (ann_lsh_topk, semantic_dedup_clusters and ann_pq_topk displaced by
     #  the ann_recall_report / doc_compression_ratio / corpus_split_assign

@@ -1289,3 +1289,37 @@ def test_cosine_histogram_covers_all_sample_pairs(spark, sf_dir):
         assert r.min_cos <= r.max_cos
         assert int(r.min_cos * 10 // 1) == r.bucket or r.min_cos * 10 == r.bucket + 1
         assert -1.0 <= r.min_cos and r.max_cos <= 1.0
+
+
+def test_lsh_report_matches_scalar_recount(spark, sf_dir):
+    """The block-aware calibration report recounted scalar-side from the
+    two registered pair lists it composes."""
+    from mapreduce_infrastructure_spark.catalog import load_table
+
+    rep = dedup.lsh_precision_recall_report(spark, sf_dir).collect()[0]
+    langs = {
+        r.doc_id: r.lang
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang")
+        .collect()
+    }
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(spark, sf_dir).collect()
+    }
+    truth = {p for p, j in exact.items() if j >= dedup.VERIFY_THRESHOLD}
+    strong = {p for p, j in exact.items() if j >= 0.8}
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_pairs(spark, sf_dir).collect()
+    }
+    same = {p for p in lsh if langs[p[0]] == langs[p[1]]}
+    assert rep.n_lsh == len(lsh)
+    assert rep.n_lsh_same_block == len(same)
+    assert rep.n_lsh_cross_block == len(lsh) - len(same)
+    assert rep.n_truth == len(truth)
+    assert rep.n_hits == len(lsh & truth)
+    assert rep.n_strong_hits == len(lsh & strong)
+    assert rep.same_block_consistent == (len(lsh & truth) == len(same))
+    assert rep.same_block_consistent  # the verify step's contract
+    assert rep.recall_at_strong == len(lsh & strong) / len(strong)
