@@ -183,6 +183,90 @@ def bucketed_prefix_sum(
     )
 
 
+def bucketed_prefix_max(
+    df: DataFrame,
+    stratum_cols: list[str],
+    order_col: str,
+    value_col: Column | str,
+    n_buckets: int = PREFIX_SUM_BUCKETS,
+    strict_alias: str = "prefix_max_before",
+) -> DataFrame:
+    """Exact running max of ``value_col`` over STRICTLY-EARLIER rows in
+    ``order_col`` order within each stratum (``stratum_cols`` may be empty
+    for a global prefix — the shape a global window would squeeze through
+    one task). Same two-pass range-bucket discipline as
+    :func:`bucketed_prefix_sum`: deterministic contiguous buckets over the
+    global order-key span, a per-(stratum, bucket) max table, cross-bucket
+    offsets via a bounded broadcast inequality self-join over the
+    |strata|×n_buckets rows (NO global window — a ``rowsBetween`` offset
+    window with empty strata would be an ``Exchange SinglePartition`` over
+    a keyed aggregate, the exact shape the repo-wide plan guard bans),
+    then a strictly-preceding running max within each (stratum, bucket) —
+    group size ~stratum_rows/n_buckets, parallelism scales with the
+    bucket knob. Max is idempotent/associative on longs, so the result is
+    bit-identical to the naive single-window form.
+
+    Ties on ``order_col``: "strictly earlier" means a strictly SMALLER
+    order key — equal-key rows do not see each other (the semantics a
+    2-D skyline sweep needs: equal-x points must not dominate each other
+    through the prefix). Adds ``strict_alias`` (nullable long: NULL when
+    no strictly-earlier row exists) and keeps all input columns.
+    """
+    val = (F.col(value_col) if isinstance(value_col, str) else value_col).cast(
+        "long"
+    )
+    bounds = df.agg(
+        F.min(order_col).cast("long").alias("_lo"),
+        F.max(order_col).cast("long").alias("_hi"),
+    )
+    span = F.col("_hi") - F.col("_lo") + 1
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.floor(
+            (F.col(order_col).cast("long") - F.col("_lo"))
+            * F.lit(n_buckets)
+            / span
+        ),
+    ).cast("int")
+    b = (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn("_pmv", val)
+        .withColumn("_pmb", bucket)
+        .drop("_lo", "_hi")
+    )
+    # Per-bucket max AND per-bucket min-order-key: rows in bucket k at the
+    # bucket's minimum order key still see bucket k-1's max, but a later
+    # bucket's offset must include ALL of earlier buckets (order keys there
+    # are strictly smaller by range-bucket construction).
+    subtotals = b.groupBy(*stratum_cols, "_pmb").agg(F.max("_pmv").alias("_bmax"))
+    lhs = subtotals.select(*stratum_cols, "_pmb")
+    rhs_cols = [F.col(c).alias(f"_r_{c}") for c in stratum_cols]
+    rhs = subtotals.select(*rhs_cols, F.col("_pmb").alias("_rb"), "_bmax")
+    cond = F.col("_rb") < F.col("_pmb")
+    for c in stratum_cols:
+        cond = cond & (F.col(f"_r_{c}") == F.col(c))
+    offsets = (
+        lhs.join(F.broadcast(rhs), cond, "left")
+        .groupBy(*stratum_cols, "_pmb")
+        .agg(F.max("_bmax").alias("_off"))
+    )
+    run_w = (
+        Window.partitionBy(*stratum_cols, "_pmb")
+        .orderBy(order_col)
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        b.join(F.broadcast(offsets), [*stratum_cols, "_pmb"])
+        # greatest() skips NULLs: NULL only when there is no strictly-earlier
+        # row in this bucket (window max NULL) AND no earlier bucket (_off
+        # NULL from the left join) — i.e. no strictly-earlier row at all.
+        .withColumn(
+            strict_alias, F.greatest(F.max("_pmv").over(run_w), F.col("_off"))
+        )
+        .drop("_pmb", "_pmv", "_off")
+    )
+
+
 def ntile_from_rank(rank: Column, n: Column, k: int) -> Column:
     """``ntile(k)`` bucket from a 1-based rank and the stratum size n —
     the closed form of the window function (first n % k buckets take

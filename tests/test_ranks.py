@@ -130,3 +130,57 @@ def test_bucketed_prefix_sum_plan_has_no_low_card_stratum_window(spark):
     df = _fixture(spark, _rows()).withColumnRenamed("stratum", "lang")
     out = bucketed_prefix_sum(df, ["lang"], "id", "v")
     assert not checks.low_card_stratum_windows(checks.explain_str(out, "simple"))
+
+
+@pytest.mark.parametrize("n_buckets", [1, 2, 7, 32, 1000])
+def test_bucketed_prefix_max_matches_strict_window_max(spark, n_buckets):
+    """Strictly-earlier running max (the 2-D skyline sweep's prefix), with
+    heavy ORDER-KEY ties: the naive form is a rangeBetween(-inf, -1)
+    window, which equal-key rows must not see each other through."""
+    from mapreduce_infrastructure_spark.functions.ranks import bucketed_prefix_max
+
+    # order key = v (heavily tied), value = id (distinct): exercises ties
+    df = _fixture(spark, _rows(seed=7))
+    w = (
+        Window.partitionBy("stratum")
+        .orderBy("v")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    naive = {
+        (r.stratum, r.id): r.pm
+        for r in df.withColumn("pm", F.max("id").over(w)).collect()
+    }
+    fast = {
+        (r.stratum, r.id): r.prefix_max_before
+        for r in bucketed_prefix_max(
+            df, ["stratum"], "v", "id", n_buckets=n_buckets
+        ).collect()
+    }
+    assert fast == naive  # includes NULL for each stratum's smallest-v ties
+
+
+@pytest.mark.parametrize("n_buckets", [1, 3, 32])
+def test_bucketed_prefix_max_global_no_strata(spark, n_buckets):
+    """Empty stratum list = a GLOBAL strict prefix max with no
+    single-partition window (the global-window replacement), and the plan
+    must carry no unbounded Exchange SinglePartition."""
+    from mapreduce_infrastructure_spark.functions.ranks import bucketed_prefix_max
+    from mapreduce_infrastructure_spark.plans import checks
+
+    df = _fixture(spark, _rows(seed=11))
+    w = Window.orderBy("v").rangeBetween(Window.unboundedPreceding, -1)
+    naive = {
+        r.id: r.pm for r in df.withColumn("pm", F.max("id").over(w)).collect()
+    }
+    out = bucketed_prefix_max(df, [], "v", "id", n_buckets=n_buckets)
+    fast = {r.id: r.prefix_max_before for r in out.collect()}
+    assert fast == naive
+    bad = checks.single_partition_squeezes(checks.explain_str(out, "simple"))
+    assert not bad, bad
+
+
+def test_bucketed_prefix_max_empty_input(spark):
+    from mapreduce_infrastructure_spark.functions.ranks import bucketed_prefix_max
+
+    df = _fixture(spark, []).limit(0)
+    assert bucketed_prefix_max(df, [], "v", "id").count() == 0
