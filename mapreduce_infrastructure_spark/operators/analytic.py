@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..catalog import load_table
 from ..functions.exact import dec, rnd
+from ..functions.ranks import bucketed_prefix_max
 from ..registry import query
 
 
@@ -291,4 +292,62 @@ def copurchase_supplier_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("supp_a", "supp_b")
         .agg(F.count(F.lit(1)).alias("n_shared_customers"))
         .filter(F.col("n_shared_customers") >= 30)
+    )
+
+
+@query(
+    "skyline_2d_parts",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey, p_name, p_retailprice, p_size,
+             CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM part
+    )
+    SELECT p_partkey, p_name, p_retailprice, p_size
+    FROM p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p q
+      WHERE q.cents <= p.cents AND q.p_size >= p.p_size
+        AND (q.cents < p.cents OR q.p_size > p.p_size)
+    )
+    """,
+    tags=("analytic", "skyline"),
+)
+def skyline_2d_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): parts no other part dominates —
+    cheaper-or-equal AND bigger-or-equal with at least one strict. The
+    classic catalog query ("show me the price/size efficient frontier")
+    and the textbook case where the naive NOT EXISTS self-join (the
+    oracle's form, O(n²)) must become a sweep: sort by price, a part is
+    on the frontier iff its size beats the max size of every strictly
+    cheaper part and ties the max size at its own price point.
+
+    Scale: prices collapse to an exact integer-cents HISTOGRAM first
+    (max size per distinct price — domain-bounded however large the
+    catalog), then ``bucketed_prefix_max`` computes the strictly-cheaper
+    threshold with range-bucket parallelism — no global window, no
+    single-partition exchange, no cartesian. The verdict join back to
+    rows is a histogram-keyed equi-join. Equal (price, size) duplicates
+    all survive: neither dominates the other (no strict inequality)."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        "p_retailprice",
+        "p_size",
+        F.floor(F.col("p_retailprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    hist = p.groupBy("cents").agg(F.max("p_size").cast("long").alias("eq_max"))
+    thresh = bucketed_prefix_max(hist, [], "cents", "eq_max")
+    return (
+        p.join(thresh, "cents")
+        .filter(
+            (F.col("p_size") == F.col("eq_max"))
+            & (
+                F.col("prefix_max_before").isNull()
+                | (F.col("prefix_max_before") < F.col("p_size"))
+            )
+        )
+        .select("p_partkey", "p_name", "p_retailprice", "p_size")
     )

@@ -342,3 +342,35 @@ def test_mom_growth_first_month_null_and_arithmetic(spark, sf_dir):
                 / 1e6
             )
             assert cur.mom_growth == want
+
+
+def test_skyline_2d_parts_domination_invariants(spark, sf_dir):
+    """Every returned part is undominated and every excluded part is
+    dominated by some returned part (the frontier is tight both ways) —
+    checked against the raw table by brute force in Python, independent
+    of both the oracle SQL and the sweep implementation."""
+    from mapreduce_infrastructure_spark.catalog import load_table
+    from mapreduce_infrastructure_spark.operators.analytic import skyline_2d_parts
+
+    import math
+
+    parts = [
+        (r.p_partkey, math.floor(r.p_retailprice * 100 + 0.5), r.p_size)
+        for r in load_table(spark, sf_dir, "part")
+        .select("p_partkey", "p_retailprice", "p_size")
+        .collect()
+    ]
+    sky = {r.p_partkey for r in skyline_2d_parts(spark, sf_dir).collect()}
+
+    def dominated(p, by):
+        return (
+            by[1] <= p[1]
+            and by[2] >= p[2]
+            and (by[1] < p[1] or by[2] > p[2])
+        )
+
+    frontier = [p for p in parts if p[0] in sky]
+    assert frontier, "frontier must be non-empty on a non-empty catalog"
+    for p in parts:
+        is_dominated = any(dominated(p, q) for q in frontier)
+        assert (p[0] in sky) == (not is_dominated), p
