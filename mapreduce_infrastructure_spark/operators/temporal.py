@@ -1093,7 +1093,7 @@ def twap_purchase_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH m AS (
       SELECT n.n_name AS nation,
-             CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+             strftime(date_trunc('month', o.o_orderdate), '%Y-%m-%d') AS month,
              floor((CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)) * 100 + 0.5) / 100 AS revenue
       FROM orders o
       JOIN customer c ON o.o_custkey = c.c_custkey
@@ -1120,7 +1120,13 @@ def revenue_mom_growth_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the AGGREGATE — ≤ |nations|×|months| rows, bounded by the
     calendar not the data, the histogram-input shape the plan guard
     exempts. Growth is a division of two already-rounded doubles, rounded
-    with the shared floor(+0.5) convention."""
+    with the shared floor(+0.5) convention.
+
+    The month is emitted as a STRING, not DATE: a DATE output column is
+    dtype-fragile in differential comparison (pandas upcasts DuckDB DATE
+    to datetime64 while Spark yields datetime.date — same value, different
+    stringification), so calendar buckets cross the compare as ISO
+    strings."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
@@ -1133,7 +1139,9 @@ def revenue_mom_growth_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy(
             F.col("n_name").alias("nation"),
-            F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+            F.date_format(
+                F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd"
+            ).alias("month"),
         )
         .agg(dsum("o_totalprice", "revenue"))
     )
