@@ -102,13 +102,29 @@ def hist_percent_rank(
     (strata, value) — histogram-cardinality groups whose sizes shrink as
     1/|domain|. Adds ``pr`` (double). percent_rank of a 1-row stratum is
     0.0, matching both engines' convention for (rank-1)/(n-1).
+
+    NULL handling: the histogram join is null-safe, so rows with a NULL
+    value (or NULL stratum) are RANKED, not dropped — they sort where
+    Spark's own window would put them (NULLS FIRST ascending, NULLS LAST
+    descending). Callers pairing this with a DuckDB oracle on nullable
+    values must align the oracle's NULL ordering explicitly (DuckDB
+    defaults to NULLS LAST ascending); every current call site feeds a
+    non-null value_col.
     """
     cume = hist_cume_counts(df, stratum_cols, value_col, descending=descending)
     order = F.col(id_col).asc()
     within = Window.partitionBy(*stratum_cols, value_col).orderBy(order)
-    joined = df.join(
-        cume.select(*stratum_cols, value_col, "cumb", "n_stratum"),
-        [*stratum_cols, value_col],
+    cume_sel = cume.select(
+        *[F.col(c).alias(f"_hpr_{c}") for c in stratum_cols],
+        F.col(value_col).alias("_hpr_v"),
+        "cumb",
+        "n_stratum",
+    )
+    cond = F.col(value_col).eqNullSafe(F.col("_hpr_v"))
+    for c in stratum_cols:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"_hpr_{c}"))
+    joined = df.join(cume_sel, cond).drop(
+        "_hpr_v", *[f"_hpr_{c}" for c in stratum_cols]
     )
     rank = F.col("cumb") + F.row_number().over(within)
     pr = F.when(
@@ -137,6 +153,13 @@ def bucketed_prefix_sum(
     instead of collapsing to one task per stratum. Integer-exact, so
     bit-identical to the naive single-window form.
 
+    PRECONDITION: ``order_col`` must be unique within each stratum (all
+    current call sites order by a unique id or a (ts, id)-derived key).
+    With tied order keys the within-bucket ROWS frame assigns tied rows a
+    nondeterministic relative order, so their individual ``cum`` values
+    are not reproducible (the per-group TOTAL still is); pre-compose a
+    unique tiebreak into ``order_col`` if ties are possible.
+
     Adds ``cum_alias`` (inclusive running sum) and keeps all input
     columns; the internal ``_psb`` bucket column is dropped.
     """
@@ -145,15 +168,24 @@ def bucketed_prefix_sum(
         F.min(order_col).cast("long").alias("_lo"),
         F.max(order_col).cast("long").alias("_hi"),
     )
-    span = F.col("_hi") - F.col("_lo") + 1
-    bucket = F.least(
-        F.lit(n_buckets - 1),
-        F.floor(
-            (F.col(order_col).cast("long") - F.col("_lo"))
-            * F.lit(n_buckets)
-            / span
+    # Bucket math entirely in DOUBLE: long forms (key - lo, hi - lo + 1)
+    # overflow/throw under ANSI for order-key spans near 2^63 (hash-derived
+    # keys, microsecond epochs with outliers). (key - lo)/span < 1 up to FP
+    # rounding, so floor(ratio * n) <= n - 1 with the least() guard catching
+    # the top edge. Bucket ids only need determinism, not integer exactness
+    # — IEEE doubles are deterministic.
+    span = F.col("_hi").cast("double") - F.col("_lo").cast("double") + F.lit(1.0)
+    bucket = F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit(n_buckets - 1),
+            F.floor(
+                (F.col(order_col).cast("double") - F.col("_lo").cast("double"))
+                / span
+                * F.lit(float(n_buckets))
+            ).cast("int"),
         ),
-    ).cast("int")
+    )
     b = (
         df.crossJoin(F.broadcast(bounds))
         .withColumn("_psv", val.cast("long"))
@@ -209,8 +241,11 @@ def bucketed_prefix_max(
     Ties on ``order_col``: "strictly earlier" means a strictly SMALLER
     order key — equal-key rows do not see each other (the semantics a
     2-D skyline sweep needs: equal-x points must not dominate each other
-    through the prefix). Adds ``strict_alias`` (nullable long: NULL when
-    no strictly-earlier row exists) and keeps all input columns.
+    through the prefix). Because max is idempotent, tied order keys are
+    SAFE here (unlike :func:`bucketed_prefix_sum`'s per-row cum): every
+    tied row sees the same strictly-smaller-key prefix regardless of
+    physical order. Adds ``strict_alias`` (nullable long: NULL when no
+    strictly-earlier row exists) and keeps all input columns.
     """
     val = (F.col(value_col) if isinstance(value_col, str) else value_col).cast(
         "long"
@@ -219,25 +254,30 @@ def bucketed_prefix_max(
         F.min(order_col).cast("long").alias("_lo"),
         F.max(order_col).cast("long").alias("_hi"),
     )
-    span = F.col("_hi") - F.col("_lo") + 1
-    bucket = F.least(
-        F.lit(n_buckets - 1),
-        F.floor(
-            (F.col(order_col).cast("long") - F.col("_lo"))
-            * F.lit(n_buckets)
-            / span
+    # Same all-double bucket math as bucketed_prefix_sum (long forms
+    # overflow under ANSI on ultra-wide order-key domains).
+    span = F.col("_hi").cast("double") - F.col("_lo").cast("double") + F.lit(1.0)
+    bucket = F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit(n_buckets - 1),
+            F.floor(
+                (F.col(order_col).cast("double") - F.col("_lo").cast("double"))
+                / span
+                * F.lit(float(n_buckets))
+            ).cast("int"),
         ),
-    ).cast("int")
+    )
     b = (
         df.crossJoin(F.broadcast(bounds))
         .withColumn("_pmv", val)
         .withColumn("_pmb", bucket)
         .drop("_lo", "_hi")
     )
-    # Per-bucket max AND per-bucket min-order-key: rows in bucket k at the
-    # bucket's minimum order key still see bucket k-1's max, but a later
-    # bucket's offset must include ALL of earlier buckets (order keys there
-    # are strictly smaller by range-bucket construction).
+    # Cross-bucket offset = max over ALL strictly-earlier buckets: every
+    # order key in an earlier bucket is strictly smaller by range-bucket
+    # construction, so bucket k's offset may include the whole of buckets
+    # < k without violating "strictly earlier".
     subtotals = b.groupBy(*stratum_cols, "_pmb").agg(F.max("_pmv").alias("_bmax"))
     lhs = subtotals.select(*stratum_cols, "_pmb")
     rhs_cols = [F.col(c).alias(f"_r_{c}") for c in stratum_cols]

@@ -184,3 +184,58 @@ def test_bucketed_prefix_max_empty_input(spark):
 
     df = _fixture(spark, []).limit(0)
     assert bucketed_prefix_max(df, [], "v", "id").count() == 0
+
+
+def test_hist_percent_rank_ranks_null_values_instead_of_dropping(spark):
+    """Round-10 advice fix: the histogram join is null-safe, so rows with
+    a NULL ranking statistic are RANKED (where Spark's own window puts
+    them: NULLS FIRST asc / NULLS LAST desc), never silently dropped."""
+    rows = [("a", 0, 5), ("a", 1, None), ("a", 2, 3), ("a", 3, None), ("b", 4, 1)]
+    df = spark.createDataFrame(rows, "stratum string, id long, v long")
+    for desc in (False, True):
+        order = [F.col("v").desc() if desc else F.col("v").asc(), F.col("id")]
+        w = Window.partitionBy("stratum").orderBy(*order)
+        naive = {
+            (r.stratum, r.id): r.pr
+            for r in df.withColumn("pr", F.percent_rank().over(w)).collect()
+        }
+        out = hist_percent_rank(df, ["stratum"], "v", "id", descending=desc)
+        fast = {(r.stratum, r.id): r.pr for r in out.collect()}
+        assert len(fast) == len(rows)  # nothing dropped
+        assert fast == naive
+
+
+@pytest.mark.parametrize("fn_name", ["sum", "max"])
+def test_bucketed_prefix_ultra_wide_order_domain(spark, fn_name):
+    """Round-10 advice fix: bucket math runs in double, so an order-key
+    domain wider than 2^63/n_buckets (hash-derived keys) must not wrap
+    into negative buckets; results stay identical to the naive window."""
+    from mapreduce_infrastructure_spark.functions.ranks import (
+        bucketed_prefix_max,
+        bucketed_prefix_sum,
+    )
+
+    big = 2**62
+    rows = [
+        ("a", -big + i * (big // 2), i + 1) for i in range(5)
+    ] + [("a", big - i, 100 + i) for i in range(3)]
+    df = spark.createDataFrame(rows, "stratum string, k long, v long")
+    if fn_name == "sum":
+        w = (
+            Window.partitionBy("stratum")
+            .orderBy("k")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        naive = {r.k: r.c for r in df.withColumn("c", F.sum("v").over(w)).collect()}
+        out = bucketed_prefix_sum(df, ["stratum"], "k", "v", n_buckets=32)
+        fast = {r.k: r.cum for r in out.collect()}
+    else:
+        w = (
+            Window.partitionBy("stratum")
+            .orderBy("k")
+            .rangeBetween(Window.unboundedPreceding, -1)
+        )
+        naive = {r.k: r.m for r in df.withColumn("m", F.max("v").over(w)).collect()}
+        out = bucketed_prefix_max(df, ["stratum"], "k", "v", n_buckets=32)
+        fast = {r.k: r.prefix_max_before for r in out.collect()}
+    assert fast == naive
