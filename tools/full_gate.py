@@ -115,6 +115,29 @@ def main() -> int:
     import __spark_entry__ as entry
     from mapreduce_infrastructure_spark.session import get_spark
 
+    # Freshness stamp: every gate run records the exact tree it certified,
+    # so a round-end log can be mechanically checked against HEAD
+    # (tools/gate_freshness.py). Two consecutive rounds shipped a hostile
+    # sweep that predated the final operator commits; the stamp makes that
+    # staleness detectable instead of remembered.
+    import subprocess
+
+    try:
+        head = subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            capture_output=True, text=True, cwd=os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__))),
+        ).stdout.strip()
+        dirty = bool(subprocess.run(
+            ["git", "status", "--porcelain"],
+            capture_output=True, text=True, cwd=os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__))),
+        ).stdout.strip())
+    except OSError:  # pragma: no cover - git always present in this env
+        head, dirty = "unknown", True
+    print(f"GATE_TREE: head={head} dirty={str(dirty).lower()} "
+          f"hostile={str(hostile).lower()}")
+
     sf = os.environ.get("SPARK_GRAFT_GATE_SF", "/root/testdata/sf0.01")
     if hostile:
         from pyspark.sql import SparkSession
