@@ -1585,6 +1585,88 @@ def dedup_keeper_policy_sensitivity(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "source_dedup_order_sensitivity",
+    oracle=f"""
+    WITH clusters AS ({_CLUSTERS_ORACLE}),
+    q AS (
+      SELECT doc_id, source,
+             CASE WHEN {quality_keep_sql("list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')")}
+                  THEN 0 ELSE 1 END AS is_lowq
+      FROM documents
+    ), c AS (
+      SELECT cl.cluster,
+             MIN(q.doc_id) AS intake_id,
+             (min({{'lq': q.is_lowq, 'id': q.doc_id}})).id AS quality_id
+      FROM clusters cl JOIN q ON q.doc_id = cl.doc_id
+      GROUP BY cl.cluster
+    ), m AS (
+      SELECT q.source,
+             CASE WHEN q.doc_id = c.intake_id THEN 1 ELSE 0 END AS kept_intake,
+             CASE WHEN q.doc_id = c.quality_id THEN 1 ELSE 0 END AS kept_quality
+      FROM q JOIN clusters cl ON cl.doc_id = q.doc_id
+             JOIN c ON c.cluster = cl.cluster
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(kept_intake) AS BIGINT) AS n_kept_intake,
+           CAST(SUM(kept_quality) AS BIGINT) AS n_kept_quality,
+           CAST(SUM(kept_intake * kept_quality) AS BIGINT) AS n_kept_both,
+           CAST(SUM(CASE WHEN kept_intake <> kept_quality THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_order_sensitive
+    FROM m GROUP BY source
+    """,
+    tags=("dedup", "quality", "clusters", "stats", "llm"),
+)
+def source_dedup_order_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-level KEEP-SET delta between the two keeper orders, per source
+    — the companion to `dedup_keeper_policy_sensitivity` (which counts
+    clusters whose keeper CHANGES; this one counts the DOCUMENTS whose
+    keep/drop decision flips, attributed to the source that gains or
+    loses them). For every near-dup cluster (`dedup_clusters`' jaccard ≥
+    0.5 components), keeper A = intake order (min doc_id), keeper B =
+    quality-first order (min (is_lowq, doc_id)); per source: total docs,
+    docs kept under each policy, kept under both, and the symmetric
+    difference (`n_order_sensitive` — kept under exactly one). Singleton
+    clusters keep their doc under both policies, so the deltas isolate
+    genuinely contested near-dup members; a source with a high
+    n_order_sensitive share is one whose survival in the corpus depends
+    on a curation-policy choice, not on its content.
+
+    Scale: the cluster fixpoint is `dedup_clusters`' own iterative shape
+    (its cost dominates); then one cluster-keyed aggregate, one
+    cluster-keyed join back to members, and a |sources|-row fold —
+    nothing new at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    labels = dedup_clusters(spark, sf_dir)
+    q = docs.select(
+        "doc_id",
+        "source",
+        (~quality_keep_col(tokens_col())).cast("int").alias("is_lowq"),
+    )
+    members = labels.join(q, "doc_id")
+    keepers = members.groupBy("cluster").agg(
+        F.min("doc_id").alias("intake_id"),
+        F.min(F.struct(F.col("is_lowq").alias("lq"), F.col("doc_id").alias("id")))
+        .getField("id")
+        .alias("quality_id"),
+    )
+    m = members.join(keepers, "cluster").select(
+        "source",
+        (F.col("doc_id") == F.col("intake_id")).cast("int").alias("kept_intake"),
+        (F.col("doc_id") == F.col("quality_id")).cast("int").alias("kept_quality"),
+    )
+    return m.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("kept_intake").alias("n_kept_intake"),
+        F.sum("kept_quality").alias("n_kept_quality"),
+        F.sum(F.col("kept_intake") * F.col("kept_quality")).alias("n_kept_both"),
+        F.sum(
+            F.when(F.col("kept_intake") != F.col("kept_quality"), 1).otherwise(0)
+        ).alias("n_order_sensitive"),
+    )
+
+
+@query(
     "dup_cluster_size_histogram",
     oracle="""
     WITH c AS (

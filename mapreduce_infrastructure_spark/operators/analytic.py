@@ -351,3 +351,62 @@ def skyline_2d_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p_partkey", "p_name", "p_retailprice", "p_size")
     )
+
+
+@query(
+    "skyline_docs_vocab_tokens",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS n_vocab
+      FROM (SELECT doc_id, source,
+                   list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '') AS toks
+            FROM documents)
+    )
+    SELECT doc_id, source, n_tokens, n_vocab
+    FROM d p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM d q
+      WHERE q.n_tokens <= p.n_tokens AND q.n_vocab >= p.n_vocab
+        AND (q.n_tokens < p.n_tokens OR q.n_vocab > p.n_vocab)
+    )
+    """,
+    tags=("analytic", "skyline", "llm"),
+)
+def skyline_docs_vocab_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-density frontier over documents: the docs for which no
+    other doc offers at-least-as-much DISTINCT vocabulary for
+    at-most-as-many tokens (one strict) — the curation question "which
+    documents buy the most lexical diversity per token of training
+    budget?". Second frontier variant (after `skyline_2d_parts`), same
+    sweep: both axes are integer token statistics, so token count
+    collapses to an exact HISTOGRAM (max vocab per distinct n_tokens —
+    domain-bounded however large the corpus), ``bucketed_prefix_max``
+    computes the strictly-shorter threshold with range-bucket
+    parallelism, and the verdict join back to docs is histogram-keyed.
+    No global window, no O(n²) self-join (that is the oracle's NOT
+    EXISTS form). Ties on both axes all survive, as in the parts
+    skyline."""
+    from ..llm.text import tokens_col
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(tokens_col()).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(tokens_col())).cast("long").alias("n_vocab"),
+    )
+    hist = d.groupBy("n_tokens").agg(F.max("n_vocab").alias("eq_max"))
+    thresh = bucketed_prefix_max(hist, [], "n_tokens", "eq_max")
+    return (
+        d.join(thresh, "n_tokens")
+        .filter(
+            (F.col("n_vocab") == F.col("eq_max"))
+            & (
+                F.col("prefix_max_before").isNull()
+                | (F.col("prefix_max_before") < F.col("n_vocab"))
+            )
+        )
+        .select("doc_id", "source", "n_tokens", "n_vocab")
+    )

@@ -50,85 +50,79 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # Ordering is therefore a curated, per-round decision, not an accident of
 # imports; CERTIFIED_HISTORY.md tracks which rounds certified what.
 #
-# Round-9 window: the 21 queries ADDED this round lead (first-time
-# certification), then 15 changed-code slots (the round-8 verdict's two
-# scale findings: the PCA tree-reduction and the 12-site stratum-window
-# rewrite family, plus the incremental-dedup refactor), then the
-# staleness rotation the verdict directed — the 20 wave-4/5-displaced
-# r2/r4-vintage rows, the 3 displaced rows-only r4 entries, and the
-# stalest r5-vintage cohort (CORRECTNESS_r05 order) in the remaining
-# slots. Displaced rows keep their standing greens and
+# Round-10 window: skyline_2d_parts LEADS (the round-9 verdict's only
+# weak item — registered after the round-9 window was pinned, so it ends
+# round 9 as the one never-driver-certified query), then the two queries
+# ADDED this round (first-time certification), then ONE changed-code
+# representative for the round-10 ranks.py hardening
+# (doc_length_percentile_by_source exercises hist_percent_rank's new
+# null-safe join form — the only edit that changes a physical join; the
+# other ranks edits are pinned bit-identical by tests/test_ranks.py and
+# the round-end full sweeps re-run every caller's oracle on the final
+# tree), then the ENTIRE remaining r5-vintage cohort in CORRECTNESS_r05
+# order — 46 rows, clearing the r5 vintage completely this round (the
+# verdict's item 3 directed "most"; the window has exactly the room for
+# all). Displaced rows keep their standing greens and
 # tests/test_oracle_queries.py mirrors every oracle-backed query each
 # pytest run.
 CERTIFIED_FIRST: tuple[str, ...] = (
-    # --- new in round 9 (21) ---
-    "lsh_precision_recall_report",
-    "revenue_mom_growth_by_nation",
-    "twap_purchase_by_user",
-    "funnel_3step_windowed",
-    "embedding_cosine_histogram",
-    "stream_full_join_click_purchase",
-    "ann_recall_report",
-    "doc_compression_ratio",
-    "corpus_split_assign",
-    "stream_ohlc_hourly",
-    "stream_ingest_dedup_status",
-    "dedup_keeper_policy_sensitivity",
-    "approx_vs_exact_quantile_error",
-    "stream_left_join_click_purchase",
-    "stream_hourly_active_users",
-    "corpus_interleave_plan",
-    "stream_session_topk_event_types",
-    "epoch_sample_overlap",
-    "minhash_estimate_error",
-    "source_quality_dup_interaction",
-    "event_value_winsor_by_type",
-    # --- changed-code slots (15): round-8 verdict items 1-2 rewrites ---
-    "embedding_pca_top_components",  # per-partition partials + treeAggregate
-    "exact_percentiles_disc",  # histogram closed form
-    "winsorized_stats",  # histogram thresholds
-    "doc_length_percentile_by_source",  # hist_percent_rank
-    "quality_quantile_filter",  # hist_percent_rank desc
-    "corpus_assemble_pipeline",  # quality stage via hist_percent_rank
-    "pack_sequences",  # bucketed_prefix_sum
-    "packing_overflow_report",  # bucketed_prefix_sum
-    "source_novelty_trend",  # distributed rank + ntile closed form
-    "source_quality_trend",  # distributed rank + ntile closed form
-    "source_type_token_curve",  # bucketed_prefix_sum
-    "budget_pack_efficiency",  # bucketed_prefix_sum
-    "quality_classifier_scores",  # weak labels via hist_percent_rank
-    "quality_model_calibration_bins",  # inherits the scorer rewrite
-    "dedup_incremental_new_batch",  # classification core factored out
-    # --- verdict-directed rotation: wave-4/5-displaced r2/r4 rows (20) ---
-    "neardup_cosine_pairs",
-    "ann_ivf_topk",
-    "neardup_cosine_ivf",
-    "multimodal_meta",
-    "mr_wordcount",
-    "mr_inverted_index",
-    "containment_pairs",
-    "dedup_clusters",
-    "substring_dedup",
-    "knn_bruteforce",
-    "ngram_jaccard_pairs",
-    "minhash_lsh_pairs",
-    "simhash_neardup_pairs",
-    "tfidf_top_terms",
-    # (token_counts_bpe, dedup_exact, doc_fingerprint, text_stats_by_lang,
-    #  doc_token_counts and zorder_pruning_stats displaced by the late
-    #  round-9 additions — their r2/r4 greens stand; their oracles and
-    #  the pruning invariants run each pytest.)
-    # --- the three rows-only r4 entries displaced by round-8 wave 3 ---
-    # (ann_lsh_topk, semantic_dedup_clusters and ann_pq_topk displaced by
-    #  the ann_recall_report / doc_compression_ratio / corpus_split_assign
-    #  amendments — their r4 greens stand, their precision/recall
-    #  invariants run each pytest, and ann_recall_report itself re-runs
-    #  all four ANN tiers against the exact ground truth in-window.)
-    # (the r5-vintage cohort q2_min_cost_supplier, q4_priority_exists,
-    #  q6_forecast_revenue, q7_nation_volume, q8_market_share,
-    #  q9_profit_by_nation_year, q10_returned_items was displaced by the
-    #  late round-9 additions — it leads the round-10 r5-cohort rotation;
-    #  the r5 greens stand and pytest mirrors their oracles each run.)
+    # --- never-driver-certified (round-9 verdict item 1) ---
+    "skyline_2d_parts",
+    # --- new in round 10 (2) ---
+    "skyline_docs_vocab_tokens",
+    "source_dedup_order_sensitivity",
+    # --- changed-code slot: ranks.py null-safe/overflow-safe hardening ---
+    "doc_length_percentile_by_source",
+    # --- r5-vintage cohort, CORRECTNESS_r05 order (46 — the whole tail) ---
+    "q2_min_cost_supplier",
+    "q4_priority_exists",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "q10_returned_items",
+    "q12_ship_delay_priority",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q16_parts_supplier_count",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q20_excess_stock_suppliers",
+    "q21_waiting_suppliers",
+    "q22_idle_customers",
+    "merge_upsert_customers",
+    "salted_join_hot_users",
+    "bloom_prune_semi_join",
+    "interval_overlap_join",
+    "pagerank_trade_graph",
+    "triangle_counts_parts",
+    "kmeans_embeddings",
+    "sample_stratified_mix",
+    "sample_temperature_mix",
+    "sample_fixed_k",
+    "sample_token_budget",
+    "sample_source_uniqueness",
+    "decontaminate_benchmark",
+    "pii_redact",
+    "orc_roundtrip_orders",
+    "schema_evolution_read",
+    "stream_merge_upsert",
+    "stream_enrich_static_join",
+    "stream_anomaly_zscore",
+    "dedup_clusters_star",
+    "dedup_canonical_docs",
+    "ppjoin_pairs",
+    "skipgram_cooccurrence",
+    "bpe_learn_merges",
+    "cohort_retention",
+    "ohlc_hourly_purchases",
+    "scd2_event_type_runs",
+    "mr_grep",
+    "multimodal_features",
+    # (the round-9 window's 50 rows all carry fresh r9 greens and rotate
+    #  out intact; after this window no standing row is older than r6
+    #  vintage — the round-9 verdict item 3's done-condition.)
 )
 
 

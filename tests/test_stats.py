@@ -374,3 +374,66 @@ def test_skyline_2d_parts_domination_invariants(spark, sf_dir):
     for p in parts:
         is_dominated = any(dominated(p, q) for q in frontier)
         assert (p[0] in sky) == (not is_dominated), p
+
+
+def test_skyline_docs_vocab_tokens_domination_invariants(spark, sf_dir):
+    """Docs frontier is tight both ways (returned = undominated, excluded
+    = dominated by a frontier member), brute-forced in Python over the
+    raw token statistics, independent of oracle and sweep."""
+    from mapreduce_infrastructure_spark.catalog import load_table
+    from mapreduce_infrastructure_spark.llm.text import tokens_col
+    from mapreduce_infrastructure_spark.operators.analytic import (
+        skyline_docs_vocab_tokens,
+    )
+    from pyspark.sql import functions as F
+
+    docs = [
+        (r.doc_id, r.n_tokens, r.n_vocab)
+        for r in load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.size(tokens_col()).alias("n_tokens"),
+            F.size(F.array_distinct(tokens_col())).alias("n_vocab"),
+        )
+        .collect()
+    ]
+    sky = {r.doc_id for r in skyline_docs_vocab_tokens(spark, sf_dir).collect()}
+
+    def dominated(p, by):
+        return (
+            by[1] <= p[1]
+            and by[2] >= p[2]
+            and (by[1] < p[1] or by[2] > p[2])
+        )
+
+    frontier = [d for d in docs if d[0] in sky]
+    assert frontier, "frontier must be non-empty on a non-empty corpus"
+    for d in docs:
+        is_dominated = any(dominated(d, q) for q in frontier)
+        assert (d[0] in sky) == (not is_dominated), d
+
+
+def test_source_dedup_order_sensitivity_set_algebra(spark, sf_dir):
+    """Per-source keep-set counts obey the set algebra: both <= each
+    policy count, order_sensitive = (A - both) + (B - both), every doc
+    counted once, and global keep counts equal the number of clusters
+    (each cluster keeps exactly one doc under each policy)."""
+    from mapreduce_infrastructure_spark.llm.dedup import (
+        dedup_clusters,
+        source_dedup_order_sensitivity,
+    )
+
+    rows = source_dedup_order_sensitivity(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_kept_both <= min(r.n_kept_intake, r.n_kept_quality)
+        assert r.n_order_sensitive == (
+            (r.n_kept_intake - r.n_kept_both)
+            + (r.n_kept_quality - r.n_kept_both)
+        )
+        assert r.n_kept_intake <= r.n_docs and r.n_kept_quality <= r.n_docs
+    n_clusters = (
+        dedup_clusters(spark, sf_dir).select("cluster").distinct().count()
+    )
+    assert sum(r.n_kept_intake for r in rows) == n_clusters
+    assert sum(r.n_kept_quality for r in rows) == n_clusters
