@@ -121,11 +121,35 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_features", tags=("multimodal", "udf"))
+@query(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           'text/plain' AS mime,
+           floor(CAST(octet_length(encode(text)) % 256 AS DOUBLE) * 10 + 0.5)
+             / 10 AS f0,
+           floor(CAST(coalesce(list_sum(list_transform(
+                   string_split_regex(text, ''), c -> ascii(c))), 0) % 997
+                 AS DOUBLE) * 10 + 0.5) / 10 AS f3
+    FROM documents
+    """,
+    tags=("multimodal", "udf"),
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full multimodal pipeline: payload → Arrow-batched mapInPandas decode
-    (stubbed deterministic) → feature columns. No SQL oracle (UDF stub);
-    tests pin exact expected feature values."""
+    (stubbed deterministic) → feature columns. Tests pin exact expected
+    feature values.
+
+    Graduated to oracle-backed in round 10: the deterministic fake
+    features ARE byte arithmetic (f0 = n_bytes mod 256, f3 = byte-sum mod
+    997), so under the fixture's pinned ASCII premise (see
+    `multimodal_frame_sample`'s oracle note — byte ≡ char, ascii(c) is
+    the byte value) DuckDB computes them from the text column directly;
+    the oracle mirrors rnd()'s floor(x·10+0.5)/10 literally. A REAL
+    decoder stays rows-only — this graduation certifies the plumbing
+    (schema, Arrow batching, empty-payload path), which is exactly what
+    the fake mode exists to pin."""
     docs = load_table(spark, sf_dir, "documents")
     feats = extract_features(attach_payload(docs))
     return feats.select(

@@ -126,7 +126,10 @@ def hilbert_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sharing zorder_pruning_stats' cache keys BY CONSTRUCTION via
     zorder.layout_context). Smaller is better; tests assert hilbert ≪
     natural and ≈ zorder. Rows-only (file layout is engine-specific; no
-    SQL oracle exists for footers).
+    SQL oracle exists for footers) — round-10 re-audit: non-graduable for
+    the same reason as zorder_pruning_stats (RangePartitioner boundaries
+    come from reservoir sampling, so per-file stats are not SQL-derivable;
+    the inequality + curve invariants in tests are the contract).
     """
     li, bits, paths, (lo, hi) = layout_context(spark, sf_dir)
     if not _layout_ready(paths["hilbert"]):

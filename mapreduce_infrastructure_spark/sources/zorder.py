@@ -169,7 +169,13 @@ def zorder_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered on l_orderkey; report, per layout, how many of the N files a
     2-D box predicate overlaps according to footer min/max stats. Smaller
     is better; the z-ordered layout must overlap fewer (asserted in
-    tests/test_zorder.py). Rows-only (file layout is engine-specific)."""
+    tests/test_zorder.py). Rows-only — and re-audited as such in round
+    10: even a partial oracle on the overlap COUNTS would require DuckDB
+    to reproduce Spark's file assignment, and repartitionByRange picks
+    its boundaries by reservoir SAMPLING (RangePartitioner), so the
+    per-file min/max boxes are not a deterministic function of the data
+    that SQL could re-derive; the cross-layout inequality and the curve
+    invariants are the checkable contract, and tests pin them."""
     li, bits, paths, (lo, hi) = layout_context(spark, sf_dir)
     if not _layout_ready(paths["z"]):
         write_layout(
