@@ -359,3 +359,82 @@ def triangle_counts_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(tri.select("w"))
     )
     return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+_KHOP = 3
+
+
+@query(
+    "khop_reachability_trade",
+    oracle=f"""
+    WITH RECURSIVE {_EDGES_SQL},
+    seeds AS (
+      SELECT n.node FROM nodes n
+      JOIN customer c ON n.node = c.c_custkey
+      WHERE c.c_nationkey = 0
+    ),
+    walk(node, hops) AS (
+      SELECT node, 0 FROM seeds
+      UNION
+      SELECT e.dst, w.hops + 1
+      FROM walk w JOIN edges e ON e.src = w.node
+      WHERE w.hops < {_KHOP}
+    )
+    SELECT node,
+           CASE WHEN node >= {_SUPP_OFFSET} THEN 'supplier' ELSE 'customer' END
+             AS node_type,
+           CAST(MIN(hops) AS BIGINT) AS hops
+    FROM walk GROUP BY node
+    """,
+    tags=("graph", "iterative", "bfs"),
+)
+def khop_reachability_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-hop BFS reachability (exact min-hop distance, K=3) from the
+    nation-0 customer seed set over the trade graph — the supply-chain
+    blast-radius question ("which suppliers and customers sit within 3
+    trade hops of this cohort?") and the third iterative-graph operator
+    (after the two PageRanks), sharing their `_build_graph` edge cache
+    and the same driver-orchestrates/data-stays-distributed contract.
+
+    Distributed BFS shape: per level, FRONTIER ⋈ edges (hash join on
+    src) → candidate next nodes → anti-join against the settled distance
+    set — two shuffles per level, K levels, no per-node loop and nothing
+    driver-side; frontier and settled sets live as DataFrames. The
+    oracle is the recursive-CTE enumeration with MIN(hops) (DuckDB
+    explores all ≤K-hop paths; min = BFS distance). The bipartite graph
+    means odd hops land on suppliers and even hops on customers — the
+    node_type column makes that invariant visible (and test-pinned)."""
+    edges, nodes, _ = _build_graph(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    seeds = (
+        nodes.join(
+            cust.filter(F.col("c_nationkey") == 0).select(
+                F.col("c_custkey").alias("node")
+            ),
+            "node",
+        )
+        .select("node")
+        .distinct()
+    )
+    settled = seeds.withColumn("hops", F.lit(0).cast("long"))
+    frontier = seeds
+    for k in range(1, _KHOP + 1):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(settled.select("node"), "node", "left_anti")
+        )
+        # Two references below (settled union + next frontier): localCheckpoint
+        # would be overkill for K=3; Spark reuses the shuffle outputs.
+        settled = settled.unionByName(
+            nxt.withColumn("hops", F.lit(k).cast("long"))
+        )
+        frontier = nxt
+    return settled.select(
+        "node",
+        F.when(F.col("node") >= _SUPP_OFFSET, "supplier")
+        .otherwise("customer")
+        .alias("node_type"),
+        "hops",
+    )

@@ -709,3 +709,100 @@ def user_activity_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+def _cont_parts(q: float):
+    """(rank-threshold, interpolation) column builders for one continuous
+    percentile, shared so the three q's stay structurally identical."""
+    def lo_hi(value_col: str):
+        h = F.lit(q) * (F.col("n_stratum") - 1)
+        rl = F.floor(h) + 1
+        lo = F.min(F.when(F.col("cum") >= rl, F.col(value_col)))
+        hi = F.min(F.when(F.col("cum") >= rl + 1, F.col(value_col)))
+        return lo, hi
+
+    def interp(lo_name: str, hi_name: str):
+        h = F.lit(q) * (F.col("n") - 1)
+        frac = h - F.floor(h)
+        lo = F.col(lo_name)
+        return lo + frac * (F.coalesce(F.col(hi_name), lo) - lo)
+
+    return lo_hi, interp
+
+
+@query(
+    "exact_percentiles_cont",
+    oracle="""
+    WITH hist AS (
+      SELECT o_orderpriority, o_totalprice, COUNT(*) AS m
+      FROM orders GROUP BY o_orderpriority, o_totalprice
+    ), c AS (
+      SELECT o_orderpriority, o_totalprice,
+             SUM(m) OVER (PARTITION BY o_orderpriority
+                          ORDER BY o_totalprice) AS cum,
+             SUM(m) OVER (PARTITION BY o_orderpriority) AS n
+      FROM hist
+    ), b AS (
+      SELECT o_orderpriority,
+             MIN(CASE WHEN cum >= floor(CAST(0.5 AS DOUBLE)*(n-1))+1 THEN o_totalprice END) AS lo50,
+             MIN(CASE WHEN cum >= floor(CAST(0.5 AS DOUBLE)*(n-1))+2 THEN o_totalprice END) AS hi50,
+             MIN(CASE WHEN cum >= floor(CAST(0.95 AS DOUBLE)*(n-1))+1 THEN o_totalprice END) AS lo95,
+             MIN(CASE WHEN cum >= floor(CAST(0.95 AS DOUBLE)*(n-1))+2 THEN o_totalprice END) AS hi95,
+             MIN(CASE WHEN cum >= floor(CAST(0.99 AS DOUBLE)*(n-1))+1 THEN o_totalprice END) AS lo99,
+             MIN(CASE WHEN cum >= floor(CAST(0.99 AS DOUBLE)*(n-1))+2 THEN o_totalprice END) AS hi99,
+             CAST(MIN(n) AS BIGINT) AS n
+      FROM c GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority,
+           lo50 + (CAST(0.5 AS DOUBLE)*(n-1) - floor(CAST(0.5 AS DOUBLE)*(n-1)))
+                * (coalesce(hi50, lo50) - lo50) AS p50,
+           lo95 + (CAST(0.95 AS DOUBLE)*(n-1) - floor(CAST(0.95 AS DOUBLE)*(n-1)))
+                * (coalesce(hi95, lo95) - lo95) AS p95,
+           lo99 + (CAST(0.99 AS DOUBLE)*(n-1) - floor(CAST(0.99 AS DOUBLE)*(n-1)))
+                * (coalesce(hi99, lo99) - lo99) AS p99,
+           n AS n_orders
+    FROM b
+    """,
+    tags=("agg", "stats", "percentile"),
+)
+def exact_percentiles_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT continuous (interpolated) percentiles — percentile_cont(q) =
+    v[floor(h)] + (h - floor(h)) * (v[ceil(h)] - v[floor(h)]) with
+    h = q*(n-1) over the sorted values — the SQL-standard companion to
+    `exact_percentiles_disc`. Bit-identical across engines because both
+    compute the SAME doubles: h from an exact decimal literal times an
+    integer, the two bracketing values selected by integer rank
+    thresholds from the histogram (no per-row window), and ONE
+    lo + frac*(hi-lo) interpolation in IEEE double with identical
+    association on both sides (the oracle's expression mirrors this
+    form literally).
+
+    Scale: identical discipline to the disc form — count-value histogram
+    (|distinct 2-decimal prices| rows per priority, domain-bounded), the
+    cumulative window over the histogram only, rank selection as
+    min-when aggregates; the naive percentile_cont window would route
+    every order of a priority through one task."""
+    o = load_table(spark, sf_dir, "orders")
+    cume = hist_cume_counts(
+        o.select("o_orderpriority", "o_totalprice"),
+        ["o_orderpriority"],
+        "o_totalprice",
+    )
+    aggs = []
+    interps = {}
+    for q, tag in ((0.5, "50"), (0.95, "95"), (0.99, "99")):
+        lo_hi, interp = _cont_parts(q)
+        lo, hi = lo_hi("o_totalprice")
+        aggs += [lo.alias(f"lo{tag}"), hi.alias(f"hi{tag}")]
+        interps[f"p{tag}"] = interp(f"lo{tag}", f"hi{tag}")
+    b = cume.groupBy("o_orderpriority").agg(
+        *aggs,
+        F.min("n_stratum").alias("n"),
+    )
+    return b.select(
+        "o_orderpriority",
+        interps["p50"].alias("p50"),
+        interps["p95"].alias("p95"),
+        interps["p99"].alias("p99"),
+        F.col("n").alias("n_orders"),
+    )

@@ -31,3 +31,51 @@ def test_pagerank_deterministic_rerun(spark, sf_dir):
     a = {(r["node"], r["rank"]) for r in pagerank_trade_graph(spark, sf_dir).collect()}
     b = {(r["node"], r["rank"]) for r in pagerank_trade_graph(spark, sf_dir).collect()}
     assert a == b
+
+
+def test_khop_reachability_bfs_invariants(spark, sf_dir):
+    """BFS contract on the bipartite trade graph: hop 0 = exactly the
+    in-graph nation-0 customer seeds, parity alternates node_type
+    (odd hops = suppliers, even = customers), each hop-k node has a
+    hop-(k-1) neighbor, and a Python BFS over the collected edge list
+    reproduces every distance exactly."""
+    from collections import deque
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_infrastructure_spark.catalog import load_table
+    from mapreduce_infrastructure_spark.operators.graph import (
+        _build_graph,
+        khop_reachability_trade,
+    )
+
+    out = {r.node: (r.node_type, r.hops) for r in
+           khop_reachability_trade(spark, sf_dir).collect()}
+    assert out
+    for node, (ntype, hops) in out.items():
+        assert 0 <= hops <= 3
+        assert ntype == ("supplier" if hops % 2 == 1 else "customer")
+
+    edges_df, _, _ = _build_graph(spark, sf_dir)
+    adj = {}
+    for r in edges_df.collect():
+        adj.setdefault(r.src, []).append(r.dst)
+    cust = load_table(spark, sf_dir, "customer")
+    seeds = {
+        r.node
+        for r in cust.filter(F.col("c_nationkey") == 0)
+        .select(F.col("c_custkey").alias("node"))
+        .collect()
+        if r.node in adj
+    }
+    dist = {s: 0 for s in seeds}
+    dq = deque(seeds)
+    while dq:
+        u = dq.popleft()
+        if dist[u] >= 3:
+            continue
+        for v in adj.get(u, ()):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                dq.append(v)
+    assert {n: h for n, (_, h) in out.items()} == dist

@@ -437,3 +437,33 @@ def test_source_dedup_order_sensitivity_set_algebra(spark, sf_dir):
     )
     assert sum(r.n_kept_intake for r in rows) == n_clusters
     assert sum(r.n_kept_quality for r in rows) == n_clusters
+
+
+def test_exact_percentiles_cont_matches_numpy_linear(spark, sf_dir):
+    """The histogram-form continuous percentile equals numpy's 'linear'
+    interpolation (the SQL-standard percentile_cont definition) computed
+    from the raw values, per stratum and per q."""
+    import numpy as np
+    import pytest
+
+    from mapreduce_infrastructure_spark.catalog import load_table
+    from mapreduce_infrastructure_spark.operators.stats import (
+        exact_percentiles_cont,
+    )
+
+    raw = {}
+    for r in (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderpriority", "o_totalprice")
+        .collect()
+    ):
+        raw.setdefault(r.o_orderpriority, []).append(r.o_totalprice)
+    out = {r.o_orderpriority: r for r in exact_percentiles_cont(spark, sf_dir).collect()}
+    assert set(out) == set(raw)
+    for prio, vals in raw.items():
+        a = np.sort(np.array(vals, dtype=np.float64))
+        r = out[prio]
+        assert r.n_orders == len(vals)
+        for q, got in ((0.5, r.p50), (0.95, r.p95), (0.99, r.p99)):
+            want = float(np.percentile(a, q * 100, method="linear"))
+            assert got == pytest.approx(want, rel=0, abs=1e-9), (prio, q)
