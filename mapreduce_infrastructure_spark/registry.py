@@ -52,27 +52,27 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #
 # Round-10 window: skyline_2d_parts LEADS (the round-9 verdict's only
 # weak item — registered after the round-9 window was pinned, so it ends
-# round 9 as the one never-driver-certified query), then the two queries
-# ADDED this round (first-time certification), then ONE changed-code
-# representative for the round-10 ranks.py hardening
-# (doc_length_percentile_by_source exercises hist_percent_rank's new
-# null-safe join form — the only edit that changes a physical join; the
-# other ranks edits are pinned bit-identical by tests/test_ranks.py and
-# the round-end full sweeps re-run every caller's oracle on the final
-# tree), then the ENTIRE remaining r5-vintage cohort in CORRECTNESS_r05
-# order — 46 rows, clearing the r5 vintage completely this round (the
-# verdict's item 3 directed "most"; the window has exactly the room for
-# all). Displaced rows keep their standing greens and
+# round 9 as the one never-driver-certified query), then the four
+# queries ADDED this round (first-time certification), then the
+# r5-vintage cohort in CORRECTNESS_r05 order — 45 of its 46 rows,
+# clearing the r5 vintage except mr_grep (displaced; see inline note).
+# Displaced rows keep their standing greens and
 # tests/test_oracle_queries.py mirrors every oracle-backed query each
-# pytest run.
+# pytest run. The round-10 ranks.py hardening is certified by
+# tests/test_ranks.py bit-identity pins + the round-end hostile/plain
+# sweeps over every caller on the final stamped tree.
 CERTIFIED_FIRST: tuple[str, ...] = (
     # --- never-driver-certified (round-9 verdict item 1) ---
     "skyline_2d_parts",
-    # --- new in round 10 (2) ---
+    # --- new in round 10 (4) ---
     "skyline_docs_vocab_tokens",
     "source_dedup_order_sensitivity",
-    # --- changed-code slot: ranks.py null-safe/overflow-safe hardening ---
-    "doc_length_percentile_by_source",
+    "exact_percentiles_cont",
+    "khop_reachability_trade",
+    # (the planned ranks.py changed-code slot doc_length_percentile_by_source
+    #  was displaced by the two later round-10 additions: its r9 green
+    #  stands, tests/test_ranks.py pins the rewrite bit-identical, and the
+    #  round-end hostile+plain sweeps re-run its oracle on the final tree.)
     # --- r5-vintage cohort, CORRECTNESS_r05 order (46 — the whole tail) ---
     "q2_min_cost_supplier",
     "q4_priority_exists",
@@ -118,7 +118,10 @@ CERTIFIED_FIRST: tuple[str, ...] = (
     "cohort_retention",
     "ohlc_hourly_purchases",
     "scd2_event_type_runs",
-    "mr_grep",
+    # (mr_grep displaced by the round-10 additions — of the r5 cohort it
+    #  has the strongest non-driver evidence: dedicated end-to-end
+    #  fixtures in tests/test_mr_compat.py plus the every-pytest oracle
+    #  mirror; it rotates first in round 11.)
     "multimodal_features",
     # (the round-9 window's 50 rows all carry fresh r9 greens and rotate
     #  out intact; after this window no standing row is older than r6
