@@ -806,3 +806,83 @@ def exact_percentiles_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
         interps["p99"].alias("p99"),
         F.col("n").alias("n_orders"),
     )
+
+
+_P50_SQL = """
+      SELECT {strat},
+             MIN(CASE WHEN cum >= floor(CAST(0.5 AS DOUBLE)*(n-1))+1
+                      THEN {val} END)
+             + (CAST(0.5 AS DOUBLE)*(MIN(n)-1)
+                - floor(CAST(0.5 AS DOUBLE)*(MIN(n)-1)))
+               * (coalesce(MIN(CASE WHEN cum >= floor(CAST(0.5 AS DOUBLE)*(n-1))+2
+                                    THEN {val} END),
+                           MIN(CASE WHEN cum >= floor(CAST(0.5 AS DOUBLE)*(n-1))+1
+                                    THEN {val} END))
+                  - MIN(CASE WHEN cum >= floor(CAST(0.5 AS DOUBLE)*(n-1))+1
+                             THEN {val} END)) AS {alias},
+             CAST(MIN(n) AS BIGINT) AS {nalias}
+      FROM (
+        SELECT {strat}, {val},
+               SUM(m) OVER (PARTITION BY {strat} ORDER BY {val}) AS cum,
+               SUM(m) OVER (PARTITION BY {strat}) AS n
+        FROM (SELECT {strat}, {val}, COUNT(*) AS m FROM {src}
+              GROUP BY {strat}, {val})
+      ) GROUP BY {strat}
+"""
+
+
+@query(
+    "mad_totalprice_by_priority",
+    oracle=f"""
+    WITH med AS ({_P50_SQL.format(strat="o_orderpriority", val="o_totalprice",
+                                  alias="med", nalias="n_orders", src="orders")}),
+    dev AS (
+      SELECT o.o_orderpriority, abs(o.o_totalprice - m.med) AS d
+      FROM orders o JOIN med m ON o.o_orderpriority = m.o_orderpriority
+    ),
+    madt AS ({_P50_SQL.format(strat="o_orderpriority", val="d",
+                              alias="mad", nalias="n2", src="dev")})
+    SELECT med.o_orderpriority, med.med, madt.mad, med.n_orders
+    FROM med JOIN madt ON med.o_orderpriority = madt.o_orderpriority
+    """,
+    tags=("agg", "stats", "robust"),
+)
+def mad_totalprice_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation (the robust spread statistic quality
+    pipelines prefer over stddev on heavy-tailed prices/lengths): per
+    priority, med = interpolated median of o_totalprice, mad =
+    interpolated median of |x - med|. Both medians use the
+    `exact_percentiles_cont` histogram closed form, and the per-row
+    deviation stage joins the |priorities|-row median table back
+    BROADCAST — so the whole operator is two histogram passes plus a
+    scan-speed map, no per-row window anywhere. The oracle spells out
+    the SAME interpolation expression (NOT DuckDB's built-in
+    median()/mad(), whose even-n midpoint is (lo+hi)/2 — a different
+    IEEE expression from lo + 0.5*(hi-lo) that can differ in the last
+    bit)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    )
+
+    def p50(df: DataFrame, val: str, alias: str, nalias: str) -> DataFrame:
+        cume = hist_cume_counts(df, ["o_orderpriority"], val)
+        lo_hi, interp = _cont_parts(0.5)
+        lo, hi = lo_hi(val)
+        b = cume.groupBy("o_orderpriority").agg(
+            lo.alias("_lo"), hi.alias("_hi"), F.min("n_stratum").alias("n")
+        )
+        return b.select(
+            "o_orderpriority",
+            interp("_lo", "_hi").alias(alias),
+            F.col("n").alias(nalias),
+        )
+
+    med = p50(o, "o_totalprice", "med", "n_orders")
+    dev = o.join(F.broadcast(med), "o_orderpriority").select(
+        "o_orderpriority",
+        F.abs(F.col("o_totalprice") - F.col("med")).alias("d"),
+    )
+    madt = p50(dev, "d", "mad", "n2").select("o_orderpriority", "mad")
+    return med.join(madt, "o_orderpriority").select(
+        "o_orderpriority", "med", "mad", "n_orders"
+    )

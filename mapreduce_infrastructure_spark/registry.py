@@ -64,11 +64,12 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 CERTIFIED_FIRST: tuple[str, ...] = (
     # --- never-driver-certified (round-9 verdict item 1) ---
     "skyline_2d_parts",
-    # --- new in round 10 (4) ---
+    # --- new in round 10 (5) ---
     "skyline_docs_vocab_tokens",
     "source_dedup_order_sensitivity",
     "exact_percentiles_cont",
     "khop_reachability_trade",
+    "mad_totalprice_by_priority",
     # (the planned ranks.py changed-code slot doc_length_percentile_by_source
     #  was displaced by the two later round-10 additions: its r9 green
     #  stands, tests/test_ranks.py pins the rewrite bit-identical, and the
@@ -116,7 +117,10 @@ CERTIFIED_FIRST: tuple[str, ...] = (
     "skipgram_cooccurrence",
     "bpe_learn_merges",
     "cohort_retention",
-    "ohlc_hourly_purchases",
+    # (ohlc_hourly_purchases displaced by mad_totalprice_by_priority —
+    #  its oracle SEMANTICS were re-certified hash-green in round 9 via
+    #  stream_ohlc_hourly, which shares the batch oracle verbatim; it
+    #  rotates with mr_grep in round 11.)
     "scd2_event_type_runs",
     # (mr_grep displaced by the round-10 additions — of the r5 cohort it
     #  has the strongest non-driver evidence: dedicated end-to-end

@@ -467,3 +467,36 @@ def test_exact_percentiles_cont_matches_numpy_linear(spark, sf_dir):
         for q, got in ((0.5, r.p50), (0.95, r.p95), (0.99, r.p99)):
             want = float(np.percentile(a, q * 100, method="linear"))
             assert got == pytest.approx(want, rel=0, abs=1e-9), (prio, q)
+
+
+def test_mad_matches_numpy_reference(spark, sf_dir):
+    """med and mad equal the numpy recomputation (linear-interpolated
+    median of values, then of absolute deviations from it)."""
+    import numpy as np
+    import pytest
+
+    from mapreduce_infrastructure_spark.catalog import load_table
+    from mapreduce_infrastructure_spark.operators.stats import (
+        mad_totalprice_by_priority,
+    )
+
+    raw = {}
+    for r in (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderpriority", "o_totalprice")
+        .collect()
+    ):
+        raw.setdefault(r.o_orderpriority, []).append(r.o_totalprice)
+    out = {
+        r.o_orderpriority: r
+        for r in mad_totalprice_by_priority(spark, sf_dir).collect()
+    }
+    assert set(out) == set(raw)
+    for prio, vals in raw.items():
+        a = np.array(vals, dtype=np.float64)
+        med = float(np.percentile(np.sort(a), 50, method="linear"))
+        mad = float(np.percentile(np.sort(np.abs(a - med)), 50, method="linear"))
+        r = out[prio]
+        assert r.n_orders == len(vals)
+        assert r.med == pytest.approx(med, rel=0, abs=1e-9)
+        assert r.mad == pytest.approx(mad, rel=0, abs=1e-9)
