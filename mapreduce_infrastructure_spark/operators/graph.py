@@ -438,3 +438,109 @@ def khop_reachability_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("node_type"),
         "hops",
     )
+
+
+def _build_weighted_graph(spark, sf_dir: str) -> DataFrame:
+    """Symmetric weighted trade edges: per distinct (customer, supplier)
+    pair, w = MIN line price in exact integer cents across their
+    transactions — cached per sf_dir like the unweighted builder."""
+    from ..llm.cache import shared_persist
+
+    def build():
+        o = load_table(spark, sf_dir, "orders")
+        li = load_table(spark, sf_dir, "lineitem")
+        pairs = (
+            o.join(li, o.o_orderkey == li.l_orderkey)
+            .groupBy(
+                F.col("o_custkey").alias("cust"),
+                (F.lit(_SUPP_OFFSET) + F.col("l_suppkey")).alias("supp"),
+            )
+            .agg(
+                F.min(
+                    F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast(
+                        "long"
+                    )
+                ).alias("w")
+            )
+        )
+        return pairs.selectExpr("cust AS src", "supp AS dst", "w").unionAll(
+            pairs.selectExpr("supp AS src", "cust AS dst", "w")
+        )
+
+    return shared_persist(spark, build, f"trade_graph_wedges:{sf_dir}")
+
+
+@query(
+    "cheapest_path_3hop_trade",
+    oracle=f"""
+    WITH RECURSIVE wpairs AS (
+      SELECT o.o_custkey AS cust, {_SUPP_OFFSET} + l.l_suppkey AS supp,
+             MIN(CAST(floor(l.l_extendedprice*100 + 0.5) AS BIGINT)) AS w
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2
+    ), wedges AS (
+      SELECT cust AS src, supp AS dst, w FROM wpairs
+      UNION ALL SELECT supp, cust, w FROM wpairs
+    ), seeds AS (
+      SELECT DISTINCT e.src AS node FROM wedges e
+      JOIN customer c ON e.src = c.c_custkey WHERE c.c_nationkey = 0
+    ), walk(node, cost, hops) AS (
+      SELECT node, CAST(0 AS BIGINT), 0 FROM seeds
+      UNION
+      SELECT e.dst, wk.cost + e.w, wk.hops + 1
+      FROM walk wk JOIN wedges e ON e.src = wk.node WHERE wk.hops < {_KHOP}
+    )
+    SELECT node,
+           CASE WHEN node >= {_SUPP_OFFSET} THEN 'supplier' ELSE 'customer' END
+             AS node_type,
+           MIN(cost) AS min_cost
+    FROM walk GROUP BY node
+    """,
+    tags=("graph", "iterative", "shortest-path"),
+)
+def cheapest_path_3hop_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-hop weighted shortest path (Bellman-Ford, K=3 relaxation
+    rounds) from the nation-0 customer cohort: min total cost over paths
+    of ≤3 trade edges, edge weight = the pair's cheapest line item in
+    exact integer cents — the relay-cost question ("cheapest way to
+    reach each supplier through at most 3 trade links") and the fourth
+    iterative-graph class here (relaxation, next to BFS anti-join, power
+    iteration, and CC contraction). Costs are integer sums, so min is
+    engine-exact; the oracle enumerates all ≤K-hop paths recursively and
+    takes MIN(cost), which Bellman-Ford's dist_k(v) = min(dist_{{k-1}}(v),
+    min_u(dist_{{k-1}}(u) + w(u,v))) reproduces by induction on k.
+
+    Distributed shape per round: dist ⋈ edges (hash join on src) union
+    the standing dist, then a node-keyed MIN — two shuffles per round, K
+    rounds, nothing driver-side; the weighted edge list is built once
+    per sf_dir and session-cached like the PageRank graph."""
+    wedges = _build_weighted_graph(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    seeds = (
+        wedges.select(F.col("src").alias("node"))
+        .distinct()
+        .join(
+            cust.filter(F.col("c_nationkey") == 0).select(
+                F.col("c_custkey").alias("node")
+            ),
+            "node",
+        )
+    )
+    dist = seeds.select("node", F.lit(0).cast("long").alias("cost"))
+    for _ in range(_KHOP):
+        relaxed = (
+            dist.join(wedges, dist.node == wedges.src)
+            .select(F.col("dst").alias("node"), (F.col("cost") + F.col("w")).alias("cost"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+        )
+    return dist.select(
+        "node",
+        F.when(F.col("node") >= _SUPP_OFFSET, "supplier")
+        .otherwise("customer")
+        .alias("node_type"),
+        F.col("cost").alias("min_cost"),
+    )

@@ -52,10 +52,11 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #
 # Round-10 window: skyline_2d_parts LEADS (the round-9 verdict's only
 # weak item — registered after the round-9 window was pinned, so it ends
-# round 9 as the one never-driver-certified query), then the four
+# round 9 as the one never-driver-certified query), then the six
 # queries ADDED this round (first-time certification), then the
-# r5-vintage cohort in CORRECTNESS_r05 order — 45 of its 46 rows,
-# clearing the r5 vintage except mr_grep (displaced; see inline note).
+# r5-vintage cohort in CORRECTNESS_r05 order — 43 of its 46 rows,
+# clearing the r5 vintage except the three displaced rows with the
+# strongest non-driver evidence (see inline notes).
 # Displaced rows keep their standing greens and
 # tests/test_oracle_queries.py mirrors every oracle-backed query each
 # pytest run. The round-10 ranks.py hardening is certified by
@@ -64,12 +65,13 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 CERTIFIED_FIRST: tuple[str, ...] = (
     # --- never-driver-certified (round-9 verdict item 1) ---
     "skyline_2d_parts",
-    # --- new in round 10 (5) ---
+    # --- new in round 10 (6) ---
     "skyline_docs_vocab_tokens",
     "source_dedup_order_sensitivity",
     "exact_percentiles_cont",
     "khop_reachability_trade",
     "mad_totalprice_by_priority",
+    "cheapest_path_3hop_trade",
     # (the planned ranks.py changed-code slot doc_length_percentile_by_source
     #  was displaced by the two later round-10 additions: its r9 green
     #  stands, tests/test_ranks.py pins the rewrite bit-identical, and the
@@ -105,7 +107,10 @@ CERTIFIED_FIRST: tuple[str, ...] = (
     "sample_token_budget",
     "sample_source_uniqueness",
     "decontaminate_benchmark",
-    "pii_redact",
+    # (pii_redact displaced by cheapest_path_3hop_trade — its redaction
+    #  completeness is pinned by a dedicated planted-PII test in
+    #  tests/test_filters.py on top of the every-pytest oracle mirror;
+    #  rotates in round 11 with mr_grep and ohlc_hourly_purchases.)
     "orc_roundtrip_orders",
     "schema_evolution_read",
     "stream_merge_upsert",

@@ -79,3 +79,42 @@ def test_khop_reachability_bfs_invariants(spark, sf_dir):
                 dist[v] = dist[u] + 1
                 dq.append(v)
     assert {n: h for n, (_, h) in out.items()} == dist
+
+
+def test_cheapest_path_3hop_dijkstra_reference(spark, sf_dir):
+    """Bellman-Ford K=3 result equals a Python hop-bounded DP over the
+    collected weighted edge list, and every reached node's cost is
+    attainable by some explicit <=3-edge path from a seed."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_infrastructure_spark.catalog import load_table
+    from mapreduce_infrastructure_spark.operators.graph import (
+        _build_weighted_graph,
+        cheapest_path_3hop_trade,
+    )
+
+    out = {r.node: r.min_cost for r in
+           cheapest_path_3hop_trade(spark, sf_dir).collect()}
+    assert out
+    edges = [(r.src, r.dst, r.w) for r in
+             _build_weighted_graph(spark, sf_dir).collect()]
+    cust = load_table(spark, sf_dir, "customer")
+    in_graph = {s for s, _, _ in edges}
+    seeds = {
+        r.c_custkey
+        for r in cust.filter(F.col("c_nationkey") == 0)
+        .select("c_custkey")
+        .collect()
+        if r.c_custkey in in_graph
+    }
+    dist = {s: 0 for s in seeds}
+    for _ in range(3):
+        nxt = dict(dist)
+        for u, v, w in edges:
+            if u in dist and dist[u] + w < nxt.get(v, float("inf")):
+                nxt[v] = dist[u] + w
+        dist = nxt
+    assert out == dist
+    # seeds cost 0; every non-seed cost is positive (prices > 0)
+    for n, c in out.items():
+        assert (c == 0) == (n in seeds)
