@@ -128,11 +128,20 @@ def main() -> int:
             capture_output=True, text=True, cwd=os.path.dirname(
                 os.path.dirname(os.path.abspath(__file__))),
         ).stdout.strip()
-        dirty = bool(subprocess.run(
+        # "dirty" means SOURCE dirt only: the sweep's own teed log
+        # (hostile_gate_r*.log, created while the sweep runs) and other
+        # doc/status files must not make every --log-round run self-dirty.
+        status = subprocess.run(
             ["git", "status", "--porcelain"],
             capture_output=True, text=True, cwd=os.path.dirname(
                 os.path.dirname(os.path.abspath(__file__))),
-        ).stdout.strip())
+        ).stdout.splitlines()
+        src_prefixes = ("mapreduce_infrastructure_spark/", "tests/", "tools/")
+        src_files = ("__spark_entry__.py", "bench.py")
+        dirty = any(
+            p.startswith(src_prefixes) or p in src_files
+            for p in (line[3:].strip() for line in status if len(line) > 3)
+        )
     except OSError:  # pragma: no cover - git always present in this env
         head, dirty = "unknown", True
     print(f"GATE_TREE: head={head} dirty={str(dirty).lower()} "
