@@ -2265,3 +2265,74 @@ def lsh_precision_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_strong"),
         )
     )
+
+
+_PREFIX_BLOCK_K = 32
+
+
+@query(
+    "prefix_dup_pairs",
+    oracle="""
+    SELECT a.doc_id AS prefix_doc_id,
+           b.doc_id AS super_doc_id,
+           CAST(length(a.text) AS BIGINT) AS prefix_len,
+           CAST(length(b.text) AS BIGINT) AS super_len
+    FROM documents a JOIN documents b
+      ON a.doc_id <> b.doc_id
+     AND length(a.text) <= length(b.text)
+     AND a.text = substring(b.text, 1, length(a.text))
+    """,
+    tags=("dedup", "prefix", "llm"),
+)
+def prefix_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated-crawl detection: pairs where one document's text is a
+    byte-prefix of another's (the classic partial-fetch/boilerplate-cut
+    duplicate the exact-fingerprint tier misses because the bytes
+    differ). Emits (prefix_doc, super_doc, lengths); equal-text pairs
+    would qualify in both directions, matching the oracle's symmetric
+    predicate.
+
+    Scale shape — EXACT recall by theorem: if a is a prefix of b then
+    the two share their first K' bytes for every K' ≤ len(a), so
+    blocking both sides on md5 of the first K = min(32, global-min-len)
+    bytes (one 1-row broadcast aggregate decides K) can never separate
+    a true pair; within a block the verify is a codegen'd substring
+    equality. No all-pairs term — the quadratic form is the oracle's.
+    Caveat for boilerplate-heavy corpora at 100 TB: documents sharing a
+    32-byte header collapse into one hot block (quadratic WITHIN the
+    block); raise K or add a second-level (2K-prefix) block before the
+    verify there — the fixture's blocks are singleton-to-small, asserted
+    in tests."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.length("text").cast("long").alias("len")
+    )
+    kmin = docs.agg(
+        F.least(F.lit(_PREFIX_BLOCK_K), F.min("len")).cast("int").alias("_k")
+    )
+    blocked = docs.crossJoin(F.broadcast(kmin)).select(
+        "doc_id",
+        "text",
+        "len",
+        F.md5(F.expr("substring(text, 1, _k)")).alias("blk"),
+    )
+    a = blocked.select(
+        F.col("doc_id").alias("prefix_doc_id"),
+        F.col("text").alias("ta"),
+        F.col("len").alias("prefix_len"),
+        "blk",
+    )
+    b = blocked.select(
+        F.col("doc_id").alias("super_doc_id"),
+        F.col("text").alias("tb"),
+        F.col("len").alias("super_len"),
+        "blk",
+    )
+    return (
+        a.join(b, "blk")
+        .filter(
+            (F.col("prefix_doc_id") != F.col("super_doc_id"))
+            & (F.col("prefix_len") <= F.col("super_len"))
+            & (F.expr("substring(tb, 1, prefix_len)") == F.col("ta"))
+        )
+        .select("prefix_doc_id", "super_doc_id", "prefix_len", "super_len")
+    )

@@ -544,3 +544,127 @@ def cheapest_path_3hop_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("node_type"),
         F.col("cost").alias("min_cost"),
     )
+
+
+_WEDGES_SQL = f"""
+    wpairs AS (
+      SELECT o.o_custkey AS cust, {_SUPP_OFFSET} + l.l_suppkey AS supp,
+             MIN(CAST(floor(l.l_extendedprice*100 + 0.5) AS BIGINT)) AS w
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2
+    ),
+    wedges AS (
+      SELECT cust AS src, supp AS dst, w FROM wpairs
+      UNION ALL SELECT supp, cust, w FROM wpairs
+    ),
+    wnodes AS (SELECT DISTINCT src AS node FROM wedges),
+    wdeg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wsum
+             FROM wedges GROUP BY src)
+"""
+
+
+def _wppr_oracle(iters: int = N_ITERS) -> str:
+    """Edge-weighted personalized-PageRank oracle: contributions are
+    weight-proportional (rank·w/W(u) instead of rank/out_deg), same
+    per-iteration 1e-9 rounding + DECIMAL-sum trajectory contract."""
+    blocks = [
+        f"""WITH {_WEDGES_SQL},
+    seeds AS (
+      SELECT n.node FROM wnodes n
+      JOIN customer c ON n.node = c.c_custkey
+      WHERE c.c_nationkey = 0
+    ),
+    r0 AS (
+      SELECT n.node,
+             CASE WHEN s.node IS NOT NULL THEN CAST(1.0 AS DOUBLE) ELSE 0.0 END AS rank
+      FROM wnodes n LEFT JOIN seeds s ON n.node = s.node
+    )"""
+    ]
+    for k in range(1, iters + 1):
+        blocks.append(f"""
+    , r{k} AS (
+      SELECT t.node,
+             floor((CASE WHEN s.node IS NOT NULL THEN {_BASE} ELSE 0.0 END
+                    + {_DAMP} * CAST(t.contrib_sum AS DOUBLE)) * 1000000000 + 0.5) / 1000000000 AS rank
+      FROM (
+        SELECT e.dst AS node,
+               SUM(CAST(floor(p.rank * e.w / d.wsum * 1000000000 + 0.5) / 1000000000
+                        AS DECIMAL(28,9))) AS contrib_sum
+        FROM r{k - 1} p
+        JOIN wdeg d   ON p.node = d.src
+        JOIN wedges e ON e.src = p.node
+        GROUP BY e.dst
+      ) t LEFT JOIN seeds s ON t.node = s.node
+    )""")
+    blocks.append(f"""
+    SELECT node,
+           CASE WHEN node >= {_SUPP_OFFSET} THEN 'supplier' ELSE 'customer' END AS node_type,
+           rank
+    FROM r{iters}
+    """)
+    return "".join(blocks)
+
+
+@query(
+    "pagerank_weighted_personalized",
+    oracle=_wppr_oracle(),
+    tags=("graph", "iterative", "pagerank", "personalized", "weighted"),
+)
+def pagerank_weighted_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EDGE-WEIGHTED personalized PageRank from the nation-0 cohort:
+    each node distributes its rank proportionally to edge weight
+    (rank·w/W(u), W(u) = node's total out-weight in exact integer cents)
+    instead of uniformly — proximity now reflects trade VALUE, not just
+    link existence (a supplier tied to the cohort by cheap incidental
+    lines ranks below one tied by the same number of expensive links).
+    Same exact-arithmetic trajectory contract as the unweighted pair:
+    per-edge contributions rounded to 1e-9 and summed as DECIMAL(28,9),
+    rank update rounded to 1e-9 — bit-identical to the DuckDB
+    unrolled-CTE oracle at every iteration. The weighted edge list is
+    the round-10 `_build_weighted_graph` session cache (shared with
+    `cheapest_path_3hop_trade`)."""
+    cust = load_table(spark, sf_dir, "customer")
+    wedges = _build_weighted_graph(spark, sf_dir)
+    nodes = wedges.select(F.col("src").alias("node")).distinct()
+    wdeg = wedges.groupBy(F.col("src").alias("deg_node")).agg(
+        F.sum("w").alias("wsum")
+    )
+    seeds = (
+        nodes.join(
+            cust.filter(F.col("c_nationkey") == 0).select(
+                F.col("c_custkey").alias("node")
+            ),
+            "node",
+        )
+        .select("node", F.lit(1).alias("is_seed"))
+    )
+    ranks = nodes.join(F.broadcast(seeds), "node", "left").select(
+        "node",
+        F.when(F.col("is_seed").isNotNull(), F.lit(1.0)).otherwise(0.0).alias("rank"),
+    )
+    base = F.when(F.col("is_seed").isNotNull(), F.lit(_BASE)).otherwise(0.0)
+    for _ in range(N_ITERS):
+        contribs = (
+            ranks.join(wdeg, F.col("node") == F.col("deg_node"))
+            .join(wedges, F.col("node") == F.col("src"))
+            .select(
+                F.col("dst").alias("node"),
+                rnd(F.col("rank") * F.col("w") / F.col("wsum"), 9)
+                .cast("decimal(28,9)")
+                .alias("contrib"),
+            )
+        )
+        summed = contribs.groupBy("node").agg(
+            F.sum("contrib").cast("double").alias("contrib_sum")
+        )
+        ranks = summed.join(F.broadcast(seeds), "node", "left").select(
+            "node",
+            rnd(base + F.lit(_DAMP) * F.col("contrib_sum"), 9).alias("rank"),
+        )
+    return ranks.select(
+        "node",
+        F.when(F.col("node") >= _SUPP_OFFSET, "supplier")
+        .otherwise("customer")
+        .alias("node_type"),
+        "rank",
+    )

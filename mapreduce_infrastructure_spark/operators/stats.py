@@ -886,3 +886,64 @@ def mad_totalprice_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return med.join(madt, "o_orderpriority").select(
         "o_orderpriority", "med", "mad", "n_orders"
     )
+
+
+_DTOK_SQL = """
+    dtok AS (
+      SELECT source, CAST(len(list_filter(
+               regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+               x -> x <> '')) AS BIGINT) AS n_tok
+      FROM documents
+    )
+"""
+
+
+@query(
+    "source_doclen_mad_profile",
+    oracle=f"""
+    WITH {_DTOK_SQL},
+    med AS ({_P50_SQL.format(strat="source", val="n_tok",
+                             alias="med", nalias="n_docs", src="dtok")}),
+    dev AS (
+      SELECT d.source, abs(d.n_tok - m.med) AS dv
+      FROM dtok d JOIN med m ON d.source = m.source
+    ),
+    madt AS ({_P50_SQL.format(strat="source", val="dv",
+                              alias="mad", nalias="n2", src="dev")})
+    SELECT med.source, med.med, madt.mad, med.n_docs
+    FROM med JOIN madt ON med.source = madt.source
+    """,
+    tags=("stats", "robust", "llm", "telemetry"),
+)
+def source_doclen_mad_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-source length profile: median token count and its MAD —
+    the curation dashboard's outlier-resistant replacement for mean±σ on
+    heavy-tailed document lengths (one boilerplate blob inflates a
+    source's σ but not its MAD, so drift alarms keyed on MAD don't
+    mute). Same double-histogram construction as
+    `mad_totalprice_by_priority` (token counts are an even tighter
+    histogram domain than prices), deviation stage joins the
+    |sources|-row median table broadcast."""
+    from ..llm.text import tokens_col
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", F.size(tokens_col()).cast("long").alias("n_tok")
+    )
+
+    def p50(df: DataFrame, val: str, alias: str, nalias: str) -> DataFrame:
+        cume = hist_cume_counts(df, ["source"], val)
+        lo_hi, interp = _cont_parts(0.5)
+        lo, hi = lo_hi(val)
+        b = cume.groupBy("source").agg(
+            lo.alias("_lo"), hi.alias("_hi"), F.min("n_stratum").alias("n")
+        )
+        return b.select(
+            "source", interp("_lo", "_hi").alias(alias), F.col("n").alias(nalias)
+        )
+
+    med = p50(d, "n_tok", "med", "n_docs")
+    dev = d.join(F.broadcast(med), "source").select(
+        "source", F.abs(F.col("n_tok") - F.col("med")).alias("dv")
+    )
+    madt = p50(dev, "dv", "mad", "n2").select("source", "mad")
+    return med.join(madt, "source").select("source", "med", "mad", "n_docs")

@@ -52,11 +52,12 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #
 # Round-10 window: skyline_2d_parts LEADS (the round-9 verdict's only
 # weak item — registered after the round-9 window was pinned, so it ends
-# round 9 as the one never-driver-certified query), then the six
+# round 9 as the one never-driver-certified query), then the nine
 # queries ADDED this round (first-time certification), then the
-# r5-vintage cohort in CORRECTNESS_r05 order — 43 of its 46 rows,
-# clearing the r5 vintage except the three displaced rows with the
-# strongest non-driver evidence (see inline notes).
+# r5-vintage cohort in CORRECTNESS_r05 order — 40 of its 46 rows,
+# clearing the r5 vintage except the six displaced rows with the
+# strongest non-driver evidence (see inline notes; each rotates first
+# in round 11).
 # Displaced rows keep their standing greens and
 # tests/test_oracle_queries.py mirrors every oracle-backed query each
 # pytest run. The round-10 ranks.py hardening is certified by
@@ -65,13 +66,16 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 CERTIFIED_FIRST: tuple[str, ...] = (
     # --- never-driver-certified (round-9 verdict item 1) ---
     "skyline_2d_parts",
-    # --- new in round 10 (6) ---
+    # --- new in round 10 (9) ---
     "skyline_docs_vocab_tokens",
     "source_dedup_order_sensitivity",
     "exact_percentiles_cont",
     "khop_reachability_trade",
     "mad_totalprice_by_priority",
     "cheapest_path_3hop_trade",
+    "prefix_dup_pairs",
+    "pagerank_weighted_personalized",
+    "source_doclen_mad_profile",
     # (the planned ranks.py changed-code slot doc_length_percentile_by_source
     #  was displaced by the two later round-10 additions: its r9 green
     #  stands, tests/test_ranks.py pins the rewrite bit-identical, and the
@@ -94,19 +98,25 @@ CERTIFIED_FIRST: tuple[str, ...] = (
     "q20_excess_stock_suppliers",
     "q21_waiting_suppliers",
     "q22_idle_customers",
-    "merge_upsert_customers",
+    # (merge_upsert_customers displaced by the late round-10 additions —
+    #  tests/test_stats.py::test_merge_upsert_semantics pins its MERGE
+    #  semantics end-to-end; rotates in round 11.)
     "salted_join_hot_users",
     "bloom_prune_semi_join",
     "interval_overlap_join",
     "pagerank_trade_graph",
     "triangle_counts_parts",
-    "kmeans_embeddings",
+    # (kmeans_embeddings displaced by the late round-10 additions — five
+    #  dedicated tests incl. an exact numpy-trajectory reference in
+    #  tests/test_kmeans.py; rotates in round 11.)
     "sample_stratified_mix",
     "sample_temperature_mix",
     "sample_fixed_k",
     "sample_token_budget",
     "sample_source_uniqueness",
-    "decontaminate_benchmark",
+    # (decontaminate_benchmark displaced by the late round-10 additions —
+    #  tests/test_sampling.py pins the planted-overlap flagging and the
+    #  broadcast plan; rotates in round 11.)
     # (pii_redact displaced by cheapest_path_3hop_trade — its redaction
     #  completeness is pinned by a dedicated planted-PII test in
     #  tests/test_filters.py on top of the every-pytest oracle mirror;

@@ -118,3 +118,31 @@ def test_cheapest_path_3hop_dijkstra_reference(spark, sf_dir):
     # seeds cost 0; every non-seed cost is positive (prices > 0)
     for n, c in out.items():
         assert (c == 0) == (n in seeds)
+
+
+def test_weighted_ppr_invariants(spark, sf_dir):
+    """Weighted PPR: non-negative ranks, only ≤5-hop-reachable nodes (or
+    seeds) carry mass, the weighting genuinely changes the ordering vs
+    the unweighted PPR (else the w/W(u) term is dead code), and a rerun
+    is bit-identical."""
+    from mapreduce_infrastructure_spark.operators.graph import (
+        pagerank_personalized,
+        pagerank_weighted_personalized,
+    )
+
+    w1 = {r.node: r["rank"] for r in
+          pagerank_weighted_personalized(spark, sf_dir).collect()}
+    assert w1
+    assert all(v >= 0.0 for v in w1.values())
+    u = {r.node: r["rank"] for r in
+         pagerank_personalized(spark, sf_dir).collect()}
+    assert set(w1) == set(u)  # same node universe
+    # mass supported on the same reachable set: zero iff zero
+    zeros_w = {n for n, v in w1.items() if v == 0.0}
+    zeros_u = {n for n, v in u.items() if v == 0.0}
+    assert zeros_w == zeros_u
+    # the weights must matter for at least some nodes
+    assert any(abs(w1[n] - u[n]) > 1e-6 for n in w1)
+    w2 = {r.node: r["rank"] for r in
+          pagerank_weighted_personalized(spark, sf_dir).collect()}
+    assert w1 == w2

@@ -500,3 +500,34 @@ def test_mad_matches_numpy_reference(spark, sf_dir):
         assert r.n_orders == len(vals)
         assert r.med == pytest.approx(med, rel=0, abs=1e-9)
         assert r.mad == pytest.approx(mad, rel=0, abs=1e-9)
+
+
+def test_source_doclen_mad_numpy_reference(spark, sf_dir):
+    """Per-source median/MAD of token counts vs a numpy recomputation."""
+    import numpy as np
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mapreduce_infrastructure_spark.catalog import load_table
+    from mapreduce_infrastructure_spark.llm.text import tokens_col
+    from mapreduce_infrastructure_spark.operators.stats import (
+        source_doclen_mad_profile,
+    )
+
+    raw = {}
+    for r in (
+        load_table(spark, sf_dir, "documents")
+        .select("source", F.size(tokens_col()).alias("n_tok"))
+        .collect()
+    ):
+        raw.setdefault(r.source, []).append(r.n_tok)
+    out = {r.source: r for r in source_doclen_mad_profile(spark, sf_dir).collect()}
+    assert set(out) == set(raw)
+    for src, vals in raw.items():
+        a = np.array(vals, dtype=np.float64)
+        med = float(np.percentile(np.sort(a), 50, method="linear"))
+        mad = float(np.percentile(np.sort(np.abs(a - med)), 50, method="linear"))
+        r = out[src]
+        assert r.n_docs == len(vals)
+        assert r.med == pytest.approx(med, rel=0, abs=1e-9)
+        assert r.mad == pytest.approx(mad, rel=0, abs=1e-9)
