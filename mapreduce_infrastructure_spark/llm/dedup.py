@@ -2336,3 +2336,79 @@ def prefix_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("prefix_doc_id", "super_doc_id", "prefix_len", "super_len")
     )
+
+
+@query(
+    "prefix_dup_keep_policy",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM documents a JOIN documents b
+        ON a.doc_id <> b.doc_id
+       AND length(a.text) <= length(b.text)
+       AND a.text = substring(b.text, 1, length(a.text))
+    ), edges AS (
+      SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs
+    ), reach(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+    ), cc AS (
+      SELECT node AS doc_id, MIN(label) AS cluster FROM reach GROUP BY node
+    ), k AS (
+      SELECT cc.cluster,
+             (min({'nl': -length(d.text), 'id': d.doc_id})).id AS keeper_id,
+             CAST(COUNT(*) AS BIGINT) AS n_members
+      FROM cc JOIN documents d ON d.doc_id = cc.doc_id
+      GROUP BY cc.cluster
+    )
+    SELECT cc.doc_id, k.keeper_id, cc.doc_id = k.keeper_id AS is_keeper,
+           k.n_members
+    FROM cc JOIN k ON cc.cluster = k.cluster
+    """,
+    tags=("dedup", "prefix", "canonical", "llm"),
+)
+def prefix_dup_keep_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-LONGEST canonicalization over the prefix-duplicate graph: the
+    truncation-mode companion to `dedup_canonical_docs` — when a cluster
+    of documents are byte-prefixes of one another (partial fetches of
+    the same page), the curation policy keeps the LONGEST member (the
+    most complete fetch; doc_id breaks exact-length ties) and drops the
+    truncations, the opposite preference from exact-dup keep-MIN where
+    all members are byte-identical. Emits every doc with its cluster
+    keeper, a keep flag, and the cluster size (singletons keep
+    themselves, n_members 1).
+
+    Plan: `prefix_dup_pairs`' exact-recall blocked pair join supplies the
+    edges, `min_label_components` propagates min labels to fixpoint
+    (diameter-bounded rounds), keeper selection is one struct-MIN
+    aggregate ((-len, id) — engine-exact lexicographic compare), and the
+    verdict join back is cluster-keyed. Nothing quadratic; the oracle's
+    recursive CTE is."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("long").alias("len")
+    )
+    pairs = prefix_dup_pairs(spark, sf_dir).select(
+        F.col("prefix_doc_id").alias("src"), F.col("super_doc_id").alias("dst")
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    cc = min_label_components(
+        docs.select(F.col("doc_id").alias("node_id")), edges
+    ).select(F.col("node_id").alias("doc_id"), "cluster")
+    members = cc.join(docs, "doc_id")
+    keepers = members.groupBy("cluster").agg(
+        F.min(
+            F.struct((-F.col("len")).alias("nl"), F.col("doc_id").alias("id"))
+        )
+        .getField("id")
+        .alias("keeper_id"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    return members.join(keepers, "cluster").select(
+        "doc_id",
+        "keeper_id",
+        (F.col("doc_id") == F.col("keeper_id")).alias("is_keeper"),
+        "n_members",
+    )

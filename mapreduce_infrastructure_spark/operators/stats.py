@@ -730,6 +730,23 @@ def _cont_parts(q: float):
     return lo_hi, interp
 
 
+def _hist_p50(
+    df: DataFrame, strat_cols: list[str], val: str, alias: str, nalias: str
+) -> DataFrame:
+    """Interpolated median per stratum from the count-value histogram —
+    the `exact_percentiles_cont` construction at q=0.5, shared by the MAD
+    family (one SQL twin: `_P50_SQL`)."""
+    cume = hist_cume_counts(df, strat_cols, val)
+    lo_hi, interp = _cont_parts(0.5)
+    lo, hi = lo_hi(val)
+    b = cume.groupBy(*strat_cols).agg(
+        lo.alias("_lo"), hi.alias("_hi"), F.min("n_stratum").alias("n")
+    )
+    return b.select(
+        *strat_cols, interp("_lo", "_hi").alias(alias), F.col("n").alias(nalias)
+    )
+
+
 @query(
     "exact_percentiles_cont",
     oracle="""
@@ -808,24 +825,28 @@ def exact_percentiles_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Internal aliases are underscore-prefixed so a caller's {val}/{strat}
+# column named n/m/cum cannot shadow them (the events MAD query's
+# value column IS n - an unprefixed template silently computed a
+# wrong median through the ambiguous reference).
 _P50_SQL = """
       SELECT {strat},
-             MIN(CASE WHEN cum >= floor(CAST(0.5 AS DOUBLE)*(n-1))+1
+             MIN(CASE WHEN _cum >= floor(CAST(0.5 AS DOUBLE)*(_pn-1))+1
                       THEN {val} END)
-             + (CAST(0.5 AS DOUBLE)*(MIN(n)-1)
-                - floor(CAST(0.5 AS DOUBLE)*(MIN(n)-1)))
-               * (coalesce(MIN(CASE WHEN cum >= floor(CAST(0.5 AS DOUBLE)*(n-1))+2
+             + (CAST(0.5 AS DOUBLE)*(MIN(_pn)-1)
+                - floor(CAST(0.5 AS DOUBLE)*(MIN(_pn)-1)))
+               * (coalesce(MIN(CASE WHEN _cum >= floor(CAST(0.5 AS DOUBLE)*(_pn-1))+2
                                     THEN {val} END),
-                           MIN(CASE WHEN cum >= floor(CAST(0.5 AS DOUBLE)*(n-1))+1
+                           MIN(CASE WHEN _cum >= floor(CAST(0.5 AS DOUBLE)*(_pn-1))+1
                                     THEN {val} END))
-                  - MIN(CASE WHEN cum >= floor(CAST(0.5 AS DOUBLE)*(n-1))+1
+                  - MIN(CASE WHEN _cum >= floor(CAST(0.5 AS DOUBLE)*(_pn-1))+1
                              THEN {val} END)) AS {alias},
-             CAST(MIN(n) AS BIGINT) AS {nalias}
+             CAST(MIN(_pn) AS BIGINT) AS {nalias}
       FROM (
         SELECT {strat}, {val},
-               SUM(m) OVER (PARTITION BY {strat} ORDER BY {val}) AS cum,
-               SUM(m) OVER (PARTITION BY {strat}) AS n
-        FROM (SELECT {strat}, {val}, COUNT(*) AS m FROM {src}
+               SUM(_m) OVER (PARTITION BY {strat} ORDER BY {val}) AS _cum,
+               SUM(_m) OVER (PARTITION BY {strat}) AS _pn
+        FROM (SELECT {strat}, {val}, COUNT(*) AS _m FROM {src}
               GROUP BY {strat}, {val})
       ) GROUP BY {strat}
 """
@@ -863,26 +884,14 @@ def mad_totalprice_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderpriority", "o_totalprice"
     )
-
-    def p50(df: DataFrame, val: str, alias: str, nalias: str) -> DataFrame:
-        cume = hist_cume_counts(df, ["o_orderpriority"], val)
-        lo_hi, interp = _cont_parts(0.5)
-        lo, hi = lo_hi(val)
-        b = cume.groupBy("o_orderpriority").agg(
-            lo.alias("_lo"), hi.alias("_hi"), F.min("n_stratum").alias("n")
-        )
-        return b.select(
-            "o_orderpriority",
-            interp("_lo", "_hi").alias(alias),
-            F.col("n").alias(nalias),
-        )
-
-    med = p50(o, "o_totalprice", "med", "n_orders")
+    med = _hist_p50(o, ["o_orderpriority"], "o_totalprice", "med", "n_orders")
     dev = o.join(F.broadcast(med), "o_orderpriority").select(
         "o_orderpriority",
         F.abs(F.col("o_totalprice") - F.col("med")).alias("d"),
     )
-    madt = p50(dev, "d", "mad", "n2").select("o_orderpriority", "mad")
+    madt = _hist_p50(dev, ["o_orderpriority"], "d", "mad", "n2").select(
+        "o_orderpriority", "mad"
+    )
     return med.join(madt, "o_orderpriority").select(
         "o_orderpriority", "med", "mad", "n_orders"
     )
@@ -929,21 +938,79 @@ def source_doclen_mad_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "source", F.size(tokens_col()).cast("long").alias("n_tok")
     )
-
-    def p50(df: DataFrame, val: str, alias: str, nalias: str) -> DataFrame:
-        cume = hist_cume_counts(df, ["source"], val)
-        lo_hi, interp = _cont_parts(0.5)
-        lo, hi = lo_hi(val)
-        b = cume.groupBy("source").agg(
-            lo.alias("_lo"), hi.alias("_hi"), F.min("n_stratum").alias("n")
-        )
-        return b.select(
-            "source", interp("_lo", "_hi").alias(alias), F.col("n").alias(nalias)
-        )
-
-    med = p50(d, "n_tok", "med", "n_docs")
+    med = _hist_p50(d, ["source"], "n_tok", "med", "n_docs")
     dev = d.join(F.broadcast(med), "source").select(
         "source", F.abs(F.col("n_tok") - F.col("med")).alias("dv")
     )
-    madt = p50(dev, "dv", "mad", "n2").select("source", "mad")
+    madt = _hist_p50(dev, ["source"], "dv", "mad", "n2").select("source", "mad")
     return med.join(madt, "source").select("source", "med", "mad", "n_docs")
+
+
+@query(
+    "events_hourly_mad_anomaly",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type,
+             CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS wstart,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    hv AS (SELECT event_type, n FROM h),
+    med AS ({_P50_SQL.format(strat="event_type", val="n",
+                             alias="med", nalias="n_hours", src="hv")}),
+    dev AS (
+      SELECT h.event_type, abs(h.n - m.med) AS dv
+      FROM h JOIN med m ON h.event_type = m.event_type
+    ),
+    madt AS ({_P50_SQL.format(strat="event_type", val="dv",
+                              alias="mad", nalias="n2", src="dev")})
+    SELECT h.event_type, h.wstart, h.n, med.med, madt.mad,
+           abs(h.n - med.med) > 3 * madt.mad AS is_anomaly
+    FROM h JOIN med ON h.event_type = med.event_type
+           JOIN madt ON h.event_type = madt.event_type
+    """,
+    tags=("stats", "robust", "events", "anomaly"),
+)
+def events_hourly_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust burst detection over the hourly event series: an hour is
+    anomalous for its type when |count − median| > 3·MAD of that type's
+    hourly counts — the heavy-tail-resistant twin of the z-score
+    detectors (one traffic spike inflates a mean/σ alarm threshold and
+    mutes the next spike; it barely moves the median/MAD). med and MAD
+    come from the shared double-histogram median (`_hist_p50`); the
+    per-hour flag join is broadcast (|types| rows of thresholds against
+    the calendar-bounded hourly aggregate). Scale: the only row-volume
+    pass is the hourly COUNT group-by; everything downstream is
+    hours×types-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    h = (
+        ev.groupBy("event_type", F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            F.unix_timestamp(F.col("w.start")).cast("long").alias("wstart"),
+            "n",
+        )
+    )
+    med = _hist_p50(h.select("event_type", "n"), ["event_type"], "n",
+                    "med", "n_hours").select("event_type", "med")
+    dev = h.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("n") - F.col("med")).alias("dv")
+    )
+    madt = _hist_p50(dev, ["event_type"], "dv", "mad", "n2").select(
+        "event_type", "mad"
+    )
+    return (
+        h.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(madt), "event_type")
+        .select(
+            "event_type",
+            "wstart",
+            "n",
+            "med",
+            "mad",
+            (F.abs(F.col("n") - F.col("med")) > 3 * F.col("mad")).alias(
+                "is_anomaly"
+            ),
+        )
+    )

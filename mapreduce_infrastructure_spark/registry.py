@@ -52,10 +52,10 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #
 # Round-10 window: skyline_2d_parts LEADS (the round-9 verdict's only
 # weak item — registered after the round-9 window was pinned, so it ends
-# round 9 as the one never-driver-certified query), then the nine
+# round 9 as the one never-driver-certified query), then the eleven
 # queries ADDED this round (first-time certification), then the
-# r5-vintage cohort in CORRECTNESS_r05 order — 40 of its 46 rows,
-# clearing the r5 vintage except the six displaced rows with the
+# r5-vintage cohort in CORRECTNESS_r05 order — 38 of its 46 rows,
+# clearing the r5 vintage except the eight displaced rows with the
 # strongest non-driver evidence (see inline notes; each rotates first
 # in round 11).
 # Displaced rows keep their standing greens and
@@ -66,7 +66,7 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 CERTIFIED_FIRST: tuple[str, ...] = (
     # --- never-driver-certified (round-9 verdict item 1) ---
     "skyline_2d_parts",
-    # --- new in round 10 (9) ---
+    # --- new in round 10 (11) ---
     "skyline_docs_vocab_tokens",
     "source_dedup_order_sensitivity",
     "exact_percentiles_cont",
@@ -76,6 +76,8 @@ CERTIFIED_FIRST: tuple[str, ...] = (
     "prefix_dup_pairs",
     "pagerank_weighted_personalized",
     "source_doclen_mad_profile",
+    "events_hourly_mad_anomaly",
+    "prefix_dup_keep_policy",
     # (the planned ranks.py changed-code slot doc_length_percentile_by_source
     #  was displaced by the two later round-10 additions: its r9 green
     #  stands, tests/test_ranks.py pins the rewrite bit-identical, and the
@@ -130,8 +132,10 @@ CERTIFIED_FIRST: tuple[str, ...] = (
     "dedup_canonical_docs",
     "ppjoin_pairs",
     "skipgram_cooccurrence",
-    "bpe_learn_merges",
-    "cohort_retention",
+    # (bpe_learn_merges and cohort_retention displaced by the last two
+    #  round-10 additions — the BPE trainer has dedicated leak/degradation
+    #  tests in tests/test_text_telemetry.py and cohort_retention has its
+    #  invariant test in tests/test_stats.py; both rotate in round 11.)
     # (ohlc_hourly_purchases displaced by mad_totalprice_by_priority —
     #  its oracle SEMANTICS were re-certified hash-green in round 9 via
     #  stream_ohlc_hourly, which shares the batch oracle verbatim; it

@@ -1354,3 +1354,47 @@ def test_prefix_dup_pairs_exact_recall_and_blocking(spark, sf_dir):
     k = min(32, min(len(t) for t in texts.values()))
     blocks = Counter(t[:k] for t in texts.values())
     assert max(blocks.values()) <= 10
+
+
+def test_prefix_dup_keep_policy_invariants(spark, sf_dir):
+    """Every cluster keeps exactly one member, the keeper is a maximal-
+    length member (min doc_id among ties), non-keepers are in clusters
+    with the keeper reachable through prefix edges (checked via a Python
+    union-find over the pair list), and singletons keep themselves."""
+    from mapreduce_infrastructure_spark.catalog import load_table
+    from mapreduce_infrastructure_spark.llm.dedup import (
+        prefix_dup_keep_policy,
+        prefix_dup_pairs,
+    )
+
+    lens = {
+        r.doc_id: len(r.text)
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    out = {r.doc_id: r for r in prefix_dup_keep_policy(spark, sf_dir).collect()}
+    assert set(out) == set(lens)
+    # python union-find reference clustering
+    parent = {d: d for d in lens}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in prefix_dup_pairs(spark, sf_dir).collect():
+        a, b = find(r.prefix_doc_id), find(r.super_doc_id)
+        if a != b:
+            parent[a] = b
+    clusters = {}
+    for d in lens:
+        clusters.setdefault(find(d), set()).add(d)
+    for members in clusters.values():
+        keeper = min(members, key=lambda d: (-lens[d], d))
+        for d in members:
+            r = out[d]
+            assert r.keeper_id == keeper
+            assert r.is_keeper == (d == keeper)
+            assert r.n_members == len(members)

@@ -531,3 +531,39 @@ def test_source_doclen_mad_numpy_reference(spark, sf_dir):
         assert r.n_docs == len(vals)
         assert r.med == pytest.approx(med, rel=0, abs=1e-9)
         assert r.mad == pytest.approx(mad, rel=0, abs=1e-9)
+
+
+def test_events_hourly_mad_anomaly_reference(spark, sf_dir):
+    """med/mad equal the numpy recomputation over the hourly count series,
+    and the flag is exactly |n - med| > 3*mad per row."""
+    import numpy as np
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mapreduce_infrastructure_spark.catalog import load_table
+    from mapreduce_infrastructure_spark.operators.stats import (
+        events_hourly_mad_anomaly,
+    )
+
+    out = [r.asDict() for r in events_hourly_mad_anomaly(spark, sf_dir).collect()]
+    assert out
+    per = {}
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ):
+        per.setdefault(r.event_type, []).append(r.n)
+    ref = {}
+    for t, vals in per.items():
+        a = np.sort(np.array(vals, dtype=np.float64))
+        med = float(np.percentile(a, 50, method="linear"))
+        mad = float(np.percentile(np.sort(np.abs(a - med)), 50, method="linear"))
+        ref[t] = (med, mad)
+    assert len(out) == sum(len(v) for v in per.values())
+    for r in out:
+        med, mad = ref[r["event_type"]]
+        assert r["med"] == pytest.approx(med, rel=0, abs=1e-9)
+        assert r["mad"] == pytest.approx(mad, rel=0, abs=1e-9)
+        assert r["is_anomaly"] == (abs(r["n"] - med) > 3 * mad)
