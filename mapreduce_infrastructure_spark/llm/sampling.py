@@ -1309,3 +1309,101 @@ def corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_share"
         ),
     )
+
+
+def _split_sql(alias: str = "s") -> str:
+    """Shared SQL fragment: per-doc split assignment (the
+    `corpus_split_assign` draw, one statement of the thresholds)."""
+    return f"""
+    {alias} AS (
+      SELECT doc_id,
+             CASE WHEN CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 6)
+                       AS BIGINT) < {_SPLIT_VAL_T} THEN 'val'
+                  WHEN CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 6)
+                       AS BIGINT) < {_SPLIT_TEST_T} THEN 'test'
+                  ELSE 'train' END AS split
+      FROM documents
+    )"""
+
+
+def _make_split_leakage_oracle() -> str:
+    from .dedup import _CLUSTERS_ORACLE
+
+    return f"""
+    WITH clusters AS ({_CLUSTERS_ORACLE}),
+    {_split_sql("s")},
+    m AS (
+      SELECT cl.cluster, s.doc_id, s.split
+      FROM clusters cl JOIN s ON s.doc_id = cl.doc_id
+    ),
+    c AS (
+      SELECT cluster,
+             MAX(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS has_train,
+             MAX(CASE WHEN split <> 'train' THEN 1 ELSE 0 END) AS has_eval
+      FROM m GROUP BY cluster
+    )
+    SELECT m.split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN m.split = 'train' AND c.has_eval = 1 THEN 1
+                         WHEN m.split <> 'train' AND c.has_train = 1 THEN 1
+                         ELSE 0 END) AS BIGINT) AS n_leaked,
+           CAST(SUM(CASE WHEN m.split = 'train' AND c.has_eval = 1 THEN 1
+                         WHEN m.split <> 'train' AND c.has_train = 1 THEN 1
+                         ELSE 0 END) AS DOUBLE) / COUNT(*) AS leak_share
+    FROM m JOIN c ON m.cluster = c.cluster
+    GROUP BY m.split
+    """
+
+
+@query(
+    "split_leakage_report",
+    oracle=_make_split_leakage_oracle(),
+    tags=("sampling", "llm", "split", "dedup", "contamination"),
+)
+def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination audit: how much of each train/val/test
+    split shares a NEAR-DUP cluster with the other side of the holdout
+    boundary. The split draw is content-addressed by doc_id while near
+    duplicates have DIFFERENT ids, so the assignment cannot see them — a
+    val doc whose near-copy sits in train silently inflates eval scores,
+    the exact leak `decontaminate_benchmark` guards against for external
+    benchmarks, here measured for the corpus's OWN holdout. Per split:
+    docs, docs leaked (train doc with an eval near-dup, or eval doc with
+    a train near-dup), leak share (division of two exact int64 counts —
+    IEEE-deterministic, no rounding). A nonzero val/test leak_share
+    means the split step must move whole dedup CLUSTERS, not docs
+    (assign by cluster keeper id) — the report quantifies the need.
+
+    Clusters are `dedup_clusters`' jaccard ≥ 0.5 components (the
+    canonical near-dup relation here; its fixpoint dominates the cost),
+    then one cluster-keyed bool aggregate, a cluster-keyed join back and
+    a 3-row fold — nothing new at 100 TB."""
+    from .dedup import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = F.conv(_u6("split", F.col("doc_id")), 16, 10).cast("bigint")
+    split = (
+        F.when(u < _SPLIT_VAL_T, F.lit("val"))
+        .when(u < _SPLIT_TEST_T, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    s = docs.select("doc_id", split.alias("split"))
+    m = dedup_clusters(spark, sf_dir).join(s, "doc_id")
+    c = m.groupBy("cluster").agg(
+        F.max((F.col("split") == "train").cast("int")).alias("has_train"),
+        F.max((F.col("split") != "train").cast("int")).alias("has_eval"),
+    )
+    leaked = F.when(
+        (F.col("split") == "train") & (F.col("has_eval") == 1), 1
+    ).when((F.col("split") != "train") & (F.col("has_train") == 1), 1).otherwise(0)
+    return (
+        m.join(c, "cluster")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(leaked).alias("n_leaked"),
+            (F.sum(leaked).cast("double") / F.count(F.lit(1))).alias(
+                "leak_share"
+            ),
+        )
+    )

@@ -52,10 +52,10 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #
 # Round-10 window: skyline_2d_parts LEADS (the round-9 verdict's only
 # weak item — registered after the round-9 window was pinned, so it ends
-# round 9 as the one never-driver-certified query), then the eleven
+# round 9 as the one never-driver-certified query), then the twelve
 # queries ADDED this round (first-time certification), then the
-# r5-vintage cohort in CORRECTNESS_r05 order — 38 of its 46 rows,
-# clearing the r5 vintage except the eight displaced rows with the
+# r5-vintage cohort in CORRECTNESS_r05 order — 37 of its 46 rows,
+# clearing the r5 vintage except the nine displaced rows with the
 # strongest non-driver evidence (see inline notes; each rotates first
 # in round 11).
 # Displaced rows keep their standing greens and
@@ -66,7 +66,7 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 CERTIFIED_FIRST: tuple[str, ...] = (
     # --- never-driver-certified (round-9 verdict item 1) ---
     "skyline_2d_parts",
-    # --- new in round 10 (11) ---
+    # --- new in round 10 (12) ---
     "skyline_docs_vocab_tokens",
     "source_dedup_order_sensitivity",
     "exact_percentiles_cont",
@@ -78,6 +78,7 @@ CERTIFIED_FIRST: tuple[str, ...] = (
     "source_doclen_mad_profile",
     "events_hourly_mad_anomaly",
     "prefix_dup_keep_policy",
+    "split_leakage_report",
     # (the planned ranks.py changed-code slot doc_length_percentile_by_source
     #  was displaced by the two later round-10 additions: its r9 green
     #  stands, tests/test_ranks.py pins the rewrite bit-identical, and the
@@ -112,7 +113,9 @@ CERTIFIED_FIRST: tuple[str, ...] = (
     #  dedicated tests incl. an exact numpy-trajectory reference in
     #  tests/test_kmeans.py; rotates in round 11.)
     "sample_stratified_mix",
-    "sample_temperature_mix",
+    # (sample_temperature_mix displaced by split_leakage_report —
+    #  tests/test_sampling.py::test_temperature_mix_upsamples_tails pins
+    #  its selection semantics; rotates in round 11.)
     "sample_fixed_k",
     "sample_token_budget",
     "sample_source_uniqueness",

@@ -726,3 +726,42 @@ def test_split_assign_rates_partition_and_stability(spark, sf_dir):
     full_counts = {(r.source, r.split): r.n_docs for r in rows}
     for k, n_full in full_counts.items():
         assert n_full == direct.get(k, 0) + even_counts.get(k, 0)
+
+
+def test_split_leakage_report_scalar_reference(spark, sf_dir):
+    """Leak counts recomputed in Python from the collected cluster labels
+    and md5 split draws; totals cover every doc exactly once."""
+    import hashlib
+
+    from mapreduce_infrastructure_spark.catalog import load_table
+    from mapreduce_infrastructure_spark.llm.dedup import dedup_clusters
+    from mapreduce_infrastructure_spark.llm.sampling import (
+        _SPLIT_TEST_T,
+        _SPLIT_VAL_T,
+        split_leakage_report,
+    )
+
+    def split_of(doc_id: int) -> str:
+        u = int(hashlib.md5(f"split:{doc_id}".encode()).hexdigest()[:6], 16)
+        return "val" if u < _SPLIT_VAL_T else ("test" if u < _SPLIT_TEST_T else "train")
+
+    labels = {r.doc_id: r.cluster for r in dedup_clusters(spark, sf_dir).collect()}
+    n_total = load_table(spark, sf_dir, "documents").count()
+    assert len(labels) == n_total
+    members = {}
+    for d, c in labels.items():
+        members.setdefault(c, []).append(d)
+    want = {}
+    for c, ds in members.items():
+        splits = {split_of(d) for d in ds}
+        has_train = "train" in splits
+        has_eval = bool(splits - {"train"})
+        for d in ds:
+            sp = split_of(d)
+            n, k = want.get(sp, (0, 0))
+            leak = (sp == "train" and has_eval) or (sp != "train" and has_train)
+            want[sp] = (n + 1, k + (1 if leak else 0))
+    got = {r.split: (r.n_docs, r.n_leaked) for r in
+           split_leakage_report(spark, sf_dir).collect()}
+    assert got == want
+    assert sum(n for n, _ in got.values()) == n_total
