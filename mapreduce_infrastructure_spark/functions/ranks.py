@@ -33,6 +33,8 @@ caller makes, so results are bit-identical to the naive window forms
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # Default order-key range buckets for the two-pass prefix sum. At test SF
@@ -160,9 +162,29 @@ def bucketed_prefix_sum(
     are not reproducible (the per-group TOTAL still is); pre-compose a
     unique tiebreak into ``order_col`` if ties are possible.
 
+    The precondition is ENFORCED when ``SPARK_GRAFT_CHECK_PRECONDITIONS``
+    is set (tests/conftest.py sets it for every pytest run): one extra
+    count-vs-countDistinct aggregate per call, so a violating future call
+    site fails loudly in CI instead of shipping silently nondeterministic
+    per-row cums. Off by default — production/bench paths pay nothing.
+
     Adds ``cum_alias`` (inclusive running sum) and keeps all input
     columns; the internal ``_psb`` bucket column is dropped.
     """
+    if os.environ.get("SPARK_GRAFT_CHECK_PRECONDITIONS"):
+        chk = df.agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.count_distinct(*[F.col(c) for c in stratum_cols], F.col(order_col))
+            .alias("_nd"),
+        ).first()
+        if chk["_n"] != chk["_nd"]:
+            raise ValueError(
+                "bucketed_prefix_sum precondition violated: order_col "
+                f"{order_col!r} is not unique within strata {stratum_cols} "
+                f"(rows={chk['_n']}, distinct keys={chk['_nd']}); per-row "
+                "cum values would be nondeterministic — pre-compose a "
+                "unique tiebreak into order_col"
+            )
     val = F.col(value_col) if isinstance(value_col, str) else value_col
     bounds = df.agg(
         F.min(order_col).cast("long").alias("_lo"),

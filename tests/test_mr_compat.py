@@ -180,6 +180,30 @@ def test_multimodal_real_mode_stubbed():
         decode_payload(b"\x89PNG", mode="image")
 
 
+def test_multimodal_f3_ascii_premise_all_gate_fixtures():
+    """ADVICE r10: `multimodal_features`' oracle computes f3 as
+    sum(ascii(c)) per CHARACTER, which equals the engine's UTF-8 byte sum
+    only while the fixture text is pure ASCII. The premise was documented
+    but enforced only at the pytest fixture SF (sf0.001); the driver's
+    oracle diff and the hostile sweep run at sf0.01. Enforce it at EVERY
+    gate fixture dir so a future non-ASCII corpus fails loudly here
+    instead of silently diverging the oracle."""
+    import pyarrow.parquet as pq
+
+    for sf in ("sf0.001", "sf0.01"):
+        path = f"/root/testdata/{sf}/documents.parquet"
+        if not os.path.exists(path):
+            continue
+        texts = pq.read_table(path, columns=["text"]).column("text").to_pylist()
+        bad = [t[:40] for t in texts if not t.isascii()]
+        assert not bad, (
+            f"{sf} corpus contains non-ASCII text ({len(bad)} docs, e.g. "
+            f"{bad[0]!r}); multimodal_features' f3 oracle (char-codepoint "
+            "sum) no longer equals the engine's byte sum — rewrite the "
+            "oracle byte-aware before re-certifying"
+        )
+
+
 def test_frame_sample_ascii_premise_and_scalar_reference(spark, sf_dir):
     """Pins (1) the oracle's premise — the fixture corpus is pure ASCII,
     so the oracle's text-slice equals the operator's byte-slice — and

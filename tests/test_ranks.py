@@ -101,6 +101,24 @@ def test_bucketed_prefix_sum_empty_input(spark):
     assert bucketed_prefix_sum(df, ["stratum"], "id", "v").count() == 0
 
 
+def test_bucketed_prefix_sum_rejects_tied_order_keys(spark, monkeypatch):
+    """ADVICE r10: the order-key uniqueness PRECONDITION was
+    documentation-only; with SPARK_GRAFT_CHECK_PRECONDITIONS set
+    (conftest sets it for every pytest run) a tied-key call site now
+    fails loudly instead of producing silently nondeterministic per-row
+    cums."""
+    monkeypatch.setenv("SPARK_GRAFT_CHECK_PRECONDITIONS", "1")
+    df = _fixture(
+        spark,
+        [("a", 1, 10), ("a", 1, 20), ("a", 2, 5)],  # tied id=1 in stratum a
+    )
+    with pytest.raises(ValueError, match="not unique within strata"):
+        bucketed_prefix_sum(df, ["stratum"], "id", "v")
+    # Same keys tied ACROSS strata are fine — uniqueness is per-stratum.
+    ok = _fixture(spark, [("a", 1, 10), ("b", 1, 20), ("a", 2, 5)])
+    assert bucketed_prefix_sum(ok, ["stratum"], "id", "v").count() == 3
+
+
 @pytest.mark.parametrize("k", [1, 2, 4, 7, 10])
 def test_ntile_from_rank_matches_window_ntile(spark, k):
     df = _fixture(spark, _rows(seed=9))
@@ -216,9 +234,13 @@ def test_bucketed_prefix_ultra_wide_order_domain(spark, fn_name):
     )
 
     big = 2**62
+    # NOTE: keys must be unique — the original fixture's i=4 first-batch key
+    # (-2^62 + 4·2^61 = 2^62) collided with the second batch's (big - 0),
+    # giving those two rows nondeterministic per-row cums; the new
+    # precondition guard caught it. Offset the second batch by 1.
     rows = [
         ("a", -big + i * (big // 2), i + 1) for i in range(5)
-    ] + [("a", big - i, 100 + i) for i in range(3)]
+    ] + [("a", big - 1 - i, 100 + i) for i in range(3)]
     df = spark.createDataFrame(rows, "stratum string, k long, v long")
     if fn_name == "sum":
         w = (

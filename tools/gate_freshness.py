@@ -4,8 +4,10 @@
 A round may only close on a hostile sweep that ran on the FINAL tree.
 ``full_gate.py`` stamps every run with ``GATE_TREE: head=<sha>
 dirty=<bool>``; this tool refuses (exit 1) when the newest (or named)
-``hostile_gate_r*.log`` is missing the stamp, was run on a dirty tree, or
-was run on a commit other than the current ``git rev-parse HEAD``.
+``hostile_gate_r*.log`` is missing the stamp, was run on a dirty tree,
+was run on a commit other than the current ``git rev-parse HEAD``, or is
+missing the closing ``GATE: … 0 FAIL`` summary line (the stamp is printed
+before the sweep runs, so a crashed/truncated sweep would otherwise pass).
 
     python tools/gate_freshness.py                       # newest r-log
     python tools/gate_freshness.py hostile_gate_r10.log  # specific log
@@ -54,6 +56,21 @@ def main() -> int:
               "re-run the sweep on the final tree")
         return 1
     stamped, dirty = m.group(1), m.group(2) == "true"
+    # The GATE_TREE stamp is printed BEFORE the sweep runs, so a crashed or
+    # truncated run would still carry a valid-looking stamp.  Require the
+    # closing summary line too, and require it to report 0 FAIL — a log
+    # without it is not round-close evidence.
+    g = re.search(r"^GATE: (\d+) pass, (\d+) no_oracle, (\d+) FAIL", text, re.M)
+    if not g:
+        print(f"gate_freshness FAIL: {os.path.basename(path)} has no closing "
+              "'GATE: … FAIL' summary line — the sweep crashed or the log was "
+              "truncated; re-run it to completion")
+        return 1
+    if int(g.group(3)) != 0:
+        print(f"gate_freshness FAIL: {os.path.basename(path)} closing summary "
+              f"reports {g.group(3)} FAIL — a failing sweep cannot close the "
+              "round")
+        return 1
     head = subprocess.run(
         ["git", "rev-parse", "HEAD"], capture_output=True, text=True, cwd=REPO
     ).stdout.strip()
