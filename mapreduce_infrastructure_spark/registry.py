@@ -50,108 +50,77 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # Ordering is therefore a curated, per-round decision, not an accident of
 # imports; CERTIFIED_HISTORY.md tracks which rounds certified what.
 #
-# Round-10 window: skyline_2d_parts LEADS (the round-9 verdict's only
-# weak item — registered after the round-9 window was pinned, so it ends
-# round 9 as the one never-driver-certified query), then the twelve
-# queries ADDED this round (first-time certification), then the
-# r5-vintage cohort in CORRECTNESS_r05 order — 37 of its 46 rows,
-# clearing the r5 vintage except the nine displaced rows with the
-# strongest non-driver evidence (see inline notes; each rotates first
-# in round 11).
+# Round-11 window (verdict item 1): the NINE rows displaced from the
+# round-10 window lead (the last r5-vintage residue — each carried the
+# strongest non-driver evidence, noted in CERTIFIED_HISTORY.md's round-10
+# entry, and was promised first rotation here), then the FIVE r4-vintage
+# rows the NEXT.md rotation plan missed (displaced by round-9 late
+# amendments 11–15 and never re-windowed since — the actual stalest
+# standing rows per the CORRECTNESS_r* census), then the r6-vintage
+# cohort in CORRECTNESS_r06 order (36 of its 40 rows fill the window;
+# the last four rotate in round 12). New round-11 queries are inserted
+# at the front as they land, displacing r6-vintage tail rows (noted
+# inline — their r6 greens stand and they rejoin the round-12 rotation).
 # Displaced rows keep their standing greens and
 # tests/test_oracle_queries.py mirrors every oracle-backed query each
-# pytest run. The round-10 ranks.py hardening is certified by
-# tests/test_ranks.py bit-identity pins + the round-end hostile/plain
-# sweeps over every caller on the final stamped tree.
+# pytest run.
 CERTIFIED_FIRST: tuple[str, ...] = (
-    # --- never-driver-certified (round-9 verdict item 1) ---
-    "skyline_2d_parts",
-    # --- new in round 10 (12) ---
-    "skyline_docs_vocab_tokens",
-    "source_dedup_order_sensitivity",
-    "exact_percentiles_cont",
-    "khop_reachability_trade",
-    "mad_totalprice_by_priority",
-    "cheapest_path_3hop_trade",
-    "prefix_dup_pairs",
-    "pagerank_weighted_personalized",
-    "source_doclen_mad_profile",
-    "events_hourly_mad_anomaly",
-    "prefix_dup_keep_policy",
-    "split_leakage_report",
-    # (the planned ranks.py changed-code slot doc_length_percentile_by_source
-    #  was displaced by the two later round-10 additions: its r9 green
-    #  stands, tests/test_ranks.py pins the rewrite bit-identical, and the
-    #  round-end hostile+plain sweeps re-run its oracle on the final tree.)
-    # --- r5-vintage cohort, CORRECTNESS_r05 order (46 — the whole tail) ---
-    "q2_min_cost_supplier",
-    "q4_priority_exists",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_profit_by_nation_year",
-    "q10_returned_items",
-    "q12_ship_delay_priority",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q16_parts_supplier_count",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q20_excess_stock_suppliers",
-    "q21_waiting_suppliers",
-    "q22_idle_customers",
-    # (merge_upsert_customers displaced by the late round-10 additions —
-    #  tests/test_stats.py::test_merge_upsert_semantics pins its MERGE
-    #  semantics end-to-end; rotates in round 11.)
-    "salted_join_hot_users",
-    "bloom_prune_semi_join",
-    "interval_overlap_join",
-    "pagerank_trade_graph",
-    "triangle_counts_parts",
-    # (kmeans_embeddings displaced by the late round-10 additions — five
-    #  dedicated tests incl. an exact numpy-trajectory reference in
-    #  tests/test_kmeans.py; rotates in round 11.)
-    "sample_stratified_mix",
-    # (sample_temperature_mix displaced by split_leakage_report —
-    #  tests/test_sampling.py::test_temperature_mix_upsamples_tails pins
-    #  its selection semantics; rotates in round 11.)
-    "sample_fixed_k",
-    "sample_token_budget",
-    "sample_source_uniqueness",
-    # (decontaminate_benchmark displaced by the late round-10 additions —
-    #  tests/test_sampling.py pins the planted-overlap flagging and the
-    #  broadcast plan; rotates in round 11.)
-    # (pii_redact displaced by cheapest_path_3hop_trade — its redaction
-    #  completeness is pinned by a dedicated planted-PII test in
-    #  tests/test_filters.py on top of the every-pytest oracle mirror;
-    #  rotates in round 11 with mr_grep and ohlc_hourly_purchases.)
-    "orc_roundtrip_orders",
-    "schema_evolution_read",
-    "stream_merge_upsert",
-    "stream_enrich_static_join",
-    "stream_anomaly_zscore",
-    "dedup_clusters_star",
-    "dedup_canonical_docs",
-    "ppjoin_pairs",
-    "skipgram_cooccurrence",
-    # (bpe_learn_merges and cohort_retention displaced by the last two
-    #  round-10 additions — the BPE trainer has dedicated leak/degradation
-    #  tests in tests/test_text_telemetry.py and cohort_retention has its
-    #  invariant test in tests/test_stats.py; both rotate in round 11.)
-    # (ohlc_hourly_purchases displaced by mad_totalprice_by_priority —
-    #  its oracle SEMANTICS were re-certified hash-green in round 9 via
-    #  stream_ohlc_hourly, which shares the batch oracle verbatim; it
-    #  rotates with mr_grep in round 11.)
-    "scd2_event_type_runs",
-    # (mr_grep displaced by the round-10 additions — of the r5 cohort it
-    #  has the strongest non-driver evidence: dedicated end-to-end
-    #  fixtures in tests/test_mr_compat.py plus the every-pytest oracle
-    #  mirror; it rotates first in round 11.)
-    "multimodal_features",
-    # (the round-9 window's 50 rows all carry fresh r9 greens and rotate
-    #  out intact; after this window no standing row is older than r6
-    #  vintage — the round-9 verdict item 3's done-condition.)
+    # --- new in round 11 (first-time certification; added as they land) ---
+    # --- the nine round-10 displacements (r5-vintage residue) ---
+    "mr_grep",
+    "ohlc_hourly_purchases",
+    "pii_redact",
+    "merge_upsert_customers",
+    "kmeans_embeddings",
+    "decontaminate_benchmark",
+    "bpe_learn_merges",
+    "cohort_retention",
+    "sample_temperature_mix",
+    # --- r4-vintage rows (stalest standing; missed by the NEXT.md plan) ---
+    "text_stats_by_lang",
+    "doc_token_counts",
+    "doc_fingerprint",
+    "token_counts_bpe",
+    "dedup_exact",
+    # --- r6-vintage cohort, CORRECTNESS_r06 order (36 of 40; the last
+    #     four — top10_orders, set_union_nations, set_intersect_nations,
+    #     set_except_nations — rotate in round 12) ---
+    "data_quality_audit",
+    "join_key_skew_report",
+    "unpivot_revenue_components",
+    "incremental_agg_maintenance",
+    "rolling_7day_active_users",
+    "copurchase_supplier_pairs",
+    "gapfill_hourly_value",
+    "event_transition_matrix",
+    "concurrent_sessions_peak",
+    "attribution_first_last_touch",
+    "histogram_order_totals",
+    "anomaly_zscore_events",
+    "pagerank_personalized",
+    "fuzzy_match_nations",
+    "compact_small_files",
+    "global_shuffle_shards",
+    "repetition_signals",
+    "chunk_documents",
+    "boilerplate_ngram_filter",
+    "kmeans_parallel_seeds",
+    "q1_pricing_summary",
+    "filter_project",
+    "agg_stats",
+    "distinct_pairs",
+    "count_distinct",
+    "rollup_returns",
+    "cube_orders",
+    "grouping_sets_mix",
+    "having_heavy_customers",
+    "join_region_customers",
+    "q3_shipping_priority",
+    "join_left_order_counts",
+    "join_semi_active",
+    "join_anti_inactive",
+    "join_range_quantity_size",
+    "join_full_nation_counts",
 )
 
 
