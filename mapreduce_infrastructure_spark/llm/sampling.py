@@ -1407,3 +1407,180 @@ def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def _cluster_split_col(cluster_col: str = "cluster") -> Column:
+    """Split draw keyed on the dedup CLUSTER label instead of the doc_id —
+    the fix `split_leakage_report`'s docstring prescribes: every member of
+    a near-dup cluster hashes the same key, so whole clusters land in one
+    split and cross-split leakage is zero by construction. Same md5-prefix
+    primitive and thresholds as `corpus_split_assign`."""
+    u = F.conv(_u6("split", F.col(cluster_col)), 16, 10).cast("bigint")
+    return (
+        F.when(u < _SPLIT_VAL_T, F.lit("val"))
+        .when(u < _SPLIT_TEST_T, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+
+
+def _cluster_split_case_sql(expr: str) -> str:
+    """Oracle-side twin of `_cluster_split_col` for an arbitrary key
+    expression (the `_split_sql` fragment hardcodes doc_id)."""
+    draw = f"CAST('0x' || substr(md5('split:' || CAST({expr} AS VARCHAR)), 1, 6) AS BIGINT)"
+    return (
+        f"CASE WHEN {draw} < {_SPLIT_VAL_T} THEN 'val' "
+        f"WHEN {draw} < {_SPLIT_TEST_T} THEN 'test' ELSE 'train' END"
+    )
+
+
+def _make_cluster_safe_assign_oracle() -> str:
+    from .dedup import _CLUSTERS_ORACLE
+
+    return f"""
+    WITH clusters AS ({_CLUSTERS_ORACLE}),
+    a AS (
+      SELECT d.source,
+             {_cluster_split_case_sql("cl.cluster")} AS split,
+             CAST(len(list_filter(regexp_split_to_array(lower(d.text), '{TOKEN_DELIM}'),
+                                  t -> t <> '')) AS BIGINT) AS n_tokens
+      FROM documents d JOIN clusters cl ON d.doc_id = cl.doc_id
+    ),
+    g AS (
+      SELECT source, split, COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+      FROM a GROUP BY 1, 2
+    )
+    SELECT source, split, n_docs, total_tokens,
+           CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (PARTITION BY source)
+             AS doc_share
+    FROM g
+    """
+
+
+@query(
+    "split_assign_cluster_safe",
+    oracle=_make_cluster_safe_assign_oracle(),
+    tags=("sampling", "llm", "split", "dedup", "contamination"),
+)
+def split_assign_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leak-proof train/val/test assignment: the split draw is keyed on
+    the doc's near-dup CLUSTER label (`dedup_clusters`' connected-component
+    keeper id) instead of its own doc_id, so a whole duplicate cluster
+    moves across the holdout boundary together — the remediation a nonzero
+    `split_leakage_report` leak_share demands (its docstring names exactly
+    this fix; `split_leakage_after_fix` re-audits the result at zero).
+
+    Same output shape as `corpus_split_assign` (per-source split telemetry)
+    so the two assignment policies are directly comparable: cluster-keyed
+    hashing preserves the ~1%/~2% val/test shares in expectation — cluster
+    sizes are small relative to any source — and the telemetry quantifies
+    the actual drift. Determinism carries over unchanged: a doc's split is
+    a pure function of its cluster's min doc_id, stable across runs,
+    re-shards, and incremental re-ingests as long as its cluster keeper is
+    stable.
+
+    Plan: the `dedup_clusters` fixpoint dominates (prefix-filtered edges +
+    min-label propagation — the session-cached base every other
+    contamination query reuses); after it, one hash join back to documents
+    (doc_id-keyed, no skew), one partial-aggregatable group-by on
+    (source, split), and a window over the ≤3-rows-per-source aggregate.
+    Nothing new at 100 TB beyond the cluster base itself."""
+    from .dedup import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    cl = dedup_clusters(spark, sf_dir)
+    a = docs.select(
+        "doc_id", "source", F.size(tokens_col()).cast("long").alias("n_tokens")
+    ).join(cl, "doc_id")
+    g = (
+        a.select("source", _cluster_split_col().alias("split"), "n_tokens")
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source")
+    return g.select(
+        "source",
+        "split",
+        "n_docs",
+        "total_tokens",
+        (F.col("n_docs").cast("double") / F.sum("n_docs").over(w)).alias(
+            "doc_share"
+        ),
+    )
+
+
+def _make_leakage_after_fix_oracle() -> str:
+    from .dedup import _CLUSTERS_ORACLE
+
+    return f"""
+    WITH clusters AS ({_CLUSTERS_ORACLE}),
+    m AS (
+      SELECT cluster, doc_id,
+             {_cluster_split_case_sql("cluster")} AS split
+      FROM clusters
+    ),
+    c AS (
+      SELECT cluster,
+             MAX(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS has_train,
+             MAX(CASE WHEN split <> 'train' THEN 1 ELSE 0 END) AS has_eval
+      FROM m GROUP BY cluster
+    )
+    SELECT m.split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN m.split = 'train' AND c.has_eval = 1 THEN 1
+                         WHEN m.split <> 'train' AND c.has_train = 1 THEN 1
+                         ELSE 0 END) AS BIGINT) AS n_leaked,
+           CAST(SUM(CASE WHEN m.split = 'train' AND c.has_eval = 1 THEN 1
+                         WHEN m.split <> 'train' AND c.has_train = 1 THEN 1
+                         ELSE 0 END) AS DOUBLE) / COUNT(*) AS leak_share
+    FROM m JOIN c ON m.cluster = c.cluster
+    GROUP BY m.split
+    """
+
+
+@query(
+    "split_leakage_after_fix",
+    oracle=_make_leakage_after_fix_oracle(),
+    tags=("sampling", "llm", "split", "dedup", "contamination"),
+)
+def split_leakage_after_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-audit closing the contamination loop: `split_leakage_report`
+    measures cross-split near-dup leakage under the doc-keyed assignment;
+    `split_assign_cluster_safe` is the fix; this query re-runs the SAME
+    audit on the cluster-keyed assignment and certifies n_leaked = 0 per
+    split. Zero holds by construction (all members of a cluster share the
+    split key), but the audit recomputes it from the data — the oracle
+    independently re-derives the clusters, the assignment, and the leak
+    fold, so an engine bug in any of the three would surface as a hash
+    mismatch, and the n_docs column pins the split sizes the fix actually
+    produces. Same scale shape as `split_leakage_report`: the cluster
+    fixpoint dominates, then one cluster-keyed bool aggregate and a 3-row
+    fold."""
+    from .dedup import dedup_clusters
+
+    m = dedup_clusters(spark, sf_dir).select(
+        "cluster", "doc_id", _cluster_split_col().alias("split")
+    )
+    c = m.groupBy("cluster").agg(
+        F.max((F.col("split") == "train").cast("int")).alias("has_train"),
+        F.max((F.col("split") != "train").cast("int")).alias("has_eval"),
+    )
+    leaked = F.when(
+        (F.col("split") == "train") & (F.col("has_eval") == 1), 1
+    ).when((F.col("split") != "train") & (F.col("has_train") == 1), 1).otherwise(0)
+    return (
+        m.join(c, "cluster")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(leaked).alias("n_leaked"),
+            (F.sum(leaked).cast("double") / F.count(F.lit(1))).alias(
+                "leak_share"
+            ),
+        )
+    )

@@ -668,3 +668,85 @@ def pagerank_weighted_personalized(spark: SparkSession, sf_dir: str) -> DataFram
         .alias("node_type"),
         "rank",
     )
+
+
+@query(
+    "weighted_khop_cheapest_compare",
+    oracle=f"""
+    WITH RECURSIVE {_EDGES_SQL},
+    bseeds AS (
+      SELECT n.node FROM nodes n
+      JOIN customer c ON n.node = c.c_custkey
+      WHERE c.c_nationkey = 0
+    ),
+    walk(node, hops) AS (
+      SELECT node, 0 FROM bseeds
+      UNION
+      SELECT e.dst, w.hops + 1
+      FROM walk w JOIN edges e ON e.src = w.node
+      WHERE w.hops < {_KHOP}
+    ),
+    bfs AS (SELECT node, CAST(MIN(hops) AS BIGINT) AS hops
+            FROM walk GROUP BY node),
+    wpairs AS (
+      SELECT o.o_custkey AS cust, {_SUPP_OFFSET} + l.l_suppkey AS supp,
+             MIN(CAST(floor(l.l_extendedprice*100 + 0.5) AS BIGINT)) AS w
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2
+    ),
+    wedges AS (
+      SELECT cust AS src, supp AS dst, w FROM wpairs
+      UNION ALL SELECT supp, cust, w FROM wpairs
+    ),
+    wseeds AS (
+      SELECT DISTINCT e.src AS node FROM wedges e
+      JOIN customer c ON e.src = c.c_custkey WHERE c.c_nationkey = 0
+    ),
+    wwalk(node, cost, hops) AS (
+      SELECT node, CAST(0 AS BIGINT), 0 FROM wseeds
+      UNION
+      SELECT e.dst, wk.cost + e.w, wk.hops + 1
+      FROM wwalk wk JOIN wedges e ON e.src = wk.node WHERE wk.hops < {_KHOP}
+    ),
+    cheap AS (SELECT node, MIN(cost) AS min_cost FROM wwalk GROUP BY node)
+    SELECT b.node,
+           CASE WHEN b.node >= {_SUPP_OFFSET} THEN 'supplier' ELSE 'customer' END
+             AS node_type,
+           b.hops,
+           c.min_cost,
+           CASE WHEN b.hops > 0 THEN c.min_cost // b.hops END AS cost_per_hop
+    FROM bfs b JOIN cheap c ON b.node = c.node
+    """,
+    tags=("graph", "iterative", "bfs", "shortest-path"),
+)
+def weighted_khop_cheapest_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-count vs relay-cost divergence per node: joins
+    `khop_reachability_trade` (exact min-hop BFS distance) with
+    `cheapest_path_3hop_trade` (Bellman-Ford min cost over ≤3 hops) from
+    the same nation-0 seed cohort — the telemetry that separates
+    topologically-close suppliers from cheaply-reachable ones (a node 1
+    hop away through an expensive line item vs 3 hops through cheap
+    ones). cost_per_hop = min_cost DIV hops is exact integer division on
+    integer cents (NULL for the seed cohort itself, hops = 0), so every
+    output column is engine-exact — no FP anywhere.
+
+    Pure composition: both parents' iterative fixpoints run unchanged
+    (sharing their session-cached edge lists), then ONE hash join on
+    node. The reachable sets are identical by construction — both walks
+    start from the same seeds over the same (customer, supplier) pair
+    relation (weighted edges only add a weight column) — so the inner
+    join keeps every node; tests/test_graph.py pins that cardinality
+    equality. The oracle re-derives BOTH recursive walks in one
+    WITH RECURSIVE and joins them, independently re-checking the two
+    parents' agreement as well as the division."""
+    bfs = khop_reachability_trade(spark, sf_dir).select("node", "node_type", "hops")
+    cheap = cheapest_path_3hop_trade(spark, sf_dir).select("node", "min_cost")
+    return bfs.join(cheap, "node").select(
+        "node",
+        "node_type",
+        "hops",
+        "min_cost",
+        F.when(
+            F.col("hops") > 0, F.expr("min_cost DIV hops")
+        ).alias("cost_per_hop"),
+    )

@@ -1275,6 +1275,26 @@ def test_ann_recall_report_matches_scalar_recount(spark, sf_dir):
     assert rep["sign_lsh"].n_hits == hits
     assert rep["sign_lsh"].n_truth == sum(len(s) for s in brute.values())
 
+    # PARTIAL ORACLE (round-10 verdict item 7): the report itself stays
+    # rows-only — the four approximate tiers are engine-specific by
+    # construction — but its exact-side half IS SQL-expressible, so the
+    # recall DENOMINATOR is pinned by DuckDB independently re-running
+    # knn_bruteforce's registered oracle and counting the rank<=3 rows.
+    import duckdb
+
+    from mapreduce_infrastructure_spark.registry import all_queries
+
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    knn_sql = all_queries()["knn_bruteforce"].oracle
+    n_truth_sql = con.execute(
+        f"SELECT COUNT(*) FROM ({knn_sql}) WHERE rank <= 3"
+    ).fetchone()[0]
+    assert rep["sign_lsh"].n_truth == n_truth_sql
+
 
 def test_cosine_histogram_covers_all_sample_pairs(spark, sf_dir):
     """Histogram mass must equal exactly C(K, 2) pairs (the fixed-size

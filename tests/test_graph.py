@@ -146,3 +146,29 @@ def test_weighted_ppr_invariants(spark, sf_dir):
     w2 = {r.node: r["rank"] for r in
           pagerank_weighted_personalized(spark, sf_dir).collect()}
     assert w1 == w2
+
+
+def test_weighted_khop_cheapest_compare_composition(spark, sf_dir):
+    """The compare join must keep EVERY node of both parents (identical
+    reachable sets by construction), reproduce the parents' columns
+    verbatim, and compute cost_per_hop as exact integer division — NULL
+    exactly on the hop-0 seed cohort."""
+    from mapreduce_infrastructure_spark.operators.graph import (
+        cheapest_path_3hop_trade,
+        khop_reachability_trade,
+        weighted_khop_cheapest_compare,
+    )
+
+    out = {r.node: r for r in weighted_khop_cheapest_compare(spark, sf_dir).collect()}
+    bfs = {r.node: r for r in khop_reachability_trade(spark, sf_dir).collect()}
+    cheap = {r.node: r for r in cheapest_path_3hop_trade(spark, sf_dir).collect()}
+    # identical reachable sets, no dropped/invented nodes
+    assert set(out) == set(bfs) == set(cheap)
+    for n, r in out.items():
+        assert r.hops == bfs[n].hops
+        assert r.min_cost == cheap[n].min_cost
+        assert r.node_type == bfs[n].node_type
+        if r.hops == 0:
+            assert r.cost_per_hop is None and r.min_cost == 0
+        else:
+            assert r.cost_per_hop == r.min_cost // r.hops

@@ -80,6 +80,7 @@ def test_driver_materialization_sites_are_allowlisted():
         ("llm/similarity.py", "_fit_opq"),  # rotation-matrix-bounded
         ("sources/formats.py", "binaryfile_ingest_stats"),  # 50-file bounded staging scaffold
         ("sources/zorder.py", "layout_context"),  # 1-row min/max for bits+box
+        ("functions/ranks.py", "bucketed_prefix_sum"),  # 1-row debug-gated precondition census
     }
 
     found = set()

@@ -765,3 +765,60 @@ def test_split_leakage_report_scalar_reference(spark, sf_dir):
            split_leakage_report(spark, sf_dir).collect()}
     assert got == want
     assert sum(n for n, _ in got.values()) == n_total
+
+
+def test_cluster_safe_split_moves_whole_clusters(spark, sf_dir):
+    """Every near-dup cluster lands in exactly ONE split (the defining
+    property of the cluster-keyed draw), the per-doc assignment is the
+    md5 draw on the cluster label (scalar md5 recount), and the telemetry
+    aggregates tie out to the corpus."""
+    import hashlib
+
+    from mapreduce_infrastructure_spark.llm.dedup import dedup_clusters
+    from mapreduce_infrastructure_spark.llm.sampling import (
+        _SPLIT_TEST_T,
+        _SPLIT_VAL_T,
+        _cluster_split_col,
+        split_assign_cluster_safe,
+    )
+
+    cl = dedup_clusters(spark, sf_dir).select(
+        "doc_id", "cluster", _cluster_split_col().alias("split")
+    )
+    rows = cl.collect()
+    # (a) functional: one split per cluster
+    per_cluster = {}
+    for r in rows:
+        per_cluster.setdefault(r.cluster, set()).add(r.split)
+    assert all(len(s) == 1 for s in per_cluster.values())
+    # (b) scalar md5 recount of the draw
+    for r in rows[:200]:
+        u = int(hashlib.md5(f"split:{r.cluster}".encode()).hexdigest()[:6], 16)
+        want = "val" if u < _SPLIT_VAL_T else ("test" if u < _SPLIT_TEST_T else "train")
+        assert r.split == want, (r.cluster, r.split, want)
+    # (c) telemetry ties out to the corpus
+    g = split_assign_cluster_safe(spark, sf_dir).collect()
+    assert sum(r.n_docs for r in g) == len(rows)
+    for r in g:
+        assert 0.0 < r.doc_share <= 1.0
+
+
+def test_split_leakage_after_fix_is_zero(spark, sf_dir):
+    """The audit→fix→re-audit loop closes: the cluster-keyed assignment
+    shows ZERO cross-split near-dup leakage in every split, covers every
+    document, and keeps the holdout non-degenerate (train remains the
+    dominant split)."""
+    from mapreduce_infrastructure_spark.catalog import load_table
+    from mapreduce_infrastructure_spark.llm.sampling import (
+        split_leakage_after_fix,
+    )
+
+    rows = {r.split: r for r in split_leakage_after_fix(spark, sf_dir).collect()}
+    assert set(rows) <= {"train", "val", "test"} and "train" in rows
+    n_docs_total = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows.values()) == n_docs_total
+    for r in rows.values():
+        assert r.n_leaked == 0 and r.leak_share == 0.0
+    assert rows["train"].n_docs > sum(
+        r.n_docs for s, r in rows.items() if s != "train"
+    )

@@ -12,6 +12,14 @@ Usage:
     python tools/scale_check.py              # 10x, default query set
     python tools/scale_check.py --factor=5
     python tools/scale_check.py q1_pricing_summary minhash_lsh_pairs
+    python tools/scale_check.py --perturb-docs dedup_clusters  # see below
+
+--perturb-docs builds a SECOND replica set where every document token is
+salted with the replica index: within-replica near-dup structure (and the
+duplicate-mass fraction) is preserved exactly, but replicas cannot form
+cross-replica jaccard-1.0 clusters. Use it for the dedup/cluster family,
+whose plain-replica ratios are dominated by the replicated-fixture
+densification artifact rather than the plan's true scaling.
 
 Replication layout: <repo>/.scratch/scale/<factor>x/<table>.parquet, built
 once and reused (delete the directory to force a rebuild). Key columns are
@@ -70,10 +78,11 @@ DEFAULT_QUERIES = [
 ]
 
 
-def build_replica(spark, factor: int) -> str:
+def build_replica(spark, factor: int, perturb_docs: bool = False) -> str:
     root = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        ".scratch", "scale", f"{factor}x",
+        ".scratch", "scale",
+        f"{factor}x-perturbed" if perturb_docs else f"{factor}x",
     )
     marker = os.path.join(root, "_built")
     if os.path.isfile(marker):
@@ -92,6 +101,25 @@ def build_replica(spark, factor: int) -> str:
                     (F.col(f_.name) + F.col("__rep") * stride)
                     .cast(f_.dataType)
                     .alias(f_.name)
+                )
+            elif perturb_docs and t == "documents" and f_.name == "text":
+                # De-artifact variant (round-10 verdict item 5): salt EVERY
+                # token with the replica index, so within-replica shingle
+                # sets are isomorphic (same token count, same internal
+                # near-dup structure and duplicate-mass FRACTION as sf0.1)
+                # while cross-replica 3-shingle jaccard is 0 — replicas
+                # cannot collapse into jaccard-1.0 mega-clusters. This is
+                # the scaling a real 100 TB corpus has: N× the docs at the
+                # SAME duplicate density, not N× copies of every doc.
+                # (A suffix-only perturbation would NOT suffice: two
+                # replicas of a k-shingle doc would still share k-1
+                # shingles, jaccard (k-1)/(k+1) >= 0.5 for k >= 3.)
+                cols.append(
+                    F.regexp_replace(
+                        F.col("text"),
+                        F.lit("([A-Za-z0-9]+)"),
+                        F.concat(F.lit("$1x"), F.col("__rep").cast("string")),
+                    ).alias("text")
                 )
             else:
                 cols.append(F.col(f_.name))
@@ -112,13 +140,14 @@ def time_query(qfn, spark, sf_dir: str) -> float:
 def main() -> None:
     names = [a for a in sys.argv[1:] if not a.startswith("--")]
     factor = 10
+    perturb = "--perturb-docs" in sys.argv[1:]
     for a in sys.argv[1:]:
         if a.startswith("--factor="):
             factor = int(a.split("=", 1)[1])
     names = names or DEFAULT_QUERIES
     spark = get_spark()
     qs = all_queries()
-    rep_dir = build_replica(spark, factor)
+    rep_dir = build_replica(spark, factor, perturb_docs=perturb)
     out = {}
     for n in names:
         if n not in qs:
@@ -149,7 +178,7 @@ def main() -> None:
             f"({out[n]['ratio']}x; min {base_ts[0]:.2f}s -> {rep_ts[0]:.2f}s)",
             flush=True,
         )
-    print(json.dumps({"factor": factor, "queries": out}))
+    print(json.dumps({"factor": factor, "perturbed_docs": perturb, "queries": out}))
 
 
 if __name__ == "__main__":
