@@ -750,3 +750,73 @@ def weighted_khop_cheapest_compare(spark: SparkSession, sf_dir: str) -> DataFram
             F.col("hops") > 0, F.expr("min_cost DIV hops")
         ).alias("cost_per_hop"),
     )
+
+
+@query(
+    "trade_graph_degree_assortativity",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    dd AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src),
+    ed AS (
+      SELECT a.d AS dx, b.d AS dy
+      FROM edges e
+      JOIN dd a ON e.src = a.src
+      JOIN dd b ON e.dst = b.src
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(CAST(dx AS HUGEINT)) AS sx,
+             SUM(CAST(dx AS HUGEINT) * dy) AS sxy,
+             SUM(CAST(dx AS HUGEINT) * dx) AS sxx
+      FROM ed
+    )
+    SELECT CAST(n AS BIGINT) AS n_edges,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM dd) AS n_nodes,
+           CASE WHEN n * sxx - sx * sx > 0
+                THEN CAST(n * sxy - sx * sx AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE)
+           END AS assortativity
+    FROM s
+    """,
+    tags=("graph", "telemetry", "stats"),
+)
+def trade_graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the trade graph (Newman's r): the Pearson
+    correlation of endpoint degrees over all directed stubs of the
+    symmetric edge list — do high-degree customers trade with high-degree
+    suppliers (r > 0, hub-hub) or with the periphery (r < 0,
+    hub-and-spoke)? Bipartite trade graphs are typically disassortative;
+    the single scalar is the structure-drift telemetry a graph pipeline
+    checks before trusting degree-targeted sampling or partitioning.
+
+    Exactness: degrees are exact int64 counts; every sum (Σx, Σxy, Σx²)
+    accumulates in DECIMAL(38,0) on the engine side and HUGEINT in the
+    oracle — exact and associative, so shuffle order cannot change them —
+    and by the symmetric-list identity Σx = Σy, Σx² = Σy² the correlation
+    reduces to (nΣxy − (Σx)²)/(nΣx² − (Σx)²): ONE IEEE division of two
+    exactly-computed integers (NULL for a degree-regular graph, where the
+    denominator is 0). Plan: degree table from one group-by of the
+    session-cached edge list, two hash joins edge⋈deg, a single partial-
+    aggregatable 4-sum fold to one row — no windows, no driver math."""
+    edges, _nodes, deg = _build_graph(spark, sf_dir)
+    dsrc = deg.select(F.col("deg_node").alias("src"), F.col("out_deg").alias("dx"))
+    ddst = deg.select(F.col("deg_node").alias("dst"), F.col("out_deg").alias("dy"))
+    ed = edges.join(dsrc, "src").join(ddst, "dst")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = ed.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("dx"))).alias("sx"),
+        F.sum(dec(F.col("dx") * F.col("dy"))).alias("sxy"),
+        F.sum(dec(F.col("dx") * F.col("dx"))).alias("sxx"),
+    )
+    nn = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    ndec = dec(F.col("n"))
+    num = ndec * F.col("sxy") - F.col("sx") * F.col("sx")
+    den = ndec * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.crossJoin(F.broadcast(nn)).select(
+        F.col("n").alias("n_edges"),
+        "n_nodes",
+        F.when(den > 0, num.cast("double") / den.cast("double")).alias(
+            "assortativity"
+        ),
+    )

@@ -1153,3 +1153,76 @@ def revenue_mom_growth_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         rnd((F.col("revenue") - prev) / prev, 6).alias("mom_growth"),
     )
+
+
+@query(
+    "events_dow_hour_profile",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             ((CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 3) % 7) AS dow,
+             ((CAST(floor(epoch(ts)) AS BIGINT) % 86400) // 3600) AS hour
+      FROM events
+    ),
+    g AS (
+      SELECT event_type, dow, hour, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM b GROUP BY 1, 2, 3
+    ),
+    t AS (
+      SELECT event_type, CAST(SUM(n_events) AS BIGINT) AS total
+      FROM g GROUP BY 1
+    )
+    SELECT g.event_type, g.dow, g.hour, g.n_events,
+           CAST(g.n_events AS DOUBLE) / t.total AS share,
+           (g.n_events - t.total / CAST(168 AS DOUBLE))
+             * (g.n_events - t.total / CAST(168 AS DOUBLE))
+             / (t.total / CAST(168 AS DOUBLE)) AS chi2_term
+    FROM g JOIN t ON g.event_type = t.event_type
+    """,
+    tags=("temporal", "events", "seasonality", "stats"),
+)
+def events_dow_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality profile: event volume per (type, day-of-week,
+    hour-of-day) cell with each cell's share of its type and its
+    chi-square contribution against the uniform-over-168-cells null — the
+    capacity-planning / traffic-shaping view (when does each event type
+    actually arrive?) and a drift alarm input (a chi2_term spike in a
+    formerly quiet cell is a schedule change). Only observed cells are
+    emitted; an absent (dow, hour) cell contributes total/168 to the full
+    statistic, which the consumer can add from the row count.
+
+    dow/hour come from pure epoch-second integer arithmetic
+    ((day + 3) % 7, 0 = Monday, UTC grid) — no calendar/timezone
+    functions, so the hostile session's America/New_York pin and engine
+    DOW-numbering conventions (Spark Sunday=1, DuckDB Sunday=0) cannot
+    skew the cells. share and chi2_term are IEEE expressions of two exact
+    int64 counts — identical across engines without rounding.
+
+    Plan: one scan + one partial-aggregatable group-by at event volume;
+    the per-type totals table is ≤|types| rows, broadcast back; every
+    downstream row count is ≤ |types|·168."""
+    ev = load_table(spark, sf_dir, "events")
+    # (day + 3) % 7 with day = floor-div: epoch seconds are positive for
+    # every fixture era, so integer div/mod are floor-consistent with the
+    # oracle's // and %.
+    day = F.expr("unix_micros(ts) div 1000000 div 86400")
+    hour = F.expr("unix_micros(ts) div 1000000 % 86400 div 3600")
+    g = ev.select(
+        "event_type",
+        ((day + F.lit(3)) % 7).alias("dow"),
+        hour.alias("hour"),
+    ).groupBy("event_type", "dow", "hour").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    t = g.groupBy("event_type").agg(F.sum("n_events").alias("total"))
+    e = F.col("total") / F.lit(168).cast("double")
+    return g.join(F.broadcast(t), "event_type").select(
+        "event_type",
+        "dow",
+        "hour",
+        "n_events",
+        (F.col("n_events").cast("double") / F.col("total")).alias("share"),
+        ((F.col("n_events") - e) * (F.col("n_events") - e) / e).alias(
+            "chi2_term"
+        ),
+    )

@@ -898,3 +898,108 @@ def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(spq, s.s_suppkey == spq.suppkey, "left_semi")
         .select("s_name", "s_acctbal")
     )
+
+
+@query(
+    "supplier_concentration_hhi",
+    oracle="""
+    WITH r AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS rev
+      FROM lineitem GROUP BY 1
+    ),
+    rn AS (
+      SELECT s.s_nationkey, r.rev
+      FROM r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    ),
+    t AS (
+      SELECT s_nationkey, CAST(SUM(rev) AS BIGINT) AS total
+      FROM rn GROUP BY 1
+    ),
+    sh AS (
+      SELECT rn.s_nationkey,
+             CAST((CAST(rn.rev AS HUGEINT) * 1000000) // t.total AS BIGINT)
+               AS ppm
+      FROM rn JOIN t ON rn.s_nationkey = t.s_nationkey
+      WHERE t.total > 0
+    ),
+    g AS (
+      SELECT s_nationkey,
+             CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+             CAST(SUM(ppm * ppm) AS BIGINT) AS sumsq_ppm
+      FROM sh GROUP BY 1
+    )
+    SELECT n.n_name, g.n_suppliers, t.total AS total_revenue_cents,
+           CAST(g.sumsq_ppm AS DOUBLE) / 1000000000000.0 AS hhi
+    FROM g
+    JOIN t ON g.s_nationkey = t.s_nationkey
+    JOIN nation n ON g.s_nationkey = n.n_nationkey
+    """,
+    tags=("tpch", "stats", "concentration"),
+)
+def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-concentration telemetry: the Herfindahl-Hirschman index of
+    supplier revenue within each nation — HHI = Σᵢ shareᵢ² over that
+    nation's suppliers, 1/n_suppliers (perfectly even) up to 1.0
+    (monopoly). The procurement-risk scalar a supply-chain dashboard
+    tracks per region, and the skew diagnostic for salting decisions on
+    supplier-keyed joins.
+
+    Exactness contract: revenue is exact integer cents per supplier (the
+    repo's floor(x·100+0.5) convention), and each share is quantized on a
+    fixed PPM grid — shareᵢ_ppm = floor(revᵢ·10⁶ / total), exact integer
+    floor-division in both engines — so HHI = Σ ppmᵢ² / 10¹² where the
+    numerator is an exact int64 BELOW 2^53 (Σppm² ≤ (Σppm)² ≤ 10¹²) and
+    the divisor is a power of ten: one correctly-rounded IEEE division,
+    hash-identical across engines. The grid matters: the naive
+    Σrᵢ²/(Σrᵢ)² form needs >2^53 integers whose int→double conversion is
+    NOT correctly rounded in DuckDB (measured: CAST(9484180099² AS
+    DOUBLE) lands 1 ULP off) — the 2^53 ceiling is a hard cross-engine
+    premise, not pedantry. Quantization error is < 2·10⁻⁶ per nation,
+    far under any concentration-policy threshold.
+
+    Plan: one partial-aggregatable cents group-by over lineitem (the only
+    row-volume pass), a hash join to supplier (SF-scaled — NOT broadcast;
+    AQE may elect it at small SF), a |nations|-row totals aggregate
+    broadcast back for the share grid, a second |nations|-row aggregate,
+    and the 25-row nation dim join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    rn = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(cents).alias("rev"))
+        .join(s.select("s_suppkey", "s_nationkey"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_nationkey", "rev")
+    )
+    t = rn.groupBy("s_nationkey").agg(F.sum("rev").alias("total"))
+    # rev·10⁶ overflows int64 only in the monopoly limit (rev = total ≈
+    # 6e15 cents at 100 TB), so the product runs in DECIMAL(38,0); `div`
+    # is exact integer floor-division on decimals in Spark, `//` on
+    # HUGEINT in DuckDB — positive operands, so truncation == floor.
+    sh = (
+        rn.join(F.broadcast(t), "s_nationkey")
+        .filter(F.col("total") > 0)
+        .select(
+            "s_nationkey",
+            F.expr(
+                "CAST((CAST(rev AS DECIMAL(38,0)) * 1000000) div total AS BIGINT)"
+            ).alias("ppm"),
+        )
+    )
+    g = sh.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum(F.col("ppm") * F.col("ppm")).alias("sumsq_ppm"),
+    )
+    return (
+        g.join(t, "s_nationkey")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select(
+            "n_name",
+            "n_suppliers",
+            F.col("total").alias("total_revenue_cents"),
+            (F.col("sumsq_ppm").cast("double") / F.lit(1.0e12)).alias("hhi"),
+        )
+    )

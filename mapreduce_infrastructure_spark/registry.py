@@ -69,6 +69,9 @@ CERTIFIED_FIRST: tuple[str, ...] = (
     "split_assign_cluster_safe",
     "split_leakage_after_fix",
     "weighted_khop_cheapest_compare",
+    "trade_graph_degree_assortativity",
+    "supplier_concentration_hhi",
+    "events_dow_hour_profile",
     # --- the nine round-10 displacements (r5-vintage residue) ---
     "mr_grep",
     "ohlc_hourly_purchases",
@@ -118,15 +121,14 @@ CERTIFIED_FIRST: tuple[str, ...] = (
     "grouping_sets_mix",
     "having_heavy_customers",
     "join_region_customers",
-    "q3_shipping_priority",
-    "join_left_order_counts",
-    "join_semi_active",
-    # (join_anti_inactive, join_range_quantity_size and
-    #  join_full_nation_counts displaced by the three round-11 additions —
-    #  their r6 greens stand, join_range_quantity_size runs in every
-    #  bench.py headline set, and tests/test_oracle_queries.py mirrors all
-    #  three oracles each pytest run; they rotate with the round-12
-    #  r6-vintage tail.)
+    # (q3_shipping_priority, join_left_order_counts and join_semi_active
+    #  displaced by the second wave of round-11 additions, joining
+    #  join_anti_inactive, join_range_quantity_size and
+    #  join_full_nation_counts displaced by the first wave — their r6
+    #  greens stand, q3_shipping_priority and join_range_quantity_size run
+    #  in every bench.py headline set, and tests/test_oracle_queries.py
+    #  mirrors all six oracles each pytest run; they rotate with the
+    #  round-12 r6-vintage tail.)
 )
 
 

@@ -172,3 +172,34 @@ def test_weighted_khop_cheapest_compare_composition(spark, sf_dir):
             assert r.cost_per_hop is None and r.min_cost == 0
         else:
             assert r.cost_per_hop == r.min_cost // r.hops
+
+
+def test_degree_assortativity_scalar_reference(spark, sf_dir):
+    """Exact-integer Python recount of Newman's r over the collected edge
+    list: same stub sums, same single IEEE division — the engine value
+    must match bit-for-bit. Plus the structural expectations: bipartite
+    trade graphs are disassortative (r < 0) on any non-regular fixture,
+    and n_edges is the symmetric (doubled) count."""
+    from mapreduce_infrastructure_spark.operators.graph import (
+        _build_graph,
+        trade_graph_degree_assortativity,
+    )
+
+    row = trade_graph_degree_assortativity(spark, sf_dir).collect()[0]
+    edges, _n, _d = _build_graph(spark, sf_dir)
+    es = [(r.src, r.dst) for r in edges.collect()]
+    deg = {}
+    for u, _v in es:
+        deg[u] = deg.get(u, 0) + 1
+    n = len(es)
+    sx = sum(deg[u] for u, _ in es)
+    sxy = sum(deg[u] * deg[v] for u, v in es)
+    sxx = sum(deg[u] * deg[u] for u, _ in es)
+    assert row.n_edges == n and row.n_nodes == len(deg)
+    num, den = n * sxy - sx * sx, n * sxx - sx * sx
+    if den == 0:
+        assert row.assortativity is None
+    else:
+        assert row.assortativity == float(num) / float(den)
+        assert row.assortativity < 0  # bipartite hub-spoke structure
+    assert n % 2 == 0  # symmetric edge list

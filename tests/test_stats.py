@@ -567,3 +567,82 @@ def test_events_hourly_mad_anomaly_reference(spark, sf_dir):
         assert r["med"] == pytest.approx(med, rel=0, abs=1e-9)
         assert r["mad"] == pytest.approx(mad, rel=0, abs=1e-9)
         assert r["is_anomaly"] == (abs(r["n"] - med) > 3 * mad)
+
+
+def test_supplier_hhi_scalar_reference(spark, sf_dir):
+    """Exact-integer Python recount of the ppm-grid HHI from the raw
+    lineitem/supplier fixtures (same floor(x*100+0.5) cents, same
+    floor(rev*1e6/total) share grid, same single division by 1e12), plus
+    the HHI range law 1/n - quantization <= hhi <= 1."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from mapreduce_infrastructure_spark.operators.tpch_extra import (
+        supplier_concentration_hhi,
+    )
+
+    got = {r.n_name: r for r in supplier_concentration_hhi(spark, sf_dir).collect()}
+    li = pq.read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_suppkey", "l_extendedprice"]
+    ).to_pydict()
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pydict()
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pydict()
+    nk = dict(zip(sup["s_suppkey"], sup["s_nationkey"]))
+    nname = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    rev = {}
+    for sk, p in zip(li["l_suppkey"], li["l_extendedprice"]):
+        rev[sk] = rev.get(sk, 0) + int(math.floor(float(p) * 100 + 0.5))
+    by_nation = {}
+    for sk, r in rev.items():
+        by_nation.setdefault(nk[sk], []).append(r)
+    assert set(got) == {nname[k] for k in by_nation}
+    for k, revs in by_nation.items():
+        total = sum(revs)
+        ppms = [r * 1_000_000 // total for r in revs]
+        want_hhi = float(sum(p * p for p in ppms)) / 1.0e12
+        row = got[nname[k]]
+        assert row.n_suppliers == len(revs)
+        assert row.total_revenue_cents == total
+        assert row.hhi == want_hhi
+        assert 1.0 / len(revs) - 2e-6 <= row.hhi <= 1.0
+
+
+def test_events_dow_hour_profile_scalar_reference(spark, sf_dir):
+    """Python recount of the UTC epoch-arithmetic cells ((day+3)%7 dow,
+    0=Monday) and the exact share/chi2 float expressions; per-type cell
+    counts must sum to the type total and shares to 1.0 within one ulp
+    per cell."""
+    import pyarrow.parquet as pq
+
+    from mapreduce_infrastructure_spark.operators.temporal import (
+        events_dow_hour_profile,
+    )
+
+    rows = events_dow_hour_profile(spark, sf_dir).collect()
+    ev = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_type", "ts"]).to_pydict()
+    want = {}
+    for et, ts in zip(ev["event_type"], ev["ts"]):
+        sec = int(ts.timestamp())  # parquet ts is tz-aware or naive-utc
+        day, rem = divmod(sec, 86400)
+        cell = (et, (day + 3) % 7, rem // 3600)
+        want[cell] = want.get(cell, 0) + 1
+    totals = {}
+    for (et, _d, _h), n in want.items():
+        totals[et] = totals.get(et, 0) + n
+    got = {(r.event_type, r.dow, r.hour): r for r in rows}
+    assert set(got) == set(want)
+    for cell, n in want.items():
+        r = got[cell]
+        tot = totals[cell[0]]
+        assert r.n_events == n
+        assert 0 <= r.dow <= 6 and 0 <= r.hour <= 23
+        assert r.share == n / tot
+        e = tot / 168.0
+        assert r.chi2_term == (n - e) * (n - e) / e
+    for et, tot in totals.items():
+        assert sum(r.n_events for c, r in got.items() if c[0] == et) == tot
