@@ -1484,3 +1484,129 @@ def embedding_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cosine").alias("min_cos"),
         F.max("cosine").alias("max_cos"),
     )
+
+
+_RECIP_K = 3  # kNN-graph fanout for the reciprocity telemetry
+
+
+@query(
+    "knn_graph_reciprocity",
+    oracle=_ORACLE_VECTORS
+    + f"""
+    , s AS (
+      SELECT vec_id, d, nrm FROM n
+      ORDER BY md5('pdh:' || CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT {_PDH_K}
+    ),
+    cand AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             floor((list_sum(list_transform(generate_series(1, len(a.d)),
+                                            i -> a.d[i] * b.d[i]))
+                    / (a.nrm * b.nrm)) * 10000 + 0.5) / 10000 AS cosine
+      FROM s a JOIN s b ON a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+      SELECT src, dst,
+             CAST(row_number() OVER (PARTITION BY src
+                                     ORDER BY cosine DESC, dst) AS BIGINT)
+               AS rnk
+      FROM cand
+    ),
+    eg AS (SELECT src, dst, rnk FROM ranked WHERE rnk <= {_RECIP_K}),
+    per_k AS (
+      SELECT k.k AS k,
+             CAST(COUNT(*) AS BIGINT) AS n_edges,
+             CAST(SUM(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_mutual
+      FROM (SELECT unnest(generate_series(1, {_RECIP_K})) AS k) k
+      JOIN eg a ON a.rnk <= k.k
+      LEFT JOIN eg r ON r.src = a.dst AND r.dst = a.src AND r.rnk <= k.k
+      GROUP BY 1
+    )
+    SELECT k, n_edges, n_mutual,
+           CAST(n_mutual AS DOUBLE) / n_edges AS reciprocity
+    FROM per_k
+    """,
+    tags=("similarity", "knn", "calibration", "graph"),
+)
+def knn_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocity of the exact kNN graph over a FIXED-SIZE
+    content-addressed sample: for each k ≤ 3, the share of directed
+    top-k edges whose REVERSE edge is also a top-k edge. Low reciprocity
+    is the classic hubness symptom (a few vectors appear in everyone's
+    top-k but reciprocate almost nobody) — the embedding-health telemetry
+    a similarity pipeline checks before trusting kNN-graph construction
+    (mutual-kNN clustering, kNN-graph ANN indexes, dedup via mutual
+    pairs), next to `ann_recall_report` (index quality) and
+    `embedding_cosine_histogram` (threshold placement).
+
+    Same boundedness contract as the histogram: the md5-order top-K
+    sample (K = 128) caps the candidate join at K(K−1) rows at ANY
+    corpus size, so the all-pairs step can never re-grow as data scales;
+    the corpus scan is the only data-sized stage (TakeOrderedAndProject).
+    Counts are exact int64; reciprocity is one IEEE division. Ranking
+    ties break on (rounded cosine DESC, dst id) — deterministic across
+    engines. The scale path to a FULL-corpus kNN graph is the IVF/LSH
+    bucketing of the ann_* tier with this exact ranking as the per-bucket
+    verify; the sampled telemetry here estimates the same statistic at
+    fixed cost."""
+    from pyspark.sql import Window
+
+    vecs = _vectors(spark, sf_dir)
+    h = F.md5(
+        F.concat_ws(":", F.lit("pdh"), F.col("vec_id").cast("string")).cast(
+            "binary"
+        )
+    )
+    s = (
+        vecs.select("vec_id", "d", "nrm", h.alias("_h"))
+        .orderBy(F.col("_h"), F.col("vec_id"))
+        .limit(_PDH_K)
+        .select("vec_id", "d", "nrm")
+    )
+    a = s.select(
+        F.col("vec_id").alias("src"), F.col("d").alias("da"), F.col("nrm").alias("na")
+    )
+    b = s.select(
+        F.col("vec_id").alias("dst"), F.col("d").alias("db"), F.col("nrm").alias("nb")
+    )
+    cosine = rnd(_dot(F.col("da"), F.col("db")) / (F.col("na") * F.col("nb")), 4)
+    cand = a.join(F.broadcast(b), F.col("src") != F.col("dst")).select(
+        "src", "dst", cosine.alias("cosine")
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.col("dst"))
+    e = (
+        cand.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= _RECIP_K)
+        .select("src", "dst", "rnk")
+    )
+    ks = spark.range(1, _RECIP_K + 1).select(F.col("id").alias("k"))
+    rev = e.select(
+        F.col("src").alias("rsrc"), F.col("dst").alias("rdst"),
+        F.col("rnk").alias("rrnk"),
+    )
+    per_k = (
+        ks.join(e, e.rnk <= F.col("k"))
+        .join(
+            rev,
+            (F.col("rsrc") == F.col("dst"))
+            & (F.col("rdst") == F.col("src"))
+            & (F.col("rrnk") <= F.col("k")),
+            "left",
+        )
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.sum(
+                F.when(F.col("rsrc").isNotNull(), 1).otherwise(0)
+            ).alias("n_mutual"),
+        )
+    )
+    return per_k.select(
+        "k",
+        "n_edges",
+        "n_mutual",
+        (F.col("n_mutual").cast("double") / F.col("n_edges")).alias(
+            "reciprocity"
+        ),
+    )

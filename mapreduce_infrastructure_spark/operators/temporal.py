@@ -1155,9 +1155,10 @@ def revenue_mom_growth_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "events_dow_hour_profile",
-    oracle="""
+# Shared with the streaming twin in streaming/stream.py (the OHLC_ORACLE
+# pattern): one statement of the dow/hour cell grid and the share/chi2
+# arithmetic, so batch and stream cannot drift.
+DOW_HOUR_PROFILE_ORACLE = """
     WITH b AS (
       SELECT event_type,
              ((CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 3) % 7) AS dow,
@@ -1178,7 +1179,12 @@ def revenue_mom_growth_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
              * (g.n_events - t.total / CAST(168 AS DOUBLE))
              / (t.total / CAST(168 AS DOUBLE)) AS chi2_term
     FROM g JOIN t ON g.event_type = t.event_type
-    """,
+    """
+
+
+@query(
+    "events_dow_hour_profile",
+    oracle=DOW_HOUR_PROFILE_ORACLE,
     tags=("temporal", "events", "seasonality", "stats"),
 )
 def events_dow_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -72,6 +72,8 @@ CERTIFIED_FIRST: tuple[str, ...] = (
     "trade_graph_degree_assortativity",
     "supplier_concentration_hhi",
     "events_dow_hour_profile",
+    "stream_dow_hour_profile",
+    "knn_graph_reciprocity",
     # --- the nine round-10 displacements (r5-vintage residue) ---
     "mr_grep",
     "ohlc_hourly_purchases",
@@ -119,16 +121,16 @@ CERTIFIED_FIRST: tuple[str, ...] = (
     "rollup_returns",
     "cube_orders",
     "grouping_sets_mix",
-    "having_heavy_customers",
-    "join_region_customers",
-    # (q3_shipping_priority, join_left_order_counts and join_semi_active
-    #  displaced by the second wave of round-11 additions, joining
-    #  join_anti_inactive, join_range_quantity_size and
-    #  join_full_nation_counts displaced by the first wave — their r6
-    #  greens stand, q3_shipping_priority and join_range_quantity_size run
-    #  in every bench.py headline set, and tests/test_oracle_queries.py
-    #  mirrors all six oracles each pytest run; they rotate with the
-    #  round-12 r6-vintage tail.)
+    # (having_heavy_customers and join_region_customers displaced by the
+    #  third wave (stream_dow_hour_profile, knn_graph_reciprocity), after
+    #  q3_shipping_priority, join_left_order_counts and join_semi_active
+    #  by the second wave and join_anti_inactive,
+    #  join_range_quantity_size, join_full_nation_counts by the first —
+    #  their r6 greens stand, q3_shipping_priority /
+    #  join_range_quantity_size / join_region_customers run in every
+    #  bench.py headline set, and tests/test_oracle_queries.py mirrors
+    #  all eight oracles each pytest run; they rotate with the round-12
+    #  r6-vintage tail.)
 )
 
 

@@ -1434,3 +1434,69 @@ def stream_topk_users_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("uc.users").alias("user_id"),
         F.col("uc.counts").alias("n_events"),
     )
+
+
+@query(
+    "stream_dow_hour_profile",
+    oracle=None,  # set below — shares the batch twin's oracle verbatim
+    tags=("streaming", "seasonality", "stats"),
+)
+def stream_dow_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality profile computed INCREMENTALLY — the streaming
+    twin of temporal.events_dow_hour_profile, same oracle verbatim (the
+    shared DOW_HOUR_PROFILE_ORACLE constant), extending the batch↔stream
+    twin matrix (OHLC, ingest dedup, anomaly z-score) to the seasonality
+    tier.
+
+    The row-volume work is ONE incremental hash aggregate keyed by
+    (event_type, dow, hour) — the dow/hour cells come from the same pure
+    epoch-second integer arithmetic as the batch twin, computed per
+    micro-batch at scan speed, and the count folds into state exactly
+    like any streaming count. share and chi2_term need the per-type
+    TOTALS, which are not incrementally expressible per row — they are
+    derived POST-SINK from the ≤|types|·168-row memory table (one batch
+    aggregate + broadcast join over aggregate-sized data), the same
+    post-sink bridge stream_hourly_active_users uses for its join.
+
+    At 100 TB/day: state is one counter per (type, dow, hour) — at most
+    |types|·168 entries, the smallest state footprint in the streaming
+    tier; the post-sink share/chi2 derivation reads only the aggregate."""
+    ev = stream_events(spark, sf_dir)
+    day = F.expr("unix_micros(ts) div 1000000 div 86400")
+    hour = F.expr("unix_micros(ts) div 1000000 % 86400 div 3600")
+    g = (
+        ev.select(
+            "event_type",
+            ((day + F.lit(3)) % 7).alias("dow"),
+            hour.alias("hour"),
+        )
+        .groupBy("event_type", "dow", "hour")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    tbl = run_to_table(g, "stream_dow_hour_profile", mode="complete")
+    # Per-type totals via a window over the ≤|types|·168-row sink table
+    # (aggregate-sized — the bounded-window shape the plan guard exempts;
+    # a groupBy + self-join back onto the memory sink trips Spark's
+    # conflicting-reference resolution on MemoryPlan attributes).
+    from pyspark.sql import Window
+
+    total = F.sum("n_events").over(Window.partitionBy("event_type"))
+    e = total / F.lit(168).cast("double")
+    return tbl.select(
+        "event_type",
+        "dow",
+        "hour",
+        "n_events",
+        (F.col("n_events").cast("double") / total).alias("share"),
+        ((F.col("n_events") - e) * (F.col("n_events") - e) / e).alias(
+            "chi2_term"
+        ),
+    )
+
+
+# Late-bind the shared oracle (import at module top would be circular-prone
+# and the constant lives beside its batch twin).
+from ..operators.temporal import DOW_HOUR_PROFILE_ORACLE as _DHP_ORACLE  # noqa: E402
+from ..registry import _REGISTRY as _REG  # noqa: E402
+
+_REG["stream_dow_hour_profile"].oracle = _DHP_ORACLE

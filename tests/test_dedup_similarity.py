@@ -1418,3 +1418,62 @@ def test_prefix_dup_keep_policy_invariants(spark, sf_dir):
             assert r.keeper_id == keeper
             assert r.is_keeper == (d == keeper)
             assert r.n_members == len(members)
+
+
+def test_knn_graph_reciprocity_scalar_recount(spark, sf_dir):
+    """Full Python recount of the sampled kNN-graph reciprocity: same
+    md5-order 128-sample, same left-fold IEEE dot/norm arithmetic, same
+    floor(x*1e4+0.5) rounding and (cosine DESC, dst) tie-break, same
+    per-k mutual-edge count. Plus the structural laws: every sample node
+    emits exactly k edges, and mutual edges come in pairs (n_mutual is
+    even)."""
+    import hashlib
+    import math
+
+    import pyarrow.parquet as pq
+
+    rows = {r.k: r for r in similarity.knn_graph_reciprocity(spark, sf_dir).collect()}
+    emb = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_pydict()
+    vecs = {
+        int(v): [float(x) for x in d]
+        for v, d in zip(emb["vec_id"], emb["embedding"])
+    }
+    order = sorted(
+        vecs, key=lambda v: (hashlib.md5(f"pdh:{v}".encode()).hexdigest(), v)
+    )
+    sample = order[: similarity._PDH_K]
+
+    def norm(d):
+        acc = 0.0
+        for x in d:
+            acc = acc + x * x
+        return math.sqrt(acc)
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    nrm = {v: norm(vecs[v]) for v in sample}
+    edges = {}
+    for u in sample:
+        cands = []
+        for v in sample:
+            if v == u:
+                continue
+            c = dot(vecs[u], vecs[v]) / (nrm[u] * nrm[v])
+            cands.append((-(math.floor(c * 10000 + 0.5) / 10000), v))
+        cands.sort()
+        for rnk, (_negc, v) in enumerate(cands[: similarity._RECIP_K], start=1):
+            edges[(u, v)] = rnk
+    for k in range(1, similarity._RECIP_K + 1):
+        ek = {p for p, r in edges.items() if r <= k}
+        mutual = sum(1 for (u, v) in ek if (v, u) in ek)
+        row = rows[k]
+        assert row.n_edges == len(ek) == k * len(sample)
+        assert row.n_mutual == mutual
+        assert mutual % 2 == 0
+        assert row.reciprocity == mutual / len(ek)

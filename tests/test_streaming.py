@@ -730,3 +730,31 @@ def test_stream_full_join_multibatch_same_final_set(spark, sf_dir, tmp_path):
         for r in run_to_table(joined, "full_join_split_test", mode="append").collect()
     }
     assert got == single
+
+
+def test_stream_dow_hour_profile_matches_batch_twin(spark, sf_dir):
+    """The streaming seasonality profile must equal the batch twin
+    row-for-row (shared oracle constant; this pins the engine sides too),
+    and the incremental aggregate's post-sink share/chi2 derivation must
+    reproduce the batch expressions exactly."""
+    from mapreduce_infrastructure_spark.operators.temporal import (
+        events_dow_hour_profile,
+    )
+    from mapreduce_infrastructure_spark.streaming.stream import (
+        stream_dow_hour_profile,
+    )
+
+    batch = {
+        (r.event_type, r.dow, r.hour): (r.n_events, r.share, r.chi2_term)
+        for r in events_dow_hour_profile(spark, sf_dir).collect()
+    }
+    stream = {
+        (r.event_type, r.dow, r.hour): (r.n_events, r.share, r.chi2_term)
+        for r in stream_dow_hour_profile(spark, sf_dir).collect()
+    }
+    assert stream == batch
+    # registered oracles are the same object (cannot drift)
+    from mapreduce_infrastructure_spark.registry import all_queries
+
+    qs = all_queries()
+    assert qs["stream_dow_hour_profile"].oracle == qs["events_dow_hour_profile"].oracle
