@@ -134,6 +134,15 @@ FLAGSHIP_EXTRA = [
     "corpus_interleave_plan",
     "approx_vs_exact_quantile_error",
     "dedup_keeper_policy_sensitivity",
+    # round-11 additions (stream_dow_hour_profile executes eagerly and is
+    # audited by its twin-equality test instead)
+    "split_assign_cluster_safe",
+    "split_leakage_after_fix",
+    "weighted_khop_cheapest_compare",
+    "trade_graph_degree_assortativity",
+    "supplier_concentration_hhi",
+    "events_dow_hour_profile",
+    "knn_graph_reciprocity",
 ]
 
 JOIN_KINDS = [
