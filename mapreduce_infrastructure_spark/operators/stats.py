@@ -1014,3 +1014,148 @@ def events_hourly_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_RFM_DISC = """
+  SELECT seg,
+         MIN(CASE WHEN cd >= 0.25 THEN {v} END) AS {a}25,
+         MIN(CASE WHEN cd >= 0.5  THEN {v} END) AS {a}50,
+         MIN(CASE WHEN cd >= 0.75 THEN {v} END) AS {a}75
+  FROM (SELECT seg, {v},
+               cume_dist() OVER (PARTITION BY seg ORDER BY {v}) AS cd
+        FROM cm2)
+  GROUP BY 1
+"""
+
+
+@query(
+    "customer_rfm_segments",
+    oracle=f"""
+    WITH cm AS (
+      SELECT o_custkey,
+             MAX(CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400)
+               AS last_day,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS mon_cents
+      FROM orders GROUP BY 1
+    ),
+    cm2 AS (
+      SELECT c.c_mktsegment AS seg,
+             (SELECT MAX(last_day) FROM cm) - cm.last_day AS recency,
+             cm.freq, cm.mon_cents,
+             cm.mon_cents // 10000 AS mon_grid
+      FROM cm JOIN customer c ON cm.o_custkey = c.c_custkey
+    ),
+    tr AS ({_RFM_DISC.format(v="recency", a="r")}),
+    tf AS ({_RFM_DISC.format(v="freq", a="f")}),
+    tm AS ({_RFM_DISC.format(v="mon_grid", a="m")}),
+    b AS (
+      SELECT cm2.seg, cm2.mon_cents,
+             CAST(1 + CASE WHEN recency > r25 THEN 1 ELSE 0 END
+                    + CASE WHEN recency > r50 THEN 1 ELSE 0 END
+                    + CASE WHEN recency > r75 THEN 1 ELSE 0 END
+                  AS INTEGER) AS r_seg,
+             CAST(1 + CASE WHEN freq > f25 THEN 1 ELSE 0 END
+                    + CASE WHEN freq > f50 THEN 1 ELSE 0 END
+                    + CASE WHEN freq > f75 THEN 1 ELSE 0 END
+                  AS INTEGER) AS f_seg,
+             CAST(1 + CASE WHEN mon_grid > m25 THEN 1 ELSE 0 END
+                    + CASE WHEN mon_grid > m50 THEN 1 ELSE 0 END
+                    + CASE WHEN mon_grid > m75 THEN 1 ELSE 0 END
+                  AS INTEGER) AS m_seg
+      FROM cm2 JOIN tr USING (seg) JOIN tf USING (seg) JOIN tm USING (seg)
+    )
+    SELECT seg, r_seg, f_seg, m_seg,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(mon_cents) AS BIGINT) AS total_monetary_cents
+    FROM b GROUP BY 1, 2, 3, 4
+    """,
+    tags=("stats", "segmentation", "percentile"),
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic customer-curation operator: per
+    market segment, split customers into quartile classes on Recency
+    (days since last order), Frequency (order count) and Monetary (total
+    spend), then report each (R, F, M) cell's size and revenue. The same
+    shape an LLM-data pipeline uses to stratify sources by
+    recency/volume/quality before mixing.
+
+    Segment-relative quartiles (thresholds per c_mktsegment) keep every
+    percentile in the count-value-histogram closed form: recency is
+    calendar-bounded, frequency is count-bounded, and monetary is
+    quantized to a $100 grid — floor(cents/10⁴), domain bounded by the
+    maximum spend, not by row count — so each threshold window runs over
+    |distinct values| per segment, never |customers| (the ranks.py
+    discipline). Thresholds are the exact DISCRETE percentiles
+    (`hist_disc_percentile` == MIN(value WHERE cume_dist ≥ q), proven
+    equal in both engines), class assignment is pure integer comparison,
+    and the outputs are exact int64 — no FP anywhere. Customers with no
+    orders have no RFM coordinates and are excluded (inner join from the
+    orders aggregate), matching the oracle.
+
+    Plan: one partial-aggregatable per-customer fold over orders (the
+    row-volume pass), a key join to customer, a 1-row max-day broadcast,
+    three histogram threshold passes (segment-domain-sized), three
+    broadcast joins of ≤|segments|-row threshold tables, and a ≤
+    |segments|·64-row final aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    day = F.expr("unix_micros(o_orderdate) div 1000000 div 86400")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    cm = o.groupBy("o_custkey").agg(
+        F.max(day).alias("last_day"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(cents).alias("mon_cents"),
+    )
+    gmax = cm.agg(F.max("last_day").alias("gmax"))
+    cm2 = (
+        cm.join(
+            c.select("c_custkey", F.col("c_mktsegment").alias("seg")),
+            cm.o_custkey == F.col("c_custkey"),
+        )
+        .crossJoin(F.broadcast(gmax))
+        .select(
+            "seg",
+            (F.col("gmax") - F.col("last_day")).alias("recency"),
+            "freq",
+            "mon_cents",
+            F.expr("mon_cents div 10000").alias("mon_grid"),
+        )
+    )
+
+    def thresholds(measure: str, a: str) -> DataFrame:
+        return (
+            hist_cume_counts(cm2.select("seg", measure), ["seg"], measure)
+            .groupBy("seg")
+            .agg(
+                hist_disc_percentile(measure, 0.25, f"{a}25"),
+                hist_disc_percentile(measure, 0.5, f"{a}50"),
+                hist_disc_percentile(measure, 0.75, f"{a}75"),
+            )
+        )
+
+    def cls(measure: str, a: str) -> F.Column:
+        return (
+            F.lit(1)
+            + (F.col(measure) > F.col(f"{a}25")).cast("int")
+            + (F.col(measure) > F.col(f"{a}50")).cast("int")
+            + (F.col(measure) > F.col(f"{a}75")).cast("int")
+        ).cast("int")
+
+    b = (
+        cm2.join(F.broadcast(thresholds("recency", "r")), "seg")
+        .join(F.broadcast(thresholds("freq", "f")), "seg")
+        .join(F.broadcast(thresholds("mon_grid", "m")), "seg")
+        .select(
+            "seg",
+            "mon_cents",
+            cls("recency", "r").alias("r_seg"),
+            cls("freq", "f").alias("f_seg"),
+            cls("mon_grid", "m").alias("m_seg"),
+        )
+    )
+    return b.groupBy("seg", "r_seg", "f_seg", "m_seg").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("mon_cents").alias("total_monetary_cents"),
+    )

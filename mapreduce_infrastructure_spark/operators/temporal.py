@@ -1232,3 +1232,101 @@ def events_dow_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2_term"
         ),
     )
+
+
+@query(
+    "order_fulfillment_backlog",
+    oracle="""
+    WITH od AS (
+      SELECT o_orderkey,
+             CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS dopen
+      FROM orders
+    ),
+    cd AS (
+      SELECT l_orderkey,
+             MAX(CAST(floor(epoch(l_shipdate)) AS BIGINT) // 86400)
+               AS dclose
+      FROM lineitem GROUP BY 1
+    ),
+    oc AS (
+      SELECT od.dopen, cd.dclose
+      FROM od JOIN cd ON od.o_orderkey = cd.l_orderkey
+    ),
+    ev AS (
+      SELECT dopen AS day, 1 AS opened, 0 AS closed FROM oc
+      UNION ALL
+      SELECT dclose, 0, 1 FROM oc
+    ),
+    g AS (
+      SELECT day,
+             CAST(SUM(opened) AS BIGINT) AS n_opened,
+             CAST(SUM(closed) AS BIGINT) AS n_closed
+      FROM ev GROUP BY 1
+    )
+    SELECT day, n_opened, n_closed,
+           CAST(SUM(n_opened - n_closed) OVER (ORDER BY day) AS BIGINT)
+             AS backlog
+    FROM g
+    """,
+    tags=("temporal", "inventory", "prefix-sum"),
+)
+def order_fulfillment_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog over time — the fulfillment-operations series:
+    per active day, orders placed (n_opened), orders fully received
+    (n_closed = every line's receipt arrived, i.e. MAX(l_shipdate)),
+    and the running backlog = Σ(opened − closed) up to that day. An order
+    counts against the backlog from its order day through the day BEFORE
+    its close day (it leaves the series on the day it completes); between
+    listed days the backlog is constant at the previous row's value (only
+    event days are emitted). Day ids are pure epoch-day integers — the
+    same TZ-proof arithmetic as the dow/hour profile. The series is the
+    exact cumulative of the event deltas, so if the data contains
+    ship-before-order records (the synthetic fixture does) the backlog
+    may legitimately dip negative; it always returns to zero at the end
+    (total opens == total closes — test-pinned).
+
+    Scale shape: two partial-aggregatable folds at row volume (per-order
+    close day over lineitem, then per-day deltas), after which everything
+    is CALENDAR-bounded (one row per active day, ~2.5k for the TPC-H
+    range, ~36.5k for a century). The running sum uses
+    `bucketed_prefix_sum` with the global (no-stratum) form — the
+    cross-bucket offset pass is a window over the 32-row bucket table,
+    never a volume-scaled single partition; day is unique after the
+    group-by, satisfying its order-key precondition. The oracle states
+    the same series as a plain cumulative window, safe at oracle scale."""
+    from ..functions.ranks import bucketed_prefix_sum
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    od = o.select(
+        "o_orderkey",
+        F.expr("unix_micros(o_orderdate) div 1000000 div 86400").alias("dopen"),
+    )
+    cd = li.groupBy("l_orderkey").agg(
+        F.max(
+            F.expr("unix_micros(l_shipdate) div 1000000 div 86400")
+        ).alias("dclose")
+    )
+    oc = od.join(cd, od.o_orderkey == cd.l_orderkey).select("dopen", "dclose")
+    ev = oc.select(
+        F.col("dopen").alias("day"),
+        F.lit(1).alias("opened"),
+        F.lit(0).alias("closed"),
+    ).unionByName(
+        oc.select(
+            F.col("dclose").alias("day"),
+            F.lit(0).alias("opened"),
+            F.lit(1).alias("closed"),
+        )
+    )
+    g = ev.groupBy("day").agg(
+        F.sum("opened").alias("n_opened"),
+        F.sum("closed").alias("n_closed"),
+    )
+    return bucketed_prefix_sum(
+        g,
+        [],
+        "day",
+        F.col("n_opened") - F.col("n_closed"),
+        cum_alias="backlog",
+    )

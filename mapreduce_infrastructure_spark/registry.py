@@ -74,6 +74,8 @@ CERTIFIED_FIRST: tuple[str, ...] = (
     "events_dow_hour_profile",
     "stream_dow_hour_profile",
     "knn_graph_reciprocity",
+    "customer_rfm_segments",
+    "order_fulfillment_backlog",
     # --- the nine round-10 displacements (r5-vintage residue) ---
     "mr_grep",
     "ohlc_hourly_purchases",
@@ -119,9 +121,9 @@ CERTIFIED_FIRST: tuple[str, ...] = (
     "distinct_pairs",
     "count_distinct",
     "rollup_returns",
-    "cube_orders",
-    "grouping_sets_mix",
-    # (having_heavy_customers and join_region_customers displaced by the
+    # (cube_orders and grouping_sets_mix displaced by the fourth wave
+    #  (customer_rfm_segments, order_fulfillment_backlog);
+    #  having_heavy_customers and join_region_customers displaced by the
     #  third wave (stream_dow_hour_profile, knn_graph_reciprocity), after
     #  q3_shipping_priority, join_left_order_counts and join_semi_active
     #  by the second wave and join_anti_inactive,
@@ -129,7 +131,7 @@ CERTIFIED_FIRST: tuple[str, ...] = (
     #  their r6 greens stand, q3_shipping_priority /
     #  join_range_quantity_size / join_region_customers run in every
     #  bench.py headline set, and tests/test_oracle_queries.py mirrors
-    #  all eight oracles each pytest run; they rotate with the round-12
+    #  all ten oracles each pytest run; they rotate with the round-12
     #  r6-vintage tail.)
 )
 

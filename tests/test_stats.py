@@ -646,3 +646,74 @@ def test_events_dow_hour_profile_scalar_reference(spark, sf_dir):
         assert r.chi2_term == (n - e) * (n - e) / e
     for et, tot in totals.items():
         assert sum(r.n_events for c, r in got.items() if c[0] == et) == tot
+
+
+def test_customer_rfm_segments_scalar_reference(spark, sf_dir):
+    """Full Python recount of the RFM pipeline from the raw parquet:
+    per-customer (recency, freq, monetary-cents) with the $100 monetary
+    grid, per-mktsegment discrete quartile thresholds (smallest value
+    whose cume_dist reaches q), integer class assignment, exact cell
+    counts and revenue."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from mapreduce_infrastructure_spark.operators.stats import (
+        customer_rfm_segments,
+    )
+
+    got = {
+        (r.seg, r.r_seg, r.f_seg, r.m_seg): (r.n_customers, r.total_monetary_cents)
+        for r in customer_rfm_segments(spark, sf_dir).collect()
+    }
+    o = pq.read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    ).to_pydict()
+    c = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).to_pydict()
+    seg_of = dict(zip(c["c_custkey"], c["c_mktsegment"]))
+    cm = {}
+    for ck, d, p in zip(o["o_custkey"], o["o_orderdate"], o["o_totalprice"]):
+        day = int(d.timestamp()) // 86400
+        last, freq, cents = cm.get(ck, (-(10**9), 0, 0))
+        cm[ck] = (max(last, day), freq + 1,
+                  cents + int(math.floor(float(p) * 100 + 0.5)))
+    gmax = max(v[0] for v in cm.values())
+    rows = [
+        (seg_of[ck], gmax - last, freq, cents, cents // 10000)
+        for ck, (last, freq, cents) in cm.items()
+    ]
+
+    def disc(vals, q):
+        vals = sorted(vals)
+        n = len(vals)
+        for i, v in enumerate(vals, start=1):
+            if i / n >= q:
+                return v
+        return vals[-1]
+
+    want = {}
+    by_seg = {}
+    for seg, rec, freq, cents, grid in rows:
+        by_seg.setdefault(seg, []).append((rec, freq, grid))
+    thr = {
+        seg: tuple(
+            tuple(disc([t[i] for t in ts], q) for q in (0.25, 0.5, 0.75))
+            for i in range(3)
+        )
+        for seg, ts in by_seg.items()
+    }
+    for seg, rec, freq, cents, grid in rows:
+        (tr, tf, tm) = thr[seg]
+        cell = (
+            seg,
+            1 + sum(rec > t for t in tr),
+            1 + sum(freq > t for t in tf),
+            1 + sum(grid > t for t in tm),
+        )
+        n, tot = want.get(cell, (0, 0))
+        want[cell] = (n + 1, tot + cents)
+    assert got == want
+    assert sum(n for n, _ in got.values()) == len(cm)

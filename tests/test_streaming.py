@@ -758,3 +758,51 @@ def test_stream_dow_hour_profile_matches_batch_twin(spark, sf_dir):
 
     qs = all_queries()
     assert qs["stream_dow_hour_profile"].oracle == qs["events_dow_hour_profile"].oracle
+
+
+def test_order_backlog_scalar_reference(spark, sf_dir):
+    """Python recount of the open-order backlog series plus the
+    conservation law: backlog returns to ZERO on the last event day
+    (every order closes — total opens == total closes). NOTE the
+    synthetic fixture does NOT enforce shipdate >= orderdate (some lines
+    ship before their order date), so intermediate backlog values may
+    legitimately dip negative; the series is still the exact cumulative
+    of the event deltas, which is what the recount pins."""
+    import pyarrow.parquet as pq
+
+    from mapreduce_infrastructure_spark.operators.temporal import (
+        order_fulfillment_backlog,
+    )
+
+    rows = sorted(
+        order_fulfillment_backlog(spark, sf_dir).collect(), key=lambda r: r.day
+    )
+    o = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    ).to_pydict()
+    li = pq.read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    ).to_pydict()
+    dopen = {
+        k: int(d.timestamp()) // 86400
+        for k, d in zip(o["o_orderkey"], o["o_orderdate"])
+    }
+    dclose = {}
+    for k, d in zip(li["l_orderkey"], li["l_shipdate"]):
+        day = int(d.timestamp()) // 86400
+        dclose[k] = max(dclose.get(k, -(10**9)), day)
+    ev = {}
+    for k, dc in dclose.items():
+        do = dopen[k]
+        op, cl = ev.get(do, (0, 0))
+        ev[do] = (op + 1, cl)
+        op, cl = ev.get(dc, (0, 0))
+        ev[dc] = (op, cl + 1)
+    bk, want = 0, {}
+    for day in sorted(ev):
+        op, cl = ev[day]
+        bk += op - cl
+        want[day] = (op, cl, bk)
+    got = {r.day: (r.n_opened, r.n_closed, r.backlog) for r in rows}
+    assert got == want
+    assert rows[-1].backlog == 0
