@@ -1610,3 +1610,103 @@ def knn_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "reciprocity"
         ),
     )
+
+
+@query(
+    "knn_label_purity",
+    oracle=_ORACLE_VECTORS
+    + f"""
+    , lbl AS (SELECT vec_id, label FROM embeddings),
+    s AS (
+      SELECT n.vec_id, n.d, n.nrm, l.label
+      FROM n JOIN lbl l ON n.vec_id = l.vec_id
+      ORDER BY md5('pdh:' || CAST(n.vec_id AS VARCHAR)), n.vec_id
+      LIMIT {_PDH_K}
+    ),
+    cand AS (
+      SELECT a.vec_id AS src, a.label AS src_label, b.label AS dst_label,
+             floor((list_sum(list_transform(generate_series(1, len(a.d)),
+                                            i -> a.d[i] * b.d[i]))
+                    / (a.nrm * b.nrm)) * 10000 + 0.5) / 10000 AS cosine,
+             b.vec_id AS dst
+      FROM s a JOIN s b ON a.vec_id <> b.vec_id
+    ),
+    nn AS (
+      SELECT src, src_label, dst_label
+      FROM (
+        SELECT src, src_label, dst_label,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY cosine DESC, dst) AS rnk
+        FROM cand
+      ) WHERE rnk = 1
+    )
+    SELECT src_label AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(SUM(CASE WHEN dst_label = src_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_nn_same,
+           CAST(SUM(CASE WHEN dst_label = src_label THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS purity
+    FROM nn GROUP BY 1
+    """,
+    tags=("similarity", "knn", "quality", "labels"),
+)
+def knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-NN label purity per class over the fixed-128 md5-ordered sample:
+    for each sampled vector, does its nearest neighbor (exact cosine,
+    deterministic tie-break) carry the same label? The classic
+    embedding-quality probe — high purity means the space clusters by
+    label (classifier-by-retrieval, cluster-assignment, and dedup-by-
+    label workflows can trust it); a label whose purity sits at chance is
+    one the embedding can't separate. Completes the sampled kNN-health
+    trio: recall (`ann_recall_report`), reciprocity
+    (`knn_graph_reciprocity`), purity (this).
+
+    Same boundedness contract as its siblings: the candidate join is
+    capped at K(K−1) rows at ANY corpus size; counts exact, one IEEE
+    division per label row."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = _as_double("embedding")
+    vecs = emb.select(
+        "vec_id", d.alias("d"), _norm(d).alias("nrm"), "label"
+    )
+    h = F.md5(
+        F.concat_ws(":", F.lit("pdh"), F.col("vec_id").cast("string")).cast(
+            "binary"
+        )
+    )
+    s = (
+        vecs.select("vec_id", "d", "nrm", "label", h.alias("_h"))
+        .orderBy(F.col("_h"), F.col("vec_id"))
+        .limit(_PDH_K)
+        .select("vec_id", "d", "nrm", "label")
+    )
+    a = s.select(
+        F.col("vec_id").alias("src"),
+        F.col("d").alias("da"),
+        F.col("nrm").alias("na"),
+        F.col("label").alias("src_label"),
+    )
+    b = s.select(
+        F.col("vec_id").alias("dst"),
+        F.col("d").alias("db"),
+        F.col("nrm").alias("nb"),
+        F.col("label").alias("dst_label"),
+    )
+    cosine = rnd(_dot(F.col("da"), F.col("db")) / (F.col("na") * F.col("nb")), 4)
+    cand = a.join(F.broadcast(b), F.col("src") != F.col("dst")).select(
+        "src", "src_label", "dst_label", cosine.alias("cosine"), "dst"
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.col("dst"))
+    nn = (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("src_label", "dst_label")
+    )
+    same = (F.col("dst_label") == F.col("src_label")).cast("int")
+    return nn.groupBy(F.col("src_label").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum(same).alias("n_nn_same"),
+        (F.sum(same).cast("double") / F.count(F.lit(1))).alias("purity"),
+    )

@@ -1003,3 +1003,85 @@ def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sumsq_ppm").cast("double") / F.lit(1.0e12)).alias("hhi"),
         )
     )
+
+
+@query(
+    "nation_trade_balance_matrix",
+    oracle="""
+    WITH f AS (
+      SELECT c.c_nationkey AS ck, s.s_nationkey AS sk,
+             CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    ),
+    g AS (
+      SELECT ck, sk,
+             CAST(COUNT(*) AS BIGINT) AS n_lines,
+             CAST(SUM(cents) AS BIGINT) AS revenue_cents
+      FROM f GROUP BY 1, 2
+    ),
+    t AS (SELECT CAST(SUM(revenue_cents) AS BIGINT) AS total FROM g)
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           g.n_lines, g.revenue_cents,
+           CAST(g.revenue_cents AS DOUBLE) / t.total AS revenue_share
+    FROM g
+    JOIN nation cn ON g.ck = cn.n_nationkey
+    JOIN nation sn ON g.sk = sn.n_nationkey
+    CROSS JOIN t
+    """,
+    tags=("tpch", "join", "matrix"),
+)
+def nation_trade_balance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilateral trade-flow matrix: revenue between every (customer
+    nation, supplier nation) pair — the international-flow rollup q7
+    computes for ONE nation pair, generalized to the dense |nations|²
+    matrix, with each cell's share of world trade. The aggregate a
+    trade-balance dashboard or a join-reordering benchmark reads.
+
+    Exactness: cell revenue is exact integer cents; the share divides two
+    exact int64 sums (total world revenue at 100 TB ≈ 2e13 cents — inside
+    2^53, the cross-engine conversion ceiling the HHI query documents).
+
+    Plan: the 4-table star join (lineitem⋈orders on orderkey — the
+    bucketed-layout candidate; customer and supplier are key joins AQE
+    may broadcast at small SF), ONE partial-aggregatable group-by down to
+    ≤|nations|² rows, a 1-row total broadcast, and two 25-row nation-name
+    broadcasts. The only row-volume stages are the scans and the star
+    join itself."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    g = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("ck"), F.col("s_nationkey").alias("sk")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(cents).alias("revenue_cents"),
+        )
+    )
+    t = g.agg(F.sum("revenue_cents").alias("total"))
+    cn = n.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation"))
+    sn = n.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation"))
+    return (
+        g.join(F.broadcast(cn), "ck")
+        .join(F.broadcast(sn), "sk")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "cust_nation",
+            "supp_nation",
+            "n_lines",
+            "revenue_cents",
+            (F.col("revenue_cents").cast("double") / F.col("total")).alias(
+                "revenue_share"
+            ),
+        )
+    )

@@ -76,6 +76,8 @@ CERTIFIED_FIRST: tuple[str, ...] = (
     "knn_graph_reciprocity",
     "customer_rfm_segments",
     "order_fulfillment_backlog",
+    "nation_trade_balance_matrix",
+    "knn_label_purity",
     # --- the nine round-10 displacements (r5-vintage residue) ---
     "mr_grep",
     "ohlc_hourly_purchases",
@@ -119,9 +121,9 @@ CERTIFIED_FIRST: tuple[str, ...] = (
     "filter_project",
     "agg_stats",
     "distinct_pairs",
-    "count_distinct",
-    "rollup_returns",
-    # (cube_orders and grouping_sets_mix displaced by the fourth wave
+    # (count_distinct and rollup_returns displaced by the fifth wave
+    #  (nation_trade_balance_matrix, knn_label_purity);
+    #  cube_orders and grouping_sets_mix displaced by the fourth wave
     #  (customer_rfm_segments, order_fulfillment_backlog);
     #  having_heavy_customers and join_region_customers displaced by the
     #  third wave (stream_dow_hour_profile, knn_graph_reciprocity), after
@@ -131,7 +133,7 @@ CERTIFIED_FIRST: tuple[str, ...] = (
     #  their r6 greens stand, q3_shipping_priority /
     #  join_range_quantity_size / join_region_customers run in every
     #  bench.py headline set, and tests/test_oracle_queries.py mirrors
-    #  all ten oracles each pytest run; they rotate with the round-12
+    #  all twelve oracles each pytest run; they rotate with the round-12
     #  r6-vintage tail.)
 )
 

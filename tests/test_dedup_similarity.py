@@ -1477,3 +1477,59 @@ def test_knn_graph_reciprocity_scalar_recount(spark, sf_dir):
         assert row.n_mutual == mutual
         assert mutual % 2 == 0
         assert row.reciprocity == mutual / len(ek)
+
+
+def test_knn_label_purity_scalar_recount(spark, sf_dir):
+    """Python recount of per-label 1-NN purity over the md5-ordered
+    sample (same IEEE left-fold arithmetic, same tie-break), plus the
+    partition law: per-label sample sizes sum to the sample size."""
+    import hashlib
+    import math
+
+    import pyarrow.parquet as pq
+
+    rows = {r.label: r for r in similarity.knn_label_purity(spark, sf_dir).collect()}
+    emb = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    ).to_pydict()
+    vecs = {
+        int(v): ([float(x) for x in d], int(lb))
+        for v, d, lb in zip(emb["vec_id"], emb["embedding"], emb["label"])
+    }
+    order = sorted(
+        vecs, key=lambda v: (hashlib.md5(f"pdh:{v}".encode()).hexdigest(), v)
+    )
+    sample = order[: similarity._PDH_K]
+
+    def norm(d):
+        acc = 0.0
+        for x in d:
+            acc = acc + x * x
+        return math.sqrt(acc)
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    nrm = {v: norm(vecs[v][0]) for v in sample}
+    want = {}
+    for u in sample:
+        best = None
+        for v in sample:
+            if v == u:
+                continue
+            c = dot(vecs[u][0], vecs[v][0]) / (nrm[u] * nrm[v])
+            key = (-(math.floor(c * 10000 + 0.5) / 10000), v)
+            if best is None or key < best[0]:
+                best = (key, v)
+        lu, lv = vecs[u][1], vecs[best[1]][1]
+        ns, same = want.get(lu, (0, 0))
+        want[lu] = (ns + 1, same + (1 if lu == lv else 0))
+    assert set(rows) == set(want)
+    for lb, (ns, same) in want.items():
+        r = rows[lb]
+        assert (r.n_sampled, r.n_nn_same) == (ns, same)
+        assert r.purity == same / ns
+    assert sum(r.n_sampled for r in rows.values()) == len(sample)

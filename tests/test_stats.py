@@ -717,3 +717,51 @@ def test_customer_rfm_segments_scalar_reference(spark, sf_dir):
         want[cell] = (n + 1, tot + cents)
     assert got == want
     assert sum(n for n, _ in got.values()) == len(cm)
+
+
+def test_nation_trade_matrix_scalar_reference(spark, sf_dir):
+    """Python recount of the bilateral trade matrix from raw parquet
+    (exact cents, exact counts, share = cell/total), plus the matrix
+    laws: shares sum to 1.0 within one ulp per cell and the total equals
+    the lineitem-wide cents sum."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from mapreduce_infrastructure_spark.operators.tpch_extra import (
+        nation_trade_balance_matrix,
+    )
+
+    got = {
+        (r.cust_nation, r.supp_nation): (r.n_lines, r.revenue_cents, r.revenue_share)
+        for r in nation_trade_balance_matrix(spark, sf_dir).collect()
+    }
+    li = pq.read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice"],
+    ).to_pydict()
+    o = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).to_pydict()
+    c = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pydict()
+    s = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pydict()
+    n = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pydict()
+    cust_of = dict(zip(o["o_orderkey"], o["o_custkey"]))
+    cnat = dict(zip(c["c_custkey"], c["c_nationkey"]))
+    snat = dict(zip(s["s_suppkey"], s["s_nationkey"]))
+    nname = dict(zip(n["n_nationkey"], n["n_name"]))
+    cells = {}
+    for ok, sk, p in zip(li["l_orderkey"], li["l_suppkey"], li["l_extendedprice"]):
+        key = (nname[cnat[cust_of[ok]]], nname[snat[sk]])
+        nl, cents = cells.get(key, (0, 0))
+        cells[key] = (nl + 1, cents + int(math.floor(float(p) * 100 + 0.5)))
+    total = sum(v[1] for v in cells.values())
+    want = {k: (nl, cents, cents / total) for k, (nl, cents) in cells.items()}
+    assert got == want
+    assert abs(sum(sh for _, _, sh in got.values()) - 1.0) < 1e-9
