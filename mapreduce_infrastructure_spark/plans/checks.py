@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import re
 
 from pyspark.sql import DataFrame
 
@@ -72,6 +73,14 @@ def single_partition_squeezes(plan: str) -> list[str]:
             "keys=[]" in child  # scalar partial agg: 1 row per partition
             or "LocalLimit" in child  # ≤ k rows per partition
             or "LocalTableScan" in child  # literal frame
+            # bucketed_prefix_sum/max's cross-bucket offset pass: the
+            # aggregate is keyed by the internal range-bucket id (_psb /
+            # _pmb — ranks.py's reserved names), so its row count is
+            # bounded by the n_buckets KNOB (strata × 32 by default),
+            # never by data volume. Recognizing the shape here keeps
+            # every global (no-stratum) prefix caller out of the
+            # per-query allowlist.
+            or re.search(r"keys=\[_p[sm]b#\d+", child) is not None
         )
         if not bounded:
             bad.append(child.strip())

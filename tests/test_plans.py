@@ -399,3 +399,35 @@ def test_ppjoin_no_cartesian(spark, sf_dir):
     # prefix rank present.
     plan = checks.explain_str(df)
     assert "least(" in plan and "row_number" in plan.lower()
+
+
+def test_squeeze_checker_exempts_bucket_offset_but_flags_keyed_aggs(spark, sf_dir):
+    """The round-11 checker exemption (bucketed_prefix_* offset passes,
+    keyed by the internal _psb/_pmb range-bucket id — n_buckets-bounded)
+    must pass the global prefix-sum plan while a genuine dimension-keyed
+    aggregate squeezed through one partition stays flagged — guards the
+    exemption against rotting into a blanket pass."""
+    from pyspark.sql import Window, functions as F
+
+    from mapreduce_infrastructure_spark.catalog import load_table
+    from mapreduce_infrastructure_spark.functions.ranks import (
+        bucketed_prefix_sum,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    g = o.groupBy(
+        F.expr("unix_micros(o_orderdate) div 1000000 div 86400").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    good = bucketed_prefix_sum(g, [], "day", "n")
+    assert not checks.single_partition_squeezes(
+        checks.explain_str(good, "simple")
+    )
+    naive = g.withColumn(
+        "cum",
+        F.sum("n").over(
+            Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    assert checks.single_partition_squeezes(
+        checks.explain_str(naive, "simple")
+    )
