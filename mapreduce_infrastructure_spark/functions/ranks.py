@@ -344,3 +344,65 @@ def ntile_from_rank(rank: Column, n: Column, k: int) -> Column:
         .otherwise(rem + F.floor((rank - big - 1) / F.greatest(q, F.lit(1))) + 1)
         .cast("long")
     )
+
+
+def kth_order_statistic(
+    df: DataFrame,
+    value_col: str,
+    k: int,
+    n_buckets: int = PREFIX_SUM_BUCKETS,
+) -> int:
+    """EXACT k-th smallest value (1-indexed) of an int64 column with an
+    UNBOUNDED domain — the primitive the count-value-histogram closed
+    forms cannot cover (they need |distinct values| bounded; a
+    per-customer monetary sum or a hash-derived key has row-scale
+    cardinality).
+
+    Iterative range narrowing: each round buckets the surviving value
+    range [lo, hi] into ``n_buckets`` contiguous sub-ranges, folds ONE
+    partial-aggregatable count per bucket (a ≤n_buckets-row aggregate —
+    the only thing the driver ever sees), descends into the bucket
+    containing rank k, and rebases k. The range shrinks ≥n_buckets× per
+    round, so rounds ≤ ⌈log₃₂(range)⌉ ≤ 13 for the full int64 span —
+    each a filtered scan whose predicate pushes down to the source.
+    No sort, no single partition, no row-scale collect anywhere: the
+    100 TB cost is ~13 pushed-filter scans (cache the projected column
+    upstream if the source re-scan dominates).
+
+    PRECONDITION: hi − lo must fit int64 (asserted) — true for any
+    cents/count/epoch measure; a full-span ±2^63 domain would need the
+    double-split bucket math ``bucketed_prefix_sum`` uses.
+    """
+    import os as _os
+
+    row = df.agg(
+        F.min(value_col).cast("long").alias("_lo"),
+        F.max(value_col).cast("long").alias("_hi"),
+        F.count(value_col).alias("_n"),
+    ).first()
+    lo, hi, n = row["_lo"], row["_hi"], row["_n"]
+    if n == 0:
+        raise ValueError("kth_order_statistic: empty input")
+    if not 1 <= k <= n:
+        raise ValueError(f"kth_order_statistic: k={k} out of range 1..{n}")
+    assert hi - lo < 2**62, "value span too wide for integer bucket math"
+    v = F.col(value_col).cast("long")
+    while lo < hi:
+        width = (hi - lo) // n_buckets + 1  # python int: exact, no overflow
+        counts = dict(
+            df.filter((v >= lo) & (v <= hi))
+            .groupBy(((v - F.lit(lo)) / F.lit(width)).cast("long").alias("_b"))
+            .agg(F.count(F.lit(1)).alias("_m"))
+            .collect()
+        )
+        cum = 0
+        for b in range(n_buckets + 1):
+            m = counts.get(b, 0)
+            if cum + m >= k:
+                k -= cum
+                lo, hi = lo + b * width, min(hi, lo + (b + 1) * width - 1)
+                break
+            cum += m
+        else:  # pragma: no cover - unreachable when k <= n
+            raise AssertionError("rank k not found in bucket census")
+    return int(lo)

@@ -1159,3 +1159,66 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("mon_cents").alias("total_monetary_cents"),
     )
+
+
+@query(
+    "exact_customer_spend_percentiles",
+    oracle="""
+    WITH cm AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    r AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rn FROM cm),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cm)
+    SELECT t.n AS n_customers,
+           (SELECT cents FROM r WHERE rn = CAST(ceil(0.5 * t.n) AS BIGINT))
+             AS p50_cents,
+           (SELECT cents FROM r WHERE rn = CAST(ceil(0.95 * t.n) AS BIGINT))
+             AS p95_cents,
+           (SELECT cents FROM r WHERE rn = CAST(ceil(0.99 * t.n) AS BIGINT))
+             AS p99_cents
+    FROM t
+    """,
+    tags=("stats", "percentile", "iterative"),
+)
+def exact_customer_spend_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT discrete p50/p95/p99 of per-customer lifetime spend — a
+    measure whose domain is UNBOUNDED (per-key sums have row-scale
+    cardinality), so neither the count-value-histogram closed form (needs
+    a bounded domain) nor a grid quantization (`customer_rfm_segments`'
+    compromise) applies. Each percentile is the ⌈q·n⌉-th order statistic,
+    found by `kth_order_statistic`'s iterative range narrowing: ≤13
+    rounds of one pushed-filter scan + a 32-row bucket census each — no
+    sort, no single partition, no row-scale driver transfer, at any
+    corpus size. The per-customer aggregate is session-cached so the
+    narrowing rounds re-scan the small cached column, not orders.
+
+    The ⌈q·n⌉ rank is computed with the same IEEE double multiply in both
+    engines (ceil(0.95·n) — deliberately stated as FP in the oracle too,
+    so a boundary-epsilon can never make the engines pick different
+    ranks). percentile_disc semantics: smallest value whose cume_dist
+    reaches q — ties on the value are rank-order-free by construction
+    (the value at a rank is unique even when row numbers among ties are
+    not)."""
+    import math
+
+    from ..functions.ranks import kth_order_statistic
+    from ..llm.cache import tracked_persist
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    cm = tracked_persist(
+        o.groupBy("o_custkey").agg(F.sum(cents).alias("cents")),
+        f"cust_spend_cents:{sf_dir}",
+    )
+    n = cm.count()
+    vals = {
+        q: kth_order_statistic(cm, "cents", max(1, math.ceil(q * n)))
+        for q in (0.5, 0.95, 0.99)
+    }
+    return spark.createDataFrame(
+        [(n, vals[0.5], vals[0.95], vals[0.99])],
+        "n_customers long, p50_cents long, p95_cents long, p99_cents long",
+    )

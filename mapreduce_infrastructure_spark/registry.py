@@ -78,6 +78,7 @@ CERTIFIED_FIRST: tuple[str, ...] = (
     "order_fulfillment_backlog",
     "nation_trade_balance_matrix",
     "knn_label_purity",
+    "exact_customer_spend_percentiles",
     # --- the nine round-10 displacements (r5-vintage residue) ---
     "mr_grep",
     "ohlc_hourly_purchases",
@@ -120,8 +121,9 @@ CERTIFIED_FIRST: tuple[str, ...] = (
     "q1_pricing_summary",
     "filter_project",
     "agg_stats",
-    "distinct_pairs",
-    # (count_distinct and rollup_returns displaced by the fifth wave
+    # (distinct_pairs displaced by the sixth wave
+    #  (exact_customer_spend_percentiles);
+    #  count_distinct and rollup_returns displaced by the fifth wave
     #  (nation_trade_balance_matrix, knn_label_purity);
     #  cube_orders and grouping_sets_mix displaced by the fourth wave
     #  (customer_rfm_segments, order_fulfillment_backlog);
@@ -133,7 +135,7 @@ CERTIFIED_FIRST: tuple[str, ...] = (
     #  their r6 greens stand, q3_shipping_priority /
     #  join_range_quantity_size / join_region_customers run in every
     #  bench.py headline set, and tests/test_oracle_queries.py mirrors
-    #  all twelve oracles each pytest run; they rotate with the round-12
+    #  all thirteen oracles each pytest run; they rotate with the round-12
     #  r6-vintage tail.)
 )
 

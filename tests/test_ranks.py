@@ -261,3 +261,40 @@ def test_bucketed_prefix_ultra_wide_order_domain(spark, fn_name):
         out = bucketed_prefix_max(df, ["stratum"], "k", "v", n_buckets=32)
         fast = {r.k: r.prefix_max_before for r in out.collect()}
     assert fast == naive
+
+
+def test_kth_order_statistic_matches_sorted_reference(spark):
+    """Property: the iterative range-narrowing k-th order statistic
+    equals sorted()[k-1] for adversarial value sets — duplicates, negative
+    values, wide gaps, singleton ranges — at several k per set."""
+    from mapreduce_infrastructure_spark.functions.ranks import (
+        kth_order_statistic,
+    )
+
+    cases = [
+        [5],
+        [3, 3, 3, 3],
+        [-7, -7, 0, 1, 2**40, 2**40, 2**40 + 1],
+        list(range(100)) + [50] * 17 + [-1000] * 5,
+        [(i * i * 2654435761) % 100003 - 50000 for i in range(500)],
+    ]
+    for vals in cases:
+        df = spark.createDataFrame([(v,) for v in vals], "v long")
+        ref = sorted(vals)
+        n = len(vals)
+        for k in {1, max(1, n // 4), max(1, n // 2), n}:
+            assert kth_order_statistic(df, "v", k) == ref[k - 1], (vals, k)
+
+
+def test_kth_order_statistic_rejects_bad_k_and_empty(spark):
+    import pytest as _pytest
+
+    from mapreduce_infrastructure_spark.functions.ranks import (
+        kth_order_statistic,
+    )
+
+    df = spark.createDataFrame([(1,), (2,)], "v long")
+    with _pytest.raises(ValueError, match="out of range"):
+        kth_order_statistic(df, "v", 3)
+    with _pytest.raises(ValueError, match="empty"):
+        kth_order_statistic(df.limit(0), "v", 1)

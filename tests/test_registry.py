@@ -81,6 +81,7 @@ def test_driver_materialization_sites_are_allowlisted():
         ("sources/formats.py", "binaryfile_ingest_stats"),  # 50-file bounded staging scaffold
         ("sources/zorder.py", "layout_context"),  # 1-row min/max for bits+box
         ("functions/ranks.py", "bucketed_prefix_sum"),  # 1-row debug-gated precondition census
+        ("functions/ranks.py", "kth_order_statistic"),  # <=33-row bucket census per narrowing round
     }
 
     found = set()

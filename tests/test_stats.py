@@ -765,3 +765,34 @@ def test_nation_trade_matrix_scalar_reference(spark, sf_dir):
     want = {k: (nl, cents, cents / total) for k, (nl, cents) in cells.items()}
     assert got == want
     assert abs(sum(sh for _, _, sh in got.values()) - 1.0) < 1e-9
+
+
+def test_customer_spend_percentiles_scalar_reference(spark, sf_dir):
+    """Python recount: per-customer cents sums, sorted, the ceil(q*n)-th
+    order statistics — the engine's narrowing loop must land on exactly
+    these values."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from mapreduce_infrastructure_spark.operators.stats import (
+        exact_customer_spend_percentiles,
+    )
+
+    row = exact_customer_spend_percentiles(spark, sf_dir).collect()[0]
+    o = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).to_pydict()
+    cm = {}
+    for ck, p in zip(o["o_custkey"], o["o_totalprice"]):
+        cm[ck] = cm.get(ck, 0) + int(math.floor(float(p) * 100 + 0.5))
+    vals = sorted(cm.values())
+    n = len(vals)
+    assert row.n_customers == n
+    for q, got in (
+        (0.5, row.p50_cents),
+        (0.95, row.p95_cents),
+        (0.99, row.p99_cents),
+    ):
+        assert got == vals[max(1, math.ceil(q * n)) - 1]
+    assert row.p50_cents <= row.p95_cents <= row.p99_cents
