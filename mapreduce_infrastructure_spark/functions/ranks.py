@@ -406,3 +406,96 @@ def kth_order_statistic(
         else:  # pragma: no cover - unreachable when k <= n
             raise AssertionError("rank k not found in bucket census")
     return int(lo)
+
+
+def kth_order_statistics_by(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    k_of: "dict | None" = None,
+    q: float | None = None,
+    n_buckets: int = PREFIX_SUM_BUCKETS,
+) -> dict:
+    """STRATIFIED exact k-th order statistics: for every stratum value,
+    the k-th smallest of an int64 column with an UNBOUNDED domain —
+    `kth_order_statistic` generalized so ALL strata narrow together, ONE
+    Spark job per round (a (stratum, bucket) census of ≤|strata|·33
+    rows), not one loop per stratum. Pass either ``k_of`` (stratum →
+    explicit rank) or ``q`` (each stratum's rank = max(1, ⌈q·n_s⌉) — the
+    percentile_disc rank, computed with the same IEEE multiply an oracle
+    states). Returns {stratum: value}.
+
+    PRECONDITION: the stratum column must be driver-small (event types,
+    priorities, nations — the census collect is |strata|-bounded;
+    asserted ≤ 10_000). The VALUE domain needs no bound — that is the
+    point. Rounds ≤ ⌈log₃₂(max stratum range)⌉; each is one
+    pushed-filter scan of the (stratum, value) projection (cache it
+    upstream when the source re-scan dominates).
+    """
+    import math
+
+    assert (k_of is None) != (q is None), "pass exactly one of k_of / q"
+    v = F.col(value_col).cast("long")
+    s = F.col(stratum_col)
+    init = {
+        r["_s"]: (r["_lo"], r["_hi"], r["_n"])
+        for r in df.groupBy(s.alias("_s")).agg(
+            F.min(v).alias("_lo"), F.max(v).alias("_hi"), F.count(v).alias("_n")
+        ).collect()
+    }
+    assert len(init) <= 10_000, "stratum cardinality too high for the census"
+    active: dict = {}
+    for st, (lo, hi, n) in init.items():
+        if n == 0:
+            continue
+        k = k_of[st] if k_of is not None else max(1, math.ceil(q * n))
+        if not 1 <= k <= n:
+            raise ValueError(f"rank {k} out of range 1..{n} for stratum {st!r}")
+        assert hi - lo < 2**62, "value span too wide for integer bucket math"
+        active[st] = (lo, hi, k)
+    done: dict = {}
+    spark = df.sparkSession
+    while active:
+        for st in [s_ for s_, (lo, hi, _k) in active.items() if lo == hi]:
+            done[st] = int(active.pop(st)[0])
+        if not active:
+            break
+        ranges = spark.createDataFrame(
+            [
+                (st, lo, hi, (hi - lo) // n_buckets + 1)
+                for st, (lo, hi, _k) in active.items()
+            ],
+            f"_s {df.schema[stratum_col].dataType.simpleString()}, "
+            "_lo long, _hi long, _w long",
+        )
+        counts: dict = {}
+        rows = (
+            df.join(F.broadcast(ranges), s == F.col("_s"))
+            .filter((v >= F.col("_lo")) & (v <= F.col("_hi")))
+            .groupBy(
+                F.col("_s"),
+                ((v - F.col("_lo")) / F.col("_w")).cast("long").alias("_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("_m"))
+            .collect()
+        )
+        for r in rows:
+            counts[(r["_s"], r["_b"])] = r["_m"]
+        nxt: dict = {}
+        for st, (lo, hi, k) in active.items():
+            width = (hi - lo) // n_buckets + 1
+            cum = 0
+            for b in range(n_buckets + 1):
+                m = counts.get((st, b), 0)
+                if cum + m >= k:
+                    nxt[st] = (
+                        lo + b * width,
+                        min(hi, lo + (b + 1) * width - 1),
+                        k - cum,
+                    )
+                    break
+                cum += m
+            else:  # pragma: no cover - unreachable when k <= n_s
+                raise AssertionError(f"rank not found for stratum {st!r}")
+        active = nxt
+    return done

@@ -79,6 +79,7 @@ CERTIFIED_FIRST: tuple[str, ...] = (
     "nation_trade_balance_matrix",
     "knn_label_purity",
     "exact_customer_spend_percentiles",
+    "event_value_percentiles_by_type",
     # --- the nine round-10 displacements (r5-vintage residue) ---
     "mr_grep",
     "ohlc_hourly_purchases",
@@ -120,8 +121,9 @@ CERTIFIED_FIRST: tuple[str, ...] = (
     "kmeans_parallel_seeds",
     "q1_pricing_summary",
     "filter_project",
-    "agg_stats",
-    # (distinct_pairs displaced by the sixth wave
+    # (agg_stats displaced by the seventh wave
+    #  (event_value_percentiles_by_type);
+    #  distinct_pairs displaced by the sixth wave
     #  (exact_customer_spend_percentiles);
     #  count_distinct and rollup_returns displaced by the fifth wave
     #  (nation_trade_balance_matrix, knn_label_purity);
@@ -135,7 +137,7 @@ CERTIFIED_FIRST: tuple[str, ...] = (
     #  their r6 greens stand, q3_shipping_priority /
     #  join_range_quantity_size / join_region_customers run in every
     #  bench.py headline set, and tests/test_oracle_queries.py mirrors
-    #  all thirteen oracles each pytest run; they rotate with the round-12
+    #  all fourteen oracles each pytest run; they rotate with the round-12
     #  r6-vintage tail.)
 )
 

@@ -298,3 +298,45 @@ def test_kth_order_statistic_rejects_bad_k_and_empty(spark):
         kth_order_statistic(df, "v", 3)
     with _pytest.raises(ValueError, match="empty"):
         kth_order_statistic(df.limit(0), "v", 1)
+
+
+@pytest.mark.parametrize("n_buckets", [2, 32, 256])
+def test_kth_order_statistics_by_matches_sorted_reference(spark, n_buckets):
+    """Stratified narrowing vs per-stratum sorted(): explicit ranks and
+    the q-derived percentile_disc ranks, across skewed stratum sizes,
+    duplicates, negatives and wide gaps."""
+    import math
+
+    from mapreduce_infrastructure_spark.functions.ranks import (
+        kth_order_statistics_by,
+    )
+
+    data = {
+        "a": [5, 5, 5, -2, 2**41, 0, 7],
+        "b": [1],
+        "c": [(i * 2654435761) % 9973 - 5000 for i in range(200)],
+    }
+    rows = [(s, v) for s, vs in data.items() for v in vs]
+    df = spark.createDataFrame(rows, "s string, v long")
+    ks = {s: max(1, len(vs) // 2) for s, vs in data.items()}
+    got = kth_order_statistics_by(df, "s", "v", k_of=ks, n_buckets=n_buckets)
+    assert got == {s: sorted(vs)[ks[s] - 1] for s, vs in data.items()}
+    for q in (0.5, 0.95):
+        got_q = kth_order_statistics_by(df, "s", "v", q=q, n_buckets=n_buckets)
+        want_q = {
+            s: sorted(vs)[max(1, math.ceil(q * len(vs))) - 1]
+            for s, vs in data.items()
+        }
+        assert got_q == want_q
+
+
+def test_kth_order_statistics_by_rejects_bad_rank(spark):
+    import pytest as _pytest
+
+    from mapreduce_infrastructure_spark.functions.ranks import (
+        kth_order_statistics_by,
+    )
+
+    df = spark.createDataFrame([("a", 1), ("a", 2)], "s string, v long")
+    with _pytest.raises(ValueError, match="out of range"):
+        kth_order_statistics_by(df, "s", "v", k_of={"a": 3})

@@ -796,3 +796,32 @@ def test_customer_spend_percentiles_scalar_reference(spark, sf_dir):
     ):
         assert got == vals[max(1, math.ceil(q * n)) - 1]
     assert row.p50_cents <= row.p95_cents <= row.p99_cents
+
+
+def test_event_value_percentiles_by_type_scalar_reference(spark, sf_dir):
+    """Python recount: micro-unit grid per type, sorted, the
+    max(1, ceil(q*n))-th order statistics."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from mapreduce_infrastructure_spark.operators.stats import (
+        event_value_percentiles_by_type,
+    )
+
+    got = {r.event_type: r for r in event_value_percentiles_by_type(spark, sf_dir).collect()}
+    ev = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    ).to_pydict()
+    by = {}
+    for et, v in zip(ev["event_type"], ev["value"]):
+        by.setdefault(et, []).append(int(math.floor(float(v) * 1000000 + 0.5)))
+    assert set(got) == set(by)
+    for et, vals in by.items():
+        vals.sort()
+        n = len(vals)
+        r = got[et]
+        assert r.n_events == n
+        for q, micro in ((0.5, r.p50_micro), (0.95, r.p95_micro), (0.99, r.p99_micro)):
+            assert micro == vals[max(1, math.ceil(q * n)) - 1]
+        assert r.p50_micro <= r.p95_micro <= r.p99_micro
