@@ -372,9 +372,14 @@ def kth_order_statistic(
     PRECONDITION: hi − lo must fit int64 (asserted) — true for any
     cents/count/epoch measure; a full-span ±2^63 domain would need the
     double-split bucket math ``bucketed_prefix_sum`` uses.
-    """
-    import os as _os
 
+    Bucket assignment uses SQL ``div`` (exact int64 floor division — both
+    operands fit int64 under the span assert), NOT float division: a
+    double-rounded ``(v - lo) / width`` mis-buckets values near a bucket
+    boundary once the surviving span exceeds 2^53, and the driver's
+    range-rebasing math assumes exact integer boundaries (the repo's 2^53
+    conversion ceiling applies to any int routed through a double).
+    """
     row = df.agg(
         F.min(value_col).cast("long").alias("_lo"),
         F.max(value_col).cast("long").alias("_hi"),
@@ -391,7 +396,8 @@ def kth_order_statistic(
         width = (hi - lo) // n_buckets + 1  # python int: exact, no overflow
         counts = dict(
             df.filter((v >= lo) & (v <= hi))
-            .groupBy(((v - F.lit(lo)) / F.lit(width)).cast("long").alias("_b"))
+            .select((v - F.lit(lo)).alias("_d"))
+            .groupBy(F.expr(f"_d div {width}").alias("_b"))
             .agg(F.count(F.lit(1)).alias("_m"))
             .collect()
         )
@@ -419,8 +425,9 @@ def kth_order_statistics_by(
     """STRATIFIED exact k-th order statistics: for every stratum value,
     the k-th smallest of an int64 column with an UNBOUNDED domain —
     `kth_order_statistic` generalized so ALL strata narrow together, ONE
-    Spark job per round (a (stratum, bucket) census of ≤|strata|·33
-    rows), not one loop per stratum. Pass either ``k_of`` (stratum →
+    Spark job per round (a (stratum, bucket) census of
+    ≤|strata|·(n_buckets+1) rows — ≤|strata|·33 at the default 32-way
+    branching), not one loop per stratum. Pass either ``k_of`` (stratum →
     explicit rank) or ``q`` (each stratum's rank = max(1, ⌈q·n_s⌉) — the
     percentile_disc rank, computed with the same IEEE multiply an oracle
     states). Returns {stratum: value}.
@@ -428,9 +435,19 @@ def kth_order_statistics_by(
     PRECONDITION: the stratum column must be driver-small (event types,
     priorities, nations — the census collect is |strata|-bounded;
     asserted ≤ 10_000). The VALUE domain needs no bound — that is the
-    point. Rounds ≤ ⌈log₃₂(max stratum range)⌉; each is one
+    point. Rounds ≤ ⌈log_{n_buckets}(max stratum range)⌉; each is one
     pushed-filter scan of the (stratum, value) projection (cache it
     upstream when the source re-scan dominates).
+
+    NULL handling: rows whose VALUE is null are excluded from every
+    stratum's count/rank (``F.count(v)`` semantics — callers pairing this
+    with a count(*) oracle must filter nulls or state a non-null
+    premise); an all-null stratum is skipped. A NULL STRATUM KEY raises
+    ValueError — the census equi-join can never match it, so admitting it
+    would fail rounds later as an opaque rank-not-found assertion.
+
+    Bucket ids use SQL ``div`` (exact int64 floor division), not float
+    division — see :func:`kth_order_statistic`.
     """
     import math
 
@@ -444,6 +461,12 @@ def kth_order_statistics_by(
         ).collect()
     }
     assert len(init) <= 10_000, "stratum cardinality too high for the census"
+    if None in init:
+        raise ValueError(
+            "kth_order_statistics_by: NULL stratum key present — the census "
+            "join cannot match it; filter null strata (or impute a sentinel) "
+            "before calling"
+        )
     active: dict = {}
     for st, (lo, hi, n) in init.items():
         if n == 0:
@@ -472,10 +495,8 @@ def kth_order_statistics_by(
         rows = (
             df.join(F.broadcast(ranges), s == F.col("_s"))
             .filter((v >= F.col("_lo")) & (v <= F.col("_hi")))
-            .groupBy(
-                F.col("_s"),
-                ((v - F.col("_lo")) / F.col("_w")).cast("long").alias("_b"),
-            )
+            .withColumn("_d", v - F.col("_lo"))
+            .groupBy(F.col("_s"), F.expr("_d div _w").alias("_b"))
             .agg(F.count(F.lit(1)).alias("_m"))
             .collect()
         )

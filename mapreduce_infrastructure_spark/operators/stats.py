@@ -1231,6 +1231,7 @@ def exact_customer_spend_percentiles(spark: SparkSession, sf_dir: str) -> DataFr
       SELECT event_type,
              CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS m
       FROM events
+      WHERE value IS NOT NULL
     ),
     r AS (
       SELECT event_type, m,
@@ -1261,14 +1262,21 @@ def event_value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFra
     and engine-exact; the micro domain is UNBOUNDED (no histogram closed
     form applies). Ranks are percentile_disc's max(1, ⌈q·n⌉), stated as
     FP in the oracle too. The oracle sorts per type — fine at oracle
-    scale, the exact shape the narrowing exists to avoid at 100 TB."""
+    scale, the exact shape the narrowing exists to avoid at 100 TB.
+
+    NULL convention: null event values are FILTERED at the projection
+    (and by the oracle's WHERE), so n_events and every rank use the same
+    non-null count as `kth_order_statistics_by`'s internal F.count(v) —
+    the two can never diverge, and an all-null type simply drops out of
+    the report instead of raising. (The fixture has no null values; the
+    filter pins the convention, not the data.)"""
     from ..functions.ranks import kth_order_statistics_by
     from ..llm.cache import tracked_persist
 
     ev = load_table(spark, sf_dir, "events")
     m = F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long")
     tv = tracked_persist(
-        ev.select("event_type", m.alias("m")),
+        ev.filter(F.col("value").isNotNull()).select("event_type", m.alias("m")),
         f"event_value_micro:{sf_dir}",
     )
     ns = {

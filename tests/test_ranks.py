@@ -340,3 +340,83 @@ def test_kth_order_statistics_by_rejects_bad_rank(spark):
     df = spark.createDataFrame([("a", 1), ("a", 2)], "s string, v long")
     with _pytest.raises(ValueError, match="out of range"):
         kth_order_statistics_by(df, "s", "v", k_of={"a": 3})
+
+
+# Real counterexample to the pre-round-12 FLOAT bucket assignment
+# cast(double(v-lo)/double(width) as long): at this 2^58 span the rounded
+# numerator/width quotient crosses a bucket boundary, the census assigns a
+# value to the wrong bucket, the narrowed range excludes it, and the
+# driver loop dies with "rank k not found" at k=3 (found by randomized
+# search, reproduced in a pure-python simulation of the old loop; the
+# exact-int64 `div` form returns sorted()[k-1] for every k).
+_WIDE_SPAN_VALS = [
+    -855388833839009651,
+    -1022437509969847416,
+    -1017217238840758736,
+    -985895612066226650,
+    -975455069808049286,
+    -954573985291694563,
+    -860609104968098306,
+]
+
+
+def test_kth_order_statistic_exact_beyond_2pow53(spark):
+    """Regression (round-12 ADVICE medium): bucket assignment must use
+    exact int64 floor division — the float form violated the repo's 2^53
+    conversion ceiling for spans the 2^62 precondition admits."""
+    from mapreduce_infrastructure_spark.functions.ranks import (
+        kth_order_statistic,
+    )
+
+    df = spark.createDataFrame([(v,) for v in _WIDE_SPAN_VALS], "v long")
+    ref = sorted(_WIDE_SPAN_VALS)
+    for k in range(1, len(ref) + 1):
+        assert kth_order_statistic(df, "v", k) == ref[k - 1]
+
+
+def test_kth_order_statistics_by_exact_beyond_2pow53(spark):
+    """Stratified twin of the 2^53 regression: the same wide-span stratum
+    narrows alongside a boundary-heavy positive-span one."""
+    from mapreduce_infrastructure_spark.functions.ranks import (
+        kth_order_statistics_by,
+    )
+
+    data = {
+        "x": _WIDE_SPAN_VALS,
+        "y": [-(2**55), 7 * (2**50 + 3), 2**55, 2**55 + 1],
+    }
+    rows = [(s, v) for s, vs in data.items() for v in vs]
+    df = spark.createDataFrame(rows, "s string, v long")
+    for ks in ({"x": 3, "y": 2}, {"x": 1, "y": 4}, {"x": 7, "y": 1}):
+        got = kth_order_statistics_by(df, "s", "v", k_of=ks)
+        assert got == {s: sorted(vs)[ks[s] - 1] for s, vs in data.items()}
+
+
+def test_kth_order_statistics_by_rejects_null_stratum(spark):
+    """A NULL stratum key can never match the census equi-join; the call
+    must fail fast with a named error, not rounds later as an opaque
+    rank-not-found assertion."""
+    import pytest as _pytest
+
+    from mapreduce_infrastructure_spark.functions.ranks import (
+        kth_order_statistics_by,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), (None, 5)], "s string, v long"
+    )
+    with _pytest.raises(ValueError, match="NULL stratum"):
+        kth_order_statistics_by(df, "s", "v", q=0.5)
+
+
+def test_kth_order_statistics_by_skips_all_null_value_stratum(spark):
+    """All-null-value strata drop out (count(v)=0) instead of raising;
+    null values never count toward any rank."""
+    from mapreduce_infrastructure_spark.functions.ranks import (
+        kth_order_statistics_by,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", None), ("a", 3), ("b", None)], "s string, v long"
+    )
+    assert kth_order_statistics_by(df, "s", "v", q=0.5) == {"a": 1}

@@ -82,7 +82,7 @@ def test_driver_materialization_sites_are_allowlisted():
         ("sources/zorder.py", "layout_context"),  # 1-row min/max for bits+box
         ("functions/ranks.py", "bucketed_prefix_sum"),  # 1-row debug-gated precondition census
         ("functions/ranks.py", "kth_order_statistic"),  # <=33-row bucket census per narrowing round
-        ("functions/ranks.py", "kth_order_statistics_by"),  # <=|strata|x33-row census per round (strata asserted <=10k)
+        ("functions/ranks.py", "kth_order_statistics_by"),  # <=|strata|x(n_buckets+1)-row census per round (x33 at default branching; strata asserted <=10k)
         ("operators/stats.py", "event_value_percentiles_by_type"),  # |types|-row count census + 1-row-per-type assembly
     }
 
