@@ -143,6 +143,13 @@ FLAGSHIP_EXTRA = [
     "supplier_concentration_hhi",
     "events_dow_hour_profile",
     "knn_graph_reciprocity",
+    # round-11 order-statistic primitives: the audited plan is the final
+    # ≤|strata|-row assembly (the queries execute their ≤13 narrowing
+    # rounds eagerly — each round's census plan is ONE pushed-filter scan
+    # + partial agg, described in functions/ranks.py docstrings and
+    # asserted by tests/test_ranks.py).
+    "exact_customer_spend_percentiles",
+    "event_value_percentiles_by_type",
 ]
 
 JOIN_KINDS = [
