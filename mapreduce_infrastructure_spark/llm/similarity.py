@@ -1710,3 +1710,129 @@ def knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(same).alias("n_nn_same"),
         (F.sum(same).cast("double") / F.count(F.lit(1))).alias("purity"),
     )
+
+
+@query(
+    "knn_purity_vs_reciprocity_compare",
+    oracle=_ORACLE_VECTORS
+    + f"""
+    , lbl AS (SELECT vec_id, label FROM embeddings),
+    s AS (
+      SELECT n.vec_id, n.d, n.nrm, l.label
+      FROM n JOIN lbl l ON n.vec_id = l.vec_id
+      ORDER BY md5('pdh:' || CAST(n.vec_id AS VARCHAR)), n.vec_id
+      LIMIT {_PDH_K}
+    ),
+    cand AS (
+      SELECT a.vec_id AS src, a.label AS src_label,
+             b.vec_id AS dst, b.label AS dst_label,
+             floor((list_sum(list_transform(generate_series(1, len(a.d)),
+                                            i -> a.d[i] * b.d[i]))
+                    / (a.nrm * b.nrm)) * 10000 + 0.5) / 10000 AS cosine
+      FROM s a JOIN s b ON a.vec_id <> b.vec_id
+    ),
+    nn AS (
+      SELECT src, src_label, dst, dst_label FROM (
+        SELECT src, src_label, dst, dst_label,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY cosine DESC, dst) AS rnk
+        FROM cand
+      ) WHERE rnk = 1
+    ),
+    j AS (
+      SELECT a.src_label,
+             CASE WHEN a.dst_label = a.src_label THEN 1 ELSE 0 END AS same,
+             CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END AS mutual
+      FROM nn a LEFT JOIN nn r ON r.src = a.dst AND r.dst = a.src
+    )
+    SELECT src_label AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(SUM(same) AS BIGINT) AS n_nn_same,
+           CAST(SUM(mutual) AS BIGINT) AS n_mutual,
+           CAST(SUM(same) AS DOUBLE) / COUNT(*) AS purity,
+           CAST(SUM(mutual) AS DOUBLE) / COUNT(*) AS reciprocity1,
+           CAST(SUM(same) AS DOUBLE) / COUNT(*)
+             - CAST(SUM(mutual) AS DOUBLE) / COUNT(*)
+             AS purity_minus_reciprocity
+    FROM j GROUP BY 1
+    """,
+    tags=("similarity", "knn", "quality", "labels", "graph"),
+)
+def knn_purity_vs_reciprocity_compare(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-label comparison of the two sampled kNN-health statistics —
+    the composition the round-11 verdict queued: for every label, 1-NN
+    purity (does my nearest neighbor share my label?) NEXT TO 1-NN
+    reciprocity (am I my nearest neighbor's nearest neighbor?), from the
+    SAME fixed-128 md5-ordered sample, same exact cosine, same
+    deterministic tie-break as `knn_graph_reciprocity` /
+    `knn_label_purity`. The joint read is the diagnostic: high purity +
+    low reciprocity per label = hubness inside a class (retrieval works,
+    mutual-kNN clustering won't); low purity + high reciprocity =
+    well-formed pairs of the WRONG class (label noise or entangled
+    classes). purity_minus_reciprocity > 0 is the hubness direction.
+
+    Boundedness contract inherited from its parents: the candidate join
+    is capped at K(K−1) rows at ANY corpus size; the 1-NN edge set is
+    exactly K rows, the mutual check a K-row self-join. Counts exact
+    int64; purity/reciprocity are one IEEE division each and the delta
+    one subtraction of those two doubles, stated token-for-token in the
+    oracle."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = _as_double("embedding")
+    vecs = emb.select("vec_id", d.alias("d"), _norm(d).alias("nrm"), "label")
+    h = F.md5(
+        F.concat_ws(":", F.lit("pdh"), F.col("vec_id").cast("string")).cast(
+            "binary"
+        )
+    )
+    s = (
+        vecs.select("vec_id", "d", "nrm", "label", h.alias("_h"))
+        .orderBy(F.col("_h"), F.col("vec_id"))
+        .limit(_PDH_K)
+        .select("vec_id", "d", "nrm", "label")
+    )
+    a = s.select(
+        F.col("vec_id").alias("src"),
+        F.col("d").alias("da"),
+        F.col("nrm").alias("na"),
+        F.col("label").alias("src_label"),
+    )
+    b = s.select(
+        F.col("vec_id").alias("dst"),
+        F.col("d").alias("db"),
+        F.col("nrm").alias("nb"),
+        F.col("label").alias("dst_label"),
+    )
+    cosine = rnd(_dot(F.col("da"), F.col("db")) / (F.col("na") * F.col("nb")), 4)
+    cand = a.join(F.broadcast(b), F.col("src") != F.col("dst")).select(
+        "src", "src_label", "dst", "dst_label", cosine.alias("cosine")
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.col("dst"))
+    nn = (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("src", "src_label", "dst", "dst_label")
+    )
+    rev = nn.select(F.col("src").alias("rsrc"), F.col("dst").alias("rdst"))
+    j = nn.join(
+        F.broadcast(rev),
+        (F.col("rsrc") == F.col("dst")) & (F.col("rdst") == F.col("src")),
+        "left",
+    )
+    same = (F.col("dst_label") == F.col("src_label")).cast("int")
+    mutual = F.col("rsrc").isNotNull().cast("int")
+    n = F.count(F.lit(1))
+    return j.groupBy(F.col("src_label").alias("label")).agg(
+        n.alias("n_sampled"),
+        F.sum(same).alias("n_nn_same"),
+        F.sum(mutual).alias("n_mutual"),
+        (F.sum(same).cast("double") / n).alias("purity"),
+        (F.sum(mutual).cast("double") / n).alias("reciprocity1"),
+        (
+            F.sum(same).cast("double") / n - F.sum(mutual).cast("double") / n
+        ).alias("purity_minus_reciprocity"),
+    )

@@ -1234,9 +1234,11 @@ def events_dow_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "order_fulfillment_backlog",
-    oracle="""
+# Shared with the streaming twin in streaming/stream.py (the
+# DOW_HOUR_PROFILE_ORACLE pattern): one statement of the open/close day
+# grid, the per-day deltas and the cumulative series, so batch and stream
+# cannot drift.
+BACKLOG_ORACLE = """
     WITH od AS (
       SELECT o_orderkey,
              CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS dopen
@@ -1267,7 +1269,12 @@ def events_dow_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(n_opened - n_closed) OVER (ORDER BY day) AS BIGINT)
              AS backlog
     FROM g
-    """,
+    """
+
+
+@query(
+    "order_fulfillment_backlog",
+    oracle=BACKLOG_ORACLE,
     tags=("temporal", "inventory", "prefix-sum"),
 )
 def order_fulfillment_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:

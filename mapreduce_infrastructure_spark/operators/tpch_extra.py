@@ -1085,3 +1085,80 @@ def nation_trade_balance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Supplier lead-time percentiles (per-supplier exact ship-lag distribution)
+# --------------------------------------------------------------------------
+
+@query(
+    "supplier_leadtime_percentiles",
+    oracle="""
+    WITH l AS (
+      SELECT l_suppkey AS s_suppkey,
+             CAST(floor(epoch(l_shipdate)) AS BIGINT) // 86400
+             - CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS lag_days
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    ranked AS (
+      SELECT s_suppkey, lag_days,
+             cume_dist() OVER (PARTITION BY s_suppkey
+                               ORDER BY lag_days) AS cd
+      FROM l
+    )
+    SELECT s_suppkey,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           MIN(CASE WHEN cd >= 0.5 THEN lag_days END) AS p50_lag_days,
+           MIN(CASE WHEN cd >= 0.9 THEN lag_days END) AS p90_lag_days,
+           MIN(CASE WHEN cd >= 0.99 THEN lag_days END) AS p99_lag_days
+    FROM ranked GROUP BY 1
+    """,
+    tags=("tpch", "supplier", "percentile", "stats"),
+)
+def supplier_leadtime_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier EXACT ship-lag percentiles (p50/p90/p99 of
+    l_shipdate − o_orderdate in whole days) — the supplier-SLA
+    scorecard: which suppliers ship fast at the median but blow the
+    tail? Lag days are pure epoch-day integer differences (the backlog
+    query's TZ-proof arithmetic), so the order statistics are exact
+    integers in both engines; discrete selection (smallest lag whose
+    cume_dist reaches q) returns real data values with no interpolation
+    arithmetic.
+
+    Form choice (the NEXT.md design question): this is the count-value
+    HISTOGRAM closed form (`hist_cume_counts` + `hist_disc_percentile`),
+    NOT `kth_order_statistics_by` — the stratum (supplier) SCALES WITH SF
+    (10k at sf1, ~1M at sf100), which breaks the stratified narrower's
+    <=10k driver-census precondition, while the VALUE domain (lag in
+    days) is CALENDAR-bounded (~2.5k distinct values for the TPC-H date
+    range, ~36.5k for a century) — exactly the histogram form's sweet
+    spot. The cumulative window runs over <=|lag domain| rows per
+    supplier, never |lines|; no driver loop, no census, no collect.
+
+    Plan: the lineitem⋈orders orderkey join (the fixture's one
+    guaranteed big shuffle, shared with the backlog query), ONE
+    partial-aggregatable group-by down to (supplier, lag) histogram
+    cells, the bounded cumulative window, and a final per-supplier
+    aggregate over histogram-cardinality input."""
+    from ..functions.ranks import hist_cume_counts, hist_disc_percentile
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.expr("unix_micros(l_shipdate) div 1000000 div 86400").alias("dship"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("unix_micros(o_orderdate) div 1000000 div 86400").alias("dopen"),
+    )
+    lag = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("l_suppkey").alias("s_suppkey"),
+        (F.col("dship") - F.col("dopen")).alias("lag_days"),
+    )
+    cume = hist_cume_counts(lag, ["s_suppkey"], "lag_days")
+    return cume.groupBy("s_suppkey").agg(
+        F.sum("m").alias("n_lines"),
+        hist_disc_percentile("lag_days", 0.5, "p50_lag_days"),
+        hist_disc_percentile("lag_days", 0.9, "p90_lag_days"),
+        hist_disc_percentile("lag_days", 0.99, "p99_lag_days"),
+    )

@@ -50,95 +50,74 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # Ordering is therefore a curated, per-round decision, not an accident of
 # imports; CERTIFIED_HISTORY.md tracks which rounds certified what.
 #
-# Round-11 window (verdict item 1): the NINE rows displaced from the
-# round-10 window lead (the last r5-vintage residue — each carried the
-# strongest non-driver evidence, noted in CERTIFIED_HISTORY.md's round-10
-# entry, and was promised first rotation here), then the FIVE r4-vintage
-# rows the NEXT.md rotation plan missed (displaced by round-9 late
-# amendments 11–15 and never re-windowed since — the actual stalest
-# standing rows per the CORRECTNESS_r* census), then the r6-vintage
-# cohort in CORRECTNESS_r06 order (36 of its 40 rows fill the window;
-# the last four rotate in round 12). New round-11 queries are inserted
-# at the front as they land, displacing r6-vintage tail rows (noted
-# inline — their r6 greens stand and they rejoin the round-12 rotation).
-# Displaced rows keep their standing greens and
-# tests/test_oracle_queries.py mirrors every oracle-backed query each
-# pytest run.
+# Round-12 window (verdict item 1): new round-12 queries lead (inserted at
+# the front as they land, displacing r7-vintage fill-tail rows — noted
+# inline; displaced rows keep their r7 standing greens and stay first in
+# line for round 13). Then the FULL 27-row stale cohort, recomputed this
+# round from the CORRECTNESS_r* census: the 4 r4-vintage rows-only rows
+# (the stalest standing rows in the repo), then the 23 r6-vintage rows
+# (the four never re-windowed after r6, the fourteen displaced by
+# round-11 waves, and the five r6 rows-only). The remainder fills with
+# the r7-vintage cohort in CORRECTNESS_r07 order. Displaced rows keep
+# their standing greens and tests/test_oracle_queries.py mirrors every
+# oracle-backed query each pytest run.
 CERTIFIED_FIRST: tuple[str, ...] = (
-    # --- new in round 11 (first-time certification; added as they land) ---
-    "split_assign_cluster_safe",
-    "split_leakage_after_fix",
-    "weighted_khop_cheapest_compare",
-    "trade_graph_degree_assortativity",
-    "supplier_concentration_hhi",
-    "events_dow_hour_profile",
-    "stream_dow_hour_profile",
-    "knn_graph_reciprocity",
-    "customer_rfm_segments",
-    "order_fulfillment_backlog",
-    "nation_trade_balance_matrix",
-    "knn_label_purity",
-    "exact_customer_spend_percentiles",
-    "event_value_percentiles_by_type",
-    # --- the nine round-10 displacements (r5-vintage residue) ---
-    "mr_grep",
-    "ohlc_hourly_purchases",
-    "pii_redact",
-    "merge_upsert_customers",
-    "kmeans_embeddings",
-    "decontaminate_benchmark",
-    "bpe_learn_merges",
-    "cohort_retention",
-    "sample_temperature_mix",
-    # --- r4-vintage rows (stalest standing; missed by the NEXT.md plan) ---
-    "text_stats_by_lang",
-    "doc_token_counts",
-    "doc_fingerprint",
-    "token_counts_bpe",
-    "dedup_exact",
-    # --- r6-vintage cohort, CORRECTNESS_r06 order (36 of 40; the last
-    #     four — top10_orders, set_union_nations, set_intersect_nations,
-    #     set_except_nations — rotate in round 12) ---
-    "data_quality_audit",
-    "join_key_skew_report",
-    "unpivot_revenue_components",
-    "incremental_agg_maintenance",
-    "rolling_7day_active_users",
-    "copurchase_supplier_pairs",
-    "gapfill_hourly_value",
-    "event_transition_matrix",
-    "concurrent_sessions_peak",
-    "attribution_first_last_touch",
-    "histogram_order_totals",
-    "anomaly_zscore_events",
-    "pagerank_personalized",
-    "fuzzy_match_nations",
-    "compact_small_files",
-    "global_shuffle_shards",
-    "repetition_signals",
-    "chunk_documents",
-    "boilerplate_ngram_filter",
-    "kmeans_parallel_seeds",
-    "q1_pricing_summary",
-    "filter_project",
-    # (agg_stats displaced by the seventh wave
-    #  (event_value_percentiles_by_type);
-    #  distinct_pairs displaced by the sixth wave
-    #  (exact_customer_spend_percentiles);
-    #  count_distinct and rollup_returns displaced by the fifth wave
-    #  (nation_trade_balance_matrix, knn_label_purity);
-    #  cube_orders and grouping_sets_mix displaced by the fourth wave
-    #  (customer_rfm_segments, order_fulfillment_backlog);
-    #  having_heavy_customers and join_region_customers displaced by the
-    #  third wave (stream_dow_hour_profile, knn_graph_reciprocity), after
-    #  q3_shipping_priority, join_left_order_counts and join_semi_active
-    #  by the second wave and join_anti_inactive,
-    #  join_range_quantity_size, join_full_nation_counts by the first —
-    #  their r6 greens stand, q3_shipping_priority /
-    #  join_range_quantity_size / join_region_customers run in every
-    #  bench.py headline set, and tests/test_oracle_queries.py mirrors
-    #  all fourteen oracles each pytest run; they rotate with the round-12
-    #  r6-vintage tail.)
+    # --- new in round 12 (first-time certification; added as they land) ---
+    "supplier_leadtime_percentiles",
+    "stream_backlog_daily",
+    "knn_purity_vs_reciprocity_compare",
+    # --- r4-vintage rows-only (stalest standing rows) ---
+    "zorder_pruning_stats",
+    "ann_lsh_topk",
+    "ann_pq_topk",
+    "semantic_dedup_clusters",
+    # --- r6-vintage cohort (never re-windowed after r6 / displaced by
+    #     round-11 waves / r6 rows-only), CORRECTNESS_r06 order ---
+    "agg_stats",
+    "distinct_pairs",
+    "count_distinct",
+    "approx_distinct_parts",
+    "rollup_returns",
+    "cube_orders",
+    "grouping_sets_mix",
+    "having_heavy_customers",
+    "join_region_customers",
+    "q3_shipping_priority",
+    "join_left_order_counts",
+    "join_semi_active",
+    "join_anti_inactive",
+    "join_range_quantity_size",
+    "join_full_nation_counts",
+    "top10_orders",
+    "set_union_nations",
+    "set_intersect_nations",
+    "set_except_nations",
+    "minhash_signatures",
+    "hilbert_pruning_stats",
+    "frequent_terms_sketch",
+    "ann_opq_topk",
+    # --- r7-vintage fill, CORRECTNESS_r07 order (the cohort continues in
+    #     round 13; new round-12 waves displace from this tail) ---
+    "source_unigram_kl",
+    "doc_char_entropy",
+    "sample_weighted_aes",
+    "doc_unigram_logloss",
+    "source_js_divergence",
+    "sample_weighted_by_quality",
+    "ngram_novelty_ratio",
+    "stopword_profile_drift",
+    "doc_lang_confusion",
+    "dup_cluster_size_histogram",
+    "quality_flag_transition_by_source",
+    "q5_supplier_revenue",
+    "join_right_orders_customer",
+    "cross_join_region_status",
+    "salted_agg_user_value",
+    "set_ops_all_variants",
+    "argmax_top_order",
+    "correlated_max_acctbal",
+    "in_subquery_parts",
+    "approx_percentiles_price",
 )
 
 

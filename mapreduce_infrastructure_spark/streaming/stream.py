@@ -1494,9 +1494,96 @@ def stream_dow_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Late-bind the shared oracle (import at module top would be circular-prone
-# and the constant lives beside its batch twin).
+@query(
+    "stream_backlog_daily",
+    oracle=None,  # set below — shares the batch twin's oracle verbatim
+    tags=("streaming", "inventory", "prefix-sum"),
+)
+def stream_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog series computed INCREMENTALLY — the streaming
+    twin of temporal.order_fulfillment_backlog, same oracle verbatim (the
+    shared BACKLOG_ORACLE constant), extending the batch↔stream twin
+    matrix (OHLC, ingest dedup, anomaly z-score, dow/hour profile) to the
+    fulfillment tier.
+
+    The row-volume work is two incremental KEYED aggregates, one per
+    input stream: per-order open day over streamed `orders`
+    (min(o_orderdate) — o_orderkey is unique, so min is just the value,
+    but min makes the fold idempotent under replays) and per-order close
+    day over streamed `lineitem` (max(l_shipdate) — the genuinely
+    streaming fold: an order's close day is only final at end-of-input,
+    which is exactly what a running MAX in keyed state expresses). State
+    is ONE int64 per order key on each side, living in the state store
+    partitioned by key — the standard streaming-dedup state shape, never
+    on the driver.
+
+    The backlog DERIVATION (inner-join the two per-order tables, per-day
+    open/close deltas, cumulative series) is not incrementally
+    expressible per row (closes retract), so it runs POST-SINK over the
+    two |orders|-row aggregate tables — per-order cardinality, already
+    3–4× smaller than lineitem, and everything after the one delta
+    group-by is CALENDAR-bounded (one row per active day). The in-memory
+    sink is the test bridge; a deployment sinks both keyed aggregates to
+    durable tables and runs the same bounded derivation as the downstream
+    batch step. The cumulative uses the same global-form
+    `bucketed_prefix_sum` as the batch twin — no single-partition window
+    anywhere."""
+    from ..functions.ranks import bucketed_prefix_sum
+
+    od_s = (
+        stream_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.expr("unix_micros(o_orderdate) div 1000000 div 86400").alias(
+                "d"
+            ),
+        )
+        .groupBy("o_orderkey")
+        .agg(F.min("d").alias("dopen"))
+    )
+    od = run_to_table(od_s, "stream_backlog_opens", mode="complete")
+    cd_s = (
+        stream_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            F.expr("unix_micros(l_shipdate) div 1000000 div 86400").alias(
+                "d"
+            ),
+        )
+        .groupBy("l_orderkey")
+        .agg(F.max("d").alias("dclose"))
+    )
+    cd = run_to_table(cd_s, "stream_backlog_closes", mode="complete")
+    oc = od.join(cd, od.o_orderkey == cd.l_orderkey).select("dopen", "dclose")
+    ev = oc.select(
+        F.col("dopen").alias("day"),
+        F.lit(1).alias("opened"),
+        F.lit(0).alias("closed"),
+    ).unionByName(
+        oc.select(
+            F.col("dclose").alias("day"),
+            F.lit(0).alias("opened"),
+            F.lit(1).alias("closed"),
+        )
+    )
+    g = ev.groupBy("day").agg(
+        F.sum("opened").alias("n_opened"),
+        F.sum("closed").alias("n_closed"),
+    )
+    return bucketed_prefix_sum(
+        g,
+        [],
+        "day",
+        F.col("n_opened") - F.col("n_closed"),
+        cum_alias="backlog",
+    )
+
+
+# Late-bind the shared oracles (import at module top would be circular-prone
+# and the constants live beside their batch twins).
+from ..operators.temporal import BACKLOG_ORACLE as _BL_ORACLE  # noqa: E402
 from ..operators.temporal import DOW_HOUR_PROFILE_ORACLE as _DHP_ORACLE  # noqa: E402
 from ..registry import _REGISTRY as _REG  # noqa: E402
 
 _REG["stream_dow_hour_profile"].oracle = _DHP_ORACLE
+_REG["stream_backlog_daily"].oracle = _BL_ORACLE

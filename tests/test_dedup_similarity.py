@@ -1533,3 +1533,37 @@ def test_knn_label_purity_scalar_recount(spark, sf_dir):
         assert (r.n_sampled, r.n_nn_same) == (ns, same)
         assert r.purity == same / ns
     assert sum(r.n_sampled for r in rows.values()) == len(sample)
+
+
+def test_knn_purity_vs_reciprocity_consistency_with_parents(spark, sf_dir):
+    """The compose query must be EXACTLY the join of its parents over the
+    shared sample: per-label (n_sampled, n_nn_same, purity) equal to
+    knn_label_purity's rows; total mutual-at-1 count equal to
+    knn_graph_reciprocity's k=1 n_mutual; n_sampled partitions the
+    sample; and the published delta is purity - reciprocity1 of the same
+    row (one subtraction, no re-derivation)."""
+    rows = {
+        r.label: r
+        for r in similarity.knn_purity_vs_reciprocity_compare(
+            spark, sf_dir
+        ).collect()
+    }
+    purity = {
+        r.label: r for r in similarity.knn_label_purity(spark, sf_dir).collect()
+    }
+    recip1 = {
+        r.k: r for r in similarity.knn_graph_reciprocity(spark, sf_dir).collect()
+    }[1]
+    assert set(rows) == set(purity)
+    for lb, r in rows.items():
+        p = purity[lb]
+        assert (r.n_sampled, r.n_nn_same, r.purity) == (
+            p.n_sampled,
+            p.n_nn_same,
+            p.purity,
+        )
+        assert 0 <= r.n_mutual <= r.n_sampled
+        assert r.reciprocity1 == r.n_mutual / r.n_sampled
+        assert r.purity_minus_reciprocity == r.purity - r.reciprocity1
+    assert sum(r.n_sampled for r in rows.values()) == similarity._PDH_K
+    assert sum(r.n_mutual for r in rows.values()) == recip1.n_mutual

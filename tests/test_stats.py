@@ -825,3 +825,59 @@ def test_event_value_percentiles_by_type_scalar_reference(spark, sf_dir):
         for q, micro in ((0.5, r.p50_micro), (0.95, r.p95_micro), (0.99, r.p99_micro)):
             assert micro == vals[max(1, math.ceil(q * n)) - 1]
         assert r.p50_micro <= r.p95_micro <= r.p99_micro
+
+
+def test_supplier_leadtime_percentiles_scalar_reference(spark, sf_dir):
+    """Python recount of per-supplier exact ship-lag percentiles: same
+    epoch-day integer lags, same discrete selection (smallest lag whose
+    cume_dist — the SAME float cum/n division — reaches q). Plus the
+    order law p50 <= p90 <= p99 and the partition law (per-supplier line
+    counts sum to the joined line count)."""
+    import pyarrow.parquet as pq
+
+    from mapreduce_infrastructure_spark.operators.tpch_extra import (
+        supplier_leadtime_percentiles,
+    )
+
+    got = {
+        r.s_suppkey: r
+        for r in supplier_leadtime_percentiles(spark, sf_dir).collect()
+    }
+    li = pq.read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+    ).to_pydict()
+    o = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    ).to_pydict()
+    dopen = {
+        k: int(d.timestamp()) // 86400
+        for k, d in zip(o["o_orderkey"], o["o_orderdate"])
+    }
+    lags = {}
+    for ok, sk, d in zip(li["l_orderkey"], li["l_suppkey"], li["l_shipdate"]):
+        lags.setdefault(sk, []).append(int(d.timestamp()) // 86400 - dopen[ok])
+
+    def disc(sorted_vals, q):
+        n = len(sorted_vals)
+        cum = 0
+        for i, v in enumerate(sorted_vals):
+            if i + 1 < n and sorted_vals[i + 1] == v:
+                continue  # only value-block ends carry cume_dist
+            cum = i + 1
+            if cum / n >= q:  # same one IEEE division both engines state
+                return v
+        return sorted_vals[-1]
+
+    assert set(got) == set(lags)
+    total_lines = 0
+    for sk, vs in lags.items():
+        vs.sort()
+        row = got[sk]
+        assert row.n_lines == len(vs)
+        total_lines += row.n_lines
+        assert row.p50_lag_days == disc(vs, 0.5)
+        assert row.p90_lag_days == disc(vs, 0.9)
+        assert row.p99_lag_days == disc(vs, 0.99)
+        assert row.p50_lag_days <= row.p90_lag_days <= row.p99_lag_days
+    assert total_lines == len(li["l_orderkey"])

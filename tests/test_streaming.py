@@ -806,3 +806,35 @@ def test_order_backlog_scalar_reference(spark, sf_dir):
     got = {r.day: (r.n_opened, r.n_closed, r.backlog) for r in rows}
     assert got == want
     assert rows[-1].backlog == 0
+
+
+def test_stream_backlog_daily_matches_batch_twin(spark, sf_dir):
+    """The streaming backlog series must equal the batch twin
+    row-for-row (shared BACKLOG_ORACLE constant; this pins the engine
+    sides too), including the conservation-to-zero law the batch test
+    asserts."""
+    from mapreduce_infrastructure_spark.operators.temporal import (
+        order_fulfillment_backlog,
+    )
+    from mapreduce_infrastructure_spark.streaming.stream import (
+        stream_backlog_daily,
+    )
+
+    batch = {
+        r.day: (r.n_opened, r.n_closed, r.backlog)
+        for r in order_fulfillment_backlog(spark, sf_dir).collect()
+    }
+    stream = {
+        r.day: (r.n_opened, r.n_closed, r.backlog)
+        for r in stream_backlog_daily(spark, sf_dir).collect()
+    }
+    assert stream == batch
+    assert stream[max(stream)][2] == 0
+    # registered oracles are the same object (cannot drift)
+    from mapreduce_infrastructure_spark.registry import all_queries
+
+    qs = all_queries()
+    assert (
+        qs["stream_backlog_daily"].oracle
+        == qs["order_fulfillment_backlog"].oracle
+    )

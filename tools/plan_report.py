@@ -150,6 +150,10 @@ FLAGSHIP_EXTRA = [
     # asserted by tests/test_ranks.py).
     "exact_customer_spend_percentiles",
     "event_value_percentiles_by_type",
+    # round-12 additions (stream_backlog_daily executes eagerly — twin
+    # equality + shared oracle audit it instead)
+    "supplier_leadtime_percentiles",
+    "knn_purity_vs_reciprocity_compare",
 ]
 
 JOIN_KINDS = [
