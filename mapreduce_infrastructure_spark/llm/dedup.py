@@ -2171,7 +2171,11 @@ def incremental_dedup_classify(t: DataFrame, boundary: int) -> DataFrame:
     # No oracle: the LSH side is the engine's md5-minhash banding
     # (rows-only by construction, like minhash_lsh_pairs itself); the
     # report's set arithmetic is pinned against an independent scalar
-    # recount in tests/test_dedup_similarity.py.
+    # recount in tests/test_dedup_similarity.py, and both ground-truth
+    # DENOMINATORS (n_truth, n_strong) carry a PARTIAL DuckDB oracle
+    # there — the same split ann_recall_report uses (round-11 verdict
+    # item 8): DuckDB re-runs ngram_jaccard_pairs' registered oracle and
+    # recounts the two threshold filters independently.
     tags=("dedup", "lsh", "calibration"),
 )
 def lsh_precision_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:

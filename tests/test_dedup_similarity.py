@@ -1343,6 +1343,28 @@ def test_lsh_report_matches_scalar_recount(spark, sf_dir):
     assert rep.same_block_consistent == (len(lsh & truth) == len(same))
     assert rep.same_block_consistent  # the verify step's contract
     assert rep.recall_at_strong == len(lsh & strong) / len(strong)
+    # PARTIAL ORACLE (round-11 verdict item 8, the ann_recall_report
+    # pattern): the report stays rows-only — the LSH numerators are
+    # engine-specific banding by construction — but BOTH ground-truth
+    # denominators are SQL-expressible, so n_truth and n_strong are
+    # pinned by DuckDB independently re-running ngram_jaccard_pairs'
+    # registered oracle and counting rows at each threshold.
+    import duckdb
+
+    from mapreduce_infrastructure_spark.registry import all_queries
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    ngram_sql = all_queries()["ngram_jaccard_pairs"].oracle
+    n_truth_sql, n_strong_sql = con.execute(
+        f"SELECT COUNT(*) FILTER (jaccard >= {dedup.VERIFY_THRESHOLD}), "
+        f"COUNT(*) FILTER (jaccard >= 0.8) FROM ({ngram_sql})"
+    ).fetchone()
+    assert rep.n_truth == n_truth_sql
+    assert rep.n_strong == n_strong_sql
 
 
 def test_prefix_dup_pairs_exact_recall_and_blocking(spark, sf_dir):
