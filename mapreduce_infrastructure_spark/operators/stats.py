@@ -1298,3 +1298,77 @@ def event_value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFra
         "event_type string, n_events long, p50_micro long, p95_micro long, "
         "p99_micro long",
     )
+
+
+@query(
+    "customer_order_gap_percentiles",
+    oracle="""
+    WITH d AS (
+      SELECT c.c_mktsegment, o.o_custkey, o.o_orderkey,
+             CAST(floor(epoch(o.o_orderdate)) AS BIGINT) // 86400 AS day
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    g AS (
+      SELECT c_mktsegment,
+             day - lag(day) OVER (PARTITION BY o_custkey
+                                  ORDER BY day, o_orderkey) AS gap_days
+      FROM d
+    ),
+    r AS (
+      SELECT c_mktsegment, gap_days,
+             cume_dist() OVER (PARTITION BY c_mktsegment
+                               ORDER BY gap_days) AS cd
+      FROM g WHERE gap_days IS NOT NULL
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           MIN(CASE WHEN cd >= 0.5 THEN gap_days END) AS p50_gap_days,
+           MIN(CASE WHEN cd >= 0.9 THEN gap_days END) AS p90_gap_days,
+           MIN(CASE WHEN cd >= 0.99 THEN gap_days END) AS p99_gap_days
+    FROM r GROUP BY 1
+    """,
+    tags=("stats", "percentile", "temporal", "retention"),
+)
+def customer_order_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles of the INTER-ORDER GAP (days between a
+    customer's consecutive orders) per market segment — the re-purchase
+    cadence distribution behind churn thresholds and retention-window
+    choices (`cohort_retention` asks "did they come back"; this asks
+    "how long do comebacks take, segment by segment").
+
+    Two-window composition, each scale-safe for a different reason: the
+    GAP derivation lags over (o_custkey) — row-scale key cardinality, so
+    per-group sizes are a customer's own order count, never a volume
+    share; the PERCENTILE selection is the count-value histogram closed
+    form over (segment, gap_days) — the segment stratum is bounded (5)
+    and would squeeze a naive per-row window through 5 tasks, but gap
+    days are CALENDAR-bounded so the cumulative window input is
+    |gap domain| rows per segment. Gaps are exact epoch-day integer
+    differences; ties in a customer's same-day orders break on
+    o_orderkey (stated identically in the oracle), and same-day repeat
+    orders legitimately yield gap 0."""
+    from ..functions.ranks import hist_cume_counts, hist_disc_percentile
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    d = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.expr("unix_micros(o_orderdate) div 1000000 div 86400").alias("day"),
+    ).join(c, F.col("o_custkey") == F.col("c_custkey"))
+    w = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    gaps = (
+        d.select(
+            "c_mktsegment",
+            (F.col("day") - F.lag("day").over(w)).alias("gap_days"),
+        )
+        .filter(F.col("gap_days").isNotNull())
+    )
+    cume = hist_cume_counts(gaps, ["c_mktsegment"], "gap_days")
+    return cume.groupBy("c_mktsegment").agg(
+        F.sum("m").alias("n_gaps"),
+        hist_disc_percentile("gap_days", 0.5, "p50_gap_days"),
+        hist_disc_percentile("gap_days", 0.9, "p90_gap_days"),
+        hist_disc_percentile("gap_days", 0.99, "p99_gap_days"),
+    )

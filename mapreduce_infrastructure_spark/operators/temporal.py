@@ -1337,3 +1337,63 @@ def order_fulfillment_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_opened") - F.col("n_closed"),
         cum_alias="backlog",
     )
+
+
+@query(
+    "order_volume_weekly_trend",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 // 7 AS week,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS revenue_cents
+      FROM orders GROUP BY 1
+    )
+    SELECT a.week, a.n_orders, a.revenue_cents,
+           b.n_orders AS prev_n_orders,
+           a.n_orders - b.n_orders AS wow_delta_orders,
+           CAST(a.n_orders AS DOUBLE) / b.n_orders AS wow_ratio
+    FROM g a LEFT JOIN g b ON a.week = b.week + 1
+    """,
+    tags=("temporal", "trend", "agg"),
+)
+def order_volume_weekly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week order-volume trend: per epoch-week (day div 7 —
+    TZ-proof integer arithmetic, no calendar functions, so the hostile
+    session's timezone pin cannot move week boundaries) the order count,
+    exact revenue cents, and the WoW delta/ratio against the PREVIOUS
+    week — the growth-dashboard series and the seasonality-drift alarm
+    input. Only observed weeks are emitted; a week following an empty
+    week has NULL prev/delta/ratio (the backlog query's event-days-only
+    convention, stated identically in the oracle's left join).
+
+    Scale shape: ONE partial-aggregatable row-volume fold down to the
+    CALENDAR-bounded weekly table (~340 rows for the TPC-H range, ~5.2k
+    for a century), then the week-over-week lookup as a broadcast
+    self-join on week = week + 1 — deliberately NOT a global lag window
+    (an unpartitioned window over even a bounded table is the shape the
+    repo-wide plan guard exists to flag; the equi-join states the same
+    relation with no single-partition exchange). The ratio divides two
+    exact int64 counts — one IEEE division, stated identically in the
+    oracle."""
+    o = load_table(spark, sf_dir, "orders")
+    week = F.expr("unix_micros(o_orderdate) div 1000000 div 86400 div 7")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    g = o.select(week.alias("week"), cents.alias("cents")).groupBy("week").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("revenue_cents"),
+    )
+    prev = g.select(
+        (F.col("week") + 1).alias("week"),
+        F.col("n_orders").alias("prev_n_orders"),
+    )
+    return g.join(F.broadcast(prev), "week", "left").select(
+        "week",
+        "n_orders",
+        "revenue_cents",
+        "prev_n_orders",
+        (F.col("n_orders") - F.col("prev_n_orders")).alias("wow_delta_orders"),
+        (F.col("n_orders").cast("double") / F.col("prev_n_orders")).alias(
+            "wow_ratio"
+        ),
+    )

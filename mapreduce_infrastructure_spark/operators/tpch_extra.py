@@ -1005,9 +1005,11 @@ def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "nation_trade_balance_matrix",
-    oracle="""
+# Shared with the streaming twin in streaming/stream.py (the
+# BACKLOG_ORACLE / DOW_HOUR_PROFILE_ORACLE pattern): one statement of the
+# star join, the cell aggregate and the share arithmetic, so batch and
+# stream cannot drift.
+TRADE_MATRIX_ORACLE = """
     WITH f AS (
       SELECT c.c_nationkey AS ck, s.s_nationkey AS sk,
              CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
@@ -1030,7 +1032,12 @@ def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN nation cn ON g.ck = cn.n_nationkey
     JOIN nation sn ON g.sk = sn.n_nationkey
     CROSS JOIN t
-    """,
+    """
+
+
+@query(
+    "nation_trade_balance_matrix",
+    oracle=TRADE_MATRIX_ORACLE,
     tags=("tpch", "join", "matrix"),
 )
 def nation_trade_balance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -66,6 +66,9 @@ CERTIFIED_FIRST: tuple[str, ...] = (
     "supplier_leadtime_percentiles",
     "stream_backlog_daily",
     "knn_purity_vs_reciprocity_compare",
+    "order_volume_weekly_trend",
+    "customer_order_gap_percentiles",
+    "stream_trade_balance_matrix",
     # --- r4-vintage rows-only (stalest standing rows) ---
     "zorder_pruning_stats",
     "ann_lsh_topk",
@@ -115,9 +118,11 @@ CERTIFIED_FIRST: tuple[str, ...] = (
     "salted_agg_user_value",
     "set_ops_all_variants",
     "argmax_top_order",
-    "correlated_max_acctbal",
-    "in_subquery_parts",
-    "approx_percentiles_price",
+    # (correlated_max_acctbal, in_subquery_parts and
+    #  approx_percentiles_price displaced by the round-12 second wave
+    #  (order_volume_weekly_trend, customer_order_gap_percentiles,
+    #  stream_trade_balance_matrix); their r7 greens stand and they stay
+    #  first in line for round 13.)
 )
 
 

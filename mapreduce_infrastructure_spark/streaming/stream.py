@@ -1579,11 +1579,93 @@ def stream_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stream_trade_balance_matrix",
+    oracle=None,  # set below — shares the batch twin's oracle verbatim
+    tags=("streaming", "tpch", "join", "matrix"),
+)
+def stream_trade_balance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilateral trade-flow matrix maintained INCREMENTALLY — the
+    streaming twin of tpch_extra.nation_trade_balance_matrix, same oracle
+    verbatim (the shared TRADE_MATRIX_ORACLE constant). This twin adds
+    the STREAM-STATIC-JOIN shape to the twin matrix: the fact stream
+    (lineitem — the table that grows forever) is enriched against three
+    BATCH dimension tables (orders→customer for the customer nation,
+    supplier for the supplier nation) inside the micro-batch, then folds
+    into ONE incremental hash aggregate keyed by the ≤|nations|² cell.
+
+    Per micro-batch the static sides are ordinary batch relations (Spark
+    re-plans size-based broadcast per batch); state is one (count, sum)
+    pair per (ck, sk) cell — ≤625 entries, dow/hour-profile-class
+    footprint. The share derivation needs the WORLD total, not
+    incrementally expressible per row — derived POST-SINK from the
+    ≤625-row memory table (one aggregate + two 25-row nation-name
+    broadcasts + a 1-row total broadcast), the same post-sink bridge as
+    the other twins. In a deployment the dimensions come from a slowly
+    changing store and the enrich is the same stream-static join; only
+    their refresh cadence changes.
+
+    At 100 TB/day: the only row-volume stage is the per-batch enrich of
+    new lineitem files; orders/customer/supplier scale with SF, so at
+    cluster scale the per-batch join shuffles (size-based planning, no
+    hard hint — the tpch_extra module's scale note), while cell state
+    stays ≤625 rows regardless."""
+    from ..catalog import load_table
+
+    li = stream_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    g = (
+        li.select("l_orderkey", "l_suppkey", cents.alias("cents"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("ck"), F.col("s_nationkey").alias("sk")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+    )
+    tbl = run_to_table(g, "stream_trade_balance_matrix", mode="complete")
+    n = load_table(spark, sf_dir, "nation")
+    t = tbl.agg(F.sum("revenue_cents").alias("total"))
+    cn = n.select(
+        F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation")
+    )
+    return (
+        tbl.join(F.broadcast(cn), "ck")
+        .join(F.broadcast(sn), "sk")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "cust_nation",
+            "supp_nation",
+            "n_lines",
+            "revenue_cents",
+            (F.col("revenue_cents").cast("double") / F.col("total")).alias(
+                "revenue_share"
+            ),
+        )
+    )
+
+
 # Late-bind the shared oracles (import at module top would be circular-prone
 # and the constants live beside their batch twins).
 from ..operators.temporal import BACKLOG_ORACLE as _BL_ORACLE  # noqa: E402
 from ..operators.temporal import DOW_HOUR_PROFILE_ORACLE as _DHP_ORACLE  # noqa: E402
+from ..operators.tpch_extra import TRADE_MATRIX_ORACLE as _TM_ORACLE  # noqa: E402
 from ..registry import _REGISTRY as _REG  # noqa: E402
 
 _REG["stream_dow_hour_profile"].oracle = _DHP_ORACLE
 _REG["stream_backlog_daily"].oracle = _BL_ORACLE
+_REG["stream_trade_balance_matrix"].oracle = _TM_ORACLE

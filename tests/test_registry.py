@@ -141,3 +141,4 @@ def test_coverage_doc_names_every_registered_query():
     ).read()
     missing = [n for n in all_queries() if f"`{n}`" not in doc and n not in doc]
     assert not missing, f"queries not named in COVERAGE.md: {missing}"
+

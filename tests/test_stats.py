@@ -881,3 +881,95 @@ def test_supplier_leadtime_percentiles_scalar_reference(spark, sf_dir):
         assert row.p99_lag_days == disc(vs, 0.99)
         assert row.p50_lag_days <= row.p90_lag_days <= row.p99_lag_days
     assert total_lines == len(li["l_orderkey"])
+
+
+def test_customer_order_gap_percentiles_scalar_reference(spark, sf_dir):
+    """Python recount of per-segment inter-order gap percentiles: same
+    (day, o_orderkey) lag order per customer, same discrete selection
+    with the same float cum/n division, plus the order law and the gap
+    count identity n_gaps = n_orders - n_customers_with_orders (each
+    customer's first order yields no gap)."""
+    import pyarrow.parquet as pq
+
+    from mapreduce_infrastructure_spark.operators.stats import (
+        customer_order_gap_percentiles,
+    )
+
+    got = {
+        r.c_mktsegment: r
+        for r in customer_order_gap_percentiles(spark, sf_dir).collect()
+    }
+    o = pq.read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).to_pydict()
+    c = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).to_pydict()
+    seg = dict(zip(c["c_custkey"], c["c_mktsegment"]))
+    per_cust = {}
+    for ok, ck, d in zip(o["o_orderkey"], o["o_custkey"], o["o_orderdate"]):
+        per_cust.setdefault(ck, []).append((int(d.timestamp()) // 86400, ok))
+    gaps = {}
+    for ck, rows in per_cust.items():
+        rows.sort()
+        for (d0, _), (d1, _) in zip(rows, rows[1:]):
+            gaps.setdefault(seg[ck], []).append(d1 - d0)
+
+    def disc(sorted_vals, q):
+        n = len(sorted_vals)
+        for i, v in enumerate(sorted_vals):
+            if i + 1 < n and sorted_vals[i + 1] == v:
+                continue
+            if (i + 1) / n >= q:
+                return v
+        return sorted_vals[-1]
+
+    assert set(got) == set(gaps)
+    for sg, vs in gaps.items():
+        vs.sort()
+        row = got[sg]
+        assert row.n_gaps == len(vs)
+        assert row.p50_gap_days == disc(vs, 0.5)
+        assert row.p90_gap_days == disc(vs, 0.9)
+        assert row.p99_gap_days == disc(vs, 0.99)
+        assert row.p50_gap_days <= row.p90_gap_days <= row.p99_gap_days
+    assert sum(r.n_gaps for r in got.values()) == len(o["o_orderkey"]) - len(
+        per_cust
+    )
+
+
+def test_order_volume_weekly_trend_scalar_reference(spark, sf_dir):
+    """Python recount of the weekly trend from the raw orders fixture:
+    same epoch-week integers, same exact cents, same left-join WoW
+    convention (NULL after a gap week), same one IEEE ratio division."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from mapreduce_infrastructure_spark.operators.temporal import (
+        order_volume_weekly_trend,
+    )
+
+    got = {r.week: r for r in order_volume_weekly_trend(spark, sf_dir).collect()}
+    o = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    ).to_pydict()
+    weeks = {}
+    for d, p in zip(o["o_orderdate"], o["o_totalprice"]):
+        wk = int(d.timestamp()) // 86400 // 7
+        n, cents = weeks.get(wk, (0, 0))
+        weeks[wk] = (n + 1, cents + int(math.floor(float(p) * 100 + 0.5)))
+    assert set(got) == set(weeks)
+    for wk, (n, cents) in weeks.items():
+        row = got[wk]
+        assert (row.n_orders, row.revenue_cents) == (n, cents)
+        prev = weeks.get(wk - 1)
+        if prev is None:
+            assert row.prev_n_orders is None
+            assert row.wow_delta_orders is None
+            assert row.wow_ratio is None
+        else:
+            assert row.prev_n_orders == prev[0]
+            assert row.wow_delta_orders == n - prev[0]
+            assert row.wow_ratio == n / prev[0]

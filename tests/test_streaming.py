@@ -838,3 +838,40 @@ def test_stream_backlog_daily_matches_batch_twin(spark, sf_dir):
         qs["stream_backlog_daily"].oracle
         == qs["order_fulfillment_backlog"].oracle
     )
+
+
+def test_stream_trade_balance_matrix_matches_batch_twin(spark, sf_dir):
+    """The stream-static-join matrix twin must equal the batch star join
+    cell-for-cell (counts, exact cents, IEEE share), and the registered
+    oracles must be the same object."""
+    from mapreduce_infrastructure_spark.operators.tpch_extra import (
+        nation_trade_balance_matrix,
+    )
+    from mapreduce_infrastructure_spark.streaming.stream import (
+        stream_trade_balance_matrix,
+    )
+
+    batch = {
+        (r.cust_nation, r.supp_nation): (
+            r.n_lines,
+            r.revenue_cents,
+            r.revenue_share,
+        )
+        for r in nation_trade_balance_matrix(spark, sf_dir).collect()
+    }
+    stream = {
+        (r.cust_nation, r.supp_nation): (
+            r.n_lines,
+            r.revenue_cents,
+            r.revenue_share,
+        )
+        for r in stream_trade_balance_matrix(spark, sf_dir).collect()
+    }
+    assert stream == batch
+    from mapreduce_infrastructure_spark.registry import all_queries
+
+    qs = all_queries()
+    assert (
+        qs["stream_trade_balance_matrix"].oracle
+        == qs["nation_trade_balance_matrix"].oracle
+    )

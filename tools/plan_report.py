@@ -150,10 +150,13 @@ FLAGSHIP_EXTRA = [
     # asserted by tests/test_ranks.py).
     "exact_customer_spend_percentiles",
     "event_value_percentiles_by_type",
-    # round-12 additions (stream_backlog_daily executes eagerly — twin
-    # equality + shared oracle audit it instead)
+    # round-12 additions (stream_backlog_daily and
+    # stream_trade_balance_matrix execute eagerly — twin equality +
+    # shared oracles audit them instead)
     "supplier_leadtime_percentiles",
     "knn_purity_vs_reciprocity_compare",
+    "order_volume_weekly_trend",
+    "customer_order_gap_percentiles",
 ]
 
 JOIN_KINDS = [
