@@ -1836,3 +1836,108 @@ def knn_purity_vs_reciprocity_compare(
             F.sum(same).cast("double") / n - F.sum(mutual).cast("double") / n
         ).alias("purity_minus_reciprocity"),
     )
+
+
+@query(
+    "knn_label_confusion_matrix",
+    oracle=_ORACLE_VECTORS
+    + f"""
+    , lbl AS (SELECT vec_id, label FROM embeddings),
+    s AS (
+      SELECT n.vec_id, n.d, n.nrm, l.label
+      FROM n JOIN lbl l ON n.vec_id = l.vec_id
+      ORDER BY md5('pdh:' || CAST(n.vec_id AS VARCHAR)), n.vec_id
+      LIMIT {_PDH_K}
+    ),
+    cand AS (
+      SELECT a.vec_id AS src, a.label AS src_label,
+             b.vec_id AS dst, b.label AS dst_label,
+             floor((list_sum(list_transform(generate_series(1, len(a.d)),
+                                            i -> a.d[i] * b.d[i]))
+                    / (a.nrm * b.nrm)) * 10000 + 0.5) / 10000 AS cosine
+      FROM s a JOIN s b ON a.vec_id <> b.vec_id
+    ),
+    nn AS (
+      SELECT src_label, dst_label FROM (
+        SELECT src_label, dst_label,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY cosine DESC, dst) AS rnk
+        FROM cand
+      ) WHERE rnk = 1
+    ),
+    tot AS (
+      SELECT src_label, CAST(COUNT(*) AS BIGINT) AS n_src
+      FROM nn GROUP BY 1
+    )
+    SELECT g.src_label, g.dst_label, g.n, t.n_src,
+           CAST(g.n AS DOUBLE) / t.n_src AS row_share
+    FROM (SELECT src_label, dst_label, CAST(COUNT(*) AS BIGINT) AS n
+          FROM nn GROUP BY 1, 2) g
+    JOIN tot t ON g.src_label = t.src_label
+    """,
+    tags=("similarity", "knn", "quality", "labels"),
+)
+def knn_label_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-NN label CONFUSION MATRIX over the fixed-128 md5-ordered sample:
+    for every (source label, nearest-neighbor label) pair, the count and
+    its share of the source label's row — the full matrix behind
+    `knn_label_purity`'s diagonal. Off-diagonal mass names WHICH classes
+    an embedding entangles (purity says "label 3 is impure"; this says
+    "label 3's neighbors are mostly label 7"), the input to
+    merge-or-relabel decisions and hard-negative mining.
+
+    Same sample, same exact cosine, same deterministic (cosine DESC,
+    dst) tie-break as the purity/reciprocity family; output is at most
+    |labels|² rows, counts exact int64, row_share one IEEE division.
+    Only observed (src, dst) cells are emitted — absent cells are zero
+    by construction, and the diagonal cells reproduce
+    knn_label_purity's (n_nn_same, n_sampled) exactly (test-pinned)."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = _as_double("embedding")
+    vecs = emb.select("vec_id", d.alias("d"), _norm(d).alias("nrm"), "label")
+    h = F.md5(
+        F.concat_ws(":", F.lit("pdh"), F.col("vec_id").cast("string")).cast(
+            "binary"
+        )
+    )
+    s = (
+        vecs.select("vec_id", "d", "nrm", "label", h.alias("_h"))
+        .orderBy(F.col("_h"), F.col("vec_id"))
+        .limit(_PDH_K)
+        .select("vec_id", "d", "nrm", "label")
+    )
+    a = s.select(
+        F.col("vec_id").alias("src"),
+        F.col("d").alias("da"),
+        F.col("nrm").alias("na"),
+        F.col("label").alias("src_label"),
+    )
+    b = s.select(
+        F.col("vec_id").alias("dst"),
+        F.col("d").alias("db"),
+        F.col("nrm").alias("nb"),
+        F.col("label").alias("dst_label"),
+    )
+    cosine = rnd(_dot(F.col("da"), F.col("db")) / (F.col("na") * F.col("nb")), 4)
+    cand = a.join(F.broadcast(b), F.col("src") != F.col("dst")).select(
+        "src", "src_label", "dst", "dst_label", cosine.alias("cosine")
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.col("dst"))
+    nn = (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("src_label", "dst_label")
+    )
+    g = nn.groupBy("src_label", "dst_label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = nn.groupBy("src_label").agg(F.count(F.lit(1)).alias("n_src"))
+    return g.join(F.broadcast(tot), "src_label").select(
+        "src_label",
+        "dst_label",
+        "n",
+        "n_src",
+        (F.col("n").cast("double") / F.col("n_src")).alias("row_share"),
+    )

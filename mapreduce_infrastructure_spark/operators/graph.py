@@ -265,6 +265,39 @@ def pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 TRI_MIN_SHARED = 2  # co-occurrence floor defining a part-graph edge
 
 
+def _part_cooccur_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(x, y) undirected part co-occurrence edges (x < y, parts sharing an
+    order ≥ TRI_MIN_SHARED times) — THE graph both triangle queries
+    analyze, session-cached under one key so the clustering query reuses
+    the triangle query's edge build instead of re-shuffling it."""
+    from ..llm.cache import tracked_persist
+
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a = op.select("o", F.col("pk").alias("pa"))
+    b = op.select(F.col("o").alias("ob"), F.col("pk").alias("pb"))
+    e = (
+        a.join(b, (a.o == b.ob) & (F.col("pa") < F.col("pb")))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= TRI_MIN_SHARED)
+        .select(F.col("pa").alias("x"), F.col("pb").alias("y"))
+    )
+    return tracked_persist(e, f"triangle_edges:{sf_dir}")
+
+
+def _part_graph_degrees(e: DataFrame) -> DataFrame:
+    """(node, deg) over the undirected edge set."""
+    return (
+        e.select(F.col("x").alias("node"))
+        .union(e.select("y"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+
+
 @query(
     "triangle_counts_parts",
     oracle=f"""
@@ -310,28 +343,10 @@ def triangle_counts_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate, wedge join shuffles on the apex, closing join on the (v,w)
     pair key. No driver-side state.
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    op = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pk")
-    ).distinct()
-    a = op.select("o", F.col("pk").alias("pa"))
-    b = op.select(F.col("o").alias("ob"), F.col("pk").alias("pb"))
-    e = (
-        a.join(b, (a.o == b.ob) & (F.col("pa") < F.col("pb")))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= TRI_MIN_SHARED)
-        .select(F.col("pa").alias("x"), F.col("pb").alias("y"))
-    )
     from ..llm.cache import tracked_persist
 
-    e = tracked_persist(e, f"triangle_edges:{sf_dir}")
-    deg = (
-        e.select(F.col("x").alias("node"))
-        .union(e.select("y"))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
+    e = _part_cooccur_edges(spark, sf_dir)
+    deg = _part_graph_degrees(e)
     # Orient each edge from the (deg, id)-smaller endpoint (lo) to the
     # larger (hi); carry hi's rank key for the wedge ordering below.
     dx = deg.select(F.col("node").alias("x"), F.col("deg").alias("dx"))
@@ -819,4 +834,100 @@ def trade_graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFr
         F.when(den > 0, num.cast("double") / den.cast("double")).alias(
             "assortativity"
         ),
+    )
+
+
+@query(
+    "parts_clustering_by_degree",
+    oracle=f"""
+    WITH op AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS pk FROM lineitem
+    ),
+    e AS MATERIALIZED (
+      SELECT a.pk AS a, b.pk AS b
+      FROM op a JOIN op b ON a.o = b.o AND a.pk < b.pk
+      GROUP BY 1, 2 HAVING COUNT(*) >= {TRI_MIN_SHARED}
+    ),
+    tri AS MATERIALIZED (
+      SELECT e1.a AS u, e1.b AS v, e2.b AS w
+      FROM e e1
+      JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+      JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+    ),
+    tcnt AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS t
+      FROM (SELECT u AS node FROM tri
+            UNION ALL SELECT v FROM tri
+            UNION ALL SELECT w FROM tri)
+      GROUP BY 1
+    ),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+      GROUP BY 1
+    ),
+    n AS (
+      SELECT deg.d, coalesce(tcnt.t, 0) AS t
+      FROM deg LEFT JOIN tcnt USING (node)
+      WHERE deg.d >= 2
+    ),
+    g AS (
+      SELECT d,
+             CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             CAST(SUM(t) AS BIGINT) AS tri_slots
+      FROM n GROUP BY 1
+    )
+    SELECT d AS degree, n_nodes, tri_slots,
+           CAST(2 * tri_slots AS DOUBLE)
+             / CAST(d * (d - 1) * n_nodes AS DOUBLE) AS mean_clustering
+    FROM g
+    """,
+    tags=("graph", "triangle", "clustering"),
+)
+def parts_clustering_by_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient vs degree over the part co-occurrence
+    graph — the clustering-by-degree curve (does neighborhood cohesion
+    fall as hubs grow? the standard small-world / hierarchical-structure
+    read, and the sanity check before trusting community detection on
+    the graph). Composes the triangle tier: per-node triangle counts
+    from `triangle_counts_parts` (same degree-oriented wedge algorithm,
+    same session-cached edge build via `_part_cooccur_edges`) joined
+    against the degree table; nodes in no triangle enter with t = 0,
+    degree-1 nodes are excluded (C(1,2) = 0 — clustering undefined).
+
+    Exactness: within a degree class d, mean local clustering
+    = mean(2·tᵢ/(d(d−1))) = 2·Σtᵢ / (d(d−1)·n) — so the published mean
+    is ONE IEEE division of two exact int64 products (both engines cast
+    BIGINT→DOUBLE, never through a wider intermediate; the 2^53 premise
+    holds while 2·Σt per degree class stays below 9e15 — at fixture
+    scales it is < 1e5, and a corpus that exceeded it would overflow the
+    naive mean long before this form). No per-node double is ever
+    summed, so partitioning cannot perturb the mean.
+
+    Scale: everything rides the cached edge set; the extra work over the
+    triangle query is one degree aggregate, one node-keyed left join and
+    a |distinct degrees|-row group-by (degree support grows ~O(√m))."""
+    tri = triangle_counts_parts(spark, sf_dir)
+    e = _part_cooccur_edges(spark, sf_dir)
+    deg = _part_graph_degrees(e)
+    n = (
+        deg.join(tri, deg.node == tri.node, "left")
+        .select(
+            F.col("deg").alias("d"),
+            F.coalesce(F.col("n_triangles"), F.lit(0)).alias("t"),
+        )
+        .filter(F.col("d") >= 2)
+    )
+    g = n.groupBy("d").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum("t").alias("tri_slots"),
+    )
+    return g.select(
+        F.col("d").alias("degree"),
+        "n_nodes",
+        "tri_slots",
+        (
+            (F.lit(2) * F.col("tri_slots")).cast("double")
+            / (F.col("d") * (F.col("d") - 1) * F.col("n_nodes")).cast("double")
+        ).alias("mean_clustering"),
     )

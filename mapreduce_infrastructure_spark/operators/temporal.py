@@ -1397,3 +1397,82 @@ def order_volume_weekly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "wow_ratio"
         ),
     )
+
+
+@query(
+    "session_duration_percentiles",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 30*60*1000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sno
+      FROM flagged
+    ), sessions AS (
+      SELECT user_id, sno,
+             CAST(epoch_us(MIN(ts)) AS BIGINT) AS s,
+             CAST(epoch_us(MAX(ts)) AS BIGINT) AS e
+      FROM numbered GROUP BY 1, 2
+    ), d AS (
+      SELECT e - s AS dur_us FROM sessions
+    ), r AS (
+      SELECT dur_us,
+             row_number() OVER (ORDER BY dur_us) AS rn,
+             COUNT(*) OVER () AS n
+      FROM d
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_sessions,
+           MAX(CASE WHEN rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+                    THEN dur_us END) AS p50_us,
+           MAX(CASE WHEN rn = greatest(1, CAST(ceil(0.95 * n) AS BIGINT))
+                    THEN dur_us END) AS p95_us,
+           MAX(CASE WHEN rn = greatest(1, CAST(ceil(0.99 * n) AS BIGINT))
+                    THEN dur_us END) AS p99_us
+    FROM r
+    """,
+    tags=("temporal", "sessions", "percentile", "iterative"),
+)
+def session_duration_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT p50/p95/p99 session duration at MICROSECOND grain — the
+    session-length distribution behind engagement dashboards and
+    session-timeout tuning, and the third consumer of the
+    `kth_order_statistic` narrowing primitive: microsecond durations have
+    row-scale cardinality and an UNBOUNDED domain (no histogram closed
+    form, no grid), so the naive exact form would be a global sort or a
+    single-partition cume window over every session.
+
+    The sessions come from the SAME 30-min-gap sessionization every
+    interval query shares (`_gap_sessions`; the oracle restates its CTE
+    with the same gap constant). The cached (dur_us) projection is
+    session-count-sized — already the output of a row-volume reduction —
+    and each of the ≤⌈log₃₂(max_dur)⌉ ≈ 9 narrowing rounds is one
+    pushed-filter pass over it with a ≤33-row census. Ranks are
+    percentile_disc's max(1, ⌈q·n⌉), the same IEEE multiply the oracle
+    states; single-event sessions legitimately contribute duration 0.
+    The oracle's global row_number window is fine at oracle scale — the
+    exact shape the narrowing exists to avoid at 100 TB."""
+    import math
+
+    from ..functions.ranks import kth_order_statistic
+    from ..llm.cache import tracked_persist
+
+    sess = tracked_persist(
+        _gap_sessions(spark, sf_dir).select(
+            (F.col("e") - F.col("s")).alias("dur_us")
+        ),
+        f"session_durations:{sf_dir}",
+    )
+    n = sess.count()
+    vals = {
+        q: kth_order_statistic(sess, "dur_us", max(1, math.ceil(q * n)))
+        for q in (0.5, 0.95, 0.99)
+    }
+    return spark.createDataFrame(
+        [(n, vals[0.5], vals[0.95], vals[0.99])],
+        "n_sessions long, p50_us long, p95_us long, p99_us long",
+    )

@@ -69,6 +69,9 @@ CERTIFIED_FIRST: tuple[str, ...] = (
     "order_volume_weekly_trend",
     "customer_order_gap_percentiles",
     "stream_trade_balance_matrix",
+    "parts_clustering_by_degree",
+    "session_duration_percentiles",
+    "knn_label_confusion_matrix",
     # --- r4-vintage rows-only (stalest standing rows) ---
     "zorder_pruning_stats",
     "ann_lsh_topk",
@@ -115,11 +118,11 @@ CERTIFIED_FIRST: tuple[str, ...] = (
     "q5_supplier_revenue",
     "join_right_orders_customer",
     "cross_join_region_status",
-    "salted_agg_user_value",
-    "set_ops_all_variants",
-    "argmax_top_order",
-    # (correlated_max_acctbal, in_subquery_parts and
-    #  approx_percentiles_price displaced by the round-12 second wave
+    # (salted_agg_user_value, set_ops_all_variants and argmax_top_order
+    #  displaced by the round-12 third wave (parts_clustering_by_degree,
+    #  session_duration_percentiles, knn_label_confusion_matrix), after
+    #  correlated_max_acctbal, in_subquery_parts and
+    #  approx_percentiles_price by the second wave
     #  (order_volume_weekly_trend, customer_order_gap_percentiles,
     #  stream_trade_balance_matrix); their r7 greens stand and they stay
     #  first in line for round 13.)

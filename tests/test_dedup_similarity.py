@@ -1589,3 +1589,31 @@ def test_knn_purity_vs_reciprocity_consistency_with_parents(spark, sf_dir):
         assert r.purity_minus_reciprocity == r.purity - r.reciprocity1
     assert sum(r.n_sampled for r in rows.values()) == similarity._PDH_K
     assert sum(r.n_mutual for r in rows.values()) == recip1.n_mutual
+
+
+def test_knn_confusion_matrix_consistency_with_purity(spark, sf_dir):
+    """The confusion matrix must be the full joint behind the purity
+    diagonal: diagonal cells equal (n_nn_same, n_sampled) from
+    knn_label_purity, each row's cell counts sum to its n_src, n_src
+    equals the purity row's n_sampled, total mass is the sample size,
+    and row_share is the stated one-division n/n_src."""
+    rows = list(
+        similarity.knn_label_confusion_matrix(spark, sf_dir).collect()
+    )
+    purity = {
+        r.label: r for r in similarity.knn_label_purity(spark, sf_dir).collect()
+    }
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.src_label, []).append(r)
+        assert r.row_share == r.n / r.n_src
+        assert r.n >= 1
+    assert set(by_src) == set(purity)
+    for src, cells in by_src.items():
+        p = purity[src]
+        assert cells[0].n_src == p.n_sampled
+        assert sum(c.n for c in cells) == p.n_sampled
+        diag = [c for c in cells if c.dst_label == src]
+        n_same = diag[0].n if diag else 0
+        assert n_same == p.n_nn_same
+    assert sum(r.n for r in rows) == similarity._PDH_K

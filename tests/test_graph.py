@@ -203,3 +203,64 @@ def test_degree_assortativity_scalar_reference(spark, sf_dir):
         assert row.assortativity == float(num) / float(den)
         assert row.assortativity < 0  # bipartite hub-spoke structure
     assert n % 2 == 0  # symmetric edge list
+
+
+def test_parts_clustering_by_degree_scalar_reference(spark, sf_dir):
+    """Python recount of the clustering-by-degree curve from the raw
+    fixture: rebuild the co-occurrence edge set, per-node degrees and
+    triangle counts, then check every degree class's (n_nodes,
+    tri_slots) and the one-division mean 2*sum_t/(d*(d-1)*n). Also pins
+    consistency with triangle_counts_parts (same per-node counts)."""
+    from itertools import combinations
+
+    import pyarrow.parquet as pq
+
+    from mapreduce_infrastructure_spark.operators.graph import (
+        TRI_MIN_SHARED,
+        parts_clustering_by_degree,
+        triangle_counts_parts,
+    )
+
+    li = pq.read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).to_pydict()
+    by_order = {}
+    for o, p in zip(li["l_orderkey"], li["l_partkey"]):
+        by_order.setdefault(o, set()).add(p)
+    pair_counts = {}
+    for parts in by_order.values():
+        for a, b in combinations(sorted(parts), 2):
+            pair_counts[(a, b)] = pair_counts.get((a, b), 0) + 1
+    edges = {p for p, n in pair_counts.items() if n >= TRI_MIN_SHARED}
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = {}
+    for a, b in edges:
+        for c in adj[a] & adj[b]:
+            for n in (a, b, c):
+                tri[n] = tri.get(n, 0) + 1
+    for n in tri:
+        tri[n] //= 3  # each triangle visited via its 3 edges
+    got_tri = {
+        r.node: r.n_triangles
+        for r in triangle_counts_parts(spark, sf_dir).collect()
+    }
+    assert got_tri == {n: t for n, t in tri.items() if t}
+    want = {}
+    for n, nbrs in adj.items():
+        d = len(nbrs)
+        if d < 2:
+            continue
+        cnt, tot = want.get(d, (0, 0))
+        want[d] = (cnt + 1, tot + tri.get(n, 0))
+    got = {
+        r.degree: r for r in parts_clustering_by_degree(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for d, (n_nodes, tot) in want.items():
+        row = got[d]
+        assert (row.n_nodes, row.tri_slots) == (n_nodes, tot)
+        assert row.mean_clustering == (2 * tot) / (d * (d - 1) * n_nodes)
+        assert 0.0 <= row.mean_clustering <= 1.0

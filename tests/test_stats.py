@@ -973,3 +973,45 @@ def test_order_volume_weekly_trend_scalar_reference(spark, sf_dir):
             assert row.prev_n_orders == prev[0]
             assert row.wow_delta_orders == n - prev[0]
             assert row.wow_ratio == n / prev[0]
+
+
+def test_session_duration_percentiles_scalar_reference(spark, sf_dir):
+    """Python recount: 30-min-gap sessionization in pure python over the
+    events fixture, then percentile_disc ranks max(1, ceil(q*n)) against
+    the sorted duration list — the same rank formula (same IEEE multiply)
+    the engine and oracle state."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from mapreduce_infrastructure_spark.operators.temporal import (
+        session_duration_percentiles,
+    )
+
+    row = session_duration_percentiles(spark, sf_dir).collect()[0]
+    ev = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    ).to_pydict()
+    per_user = {}
+    for u, t in zip(ev["user_id"], ev["ts"]):
+        per_user.setdefault(u, []).append(
+            int(t.timestamp() * 1_000_000)
+            if not hasattr(t, "value")
+            else int(t.value) // 1000
+        )
+    durs = []
+    gap = 30 * 60 * 1_000_000
+    for ts in per_user.values():
+        ts.sort()
+        start = prev = ts[0]
+        for x in ts[1:]:
+            if x - prev >= gap:
+                durs.append(prev - start)
+                start = x
+            prev = x
+        durs.append(prev - start)
+    durs.sort()
+    n = len(durs)
+    assert row.n_sessions == n
+    for q, got in ((0.5, row.p50_us), (0.95, row.p95_us), (0.99, row.p99_us)):
+        assert got == durs[max(1, math.ceil(q * n)) - 1]

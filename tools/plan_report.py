@@ -157,6 +157,9 @@ FLAGSHIP_EXTRA = [
     "knn_purity_vs_reciprocity_compare",
     "order_volume_weekly_trend",
     "customer_order_gap_percentiles",
+    "parts_clustering_by_degree",
+    "knn_label_confusion_matrix",
+    "session_duration_percentiles",
 ]
 
 JOIN_KINDS = [
