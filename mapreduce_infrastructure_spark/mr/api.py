@@ -122,3 +122,17 @@ class IdentityReducer(BaseReducer):
     def reduce(self, key: str, values) -> None:
         for v in values:
             self.emit(key, v)
+
+
+class BigramCountMapper(BaseMapper):
+    """Bigram counter — the n-gram generalization of the shipped word-count
+    demo (``test/user_tasks.cc:12-22``), registered as a fourth user_id to
+    exercise a mapper with PER-RECORD SEQUENTIAL STATE (each emit depends
+    on the previous token, not just the current one — the shape tokenize-
+    and-emit mappers can't express). Whitespace tokenizer, no case
+    folding; emits ("a b", "1") per adjacent pair."""
+
+    def map(self, record: str) -> None:
+        toks = [t for t in record.split(" ") if t]
+        for a, b in zip(toks, toks[1:]):
+            self.emit(a + " " + b, "1")

@@ -84,3 +84,33 @@ def mr_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kv.select(
         F.col("key").cast("long").alias("doc_id"), F.col("value").alias("text")
     )
+
+
+@query(
+    "mr_bigram_count",
+    oracle="""
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (
+      SELECT unnest(list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+                                   i -> toks[i] || ' ' || toks[i+1])) AS bigram
+      FROM (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents)
+    )
+    GROUP BY bigram
+    """,
+    tags=("mr-compat", "text", "ngram"),
+)
+def mr_bigram_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram count through the MR-compat API (fourth registered user_id):
+    a mapper whose emits depend on SEQUENTIAL per-record state (previous
+    token), composed with the demo's integer-sum reducer — the registry
+    carries arbitrary (mapper, reducer) pairings, reference
+    ``src/mr_task_factory.cc:28-88``. The oracle states the same
+    whitespace tokenizer and adjacent-pair construction structurally
+    (list_transform over token indexes), so the equivalence holds for
+    any corpus."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    kv = run_mr_job(spark, docs, user_id="bigram", num_output_files=8)
+    return kv.select(
+        F.col("key").alias("bigram"), F.col("value").cast("long").alias("cnt")
+    )

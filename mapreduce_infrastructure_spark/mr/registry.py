@@ -49,3 +49,8 @@ register_tasks("invidx", InvertedIndexMapper, InvertedIndexReducer)
 from .api import GrepMapper, IdentityReducer  # noqa: E402
 
 register_tasks("grep", GrepMapper, IdentityReducer)
+# Fourth task: bigram count under "bigram" (sequential per-record mapper
+# state; reuses the demo's integer-sum reducer — factories compose).
+from .api import BigramCountMapper  # noqa: E402
+
+register_tasks("bigram", BigramCountMapper, WordCountReducer)

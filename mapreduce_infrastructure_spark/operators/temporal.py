@@ -1339,9 +1339,11 @@ def order_fulfillment_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "order_volume_weekly_trend",
-    oracle="""
+# Shared with the streaming twin in streaming/stream.py (the
+# BACKLOG_ORACLE pattern): one statement of the weekly grid, the exact
+# cents fold and the left-join WoW convention, so batch and stream cannot
+# drift.
+WEEKLY_TREND_ORACLE = """
     WITH g AS (
       SELECT CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 // 7 AS week,
              CAST(COUNT(*) AS BIGINT) AS n_orders,
@@ -1354,7 +1356,12 @@ def order_fulfillment_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
            a.n_orders - b.n_orders AS wow_delta_orders,
            CAST(a.n_orders AS DOUBLE) / b.n_orders AS wow_ratio
     FROM g a LEFT JOIN g b ON a.week = b.week + 1
-    """,
+    """
+
+
+@query(
+    "order_volume_weekly_trend",
+    oracle=WEEKLY_TREND_ORACLE,
     tags=("temporal", "trend", "agg"),
 )
 def order_volume_weekly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1475,4 +1482,100 @@ def session_duration_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(n, vals[0.5], vals[0.95], vals[0.99])],
         "n_sessions long, p50_us long, p95_us long, p99_us long",
+    )
+
+
+@query(
+    "event_mix_weekly_drift",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 // 7 AS week,
+             event_type
+      FROM events
+    ),
+    g AS (
+      SELECT week, event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM b GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT week, CAST(SUM(n_events) AS BIGINT) AS week_total
+      FROM g GROUP BY 1
+    )
+    SELECT g.week, g.event_type, g.n_events, t.week_total,
+           CAST(g.n_events AS DOUBLE) / t.week_total AS share,
+           p.n_events AS prev_n,
+           CASE WHEN p.n_events IS NOT NULL THEN
+             (g.n_events - CAST(p.n_events AS DOUBLE) * t.week_total / pt.week_total)
+             * (g.n_events - CAST(p.n_events AS DOUBLE) * t.week_total / pt.week_total)
+             / (CAST(p.n_events AS DOUBLE) * t.week_total / pt.week_total)
+           END AS chi2_term
+    FROM g
+    JOIN t ON g.week = t.week
+    LEFT JOIN g p  ON p.week = g.week - 1 AND p.event_type = g.event_type
+    LEFT JOIN t pt ON pt.week = g.week - 1
+    """,
+    tags=("temporal", "events", "drift", "stats"),
+)
+def event_mix_weekly_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week EVENT-MIX drift: per (epoch-week, event type) the
+    count, its share of the week, and the chi-square term of this week's
+    count against the expectation extrapolated from LAST week's mix
+    (e = prev_n · week_total / prev_week_total) — the distribution-shift
+    alarm a pipeline owner reads when an SDK release or a bot changes the
+    traffic composition (the dow/hour profile answers "when"; this
+    answers "did WHAT changed this week"). Cells are emitted per (week,
+    type) with their chi2_term and never summed engine-side — summing
+    per-cell doubles would make the total partitioning-dependent, the
+    same convention as events_dow_hour_profile; the consumer adds the
+    ≤|types| terms per week. First-observed weeks and types absent from
+    the previous week carry NULL prev_n/chi2_term (stated via the
+    oracle's left joins; a type present last week has prev_n ≥ 1, so the
+    expectation is never a zero divisor).
+
+    TZ-proof epoch-week ids; share and chi2_term are IEEE expressions of
+    exact int64 counts stated token-for-token in both engines
+    (left-associative double(prev_n)·week_total/prev_week_total). Scale:
+    ONE partial-aggregatable row-volume fold to the (week, type) grid;
+    the totals table and both previous-week lookups are joins over
+    CALENDAR×|types|-bounded aggregates (broadcast at any corpus size)."""
+    ev = load_table(spark, sf_dir, "events")
+    week = F.expr("unix_micros(ts) div 1000000 div 86400 div 7")
+    g = (
+        ev.select(week.alias("week"), "event_type")
+        .groupBy("week", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    t = g.groupBy("week").agg(F.sum("n_events").alias("week_total"))
+    p = g.select(
+        (F.col("week") + 1).alias("week"),
+        "event_type",
+        F.col("n_events").alias("prev_n"),
+    )
+    pt = t.select(
+        (F.col("week") + 1).alias("week"),
+        F.col("week_total").alias("prev_week_total"),
+    )
+    e = (
+        F.col("prev_n").cast("double")
+        * F.col("week_total")
+        / F.col("prev_week_total")
+    )
+    return (
+        g.join(F.broadcast(t), "week")
+        .join(F.broadcast(p), ["week", "event_type"], "left")
+        .join(F.broadcast(pt), "week", "left")
+        .select(
+            "week",
+            "event_type",
+            "n_events",
+            "week_total",
+            (F.col("n_events").cast("double") / F.col("week_total")).alias(
+                "share"
+            ),
+            "prev_n",
+            F.when(
+                F.col("prev_n").isNotNull(),
+                (F.col("n_events") - e) * (F.col("n_events") - e) / e,
+            ).alias("chi2_term"),
+        )
     )

@@ -72,6 +72,9 @@ CERTIFIED_FIRST: tuple[str, ...] = (
     "parts_clustering_by_degree",
     "session_duration_percentiles",
     "knn_label_confusion_matrix",
+    "mr_bigram_count",
+    "event_mix_weekly_drift",
+    "stream_weekly_trend",
     # --- r4-vintage rows-only (stalest standing rows) ---
     "zorder_pruning_stats",
     "ann_lsh_topk",
@@ -115,10 +118,10 @@ CERTIFIED_FIRST: tuple[str, ...] = (
     "doc_lang_confusion",
     "dup_cluster_size_histogram",
     "quality_flag_transition_by_source",
-    "q5_supplier_revenue",
-    "join_right_orders_customer",
-    "cross_join_region_status",
-    # (salted_agg_user_value, set_ops_all_variants and argmax_top_order
+    # (q5_supplier_revenue, join_right_orders_customer and
+    #  cross_join_region_status displaced by the round-12 fourth wave
+    #  (mr_bigram_count, event_mix_weekly_drift, stream_weekly_trend);
+    #  salted_agg_user_value, set_ops_all_variants and argmax_top_order
     #  displaced by the round-12 third wave (parts_clustering_by_degree,
     #  session_duration_percentiles, knn_label_confusion_matrix), after
     #  correlated_max_acctbal, in_subquery_parts and

@@ -1659,13 +1659,62 @@ def stream_trade_balance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stream_weekly_trend",
+    oracle=None,  # set below — shares the batch twin's oracle verbatim
+    tags=("streaming", "trend", "agg"),
+)
+def stream_weekly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week order-volume trend maintained INCREMENTALLY — the
+    streaming twin of temporal.order_volume_weekly_trend, same oracle
+    verbatim (the shared WEEKLY_TREND_ORACLE constant).
+
+    The row-volume work is ONE incremental hash aggregate keyed by the
+    TZ-proof epoch-week (count + exact cents sum fold per micro-batch) —
+    state is one (count, sum) pair per calendar week, the smallest state
+    in the twin matrix after the dow/hour profile. The week-over-week
+    derivation is not incrementally expressible (a new batch can touch
+    LAST week's row, retroactively changing THIS week's delta), so it
+    runs POST-SINK as the same broadcast week = week + 1 self-join over
+    the calendar-bounded weekly table the batch twin uses — never a
+    global lag window."""
+    o = stream_table(spark, sf_dir, "orders")
+    week = F.expr("unix_micros(o_orderdate) div 1000000 div 86400 div 7")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    g = (
+        o.select(week.alias("week"), cents.alias("cents"))
+        .groupBy("week")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+    )
+    tbl = run_to_table(g, "stream_weekly_trend", mode="complete")
+    prev = tbl.select(
+        (F.col("week") + 1).alias("week"),
+        F.col("n_orders").alias("prev_n_orders"),
+    )
+    return tbl.join(F.broadcast(prev), "week", "left").select(
+        "week",
+        "n_orders",
+        "revenue_cents",
+        "prev_n_orders",
+        (F.col("n_orders") - F.col("prev_n_orders")).alias("wow_delta_orders"),
+        (F.col("n_orders").cast("double") / F.col("prev_n_orders")).alias(
+            "wow_ratio"
+        ),
+    )
+
+
 # Late-bind the shared oracles (import at module top would be circular-prone
 # and the constants live beside their batch twins).
 from ..operators.temporal import BACKLOG_ORACLE as _BL_ORACLE  # noqa: E402
 from ..operators.temporal import DOW_HOUR_PROFILE_ORACLE as _DHP_ORACLE  # noqa: E402
+from ..operators.temporal import WEEKLY_TREND_ORACLE as _WT_ORACLE  # noqa: E402
 from ..operators.tpch_extra import TRADE_MATRIX_ORACLE as _TM_ORACLE  # noqa: E402
 from ..registry import _REGISTRY as _REG  # noqa: E402
 
 _REG["stream_dow_hour_profile"].oracle = _DHP_ORACLE
 _REG["stream_backlog_daily"].oracle = _BL_ORACLE
 _REG["stream_trade_balance_matrix"].oracle = _TM_ORACLE
+_REG["stream_weekly_trend"].oracle = _WT_ORACLE

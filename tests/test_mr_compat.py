@@ -244,3 +244,27 @@ def test_frame_sample_ascii_premise_and_scalar_reference(spark, sf_dir):
             assert r.n_frame_bytes == len(frame)
             assert r.frame_md5 == hashlib.md5(frame).hexdigest()
     assert set(got) == expect_keys
+
+
+def test_mr_bigram_count_scalar_reference(spark, sf_dir):
+    """Python recount of the bigram counts (same whitespace tokenizer,
+    same adjacent-pair construction), plus the mass law: total bigram
+    occurrences = Σ max(len(toks)−1, 0) over docs."""
+    import pyarrow.parquet as pq
+
+    from mapreduce_infrastructure_spark.mr.queries import mr_bigram_count
+
+    got = {r.bigram: r.cnt for r in mr_bigram_count(spark, sf_dir).collect()}
+    texts = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    ).to_pydict()["text"]
+    want = {}
+    total = 0
+    for text in texts:
+        toks = [t for t in text.split(" ") if t]
+        total += max(len(toks) - 1, 0)
+        for a, b in zip(toks, toks[1:]):
+            bg = a + " " + b
+            want[bg] = want.get(bg, 0) + 1
+    assert got == want
+    assert sum(got.values()) == total

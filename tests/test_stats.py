@@ -1015,3 +1015,45 @@ def test_session_duration_percentiles_scalar_reference(spark, sf_dir):
     assert row.n_sessions == n
     for q, got in ((0.5, row.p50_us), (0.95, row.p95_us), (0.99, row.p99_us)):
         assert got == durs[max(1, math.ceil(q * n)) - 1]
+
+
+def test_event_mix_weekly_drift_scalar_reference(spark, sf_dir):
+    """Python recount of the weekly event-mix drift cells: same epoch-week
+    grid, same left-associative expectation
+    double(prev_n)·week_total/prev_week_total, NULL chi2 exactly when the
+    type was absent the previous week (or it is the first week)."""
+    import pyarrow.parquet as pq
+
+    from mapreduce_infrastructure_spark.operators.temporal import (
+        event_mix_weekly_drift,
+    )
+
+    got = {
+        (r.week, r.event_type): r
+        for r in event_mix_weekly_drift(spark, sf_dir).collect()
+    }
+    ev = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    ).to_pydict()
+    cells = {}
+    for t, et in zip(ev["ts"], ev["event_type"]):
+        us = int(t.value) // 1000 if hasattr(t, "value") else int(
+            t.timestamp() * 1_000_000
+        )
+        wk = us // 1_000_000 // 86400 // 7
+        cells[(wk, et)] = cells.get((wk, et), 0) + 1
+    totals = {}
+    for (wk, _et), n in cells.items():
+        totals[wk] = totals.get(wk, 0) + n
+    assert set(got) == set(cells)
+    for (wk, et), n in cells.items():
+        row = got[(wk, et)]
+        assert (row.n_events, row.week_total) == (n, totals[wk])
+        assert row.share == n / totals[wk]
+        prev = cells.get((wk - 1, et))
+        if prev is None:
+            assert row.prev_n is None and row.chi2_term is None
+        else:
+            assert row.prev_n == prev
+            e = float(prev) * totals[wk] / totals[wk - 1]
+            assert row.chi2_term == (n - e) * (n - e) / e

@@ -875,3 +875,44 @@ def test_stream_trade_balance_matrix_matches_batch_twin(spark, sf_dir):
         qs["stream_trade_balance_matrix"].oracle
         == qs["nation_trade_balance_matrix"].oracle
     )
+
+
+def test_stream_weekly_trend_matches_batch_twin(spark, sf_dir):
+    """The streaming weekly trend must equal the batch twin row-for-row
+    (shared WEEKLY_TREND_ORACLE constant), including the NULL-prev first
+    week and NULL-after-gap convention."""
+    from mapreduce_infrastructure_spark.operators.temporal import (
+        order_volume_weekly_trend,
+    )
+    from mapreduce_infrastructure_spark.streaming.stream import (
+        stream_weekly_trend,
+    )
+
+    batch = {
+        r.week: (
+            r.n_orders,
+            r.revenue_cents,
+            r.prev_n_orders,
+            r.wow_delta_orders,
+            r.wow_ratio,
+        )
+        for r in order_volume_weekly_trend(spark, sf_dir).collect()
+    }
+    stream = {
+        r.week: (
+            r.n_orders,
+            r.revenue_cents,
+            r.prev_n_orders,
+            r.wow_delta_orders,
+            r.wow_ratio,
+        )
+        for r in stream_weekly_trend(spark, sf_dir).collect()
+    }
+    assert stream == batch
+    from mapreduce_infrastructure_spark.registry import all_queries
+
+    qs = all_queries()
+    assert (
+        qs["stream_weekly_trend"].oracle
+        == qs["order_volume_weekly_trend"].oracle
+    )

@@ -160,6 +160,8 @@ FLAGSHIP_EXTRA = [
     "parts_clustering_by_degree",
     "knn_label_confusion_matrix",
     "session_duration_percentiles",
+    "mr_bigram_count",
+    "event_mix_weekly_drift",
 ]
 
 JOIN_KINDS = [
