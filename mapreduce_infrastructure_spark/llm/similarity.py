@@ -1941,3 +1941,92 @@ def knn_label_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_src",
         (F.col("n").cast("double") / F.col("n_src")).alias("row_share"),
     )
+
+
+@query(
+    "label_centroid_distance_matrix",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS d FROM embeddings
+    ), x AS (
+      SELECT label,
+             unnest(generate_series(1, len(d))) AS i,
+             unnest(d) AS v
+      FROM e
+    ), c AS (
+      SELECT label, i, AVG(v) AS cv FROM x GROUP BY label, i
+    ), n2 AS (
+      SELECT label, SUM(cv * cv) AS nc2 FROM c GROUP BY label
+    ), p AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             SUM(a.cv * b.cv) AS dot
+      FROM c a JOIN c b ON a.i = b.i AND a.label < b.label
+      GROUP BY 1, 2
+    )
+    SELECT p.label_a, p.label_b,
+           floor(p.dot / (sqrt(na.nc2) * sqrt(nb.nc2)) * 1000000 + 0.5)
+             / 1000000 AS cosine,
+           floor(sqrt(na.nc2 + nb.nc2 - 2 * p.dot) * 1000000 + 0.5)
+             / 1000000 AS euclidean
+    FROM p
+    JOIN n2 na ON p.label_a = na.label
+    JOIN n2 nb ON p.label_b = nb.label
+    """,
+    tags=("similarity", "embeddings", "labels", "matrix"),
+)
+def label_centroid_distance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise label-centroid geometry: cosine and euclidean distance
+    between every pair of label centroids — the class-separation map
+    read NEXT TO `knn_label_confusion_matrix` (confusion says which
+    classes' MEMBERS entangle; this says whose CENTROIDS sit close —
+    close centroids + high mutual confusion = merge candidates, distant
+    centroids + high confusion = label noise) and
+    `label_centroid_cohesion` (within-class tightness vs between-class
+    separation is the Davies-Bouldin-style read).
+
+    Plan: one posexplode pass (n·d rows, the cohesion query's shape),
+    ONE |labels|·d centroid aggregate, then all pairwise work happens on
+    the ≤|labels|·d centroid table (self-join on dimension, ≤labels²·d
+    rows) — nothing pairwise ever touches corpus-sized data. Float note:
+    centroid means accumulate in engine-specific order; the 1e-6
+    rounding leaves the same wide margin the cohesion query documents
+    (audited by its scalar reference)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "label",
+        F.posexplode(_as_double("embedding")).alias("i", "v"),
+    )
+    c = x.groupBy("label", "i").agg(F.avg("v").alias("cv"))
+    n2 = c.groupBy("label").agg(F.sum(F.col("cv") * F.col("cv")).alias("nc2"))
+    a = c.select(
+        F.col("label").alias("label_a"), "i", F.col("cv").alias("ca")
+    )
+    b = c.select(
+        F.col("label").alias("label_b"),
+        F.col("i").alias("ib"),
+        F.col("cv").alias("cb"),
+    )
+    p = (
+        a.join(
+            F.broadcast(b),
+            (F.col("i") == F.col("ib")) & (F.col("label_a") < F.col("label_b")),
+        )
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    na = n2.select(F.col("label").alias("label_a"), F.col("nc2").alias("na2"))
+    nb = n2.select(F.col("label").alias("label_b"), F.col("nc2").alias("nb2"))
+    return (
+        p.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            rnd(
+                F.col("dot") / (F.sqrt("na2") * F.sqrt("nb2")), 6
+            ).alias("cosine"),
+            rnd(
+                F.sqrt(F.col("na2") + F.col("nb2") - 2 * F.col("dot")), 6
+            ).alias("euclidean"),
+        )
+    )

@@ -1169,3 +1169,119 @@ def supplier_leadtime_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame
         hist_disc_percentile("lag_days", 0.9, "p90_lag_days"),
         hist_disc_percentile("lag_days", 0.99, "p99_lag_days"),
     )
+
+
+# --------------------------------------------------------------------------
+# Return-rate matrix and discount-band margin report
+# --------------------------------------------------------------------------
+
+@query(
+    "return_rate_by_nation_parttype",
+    oracle="""
+    SELECT n.n_name AS supp_nation, p.p_type,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_returned,
+           CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS return_rate
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    GROUP BY 1, 2
+    """,
+    tags=("tpch", "join", "matrix", "quality"),
+)
+def return_rate_by_nation_parttype(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return-rate matrix per (supplier nation × part type) — the
+    supplier-quality heat map a sourcing team reads (q10 lists returned
+    REVENUE by customer; this localizes WHERE returns originate: which
+    nation's suppliers, which product family). Counts are exact int64;
+    the rate is one IEEE division per cell.
+
+    Plan: one star join (supplier carries no broadcast hint — size-based
+    planning broadcasts at test SF, shuffles at cluster scale; nation is
+    a hard-broadcast 25-row dim; part likewise unhinted), ONE
+    partial-aggregatable fold to the |nations|·|types| grid. The only
+    row-volume stages are the scans and the joins themselves."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    ret = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    g = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy(F.col("n_name").alias("supp_nation"), "p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(ret).cast("long").alias("n_returned"),
+        )
+    )
+    return g.select(
+        "supp_nation",
+        "p_type",
+        "n_lines",
+        "n_returned",
+        (F.col("n_returned").cast("double") / F.col("n_lines")).alias(
+            "return_rate"
+        ),
+    )
+
+
+@query(
+    "discount_band_margin_report",
+    oracle="""
+    SELECT CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS discount_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_qty,
+           CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS gross_cents,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             / CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS DOUBLE) * 10000 AS discount_cost_pct
+    FROM lineitem
+    GROUP BY 1
+    """,
+    tags=("tpch", "agg", "pricing"),
+)
+def discount_band_margin_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing-band report: per integer discount percent band, line
+    count, total quantity, exact gross revenue cents, and the realized
+    discount cost as a percent of gross — the what-does-discounting-cost
+    view behind q19-style promo analysis, with the whole discount DOMAIN
+    (a 2-decimal grid, ≤101 bands at any scale) as the axis.
+
+    Exactness: gross folds as exact integer cents; the discount cost
+    numerator folds in DECIMAL (exact, associative — the module's money
+    rule), and the published percent is ONE division of two bit-stable
+    operands times an exact constant, stated token-for-token in the
+    oracle. ONE partial-aggregatable scan-speed fold to a ≤101-row
+    grid; no join, no window."""
+    li = load_table(spark, sf_dir, "lineitem")
+    band = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
+    qty = F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    cost = dec("l_extendedprice") * dec("l_discount")
+    g = li.groupBy(band.alias("discount_pct")).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(qty).alias("total_qty"),
+        F.sum(cents).alias("gross_cents"),
+        F.sum(cost).alias("_cost"),
+    )
+    return g.select(
+        "discount_pct",
+        "n_lines",
+        "total_qty",
+        "gross_cents",
+        # cost is in DOLLARS, gross in CENTS: ×10000 = ÷100 unit bridge
+        # then ×100 to percent (stated identically in the oracle).
+        (
+            F.col("_cost").cast("double")
+            / F.col("gross_cents").cast("double")
+            * 10000
+        ).alias("discount_cost_pct"),
+    )

@@ -75,6 +75,9 @@ CERTIFIED_FIRST: tuple[str, ...] = (
     "mr_bigram_count",
     "event_mix_weekly_drift",
     "stream_weekly_trend",
+    "label_centroid_distance_matrix",
+    "return_rate_by_nation_parttype",
+    "discount_band_margin_report",
     # --- r4-vintage rows-only (stalest standing rows) ---
     "zorder_pruning_stats",
     "ann_lsh_topk",
@@ -115,10 +118,11 @@ CERTIFIED_FIRST: tuple[str, ...] = (
     "sample_weighted_by_quality",
     "ngram_novelty_ratio",
     "stopword_profile_drift",
-    "doc_lang_confusion",
-    "dup_cluster_size_histogram",
-    "quality_flag_transition_by_source",
-    # (q5_supplier_revenue, join_right_orders_customer and
+    # (doc_lang_confusion, dup_cluster_size_histogram and
+    #  quality_flag_transition_by_source displaced by the round-12 fifth
+    #  wave (label_centroid_distance_matrix,
+    #  return_rate_by_nation_parttype, discount_band_margin_report);
+    #  q5_supplier_revenue, join_right_orders_customer and
     #  cross_join_region_status displaced by the round-12 fourth wave
     #  (mr_bigram_count, event_mix_weekly_drift, stream_weekly_trend);
     #  salted_agg_user_value, set_ops_all_variants and argmax_top_order

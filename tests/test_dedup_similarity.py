@@ -1617,3 +1617,41 @@ def test_knn_confusion_matrix_consistency_with_purity(spark, sf_dir):
         n_same = diag[0].n if diag else 0
         assert n_same == p.n_nn_same
     assert sum(r.n for r in rows) == similarity._PDH_K
+
+
+def test_label_centroid_distance_matrix_numpy_reference(spark, sf_dir):
+    """Centroid-pair cosine/euclidean match a numpy recomputation within
+    the 1e-6 rounding margin (different accumulation order), the matrix
+    covers exactly all C(labels, 2) ordered pairs, and the two metrics
+    are mutually consistent (euclidean² ≈ na² + nb² − 2·cos·na·nb)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    rows = {
+        (r.label_a, r.label_b): r
+        for r in similarity.label_centroid_distance_matrix(
+            spark, sf_dir
+        ).collect()
+    }
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pydict()
+    by_label: dict[int, list] = {}
+    for label, emb in zip(tbl["label"], tbl["embedding"]):
+        by_label.setdefault(label, []).append(np.asarray(emb, dtype=np.float64))
+    cents = {lb: np.stack(vs).mean(axis=0) for lb, vs in by_label.items()}
+    labels = sorted(cents)
+    assert set(rows) == {
+        (a, b) for i, a in enumerate(labels) for b in labels[i + 1 :]
+    }
+    for (a, b), r in rows.items():
+        ca, cb = cents[a], cents[b]
+        cos = float(ca @ cb / (np.linalg.norm(ca) * np.linalg.norm(cb)))
+        euc = float(np.linalg.norm(ca - cb))
+        assert abs(r.cosine - cos) <= 2e-6
+        assert abs(r.euclidean - euc) <= 2e-6
+        assert -1.0 - 1e-9 <= r.cosine <= 1.0 + 1e-9
+        assert r.euclidean >= 0.0
+        want_e2 = (
+            float(ca @ ca) + float(cb @ cb)
+            - 2 * r.cosine * np.linalg.norm(ca) * np.linalg.norm(cb)
+        )
+        assert abs(r.euclidean**2 - want_e2) <= 1e-4

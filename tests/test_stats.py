@@ -1057,3 +1057,84 @@ def test_event_mix_weekly_drift_scalar_reference(spark, sf_dir):
             assert row.prev_n == prev
             e = float(prev) * totals[wk] / totals[wk - 1]
             assert row.chi2_term == (n - e) * (n - e) / e
+
+
+def test_return_rate_matrix_scalar_reference(spark, sf_dir):
+    """Python recount of the (supplier nation × part type) return-rate
+    matrix, plus the mass law: cell line counts sum to |lineitem|."""
+    import pyarrow.parquet as pq
+
+    from mapreduce_infrastructure_spark.operators.tpch_extra import (
+        return_rate_by_nation_parttype,
+    )
+
+    got = {
+        (r.supp_nation, r.p_type): r
+        for r in return_rate_by_nation_parttype(spark, sf_dir).collect()
+    }
+    li = pq.read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_partkey", "l_returnflag"],
+    ).to_pydict()
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pydict()
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pydict()
+    prt = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    ).to_pydict()
+    nk = dict(zip(sup["s_suppkey"], sup["s_nationkey"]))
+    nn = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    pt = dict(zip(prt["p_partkey"], prt["p_type"]))
+    want = {}
+    for sk, pk, rf in zip(li["l_suppkey"], li["l_partkey"], li["l_returnflag"]):
+        key = (nn[nk[sk]], pt[pk])
+        n, r = want.get(key, (0, 0))
+        want[key] = (n + 1, r + (1 if rf == "R" else 0))
+    assert set(got) == set(want)
+    for key, (n, r) in want.items():
+        row = got[key]
+        assert (row.n_lines, row.n_returned) == (n, r)
+        assert row.return_rate == r / n
+    assert sum(r.n_lines for r in got.values()) == len(li["l_suppkey"])
+
+
+def test_discount_band_margin_scalar_reference(spark, sf_dir):
+    """Python recount of the discount-band report with exact-integer
+    cents/quantity folds and the DECIMAL cost numerator recomputed on an
+    exact cents×bp integer grid, plus the band-axis law (bands are the
+    observed 2-decimal discount grid)."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from mapreduce_infrastructure_spark.operators.tpch_extra import (
+        discount_band_margin_report,
+    )
+
+    got = {
+        r.discount_pct: r
+        for r in discount_band_margin_report(spark, sf_dir).collect()
+    }
+    li = pq.read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_discount", "l_quantity", "l_extendedprice"],
+    ).to_pydict()
+    want = {}
+    for d, q, p in zip(li["l_discount"], li["l_quantity"], li["l_extendedprice"]):
+        band = int(math.floor(float(d) * 100 + 0.5))
+        cents = int(math.floor(float(p) * 100 + 0.5))
+        qty = int(math.floor(float(q) + 0.5))
+        # DECIMAL(18,2)*DECIMAL(18,2): exact product of the 2-decimal
+        # representations — reconstruct on the integer cents×bp grid.
+        n, tq, gc, cost4 = want.get(band, (0, 0, 0, 0))
+        want[band] = (n + 1, tq + qty, gc + cents, cost4 + cents * band)
+    assert set(got) == set(want)
+    for band, (n, tq, gc, cost4) in want.items():
+        row = got[band]
+        assert (row.n_lines, row.total_qty, row.gross_cents) == (n, tq, gc)
+        # cost4 is cents·(discount·100): cost in units of 1e-4 dollars
+        want_pct = (cost4 / 10000) / (gc / 100) * 100 if gc else None
+        assert abs(row.discount_cost_pct - want_pct) < 1e-9

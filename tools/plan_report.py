@@ -162,6 +162,9 @@ FLAGSHIP_EXTRA = [
     "session_duration_percentiles",
     "mr_bigram_count",
     "event_mix_weekly_drift",
+    "label_centroid_distance_matrix",
+    "return_rate_by_nation_parttype",
+    "discount_band_margin_report",
 ]
 
 JOIN_KINDS = [
