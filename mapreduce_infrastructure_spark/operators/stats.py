@@ -1372,3 +1372,98 @@ def customer_order_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFram
         hist_disc_percentile("gap_days", 0.9, "p90_gap_days"),
         hist_disc_percentile("gap_days", 0.99, "p99_gap_days"),
     )
+
+
+@query(
+    "customer_revenue_concentration",
+    oracle="""
+    WITH cm AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    r AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents) AS rn,
+             COUNT(*) OVER () AS n
+      FROM cm
+    ),
+    grid AS (SELECT unnest([50, 75, 90, 95, 99]) AS pct),
+    th AS (
+      SELECT g.pct,
+             MAX(CASE WHEN r.rn = greatest(1, CAST(ceil(g.pct / 100.0 * r.n)
+                                                   AS BIGINT))
+                      THEN r.cents END) AS threshold_cents
+      FROM grid g CROSS JOIN r GROUP BY 1
+    )
+    SELECT t.pct, t.threshold_cents,
+           CAST(SUM(CASE WHEN c.cents >= t.threshold_cents THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_customers,
+           CAST(SUM(CASE WHEN c.cents >= t.threshold_cents THEN c.cents
+                         ELSE 0 END) AS BIGINT) AS revenue_cents,
+           CAST(SUM(CASE WHEN c.cents >= t.threshold_cents THEN c.cents
+                         ELSE 0 END) AS DOUBLE)
+             / CAST(CAST(SUM(c.cents) AS BIGINT) AS DOUBLE) AS revenue_share
+    FROM th t CROSS JOIN cm c
+    GROUP BY 1, 2
+    """,
+    tags=("stats", "percentile", "iterative", "concentration"),
+)
+def customer_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration report (the Pareto read every growth team
+    runs): for spend-percentile checkpoints p ∈ {50, 75, 90, 95, 99},
+    the EXACT spend threshold at that percentile and the customer count
+    and revenue share at-or-above it — "the top decile of customers
+    carries X% of revenue". Membership is VALUE-based (spend ≥ the exact
+    percentile_disc threshold), so ties at a boundary land on one
+    deterministic side in both engines — unlike ntile/top-k%-by-rank,
+    whose tie-splitting is engine-arbitrary.
+
+    Scale shape: the five thresholds come from `kth_order_statistic`
+    range narrowing over the cached per-customer spend projection (the
+    same unbounded-domain primitive and cache slot as
+    `exact_customer_spend_percentiles` — thresholds over row-scale
+    sums have no histogram closed form), then ONE distributed fold:
+    spend × broadcast 5-row threshold grid, grouped by checkpoint —
+    every group sees all customers, so SUM(cents) per group IS the
+    denominator and the share divides two exact int64 sums. No sort, no
+    ntile window, no driver-side aggregation. The oracle's global
+    row_number is fine at oracle scale."""
+    import math
+
+    from ..functions.ranks import kth_order_statistic
+    from ..llm.cache import tracked_persist
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    cm = tracked_persist(
+        o.groupBy("o_custkey").agg(F.sum(cents).alias("cents")),
+        f"cust_spend_cents:{sf_dir}",
+    )
+    n = cm.count()
+    grid = spark.createDataFrame(
+        [
+            (pct, kth_order_statistic(cm, "cents", max(1, math.ceil(pct / 100.0 * n))))
+            for pct in (50, 75, 90, 95, 99)
+        ],
+        "pct long, threshold_cents long",
+    )
+    above = F.col("cents") >= F.col("threshold_cents")
+    g = cm.crossJoin(F.broadcast(grid)).groupBy("pct", "threshold_cents").agg(
+        F.sum(F.when(above, 1).otherwise(0)).cast("long").alias("n_customers"),
+        F.sum(F.when(above, F.col("cents")).otherwise(0)).alias(
+            "revenue_cents"
+        ),
+        F.sum("cents").alias("_total"),
+    )
+    return g.select(
+        "pct",
+        "threshold_cents",
+        "n_customers",
+        "revenue_cents",
+        (
+            F.col("revenue_cents").cast("double")
+            / F.col("_total").cast("double")
+        ).alias("revenue_share"),
+    )

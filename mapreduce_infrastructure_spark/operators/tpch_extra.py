@@ -1285,3 +1285,58 @@ def discount_band_margin_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             * 10000
         ).alias("discount_cost_pct"),
     )
+
+
+@query(
+    "leadtime_weekly_trend",
+    oracle="""
+    WITH l AS (
+      SELECT CAST(floor(epoch(l_shipdate)) AS BIGINT) // 86400 // 7 AS week,
+             CAST(floor(epoch(l_shipdate)) AS BIGINT) // 86400
+             - CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS lag_days
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    ranked AS (
+      SELECT week, lag_days,
+             cume_dist() OVER (PARTITION BY week ORDER BY lag_days) AS cd
+      FROM l
+    )
+    SELECT week,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           MIN(CASE WHEN cd >= 0.5 THEN lag_days END) AS p50_lag_days,
+           MIN(CASE WHEN cd >= 0.9 THEN lag_days END) AS p90_lag_days
+    FROM ranked GROUP BY 1
+    """,
+    tags=("tpch", "supplier", "percentile", "trend"),
+)
+def leadtime_weekly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment-SLA trend: per ship epoch-week, the EXACT median and
+    p90 ship lag (ship day − order day) — `supplier_leadtime_percentiles`
+    sliced by TIME instead of supplier, the series an operations review
+    reads to see whether lead times are drifting. Same TZ-proof
+    epoch-day/week integers, same histogram closed form: the stratum
+    (week) is CALENDAR-bounded and the lag domain is calendar-bounded,
+    so the cumulative window input is |lag domain| rows per week — never
+    |lines| — and the big lineitem⋈orders join is the only row-volume
+    stage (shared shape with the backlog and supplier-percentile
+    queries)."""
+    from ..functions.ranks import hist_cume_counts, hist_disc_percentile
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.expr("unix_micros(l_shipdate) div 1000000 div 86400").alias("dship"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("unix_micros(o_orderdate) div 1000000 div 86400").alias("dopen"),
+    )
+    lag = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.expr("dship div 7").alias("week"),
+        (F.col("dship") - F.col("dopen")).alias("lag_days"),
+    )
+    cume = hist_cume_counts(lag, ["week"], "lag_days")
+    return cume.groupBy("week").agg(
+        F.sum("m").alias("n_lines"),
+        hist_disc_percentile("lag_days", 0.5, "p50_lag_days"),
+        hist_disc_percentile("lag_days", 0.9, "p90_lag_days"),
+    )

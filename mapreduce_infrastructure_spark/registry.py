@@ -78,6 +78,8 @@ CERTIFIED_FIRST: tuple[str, ...] = (
     "label_centroid_distance_matrix",
     "return_rate_by_nation_parttype",
     "discount_band_margin_report",
+    "customer_revenue_concentration",
+    "leadtime_weekly_trend",
     # --- r4-vintage rows-only (stalest standing rows) ---
     "zorder_pruning_stats",
     "ann_lsh_topk",
@@ -116,9 +118,10 @@ CERTIFIED_FIRST: tuple[str, ...] = (
     "doc_unigram_logloss",
     "source_js_divergence",
     "sample_weighted_by_quality",
-    "ngram_novelty_ratio",
-    "stopword_profile_drift",
-    # (doc_lang_confusion, dup_cluster_size_histogram and
+    # (ngram_novelty_ratio and stopword_profile_drift displaced by the
+    #  round-12 sixth wave (customer_revenue_concentration,
+    #  leadtime_weekly_trend); doc_lang_confusion,
+    #  dup_cluster_size_histogram and
     #  quality_flag_transition_by_source displaced by the round-12 fifth
     #  wave (label_centroid_distance_matrix,
     #  return_rate_by_nation_parttype, discount_band_margin_report);

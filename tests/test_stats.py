@@ -1138,3 +1138,89 @@ def test_discount_band_margin_scalar_reference(spark, sf_dir):
         # cost4 is cents·(discount·100): cost in units of 1e-4 dollars
         want_pct = (cost4 / 10000) / (gc / 100) * 100 if gc else None
         assert abs(row.discount_cost_pct - want_pct) < 1e-9
+
+
+def test_customer_revenue_concentration_scalar_reference(spark, sf_dir):
+    """Python recount of the concentration report: same exact per-customer
+    cents, same max(1, ceil(pct/100·n)) threshold ranks over the sorted
+    spend list, same value-based membership and one-division share. Plus
+    the monotone laws: thresholds rise and shares fall as pct rises, and
+    pct=50 covers at most all customers."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from mapreduce_infrastructure_spark.operators.stats import (
+        customer_revenue_concentration,
+    )
+
+    got = {
+        r.pct: r for r in customer_revenue_concentration(spark, sf_dir).collect()
+    }
+    o = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).to_pydict()
+    spend = {}
+    for ck, p in zip(o["o_custkey"], o["o_totalprice"]):
+        spend[ck] = spend.get(ck, 0) + int(math.floor(float(p) * 100 + 0.5))
+    vals = sorted(spend.values())
+    n, total = len(vals), sum(vals)
+    assert set(got) == {50, 75, 90, 95, 99}
+    prev_threshold, prev_share = None, None
+    for pct in (50, 75, 90, 95, 99):
+        row = got[pct]
+        t = vals[max(1, math.ceil(pct / 100.0 * n)) - 1]
+        above = [v for v in vals if v >= t]
+        assert row.threshold_cents == t
+        assert row.n_customers == len(above)
+        assert row.revenue_cents == sum(above)
+        assert row.revenue_share == sum(above) / total
+        if prev_threshold is not None:
+            assert row.threshold_cents >= prev_threshold
+            assert row.revenue_share <= prev_share
+        prev_threshold, prev_share = row.threshold_cents, row.revenue_share
+
+
+def test_leadtime_weekly_trend_scalar_reference(spark, sf_dir):
+    """Python recount of the per-week ship-lag percentiles (same epoch
+    integers, same discrete selection), plus consistency with the
+    per-supplier view: total line counts agree."""
+    import pyarrow.parquet as pq
+
+    from mapreduce_infrastructure_spark.operators.tpch_extra import (
+        leadtime_weekly_trend,
+    )
+
+    got = {r.week: r for r in leadtime_weekly_trend(spark, sf_dir).collect()}
+    li = pq.read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    ).to_pydict()
+    o = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    ).to_pydict()
+    dopen = {
+        k: int(d.timestamp()) // 86400
+        for k, d in zip(o["o_orderkey"], o["o_orderdate"])
+    }
+    lags = {}
+    for ok, d in zip(li["l_orderkey"], li["l_shipdate"]):
+        dship = int(d.timestamp()) // 86400
+        lags.setdefault(dship // 7, []).append(dship - dopen[ok])
+
+    def disc(sorted_vals, q):
+        n = len(sorted_vals)
+        for i, v in enumerate(sorted_vals):
+            if i + 1 < n and sorted_vals[i + 1] == v:
+                continue
+            if (i + 1) / n >= q:
+                return v
+        return sorted_vals[-1]
+
+    assert set(got) == set(lags)
+    for wk, vs in lags.items():
+        vs.sort()
+        row = got[wk]
+        assert row.n_lines == len(vs)
+        assert row.p50_lag_days == disc(vs, 0.5)
+        assert row.p90_lag_days == disc(vs, 0.9)
+    assert sum(r.n_lines for r in got.values()) == len(li["l_orderkey"])

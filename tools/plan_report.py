@@ -165,6 +165,8 @@ FLAGSHIP_EXTRA = [
     "label_centroid_distance_matrix",
     "return_rate_by_nation_parttype",
     "discount_band_margin_report",
+    "customer_revenue_concentration",
+    "leadtime_weekly_trend",
 ]
 
 JOIN_KINDS = [
