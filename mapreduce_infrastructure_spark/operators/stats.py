@@ -1467,3 +1467,183 @@ def customer_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFram
             / F.col("_total").cast("double")
         ).alias("revenue_share"),
     )
+
+
+@query(
+    "customer_value_migration_matrix",
+    oracle="""
+    WITH od AS (
+      SELECT o_custkey,
+             CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS day,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    r AS (
+      SELECT day, row_number() OVER (ORDER BY day) AS rn,
+             COUNT(*) OVER () AS n
+      FROM od
+    ),
+    mid AS (
+      SELECT MAX(CASE WHEN rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+                      THEN day END) AS d
+      FROM r
+    ),
+    s AS (
+      SELECT o_custkey,
+             CAST(SUM(CASE WHEN day <= mid.d THEN cents ELSE 0 END)
+                  AS BIGINT) AS s1,
+             CAST(SUM(CASE WHEN day > mid.d THEN cents ELSE 0 END)
+                  AS BIGINT) AS s2,
+             CAST(SUM(CASE WHEN day <= mid.d THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN day > mid.d THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n2
+      FROM od CROSS JOIN mid GROUP BY 1
+    ),
+    p AS (SELECT o_custkey, s1, s2 FROM s WHERE n1 > 0 AND n2 > 0),
+    r1 AS (
+      SELECT s1 AS v, row_number() OVER (ORDER BY s1) AS rn,
+             COUNT(*) OVER () AS n
+      FROM p
+    ),
+    t1 AS (
+      SELECT g.q,
+             MAX(CASE WHEN rn = greatest(1, CAST(ceil(g.q / 5.0 * n)
+                                                 AS BIGINT))
+                      THEN v END) AS t
+      FROM (SELECT unnest([1, 2, 3, 4]) AS q) g CROSS JOIN r1 GROUP BY 1
+    ),
+    t1p AS (
+      SELECT MAX(CASE WHEN q = 1 THEN t END) AS a1,
+             MAX(CASE WHEN q = 2 THEN t END) AS a2,
+             MAX(CASE WHEN q = 3 THEN t END) AS a3,
+             MAX(CASE WHEN q = 4 THEN t END) AS a4
+      FROM t1
+    ),
+    r2 AS (
+      SELECT s2 AS v, row_number() OVER (ORDER BY s2) AS rn,
+             COUNT(*) OVER () AS n
+      FROM p
+    ),
+    t2 AS (
+      SELECT g.q,
+             MAX(CASE WHEN rn = greatest(1, CAST(ceil(g.q / 5.0 * n)
+                                                 AS BIGINT))
+                      THEN v END) AS t
+      FROM (SELECT unnest([1, 2, 3, 4]) AS q) g CROSS JOIN r2 GROUP BY 1
+    ),
+    t2p AS (
+      SELECT MAX(CASE WHEN q = 1 THEN t END) AS b1,
+             MAX(CASE WHEN q = 2 THEN t END) AS b2,
+             MAX(CASE WHEN q = 3 THEN t END) AS b3,
+             MAX(CASE WHEN q = 4 THEN t END) AS b4
+      FROM t2
+    ),
+    m AS (
+      SELECT 1 + (CASE WHEN p.s1 > t1p.a1 THEN 1 ELSE 0 END)
+               + (CASE WHEN p.s1 > t1p.a2 THEN 1 ELSE 0 END)
+               + (CASE WHEN p.s1 > t1p.a3 THEN 1 ELSE 0 END)
+               + (CASE WHEN p.s1 > t1p.a4 THEN 1 ELSE 0 END) AS q1,
+             1 + (CASE WHEN p.s2 > t2p.b1 THEN 1 ELSE 0 END)
+               + (CASE WHEN p.s2 > t2p.b2 THEN 1 ELSE 0 END)
+               + (CASE WHEN p.s2 > t2p.b3 THEN 1 ELSE 0 END)
+               + (CASE WHEN p.s2 > t2p.b4 THEN 1 ELSE 0 END) AS q2
+      FROM p CROSS JOIN t1p CROSS JOIN t2p
+    ),
+    g AS (
+      SELECT q1, q2, CAST(COUNT(*) AS BIGINT) AS n_customers
+      FROM m GROUP BY 1, 2
+    ),
+    tot AS (SELECT q1, CAST(SUM(n_customers) AS BIGINT) AS n_q1 FROM g GROUP BY 1)
+    SELECT CAST(g.q1 AS BIGINT) AS quintile_h1,
+           CAST(g.q2 AS BIGINT) AS quintile_h2,
+           g.n_customers, tot.n_q1,
+           CAST(g.n_customers AS DOUBLE) / tot.n_q1 AS row_share
+    FROM g JOIN tot ON g.q1 = tot.q1
+    """,
+    tags=("stats", "iterative", "retention", "matrix"),
+)
+def customer_value_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer VALUE-MIGRATION matrix: split the order timeline at its
+    exact median order day, assign every customer active in BOTH halves
+    a spend quintile per half (value-based thresholds — exact
+    percentile_disc spend values, so boundary ties land deterministically
+    in both engines, never ntile's arbitrary rank splits), and report the
+    ≤25-cell transition matrix with each cell's share of its first-half
+    quintile row — the upgrade/churn flow read (how much of the top
+    quintile stays top? where do Q1 customers go?) behind LTV models and
+    retention targeting.
+
+    Everything data-dependent is derived with the `kth_order_statistic`
+    narrowing primitive over cached projections: the median split day
+    (over the order-day column) and the 4+4 quintile thresholds (over
+    each half's per-customer spend, both row-scale unbounded-domain
+    sums). After the thresholds are known (nine ≤33-row-census loops),
+    the matrix is ONE pass: per-customer CASE ladder against eight
+    literal thresholds, a ≤25-cell fold, and a ≤5-row total join.
+    Ranks are max(1, ⌈q·n⌉) with q = k/5.0 — the same IEEE multiply the
+    oracle states; the oracle's global row_number CTEs are fine at
+    oracle scale (the exact shape the narrowing avoids at 100 TB)."""
+    import math
+
+    from ..functions.ranks import kth_order_statistic
+    from ..llm.cache import tracked_persist
+
+    o = load_table(spark, sf_dir, "orders")
+    od = tracked_persist(
+        o.select(
+            "o_custkey",
+            F.expr("unix_micros(o_orderdate) div 1000000 div 86400").alias(
+                "day"
+            ),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        ),
+        f"cust_day_cents:{sf_dir}",
+    )
+    n_orders = od.count()
+    mid = kth_order_statistic(od, "day", max(1, math.ceil(0.5 * n_orders)))
+    h1 = F.col("day") <= mid
+    p = tracked_persist(
+        od.groupBy("o_custkey")
+        .agg(
+            F.sum(F.when(h1, F.col("cents")).otherwise(0)).alias("s1"),
+            F.sum(F.when(~h1, F.col("cents")).otherwise(0)).alias("s2"),
+            F.sum(F.when(h1, 1).otherwise(0)).alias("n1"),
+            F.sum(F.when(~h1, 1).otherwise(0)).alias("n2"),
+        )
+        .filter((F.col("n1") > 0) & (F.col("n2") > 0))
+        .select("o_custkey", "s1", "s2"),
+        f"cust_half_spend:{sf_dir}",
+    )
+    n_cust = p.count()
+    th = {
+        col: [
+            kth_order_statistic(p, col, max(1, math.ceil(k / 5.0 * n_cust)))
+            for k in (1, 2, 3, 4)
+        ]
+        for col in ("s1", "s2")
+    }
+
+    def quintile(col: str) -> F.Column:
+        q = F.lit(1)
+        for t in th[col]:
+            q = q + F.when(F.col(col) > F.lit(t), 1).otherwise(0)
+        return q.cast("long")
+
+    g = p.select(
+        quintile("s1").alias("quintile_h1"), quintile("s2").alias("quintile_h2")
+    ).groupBy("quintile_h1", "quintile_h2").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    tot = g.groupBy("quintile_h1").agg(F.sum("n_customers").alias("n_q1"))
+    return g.join(F.broadcast(tot), "quintile_h1").select(
+        "quintile_h1",
+        "quintile_h2",
+        "n_customers",
+        "n_q1",
+        (F.col("n_customers").cast("double") / F.col("n_q1")).alias(
+            "row_share"
+        ),
+    )

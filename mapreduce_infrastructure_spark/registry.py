@@ -80,6 +80,7 @@ CERTIFIED_FIRST: tuple[str, ...] = (
     "discount_band_margin_report",
     "customer_revenue_concentration",
     "leadtime_weekly_trend",
+    "customer_value_migration_matrix",
     # --- r4-vintage rows-only (stalest standing rows) ---
     "zorder_pruning_stats",
     "ann_lsh_topk",
@@ -117,8 +118,9 @@ CERTIFIED_FIRST: tuple[str, ...] = (
     "sample_weighted_aes",
     "doc_unigram_logloss",
     "source_js_divergence",
-    "sample_weighted_by_quality",
-    # (ngram_novelty_ratio and stopword_profile_drift displaced by the
+    # (sample_weighted_by_quality displaced by the round-12 seventh wave
+    #  (customer_value_migration_matrix);
+    #  ngram_novelty_ratio and stopword_profile_drift displaced by the
     #  round-12 sixth wave (customer_revenue_concentration,
     #  leadtime_weekly_trend); doc_lang_confusion,
     #  dup_cluster_size_histogram and

@@ -1224,3 +1224,59 @@ def test_leadtime_weekly_trend_scalar_reference(spark, sf_dir):
         assert row.p50_lag_days == disc(vs, 0.5)
         assert row.p90_lag_days == disc(vs, 0.9)
     assert sum(r.n_lines for r in got.values()) == len(li["l_orderkey"])
+
+
+def test_customer_value_migration_matrix_scalar_reference(spark, sf_dir):
+    """Full python recount of the migration matrix: same median split
+    day (rank ceil(0.5·n) over order days), same both-halves population,
+    same value-based quintile thresholds and CASE-ladder assignment,
+    same one-division row shares. Plus the mass laws: cells sum to the
+    population and each row's cells sum to its n_q1."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from mapreduce_infrastructure_spark.operators.stats import (
+        customer_value_migration_matrix,
+    )
+
+    got = {
+        (r.quintile_h1, r.quintile_h2): r
+        for r in customer_value_migration_matrix(spark, sf_dir).collect()
+    }
+    o = pq.read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    ).to_pydict()
+    rows = [
+        (ck, int(d.timestamp()) // 86400, int(math.floor(float(p) * 100 + 0.5)))
+        for ck, d, p in zip(o["o_custkey"], o["o_orderdate"], o["o_totalprice"])
+    ]
+    days = sorted(d for _, d, _ in rows)
+    mid = days[max(1, math.ceil(0.5 * len(days))) - 1]
+    s1, s2 = {}, {}
+    for ck, d, c in rows:
+        tgt = s1 if d <= mid else s2
+        tgt[ck] = tgt.get(ck, 0) + c
+    both = sorted(set(s1) & set(s2))
+    th = {}
+    for name, s in (("s1", s1), ("s2", s2)):
+        vals = sorted(s[c] for c in both)
+        th[name] = [
+            vals[max(1, math.ceil(k / 5.0 * len(vals))) - 1] for k in (1, 2, 3, 4)
+        ]
+    want = {}
+    for c in both:
+        q1 = 1 + sum(1 for t in th["s1"] if s1[c] > t)
+        q2 = 1 + sum(1 for t in th["s2"] if s2[c] > t)
+        want[(q1, q2)] = want.get((q1, q2), 0) + 1
+    row_tot = {}
+    for (q1, _q2), n in want.items():
+        row_tot[q1] = row_tot.get(q1, 0) + n
+    assert set(got) == set(want)
+    for (q1, q2), n in want.items():
+        r = got[(q1, q2)]
+        assert r.n_customers == n
+        assert r.n_q1 == row_tot[q1]
+        assert r.row_share == n / row_tot[q1]
+    assert sum(r.n_customers for r in got.values()) == len(both)

@@ -167,6 +167,7 @@ FLAGSHIP_EXTRA = [
     "discount_band_margin_report",
     "customer_revenue_concentration",
     "leadtime_weekly_trend",
+    "customer_value_migration_matrix",
 ]
 
 JOIN_KINDS = [
