@@ -931,3 +931,71 @@ def parts_clustering_by_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("d") * (F.col("d") - 1) * F.col("n_nodes")).cast("double")
         ).alias("mean_clustering"),
     )
+
+
+@query(
+    "parts_graph_degree_distribution",
+    oracle=f"""
+    WITH op AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS pk FROM lineitem
+    ),
+    e AS MATERIALIZED (
+      SELECT a.pk AS a, b.pk AS b
+      FROM op a JOIN op b ON a.o = b.o AND a.pk < b.pk
+      GROUP BY 1, 2 HAVING COUNT(*) >= {TRI_MIN_SHARED}
+    ),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+      GROUP BY 1
+    ),
+    h AS (
+      SELECT d AS degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+      FROM deg GROUP BY 1
+    ),
+    t AS (
+      SELECT CAST(SUM(n_nodes) AS BIGINT) AS total,
+             CAST(SUM(degree * n_nodes) AS BIGINT) AS edge_ends
+      FROM h
+    )
+    SELECT h.degree, h.n_nodes,
+           CAST(h.n_nodes AS DOUBLE) / t.total AS node_share,
+           CAST(h.degree * h.n_nodes AS DOUBLE) / t.edge_ends
+             AS edge_end_share
+    FROM h CROSS JOIN t
+    """,
+    tags=("graph", "histogram", "stats"),
+)
+def parts_graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the part co-occurrence graph: per exact
+    degree, the node count, its share of nodes, and its share of EDGE
+    ENDS (degree-weighted — the probability a random edge endpoint has
+    this degree, the quantity hub-dominated graphs skew) — the
+    heavy-tail read that decides whether the triangle tier's
+    degree-orientation bound and the PageRank damping actually matter on
+    this graph, and the shuffle-skew early warning for any join keyed by
+    part.
+
+    Composes the shared cached edge build (`_part_cooccur_edges` — free
+    after either triangle query ran this session). Counts exact int64;
+    the two shares divide exact int64 sums (edge_ends = 2·|edges| by the
+    handshake lemma, test-pinned). Output is |distinct degrees| rows —
+    degree support grows ~O(√m)."""
+    e = _part_cooccur_edges(spark, sf_dir)
+    deg = _part_graph_degrees(e)
+    h = deg.groupBy(F.col("deg").alias("degree")).agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
+    t = h.agg(
+        F.sum("n_nodes").alias("total"),
+        F.sum(F.col("degree") * F.col("n_nodes")).alias("edge_ends"),
+    )
+    return h.crossJoin(F.broadcast(t)).select(
+        "degree",
+        "n_nodes",
+        (F.col("n_nodes").cast("double") / F.col("total")).alias("node_share"),
+        (
+            (F.col("degree") * F.col("n_nodes")).cast("double")
+            / F.col("edge_ends")
+        ).alias("edge_end_share"),
+    )

@@ -1647,3 +1647,92 @@ def customer_value_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFra
             "row_share"
         ),
     )
+
+
+@query(
+    "event_value_concentration_by_type",
+    oracle="""
+    WITH v AS (
+      SELECT event_type,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS m
+      FROM events
+      WHERE value IS NOT NULL
+    ),
+    r AS (
+      SELECT event_type, m,
+             row_number() OVER (PARTITION BY event_type ORDER BY m) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM v
+    ),
+    th AS (
+      SELECT event_type,
+             MAX(CASE WHEN rn = greatest(1, CAST(ceil(0.9 * n) AS BIGINT))
+                      THEN m END) AS threshold_micro
+      FROM r GROUP BY 1
+    )
+    SELECT v.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           t.threshold_micro,
+           CAST(SUM(CASE WHEN v.m >= t.threshold_micro THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_top,
+           CAST(SUM(CASE WHEN v.m >= t.threshold_micro THEN v.m ELSE 0 END)
+                AS BIGINT) AS top_value_micro,
+           CAST(SUM(CASE WHEN v.m >= t.threshold_micro THEN v.m ELSE 0 END)
+                AS DOUBLE)
+             / CAST(CAST(SUM(v.m) AS BIGINT) AS DOUBLE) AS top_value_share
+    FROM v JOIN th t ON v.event_type = t.event_type
+    GROUP BY 1, 3
+    """,
+    tags=("stats", "iterative", "events", "concentration"),
+)
+def event_value_concentration_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type VALUE concentration: for every event type, the exact p90
+    value threshold (micro-unit grid) and how much of the type's total
+    value mass the at-or-above-threshold events carry — the
+    whale-detection read (is this type's value dominated by its tail?)
+    that decides between mean-based and percentile-based alerting, the
+    `customer_revenue_concentration` fold stratified by the
+    `kth_order_statistics_by` narrower.
+
+    The p90 thresholds for ALL types narrow together (one census job per
+    round over the same cached non-null (type, micro) projection as
+    `event_value_percentiles_by_type` — same null convention, stated by
+    the oracle's WHERE); the concentration is then ONE partial-
+    aggregatable fold against the broadcast |types|-row threshold grid.
+    Counts and masses exact int64; the share is one IEEE division, the
+    oracle casting its HUGEINT sum through BIGINT first (the 2^53 rule:
+    total micro mass must stay below 9e15 — ~9 billion events at the
+    fixture's value scale; beyond that, re-grain the grid)."""
+    from ..functions.ranks import kth_order_statistics_by
+    from ..llm.cache import tracked_persist
+
+    ev = load_table(spark, sf_dir, "events")
+    m = F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long")
+    tv = tracked_persist(
+        ev.filter(F.col("value").isNotNull()).select("event_type", m.alias("m")),
+        f"event_value_micro:{sf_dir}",
+    )
+    th = kth_order_statistics_by(tv, "event_type", "m", q=0.9, n_buckets=256)
+    grid = spark.createDataFrame(
+        sorted(th.items()), "event_type string, threshold_micro long"
+    )
+    top = F.col("m") >= F.col("threshold_micro")
+    g = tv.join(F.broadcast(grid), "event_type").groupBy(
+        "event_type", "threshold_micro"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(top, 1).otherwise(0)).cast("long").alias("n_top"),
+        F.sum(F.when(top, F.col("m")).otherwise(0)).alias("top_value_micro"),
+        F.sum("m").alias("_total"),
+    )
+    return g.select(
+        "event_type",
+        "n_events",
+        "threshold_micro",
+        "n_top",
+        "top_value_micro",
+        (
+            F.col("top_value_micro").cast("double")
+            / F.col("_total").cast("double")
+        ).alias("top_value_share"),
+    )

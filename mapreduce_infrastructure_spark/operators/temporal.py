@@ -1485,9 +1485,10 @@ def session_duration_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "event_mix_weekly_drift",
-    oracle="""
+# Shared with the streaming twin in streaming/stream.py: one statement of
+# the weekly (week, type) grid, the share and the previous-week-mix chi2
+# terms, so batch and stream cannot drift.
+EVENT_MIX_DRIFT_ORACLE = """
     WITH b AS (
       SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 // 7 AS week,
              event_type
@@ -1513,7 +1514,12 @@ def session_duration_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN t ON g.week = t.week
     LEFT JOIN g p  ON p.week = g.week - 1 AND p.event_type = g.event_type
     LEFT JOIN t pt ON pt.week = g.week - 1
-    """,
+    """
+
+
+@query(
+    "event_mix_weekly_drift",
+    oracle=EVENT_MIX_DRIFT_ORACLE,
     tags=("temporal", "events", "drift", "stats"),
 )
 def event_mix_weekly_drift(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -81,6 +81,9 @@ CERTIFIED_FIRST: tuple[str, ...] = (
     "customer_revenue_concentration",
     "leadtime_weekly_trend",
     "customer_value_migration_matrix",
+    "parts_graph_degree_distribution",
+    "event_value_concentration_by_type",
+    "stream_event_mix_drift",
     # --- r4-vintage rows-only (stalest standing rows) ---
     "zorder_pruning_stats",
     "ann_lsh_topk",
@@ -115,10 +118,11 @@ CERTIFIED_FIRST: tuple[str, ...] = (
     #     round 13; new round-12 waves displace from this tail) ---
     "source_unigram_kl",
     "doc_char_entropy",
-    "sample_weighted_aes",
-    "doc_unigram_logloss",
-    "source_js_divergence",
-    # (sample_weighted_by_quality displaced by the round-12 seventh wave
+    # (sample_weighted_aes, doc_unigram_logloss and source_js_divergence
+    #  displaced by the round-12 eighth wave
+    #  (parts_graph_degree_distribution, event_value_concentration_by_type,
+    #  stream_event_mix_drift);
+    #  sample_weighted_by_quality displaced by the round-12 seventh wave
     #  (customer_value_migration_matrix);
     #  ngram_novelty_ratio and stopword_profile_drift displaced by the
     #  round-12 sixth wave (customer_revenue_concentration,

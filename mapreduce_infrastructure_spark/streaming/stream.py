@@ -1706,10 +1706,89 @@ def stream_weekly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stream_event_mix_drift",
+    oracle=None,  # set below — shares the batch twin's oracle verbatim
+    tags=("streaming", "events", "drift", "stats"),
+)
+def stream_event_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly event-mix drift maintained INCREMENTALLY — the streaming
+    twin of temporal.event_mix_weekly_drift, same oracle verbatim (the
+    shared EVENT_MIX_DRIFT_ORACLE constant).
+
+    The row-volume work is ONE incremental hash aggregate keyed by
+    (epoch-week, event_type) — state is one counter per cell,
+    calendar×|types|-bounded. The drift derivation (week totals, the two
+    previous-week lookups, per-cell share and chi2 terms) is not
+    incrementally expressible — a new batch touching LAST week's cell
+    retroactively changes THIS week's expectation — so it runs POST-SINK
+    over the bounded cell table. Unlike the batch twin's broadcast
+    self-joins, the memory-sink table cannot self-join (Spark's
+    conflicting-reference resolution fails on MemoryPlan attributes —
+    the same pitfall stream_dow_hour_profile documents), so the same
+    relations are stated as BOUNDED windows over the sink: week totals
+    via a per-week sum window, the previous-week cell and total via
+    lag() within each type gated on lag(week) = week − 1 — NULL on
+    first-observed and after-gap weeks, exactly the batch twin's
+    left-join convention (and when prev_n is non-null, the type WAS
+    present in week − 1, so its lagged week_total IS week − 1's total).
+    Per-cell chi2 terms are emitted, never summed (the dow/hour
+    convention)."""
+    from pyspark.sql import Window
+
+    ev = stream_events(spark, sf_dir)
+    week = F.expr("unix_micros(ts) div 1000000 div 86400 div 7")
+    g = (
+        ev.select(week.alias("week"), "event_type")
+        .groupBy("week", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    tbl = run_to_table(g, "stream_event_mix_drift", mode="complete")
+    w_total = Window.partitionBy("week")
+    w_type = Window.partitionBy("event_type").orderBy("week")
+    contiguous = F.lag("week").over(w_type) == F.col("week") - 1
+    totals = tbl.select(
+        "week",
+        "event_type",
+        "n_events",
+        F.sum("n_events").over(w_total).alias("week_total"),
+    )
+    cells = totals.select(
+        "week",
+        "event_type",
+        "n_events",
+        "week_total",
+        F.when(contiguous, F.lag("n_events").over(w_type)).alias("prev_n"),
+        F.when(contiguous, F.lag("week_total").over(w_type)).alias(
+            "prev_week_total"
+        ),
+    )
+    e = (
+        F.col("prev_n").cast("double")
+        * F.col("week_total")
+        / F.col("prev_week_total")
+    )
+    return cells.select(
+        "week",
+        "event_type",
+        "n_events",
+        "week_total",
+        (F.col("n_events").cast("double") / F.col("week_total")).alias(
+            "share"
+        ),
+        "prev_n",
+        F.when(
+            F.col("prev_n").isNotNull(),
+            (F.col("n_events") - e) * (F.col("n_events") - e) / e,
+        ).alias("chi2_term"),
+    )
+
+
 # Late-bind the shared oracles (import at module top would be circular-prone
 # and the constants live beside their batch twins).
 from ..operators.temporal import BACKLOG_ORACLE as _BL_ORACLE  # noqa: E402
 from ..operators.temporal import DOW_HOUR_PROFILE_ORACLE as _DHP_ORACLE  # noqa: E402
+from ..operators.temporal import EVENT_MIX_DRIFT_ORACLE as _EMD_ORACLE  # noqa: E402
 from ..operators.temporal import WEEKLY_TREND_ORACLE as _WT_ORACLE  # noqa: E402
 from ..operators.tpch_extra import TRADE_MATRIX_ORACLE as _TM_ORACLE  # noqa: E402
 from ..registry import _REGISTRY as _REG  # noqa: E402
@@ -1718,3 +1797,4 @@ _REG["stream_dow_hour_profile"].oracle = _DHP_ORACLE
 _REG["stream_backlog_daily"].oracle = _BL_ORACLE
 _REG["stream_trade_balance_matrix"].oracle = _TM_ORACLE
 _REG["stream_weekly_trend"].oracle = _WT_ORACLE
+_REG["stream_event_mix_drift"].oracle = _EMD_ORACLE

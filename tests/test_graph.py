@@ -264,3 +264,49 @@ def test_parts_clustering_by_degree_scalar_reference(spark, sf_dir):
         assert (row.n_nodes, row.tri_slots) == (n_nodes, tot)
         assert row.mean_clustering == (2 * tot) / (d * (d - 1) * n_nodes)
         assert 0.0 <= row.mean_clustering <= 1.0
+
+
+def test_parts_degree_distribution_scalar_reference(spark, sf_dir):
+    """Python recount of the degree histogram plus the handshake lemma:
+    Σ degree·n_nodes = 2·|edges|, node shares sum to 1 (exact rational
+    check via counts), and edge_end_share is the stated one division."""
+    from itertools import combinations
+
+    import pyarrow.parquet as pq
+
+    from mapreduce_infrastructure_spark.operators.graph import (
+        TRI_MIN_SHARED,
+        parts_graph_degree_distribution,
+    )
+
+    li = pq.read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).to_pydict()
+    by_order = {}
+    for o, p in zip(li["l_orderkey"], li["l_partkey"]):
+        by_order.setdefault(o, set()).add(p)
+    pair_counts = {}
+    for parts in by_order.values():
+        for a, b in combinations(sorted(parts), 2):
+            pair_counts[(a, b)] = pair_counts.get((a, b), 0) + 1
+    edges = {p for p, n in pair_counts.items() if n >= TRI_MIN_SHARED}
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    hist = {}
+    for d in deg.values():
+        hist[d] = hist.get(d, 0) + 1
+    got = {
+        r.degree: r
+        for r in parts_graph_degree_distribution(spark, sf_dir).collect()
+    }
+    assert set(got) == set(hist)
+    total = sum(hist.values())
+    ends = sum(d * n for d, n in hist.items())
+    assert ends == 2 * len(edges)  # handshake lemma
+    for d, n in hist.items():
+        row = got[d]
+        assert row.n_nodes == n
+        assert row.node_share == n / total
+        assert row.edge_end_share == (d * n) / ends

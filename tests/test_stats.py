@@ -1280,3 +1280,45 @@ def test_customer_value_migration_matrix_scalar_reference(spark, sf_dir):
         assert r.n_q1 == row_tot[q1]
         assert r.row_share == n / row_tot[q1]
     assert sum(r.n_customers for r in got.values()) == len(both)
+
+
+def test_event_value_concentration_scalar_reference(spark, sf_dir):
+    """Python recount of per-type value concentration: same micro grid,
+    same max(1, ceil(0.9·n)) threshold rank, same value-based membership
+    and one-division share; the top share must be ≥ the top count share
+    (the tail carries disproportionate mass by construction)."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from mapreduce_infrastructure_spark.operators.stats import (
+        event_value_concentration_by_type,
+    )
+
+    got = {
+        r.event_type: r
+        for r in event_value_concentration_by_type(spark, sf_dir).collect()
+    }
+    ev = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    ).to_pydict()
+    per_type = {}
+    for et, v in zip(ev["event_type"], ev["value"]):
+        if v is None:
+            continue
+        per_type.setdefault(et, []).append(
+            int(math.floor(float(v) * 1000000 + 0.5))
+        )
+    assert set(got) == set(per_type)
+    for et, vs in per_type.items():
+        vs.sort()
+        n = len(vs)
+        t = vs[max(1, math.ceil(0.9 * n)) - 1]
+        top = [v for v in vs if v >= t]
+        row = got[et]
+        assert row.n_events == n
+        assert row.threshold_micro == t
+        assert row.n_top == len(top)
+        assert row.top_value_micro == sum(top)
+        assert row.top_value_share == sum(top) / sum(vs)
+        assert row.top_value_share >= len(top) / n - 1e-12

@@ -916,3 +916,44 @@ def test_stream_weekly_trend_matches_batch_twin(spark, sf_dir):
         qs["stream_weekly_trend"].oracle
         == qs["order_volume_weekly_trend"].oracle
     )
+
+
+def test_stream_event_mix_drift_matches_batch_twin(spark, sf_dir):
+    """The streaming mix-drift twin must equal the batch twin
+    cell-for-cell (shared EVENT_MIX_DRIFT_ORACLE constant), including
+    the NULL prev/chi2 convention on first-observed weeks."""
+    from mapreduce_infrastructure_spark.operators.temporal import (
+        event_mix_weekly_drift,
+    )
+    from mapreduce_infrastructure_spark.streaming.stream import (
+        stream_event_mix_drift,
+    )
+
+    batch = {
+        (r.week, r.event_type): (
+            r.n_events,
+            r.week_total,
+            r.share,
+            r.prev_n,
+            r.chi2_term,
+        )
+        for r in event_mix_weekly_drift(spark, sf_dir).collect()
+    }
+    stream = {
+        (r.week, r.event_type): (
+            r.n_events,
+            r.week_total,
+            r.share,
+            r.prev_n,
+            r.chi2_term,
+        )
+        for r in stream_event_mix_drift(spark, sf_dir).collect()
+    }
+    assert stream == batch
+    from mapreduce_infrastructure_spark.registry import all_queries
+
+    qs = all_queries()
+    assert (
+        qs["stream_event_mix_drift"].oracle
+        == qs["event_mix_weekly_drift"].oracle
+    )

@@ -168,6 +168,8 @@ FLAGSHIP_EXTRA = [
     "customer_revenue_concentration",
     "leadtime_weekly_trend",
     "customer_value_migration_matrix",
+    "parts_graph_degree_distribution",
+    "event_value_concentration_by_type",
 ]
 
 JOIN_KINDS = [
