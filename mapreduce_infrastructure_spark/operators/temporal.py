@@ -1383,12 +1383,22 @@ def order_volume_weekly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation with no single-partition exchange). The ratio divides two
     exact int64 counts — one IEEE division, stated identically in the
     oracle."""
+    from ..llm.cache import tracked_persist
+
     o = load_table(spark, sf_dir, "orders")
     week = F.expr("unix_micros(o_orderdate) div 1000000 div 86400 div 7")
     cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
-    g = o.select(week.alias("week"), cents.alias("cents")).groupBy("week").agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.sum("cents").alias("revenue_cents"),
+    # Both the output and the week+1 lookup consume the weekly table —
+    # persist the calendar-bounded aggregate so the orders scan + fold
+    # run once.
+    g = tracked_persist(
+        o.select(week.alias("week"), cents.alias("cents"))
+        .groupBy("week")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("revenue_cents"),
+        ),
+        f"order_weekly_cells:{sf_dir}",
     )
     prev = g.select(
         (F.col("week") + 1).alias("week"),
@@ -1544,12 +1554,19 @@ def event_mix_weekly_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE partial-aggregatable row-volume fold to the (week, type) grid;
     the totals table and both previous-week lookups are joins over
     CALENDAR×|types|-bounded aggregates (broadcast at any corpus size)."""
+    from ..llm.cache import tracked_persist
+
     ev = load_table(spark, sf_dir, "events")
     week = F.expr("unix_micros(ts) div 1000000 div 86400 div 7")
-    g = (
+    # Four independent subtrees consume the cell table (g, t, p, pt) —
+    # persist the CALENDAR×|types|-bounded aggregate so the events scan
+    # + fold run once, not once per subtree (exchange reuse is not
+    # guaranteed across the differently-keyed re-aggregations).
+    g = tracked_persist(
         ev.select(week.alias("week"), "event_type")
         .groupBy("week", "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"))
+        .agg(F.count(F.lit(1)).alias("n_events")),
+        f"event_mix_cells:{sf_dir}",
     )
     t = g.groupBy("week").agg(F.sum("n_events").alias("week_total"))
     p = g.select(
