@@ -1612,6 +1612,60 @@ def knn_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _labeled_nn_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared labeled 1-NN edge set: (src, src_label, dst, dst_label),
+    one row per vector of the fixed-_PDH_K md5-ordered sample, dst = its
+    exact-cosine nearest neighbor under the deterministic
+    (cosine DESC, dst) tie-break. knn_label_purity,
+    knn_purity_vs_reciprocity_compare and knn_label_confusion_matrix are
+    documented and test-pinned as sharing ONE sample/tie-break — this
+    helper is the single place that construction lives, so a drift (e.g.
+    in the tie-break or the 1e-4 cosine rounding) cannot silently
+    decouple them (mirrors the _part_cooccur_edges refactor in the graph
+    tier).
+
+    Boundedness: the candidate join is capped at K(K−1) rows at ANY
+    corpus size; the returned edge set is exactly K rows."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = _as_double("embedding")
+    vecs = emb.select("vec_id", d.alias("d"), _norm(d).alias("nrm"), "label")
+    h = F.md5(
+        F.concat_ws(":", F.lit("pdh"), F.col("vec_id").cast("string")).cast(
+            "binary"
+        )
+    )
+    s = (
+        vecs.select("vec_id", "d", "nrm", "label", h.alias("_h"))
+        .orderBy(F.col("_h"), F.col("vec_id"))
+        .limit(_PDH_K)
+        .select("vec_id", "d", "nrm", "label")
+    )
+    a = s.select(
+        F.col("vec_id").alias("src"),
+        F.col("d").alias("da"),
+        F.col("nrm").alias("na"),
+        F.col("label").alias("src_label"),
+    )
+    b = s.select(
+        F.col("vec_id").alias("dst"),
+        F.col("d").alias("db"),
+        F.col("nrm").alias("nb"),
+        F.col("label").alias("dst_label"),
+    )
+    cosine = rnd(_dot(F.col("da"), F.col("db")) / (F.col("na") * F.col("nb")), 4)
+    cand = a.join(F.broadcast(b), F.col("src") != F.col("dst")).select(
+        "src", "src_label", "dst", "dst_label", cosine.alias("cosine")
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.col("dst"))
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("src", "src_label", "dst", "dst_label")
+    )
+
+
 @query(
     "knn_label_purity",
     oracle=_ORACLE_VECTORS
@@ -1663,47 +1717,10 @@ def knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Same boundedness contract as its siblings: the candidate join is
     capped at K(K−1) rows at ANY corpus size; counts exact, one IEEE
-    division per label row."""
-    from pyspark.sql import Window
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    d = _as_double("embedding")
-    vecs = emb.select(
-        "vec_id", d.alias("d"), _norm(d).alias("nrm"), "label"
-    )
-    h = F.md5(
-        F.concat_ws(":", F.lit("pdh"), F.col("vec_id").cast("string")).cast(
-            "binary"
-        )
-    )
-    s = (
-        vecs.select("vec_id", "d", "nrm", "label", h.alias("_h"))
-        .orderBy(F.col("_h"), F.col("vec_id"))
-        .limit(_PDH_K)
-        .select("vec_id", "d", "nrm", "label")
-    )
-    a = s.select(
-        F.col("vec_id").alias("src"),
-        F.col("d").alias("da"),
-        F.col("nrm").alias("na"),
-        F.col("label").alias("src_label"),
-    )
-    b = s.select(
-        F.col("vec_id").alias("dst"),
-        F.col("d").alias("db"),
-        F.col("nrm").alias("nb"),
-        F.col("label").alias("dst_label"),
-    )
-    cosine = rnd(_dot(F.col("da"), F.col("db")) / (F.col("na") * F.col("nb")), 4)
-    cand = a.join(F.broadcast(b), F.col("src") != F.col("dst")).select(
-        "src", "src_label", "dst_label", cosine.alias("cosine"), "dst"
-    )
-    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.col("dst"))
-    nn = (
-        cand.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") == 1)
-        .select("src_label", "dst_label")
-    )
+    division per label row. The sample/1-NN construction lives in
+    `_labeled_nn_sample`, shared verbatim with the compare and
+    confusion-matrix queries."""
+    nn = _labeled_nn_sample(spark, sf_dir).select("src_label", "dst_label")
     same = (F.col("dst_label") == F.col("src_label")).cast("int")
     return nn.groupBy(F.col("src_label").alias("label")).agg(
         F.count(F.lit(1)).alias("n_sampled"),
@@ -1778,45 +1795,9 @@ def knn_purity_vs_reciprocity_compare(
     exactly K rows, the mutual check a K-row self-join. Counts exact
     int64; purity/reciprocity are one IEEE division each and the delta
     one subtraction of those two doubles, stated token-for-token in the
-    oracle."""
-    from pyspark.sql import Window
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    d = _as_double("embedding")
-    vecs = emb.select("vec_id", d.alias("d"), _norm(d).alias("nrm"), "label")
-    h = F.md5(
-        F.concat_ws(":", F.lit("pdh"), F.col("vec_id").cast("string")).cast(
-            "binary"
-        )
-    )
-    s = (
-        vecs.select("vec_id", "d", "nrm", "label", h.alias("_h"))
-        .orderBy(F.col("_h"), F.col("vec_id"))
-        .limit(_PDH_K)
-        .select("vec_id", "d", "nrm", "label")
-    )
-    a = s.select(
-        F.col("vec_id").alias("src"),
-        F.col("d").alias("da"),
-        F.col("nrm").alias("na"),
-        F.col("label").alias("src_label"),
-    )
-    b = s.select(
-        F.col("vec_id").alias("dst"),
-        F.col("d").alias("db"),
-        F.col("nrm").alias("nb"),
-        F.col("label").alias("dst_label"),
-    )
-    cosine = rnd(_dot(F.col("da"), F.col("db")) / (F.col("na") * F.col("nb")), 4)
-    cand = a.join(F.broadcast(b), F.col("src") != F.col("dst")).select(
-        "src", "src_label", "dst", "dst_label", cosine.alias("cosine")
-    )
-    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.col("dst"))
-    nn = (
-        cand.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") == 1)
-        .select("src", "src_label", "dst", "dst_label")
-    )
+    oracle. The sample/1-NN construction lives in `_labeled_nn_sample`,
+    shared verbatim with the purity and confusion-matrix queries."""
+    nn = _labeled_nn_sample(spark, sf_dir)
     rev = nn.select(F.col("src").alias("rsrc"), F.col("dst").alias("rdst"))
     j = nn.join(
         F.broadcast(rev),
@@ -1891,45 +1872,10 @@ def knn_label_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     |labels|² rows, counts exact int64, row_share one IEEE division.
     Only observed (src, dst) cells are emitted — absent cells are zero
     by construction, and the diagonal cells reproduce
-    knn_label_purity's (n_nn_same, n_sampled) exactly (test-pinned)."""
-    from pyspark.sql import Window
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    d = _as_double("embedding")
-    vecs = emb.select("vec_id", d.alias("d"), _norm(d).alias("nrm"), "label")
-    h = F.md5(
-        F.concat_ws(":", F.lit("pdh"), F.col("vec_id").cast("string")).cast(
-            "binary"
-        )
-    )
-    s = (
-        vecs.select("vec_id", "d", "nrm", "label", h.alias("_h"))
-        .orderBy(F.col("_h"), F.col("vec_id"))
-        .limit(_PDH_K)
-        .select("vec_id", "d", "nrm", "label")
-    )
-    a = s.select(
-        F.col("vec_id").alias("src"),
-        F.col("d").alias("da"),
-        F.col("nrm").alias("na"),
-        F.col("label").alias("src_label"),
-    )
-    b = s.select(
-        F.col("vec_id").alias("dst"),
-        F.col("d").alias("db"),
-        F.col("nrm").alias("nb"),
-        F.col("label").alias("dst_label"),
-    )
-    cosine = rnd(_dot(F.col("da"), F.col("db")) / (F.col("na") * F.col("nb")), 4)
-    cand = a.join(F.broadcast(b), F.col("src") != F.col("dst")).select(
-        "src", "src_label", "dst", "dst_label", cosine.alias("cosine")
-    )
-    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.col("dst"))
-    nn = (
-        cand.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") == 1)
-        .select("src_label", "dst_label")
-    )
+    knn_label_purity's (n_nn_same, n_sampled) exactly (test-pinned).
+    The sample/1-NN construction lives in `_labeled_nn_sample`, shared
+    verbatim with the purity and compare queries."""
+    nn = _labeled_nn_sample(spark, sf_dir).select("src_label", "dst_label")
     g = nn.groupBy("src_label", "dst_label").agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -1966,8 +1912,8 @@ def knn_label_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p.label_a, p.label_b,
            floor(p.dot / (sqrt(na.nc2) * sqrt(nb.nc2)) * 1000000 + 0.5)
              / 1000000 AS cosine,
-           floor(sqrt(na.nc2 + nb.nc2 - 2 * p.dot) * 1000000 + 0.5)
-             / 1000000 AS euclidean
+           floor(sqrt(greatest(0, na.nc2 + nb.nc2 - 2 * p.dot)) * 1000000
+                 + 0.5) / 1000000 AS euclidean
     FROM p
     JOIN n2 na ON p.label_a = na.label
     JOIN n2 nb ON p.label_b = nb.label
@@ -2026,7 +1972,18 @@ def label_centroid_distance_matrix(spark: SparkSession, sf_dir: str) -> DataFram
                 F.col("dot") / (F.sqrt("na2") * F.sqrt("nb2")), 6
             ).alias("cosine"),
             rnd(
-                F.sqrt(F.col("na2") + F.col("nb2") - 2 * F.col("dot")), 6
+                # Clamp the radicand: for near-coincident centroids FP
+                # can make na2 + nb2 − 2·dot slightly negative (NaN on
+                # one engine, not the other — a differential flake the
+                # 1e-6 rounding alone does not guard); greatest(0, ·) is
+                # stated in the oracle SQL too.
+                F.sqrt(
+                    F.greatest(
+                        F.lit(0.0),
+                        F.col("na2") + F.col("nb2") - 2 * F.col("dot"),
+                    )
+                ),
+                6,
             ).alias("euclidean"),
         )
     )

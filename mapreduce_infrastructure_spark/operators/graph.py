@@ -269,23 +269,34 @@ def _part_cooccur_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(x, y) undirected part co-occurrence edges (x < y, parts sharing an
     order ≥ TRI_MIN_SHARED times) — THE graph both triangle queries
     analyze, session-cached under one key so the clustering query reuses
-    the triangle query's edge build instead of re-shuffling it."""
-    from ..llm.cache import tracked_persist
+    the triangle query's edge build instead of re-shuffling it.
 
-    li = load_table(spark, sf_dir, "lineitem")
-    op = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pk")
-    ).distinct()
-    a = op.select("o", F.col("pk").alias("pa"))
-    b = op.select(F.col("o").alias("ob"), F.col("pk").alias("pb"))
-    e = (
-        a.join(b, (a.o == b.ob) & (F.col("pa") < F.col("pb")))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= TRI_MIN_SHARED)
-        .select(F.col("pa").alias("x"), F.col("pb").alias("y"))
-    )
-    return tracked_persist(e, f"triangle_edges:{sf_dir}")
+    Cached via shared_persist (get-or-create), NOT tracked_persist: the
+    slot is keyed only by sf_dir and consumed by three queries
+    (triangle_counts_parts, parts_clustering_by_degree,
+    parts_graph_degree_distribution) — and parts_clustering_by_degree
+    calls this twice in one plan (once through triangle_counts_parts,
+    once directly), so an evict-and-re-register would unpersist the copy
+    the triangle subtree's lineage still references and recompute the
+    co-occurrence self-join shuffle."""
+    from ..llm.cache import shared_persist
+
+    def build() -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem")
+        op = li.select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pk")
+        ).distinct()
+        a = op.select("o", F.col("pk").alias("pa"))
+        b = op.select(F.col("o").alias("ob"), F.col("pk").alias("pb"))
+        return (
+            a.join(b, (a.o == b.ob) & (F.col("pa") < F.col("pb")))
+            .groupBy("pa", "pb")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") >= TRI_MIN_SHARED)
+            .select(F.col("pa").alias("x"), F.col("pb").alias("y"))
+        )
+
+    return shared_persist(spark, build, f"triangle_edges:{sf_dir}")
 
 
 def _part_graph_degrees(e: DataFrame) -> DataFrame:

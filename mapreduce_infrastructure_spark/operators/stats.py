@@ -1161,6 +1161,43 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cust_spend_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer lifetime spend in exact cents — the cached projection
+    both exact_customer_spend_percentiles and
+    customer_revenue_concentration narrow over. shared_persist
+    (get-or-create), NOT tracked_persist: the slot is keyed only by
+    sf_dir and consumed by two queries, so an evict-and-re-register would
+    throw away the first consumer's materialized copy mid-session and
+    re-run the per-customer fold."""
+    from ..llm.cache import shared_persist
+
+    def build() -> DataFrame:
+        o = load_table(spark, sf_dir, "orders")
+        cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        return o.groupBy("o_custkey").agg(F.sum(cents).alias("cents"))
+
+    return shared_persist(spark, build, f"cust_spend_cents:{sf_dir}")
+
+
+def _event_value_micro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-null (event_type, micro-unit value) projection — the cached
+    column event_value_percentiles_by_type and
+    event_value_concentration_by_type both narrow over; same
+    shared_persist rationale as _cust_spend_cents. The null filter pins
+    the shared convention: n_events and every rank use the same non-null
+    count in both consumers and both oracles."""
+    from ..llm.cache import shared_persist
+
+    def build() -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        m = F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long")
+        return ev.filter(F.col("value").isNotNull()).select(
+            "event_type", m.alias("m")
+        )
+
+    return shared_persist(spark, build, f"event_value_micro:{sf_dir}")
+
+
 @query(
     "exact_customer_spend_percentiles",
     oracle="""
@@ -1205,14 +1242,8 @@ def exact_customer_spend_percentiles(spark: SparkSession, sf_dir: str) -> DataFr
     import math
 
     from ..functions.ranks import kth_order_statistic
-    from ..llm.cache import tracked_persist
 
-    o = load_table(spark, sf_dir, "orders")
-    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
-    cm = tracked_persist(
-        o.groupBy("o_custkey").agg(F.sum(cents).alias("cents")),
-        f"cust_spend_cents:{sf_dir}",
-    )
+    cm = _cust_spend_cents(spark, sf_dir)
     n = cm.count()
     vals = {
         q: kth_order_statistic(cm, "cents", max(1, math.ceil(q * n)))
@@ -1271,14 +1302,8 @@ def event_value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFra
     the report instead of raising. (The fixture has no null values; the
     filter pins the convention, not the data.)"""
     from ..functions.ranks import kth_order_statistics_by
-    from ..llm.cache import tracked_persist
 
-    ev = load_table(spark, sf_dir, "events")
-    m = F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long")
-    tv = tracked_persist(
-        ev.filter(F.col("value").isNotNull()).select("event_type", m.alias("m")),
-        f"event_value_micro:{sf_dir}",
-    )
+    tv = _event_value_micro(spark, sf_dir)
     ns = {
         r["event_type"]: r["n"]
         for r in tv.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
@@ -1433,14 +1458,8 @@ def customer_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFram
     import math
 
     from ..functions.ranks import kth_order_statistic
-    from ..llm.cache import tracked_persist
 
-    o = load_table(spark, sf_dir, "orders")
-    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
-    cm = tracked_persist(
-        o.groupBy("o_custkey").agg(F.sum(cents).alias("cents")),
-        f"cust_spend_cents:{sf_dir}",
-    )
+    cm = _cust_spend_cents(spark, sf_dir)
     n = cm.count()
     grid = spark.createDataFrame(
         [
@@ -1704,14 +1723,8 @@ def event_value_concentration_by_type(spark: SparkSession, sf_dir: str) -> DataF
     total micro mass must stay below 9e15 — ~9 billion events at the
     fixture's value scale; beyond that, re-grain the grid)."""
     from ..functions.ranks import kth_order_statistics_by
-    from ..llm.cache import tracked_persist
 
-    ev = load_table(spark, sf_dir, "events")
-    m = F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long")
-    tv = tracked_persist(
-        ev.filter(F.col("value").isNotNull()).select("event_type", m.alias("m")),
-        f"event_value_micro:{sf_dir}",
-    )
+    tv = _event_value_micro(spark, sf_dir)
     th = kth_order_statistics_by(tv, "event_type", "m", q=0.9, n_buckets=256)
     grid = spark.createDataFrame(
         sorted(th.items()), "event_type string, threshold_micro long"

@@ -88,8 +88,31 @@ def _diag(spark_ms: Counter, oracle_ms: Counter) -> str:
     return f"spark-only={only_s} oracle-only={only_o}"
 
 
+USAGE = """\
+usage: python tools/full_gate.py [--window[=N]] [--hostile] [query ...]
+
+  --window[=N]  gate only the first N (default 50) CERTIFIED_FIRST queries
+  --hostile     adversarial session: local[5]/7 shuffle partitions,
+                America/New_York, ANSI flipped, codegen off
+  query ...     subset of registered query names (default: all)
+
+env: SPARK_GRAFT_GATE_SF=<sf dir>  (default /root/testdata/sf0.01)
+"""
+
+
 def main() -> int:
     argv = sys.argv[1:]
+    # Unknown flags must not silently start a 25-minute full sweep
+    # (observed with --help in round 12): print usage instead.
+    if "--help" in argv or "-h" in argv:
+        print(USAGE, end="")
+        return 0
+    for a in argv:
+        if a.startswith("--") and a not in ("--hostile",) and not (
+            a == "--window" or a.startswith("--window=")
+        ):
+            print(f"unknown flag: {a}\n{USAGE}", end="", file=sys.stderr)
+            return 2
     window = None
     hostile = "--hostile" in argv
     skip = set()

@@ -59,7 +59,26 @@ def run(
     print(f"== {label} ok ({dt:.0f}s)\n", flush=True)
 
 
+USAGE = """\
+usage: python tools/preflight.py [--quick] [--log-round=N]
+
+  --quick        window gate + bench smoke only (skip the full sweeps)
+  --log-round=N  tee the hostile sweep to hostile_gate_rNN.log
+
+env: SPARK_GRAFT_GATE_SF / SPARK_GRAFT_SF_DIR  (default /root/testdata/sf0.01)
+"""
+
+
 def main() -> None:
+    # Guard unknown flags — a typo must not silently launch the ~25-minute
+    # full ritual (same guard as full_gate.py, verdict r12 note 1).
+    if "--help" in sys.argv or "-h" in sys.argv:
+        print(USAGE, end="")
+        return
+    for a in sys.argv[1:]:
+        if a != "--quick" and not a.startswith("--log-round="):
+            print(f"unknown argument: {a}\n{USAGE}", end="", file=sys.stderr)
+            sys.exit(2)
     quick = "--quick" in sys.argv
     log_round = None
     for a in sys.argv[1:]:

@@ -137,7 +137,28 @@ def time_query(qfn, spark, sf_dir: str) -> float:
     return time.monotonic() - t0
 
 
+USAGE = """\
+usage: python tools/scale_check.py [--factor=N] [--perturb-docs] [query ...]
+
+  --factor=N      replica scale multiple (default 10)
+  --perturb-docs  rewrite doc_ids/content in the replica so dedup-composing
+                  queries see genuinely distinct copies
+  query ...       registered query names (default: DEFAULT_QUERIES)
+"""
+
+
 def main() -> None:
+    # Guard unknown flags (same rationale as full_gate.py / preflight.py:
+    # a typo must not silently launch a long replica build + sweep).
+    if "--help" in sys.argv or "-h" in sys.argv:
+        print(USAGE, end="")
+        return
+    for a in sys.argv[1:]:
+        if a.startswith("--") and a != "--perturb-docs" and not a.startswith(
+            "--factor="
+        ):
+            print(f"unknown flag: {a}\n{USAGE}", end="", file=sys.stderr)
+            sys.exit(2)
     names = [a for a in sys.argv[1:] if not a.startswith("--")]
     factor = 10
     perturb = "--perturb-docs" in sys.argv[1:]
