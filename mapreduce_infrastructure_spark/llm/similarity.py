@@ -183,7 +183,10 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Linear-shuffle ANN: at 100 TB the bucket join replaces the O(|Q|·N)
     scan — each query touches ~(probes/2^planes) of the corpus; margins are
     computed only for the (tiny, broadcast) query side. No SQL oracle
-    (approximate by construction); tests measure recall vs knn_bruteforce."""
+    (the candidate set is approximate by construction); tests measure
+    recall vs knn_bruteforce, and a PARTIAL DuckDB oracle pins every
+    returned pair's exact cosine and the rank law
+    (tests/test_dedup_similarity.py::test_ann_topk_returned_cosines_match_duckdb_exact_scores)."""
     from pyspark.sql import Window
 
     vecs = _vectors(spark, sf_dir)
@@ -402,7 +405,8 @@ def ann_ivf_topk(
     (centroids are tiny); assignment is one broadcast-join pass over the
     corpus, candidate search touches ~probes/cells of the data. No SQL
     oracle (k-means cells are engine-specific); tests measure recall vs
-    knn_bruteforce.
+    knn_bruteforce, and a partial DuckDB oracle pins every returned
+    pair's exact cosine and the rank law.
 
     ``fit`` picks the quantizer fit: ``"sample"`` (driver-side numpy Lloyd
     on the deterministic 4,096-row sample), ``"distributed"`` (the fully
@@ -581,7 +585,9 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant _PQ_CANDIDATES=40 rows per query. Codebooks, like the IVF quantizer, are fit
     driver-side on a deterministic seeded sample. No SQL oracle
     (quantization is engine-specific); tests assert recall@3 vs
-    knn_bruteforce and that re-ranked cosines are exact."""
+    knn_bruteforce, and a partial DuckDB oracle pins every returned
+    pair's exact re-ranked cosine (unit-vector dot, stated with the
+    same per-element normalization order) and the rank law."""
     vecs = _vectors(spark, sf_dir)
     unit = vecs.select(
         "vec_id", F.transform("d", lambda x: x / F.col("nrm")).alias("u")

@@ -1602,3 +1602,121 @@ def event_mix_weekly_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chi2_term"),
         )
     )
+
+
+@query(
+    "events_user_lifetime_span_percentiles",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, event_type AS first_type
+      FROM (SELECT user_id, event_type,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events)
+      WHERE rn = 1
+    ),
+    u AS (
+      SELECT user_id,
+             CAST(epoch_us(MIN(ts)) AS BIGINT) AS s,
+             CAST(epoch_us(MAX(ts)) AS BIGINT) AS e
+      FROM events GROUP BY 1
+    ),
+    c AS (
+      SELECT f.first_type, u.e - u.s AS span_us
+      FROM f JOIN u USING (user_id)
+    ),
+    r AS (
+      SELECT first_type, span_us,
+             row_number() OVER (PARTITION BY first_type
+                                ORDER BY span_us) AS rn,
+             COUNT(*) OVER (PARTITION BY first_type) AS n
+      FROM c
+    )
+    SELECT first_type,
+           CAST(MAX(n) AS BIGINT) AS n_users,
+           MAX(CASE WHEN rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+                    THEN span_us END) AS p50_span_us,
+           MAX(CASE WHEN rn = greatest(1, CAST(ceil(0.9 * n) AS BIGINT))
+                    THEN span_us END) AS p90_span_us
+    FROM r GROUP BY 1
+    """,
+    tags=("temporal", "users", "percentile", "iterative"),
+)
+def events_user_lifetime_span_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT p50/p90 user LIFETIME SPAN (first-to-last activity,
+    microseconds) per FIRST-TOUCH cohort (the event type of the user's
+    very first event) — the acquisition-quality read behind retention
+    curves: do users whose first touch was a purchase live longer than
+    ones who entered through an error page? The NEXT.md round-13 backlog
+    item, and the second stratified consumer of `kth_order_statistics_by`
+    (first-activity-WEEK cohorts were considered and rejected: the
+    fixture's one-month event window puts every user in the same week —
+    a degenerate 1-row report; first-touch type is the cohort a growth
+    team actually segments by, and its cardinality is |event types| —
+    driver-small at ANY corpus size, where calendar cohorts merely
+    happen to be).
+
+    Form choice: the stratum is bounded (|event types|, the narrower's
+    ≤10k-strata census precondition holds forever) while the VALUE
+    domain (microsecond spans) has row-scale cardinality and no
+    histogram closed form — the stratified narrower's sweet spot, dual
+    to `supplier_leadtime_percentiles` where the preconditions point the
+    other way. All cohorts narrow together: each of the
+    ≤⌈log₂₅₆(max span)⌉ ≈ 6 rounds is ONE (cohort, bucket)-census job
+    over the cached per-user table — itself the output of a row-volume
+    reduction (|users| rows from ONE events aggregate: the first-touch
+    type rides the same groupBy as the min/max, via a lexicographic
+    struct-min whose (ts_us, event_id) prefix is unique, so no window
+    and no second scan).
+
+    Exactness: first/last activity are unix_micros integers (TZ-proof,
+    no calendar functions); the span is an int64 difference; the
+    struct-min tie-break equals the oracle's row_number ORDER BY
+    (ts, event_id) because event_id is unique. Ranks are
+    percentile_disc's max(1, ⌈q·n⌉), the same IEEE multiply the oracle
+    states; single-event users legitimately contribute span 0. The
+    oracle's per-cohort row_number window is fine at oracle scale — the
+    shape the narrower avoids at 100 TB. Premise: event_type and ts are
+    non-null (fixture-pinned; a null stratum would raise in the
+    narrower by design)."""
+    from ..functions.ranks import kth_order_statistics_by
+    from ..llm.cache import tracked_persist
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.expr("unix_micros(ts)")
+    g = ev.groupBy("user_id").agg(
+        F.min(
+            F.struct(
+                us.alias("u"),
+                F.col("event_id").alias("i"),
+                F.col("event_type").alias("t"),
+            )
+        ).alias("fst"),
+        F.min(us).alias("s"),
+        F.max(us).alias("e"),
+    )
+    u = tracked_persist(
+        g.select(
+            F.col("fst.t").alias("first_type"),
+            (F.col("e") - F.col("s")).alias("span_us"),
+        ),
+        f"user_lifetime_spans:{sf_dir}",
+    )
+    # |event types|-bounded census — the same bounded-collect shape
+    # event_value_percentiles_by_type allowlists.
+    ns = {
+        r["first_type"]: r["n"]
+        for r in u.groupBy("first_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    pct = {
+        q: kth_order_statistics_by(u, "first_type", "span_us", q=q, n_buckets=256)
+        for q in (0.5, 0.9)
+    }
+    return spark.createDataFrame(
+        [(t, n, pct[0.5][t], pct[0.9][t]) for t, n in sorted(ns.items())],
+        "first_type string, n_users long, p50_span_us long, p90_span_us long",
+    )

@@ -1340,3 +1340,220 @@ def leadtime_weekly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         hist_disc_percentile("lag_days", 0.5, "p50_lag_days"),
         hist_disc_percentile("lag_days", 0.9, "p90_lag_days"),
     )
+
+
+# --------------------------------------------------------------------------
+# Supplier lead-time migration matrix (first-half vs second-half quintiles)
+# --------------------------------------------------------------------------
+
+@query(
+    "supplier_leadtime_migration",
+    oracle="""
+    WITH l AS (
+      SELECT l_suppkey AS sk,
+             CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS day,
+             CAST(floor(epoch(l_shipdate)) AS BIGINT) // 86400
+             - CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS lag
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    r AS (
+      SELECT day, row_number() OVER (ORDER BY day) AS rn,
+             COUNT(*) OVER () AS n
+      FROM l
+    ),
+    mid AS (
+      SELECT MAX(CASE WHEN rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+                      THEN day END) AS d
+      FROM r
+    ),
+    h AS (
+      SELECT sk, CASE WHEN day <= mid.d THEN 1 ELSE 2 END AS half, lag
+      FROM l CROSS JOIN mid
+    ),
+    ranked AS (
+      SELECT sk, half, lag,
+             cume_dist() OVER (PARTITION BY sk, half ORDER BY lag) AS cd
+      FROM h
+    ),
+    p50 AS (
+      SELECT sk, half, MIN(CASE WHEN cd >= 0.5 THEN lag END) AS p50
+      FROM ranked GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT sk,
+             MAX(CASE WHEN half = 1 THEN p50 END) AS v1,
+             MAX(CASE WHEN half = 2 THEN p50 END) AS v2
+      FROM p50 GROUP BY 1
+      HAVING MAX(CASE WHEN half = 1 THEN p50 END) IS NOT NULL
+         AND MAX(CASE WHEN half = 2 THEN p50 END) IS NOT NULL
+    ),
+    r1 AS (
+      SELECT v1 AS v, row_number() OVER (ORDER BY v1) AS rn,
+             COUNT(*) OVER () AS n
+      FROM p
+    ),
+    t1 AS (
+      SELECT g.q,
+             MAX(CASE WHEN rn = greatest(1, CAST(ceil(g.q / 5.0 * n)
+                                                 AS BIGINT))
+                      THEN v END) AS t
+      FROM (SELECT unnest([1, 2, 3, 4]) AS q) g CROSS JOIN r1 GROUP BY 1
+    ),
+    t1p AS (
+      SELECT MAX(CASE WHEN q = 1 THEN t END) AS a1,
+             MAX(CASE WHEN q = 2 THEN t END) AS a2,
+             MAX(CASE WHEN q = 3 THEN t END) AS a3,
+             MAX(CASE WHEN q = 4 THEN t END) AS a4
+      FROM t1
+    ),
+    r2 AS (
+      SELECT v2 AS v, row_number() OVER (ORDER BY v2) AS rn,
+             COUNT(*) OVER () AS n
+      FROM p
+    ),
+    t2 AS (
+      SELECT g.q,
+             MAX(CASE WHEN rn = greatest(1, CAST(ceil(g.q / 5.0 * n)
+                                                 AS BIGINT))
+                      THEN v END) AS t
+      FROM (SELECT unnest([1, 2, 3, 4]) AS q) g CROSS JOIN r2 GROUP BY 1
+    ),
+    t2p AS (
+      SELECT MAX(CASE WHEN q = 1 THEN t END) AS b1,
+             MAX(CASE WHEN q = 2 THEN t END) AS b2,
+             MAX(CASE WHEN q = 3 THEN t END) AS b3,
+             MAX(CASE WHEN q = 4 THEN t END) AS b4
+      FROM t2
+    ),
+    m AS (
+      SELECT 1 + (CASE WHEN p.v1 > t1p.a1 THEN 1 ELSE 0 END)
+               + (CASE WHEN p.v1 > t1p.a2 THEN 1 ELSE 0 END)
+               + (CASE WHEN p.v1 > t1p.a3 THEN 1 ELSE 0 END)
+               + (CASE WHEN p.v1 > t1p.a4 THEN 1 ELSE 0 END) AS q1,
+             1 + (CASE WHEN p.v2 > t2p.b1 THEN 1 ELSE 0 END)
+               + (CASE WHEN p.v2 > t2p.b2 THEN 1 ELSE 0 END)
+               + (CASE WHEN p.v2 > t2p.b3 THEN 1 ELSE 0 END)
+               + (CASE WHEN p.v2 > t2p.b4 THEN 1 ELSE 0 END) AS q2
+      FROM p CROSS JOIN t1p CROSS JOIN t2p
+    ),
+    g AS (
+      SELECT q1, q2, CAST(COUNT(*) AS BIGINT) AS n_suppliers
+      FROM m GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT q1, CAST(SUM(n_suppliers) AS BIGINT) AS n_q1 FROM g GROUP BY 1
+    )
+    SELECT CAST(g.q1 AS BIGINT) AS quintile_h1,
+           CAST(g.q2 AS BIGINT) AS quintile_h2,
+           g.n_suppliers, tot.n_q1,
+           CAST(g.n_suppliers AS DOUBLE) / tot.n_q1 AS row_share
+    FROM g JOIN tot ON g.q1 = tot.q1
+    """,
+    tags=("tpch", "supplier", "iterative", "matrix", "retention"),
+)
+def supplier_leadtime_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier LEAD-TIME MIGRATION matrix — the value-migration shape
+    (`customer_value_migration_matrix`) applied to fulfillment speed:
+    split the order timeline at its exact median order day, give every
+    supplier shipping in BOTH halves a lead-time quintile per half
+    (quintile 1 = fastest median lag), and report the ≤25-cell transition
+    matrix with each cell's share of its first-half quintile row — the
+    sourcing-review read (did last year's fastest suppliers stay fast?
+    who is sliding into the slow tail?) that a point-in-time SLA
+    scorecard (`supplier_leadtime_percentiles`) cannot answer.
+
+    Composes BOTH r12 rank forms, each where its precondition holds:
+    per-(supplier, half) median lag uses the count-value HISTOGRAM
+    closed form (`hist_cume_counts` — the stratum scales with SF but the
+    lag-day domain is calendar-bounded, exactly the
+    supplier_leadtime_percentiles form decision); the median split day
+    and the 4+4 quintile thresholds over the per-supplier medians use
+    the `kth_order_statistic` narrowing primitive (day/median-lag
+    domains are bounded, so each narrows in 1–3 ≤33-row-census rounds).
+    After the thresholds are literals, the matrix is ONE pass over the
+    supplier-count-sized half-medians table: a CASE ladder against eight
+    literal thresholds, a ≤25-cell fold, and a broadcast ≤5-row total
+    join. Quintile assignment is value-based (1 + Σ v > tₖ over
+    percentile_disc thresholds) so boundary ties land deterministically
+    in both engines — never ntile's arbitrary rank splits. Ranks are
+    max(1, ⌈q·n⌉) stated with the same IEEE multiply in the oracle; all
+    lags are TZ-proof epoch-day integer differences. The oracle's global
+    row_number/cume_dist CTEs are fine at oracle scale — the exact shape
+    the engine-side forms avoid at 100 TB."""
+    import math
+
+    from ..functions.ranks import (
+        hist_cume_counts,
+        hist_disc_percentile,
+        kth_order_statistic,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.expr("unix_micros(l_shipdate) div 1000000 div 86400").alias("dship"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("unix_micros(o_orderdate) div 1000000 div 86400").alias("day"),
+    )
+    j = tracked_persist(
+        li.join(o, li.l_orderkey == o.o_orderkey).select(
+            F.col("l_suppkey").alias("sk"),
+            "day",
+            (F.col("dship") - F.col("day")).alias("lag"),
+        ),
+        f"supp_lag_day:{sf_dir}",
+    )
+    n_lines = j.count()
+    mid = kth_order_statistic(j, "day", max(1, math.ceil(0.5 * n_lines)))
+    h = j.select(
+        "sk",
+        F.when(F.col("day") <= mid, 1).otherwise(2).alias("half"),
+        "lag",
+    )
+    p50 = hist_cume_counts(h, ["sk", "half"], "lag").groupBy("sk", "half").agg(
+        hist_disc_percentile("lag", 0.5, "p50")
+    )
+    p = tracked_persist(
+        p50.groupBy("sk")
+        .agg(
+            F.max(F.when(F.col("half") == 1, F.col("p50"))).alias("v1"),
+            F.max(F.when(F.col("half") == 2, F.col("p50"))).alias("v2"),
+        )
+        .filter(F.col("v1").isNotNull() & F.col("v2").isNotNull()),
+        f"supp_half_p50:{sf_dir}",
+    )
+    n_sup = p.count()
+    th = {
+        col: [
+            kth_order_statistic(p, col, max(1, math.ceil(k / 5.0 * n_sup)))
+            for k in (1, 2, 3, 4)
+        ]
+        for col in ("v1", "v2")
+    }
+
+    def quintile(col: str) -> F.Column:
+        q = F.lit(1)
+        for t in th[col]:
+            q = q + F.when(F.col(col) > F.lit(t), 1).otherwise(0)
+        return q.cast("long")
+
+    g = (
+        p.select(
+            quintile("v1").alias("quintile_h1"),
+            quintile("v2").alias("quintile_h2"),
+        )
+        .groupBy("quintile_h1", "quintile_h2")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    tot = g.groupBy("quintile_h1").agg(F.sum("n_suppliers").alias("n_q1"))
+    return g.join(F.broadcast(tot), "quintile_h1").select(
+        "quintile_h1",
+        "quintile_h2",
+        "n_suppliers",
+        "n_q1",
+        (F.col("n_suppliers").cast("double") / F.col("n_q1")).alias(
+            "row_share"
+        ),
+    )

@@ -50,98 +50,70 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # Ordering is therefore a curated, per-round decision, not an accident of
 # imports; CERTIFIED_HISTORY.md tracks which rounds certified what.
 #
-# Round-12 window (verdict item 1): new round-12 queries lead (inserted at
-# the front as they land, displacing r7-vintage fill-tail rows — noted
-# inline; displaced rows keep their r7 standing greens and stay first in
-# line for round 13). Then the FULL 27-row stale cohort, recomputed this
-# round from the CORRECTNESS_r* census: the 4 r4-vintage rows-only rows
-# (the stalest standing rows in the repo), then the 23 r6-vintage rows
-# (the four never re-windowed after r6, the fourteen displaced by
-# round-11 waves, and the five r6 rows-only). The remainder fills with
-# the r7-vintage cohort in CORRECTNESS_r07 order. Displaced rows keep
+# Round-13 window (round-12 verdict item 1): new round-13 queries lead
+# (inserted at the front as they land), then the FULL 44-row r7-vintage
+# cohort — the stalest standing rows after round 12, recomputed from the
+# CORRECTNESS_r* census (every r7-window row whose latest green is still
+# r7), in CORRECTNESS_r07 order. 44 + new must stay <= 50, so round 13
+# caps new window entrants at 6; if fewer land, the tail fills from the
+# r8-vintage cohort head in CORRECTNESS_r08 order. Displaced rows keep
 # their standing greens and tests/test_oracle_queries.py mirrors every
 # oracle-backed query each pytest run.
 CERTIFIED_FIRST: tuple[str, ...] = (
-    # --- new in round 12 (first-time certification; added as they land) ---
-    "supplier_leadtime_percentiles",
-    "stream_backlog_daily",
-    "knn_purity_vs_reciprocity_compare",
-    "order_volume_weekly_trend",
-    "customer_order_gap_percentiles",
-    "stream_trade_balance_matrix",
-    "parts_clustering_by_degree",
-    "session_duration_percentiles",
-    "knn_label_confusion_matrix",
-    "mr_bigram_count",
-    "event_mix_weekly_drift",
-    "stream_weekly_trend",
-    "label_centroid_distance_matrix",
-    "return_rate_by_nation_parttype",
-    "discount_band_margin_report",
-    "customer_revenue_concentration",
-    "leadtime_weekly_trend",
-    "customer_value_migration_matrix",
-    "parts_graph_degree_distribution",
-    "event_value_concentration_by_type",
-    "stream_event_mix_drift",
-    # --- r4-vintage rows-only (stalest standing rows) ---
-    "zorder_pruning_stats",
-    "ann_lsh_topk",
-    "ann_pq_topk",
-    "semantic_dedup_clusters",
-    # --- r6-vintage cohort (never re-windowed after r6 / displaced by
-    #     round-11 waves / r6 rows-only), CORRECTNESS_r06 order ---
-    "agg_stats",
-    "distinct_pairs",
-    "count_distinct",
-    "approx_distinct_parts",
-    "rollup_returns",
-    "cube_orders",
-    "grouping_sets_mix",
-    "having_heavy_customers",
-    "join_region_customers",
-    "q3_shipping_priority",
-    "join_left_order_counts",
-    "join_semi_active",
-    "join_anti_inactive",
-    "join_range_quantity_size",
-    "join_full_nation_counts",
-    "top10_orders",
-    "set_union_nations",
-    "set_intersect_nations",
-    "set_except_nations",
-    "minhash_signatures",
-    "hilbert_pruning_stats",
-    "frequent_terms_sketch",
-    "ann_opq_topk",
-    # --- r7-vintage fill, CORRECTNESS_r07 order (the cohort continues in
-    #     round 13; new round-12 waves displace from this tail) ---
-    "source_unigram_kl",
-    "doc_char_entropy",
-    # (sample_weighted_aes, doc_unigram_logloss and source_js_divergence
-    #  displaced by the round-12 eighth wave
-    #  (parts_graph_degree_distribution, event_value_concentration_by_type,
-    #  stream_event_mix_drift);
-    #  sample_weighted_by_quality displaced by the round-12 seventh wave
-    #  (customer_value_migration_matrix);
-    #  ngram_novelty_ratio and stopword_profile_drift displaced by the
-    #  round-12 sixth wave (customer_revenue_concentration,
-    #  leadtime_weekly_trend); doc_lang_confusion,
-    #  dup_cluster_size_histogram and
-    #  quality_flag_transition_by_source displaced by the round-12 fifth
-    #  wave (label_centroid_distance_matrix,
-    #  return_rate_by_nation_parttype, discount_band_margin_report);
-    #  q5_supplier_revenue, join_right_orders_customer and
-    #  cross_join_region_status displaced by the round-12 fourth wave
-    #  (mr_bigram_count, event_mix_weekly_drift, stream_weekly_trend);
-    #  salted_agg_user_value, set_ops_all_variants and argmax_top_order
-    #  displaced by the round-12 third wave (parts_clustering_by_degree,
-    #  session_duration_percentiles, knn_label_confusion_matrix), after
-    #  correlated_max_acctbal, in_subquery_parts and
-    #  approx_percentiles_price by the second wave
-    #  (order_volume_weekly_trend, customer_order_gap_percentiles,
-    #  stream_trade_balance_matrix); their r7 greens stand and they stay
-    #  first in line for round 13.)
+    # --- new in round 13 (first-time certification; added as they land) ---
+    "supplier_leadtime_migration",
+    "events_user_lifetime_span_percentiles",
+    # --- r7-vintage cohort (all 44), CORRECTNESS_r07 order ---
+    "sample_weighted_aes",
+    "doc_unigram_logloss",
+    "source_js_divergence",
+    "sample_weighted_by_quality",
+    "ngram_novelty_ratio",
+    "stopword_profile_drift",
+    "doc_lang_confusion",
+    "dup_cluster_size_histogram",
+    "quality_flag_transition_by_source",
+    "q5_supplier_revenue",
+    "join_right_orders_customer",
+    "cross_join_region_status",
+    "salted_agg_user_value",
+    "set_ops_all_variants",
+    "argmax_top_order",
+    "correlated_max_acctbal",
+    "in_subquery_parts",
+    "approx_percentiles_price",
+    "window_rank_acctbal",
+    "window_running_total",
+    "window_lag_lead",
+    "window_movavg_ntile",
+    "window_first_last",
+    "window_range_7day_sum",
+    "asof_join_purchase_click",
+    "latest_event_per_user",
+    "stats_corr_qty_price",
+    "stats_moments_by_status",
+    "scalar_string_funcs",
+    "scalar_date_funcs",
+    "scalar_math_funcs",
+    "json_extract_props",
+    "json_agg_by_type",
+    "array_functions",
+    "case_when_buckets",
+    "pivot_status_by_priority",
+    "funnel_click_purchase",
+    "map_functions",
+    "posexplode_tokens",
+    "udf_price_per_unit",
+    "udaf_median_price",
+    "csv_roundtrip_nation",
+    "json_roundtrip_events",
+    "text_scan_doc_langs",
+    # --- r8-vintage fill (head of CORRECTNESS_r08 order; each new
+    #     round-13 query displaces from this tail, noted inline) ---
+    "xml_roundtrip_region",
+    "binaryfile_ingest_stats",
+    "source_length_lognormal_fit",
+    "multimodal_frame_sample",
 )
 
 

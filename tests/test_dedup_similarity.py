@@ -1655,3 +1655,77 @@ def test_label_centroid_distance_matrix_numpy_reference(spark, sf_dir):
             - 2 * r.cosine * np.linalg.norm(ca) * np.linalg.norm(cb)
         )
         assert abs(r.euclidean**2 - want_e2) <= 1e-4
+
+
+def test_ann_topk_returned_cosines_match_duckdb_exact_scores(spark, sf_dir):
+    """PARTIAL ORACLE for the ANN top-k family (round-12 verdict item 4,
+    the ann_recall_report pattern): the four tiers stay rows-only — the
+    CANDIDATE SETS are engine-specific (hyperplane signs, k-means cells,
+    PQ/OPQ codebooks) — but the exact-side SCORING is SQL-expressible,
+    so every returned (query_id, neighbor_id, cosine) is pinned against
+    DuckDB recomputing the same rounded cosine formula token-for-token:
+    dot/(|q||n|) for the raw-vector tiers, unit-vector dot for the
+    PQ/OPQ re-rank (whose per-element normalization is a DIFFERENT FP
+    accumulation — stated as list_transform(d, x -> x / nrm) so the
+    engines run the same ops in the same order). Also pins the rank law:
+    within a query, ranks 1..k follow (cosine DESC, neighbor_id ASC)."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    base = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS d FROM embeddings),
+         n AS (SELECT vec_id, d,
+                      sqrt(list_sum(list_transform(d, x -> x * x))) AS nrm
+               FROM e)
+    """
+    raw = dict(
+        (tuple(r[:2]), r[2])
+        for r in con.execute(
+            base
+            + """
+        SELECT q.vec_id, c.vec_id,
+               floor((list_sum(list_transform(generate_series(1, len(q.d)),
+                                              i -> q.d[i] * c.d[i]))
+                      / (q.nrm * c.nrm)) * 10000 + 0.5) / 10000
+        FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+        """
+        ).fetchall()
+    )
+    unit = dict(
+        (tuple(r[:2]), r[2])
+        for r in con.execute(
+            base
+            + """
+        , u AS (SELECT vec_id, list_transform(d, x -> x / nrm) AS u FROM n)
+        SELECT q.vec_id, c.vec_id,
+               floor(list_sum(list_transform(generate_series(1, len(q.u)),
+                                             i -> q.u[i] * c.u[i]))
+                     * 10000 + 0.5) / 10000
+        FROM u q JOIN u c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+        """
+        ).fetchall()
+    )
+    tiers = (
+        (similarity.ann_lsh_topk, raw),
+        (similarity.ann_ivf_topk, raw),
+        (similarity.ann_pq_topk, unit),
+        (similarity.ann_opq_topk, unit),
+    )
+    for fn, exact in tiers:
+        rows = fn(spark, sf_dir).collect()
+        assert rows, fn.__name__
+        per_q = {}
+        for r in rows:
+            assert r.cosine == exact[(r.query_id, r.neighbor_id)], (
+                fn.__name__,
+                r,
+            )
+            per_q.setdefault(r.query_id, []).append(r)
+        for q, rs in per_q.items():
+            rs.sort(key=lambda r: r.rank)
+            assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+            assert rs == sorted(rs, key=lambda r: (-r.cosine, r.neighbor_id))

@@ -1322,3 +1322,129 @@ def test_event_value_concentration_scalar_reference(spark, sf_dir):
         assert row.top_value_micro == sum(top)
         assert row.top_value_share == sum(top) / sum(vs)
         assert row.top_value_share >= len(top) / n - 1e-12
+
+
+def test_supplier_leadtime_migration_scalar_reference(spark, sf_dir):
+    """Python recount of the lead-time migration matrix: same epoch-day
+    lags, same median split day (rank ceil(0.5*n) over joined-row order
+    days), same per-(supplier, half) discrete median, same both-halves
+    population, same value-based quintile thresholds and CASE-ladder
+    assignment, same one-division row shares. Plus the mass laws: cells
+    sum to the population and each row's cells sum to its n_q1."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from mapreduce_infrastructure_spark.operators.tpch_extra import (
+        supplier_leadtime_migration,
+    )
+
+    got = {
+        (r.quintile_h1, r.quintile_h2): r
+        for r in supplier_leadtime_migration(spark, sf_dir).collect()
+    }
+    li = pq.read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+    ).to_pydict()
+    o = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    ).to_pydict()
+    dopen = {
+        k: int(d.timestamp()) // 86400
+        for k, d in zip(o["o_orderkey"], o["o_orderdate"])
+    }
+    rows = [
+        (sk, dopen[ok], int(d.timestamp()) // 86400 - dopen[ok])
+        for ok, sk, d in zip(
+            li["l_orderkey"], li["l_suppkey"], li["l_shipdate"]
+        )
+    ]
+    days = sorted(d for _, d, _ in rows)
+    mid = days[max(1, math.ceil(0.5 * len(days))) - 1]
+    lags = {}
+    for sk, d, lag in rows:
+        lags.setdefault((sk, 1 if d <= mid else 2), []).append(lag)
+
+    def p50(vs):
+        vs.sort()
+        return vs[max(1, math.ceil(0.5 * len(vs))) - 1]
+
+    v1 = {sk: p50(vs) for (sk, h), vs in lags.items() if h == 1}
+    v2 = {sk: p50(vs) for (sk, h), vs in lags.items() if h == 2}
+    both = sorted(set(v1) & set(v2))
+    th = {}
+    for name, s in (("v1", v1), ("v2", v2)):
+        vals = sorted(s[c] for c in both)
+        th[name] = [
+            vals[max(1, math.ceil(k / 5.0 * len(vals))) - 1]
+            for k in (1, 2, 3, 4)
+        ]
+    want = {}
+    for c in both:
+        q1 = 1 + sum(1 for t in th["v1"] if v1[c] > t)
+        q2 = 1 + sum(1 for t in th["v2"] if v2[c] > t)
+        want[(q1, q2)] = want.get((q1, q2), 0) + 1
+    row_tot = {}
+    for (q1, _q2), n in want.items():
+        row_tot[q1] = row_tot.get(q1, 0) + n
+    assert set(got) == set(want)
+    for (q1, q2), n in want.items():
+        r = got[(q1, q2)]
+        assert r.n_suppliers == n
+        assert r.n_q1 == row_tot[q1]
+        assert r.row_share == n / row_tot[q1]
+    assert sum(r.n_suppliers for r in got.values()) == len(both)
+
+
+def test_events_user_lifetime_span_scalar_reference(spark, sf_dir):
+    """Python recount of the first-touch lifetime-span percentiles: same
+    unix_micros spans, same (ts_us, event_id) first-touch tie-break as
+    the engine's struct-min / the oracle's row_number, same
+    percentile_disc ranks max(1, ceil(q*n)). Plus the partition law:
+    per-cohort user counts sum to the distinct-user count."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from mapreduce_infrastructure_spark.operators.temporal import (
+        events_user_lifetime_span_percentiles,
+    )
+
+    got = {
+        r.first_type: r
+        for r in events_user_lifetime_span_percentiles(spark, sf_dir).collect()
+    }
+    ev = pq.read_table(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    ).to_pydict()
+    per_user = {}
+    for u, t, i, et in zip(
+        ev["user_id"], ev["ts"], ev["event_id"], ev["event_type"]
+    ):
+        us = (
+            int(t.timestamp() * 1_000_000)
+            if not hasattr(t, "value")
+            else int(t.value) // 1000
+        )
+        lo, hi, fst = per_user.get(u, (None, None, None))
+        if lo is None:
+            per_user[u] = (us, us, (us, i, et))
+        else:
+            per_user[u] = (
+                min(lo, us), max(hi, us), min(fst, (us, i, et))
+            )
+    spans = {}
+    for lo, hi, fst in per_user.values():
+        spans.setdefault(fst[2], []).append(hi - lo)
+    assert set(got) == set(spans)
+    for et, vs in spans.items():
+        vs.sort()
+        n = len(vs)
+        r = got[et]
+        assert r.n_users == n
+        assert r.p50_span_us == vs[max(1, math.ceil(0.5 * n)) - 1]
+        assert r.p90_span_us == vs[max(1, math.ceil(0.9 * n)) - 1]
+        assert r.p50_span_us <= r.p90_span_us
+    assert sum(r.n_users for r in got.values()) == len(per_user)

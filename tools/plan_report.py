@@ -170,6 +170,9 @@ FLAGSHIP_EXTRA = [
     "customer_value_migration_matrix",
     "parts_graph_degree_distribution",
     "event_value_concentration_by_type",
+    # round-13 additions
+    "supplier_leadtime_migration",
+    "events_user_lifetime_span_percentiles",
 ]
 
 JOIN_KINDS = [
