@@ -1010,3 +1010,103 @@ def parts_graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFra
             / F.col("edge_ends")
         ).alias("edge_end_share"),
     )
+
+
+@query(
+    "parts_graph_component_sizes",
+    oracle=f"""
+    WITH RECURSIVE op AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS pk FROM lineitem
+    ),
+    e AS MATERIALIZED (
+      SELECT a.pk AS a, b.pk AS b
+      FROM op a JOIN op b ON a.o = b.o AND a.pk < b.pk
+      GROUP BY 1, 2 HAVING COUNT(*) >= {TRI_MIN_SHARED}
+    ),
+    sym AS MATERIALIZED (
+      SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e
+    ),
+    reach(node, root) AS (
+      SELECT DISTINCT a AS node, a AS root FROM sym
+      UNION
+      SELECT s.b, r.root FROM reach r JOIN sym s ON s.a = r.node
+    ),
+    comp AS (
+      SELECT node, MIN(root) AS cluster FROM reach GROUP BY 1
+    ),
+    cs AS (
+      SELECT cluster, CAST(COUNT(*) AS BIGINT) AS component_size
+      FROM comp GROUP BY 1
+    ),
+    h AS (
+      SELECT component_size, CAST(COUNT(*) AS BIGINT) AS n_components
+      FROM cs GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(component_size * n_components) AS BIGINT) AS n_total
+      FROM h
+    )
+    SELECT component_size, n_components,
+           CAST(component_size * n_components AS BIGINT) AS n_nodes,
+           floor((CAST(component_size * n_components AS DOUBLE) / n_total)
+                 * 1000000 + 0.5) / 1000000 AS share_of_nodes
+    FROM h CROSS JOIN tot
+    """,
+    tags=("graph", "components", "histogram"),
+)
+def parts_graph_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component SIZE DISTRIBUTION of the part co-occurrence
+    graph: per exact component size, how many components and what share
+    of nodes — the fragmentation read that completes the graph-health
+    trio (degree distribution says how connectivity is spread,
+    clustering-by-degree says how cohesive neighborhoods are, this says
+    whether the graph is one giant component or an archipelago), and the
+    partition-count early warning for any per-component downstream job.
+
+    Composes the shared session-cached edge build (`_part_cooccur_edges`
+    — free after any triangle/degree query ran this session) with the
+    dedup tier's `star_contraction_components` (Kiveris et al. SoCC'14
+    large-star/small-star contraction — O(log² n) rounds independent of
+    graph diameter, two linear shuffles per round; the 100 TB form, vs
+    label propagation's one-round-per-diameter-hop). Nodes are the edge
+    endpoints (an isolated part has no co-occurrence edge and is not in
+    this graph — stated by the oracle's seed the same way).
+
+    Exactness: component labels are ids, sizes/counts exact int64, the
+    node share one IEEE division of exact ints (2^53-safe: node counts).
+    The oracle's recursive-CTE reachability closure is O(n·m) rows —
+    fine at oracle scale, the exact shape the contraction avoids at
+    100 TB. Output is ≤|distinct sizes| ≤ O(√n) rows."""
+    from ..llm.dedup import star_contraction_components
+
+    e = _part_cooccur_edges(spark, sf_dir)
+    nodes = (
+        e.select(F.col("x").alias("node_id"))
+        .union(e.select("y"))
+        .distinct()
+    )
+    edges = e.select(F.col("x").alias("src"), F.col("y").alias("dst"))
+    labels = star_contraction_components(nodes, edges)
+    cs = labels.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("component_size")
+    )
+    h = cs.groupBy("component_size").agg(
+        F.count(F.lit(1)).alias("n_components")
+    )
+    tot = h.agg(
+        F.sum(F.col("component_size") * F.col("n_components")).alias(
+            "n_total"
+        )
+    )
+    return h.crossJoin(F.broadcast(tot)).select(
+        "component_size",
+        "n_components",
+        (F.col("component_size") * F.col("n_components"))
+        .cast("long")
+        .alias("n_nodes"),
+        rnd(
+            (F.col("component_size") * F.col("n_components")).cast("double")
+            / F.col("n_total"),
+            6,
+        ).alias("share_of_nodes"),
+    )

@@ -1287,9 +1287,10 @@ def discount_band_margin_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "leadtime_weekly_trend",
-    oracle="""
+# Shared with the streaming twin in streaming/stream.py: one statement of
+# the TZ-proof week/lag integers and the cume_dist >= q discrete selection,
+# so batch and stream cannot drift.
+LEADTIME_WEEKLY_ORACLE = """
     WITH l AS (
       SELECT CAST(floor(epoch(l_shipdate)) AS BIGINT) // 86400 // 7 AS week,
              CAST(floor(epoch(l_shipdate)) AS BIGINT) // 86400
@@ -1306,7 +1307,13 @@ def discount_band_margin_report(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(CASE WHEN cd >= 0.5 THEN lag_days END) AS p50_lag_days,
            MIN(CASE WHEN cd >= 0.9 THEN lag_days END) AS p90_lag_days
     FROM ranked GROUP BY 1
-    """,
+    """
+
+
+@query(
+    "leadtime_weekly_trend",
+    oracle=None,  # set below — LEADTIME_WEEKLY_ORACLE, shared verbatim
+                  # with the streaming twin in streaming/stream.py.
     tags=("tpch", "supplier", "percentile", "trend"),
 )
 def leadtime_weekly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1557,3 +1564,11 @@ def supplier_leadtime_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "row_share"
         ),
     )
+
+
+# leadtime_weekly_trend declares oracle=None above so the SQL can live in
+# the shared LEADTIME_WEEKLY_ORACLE constant (its streaming twin binds the
+# same string in streaming/stream.py).
+from ..registry import _REGISTRY as _REG  # noqa: E402
+
+_REG["leadtime_weekly_trend"].oracle = LEADTIME_WEEKLY_ORACLE

@@ -63,6 +63,8 @@ CERTIFIED_FIRST: tuple[str, ...] = (
     # --- new in round 13 (first-time certification; added as they land) ---
     "supplier_leadtime_migration",
     "events_user_lifetime_span_percentiles",
+    "stream_leadtime_weekly_trend",
+    "parts_graph_component_sizes",
     # --- r7-vintage cohort (all 44), CORRECTNESS_r07 order ---
     "sample_weighted_aes",
     "doc_unigram_logloss",
@@ -112,8 +114,10 @@ CERTIFIED_FIRST: tuple[str, ...] = (
     #     round-13 query displaces from this tail, noted inline) ---
     "xml_roundtrip_region",
     "binaryfile_ingest_stats",
-    "source_length_lognormal_fit",
-    "multimodal_frame_sample",
+    # (source_length_lognormal_fit and multimodal_frame_sample displaced
+    #  by the round-13 second wave (stream_leadtime_weekly_trend,
+    #  parts_graph_component_sizes); their r8 greens stand and they stay
+    #  first in line for round 14.)
 )
 
 

@@ -1784,12 +1784,91 @@ def stream_event_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stream_leadtime_weekly_trend",
+    oracle=None,  # set below — shares the batch twin's oracle verbatim
+    tags=("streaming", "tpch", "percentile", "trend"),
+)
+def stream_leadtime_weekly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment-SLA trend (per ship epoch-week exact p50/p90 ship lag)
+    maintained INCREMENTALLY — the streaming twin of
+    tpch_extra.leadtime_weekly_trend, same oracle verbatim (the shared
+    LEADTIME_WEEKLY_ORACLE constant). Extends the twin matrix with the
+    HISTOGRAM-CELL state shape: the fact stream (lineitem) is enriched
+    against the batch orders dimension inside the micro-batch (the
+    stream-static-join pattern stream_trade_balance_matrix established),
+    then folds into ONE incremental hash aggregate keyed by the
+    (week, lag_days) histogram cell — both axes calendar-bounded, so
+    state is |weeks|·|lag domain| counts (~2.5k/century-of-lag per week)
+    no matter how many lines stream through.
+
+    The PERCENTILE derivation (cumulative counts within a week, discrete
+    p50/p90 selection) is not incrementally expressible per row (a new
+    line shifts every higher rank), so it runs POST-SINK over the
+    bounded cell table — the same cells-then-derive bridge as
+    stream_event_mix_drift, and literally the batch twin's
+    hist_cume_counts/hist_disc_percentile tail (the window runs over
+    histogram-cardinality input). The in-memory sink is the test bridge;
+    a deployment sinks the keyed cell aggregate to a durable table and
+    runs the same bounded derivation downstream.
+
+    At 100 TB/day: the only row-volume stage is the per-batch enrich of
+    new lineitem files against orders (size-based join planning per
+    batch); cell state and the derivation stay calendar-bounded."""
+    from pyspark.sql import Window
+
+    from ..catalog import load_table
+    from ..functions.ranks import hist_disc_percentile
+
+    li = stream_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.expr("unix_micros(l_shipdate) div 1000000 div 86400").alias(
+            "dship"
+        ),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("unix_micros(o_orderdate) div 1000000 div 86400").alias(
+            "dopen"
+        ),
+    )
+    cells_s = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.expr("dship div 7").alias("week"),
+            (F.col("dship") - F.col("dopen")).alias("lag_days"),
+        )
+        .groupBy("week", "lag_days")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    cells = run_to_table(cells_s, "stream_leadtime_cells", mode="complete")
+    before = (
+        Window.partitionBy("week")
+        .orderBy("lag_days")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    whole = Window.partitionBy("week")
+    cume = cells.select(
+        "week",
+        "lag_days",
+        "m",
+        F.sum("m").over(before).cast("long").alias("cum"),
+        F.sum("m").over(whole).cast("long").alias("n_stratum"),
+    )
+    return cume.groupBy("week").agg(
+        F.sum("m").alias("n_lines"),
+        hist_disc_percentile("lag_days", 0.5, "p50_lag_days"),
+        hist_disc_percentile("lag_days", 0.9, "p90_lag_days"),
+    )
+
+
 # Late-bind the shared oracles (import at module top would be circular-prone
 # and the constants live beside their batch twins).
 from ..operators.temporal import BACKLOG_ORACLE as _BL_ORACLE  # noqa: E402
 from ..operators.temporal import DOW_HOUR_PROFILE_ORACLE as _DHP_ORACLE  # noqa: E402
 from ..operators.temporal import EVENT_MIX_DRIFT_ORACLE as _EMD_ORACLE  # noqa: E402
 from ..operators.temporal import WEEKLY_TREND_ORACLE as _WT_ORACLE  # noqa: E402
+from ..operators.tpch_extra import LEADTIME_WEEKLY_ORACLE as _LW_ORACLE  # noqa: E402
 from ..operators.tpch_extra import TRADE_MATRIX_ORACLE as _TM_ORACLE  # noqa: E402
 from ..registry import _REGISTRY as _REG  # noqa: E402
 
@@ -1798,3 +1877,4 @@ _REG["stream_backlog_daily"].oracle = _BL_ORACLE
 _REG["stream_trade_balance_matrix"].oracle = _TM_ORACLE
 _REG["stream_weekly_trend"].oracle = _WT_ORACLE
 _REG["stream_event_mix_drift"].oracle = _EMD_ORACLE
+_REG["stream_leadtime_weekly_trend"].oracle = _LW_ORACLE

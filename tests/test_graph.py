@@ -310,3 +310,69 @@ def test_parts_degree_distribution_scalar_reference(spark, sf_dir):
         assert row.n_nodes == n
         assert row.node_share == n / total
         assert row.edge_end_share == (d * n) / ends
+
+
+def test_parts_component_sizes_scalar_reference(spark, sf_dir):
+    """Python recount of the component-size distribution: same edge set
+    (pairs sharing >= TRI_MIN_SHARED orders), union-find components,
+    exact size histogram, one-division node shares (1e-6 floor-rounded
+    like the engine/oracle). Plus the mass law: sizes x counts sum to
+    the node total, and every component size >= 2 (nodes are edge
+    endpoints by construction)."""
+    import math
+    from itertools import combinations
+
+    import pyarrow.parquet as pq
+
+    from mapreduce_infrastructure_spark.operators.graph import (
+        TRI_MIN_SHARED,
+        parts_graph_component_sizes,
+    )
+
+    li = pq.read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).to_pydict()
+    by_order = {}
+    for o, p in zip(li["l_orderkey"], li["l_partkey"]):
+        by_order.setdefault(o, set()).add(p)
+    pair_counts = {}
+    for parts in by_order.values():
+        for a, b in combinations(sorted(parts), 2):
+            pair_counts[(a, b)] = pair_counts.get((a, b), 0) + 1
+    edges = [p for p, c in pair_counts.items() if c >= TRI_MIN_SHARED]
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    sizes = {}
+    for node in parent:
+        r = find(node)
+        sizes[r] = sizes.get(r, 0) + 1
+    hist = {}
+    for s in sizes.values():
+        hist[s] = hist.get(s, 0) + 1
+    total = sum(s * n for s, n in hist.items())
+    got = {
+        r.component_size: r
+        for r in parts_graph_component_sizes(spark, sf_dir).collect()
+    }
+    assert set(got) == set(hist)
+    for s, n in hist.items():
+        row = got[s]
+        assert s >= 2
+        assert row.n_components == n
+        assert row.n_nodes == s * n
+        assert row.share_of_nodes == (
+            math.floor((s * n) / total * 1000000 + 0.5) / 1000000
+        )
+    assert sum(r.n_nodes for r in got.values()) == total == len(parent)

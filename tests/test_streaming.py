@@ -957,3 +957,35 @@ def test_stream_event_mix_drift_matches_batch_twin(spark, sf_dir):
         qs["stream_event_mix_drift"].oracle
         == qs["event_mix_weekly_drift"].oracle
     )
+
+
+def test_stream_leadtime_weekly_trend_matches_batch_twin(spark, sf_dir):
+    """The streaming lead-time trend must equal the batch twin
+    row-for-row (shared LEADTIME_WEEKLY_ORACLE constant): same weeks,
+    same line counts, same discrete p50/p90 selections — the
+    histogram-cell state bridge cannot drift from the batch histogram
+    closed form."""
+    from mapreduce_infrastructure_spark.operators.tpch_extra import (
+        leadtime_weekly_trend,
+    )
+    from mapreduce_infrastructure_spark.streaming.stream import (
+        stream_leadtime_weekly_trend,
+    )
+
+    batch = {
+        r.week: (r.n_lines, r.p50_lag_days, r.p90_lag_days)
+        for r in leadtime_weekly_trend(spark, sf_dir).collect()
+    }
+    stream = {
+        r.week: (r.n_lines, r.p50_lag_days, r.p90_lag_days)
+        for r in stream_leadtime_weekly_trend(spark, sf_dir).collect()
+    }
+    assert stream == batch
+    # oracle sharing is literal, not a copy
+    from mapreduce_infrastructure_spark.registry import all_queries
+
+    qs = all_queries()
+    assert (
+        qs["stream_leadtime_weekly_trend"].oracle
+        is qs["leadtime_weekly_trend"].oracle
+    )

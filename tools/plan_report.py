@@ -170,9 +170,11 @@ FLAGSHIP_EXTRA = [
     "customer_value_migration_matrix",
     "parts_graph_degree_distribution",
     "event_value_concentration_by_type",
-    # round-13 additions
+    # round-13 additions (stream_leadtime_weekly_trend executes eagerly —
+    # twin equality + the shared oracle audit it instead)
     "supplier_leadtime_migration",
     "events_user_lifetime_span_percentiles",
+    "parts_graph_component_sizes",
 ]
 
 JOIN_KINDS = [
