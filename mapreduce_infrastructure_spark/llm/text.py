@@ -2297,3 +2297,102 @@ def source_length_lognormal_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.sqrt(var), 6).alias("sigma_log"),
         rnd(F.exp(mu), 6).alias("median_est"),
     )
+
+
+@query(
+    "doc_token_concentration_by_source",
+    oracle=f"""
+    WITH t AS (
+      SELECT source,
+             CAST(len(list_filter(regexp_split_to_array(lower(text),
+                                                         '{TOKEN_DELIM}'),
+                                  x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    r AS (
+      SELECT source, n_tokens,
+             row_number() OVER (PARTITION BY source ORDER BY n_tokens) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM t
+    ),
+    th AS (
+      SELECT source,
+             MAX(CASE WHEN rn = greatest(1, CAST(ceil(0.9 * n) AS BIGINT))
+                      THEN n_tokens END) AS threshold_tokens
+      FROM r GROUP BY 1
+    )
+    SELECT t.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           h.threshold_tokens,
+           CAST(SUM(CASE WHEN t.n_tokens >= h.threshold_tokens
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_top,
+           CAST(SUM(CASE WHEN t.n_tokens >= h.threshold_tokens
+                         THEN t.n_tokens ELSE 0 END) AS BIGINT) AS top_tokens,
+           CAST(CAST(SUM(CASE WHEN t.n_tokens >= h.threshold_tokens
+                              THEN t.n_tokens ELSE 0 END) AS BIGINT)
+                AS DOUBLE)
+             / CAST(SUM(t.n_tokens) AS BIGINT) AS top_token_share
+    FROM t JOIN th h ON t.source = h.source
+    GROUP BY 1, 3
+    """,
+    tags=("text", "llm", "percentile", "iterative"),
+)
+def doc_token_concentration_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source TOKEN-MASS concentration: the exact p90 token-count
+    threshold (stratified narrower) and the share of the source's total
+    token mass sitting in its top-decile documents — the token-budget
+    skew read behind corpus curation (a source whose token mass is
+    dominated by a few giant documents needs chunking or length caps
+    before its sampling weight means anything; the documents twin of
+    `event_value_concentration_by_type`).
+
+    Token counts use the SAME tokenize convention as `wordcount` (split
+    on '[^a-z0-9]+', drop empties — the oracle states it with
+    regexp_split_to_array + list_filter), folded to ONE int64 per doc at
+    scan speed; the per-source thresholds all narrow together over the
+    cached (source, n_tokens) projection (strata = |sources|,
+    driver-small at any SF; token-count domain row-scale, no histogram
+    closed form), then the concentration is ONE partial-aggregatable
+    fold against the broadcast |sources|-row threshold grid. Counts and
+    token masses exact int64 (2^53-safe: total tokens per source —
+    ~10¹² tokens before the share division would need re-graining, and
+    the oracle casts its HUGEINT sums through BIGINT first); the share
+    is one IEEE division stated identically in both engines."""
+    from ..functions.ranks import kth_order_statistics_by
+
+    docs = load_table(spark, sf_dir, "documents")
+    tc = tracked_persist(
+        docs.select(
+            "source", F.size(tokens_col()).cast("long").alias("n_tokens")
+        ),
+        f"doc_token_counts:{sf_dir}",
+    )
+    th = kth_order_statistics_by(tc, "source", "n_tokens", q=0.9, n_buckets=256)
+    grid = spark.createDataFrame(
+        sorted(th.items()), "source string, threshold_tokens long"
+    )
+    top = F.col("n_tokens") >= F.col("threshold_tokens")
+    g = (
+        tc.join(F.broadcast(grid), "source")
+        .groupBy("source", "threshold_tokens")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(top, 1).otherwise(0)).cast("long").alias("n_top"),
+            F.sum(F.when(top, F.col("n_tokens")).otherwise(0)).alias(
+                "top_tokens"
+            ),
+            F.sum("n_tokens").alias("_total"),
+        )
+    )
+    return g.select(
+        "source",
+        "n_docs",
+        "threshold_tokens",
+        "n_top",
+        "top_tokens",
+        (F.col("top_tokens").cast("double") / F.col("_total")).alias(
+            "top_token_share"
+        ),
+    )

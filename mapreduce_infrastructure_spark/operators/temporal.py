@@ -1604,9 +1604,10 @@ def event_mix_weekly_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "events_user_lifetime_span_percentiles",
-    oracle="""
+# Shared with the streaming twin in streaming/stream.py: one statement of
+# the first-touch tie-break, the unix_micros span and the percentile_disc
+# ranks, so batch and stream cannot drift.
+USER_LIFETIME_SPAN_ORACLE = """
     WITH f AS (
       SELECT user_id, event_type AS first_type
       FROM (SELECT user_id, event_type,
@@ -1639,8 +1640,37 @@ def event_mix_weekly_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
            MAX(CASE WHEN rn = greatest(1, CAST(ceil(0.9 * n) AS BIGINT))
                     THEN span_us END) AS p90_span_us
     FROM r GROUP BY 1
-    """,
-    tags=("temporal", "users", "percentile", "iterative"),
+    """
+
+
+def _lifetime_span_report(spark: SparkSession, u: DataFrame) -> DataFrame:
+    """Shared derivation tail for the batch query and its streaming twin:
+    given the per-user (first_type, span_us) table (already persisted by
+    the caller — the narrower re-scans it once per round), run the
+    |event types|-bounded count census plus the stratified narrower at
+    q = 0.5 / 0.9 and assemble the per-cohort report."""
+    from ..functions.ranks import kth_order_statistics_by
+
+    ns = {
+        r["first_type"]: r["n"]
+        for r in u.groupBy("first_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    pct = {
+        q: kth_order_statistics_by(u, "first_type", "span_us", q=q, n_buckets=256)
+        for q in (0.5, 0.9)
+    }
+    return spark.createDataFrame(
+        [(t, n, pct[0.5][t], pct[0.9][t]) for t, n in sorted(ns.items())],
+        "first_type string, n_users long, p50_span_us long, p90_span_us long",
+    )
+
+
+@query(
+    "events_user_lifetime_span_percentiles",
+    oracle=None,  # set below — USER_LIFETIME_SPAN_ORACLE, shared verbatim
+                  # with the streaming twin in streaming/stream.py.    tags=("temporal", "users", "percentile", "iterative"),
 )
 def events_user_lifetime_span_percentiles(
     spark: SparkSession, sf_dir: str
@@ -1681,7 +1711,6 @@ def events_user_lifetime_span_percentiles(
     shape the narrower avoids at 100 TB. Premise: event_type and ts are
     non-null (fixture-pinned; a null stratum would raise in the
     narrower by design)."""
-    from ..functions.ranks import kth_order_statistics_by
     from ..llm.cache import tracked_persist
 
     ev = load_table(spark, sf_dir, "events")
@@ -1704,19 +1733,17 @@ def events_user_lifetime_span_percentiles(
         ),
         f"user_lifetime_spans:{sf_dir}",
     )
-    # |event types|-bounded census — the same bounded-collect shape
-    # event_value_percentiles_by_type allowlists.
-    ns = {
-        r["first_type"]: r["n"]
-        for r in u.groupBy("first_type")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
-    pct = {
-        q: kth_order_statistics_by(u, "first_type", "span_us", q=q, n_buckets=256)
-        for q in (0.5, 0.9)
-    }
-    return spark.createDataFrame(
-        [(t, n, pct[0.5][t], pct[0.9][t]) for t, n in sorted(ns.items())],
-        "first_type string, n_users long, p50_span_us long, p90_span_us long",
-    )
+    # |event types|-bounded census + narrower + assembly live in the
+    # shared _lifetime_span_report tail (the streaming twin runs the
+    # same derivation over its sink table).
+    return _lifetime_span_report(spark, u)
+
+
+# events_user_lifetime_span_percentiles declares oracle=None above so the
+# SQL can live in the shared USER_LIFETIME_SPAN_ORACLE constant (its
+# streaming twin binds the same string in streaming/stream.py).
+from ..registry import _REGISTRY as _REG  # noqa: E402
+
+_REG["events_user_lifetime_span_percentiles"].oracle = (
+    USER_LIFETIME_SPAN_ORACLE
+)

@@ -65,6 +65,8 @@ CERTIFIED_FIRST: tuple[str, ...] = (
     "events_user_lifetime_span_percentiles",
     "stream_leadtime_weekly_trend",
     "parts_graph_component_sizes",
+    "stream_user_lifetime_spans",
+    "doc_token_concentration_by_source",
     # --- r7-vintage cohort (all 44), CORRECTNESS_r07 order ---
     "sample_weighted_aes",
     "doc_unigram_logloss",
@@ -110,14 +112,14 @@ CERTIFIED_FIRST: tuple[str, ...] = (
     "csv_roundtrip_nation",
     "json_roundtrip_events",
     "text_scan_doc_langs",
-    # --- r8-vintage fill (head of CORRECTNESS_r08 order; each new
-    #     round-13 query displaces from this tail, noted inline) ---
-    "xml_roundtrip_region",
-    "binaryfile_ingest_stats",
-    # (source_length_lognormal_fit and multimodal_frame_sample displaced
-    #  by the round-13 second wave (stream_leadtime_weekly_trend,
-    #  parts_graph_component_sizes); their r8 greens stand and they stay
-    #  first in line for round 14.)
+    # (r8-vintage fill exhausted: xml_roundtrip_region and
+    #  binaryfile_ingest_stats displaced by the round-13 third wave
+    #  (stream_user_lifetime_spans, doc_token_concentration_by_source);
+    #  source_length_lognormal_fit and multimodal_frame_sample by the
+    #  second wave (stream_leadtime_weekly_trend,
+    #  parts_graph_component_sizes). Their r8 greens stand and they are
+    #  first in line for round 14 — the round-13 entrant cap of 6 is now
+    #  reached, so no further waves may displace the r7 cohort.)
 )
 
 

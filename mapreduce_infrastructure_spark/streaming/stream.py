@@ -1862,11 +1862,65 @@ def stream_leadtime_weekly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stream_user_lifetime_spans",
+    oracle=None,  # set below — shares the batch twin's oracle verbatim
+    tags=("streaming", "users", "percentile"),
+)
+def stream_user_lifetime_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch lifetime-span percentiles maintained INCREMENTALLY —
+    the streaming twin of temporal.events_user_lifetime_span_percentiles,
+    same oracle verbatim (the shared USER_LIFETIME_SPAN_ORACLE constant).
+    The row-volume work is ONE user-keyed incremental hash aggregate over
+    the event stream: running min/max unix_micros plus the lexicographic
+    struct-min that carries the first-touch event type — three int64-ish
+    values of state per user key in the state store (the per-order-key
+    state shape stream_backlog_daily established), updated in place as
+    batches arrive; a user's span and first touch are only final at
+    end-of-input, which is exactly what running MIN/MAX in keyed state
+    express.
+
+    The PERCENTILE derivation is not incrementally expressible per row
+    (a new user shifts every higher rank), so it runs POST-SINK over the
+    |users|-row aggregate table via the SAME `_lifetime_span_report`
+    tail as the batch twin (bounded census + stratified narrower) — the
+    cells-then-derive bridge of the other twins, with the sink table
+    persisted so the narrowing rounds re-scan the small cached frame.
+    In a deployment the keyed aggregate sinks to a durable table and the
+    same bounded derivation runs downstream."""
+    from ..llm.cache import tracked_persist
+    from ..operators.temporal import _lifetime_span_report
+
+    ev = stream_table(spark, sf_dir, "events")
+    us = F.expr("unix_micros(ts)")
+    g_s = ev.groupBy("user_id").agg(
+        F.min(
+            F.struct(
+                us.alias("u"),
+                F.col("event_id").alias("i"),
+                F.col("event_type").alias("t"),
+            )
+        ).alias("fst"),
+        F.min(us).alias("s"),
+        F.max(us).alias("e"),
+    )
+    sink = run_to_table(g_s, "stream_user_spans", mode="complete")
+    u = tracked_persist(
+        sink.select(
+            F.col("fst.t").alias("first_type"),
+            (F.col("e") - F.col("s")).alias("span_us"),
+        ),
+        f"stream_user_lifetime_spans:{sf_dir}",
+    )
+    return _lifetime_span_report(spark, u)
+
+
 # Late-bind the shared oracles (import at module top would be circular-prone
 # and the constants live beside their batch twins).
 from ..operators.temporal import BACKLOG_ORACLE as _BL_ORACLE  # noqa: E402
 from ..operators.temporal import DOW_HOUR_PROFILE_ORACLE as _DHP_ORACLE  # noqa: E402
 from ..operators.temporal import EVENT_MIX_DRIFT_ORACLE as _EMD_ORACLE  # noqa: E402
+from ..operators.temporal import USER_LIFETIME_SPAN_ORACLE as _ULS_ORACLE  # noqa: E402
 from ..operators.temporal import WEEKLY_TREND_ORACLE as _WT_ORACLE  # noqa: E402
 from ..operators.tpch_extra import LEADTIME_WEEKLY_ORACLE as _LW_ORACLE  # noqa: E402
 from ..operators.tpch_extra import TRADE_MATRIX_ORACLE as _TM_ORACLE  # noqa: E402
@@ -1878,3 +1932,4 @@ _REG["stream_trade_balance_matrix"].oracle = _TM_ORACLE
 _REG["stream_weekly_trend"].oracle = _WT_ORACLE
 _REG["stream_event_mix_drift"].oracle = _EMD_ORACLE
 _REG["stream_leadtime_weekly_trend"].oracle = _LW_ORACLE
+_REG["stream_user_lifetime_spans"].oracle = _ULS_ORACLE

@@ -84,7 +84,7 @@ def test_driver_materialization_sites_are_allowlisted():
         ("functions/ranks.py", "kth_order_statistic"),  # <=33-row bucket census per narrowing round
         ("functions/ranks.py", "kth_order_statistics_by"),  # <=|strata|x(n_buckets+1)-row census per round (x33 at default branching; strata asserted <=10k)
         ("operators/stats.py", "event_value_percentiles_by_type"),  # |types|-row count census + 1-row-per-type assembly
-        ("operators/temporal.py", "events_user_lifetime_span_percentiles"),  # |cohort weeks|-row count census (calendar-bounded strata)
+        ("operators/temporal.py", "_lifetime_span_report"),  # |event types|-row count census (bounded strata; shared batch/stream tail)
     }
 
     found = set()

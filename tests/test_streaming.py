@@ -989,3 +989,33 @@ def test_stream_leadtime_weekly_trend_matches_batch_twin(spark, sf_dir):
         qs["stream_leadtime_weekly_trend"].oracle
         is qs["leadtime_weekly_trend"].oracle
     )
+
+
+def test_stream_user_lifetime_spans_matches_batch_twin(spark, sf_dir):
+    """The streaming lifetime-span report must equal the batch twin
+    row-for-row (shared USER_LIFETIME_SPAN_ORACLE constant and shared
+    _lifetime_span_report tail): same cohorts, same user counts, same
+    discrete p50/p90 span selections."""
+    from mapreduce_infrastructure_spark.operators.temporal import (
+        events_user_lifetime_span_percentiles,
+    )
+    from mapreduce_infrastructure_spark.streaming.stream import (
+        stream_user_lifetime_spans,
+    )
+
+    batch = {
+        r.first_type: (r.n_users, r.p50_span_us, r.p90_span_us)
+        for r in events_user_lifetime_span_percentiles(spark, sf_dir).collect()
+    }
+    stream = {
+        r.first_type: (r.n_users, r.p50_span_us, r.p90_span_us)
+        for r in stream_user_lifetime_spans(spark, sf_dir).collect()
+    }
+    assert stream == batch
+    from mapreduce_infrastructure_spark.registry import all_queries
+
+    qs = all_queries()
+    assert (
+        qs["stream_user_lifetime_spans"].oracle
+        is qs["events_user_lifetime_span_percentiles"].oracle
+    )

@@ -1527,3 +1527,44 @@ def test_rnd_floor_rounding_cross_engine_parity(spark):
             "select floor(? * 1000000 + 0.5) / 1000000", params=[float(v)]
         ).fetchone()[0]
         assert g == d, (v, g, d)
+
+
+def test_doc_token_concentration_scalar_reference(spark, sf_dir):
+    """Python recount of the per-source token-mass concentration: same
+    wordcount tokenize convention (split on [^a-z0-9]+, drop empties),
+    same percentile_disc p90 rank max(1, ceil(0.9*n)), same >= threshold
+    membership, same one-division share. Plus the tail-dominance law:
+    top_token_share >= n_top / n_docs (top-decile docs are the longest)."""
+    import math
+    import re
+
+    import pyarrow.parquet as pq
+
+    from mapreduce_infrastructure_spark.llm.text import (
+        doc_token_concentration_by_source,
+    )
+
+    got = {
+        r.source: r
+        for r in doc_token_concentration_by_source(spark, sf_dir).collect()
+    }
+    d = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    ).to_pydict()
+    counts = {}
+    for s, t in zip(d["source"], d["text"]):
+        n = sum(1 for tok in re.split(r"[^a-z0-9]+", t.lower()) if tok)
+        counts.setdefault(s, []).append(n)
+    assert set(got) == set(counts)
+    for s, vs in counts.items():
+        vs.sort()
+        n = len(vs)
+        th = vs[max(1, math.ceil(0.9 * n)) - 1]
+        top = [v for v in vs if v >= th]
+        r = got[s]
+        assert r.n_docs == n
+        assert r.threshold_tokens == th
+        assert r.n_top == len(top)
+        assert r.top_tokens == sum(top)
+        assert r.top_token_share == sum(top) / sum(vs)
+        assert r.top_token_share >= r.n_top / r.n_docs

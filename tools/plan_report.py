@@ -175,6 +175,7 @@ FLAGSHIP_EXTRA = [
     "supplier_leadtime_migration",
     "events_user_lifetime_span_percentiles",
     "parts_graph_component_sizes",
+    "doc_token_concentration_by_source",
 ]
 
 JOIN_KINDS = [
