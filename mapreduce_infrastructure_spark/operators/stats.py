@@ -1749,3 +1749,85 @@ def event_value_concentration_by_type(spark: SparkSession, sf_dir: str) -> DataF
             / F.col("_total").cast("double")
         ).alias("top_value_share"),
     )
+
+
+@query(
+    "part_demand_concentration",
+    oracle="""
+    WITH c AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY 1
+    ),
+    r AS (
+      SELECT n, row_number() OVER (ORDER BY n) AS rn,
+             COUNT(*) OVER () AS m
+      FROM c
+    ),
+    th AS (
+      SELECT MAX(CASE WHEN rn = greatest(1, CAST(ceil(0.5 * m) AS BIGINT))
+                      THEN n END) AS p50,
+             MAX(CASE WHEN rn = greatest(1, CAST(ceil(0.9 * m) AS BIGINT))
+                      THEN n END) AS p90
+      FROM r
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+           th.p50 AS p50_lines,
+           th.p90 AS p90_lines,
+           CAST(SUM(CASE WHEN c.n >= th.p90 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_top_parts,
+           CAST(SUM(CASE WHEN c.n >= th.p90 THEN c.n ELSE 0 END) AS BIGINT)
+             AS top_lines,
+           CAST(CAST(SUM(CASE WHEN c.n >= th.p90 THEN c.n ELSE 0 END)
+                     AS BIGINT) AS DOUBLE)
+             / CAST(SUM(c.n) AS BIGINT) AS top_line_share
+    FROM c CROSS JOIN th
+    GROUP BY th.p50, th.p90
+    """,
+    tags=("stats", "percentile", "iterative", "concentration"),
+)
+def part_demand_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEMAND concentration over the part key: the exact p50/p90
+    lineitem-count-per-part and the share of ALL lines carried by the
+    top-decile parts — the direct shuffle-skew early warning for every
+    join keyed on l_partkey (the part star joins, the co-occurrence
+    graph build): top_line_share near n_top/n_parts means demand is
+    flat and hash partitions balance; far above it means hot parts and
+    a salting decision (`user_activity_skew` measures the same thing
+    for the user key domain — this covers the part domain with exact
+    rank thresholds instead of Gini).
+
+    Scale story: part cardinality SCALES WITH SF (~200k per SF unit —
+    beyond the stratified narrower's driver-census bound almost
+    immediately), but this is a GLOBAL concentration, so both
+    thresholds come from the unstratified `kth_order_statistic`
+    narrower over the cached per-part count table — itself the output
+    of a row-volume reduction — which holds at any part count (≤33-row
+    census per round, no driver-side |parts| state anywhere). After the
+    two thresholds are literals, ONE partial-aggregatable fold computes
+    the report. Counts exact int64; the share is one IEEE division, the
+    oracle casting its HUGEINT sums through BIGINT first (2^53 rule)."""
+    import math
+
+    from ..functions.ranks import kth_order_statistic
+    from ..llm.cache import tracked_persist
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cm = tracked_persist(
+        li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n")),
+        f"part_line_counts:{sf_dir}",
+    )
+    m = cm.count()
+    p50 = kth_order_statistic(cm, "n", max(1, math.ceil(0.5 * m)))
+    p90 = kth_order_statistic(cm, "n", max(1, math.ceil(0.9 * m)))
+    top = F.col("n") >= F.lit(p90)
+    return cm.agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.lit(p50).alias("p50_lines"),
+        F.lit(p90).alias("p90_lines"),
+        F.sum(F.when(top, 1).otherwise(0)).cast("long").alias("n_top_parts"),
+        F.sum(F.when(top, F.col("n")).otherwise(0)).alias("top_lines"),
+        (
+            F.sum(F.when(top, F.col("n")).otherwise(0)).cast("double")
+            / F.sum("n")
+        ).alias("top_line_share"),
+    )

@@ -1175,9 +1175,9 @@ def supplier_leadtime_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame
 # Return-rate matrix and discount-band margin report
 # --------------------------------------------------------------------------
 
-@query(
-    "return_rate_by_nation_parttype",
-    oracle="""
+# Shared with the streaming twin in streaming/stream.py: one statement of
+# the star join and the exact-count cells, so batch and stream cannot drift.
+RETURN_RATE_ORACLE = """
     SELECT n.n_name AS supp_nation, p.p_type,
            CAST(COUNT(*) AS BIGINT) AS n_lines,
            CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
@@ -1189,7 +1189,12 @@ def supplier_leadtime_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame
     JOIN nation n   ON s.s_nationkey = n.n_nationkey
     JOIN part p     ON l.l_partkey = p.p_partkey
     GROUP BY 1, 2
-    """,
+    """
+
+
+@query(
+    "return_rate_by_nation_parttype",
+    oracle=RETURN_RATE_ORACLE,
     tags=("tpch", "join", "matrix", "quality"),
 )
 def return_rate_by_nation_parttype(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1915,6 +1915,63 @@ def stream_user_lifetime_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lifetime_span_report(spark, u)
 
 
+@query(
+    "stream_return_rate_matrix",
+    oracle=None,  # set below — shares the batch twin's oracle verbatim
+    tags=("streaming", "tpch", "join", "matrix", "quality"),
+)
+def stream_return_rate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return-rate matrix per (supplier nation × part type) maintained
+    INCREMENTALLY — the streaming twin of
+    tpch_extra.return_rate_by_nation_parttype, same oracle verbatim (the
+    shared RETURN_RATE_ORACLE constant). Extends the stream-static-join
+    twin shape (stream_trade_balance_matrix) to a FOUR-table star: the
+    fact stream (lineitem) is enriched against the supplier, nation and
+    part batch dimensions inside the micro-batch, then folds into ONE
+    incremental hash aggregate keyed by the |nations|·|types| cell —
+    state is two exact int64 counts per cell, ≤25·|types| entries no
+    matter how many lines stream through.
+
+    The rate derivation is one IEEE division per cell, computed
+    POST-SINK over the bounded cell table (a retraction-free derived
+    column, but kept post-sink so the sink rows stay exact counters —
+    the same cells-then-derive bridge as the other twins). Per
+    micro-batch the dimension sides are ordinary batch relations (nation
+    hard-broadcast, supplier/part size-planned per batch, matching the
+    batch twin's hint policy)."""
+    from ..catalog import load_table
+
+    li = stream_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_partkey", "l_returnflag"
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    ret = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    g_s = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy(F.col("n_name").alias("supp_nation"), "p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(ret).cast("long").alias("n_returned"),
+        )
+    )
+    cells = run_to_table(g_s, "stream_return_rate_cells", mode="complete")
+    return cells.select(
+        "supp_nation",
+        "p_type",
+        "n_lines",
+        "n_returned",
+        (F.col("n_returned").cast("double") / F.col("n_lines")).alias(
+            "return_rate"
+        ),
+    )
+
+
 # Late-bind the shared oracles (import at module top would be circular-prone
 # and the constants live beside their batch twins).
 from ..operators.temporal import BACKLOG_ORACLE as _BL_ORACLE  # noqa: E402
@@ -1923,6 +1980,7 @@ from ..operators.temporal import EVENT_MIX_DRIFT_ORACLE as _EMD_ORACLE  # noqa: 
 from ..operators.temporal import USER_LIFETIME_SPAN_ORACLE as _ULS_ORACLE  # noqa: E402
 from ..operators.temporal import WEEKLY_TREND_ORACLE as _WT_ORACLE  # noqa: E402
 from ..operators.tpch_extra import LEADTIME_WEEKLY_ORACLE as _LW_ORACLE  # noqa: E402
+from ..operators.tpch_extra import RETURN_RATE_ORACLE as _RR_ORACLE  # noqa: E402
 from ..operators.tpch_extra import TRADE_MATRIX_ORACLE as _TM_ORACLE  # noqa: E402
 from ..registry import _REGISTRY as _REG  # noqa: E402
 
@@ -1933,3 +1991,4 @@ _REG["stream_weekly_trend"].oracle = _WT_ORACLE
 _REG["stream_event_mix_drift"].oracle = _EMD_ORACLE
 _REG["stream_leadtime_weekly_trend"].oracle = _LW_ORACLE
 _REG["stream_user_lifetime_spans"].oracle = _ULS_ORACLE
+_REG["stream_return_rate_matrix"].oracle = _RR_ORACLE

@@ -1448,3 +1448,39 @@ def test_events_user_lifetime_span_scalar_reference(spark, sf_dir):
         assert r.p90_span_us == vs[max(1, math.ceil(0.9 * n)) - 1]
         assert r.p50_span_us <= r.p90_span_us
     assert sum(r.n_users for r in got.values()) == len(per_user)
+
+
+def test_part_demand_concentration_scalar_reference(spark, sf_dir):
+    """Python recount of the part-demand concentration: same per-part
+    line counts, same percentile_disc ranks max(1, ceil(q*m)), same
+    >= p90 membership and one-division share. Plus the tail-dominance
+    law (top-decile parts carry at least their headcount share) and the
+    threshold order law p50 <= p90."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from mapreduce_infrastructure_spark.operators.stats import (
+        part_demand_concentration,
+    )
+
+    r = part_demand_concentration(spark, sf_dir).collect()[0]
+    li = pq.read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey"]
+    ).to_pydict()
+    counts = {}
+    for p in li["l_partkey"]:
+        counts[p] = counts.get(p, 0) + 1
+    vs = sorted(counts.values())
+    m = len(vs)
+    p50 = vs[max(1, math.ceil(0.5 * m)) - 1]
+    p90 = vs[max(1, math.ceil(0.9 * m)) - 1]
+    top = [v for v in vs if v >= p90]
+    assert r.n_parts == m
+    assert r.p50_lines == p50
+    assert r.p90_lines == p90
+    assert r.p50_lines <= r.p90_lines
+    assert r.n_top_parts == len(top)
+    assert r.top_lines == sum(top)
+    assert r.top_line_share == sum(top) / sum(vs)
+    assert r.top_line_share >= r.n_top_parts / r.n_parts

@@ -1019,3 +1019,32 @@ def test_stream_user_lifetime_spans_matches_batch_twin(spark, sf_dir):
         qs["stream_user_lifetime_spans"].oracle
         is qs["events_user_lifetime_span_percentiles"].oracle
     )
+
+
+def test_stream_return_rate_matrix_matches_batch_twin(spark, sf_dir):
+    """The streaming return-rate matrix must equal the batch twin
+    cell-for-cell (shared RETURN_RATE_ORACLE constant): same star-join
+    enrich, same exact counts, same one-division rates."""
+    from mapreduce_infrastructure_spark.operators.tpch_extra import (
+        return_rate_by_nation_parttype,
+    )
+    from mapreduce_infrastructure_spark.streaming.stream import (
+        stream_return_rate_matrix,
+    )
+
+    batch = {
+        (r.supp_nation, r.p_type): (r.n_lines, r.n_returned, r.return_rate)
+        for r in return_rate_by_nation_parttype(spark, sf_dir).collect()
+    }
+    stream = {
+        (r.supp_nation, r.p_type): (r.n_lines, r.n_returned, r.return_rate)
+        for r in stream_return_rate_matrix(spark, sf_dir).collect()
+    }
+    assert stream == batch
+    from mapreduce_infrastructure_spark.registry import all_queries
+
+    qs = all_queries()
+    assert (
+        qs["stream_return_rate_matrix"].oracle
+        is qs["return_rate_by_nation_parttype"].oracle
+    )

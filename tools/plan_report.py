@@ -176,6 +176,7 @@ FLAGSHIP_EXTRA = [
     "events_user_lifetime_span_percentiles",
     "parts_graph_component_sizes",
     "doc_token_concentration_by_source",
+    "part_demand_concentration",
 ]
 
 JOIN_KINDS = [
