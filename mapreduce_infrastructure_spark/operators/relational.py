@@ -33,9 +33,10 @@ from ..registry import query
 # Filter / projection / basic aggregation
 # --------------------------------------------------------------------------
 
-@query(
-    "q1_pricing_summary",
-    oracle="""
+# Shared with the streaming twin in streaming/stream.py: one statement of
+# the DECIMAL-exact sums and the floor-rounding, so batch and stream cannot
+# drift on the flagship aggregate.
+Q1_ORACLE = """
     SELECT l_returnflag, l_linestatus,
            floor((CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)) * 100 + 0.5) / 100 AS sum_qty,
            floor((CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)) * 100 + 0.5) / 100 AS sum_base_price,
@@ -47,7 +48,12 @@ from ..registry import query
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-12-31 00:00:00'
     GROUP BY l_returnflag, l_linestatus
-    """,
+    """
+
+
+@query(
+    "q1_pricing_summary",
+    oracle=Q1_ORACLE,
     tags=("agg", "filter"),
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..catalog import scratch_dir
-from ..functions.exact import dsum
+from ..functions.exact import davg, dec, disc_rev, dsum, lcount, rnd
 from ..llm.dedup import _INCR_OLD_MAX, INCR_DEDUP_ORACLE, content_fp
 from ..operators.relational import MERGE_ORACLE as _MERGE_ORACLE
 from ..operators.temporal import OHLC_ORACLE
@@ -1972,6 +1972,44 @@ def stream_return_rate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stream_pricing_summary",
+    oracle=None,  # set below — shares the flagship batch oracle verbatim
+    tags=("streaming", "agg", "flagship"),
+)
+def stream_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FLAGSHIP pricing summary (TPC-H Q1 shape) maintained
+    INCREMENTALLY — the streaming twin of
+    relational.q1_pricing_summary, same oracle verbatim (the shared
+    Q1_ORACLE constant). The whole aggregate runs INSIDE the streaming
+    hash aggregate: per (l_returnflag, l_linestatus) cell the state is
+    the exact DECIMAL power sums + count that functions/exact.py's
+    dsum/davg helpers fold (associative and order-independent, so
+    micro-batch arrival order — the streaming analogue of partitioning
+    order — cannot change a bit of the result; the same property that
+    makes the batch query identical at 32 threads and 1000 executors
+    makes the twin identical at ANY batch split). The filter pushes into
+    each micro-batch's file scan; no post-sink derivation is needed —
+    the ≤|flags|·|statuses| sink table IS the report."""
+    li = stream_table(spark, sf_dir, "lineitem")
+    disc_price = disc_rev()
+    charge = disc_price.cast("decimal(18,4)") * (F.lit(1) + dec("l_tax"))
+    g_s = (
+        li.filter(F.col("l_shipdate") <= "2000-12-31")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            rnd(F.sum(disc_price).cast("double"), 2).alias("sum_disc_price"),
+            rnd(F.sum(charge).cast("double"), 2).alias("sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            lcount("count_order"),
+        )
+    )
+    return run_to_table(g_s, "stream_pricing_summary", mode="complete")
+
+
 # Late-bind the shared oracles (import at module top would be circular-prone
 # and the constants live beside their batch twins).
 from ..operators.temporal import BACKLOG_ORACLE as _BL_ORACLE  # noqa: E402
@@ -1979,6 +2017,7 @@ from ..operators.temporal import DOW_HOUR_PROFILE_ORACLE as _DHP_ORACLE  # noqa:
 from ..operators.temporal import EVENT_MIX_DRIFT_ORACLE as _EMD_ORACLE  # noqa: E402
 from ..operators.temporal import USER_LIFETIME_SPAN_ORACLE as _ULS_ORACLE  # noqa: E402
 from ..operators.temporal import WEEKLY_TREND_ORACLE as _WT_ORACLE  # noqa: E402
+from ..operators.relational import Q1_ORACLE as _Q1_ORACLE  # noqa: E402
 from ..operators.tpch_extra import LEADTIME_WEEKLY_ORACLE as _LW_ORACLE  # noqa: E402
 from ..operators.tpch_extra import RETURN_RATE_ORACLE as _RR_ORACLE  # noqa: E402
 from ..operators.tpch_extra import TRADE_MATRIX_ORACLE as _TM_ORACLE  # noqa: E402
@@ -1992,3 +2031,4 @@ _REG["stream_event_mix_drift"].oracle = _EMD_ORACLE
 _REG["stream_leadtime_weekly_trend"].oracle = _LW_ORACLE
 _REG["stream_user_lifetime_spans"].oracle = _ULS_ORACLE
 _REG["stream_return_rate_matrix"].oracle = _RR_ORACLE
+_REG["stream_pricing_summary"].oracle = _Q1_ORACLE

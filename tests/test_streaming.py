@@ -1048,3 +1048,36 @@ def test_stream_return_rate_matrix_matches_batch_twin(spark, sf_dir):
         qs["stream_return_rate_matrix"].oracle
         is qs["return_rate_by_nation_parttype"].oracle
     )
+
+
+def test_stream_pricing_summary_matches_batch_twin(spark, sf_dir):
+    """The streaming flagship aggregate must equal the batch q1
+    bit-for-bit (shared Q1_ORACLE constant): DECIMAL power-sum state
+    makes micro-batch arrival order irrelevant, so every rounded double
+    and every count agrees exactly."""
+    from mapreduce_infrastructure_spark.operators.relational import (
+        q1_pricing_summary,
+    )
+    from mapreduce_infrastructure_spark.streaming.stream import (
+        stream_pricing_summary,
+    )
+
+    cols = (
+        "sum_qty sum_base_price sum_disc_price sum_charge avg_qty "
+        "avg_price count_order"
+    ).split()
+    batch = {
+        (r.l_returnflag, r.l_linestatus): tuple(getattr(r, c) for c in cols)
+        for r in q1_pricing_summary(spark, sf_dir).collect()
+    }
+    stream = {
+        (r.l_returnflag, r.l_linestatus): tuple(getattr(r, c) for c in cols)
+        for r in stream_pricing_summary(spark, sf_dir).collect()
+    }
+    assert stream == batch
+    from mapreduce_infrastructure_spark.registry import all_queries
+
+    qs = all_queries()
+    assert (
+        qs["stream_pricing_summary"].oracle is qs["q1_pricing_summary"].oracle
+    )
