@@ -1110,3 +1110,83 @@ def parts_graph_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("share_of_nodes"),
     )
+
+
+@query(
+    "parts_triangle_participation_by_degree",
+    oracle=f"""
+    WITH op AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS pk FROM lineitem
+    ),
+    e AS MATERIALIZED (
+      SELECT a.pk AS a, b.pk AS b
+      FROM op a JOIN op b ON a.o = b.o AND a.pk < b.pk
+      GROUP BY 1, 2 HAVING COUNT(*) >= {TRI_MIN_SHARED}
+    ),
+    tri AS MATERIALIZED (
+      SELECT e1.a AS u, e1.b AS v, e2.b AS w
+      FROM e e1
+      JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+      JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+    ),
+    tcnt AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS t
+      FROM (SELECT u AS node FROM tri
+            UNION ALL SELECT v FROM tri
+            UNION ALL SELECT w FROM tri)
+      GROUP BY 1
+    ),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+      GROUP BY 1
+    ),
+    n AS (
+      SELECT deg.d, CASE WHEN coalesce(tcnt.t, 0) > 0 THEN 1 ELSE 0 END AS p
+      FROM deg LEFT JOIN tcnt USING (node)
+    )
+    SELECT d AS degree,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(p) AS BIGINT) AS n_in_triangle,
+           CAST(SUM(p) AS DOUBLE) / COUNT(*) AS participation_share
+    FROM n GROUP BY 1
+    """,
+    tags=("graph", "triangle", "stats"),
+)
+def parts_triangle_participation_by_degree(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Triangle PARTICIPATION rate per degree class: for each exact
+    degree, how many nodes sit in at least one triangle — the
+    completion of the graph-health quartet next to
+    `parts_clustering_by_degree` (clustering asks HOW MUCH of a node's
+    neighborhood closes; participation asks whether it closes AT ALL —
+    a degree class with high clustering but a participating minority
+    means a few tight cliques amid isolated stars, the distinction
+    community-detection preconditions actually care about). Degree-1
+    nodes are INCLUDED with participation 0 (clustering had to exclude
+    them — C(1,2)=0 makes the coefficient undefined; the participation
+    question is well-posed for every node).
+
+    Composes the session-cached edge build and the triangle tier
+    (`triangle_counts_parts` — same degree-oriented wedge algorithm);
+    the extra work over the triangle query is one degree aggregate, one
+    node-keyed left join and a |distinct degrees|-row fold (~O(√m)
+    rows). Counts exact int64; the share is one IEEE division of exact
+    ints."""
+    tri = triangle_counts_parts(spark, sf_dir)
+    e = _part_cooccur_edges(spark, sf_dir)
+    deg = _part_graph_degrees(e)
+    n = deg.join(tri, deg.node == tri.node, "left").select(
+        F.col("deg").alias("d"),
+        (F.coalesce(F.col("n_triangles"), F.lit(0)) > 0)
+        .cast("int")
+        .alias("p"),
+    )
+    return n.groupBy(F.col("d").alias("degree")).agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum("p").cast("long").alias("n_in_triangle"),
+        (F.sum("p").cast("double") / F.count(F.lit(1))).alias(
+            "participation_share"
+        ),
+    )

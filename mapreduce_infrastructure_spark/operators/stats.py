@@ -1831,3 +1831,221 @@ def part_demand_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n")
         ).alias("top_line_share"),
     )
+
+
+@query(
+    "customer_order_gap_migration",
+    oracle="""
+    WITH d AS (
+      SELECT o_custkey AS ck, o_orderkey,
+             CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS day
+      FROM orders
+    ),
+    g0 AS (
+      SELECT ck, day,
+             day - lag(day) OVER (PARTITION BY ck
+                                  ORDER BY day, o_orderkey) AS gap
+      FROM d
+    ),
+    r0 AS (
+      SELECT day, row_number() OVER (ORDER BY day) AS rn,
+             COUNT(*) OVER () AS n
+      FROM d
+    ),
+    mid AS (
+      SELECT MAX(CASE WHEN rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+                      THEN day END) AS d
+      FROM r0
+    ),
+    h AS (
+      SELECT ck, CASE WHEN day <= mid.d THEN 1 ELSE 2 END AS half, gap
+      FROM g0 CROSS JOIN mid WHERE gap IS NOT NULL
+    ),
+    ranked AS (
+      SELECT ck, half, gap,
+             cume_dist() OVER (PARTITION BY ck, half ORDER BY gap) AS cd
+      FROM h
+    ),
+    p50 AS (
+      SELECT ck, half, MIN(CASE WHEN cd >= 0.5 THEN gap END) AS p50
+      FROM ranked GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT ck,
+             MAX(CASE WHEN half = 1 THEN p50 END) AS v1,
+             MAX(CASE WHEN half = 2 THEN p50 END) AS v2
+      FROM p50 GROUP BY 1
+      HAVING MAX(CASE WHEN half = 1 THEN p50 END) IS NOT NULL
+         AND MAX(CASE WHEN half = 2 THEN p50 END) IS NOT NULL
+    ),
+    r1 AS (
+      SELECT v1 AS v, row_number() OVER (ORDER BY v1) AS rn,
+             COUNT(*) OVER () AS n
+      FROM p
+    ),
+    t1 AS (
+      SELECT g.q,
+             MAX(CASE WHEN rn = greatest(1, CAST(ceil(g.q / 5.0 * n)
+                                                 AS BIGINT))
+                      THEN v END) AS t
+      FROM (SELECT unnest([1, 2, 3, 4]) AS q) g CROSS JOIN r1 GROUP BY 1
+    ),
+    t1p AS (
+      SELECT MAX(CASE WHEN q = 1 THEN t END) AS a1,
+             MAX(CASE WHEN q = 2 THEN t END) AS a2,
+             MAX(CASE WHEN q = 3 THEN t END) AS a3,
+             MAX(CASE WHEN q = 4 THEN t END) AS a4
+      FROM t1
+    ),
+    r2 AS (
+      SELECT v2 AS v, row_number() OVER (ORDER BY v2) AS rn,
+             COUNT(*) OVER () AS n
+      FROM p
+    ),
+    t2 AS (
+      SELECT g.q,
+             MAX(CASE WHEN rn = greatest(1, CAST(ceil(g.q / 5.0 * n)
+                                                 AS BIGINT))
+                      THEN v END) AS t
+      FROM (SELECT unnest([1, 2, 3, 4]) AS q) g CROSS JOIN r2 GROUP BY 1
+    ),
+    t2p AS (
+      SELECT MAX(CASE WHEN q = 1 THEN t END) AS b1,
+             MAX(CASE WHEN q = 2 THEN t END) AS b2,
+             MAX(CASE WHEN q = 3 THEN t END) AS b3,
+             MAX(CASE WHEN q = 4 THEN t END) AS b4
+      FROM t2
+    ),
+    m AS (
+      SELECT 1 + (CASE WHEN p.v1 > t1p.a1 THEN 1 ELSE 0 END)
+               + (CASE WHEN p.v1 > t1p.a2 THEN 1 ELSE 0 END)
+               + (CASE WHEN p.v1 > t1p.a3 THEN 1 ELSE 0 END)
+               + (CASE WHEN p.v1 > t1p.a4 THEN 1 ELSE 0 END) AS q1,
+             1 + (CASE WHEN p.v2 > t2p.b1 THEN 1 ELSE 0 END)
+               + (CASE WHEN p.v2 > t2p.b2 THEN 1 ELSE 0 END)
+               + (CASE WHEN p.v2 > t2p.b3 THEN 1 ELSE 0 END)
+               + (CASE WHEN p.v2 > t2p.b4 THEN 1 ELSE 0 END) AS q2
+      FROM p CROSS JOIN t1p CROSS JOIN t2p
+    ),
+    g AS (
+      SELECT q1, q2, CAST(COUNT(*) AS BIGINT) AS n_customers
+      FROM m GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT q1, CAST(SUM(n_customers) AS BIGINT) AS n_q1 FROM g GROUP BY 1
+    )
+    SELECT CAST(g.q1 AS BIGINT) AS quintile_h1,
+           CAST(g.q2 AS BIGINT) AS quintile_h2,
+           g.n_customers, tot.n_q1,
+           CAST(g.n_customers AS DOUBLE) / tot.n_q1 AS row_share
+    FROM g JOIN tot ON g.q1 = tot.q1
+    """,
+    tags=("stats", "iterative", "retention", "matrix", "temporal"),
+)
+def customer_order_gap_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-purchase CADENCE migration matrix — the third member of the
+    migration family (spend: `customer_value_migration_matrix`;
+    lead-time: `supplier_leadtime_migration`): split the order timeline
+    at its exact median order day, give every customer with inter-order
+    gaps in BOTH halves a cadence quintile per half (quintile 1 =
+    fastest median re-purchase), and report the ≤25-cell transition
+    matrix with row shares — the churn-VELOCITY read (spend migration
+    says who stopped paying; this says who is SLOWING DOWN before they
+    stop, the earlier signal retention teams act on).
+
+    Composition, each piece on its established precondition: gaps lag
+    over (customer) with the (day, o_orderkey) tie-break
+    `customer_order_gap_percentiles` states; a gap belongs to the half
+    of its LATER order's day; per-(customer, half) median gap uses the
+    count-value HISTOGRAM closed form (customer cardinality scales with
+    SF, gap-day domain is calendar-bounded — the
+    supplier_leadtime_migration form decision verbatim); the split day
+    and the 4+4 quintile thresholds over the per-customer medians use
+    `kth_order_statistic` narrowing (bounded domains, 1–3 ≤33-row-census
+    rounds each). The matrix is then ONE pass over the
+    customer-count-sized half-medians table: CASE ladder against eight
+    literal thresholds, ≤25-cell fold, broadcast ≤5-row total join.
+    Ranks are max(1, ⌈q·n⌉) with the same IEEE multiply the oracle
+    states; single-order halves drop out via the both-halves filter;
+    same-day repeat orders legitimately yield gap 0. The oracle's
+    global row_number/cume_dist CTEs are fine at oracle scale — the
+    shapes the engine forms avoid at 100 TB."""
+    import math
+
+    from pyspark.sql import Window
+
+    from ..functions.ranks import (
+        hist_cume_counts,
+        hist_disc_percentile,
+        kth_order_statistic,
+    )
+    from ..llm.cache import tracked_persist
+
+    o = load_table(spark, sf_dir, "orders")
+    d = o.select(
+        F.col("o_custkey").alias("ck"),
+        "o_orderkey",
+        F.expr("unix_micros(o_orderdate) div 1000000 div 86400").alias("day"),
+    )
+    w = Window.partitionBy("ck").orderBy("day", "o_orderkey")
+    gaps = tracked_persist(
+        d.select(
+            "ck", "day", (F.col("day") - F.lag("day").over(w)).alias("gap")
+        ).filter(F.col("gap").isNotNull()),
+        f"cust_gap_day:{sf_dir}",
+    )
+    # Median split day over ALL order rows (the value-migration split
+    # convention) — days, not gaps, so the two matrices share one split.
+    od = tracked_persist(d.select("day"), f"order_days:{sf_dir}")
+    n_orders = od.count()
+    mid = kth_order_statistic(od, "day", max(1, math.ceil(0.5 * n_orders)))
+    h = gaps.select(
+        "ck",
+        F.when(F.col("day") <= mid, 1).otherwise(2).alias("half"),
+        "gap",
+    )
+    p50 = hist_cume_counts(h, ["ck", "half"], "gap").groupBy("ck", "half").agg(
+        hist_disc_percentile("gap", 0.5, "p50")
+    )
+    p = tracked_persist(
+        p50.groupBy("ck")
+        .agg(
+            F.max(F.when(F.col("half") == 1, F.col("p50"))).alias("v1"),
+            F.max(F.when(F.col("half") == 2, F.col("p50"))).alias("v2"),
+        )
+        .filter(F.col("v1").isNotNull() & F.col("v2").isNotNull()),
+        f"cust_half_gap_p50:{sf_dir}",
+    )
+    n_cust = p.count()
+    th = {
+        col: [
+            kth_order_statistic(p, col, max(1, math.ceil(k / 5.0 * n_cust)))
+            for k in (1, 2, 3, 4)
+        ]
+        for col in ("v1", "v2")
+    }
+
+    def quintile(col: str) -> F.Column:
+        q = F.lit(1)
+        for t in th[col]:
+            q = q + F.when(F.col(col) > F.lit(t), 1).otherwise(0)
+        return q.cast("long")
+
+    g = (
+        p.select(
+            quintile("v1").alias("quintile_h1"),
+            quintile("v2").alias("quintile_h2"),
+        )
+        .groupBy("quintile_h1", "quintile_h2")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    tot = g.groupBy("quintile_h1").agg(F.sum("n_customers").alias("n_q1"))
+    return g.join(F.broadcast(tot), "quintile_h1").select(
+        "quintile_h1",
+        "quintile_h2",
+        "n_customers",
+        "n_q1",
+        (F.col("n_customers").cast("double") / F.col("n_q1")).alias(
+            "row_share"
+        ),
+    )

@@ -376,3 +376,70 @@ def test_parts_component_sizes_scalar_reference(spark, sf_dir):
             math.floor((s * n) / total * 1000000 + 0.5) / 1000000
         )
     assert sum(r.n_nodes for r in got.values()) == total == len(parent)
+
+
+def test_parts_triangle_participation_scalar_reference(spark, sf_dir):
+    """Python recount of the participation rate: same edge set, brute
+    triangle enumeration, per-degree participation counts and one
+    IEEE division. Plus the consistency laws: degree-1 classes have
+    participation 0, and n_in_triangle <= n_nodes everywhere."""
+    from itertools import combinations
+
+    import pyarrow.parquet as pq
+
+    from mapreduce_infrastructure_spark.operators.graph import (
+        TRI_MIN_SHARED,
+        parts_triangle_participation_by_degree,
+    )
+
+    li = pq.read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).to_pydict()
+    by_order = {}
+    for o, p in zip(li["l_orderkey"], li["l_partkey"]):
+        by_order.setdefault(o, set()).add(p)
+    pair_counts = {}
+    for parts in by_order.values():
+        for a, b in combinations(sorted(parts), 2):
+            pair_counts[(a, b)] = pair_counts.get((a, b), 0) + 1
+    edges = [p for p, c in pair_counts.items() if c >= TRI_MIN_SHARED]
+    adj = {}
+    deg = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    in_tri = set()
+    eset = set(edges)
+    for a, b in edges:
+        if (adj[a] & adj[b]):
+            in_tri.add(a)
+            in_tri.add(b)
+            in_tri |= adj[a] & adj[b] & {c for c in adj[a] if c in adj[b]}
+    # recompute strictly: a node participates iff two of its neighbors
+    # are adjacent
+    in_tri = {
+        u
+        for u, ns in adj.items()
+        if any(
+            (min(v, w), max(v, w)) in eset for v, w in combinations(ns, 2)
+        )
+    }
+    want = {}
+    for u, d in deg.items():
+        n, t = want.get(d, (0, 0))
+        want[d] = (n + 1, t + (1 if u in in_tri else 0))
+    got = {
+        r.degree: r
+        for r in parts_triangle_participation_by_degree(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for d, (n, t) in want.items():
+        row = got[d]
+        assert row.n_nodes == n
+        assert row.n_in_triangle == t
+        assert row.participation_share == t / n
+        assert row.n_in_triangle <= row.n_nodes
+        if d == 1:
+            assert row.n_in_triangle == 0

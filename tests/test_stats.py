@@ -1484,3 +1484,74 @@ def test_part_demand_concentration_scalar_reference(spark, sf_dir):
     assert r.top_lines == sum(top)
     assert r.top_line_share == sum(top) / sum(vs)
     assert r.top_line_share >= r.n_top_parts / r.n_parts
+
+
+def test_customer_order_gap_migration_scalar_reference(spark, sf_dir):
+    """Full python recount of the cadence migration matrix: same
+    (day, o_orderkey) gap tie-break, same median split day over ALL
+    order rows, same per-(customer, half) discrete median gap, same
+    both-halves population, value-based quintile thresholds, CASE-ladder
+    assignment and one-division row shares. Plus the mass laws."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from mapreduce_infrastructure_spark.operators.stats import (
+        customer_order_gap_migration,
+    )
+
+    got = {
+        (r.quintile_h1, r.quintile_h2): r
+        for r in customer_order_gap_migration(spark, sf_dir).collect()
+    }
+    o = pq.read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderdate"],
+    ).to_pydict()
+    rows = sorted(
+        (ck, int(d.timestamp()) // 86400, ok)
+        for ck, ok, d in zip(
+            o["o_custkey"], o["o_orderkey"], o["o_orderdate"]
+        )
+    )
+    days = sorted(d for _, d, _ in rows)
+    mid = days[max(1, math.ceil(0.5 * len(days))) - 1]
+    per_cust = {}
+    for ck, d, ok in rows:
+        per_cust.setdefault(ck, []).append((d, ok))
+    gaps = {}
+    for ck, os_ in per_cust.items():
+        os_.sort()
+        for (d0, _), (d1, _) in zip(os_, os_[1:]):
+            half = 1 if d1 <= mid else 2
+            gaps.setdefault((ck, half), []).append(d1 - d0)
+
+    def p50(vs):
+        vs.sort()
+        return vs[max(1, math.ceil(0.5 * len(vs))) - 1]
+
+    v1 = {ck: p50(vs) for (ck, h), vs in gaps.items() if h == 1}
+    v2 = {ck: p50(vs) for (ck, h), vs in gaps.items() if h == 2}
+    both = sorted(set(v1) & set(v2))
+    th = {}
+    for name, s in (("v1", v1), ("v2", v2)):
+        vals = sorted(s[c] for c in both)
+        th[name] = [
+            vals[max(1, math.ceil(k / 5.0 * len(vals))) - 1]
+            for k in (1, 2, 3, 4)
+        ]
+    want = {}
+    for c in both:
+        q1 = 1 + sum(1 for t in th["v1"] if v1[c] > t)
+        q2 = 1 + sum(1 for t in th["v2"] if v2[c] > t)
+        want[(q1, q2)] = want.get((q1, q2), 0) + 1
+    row_tot = {}
+    for (q1, _q2), n in want.items():
+        row_tot[q1] = row_tot.get(q1, 0) + n
+    assert set(got) == set(want)
+    for (q1, q2), n in want.items():
+        r = got[(q1, q2)]
+        assert r.n_customers == n
+        assert r.n_q1 == row_tot[q1]
+        assert r.row_share == n / row_tot[q1]
+    assert sum(r.n_customers for r in got.values()) == len(both)

@@ -177,6 +177,8 @@ FLAGSHIP_EXTRA = [
     "parts_graph_component_sizes",
     "doc_token_concentration_by_source",
     "part_demand_concentration",
+    "customer_order_gap_migration",
+    "parts_triangle_participation_by_degree",
 ]
 
 JOIN_KINDS = [
