@@ -1751,9 +1751,10 @@ def event_value_concentration_by_type(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
-@query(
-    "part_demand_concentration",
-    oracle="""
+# Shared with the streaming twin in streaming/stream.py: one statement of
+# the per-part counts, the percentile_disc ranks and the concentration
+# fold, so batch and stream cannot drift.
+PART_DEMAND_ORACLE = """
     WITH c AS (
       SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n
       FROM lineitem GROUP BY 1
@@ -1782,7 +1783,12 @@ def event_value_concentration_by_type(spark: SparkSession, sf_dir: str) -> DataF
              / CAST(SUM(c.n) AS BIGINT) AS top_line_share
     FROM c CROSS JOIN th
     GROUP BY th.p50, th.p90
-    """,
+    """
+
+
+@query(
+    "part_demand_concentration",
+    oracle=PART_DEMAND_ORACLE,
     tags=("stats", "percentile", "iterative", "concentration"),
 )
 def part_demand_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2049,3 +2055,8 @@ def customer_order_gap_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "row_share"
         ),
     )
+
+
+# part_demand_concentration's oracle lives in the shared PART_DEMAND_ORACLE
+# constant (its streaming twin binds the same string in
+# streaming/stream.py); the decorator already passes it directly.

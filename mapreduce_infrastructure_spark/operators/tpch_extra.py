@@ -1577,3 +1577,198 @@ def supplier_leadtime_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
 from ..registry import _REGISTRY as _REG  # noqa: E402
 
 _REG["leadtime_weekly_trend"].oracle = LEADTIME_WEEKLY_ORACLE
+
+
+@query(
+    "supplier_return_rate_migration",
+    oracle="""
+    WITH l AS (
+      SELECT l_suppkey AS sk,
+             CAST(floor(epoch(l_shipdate)) AS BIGINT) // 86400 AS day,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+      FROM lineitem
+    ),
+    r0 AS (
+      SELECT day, row_number() OVER (ORDER BY day) AS rn,
+             COUNT(*) OVER () AS n
+      FROM l
+    ),
+    mid AS (
+      SELECT MAX(CASE WHEN rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+                      THEN day END) AS d
+      FROM r0
+    ),
+    h AS (
+      SELECT sk, CASE WHEN day <= mid.d THEN 1 ELSE 2 END AS half,
+             CAST(COUNT(*) AS BIGINT) AS lines,
+             CAST(SUM(ret) AS BIGINT) AS returned
+      FROM l CROSS JOIN mid GROUP BY 1, 2
+    ),
+    q AS (
+      SELECT sk, half, returned * 1000000 // lines AS ppm FROM h
+    ),
+    p AS (
+      SELECT sk,
+             MAX(CASE WHEN half = 1 THEN ppm END) AS v1,
+             MAX(CASE WHEN half = 2 THEN ppm END) AS v2
+      FROM q GROUP BY 1
+      HAVING MAX(CASE WHEN half = 1 THEN ppm END) IS NOT NULL
+         AND MAX(CASE WHEN half = 2 THEN ppm END) IS NOT NULL
+    ),
+    r1 AS (
+      SELECT v1 AS v, row_number() OVER (ORDER BY v1) AS rn,
+             COUNT(*) OVER () AS n
+      FROM p
+    ),
+    t1 AS (
+      SELECT g.q,
+             MAX(CASE WHEN rn = greatest(1, CAST(ceil(g.q / 5.0 * n)
+                                                 AS BIGINT))
+                      THEN v END) AS t
+      FROM (SELECT unnest([1, 2, 3, 4]) AS q) g CROSS JOIN r1 GROUP BY 1
+    ),
+    t1p AS (
+      SELECT MAX(CASE WHEN q = 1 THEN t END) AS a1,
+             MAX(CASE WHEN q = 2 THEN t END) AS a2,
+             MAX(CASE WHEN q = 3 THEN t END) AS a3,
+             MAX(CASE WHEN q = 4 THEN t END) AS a4
+      FROM t1
+    ),
+    r2 AS (
+      SELECT v2 AS v, row_number() OVER (ORDER BY v2) AS rn,
+             COUNT(*) OVER () AS n
+      FROM p
+    ),
+    t2 AS (
+      SELECT g.q,
+             MAX(CASE WHEN rn = greatest(1, CAST(ceil(g.q / 5.0 * n)
+                                                 AS BIGINT))
+                      THEN v END) AS t
+      FROM (SELECT unnest([1, 2, 3, 4]) AS q) g CROSS JOIN r2 GROUP BY 1
+    ),
+    t2p AS (
+      SELECT MAX(CASE WHEN q = 1 THEN t END) AS b1,
+             MAX(CASE WHEN q = 2 THEN t END) AS b2,
+             MAX(CASE WHEN q = 3 THEN t END) AS b3,
+             MAX(CASE WHEN q = 4 THEN t END) AS b4
+      FROM t2
+    ),
+    m AS (
+      SELECT 1 + (CASE WHEN p.v1 > t1p.a1 THEN 1 ELSE 0 END)
+               + (CASE WHEN p.v1 > t1p.a2 THEN 1 ELSE 0 END)
+               + (CASE WHEN p.v1 > t1p.a3 THEN 1 ELSE 0 END)
+               + (CASE WHEN p.v1 > t1p.a4 THEN 1 ELSE 0 END) AS q1,
+             1 + (CASE WHEN p.v2 > t2p.b1 THEN 1 ELSE 0 END)
+               + (CASE WHEN p.v2 > t2p.b2 THEN 1 ELSE 0 END)
+               + (CASE WHEN p.v2 > t2p.b3 THEN 1 ELSE 0 END)
+               + (CASE WHEN p.v2 > t2p.b4 THEN 1 ELSE 0 END) AS q2
+      FROM p CROSS JOIN t1p CROSS JOIN t2p
+    ),
+    g AS (
+      SELECT q1, q2, CAST(COUNT(*) AS BIGINT) AS n_suppliers
+      FROM m GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT q1, CAST(SUM(n_suppliers) AS BIGINT) AS n_q1 FROM g GROUP BY 1
+    )
+    SELECT CAST(g.q1 AS BIGINT) AS quintile_h1,
+           CAST(g.q2 AS BIGINT) AS quintile_h2,
+           g.n_suppliers, tot.n_q1,
+           CAST(g.n_suppliers AS DOUBLE) / tot.n_q1 AS row_share
+    FROM g JOIN tot ON g.q1 = tot.q1
+    """,
+    tags=("tpch", "supplier", "iterative", "matrix", "quality"),
+)
+def supplier_return_rate_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier RETURN-RATE migration matrix — the migration-family shape
+    (spend, lead-time, cadence) applied to QUALITY: split the ship
+    timeline at its exact median ship day, give every supplier shipping
+    in both halves a return-rate quintile per half (quintile 1 = lowest
+    return rate), and report the ≤25-cell transition matrix — the
+    quality-trajectory read (did last year's clean suppliers stay clean?
+    who is deteriorating?) that the point-in-time heat map
+    (`return_rate_by_nation_parttype`) cannot answer.
+
+    Exactness — the new trick this query pins: per-(supplier, half)
+    return RATES are quantized to an exact PPM GRID by integer floor
+    division (returned·10⁶ div lines — Spark `div` == DuckDB `//` on
+    positive int64; returned ≤ lines keeps the numerator ≤ 10⁶·lines,
+    far inside int64), so the quintile thresholds are order statistics
+    of exact INTEGERS and no FP rate ever enters a rank comparison (the
+    supplier_concentration_hhi ppm discipline applied to a ratio
+    dimension). The split day and the 4+4 thresholds use
+    `kth_order_statistic` narrowing (day and ppm domains bounded); the
+    matrix is ONE pass over the supplier-count-sized half-rates table.
+    No orderkey join anywhere — the split is on the SHIP day, so the
+    whole query is one lineitem scan plus bounded folds. Ranks are
+    max(1, ⌈q·n⌉) with the same IEEE multiply the oracle states."""
+    import math
+
+    from ..functions.ranks import kth_order_statistic
+
+    li = load_table(spark, sf_dir, "lineitem")
+    l = li.select(
+        F.col("l_suppkey").alias("sk"),
+        F.expr("unix_micros(l_shipdate) div 1000000 div 86400").alias("day"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("ret"),
+    )
+    ld = tracked_persist(l, f"supp_ret_day:{sf_dir}")
+    n_lines = ld.count()
+    mid = kth_order_statistic(ld, "day", max(1, math.ceil(0.5 * n_lines)))
+    h = (
+        ld.select(
+            "sk",
+            F.when(F.col("day") <= mid, 1).otherwise(2).alias("half"),
+            "ret",
+        )
+        .groupBy("sk", "half")
+        .agg(
+            F.count(F.lit(1)).alias("lines"),
+            F.sum("ret").cast("long").alias("returned"),
+        )
+        .select(
+            "sk", "half", F.expr("(returned * 1000000) div lines").alias("ppm")
+        )
+    )
+    p = tracked_persist(
+        h.groupBy("sk")
+        .agg(
+            F.max(F.when(F.col("half") == 1, F.col("ppm"))).alias("v1"),
+            F.max(F.when(F.col("half") == 2, F.col("ppm"))).alias("v2"),
+        )
+        .filter(F.col("v1").isNotNull() & F.col("v2").isNotNull()),
+        f"supp_half_retppm:{sf_dir}",
+    )
+    n_sup = p.count()
+    th = {
+        col: [
+            kth_order_statistic(p, col, max(1, math.ceil(k / 5.0 * n_sup)))
+            for k in (1, 2, 3, 4)
+        ]
+        for col in ("v1", "v2")
+    }
+
+    def quintile(col: str) -> F.Column:
+        q = F.lit(1)
+        for t in th[col]:
+            q = q + F.when(F.col(col) > F.lit(t), 1).otherwise(0)
+        return q.cast("long")
+
+    g = (
+        p.select(
+            quintile("v1").alias("quintile_h1"),
+            quintile("v2").alias("quintile_h2"),
+        )
+        .groupBy("quintile_h1", "quintile_h2")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    tot = g.groupBy("quintile_h1").agg(F.sum("n_suppliers").alias("n_q1"))
+    return g.join(F.broadcast(tot), "quintile_h1").select(
+        "quintile_h1",
+        "quintile_h2",
+        "n_suppliers",
+        "n_q1",
+        (F.col("n_suppliers").cast("double") / F.col("n_q1")).alias(
+            "row_share"
+        ),
+    )

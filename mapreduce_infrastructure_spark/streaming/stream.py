@@ -2010,6 +2010,53 @@ def stream_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_table(g_s, "stream_pricing_summary", mode="complete")
 
 
+@query(
+    "stream_part_demand_concentration",
+    oracle=None,  # set below — shares the batch twin's oracle verbatim
+    tags=("streaming", "stats", "percentile", "concentration"),
+)
+def stream_part_demand_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Part-demand skew telemetry maintained INCREMENTALLY — the
+    streaming twin of stats.part_demand_concentration, same oracle
+    verbatim (the shared PART_DEMAND_ORACLE constant): LIVE shuffle-skew
+    monitoring for the l_partkey join domain, so a pipeline can see hot
+    parts forming as data arrives instead of discovering them in a
+    post-mortem. The row-volume work is ONE part-keyed incremental hash
+    aggregate (running count per part — the per-key int64 state shape of
+    stream_backlog_daily); the thresholds and the concentration fold are
+    not incrementally expressible (a new line can shift every rank), so
+    they run POST-SINK via the same narrower + single fold as the batch
+    twin, over the persisted |parts|-row sink table."""
+    import math
+
+    from ..functions.ranks import kth_order_statistic
+    from ..llm.cache import tracked_persist
+
+    li = stream_table(spark, sf_dir, "lineitem").select("l_partkey")
+    g_s = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    cm = tracked_persist(
+        run_to_table(g_s, "stream_part_counts", mode="complete"),
+        f"stream_part_line_counts:{sf_dir}",
+    )
+    m = cm.count()
+    p50 = kth_order_statistic(cm, "n", max(1, math.ceil(0.5 * m)))
+    p90 = kth_order_statistic(cm, "n", max(1, math.ceil(0.9 * m)))
+    top = F.col("n") >= F.lit(p90)
+    return cm.agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.lit(p50).alias("p50_lines"),
+        F.lit(p90).alias("p90_lines"),
+        F.sum(F.when(top, 1).otherwise(0)).cast("long").alias("n_top_parts"),
+        F.sum(F.when(top, F.col("n")).otherwise(0)).alias("top_lines"),
+        (
+            F.sum(F.when(top, F.col("n")).otherwise(0)).cast("double")
+            / F.sum("n")
+        ).alias("top_line_share"),
+    )
+
+
 # Late-bind the shared oracles (import at module top would be circular-prone
 # and the constants live beside their batch twins).
 from ..operators.temporal import BACKLOG_ORACLE as _BL_ORACLE  # noqa: E402
@@ -2019,6 +2066,7 @@ from ..operators.temporal import USER_LIFETIME_SPAN_ORACLE as _ULS_ORACLE  # noq
 from ..operators.temporal import WEEKLY_TREND_ORACLE as _WT_ORACLE  # noqa: E402
 from ..operators.relational import Q1_ORACLE as _Q1_ORACLE  # noqa: E402
 from ..operators.tpch_extra import LEADTIME_WEEKLY_ORACLE as _LW_ORACLE  # noqa: E402
+from ..operators.stats import PART_DEMAND_ORACLE as _PD_ORACLE  # noqa: E402
 from ..operators.tpch_extra import RETURN_RATE_ORACLE as _RR_ORACLE  # noqa: E402
 from ..operators.tpch_extra import TRADE_MATRIX_ORACLE as _TM_ORACLE  # noqa: E402
 from ..registry import _REGISTRY as _REG  # noqa: E402
@@ -2032,3 +2080,4 @@ _REG["stream_leadtime_weekly_trend"].oracle = _LW_ORACLE
 _REG["stream_user_lifetime_spans"].oracle = _ULS_ORACLE
 _REG["stream_return_rate_matrix"].oracle = _RR_ORACLE
 _REG["stream_pricing_summary"].oracle = _Q1_ORACLE
+_REG["stream_part_demand_concentration"].oracle = _PD_ORACLE

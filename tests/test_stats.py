@@ -1555,3 +1555,66 @@ def test_customer_order_gap_migration_scalar_reference(spark, sf_dir):
         assert r.n_q1 == row_tot[q1]
         assert r.row_share == n / row_tot[q1]
     assert sum(r.n_customers for r in got.values()) == len(both)
+
+
+def test_supplier_return_rate_migration_scalar_reference(spark, sf_dir):
+    """Python recount of the return-rate migration: same median ship-day
+    split, same exact ppm-grid rates (returned*1e6 // lines — integer
+    floor division, no FP rate anywhere), same both-halves population,
+    value-based quintile thresholds, CASE ladder and row shares. Plus
+    the mass laws."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from mapreduce_infrastructure_spark.operators.tpch_extra import (
+        supplier_return_rate_migration,
+    )
+
+    got = {
+        (r.quintile_h1, r.quintile_h2): r
+        for r in supplier_return_rate_migration(spark, sf_dir).collect()
+    }
+    li = pq.read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_shipdate", "l_returnflag"],
+    ).to_pydict()
+    rows = [
+        (sk, int(d.timestamp()) // 86400, 1 if rf == "R" else 0)
+        for sk, d, rf in zip(
+            li["l_suppkey"], li["l_shipdate"], li["l_returnflag"]
+        )
+    ]
+    days = sorted(d for _, d, _ in rows)
+    mid = days[max(1, math.ceil(0.5 * len(days))) - 1]
+    agg = {}
+    for sk, d, ret in rows:
+        half = 1 if d <= mid else 2
+        n, r = agg.get((sk, half), (0, 0))
+        agg[(sk, half)] = (n + 1, r + ret)
+    ppm = {k: (r * 1000000) // n for k, (n, r) in agg.items()}
+    v1 = {sk: v for (sk, h), v in ppm.items() if h == 1}
+    v2 = {sk: v for (sk, h), v in ppm.items() if h == 2}
+    both = sorted(set(v1) & set(v2))
+    th = {}
+    for name, s in (("v1", v1), ("v2", v2)):
+        vals = sorted(s[c] for c in both)
+        th[name] = [
+            vals[max(1, math.ceil(k / 5.0 * len(vals))) - 1]
+            for k in (1, 2, 3, 4)
+        ]
+    want = {}
+    for c in both:
+        q1 = 1 + sum(1 for t in th["v1"] if v1[c] > t)
+        q2 = 1 + sum(1 for t in th["v2"] if v2[c] > t)
+        want[(q1, q2)] = want.get((q1, q2), 0) + 1
+    row_tot = {}
+    for (q1, _q2), n in want.items():
+        row_tot[q1] = row_tot.get(q1, 0) + n
+    assert set(got) == set(want)
+    for (q1, q2), n in want.items():
+        r = got[(q1, q2)]
+        assert r.n_suppliers == n
+        assert r.n_q1 == row_tot[q1]
+        assert r.row_share == n / row_tot[q1]
+    assert sum(r.n_suppliers for r in got.values()) == len(both)

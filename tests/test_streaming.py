@@ -1081,3 +1081,31 @@ def test_stream_pricing_summary_matches_batch_twin(spark, sf_dir):
     assert (
         qs["stream_pricing_summary"].oracle is qs["q1_pricing_summary"].oracle
     )
+
+
+def test_stream_part_demand_concentration_matches_batch_twin(spark, sf_dir):
+    """The streaming part-demand skew report must equal the batch twin
+    exactly (shared PART_DEMAND_ORACLE constant): same per-part counts,
+    same discrete thresholds, same one-division share."""
+    from mapreduce_infrastructure_spark.operators.stats import (
+        part_demand_concentration,
+    )
+    from mapreduce_infrastructure_spark.streaming.stream import (
+        stream_part_demand_concentration,
+    )
+
+    cols = (
+        "n_parts p50_lines p90_lines n_top_parts top_lines top_line_share"
+    ).split()
+    b = part_demand_concentration(spark, sf_dir).collect()[0]
+    s = stream_part_demand_concentration(spark, sf_dir).collect()[0]
+    assert tuple(getattr(s, c) for c in cols) == tuple(
+        getattr(b, c) for c in cols
+    )
+    from mapreduce_infrastructure_spark.registry import all_queries
+
+    qs = all_queries()
+    assert (
+        qs["stream_part_demand_concentration"].oracle
+        is qs["part_demand_concentration"].oracle
+    )

@@ -179,6 +179,7 @@ FLAGSHIP_EXTRA = [
     "part_demand_concentration",
     "customer_order_gap_migration",
     "parts_triangle_participation_by_degree",
+    "supplier_return_rate_migration",
 ]
 
 JOIN_KINDS = [
