@@ -2299,9 +2299,10 @@ def source_length_lognormal_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "doc_token_concentration_by_source",
-    oracle=f"""
+# Shared with the streaming twin in streaming/stream.py: one statement of
+# the tokenize convention, the percentile_disc rank and the concentration
+# fold, so batch and stream cannot drift.
+DOC_TOKEN_CONCENTRATION_ORACLE = f"""
     WITH t AS (
       SELECT source,
              CAST(len(list_filter(regexp_split_to_array(lower(text),
@@ -2334,7 +2335,12 @@ def source_length_lognormal_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
              / CAST(SUM(t.n_tokens) AS BIGINT) AS top_token_share
     FROM t JOIN th h ON t.source = h.source
     GROUP BY 1, 3
-    """,
+    """
+
+
+@query(
+    "doc_token_concentration_by_source",
+    oracle=DOC_TOKEN_CONCENTRATION_ORACLE,
     tags=("text", "llm", "percentile", "iterative"),
 )
 def doc_token_concentration_by_source(

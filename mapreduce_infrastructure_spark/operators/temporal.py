@@ -1739,6 +1739,109 @@ def events_user_lifetime_span_percentiles(
     return _lifetime_span_report(spark, u)
 
 
+# Shared with the streaming twin in streaming/stream.py: one statement of
+# the weekly (week, priority) grid, the share and the previous-week-mix
+# chi2 terms, so batch and stream cannot drift.
+ORDERS_PRIORITY_MIX_ORACLE = """
+    WITH b AS (
+      SELECT CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 // 7 AS week,
+             o_orderpriority
+      FROM orders
+    ),
+    g AS (
+      SELECT week, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM b GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT week, CAST(SUM(n_orders) AS BIGINT) AS week_total
+      FROM g GROUP BY 1
+    )
+    SELECT g.week, g.o_orderpriority, g.n_orders, t.week_total,
+           CAST(g.n_orders AS DOUBLE) / t.week_total AS share,
+           p.n_orders AS prev_n,
+           CASE WHEN p.n_orders IS NOT NULL THEN
+             (g.n_orders - CAST(p.n_orders AS DOUBLE) * t.week_total / pt.week_total)
+             * (g.n_orders - CAST(p.n_orders AS DOUBLE) * t.week_total / pt.week_total)
+             / (CAST(p.n_orders AS DOUBLE) * t.week_total / pt.week_total)
+           END AS chi2_term
+    FROM g
+    JOIN t ON g.week = t.week
+    LEFT JOIN g p  ON p.week = g.week - 1
+                  AND p.o_orderpriority = g.o_orderpriority
+    LEFT JOIN t pt ON pt.week = g.week - 1
+    """
+
+
+@query(
+    "orders_priority_mix_weekly_drift",
+    oracle=ORDERS_PRIORITY_MIX_ORACLE,
+    tags=("temporal", "tpch", "trend", "drift"),
+)
+def orders_priority_mix_weekly_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Week-over-week ORDER-PRIORITY mix drift: per (epoch-week,
+    priority) the count, its week share, and the chi-square term of this
+    week's count against the expectation extrapolated from LAST week's
+    mix — `event_mix_weekly_drift`'s composition-shift alarm applied to
+    the ORDERS fact (a shifting priority mix is the demand-side early
+    warning for the lead-time and backlog series: URGENT creeping up
+    predicts tail pressure before the SLA trend moves). Same contract as
+    the event twin: per-cell IEEE terms over exact int64 counts, never
+    summed engine-side; NULL prev_n/chi2_term on first-observed weeks
+    and priorities absent from the previous week (the oracle's left
+    joins); TZ-proof epoch-week ids.
+
+    Scale: ONE partial-aggregatable fold to the calendar×5 grid; the
+    totals and both previous-week lookups are broadcast joins over the
+    bounded weekly table (persisted once — four subtrees consume it,
+    the event twin's cell-table discipline)."""
+    from ..llm.cache import tracked_persist
+
+    o = load_table(spark, sf_dir, "orders")
+    week = F.expr("unix_micros(o_orderdate) div 1000000 div 86400 div 7")
+    g = tracked_persist(
+        o.select(week.alias("week"), "o_orderpriority")
+        .groupBy("week", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders")),
+        f"orders_priority_cells:{sf_dir}",
+    )
+    t = g.groupBy("week").agg(F.sum("n_orders").alias("week_total"))
+    p = g.select(
+        (F.col("week") + 1).alias("week"),
+        "o_orderpriority",
+        F.col("n_orders").alias("prev_n"),
+    )
+    pt = t.select(
+        (F.col("week") + 1).alias("week"),
+        F.col("week_total").alias("prev_week_total"),
+    )
+    e = (
+        F.col("prev_n").cast("double")
+        * F.col("week_total")
+        / F.col("prev_week_total")
+    )
+    return (
+        g.join(F.broadcast(t), "week")
+        .join(F.broadcast(p), ["week", "o_orderpriority"], "left")
+        .join(F.broadcast(pt), "week", "left")
+        .select(
+            "week",
+            "o_orderpriority",
+            "n_orders",
+            "week_total",
+            (F.col("n_orders").cast("double") / F.col("week_total")).alias(
+                "share"
+            ),
+            "prev_n",
+            F.when(
+                F.col("prev_n").isNotNull(),
+                (F.col("n_orders") - e) * (F.col("n_orders") - e) / e,
+            ).alias("chi2_term"),
+        )
+    )
+
+
 # events_user_lifetime_span_percentiles declares oracle=None above so the
 # SQL can live in the shared USER_LIFETIME_SPAN_ORACLE constant (its
 # streaming twin binds the same string in streaming/stream.py).

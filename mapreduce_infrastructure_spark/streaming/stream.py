@@ -2057,15 +2057,174 @@ def stream_part_demand_concentration(
     )
 
 
+@query(
+    "stream_doc_token_concentration",
+    oracle=None,  # set below — shares the batch twin's oracle verbatim
+    tags=("streaming", "text", "llm", "percentile", "concentration"),
+)
+def stream_doc_token_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source token-mass concentration maintained INCREMENTALLY —
+    the streaming twin of llm.text.doc_token_concentration_by_source,
+    same oracle verbatim (the shared DOC_TOKEN_CONCENTRATION_ORACLE
+    constant). The row-volume work is ONE keyed incremental hash
+    aggregate over (source, n_tokens) HISTOGRAM CELLS: each arriving
+    document folds into its cell's count at scan speed (the tokenize
+    expression runs inside the micro-batch), so state is
+    |sources| × |distinct token counts| — bounded by the corpus's
+    length-cap policy rather than by doc volume, the same cell-state
+    contract as stream_leadtime_weekly_trend.
+
+    The derivation differs from the batch twin ON PURPOSE, and the twin
+    test pins that the two forms agree: the batch query narrows over
+    per-doc rows (`kth_order_statistics_by` — nothing bounded exists
+    yet at that point), while here the sink ALREADY IS the count-value
+    histogram, so the p90 threshold comes from the histogram closed
+    form (cume over cells + the same MIN(value WHERE cum/n >= q)
+    discrete selection — identical percentile_disc semantics), and the
+    concentration is one fold over the SAME cells (counts and token
+    masses recovered exactly as m and n_tokens·m). Everything post-sink
+    touches only cell-cardinality data."""
+    from pyspark.sql import Window
+
+    from ..functions.ranks import hist_disc_percentile
+    from ..llm.text import tokens_col
+
+    docs = stream_table(spark, sf_dir, "documents")
+    cells_s = (
+        docs.select(
+            "source", F.size(tokens_col()).cast("long").alias("n_tokens")
+        )
+        .groupBy("source", "n_tokens")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    cells = run_to_table(cells_s, "stream_doc_token_cells", mode="complete")
+    before = (
+        Window.partitionBy("source")
+        .orderBy("n_tokens")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    whole = Window.partitionBy("source")
+    cume = cells.select(
+        "source",
+        "n_tokens",
+        "m",
+        F.sum("m").over(before).cast("long").alias("cum"),
+        F.sum("m").over(whole).cast("long").alias("n_stratum"),
+    )
+    th = cume.groupBy("source").agg(
+        hist_disc_percentile("n_tokens", 0.9, "threshold_tokens")
+    )
+    # th derives from the same memory-sink view as cells (spark.table
+    # hands back identical attribute ids), so a direct join trips
+    # conflicting-reference resolution; localCheckpoint breaks the
+    # shared lineage on the |sources|-row side only.
+    th = th.localCheckpoint(eager=True)
+    top = F.col("n_tokens") >= F.col("threshold_tokens")
+    g = (
+        cells.join(F.broadcast(th), "source")
+        .groupBy("source", "threshold_tokens")
+        .agg(
+            F.sum("m").alias("n_docs"),
+            F.sum(F.when(top, F.col("m")).otherwise(0))
+            .cast("long")
+            .alias("n_top"),
+            F.sum(
+                F.when(top, F.col("n_tokens") * F.col("m")).otherwise(0)
+            ).alias("top_tokens"),
+            F.sum(F.col("n_tokens") * F.col("m")).alias("_total"),
+        )
+    )
+    return g.select(
+        "source",
+        "n_docs",
+        "threshold_tokens",
+        "n_top",
+        "top_tokens",
+        (F.col("top_tokens").cast("double") / F.col("_total")).alias(
+            "top_token_share"
+        ),
+    )
+
+
+@query(
+    "stream_orders_priority_mix_drift",
+    oracle=None,  # set below — shares the batch twin's oracle verbatim
+    tags=("streaming", "tpch", "trend", "drift"),
+)
+def stream_orders_priority_mix_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weekly order-priority mix drift maintained INCREMENTALLY — the
+    streaming twin of temporal.orders_priority_mix_weekly_drift, same
+    oracle verbatim (the shared ORDERS_PRIORITY_MIX_ORACLE constant).
+    One incremental hash aggregate keyed by (epoch-week, priority) —
+    state is one counter per calendar×5 cell; the drift derivation runs
+    POST-SINK as the bounded gated-lag windows stream_event_mix_drift
+    established (the memory sink cannot self-join), with the identical
+    NULL-on-gap convention the batch twin's left joins state."""
+    from pyspark.sql import Window
+
+    o = stream_table(spark, sf_dir, "orders")
+    week = F.expr("unix_micros(o_orderdate) div 1000000 div 86400 div 7")
+    g = (
+        o.select(week.alias("week"), "o_orderpriority")
+        .groupBy("week", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    tbl = run_to_table(g, "stream_orders_priority_mix", mode="complete")
+    w_total = Window.partitionBy("week")
+    w_pri = Window.partitionBy("o_orderpriority").orderBy("week")
+    contiguous = F.lag("week").over(w_pri) == F.col("week") - 1
+    totals = tbl.select(
+        "week",
+        "o_orderpriority",
+        "n_orders",
+        F.sum("n_orders").over(w_total).alias("week_total"),
+    )
+    cells = totals.select(
+        "week",
+        "o_orderpriority",
+        "n_orders",
+        "week_total",
+        F.when(contiguous, F.lag("n_orders").over(w_pri)).alias("prev_n"),
+        F.when(contiguous, F.lag("week_total").over(w_pri)).alias(
+            "prev_week_total"
+        ),
+    )
+    e = (
+        F.col("prev_n").cast("double")
+        * F.col("week_total")
+        / F.col("prev_week_total")
+    )
+    return cells.select(
+        "week",
+        "o_orderpriority",
+        "n_orders",
+        "week_total",
+        (F.col("n_orders").cast("double") / F.col("week_total")).alias(
+            "share"
+        ),
+        "prev_n",
+        F.when(
+            F.col("prev_n").isNotNull(),
+            (F.col("n_orders") - e) * (F.col("n_orders") - e) / e,
+        ).alias("chi2_term"),
+    )
+
+
 # Late-bind the shared oracles (import at module top would be circular-prone
 # and the constants live beside their batch twins).
 from ..operators.temporal import BACKLOG_ORACLE as _BL_ORACLE  # noqa: E402
 from ..operators.temporal import DOW_HOUR_PROFILE_ORACLE as _DHP_ORACLE  # noqa: E402
 from ..operators.temporal import EVENT_MIX_DRIFT_ORACLE as _EMD_ORACLE  # noqa: E402
+from ..operators.temporal import ORDERS_PRIORITY_MIX_ORACLE as _OPM_ORACLE  # noqa: E402
 from ..operators.temporal import USER_LIFETIME_SPAN_ORACLE as _ULS_ORACLE  # noqa: E402
 from ..operators.temporal import WEEKLY_TREND_ORACLE as _WT_ORACLE  # noqa: E402
 from ..operators.relational import Q1_ORACLE as _Q1_ORACLE  # noqa: E402
 from ..operators.tpch_extra import LEADTIME_WEEKLY_ORACLE as _LW_ORACLE  # noqa: E402
+from ..llm.text import DOC_TOKEN_CONCENTRATION_ORACLE as _DTC_ORACLE  # noqa: E402
 from ..operators.stats import PART_DEMAND_ORACLE as _PD_ORACLE  # noqa: E402
 from ..operators.tpch_extra import RETURN_RATE_ORACLE as _RR_ORACLE  # noqa: E402
 from ..operators.tpch_extra import TRADE_MATRIX_ORACLE as _TM_ORACLE  # noqa: E402
@@ -2081,3 +2240,5 @@ _REG["stream_user_lifetime_spans"].oracle = _ULS_ORACLE
 _REG["stream_return_rate_matrix"].oracle = _RR_ORACLE
 _REG["stream_pricing_summary"].oracle = _Q1_ORACLE
 _REG["stream_part_demand_concentration"].oracle = _PD_ORACLE
+_REG["stream_doc_token_concentration"].oracle = _DTC_ORACLE
+_REG["stream_orders_priority_mix_drift"].oracle = _OPM_ORACLE

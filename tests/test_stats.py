@@ -1618,3 +1618,42 @@ def test_supplier_return_rate_migration_scalar_reference(spark, sf_dir):
         assert r.n_q1 == row_tot[q1]
         assert r.row_share == n / row_tot[q1]
     assert sum(r.n_suppliers for r in got.values()) == len(both)
+
+
+def test_orders_priority_mix_drift_scalar_reference(spark, sf_dir):
+    """Python recount of the priority-mix drift: same epoch-week cells,
+    same share and chi2 expressions over exact counts (stated
+    left-associatively like both engines), same NULL-prev convention."""
+    import pyarrow.parquet as pq
+
+    from mapreduce_infrastructure_spark.operators.temporal import (
+        orders_priority_mix_weekly_drift,
+    )
+
+    got = {
+        (r.week, r.o_orderpriority): r
+        for r in orders_priority_mix_weekly_drift(spark, sf_dir).collect()
+    }
+    o = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_orderpriority"]
+    ).to_pydict()
+    cells = {}
+    for d, pri in zip(o["o_orderdate"], o["o_orderpriority"]):
+        w = int(d.timestamp()) // 86400 // 7
+        cells[(w, pri)] = cells.get((w, pri), 0) + 1
+    totals = {}
+    for (w, _pri), n in cells.items():
+        totals[w] = totals.get(w, 0) + n
+    assert set(got) == set(cells)
+    for (w, pri), n in cells.items():
+        r = got[(w, pri)]
+        assert r.n_orders == n
+        assert r.week_total == totals[w]
+        assert r.share == n / totals[w]
+        prev = cells.get((w - 1, pri))
+        if prev is None or (w - 1) not in totals:
+            assert r.prev_n is None and r.chi2_term is None
+        else:
+            assert r.prev_n == prev
+            e = float(prev) * totals[w] / totals[w - 1]
+            assert r.chi2_term == (n - e) * (n - e) / e

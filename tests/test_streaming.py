@@ -1109,3 +1109,66 @@ def test_stream_part_demand_concentration_matches_batch_twin(spark, sf_dir):
         qs["stream_part_demand_concentration"].oracle
         is qs["part_demand_concentration"].oracle
     )
+
+
+def test_stream_doc_token_concentration_matches_batch_twin(spark, sf_dir):
+    """The streaming token-mass concentration must equal the batch twin
+    row-for-row (shared DOC_TOKEN_CONCENTRATION_ORACLE): the two forms
+    DERIVE the threshold differently by design (batch: stratified
+    narrower over per-doc rows; stream: histogram closed form over the
+    sink cells) — this equality is what pins that percentile_disc
+    semantics agree between the forms."""
+    from mapreduce_infrastructure_spark.llm.text import (
+        doc_token_concentration_by_source,
+    )
+    from mapreduce_infrastructure_spark.streaming.stream import (
+        stream_doc_token_concentration,
+    )
+
+    cols = "n_docs threshold_tokens n_top top_tokens top_token_share".split()
+    batch = {
+        r.source: tuple(getattr(r, c) for c in cols)
+        for r in doc_token_concentration_by_source(spark, sf_dir).collect()
+    }
+    stream = {
+        r.source: tuple(getattr(r, c) for c in cols)
+        for r in stream_doc_token_concentration(spark, sf_dir).collect()
+    }
+    assert stream == batch
+    from mapreduce_infrastructure_spark.registry import all_queries
+
+    qs = all_queries()
+    assert (
+        qs["stream_doc_token_concentration"].oracle
+        is qs["doc_token_concentration_by_source"].oracle
+    )
+
+
+def test_stream_orders_priority_mix_drift_matches_batch_twin(spark, sf_dir):
+    """The streaming priority-mix drift must equal the batch twin
+    cell-for-cell (shared ORDERS_PRIORITY_MIX_ORACLE), including the
+    NULL prev/chi2 convention on first-observed and after-gap weeks."""
+    from mapreduce_infrastructure_spark.operators.temporal import (
+        orders_priority_mix_weekly_drift,
+    )
+    from mapreduce_infrastructure_spark.streaming.stream import (
+        stream_orders_priority_mix_drift,
+    )
+
+    cols = "n_orders week_total share prev_n chi2_term".split()
+    batch = {
+        (r.week, r.o_orderpriority): tuple(getattr(r, c) for c in cols)
+        for r in orders_priority_mix_weekly_drift(spark, sf_dir).collect()
+    }
+    stream = {
+        (r.week, r.o_orderpriority): tuple(getattr(r, c) for c in cols)
+        for r in stream_orders_priority_mix_drift(spark, sf_dir).collect()
+    }
+    assert stream == batch
+    from mapreduce_infrastructure_spark.registry import all_queries
+
+    qs = all_queries()
+    assert (
+        qs["stream_orders_priority_mix_drift"].oracle
+        is qs["orders_priority_mix_weekly_drift"].oracle
+    )

@@ -180,6 +180,7 @@ FLAGSHIP_EXTRA = [
     "customer_order_gap_migration",
     "parts_triangle_participation_by_degree",
     "supplier_return_rate_migration",
+    "orders_priority_mix_weekly_drift",
 ]
 
 JOIN_KINDS = [
