@@ -2402,3 +2402,134 @@ def doc_token_concentration_by_source(
             "top_token_share"
         ),
     )
+
+
+DOC_LEN_QUALITY_ORACLE = f"""
+    WITH t AS (
+      SELECT list_filter(regexp_split_to_array(lower(text), '{TOKEN_DELIM}'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    d AS (
+      SELECT CAST(len(toks) AS BIGINT) AS n_tokens,
+             {quality_flag_sql()} AS quality_flag
+      FROM t
+    ),
+    r AS (
+      SELECT n_tokens, cume_dist() OVER (ORDER BY n_tokens) AS cd
+      FROM d
+    ),
+    th AS (
+      SELECT MIN(CASE WHEN cd >= 0.1 THEN n_tokens END) AS t1,
+             MIN(CASE WHEN cd >= 0.2 THEN n_tokens END) AS t2,
+             MIN(CASE WHEN cd >= 0.3 THEN n_tokens END) AS t3,
+             MIN(CASE WHEN cd >= 0.4 THEN n_tokens END) AS t4,
+             MIN(CASE WHEN cd >= 0.5 THEN n_tokens END) AS t5,
+             MIN(CASE WHEN cd >= 0.6 THEN n_tokens END) AS t6,
+             MIN(CASE WHEN cd >= 0.7 THEN n_tokens END) AS t7,
+             MIN(CASE WHEN cd >= 0.8 THEN n_tokens END) AS t8,
+             MIN(CASE WHEN cd >= 0.9 THEN n_tokens END) AS t9
+      FROM r
+    ),
+    m AS (
+      SELECT 1 + (CASE WHEN d.n_tokens > th.t1 THEN 1 ELSE 0 END)
+               + (CASE WHEN d.n_tokens > th.t2 THEN 1 ELSE 0 END)
+               + (CASE WHEN d.n_tokens > th.t3 THEN 1 ELSE 0 END)
+               + (CASE WHEN d.n_tokens > th.t4 THEN 1 ELSE 0 END)
+               + (CASE WHEN d.n_tokens > th.t5 THEN 1 ELSE 0 END)
+               + (CASE WHEN d.n_tokens > th.t6 THEN 1 ELSE 0 END)
+               + (CASE WHEN d.n_tokens > th.t7 THEN 1 ELSE 0 END)
+               + (CASE WHEN d.n_tokens > th.t8 THEN 1 ELSE 0 END)
+               + (CASE WHEN d.n_tokens > th.t9 THEN 1 ELSE 0 END)
+               AS token_decile,
+             d.quality_flag
+      FROM d CROSS JOIN th
+    ),
+    g AS (
+      SELECT token_decile, quality_flag, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM m GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT token_decile, CAST(SUM(n_docs) AS BIGINT) AS decile_total
+      FROM g GROUP BY 1
+    )
+    SELECT CAST(g.token_decile AS BIGINT) AS token_decile, g.quality_flag,
+           g.n_docs, tot.decile_total,
+           CAST(g.n_docs AS DOUBLE) / tot.decile_total AS row_share
+    FROM g JOIN tot ON g.token_decile = tot.token_decile
+    """
+
+
+@query(
+    "doc_length_vs_quality_interaction_matrix",
+    oracle=DOC_LEN_QUALITY_ORACLE,
+    tags=("text", "llm", "quality", "matrix", "percentile"),
+)
+def doc_length_vs_quality_interaction_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Token-count DECILE × quality-flag interaction matrix: per (exact
+    length decile, keep/drop flag) the document count, the decile's
+    total, and the cell's share of its decile row — the
+    does-my-length-filter-proxy-for-quality read behind corpus curation
+    (the quality rule already has a hard length clause, so the LOW band
+    of the matrix shows where the stopword clause bites BEYOND the
+    length cut; a row_share cliff between adjacent deciles locates the
+    length regime where the two filters decouple). Completes the
+    interaction family: `source_quality_dup_interaction` crossed quality
+    with DUPLICATION, this crosses it with LENGTH.
+
+    Composition: the per-doc (n_tokens, quality_flag) pair folds at scan
+    speed with the shared tokenize/flag builders (same single source of
+    truth as `quality_scores` — the oracle states both via the same SQL
+    fragments). The nine decile thresholds use the count-value HISTOGRAM
+    closed form (`hist_cume_counts` — token-count domain is bounded by
+    the corpus length-cap policy however large the corpus grows, the
+    `doc_token_concentration_by_source` premise; one global stratum, so
+    the cumulative window runs over |distinct token counts| rows), with
+    the threshold selection stated as cume_dist ≥ q — the SAME exact
+    integers and one IEEE division `hist_disc_percentile` computes.
+    Decile assignment is value-based (1 + Σ n_tokens > tₖ over literal
+    thresholds — the migration-matrix discipline, so boundary ties land
+    deterministically in both engines and tied values share a decile),
+    then ONE partial-aggregatable fold over the cached doc-count-sized
+    projection to the ≤20-cell grid and a broadcast ≤10-row total join.
+    Counts exact int64; the share is one IEEE division per cell."""
+    from ..functions.ranks import hist_cume_counts, hist_disc_percentile
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    tc = tracked_persist(
+        docs.select(
+            F.size(toks).cast("long").alias("n_tokens"),
+            quality_flag_col(toks).alias("quality_flag"),
+        ),
+        f"doc_len_quality:{sf_dir}",
+    )
+    hist = hist_cume_counts(tc.withColumn("g", F.lit(1)), ["g"], "n_tokens")
+    row = hist.groupBy("g").agg(
+        *[
+            hist_disc_percentile("n_tokens", k / 10.0, f"t{k}")
+            for k in range(1, 10)
+        ]
+    ).collect()[0]
+    decile = F.lit(1)
+    for k in range(1, 10):
+        decile = decile + F.when(
+            F.col("n_tokens") > F.lit(row[f"t{k}"]), 1
+        ).otherwise(0)
+    g = (
+        tc.select(decile.cast("long").alias("token_decile"), "quality_flag")
+        .groupBy("token_decile", "quality_flag")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    tot = g.groupBy("token_decile").agg(F.sum("n_docs").alias("decile_total"))
+    return g.join(F.broadcast(tot), "token_decile").select(
+        "token_decile",
+        "quality_flag",
+        "n_docs",
+        "decile_total",
+        (F.col("n_docs").cast("double") / F.col("decile_total")).alias(
+            "row_share"
+        ),
+    )

@@ -2060,3 +2060,77 @@ def customer_order_gap_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
 # part_demand_concentration's oracle lives in the shared PART_DEMAND_ORACLE
 # constant (its streaming twin binds the same string in
 # streaming/stream.py); the decorator already passes it directly.
+
+
+@query(
+    "order_linecount_distribution",
+    oracle="""
+    WITH c AS (
+      SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS k
+      FROM lineitem GROUP BY 1
+    ),
+    h AS (
+      SELECT k AS lines_per_order, CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM c GROUP BY 1
+    )
+    SELECT lines_per_order, n_orders,
+           CAST(lines_per_order * n_orders AS BIGINT) AS n_lines,
+           CAST(n_orders AS DOUBLE)
+             / CAST(SUM(n_orders) OVER () AS BIGINT) AS order_share,
+           CAST(lines_per_order * n_orders AS DOUBLE)
+             / CAST(SUM(lines_per_order * n_orders) OVER () AS BIGINT)
+             AS line_share,
+           CAST(CAST(SUM(n_orders) OVER (ORDER BY lines_per_order
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS DOUBLE)
+             / CAST(SUM(n_orders) OVER () AS BIGINT) AS cum_order_share
+    FROM h
+    """,
+    tags=("tpch", "stats", "histogram", "skew"),
+)
+def order_linecount_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL fan-out distribution of the l_orderkey join: per
+    lines-per-order value, how many orders have exactly that many lines,
+    that cell's share of all orders, its share of total LINE mass, and
+    the cumulative order share in ascending fan-out order — the
+    distribution behind `join_key_skew_report`'s summary stats (max/mean
+    /hot-count say WHETHER the orders⋈lineitem join is skewed; this says
+    HOW the fan-out is shaped, which is what sizes AQE advisory
+    partitions, bucketing fan-in, and the per-order state a stream-stream
+    join must hold). The same shape reads any parent→child fan-out.
+
+    Plan at 100 TB: one per-order count fold (partial map-side, keyed by
+    the join key itself) then ONE histogram fold over order-count-sized
+    data to the |distinct fan-outs|-row grid — domain-bounded (an order
+    has a bounded line count by schema policy), so the share/cumulative
+    windows run over the HISTOGRAM, never the facts (the
+    `hist_cume_counts` exemption shape: the window's order column is the
+    upstream aggregate's key). Counts and line masses exact int64; each
+    share is one IEEE division stated identically in the oracle."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    c = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("k"))
+    h = c.groupBy(F.col("k").alias("lines_per_order")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    whole = Window.partitionBy()
+    cum = Window.orderBy("lines_per_order").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    n_lines = (F.col("lines_per_order") * F.col("n_orders")).cast("long")
+    return h.select(
+        "lines_per_order",
+        "n_orders",
+        n_lines.alias("n_lines"),
+        (
+            F.col("n_orders").cast("double")
+            / F.sum("n_orders").over(whole).cast("long")
+        ).alias("order_share"),
+        (
+            n_lines.cast("double")
+            / F.sum(n_lines).over(whole).cast("long")
+        ).alias("line_share"),
+        (
+            F.sum("n_orders").over(cum).cast("long").cast("double")
+            / F.sum("n_orders").over(whole).cast("long")
+        ).alias("cum_order_share"),
+    )

@@ -1235,9 +1235,10 @@ def return_rate_by_nation_parttype(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-@query(
-    "discount_band_margin_report",
-    oracle="""
+# Shared with the streaming twin in streaming/stream.py: one statement of
+# the band grid, the exact integer/DECIMAL folds and the percent bridge,
+# so batch and stream cannot drift.
+DISCOUNT_BAND_ORACLE = """
     SELECT CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS discount_pct,
            CAST(COUNT(*) AS BIGINT) AS n_lines,
            CAST(SUM(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
@@ -1250,7 +1251,12 @@ def return_rate_by_nation_parttype(spark: SparkSession, sf_dir: str) -> DataFram
                     AS DOUBLE) * 10000 AS discount_cost_pct
     FROM lineitem
     GROUP BY 1
-    """,
+    """
+
+
+@query(
+    "discount_band_margin_report",
+    oracle=DISCOUNT_BAND_ORACLE,
     tags=("tpch", "agg", "pricing"),
 )
 def discount_band_margin_report(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2214,6 +2214,56 @@ def stream_orders_priority_mix_drift(
     )
 
 
+@query(
+    "stream_discount_band_margin",
+    oracle=None,  # set below — shares the batch twin's oracle verbatim
+    tags=("streaming", "tpch", "agg", "pricing"),
+)
+def stream_discount_band_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pricing-band report maintained INCREMENTALLY — the streaming
+    twin of tpch_extra.discount_band_margin_report, same oracle verbatim
+    (the shared DISCOUNT_BAND_ORACLE constant): live what-is-discounting
+    -costing-us telemetry as order lines stream in, instead of a nightly
+    batch read. The whole fold runs INSIDE the streaming hash aggregate:
+    per integer discount band the state is three exact int64 counters
+    (lines, rounded quantity, gross cents) plus the exact DECIMAL
+    discount-cost sum — all associative and order-independent, so
+    micro-batch arrival order cannot change a bit of the state (the
+    stream_pricing_summary property), and state is ≤101 cells no matter
+    how many lines stream through. The percent bridge (one IEEE division
+    of two bit-stable operands, ×10000 unit bridge stated token-for-token
+    in the oracle) derives POST-SINK so the sink rows stay exact
+    counters — the cells-then-derive discipline of the other twins."""
+    li = stream_table(spark, sf_dir, "lineitem").select(
+        "l_discount", "l_quantity", "l_extendedprice"
+    )
+    band = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
+    qty = F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    cost = dec("l_extendedprice") * dec("l_discount")
+    g_s = li.groupBy(band.alias("discount_pct")).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(qty).alias("total_qty"),
+        F.sum(cents).alias("gross_cents"),
+        F.sum(cost).alias("_cost"),
+    )
+    cells = run_to_table(g_s, "stream_discount_band_cells", mode="complete")
+    return cells.select(
+        "discount_pct",
+        "n_lines",
+        "total_qty",
+        "gross_cents",
+        # cost is in DOLLARS, gross in CENTS: ×10000 = ÷100 unit bridge
+        # then ×100 to percent (stated identically in the oracle and the
+        # batch twin).
+        (
+            F.col("_cost").cast("double")
+            / F.col("gross_cents").cast("double")
+            * 10000
+        ).alias("discount_cost_pct"),
+    )
+
+
 # Late-bind the shared oracles (import at module top would be circular-prone
 # and the constants live beside their batch twins).
 from ..operators.temporal import BACKLOG_ORACLE as _BL_ORACLE  # noqa: E402
@@ -2223,6 +2273,7 @@ from ..operators.temporal import ORDERS_PRIORITY_MIX_ORACLE as _OPM_ORACLE  # no
 from ..operators.temporal import USER_LIFETIME_SPAN_ORACLE as _ULS_ORACLE  # noqa: E402
 from ..operators.temporal import WEEKLY_TREND_ORACLE as _WT_ORACLE  # noqa: E402
 from ..operators.relational import Q1_ORACLE as _Q1_ORACLE  # noqa: E402
+from ..operators.tpch_extra import DISCOUNT_BAND_ORACLE as _DB_ORACLE  # noqa: E402
 from ..operators.tpch_extra import LEADTIME_WEEKLY_ORACLE as _LW_ORACLE  # noqa: E402
 from ..llm.text import DOC_TOKEN_CONCENTRATION_ORACLE as _DTC_ORACLE  # noqa: E402
 from ..operators.stats import PART_DEMAND_ORACLE as _PD_ORACLE  # noqa: E402
@@ -2242,3 +2293,4 @@ _REG["stream_pricing_summary"].oracle = _Q1_ORACLE
 _REG["stream_part_demand_concentration"].oracle = _PD_ORACLE
 _REG["stream_doc_token_concentration"].oracle = _DTC_ORACLE
 _REG["stream_orders_priority_mix_drift"].oracle = _OPM_ORACLE
+_REG["stream_discount_band_margin"].oracle = _DB_ORACLE

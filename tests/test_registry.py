@@ -74,6 +74,7 @@ def test_driver_materialization_sites_are_allowlisted():
         ("llm/kmeans.py", "kmeans_parallel_seeds"),  # k-bounded seed rows
         ("llm/dedup.py", "_cap_hot_bands"),  # 1-row truncation census
         ("llm/text.py", "bpe_learn_merges"),  # limit(1) argmax per merge
+        ("llm/text.py", "doc_length_vs_quality_interaction_matrix"),  # 1-row, 9-threshold histogram census
         ("llm/similarity.py", "_fit_centroids_sample"),  # sample-bounded fit
         ("llm/similarity.py", "_fit_centroids_distributed"),  # k×dim stats
         ("llm/similarity.py", "_fit_pq_codebooks"),  # codebook-bounded

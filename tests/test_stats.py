@@ -1657,3 +1657,42 @@ def test_orders_priority_mix_drift_scalar_reference(spark, sf_dir):
             assert r.prev_n == prev
             e = float(prev) * totals[w] / totals[w - 1]
             assert r.chi2_term == (n - e) * (n - e) / e
+
+
+def test_order_linecount_distribution_scalar_reference(spark, sf_dir):
+    """Python recount of the l_orderkey fan-out distribution: same
+    per-order counts, same histogram cells, same one-division shares and
+    ascending cumulative."""
+    import pyarrow.parquet as pq
+
+    from mapreduce_infrastructure_spark.operators.stats import (
+        order_linecount_distribution,
+    )
+
+    got = {
+        r.lines_per_order: r
+        for r in order_linecount_distribution(spark, sf_dir).collect()
+    }
+    keys = pq.read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"]
+    ).to_pydict()["l_orderkey"]
+    per_order: dict = {}
+    for k in keys:
+        per_order[k] = per_order.get(k, 0) + 1
+    hist: dict = {}
+    for _ok, k in per_order.items():
+        hist[k] = hist.get(k, 0) + 1
+    tot_orders = sum(hist.values())
+    tot_lines = sum(k * c for k, c in hist.items())
+    assert tot_lines == len(keys)
+    assert set(got) == set(hist)
+    cum = 0
+    for k in sorted(hist):
+        c = hist[k]
+        cum += c
+        r = got[k]
+        assert r.n_orders == c
+        assert r.n_lines == k * c
+        assert r.order_share == c / tot_orders
+        assert r.line_share == (k * c) / tot_lines
+        assert r.cum_order_share == cum / tot_orders

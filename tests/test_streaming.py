@@ -1172,3 +1172,34 @@ def test_stream_orders_priority_mix_drift_matches_batch_twin(spark, sf_dir):
         qs["stream_orders_priority_mix_drift"].oracle
         is qs["orders_priority_mix_weekly_drift"].oracle
     )
+
+
+def test_stream_discount_band_matches_batch_twin(spark, sf_dir):
+    """The streaming pricing-band report must equal the batch twin
+    bit-for-bit (shared DISCOUNT_BAND_ORACLE constant): int64 counter +
+    exact DECIMAL cost state makes micro-batch arrival order irrelevant,
+    so every band's counts and the one-division percent agree exactly."""
+    from mapreduce_infrastructure_spark.operators.tpch_extra import (
+        discount_band_margin_report,
+    )
+    from mapreduce_infrastructure_spark.streaming.stream import (
+        stream_discount_band_margin,
+    )
+
+    cols = "n_lines total_qty gross_cents discount_cost_pct".split()
+    batch = {
+        r.discount_pct: tuple(getattr(r, c) for c in cols)
+        for r in discount_band_margin_report(spark, sf_dir).collect()
+    }
+    stream = {
+        r.discount_pct: tuple(getattr(r, c) for c in cols)
+        for r in stream_discount_band_margin(spark, sf_dir).collect()
+    }
+    assert stream == batch
+    from mapreduce_infrastructure_spark.registry import all_queries
+
+    qs = all_queries()
+    assert (
+        qs["stream_discount_band_margin"].oracle
+        is qs["discount_band_margin_report"].oracle
+    )

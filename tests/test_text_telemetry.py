@@ -1568,3 +1568,65 @@ def test_doc_token_concentration_scalar_reference(spark, sf_dir):
         assert r.top_tokens == sum(top)
         assert r.top_token_share == sum(top) / sum(vs)
         assert r.top_token_share >= r.n_top / r.n_docs
+
+
+def test_doc_len_quality_matrix_scalar_reference(spark, sf_dir):
+    """Python recount of the length×quality interaction matrix: same
+    tokenize and flag rules, thresholds via the same cume_dist ≥ q
+    selection (min value whose cum/n reaches q, the hist_disc_percentile
+    form — python float division IS the same IEEE divide), same
+    value-based decile assignment and one-division shares."""
+    from mapreduce_infrastructure_spark.llm.text import (
+        doc_length_vs_quality_interaction_matrix,
+    )
+
+    got = {
+        (r.token_decile, r.quality_flag): r
+        for r in doc_length_vs_quality_interaction_matrix(
+            spark, sf_dir
+        ).collect()
+    }
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    ).to_pydict()
+    docs = []
+    for text in tbl["text"]:
+        toks = _tokens(text)
+        n_stop = sum(1 for t in toks if t in ("the", "a"))
+        flag = (
+            "ok"
+            if len(toks) >= 20 and n_stop * 2 <= len(toks)
+            else "low"
+        )
+        docs.append((len(toks), flag))
+    vals = sorted(n for n, _ in docs)
+    n = len(vals)
+    th = []
+    for k in range(1, 10):
+        q = k / 10.0
+        cum = 0
+        pick = None
+        for i, v in enumerate(vals):
+            cum = i + 1
+            # only the last tied row's cum matters; scan to the end of
+            # each tie block like the histogram form does.
+            if i + 1 < n and vals[i + 1] == v:
+                continue
+            if cum / n >= q:
+                pick = v
+                break
+        th.append(pick)
+    want: dict = {}
+    for nt, flag in docs:
+        d = 1 + sum(1 for t in th if nt > t)
+        want[(d, flag)] = want.get((d, flag), 0) + 1
+    row_tot: dict = {}
+    for (d, _f), c in want.items():
+        row_tot[d] = row_tot.get(d, 0) + c
+    assert set(got) == set(want)
+    for (d, flag), c in want.items():
+        r = got[(d, flag)]
+        assert r.n_docs == c
+        assert r.decile_total == row_tot[d]
+        assert r.row_share == c / row_tot[d]
+    assert sum(r.n_docs for r in got.values()) == len(docs)
