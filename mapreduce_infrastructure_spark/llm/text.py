@@ -2299,6 +2299,24 @@ def source_length_lognormal_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_tokens) per document — the scan-speed tokenize
+    projection shared by doc_token_concentration_by_source and
+    source_token_weighted_length_percentiles. Cached via shared_persist
+    (get-or-create): the slot is keyed only by sf_dir and consumed by
+    two queries, so an evict-and-re-register would thrash the sibling's
+    materialized copy (the round-13 cache discipline)."""
+    from .cache import shared_persist
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        return docs.select(
+            "source", F.size(tokens_col()).cast("long").alias("n_tokens")
+        )
+
+    return shared_persist(spark, build, f"doc_token_counts:{sf_dir}")
+
+
 # Shared with the streaming twin in streaming/stream.py: one statement of
 # the tokenize convention, the percentile_disc rank and the concentration
 # fold, so batch and stream cannot drift.
@@ -2368,13 +2386,7 @@ def doc_token_concentration_by_source(
     is one IEEE division stated identically in both engines."""
     from ..functions.ranks import kth_order_statistics_by
 
-    docs = load_table(spark, sf_dir, "documents")
-    tc = tracked_persist(
-        docs.select(
-            "source", F.size(tokens_col()).cast("long").alias("n_tokens")
-        ),
-        f"doc_token_counts:{sf_dir}",
-    )
+    tc = _doc_token_counts(spark, sf_dir)
     th = kth_order_statistics_by(tc, "source", "n_tokens", q=0.9, n_buckets=256)
     grid = spark.createDataFrame(
         sorted(th.items()), "source string, threshold_tokens long"
@@ -2532,4 +2544,98 @@ def doc_length_vs_quality_interaction_matrix(
         (F.col("n_docs").cast("double") / F.col("decile_total")).alias(
             "row_share"
         ),
+    )
+
+
+@query(
+    "source_token_weighted_length_percentiles",
+    oracle=f"""
+    WITH t AS (
+      SELECT source,
+             CAST(len(list_filter(regexp_split_to_array(lower(text),
+                                                         '{TOKEN_DELIM}'),
+                                  x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    r AS (
+      SELECT source, n_tokens,
+             CAST(COUNT(*) OVER (PARTITION BY source ORDER BY n_tokens
+                    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_cnt,
+             CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS tot_cnt,
+             CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY n_tokens
+                    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_mass,
+             CAST(SUM(n_tokens) OVER (PARTITION BY source) AS BIGINT)
+               AS tot_mass
+      FROM t
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MAX(tot_mass) AS BIGINT) AS total_tokens,
+           MIN(CASE WHEN CAST(cum_cnt AS DOUBLE) / tot_cnt >= 0.5
+                    THEN n_tokens END) AS p50_len,
+           MIN(CASE WHEN CAST(cum_mass AS DOUBLE) / tot_mass >= 0.5
+                    THEN n_tokens END) AS w50_len,
+           MIN(CASE WHEN CAST(cum_mass AS DOUBLE) / tot_mass >= 0.9
+                    THEN n_tokens END) AS w90_len
+    FROM r GROUP BY 1
+    """,
+    tags=("text", "llm", "percentile", "weighted"),
+)
+def source_token_weighted_length_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source TOKEN-WEIGHTED length percentiles — the exact
+    WEIGHTED-rank form: w50/w90 are the smallest doc lengths below which
+    50%/90% of the source's token MASS sits (each doc weighted by its
+    own token count), published next to the plain doc-count median
+    p50_len. The gap between p50 and w50 is the budget-vs-census skew
+    read in one number: w50 ≫ p50 says the token budget lives in docs
+    far longer than the typical one, so per-DOC sampling rates and
+    per-TOKEN budget plans diverge (`doc_token_concentration_by_source`
+    reports the same skew as top-decile mass; this turns it into the
+    percentile grid chunk-size policies are written against).
+
+    The weighted selection generalizes percentile_disc: min value whose
+    cumulative weight share reaches q, ties block-inclusive — stated in
+    the oracle as RANGE-framed window sums over raw rows, computed
+    engine-side over the (source, n_tokens) HISTOGRAM (cells from the
+    shared cached projection; ties are single rows, so the histogram
+    cumulative IS the tie-inclusive RANGE sum — same exact int64s, same
+    one IEEE division per comparison). The per-source windows run over
+    |distinct token counts| rows (domain-bounded by length-cap policy),
+    never per-doc rows. Zero-token docs carry zero mass but count in
+    n_docs and p50_len; a source that is ENTIRELY zero-token would yield
+    NULL weighted ranks on both engines (0/0 NaN compares false) —
+    fixture-excluded, noted for completeness."""
+    tc = _doc_token_counts(spark, sf_dir)
+    h = tc.groupBy("source", "n_tokens").agg(F.count(F.lit(1)).alias("cnt"))
+    mass = (F.col("n_tokens") * F.col("cnt")).cast("long")
+    cum = (
+        Window.partitionBy("source")
+        .orderBy("n_tokens")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    whole = Window.partitionBy("source")
+    r = h.select(
+        "source",
+        "n_tokens",
+        "cnt",
+        mass.alias("mass"),
+        (
+            F.sum("cnt").over(cum).cast("double")
+            / F.sum("cnt").over(whole)
+        ).alias("cd"),
+        (
+            F.sum(mass).over(cum).cast("double")
+            / F.sum(mass).over(whole)
+        ).alias("md"),
+    )
+    return r.groupBy("source").agg(
+        F.sum("cnt").alias("n_docs"),
+        F.sum("mass").alias("total_tokens"),
+        F.min(F.when(F.col("cd") >= 0.5, F.col("n_tokens"))).alias("p50_len"),
+        F.min(F.when(F.col("md") >= 0.5, F.col("n_tokens"))).alias("w50_len"),
+        F.min(F.when(F.col("md") >= 0.9, F.col("n_tokens"))).alias("w90_len"),
     )

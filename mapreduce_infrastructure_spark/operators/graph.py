@@ -21,7 +21,7 @@ one block per iteration — built by `_pagerank_oracle()`.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..catalog import load_table
 from ..functions.exact import rnd
@@ -265,20 +265,21 @@ def pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 TRI_MIN_SHARED = 2  # co-occurrence floor defining a part-graph edge
 
 
-def _part_cooccur_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(x, y) undirected part co-occurrence edges (x < y, parts sharing an
-    order ≥ TRI_MIN_SHARED times) — THE graph both triangle queries
-    analyze, session-cached under one key so the clustering query reuses
-    the triangle query's edge build instead of re-shuffling it.
+def _part_cooccur_edges_weighted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(x, y, w) WEIGHTED undirected part co-occurrence edges (x < y,
+    w = shared-order count, kept only when w ≥ TRI_MIN_SHARED) — the
+    expensive co-occurrence self-join, materialized ONCE per session.
 
     Cached via shared_persist (get-or-create), NOT tracked_persist: the
-    slot is keyed only by sf_dir and consumed by three queries
-    (triangle_counts_parts, parts_clustering_by_degree,
-    parts_graph_degree_distribution) — and parts_clustering_by_degree
-    calls this twice in one plan (once through triangle_counts_parts,
+    slot is keyed only by sf_dir and consumed by every part-graph query
+    through `_part_cooccur_edges` (which projects the weight away) plus
+    the edge-weight histogram directly — and parts_clustering_by_degree
+    reaches it twice in one plan (once through triangle_counts_parts,
     once directly), so an evict-and-re-register would unpersist the copy
     the triangle subtree's lineage still references and recompute the
-    co-occurrence self-join shuffle."""
+    self-join shuffle."""
     from ..llm.cache import shared_persist
 
     def build() -> DataFrame:
@@ -293,10 +294,23 @@ def _part_cooccur_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("pa", "pb")
             .agg(F.count(F.lit(1)).alias("n"))
             .filter(F.col("n") >= TRI_MIN_SHARED)
-            .select(F.col("pa").alias("x"), F.col("pb").alias("y"))
+            .select(
+                F.col("pa").alias("x"),
+                F.col("pb").alias("y"),
+                F.col("n").cast("long").alias("w"),
+            )
         )
 
-    return shared_persist(spark, build, f"triangle_edges:{sf_dir}")
+    return shared_persist(spark, build, f"triangle_edges_weighted:{sf_dir}")
+
+
+def _part_cooccur_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(x, y) undirected part co-occurrence edges — THE graph the
+    triangle/clustering/degree/component queries analyze: a thin
+    projection over the session-cached weighted edge build (no second
+    persist — the projection reads the already-materialized parent, so
+    all consumers still share ONE copy of the self-join's output)."""
+    return _part_cooccur_edges_weighted(spark, sf_dir).select("x", "y")
 
 
 def _part_graph_degrees(e: DataFrame) -> DataFrame:
@@ -1189,4 +1203,86 @@ def parts_triangle_participation_by_degree(
         (F.sum("p").cast("double") / F.count(F.lit(1))).alias(
             "participation_share"
         ),
+    )
+
+
+@query(
+    "parts_graph_edge_weight_histogram",
+    oracle=f"""
+    WITH op AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS pk FROM lineitem
+    ),
+    e AS MATERIALIZED (
+      SELECT a.pk AS a, b.pk AS b, CAST(COUNT(*) AS BIGINT) AS w
+      FROM op a JOIN op b ON a.o = b.o AND a.pk < b.pk
+      GROUP BY 1, 2 HAVING COUNT(*) >= {TRI_MIN_SHARED}
+    ),
+    h AS (
+      SELECT w AS weight, CAST(COUNT(*) AS BIGINT) AS n_edges
+      FROM e GROUP BY 1
+    ),
+    t AS (
+      SELECT CAST(SUM(n_edges) AS BIGINT) AS total_edges,
+             CAST(SUM(weight * n_edges) AS BIGINT) AS total_weight
+      FROM h
+    )
+    SELECT h.weight, h.n_edges,
+           CAST(h.n_edges AS DOUBLE) / t.total_edges AS edge_share,
+           CAST(h.weight * h.n_edges AS DOUBLE) / t.total_weight
+             AS weight_share,
+           CAST(CAST(SUM(h.n_edges) OVER (ORDER BY h.weight
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS DOUBLE)
+             / t.total_edges AS cum_edge_share
+    FROM h CROSS JOIN t
+    """,
+    tags=("graph", "histogram", "stats"),
+)
+def parts_graph_edge_weight_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Edge-WEIGHT distribution of the part co-occurrence graph: per
+    exact shared-order count w (the edge weight the TRI_MIN_SHARED ≥ 2
+    floor thresholds), the edge count, its share of edges, its share of
+    total co-occurrence MASS, and the cumulative edge share in ascending
+    weight order — the read that justifies (or moves) the edge floor
+    itself: a mass curve dominated by weight-2 edges says the graph the
+    triangle/clustering tier analyzes is mostly noise ties, while a fat
+    high-weight tail locates the genuinely-bundled part pairs the
+    weighted k-hop tier routes through. The degree distribution reads
+    STRUCTURE; this reads STRENGTH.
+
+    Composes the session-cached WEIGHTED edge build (the parent slot the
+    unweighted `_part_cooccur_edges` projection feeds every other graph
+    query from — free after any of them ran this session; the weight
+    column finally consumed directly). One histogram fold over
+    edge-count-sized data to the |distinct weights|-row grid; the
+    share/cumulative windows run over the HISTOGRAM, never the edges
+    (weight domain is bounded by order-count co-membership, the same
+    domain-bounded premise as the degree histogram). Counts and masses
+    exact int64; each share is one IEEE division stated identically in
+    the oracle."""
+    e = _part_cooccur_edges_weighted(spark, sf_dir)
+    h = e.groupBy(F.col("w").alias("weight")).agg(
+        F.count(F.lit(1)).alias("n_edges")
+    )
+    t = h.agg(
+        F.sum("n_edges").alias("total_edges"),
+        F.sum(F.col("weight") * F.col("n_edges")).alias("total_weight"),
+    )
+    cum = Window.orderBy("weight").rowsBetween(Window.unboundedPreceding, 0)
+    return h.crossJoin(F.broadcast(t)).select(
+        "weight",
+        "n_edges",
+        (F.col("n_edges").cast("double") / F.col("total_edges")).alias(
+            "edge_share"
+        ),
+        (
+            (F.col("weight") * F.col("n_edges")).cast("double")
+            / F.col("total_weight")
+        ).alias("weight_share"),
+        (
+            F.sum("n_edges").over(cum).cast("long").cast("double")
+            / F.col("total_edges")
+        ).alias("cum_edge_share"),
     )

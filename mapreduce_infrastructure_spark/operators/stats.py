@@ -2062,9 +2062,10 @@ def customer_order_gap_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
 # streaming/stream.py); the decorator already passes it directly.
 
 
-@query(
-    "order_linecount_distribution",
-    oracle="""
+# Shared with the streaming twin in streaming/stream.py: one statement of
+# the per-order fold, the histogram cells and the share/cumulative
+# divisions, so batch and stream cannot drift.
+ORDER_LINECOUNT_ORACLE = """
     WITH c AS (
       SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS k
       FROM lineitem GROUP BY 1
@@ -2085,30 +2086,15 @@ def customer_order_gap_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
                      AS BIGINT) AS DOUBLE)
              / CAST(SUM(n_orders) OVER () AS BIGINT) AS cum_order_share
     FROM h
-    """,
-    tags=("tpch", "stats", "histogram", "skew"),
-)
-def order_linecount_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The FULL fan-out distribution of the l_orderkey join: per
-    lines-per-order value, how many orders have exactly that many lines,
-    that cell's share of all orders, its share of total LINE mass, and
-    the cumulative order share in ascending fan-out order — the
-    distribution behind `join_key_skew_report`'s summary stats (max/mean
-    /hot-count say WHETHER the orders⋈lineitem join is skewed; this says
-    HOW the fan-out is shaped, which is what sizes AQE advisory
-    partitions, bucketing fan-in, and the per-order state a stream-stream
-    join must hold). The same shape reads any parent→child fan-out.
+    """
 
-    Plan at 100 TB: one per-order count fold (partial map-side, keyed by
-    the join key itself) then ONE histogram fold over order-count-sized
-    data to the |distinct fan-outs|-row grid — domain-bounded (an order
-    has a bounded line count by schema policy), so the share/cumulative
-    windows run over the HISTOGRAM, never the facts (the
-    `hist_cume_counts` exemption shape: the window's order column is the
-    upstream aggregate's key). Counts and line masses exact int64; each
-    share is one IEEE division stated identically in the oracle."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
-    c = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("k"))
+
+def _linecount_report(c: DataFrame) -> DataFrame:
+    """Histogram + shares + ascending cumulative over a per-order
+    line-count frame (column ``k``) — the shared tail of
+    order_linecount_distribution and its streaming twin, so the two
+    derivations cannot drift. All windows run over the |distinct
+    fan-outs|-row histogram, never the per-order rows."""
     h = c.groupBy(F.col("k").alias("lines_per_order")).agg(
         F.count(F.lit(1)).alias("n_orders")
     )
@@ -2134,3 +2120,34 @@ def order_linecount_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_orders").over(whole).cast("long")
         ).alias("cum_order_share"),
     )
+
+
+@query(
+    "order_linecount_distribution",
+    oracle=ORDER_LINECOUNT_ORACLE,
+    tags=("tpch", "stats", "histogram", "skew"),
+)
+def order_linecount_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL fan-out distribution of the l_orderkey join: per
+    lines-per-order value, how many orders have exactly that many lines,
+    that cell's share of all orders, its share of total LINE mass, and
+    the cumulative order share in ascending fan-out order — the
+    distribution behind `join_key_skew_report`'s summary stats (max/mean
+    /hot-count say WHETHER the orders⋈lineitem join is skewed; this says
+    HOW the fan-out is shaped, which is what sizes AQE advisory
+    partitions, bucketing fan-in, and the per-order state a stream-stream
+    join must hold). The same shape reads any parent→child fan-out.
+
+    Plan at 100 TB: one per-order count fold (partial map-side, keyed by
+    the join key itself) then ONE histogram fold over order-count-sized
+    data to the |distinct fan-outs|-row grid — domain-bounded (an order
+    has a bounded line count by schema policy), so the share/cumulative
+    windows run over the HISTOGRAM, never the facts (the
+    `hist_cume_counts` exemption shape: the window's order column is the
+    upstream aggregate's key). Counts and line masses exact int64; each
+    share is one IEEE division stated identically in the oracle."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    c = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("k"))
+    # Histogram + shares + cumulative live in the shared _linecount_report
+    # tail (the streaming twin runs the same derivation over its sink).
+    return _linecount_report(c)

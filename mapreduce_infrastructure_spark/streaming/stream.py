@@ -2264,6 +2264,40 @@ def stream_discount_band_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stream_order_linecount_distribution",
+    oracle=None,  # set below — shares the batch twin's oracle verbatim
+    tags=("streaming", "tpch", "stats", "histogram", "skew"),
+)
+def stream_order_linecount_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The l_orderkey fan-out distribution maintained INCREMENTALLY —
+    the streaming twin of stats.order_linecount_distribution, same
+    oracle verbatim (the shared ORDER_LINECOUNT_ORACLE constant): LIVE
+    join-fan-out telemetry, so a pipeline sizing stream-stream join
+    state or AQE advisory partitions watches the distribution form as
+    lines arrive instead of profiling a finished table. The row-volume
+    work is ONE order-keyed incremental hash aggregate (running line
+    count per order — the per-key int64 state shape of
+    stream_part_demand_concentration; state scales with |orders|, the
+    same bound as any per-order stream-stream join). The histogram,
+    shares and cumulative are not incrementally expressible (one new
+    line moves an order BETWEEN cells), so they run POST-SINK via the
+    batch twin's shared `_linecount_report` tail over the persisted
+    sink table — string-identity oracle, function-identity derivation."""
+    from ..llm.cache import tracked_persist
+    from ..operators.stats import _linecount_report
+
+    li = stream_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    g_s = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("k"))
+    c = tracked_persist(
+        run_to_table(g_s, "stream_order_linecounts", mode="complete"),
+        f"stream_order_linecounts:{sf_dir}",
+    )
+    return _linecount_report(c)
+
+
 # Late-bind the shared oracles (import at module top would be circular-prone
 # and the constants live beside their batch twins).
 from ..operators.temporal import BACKLOG_ORACLE as _BL_ORACLE  # noqa: E402
@@ -2276,6 +2310,7 @@ from ..operators.relational import Q1_ORACLE as _Q1_ORACLE  # noqa: E402
 from ..operators.tpch_extra import DISCOUNT_BAND_ORACLE as _DB_ORACLE  # noqa: E402
 from ..operators.tpch_extra import LEADTIME_WEEKLY_ORACLE as _LW_ORACLE  # noqa: E402
 from ..llm.text import DOC_TOKEN_CONCENTRATION_ORACLE as _DTC_ORACLE  # noqa: E402
+from ..operators.stats import ORDER_LINECOUNT_ORACLE as _OLC_ORACLE  # noqa: E402
 from ..operators.stats import PART_DEMAND_ORACLE as _PD_ORACLE  # noqa: E402
 from ..operators.tpch_extra import RETURN_RATE_ORACLE as _RR_ORACLE  # noqa: E402
 from ..operators.tpch_extra import TRADE_MATRIX_ORACLE as _TM_ORACLE  # noqa: E402
@@ -2294,3 +2329,4 @@ _REG["stream_part_demand_concentration"].oracle = _PD_ORACLE
 _REG["stream_doc_token_concentration"].oracle = _DTC_ORACLE
 _REG["stream_orders_priority_mix_drift"].oracle = _OPM_ORACLE
 _REG["stream_discount_band_margin"].oracle = _DB_ORACLE
+_REG["stream_order_linecount_distribution"].oracle = _OLC_ORACLE

@@ -443,3 +443,49 @@ def test_parts_triangle_participation_scalar_reference(spark, sf_dir):
         assert row.n_in_triangle <= row.n_nodes
         if d == 1:
             assert row.n_in_triangle == 0
+
+
+def test_parts_edge_weight_histogram_scalar_reference(spark, sf_dir):
+    """Python recount of the edge-weight histogram: same pair counts and
+    TRI_MIN_SHARED floor, same one-division shares, mass identity
+    Σ weight·n_edges = total co-occurrence mass, cumulative ends at 1."""
+    from itertools import combinations
+
+    import pyarrow.parquet as pq
+
+    from mapreduce_infrastructure_spark.operators.graph import (
+        TRI_MIN_SHARED,
+        parts_graph_edge_weight_histogram,
+    )
+
+    li = pq.read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).to_pydict()
+    by_order = {}
+    for o, p in zip(li["l_orderkey"], li["l_partkey"]):
+        by_order.setdefault(o, set()).add(p)
+    pair_counts = {}
+    for parts in by_order.values():
+        for a, b in combinations(sorted(parts), 2):
+            pair_counts[(a, b)] = pair_counts.get((a, b), 0) + 1
+    weights = [n for n in pair_counts.values() if n >= TRI_MIN_SHARED]
+    hist = {}
+    for w in weights:
+        hist[w] = hist.get(w, 0) + 1
+    got = {
+        r.weight: r
+        for r in parts_graph_edge_weight_histogram(spark, sf_dir).collect()
+    }
+    assert set(got) == set(hist)
+    total_edges = len(weights)
+    total_mass = sum(weights)
+    cum = 0
+    for w in sorted(hist):
+        n = hist[w]
+        cum += n
+        row = got[w]
+        assert row.n_edges == n
+        assert row.edge_share == n / total_edges
+        assert row.weight_share == (w * n) / total_mass
+        assert row.cum_edge_share == cum / total_edges
+    assert got[max(hist)].cum_edge_share == 1.0

@@ -1203,3 +1203,33 @@ def test_stream_discount_band_matches_batch_twin(spark, sf_dir):
         qs["stream_discount_band_margin"].oracle
         is qs["discount_band_margin_report"].oracle
     )
+
+
+def test_stream_order_linecount_matches_batch_twin(spark, sf_dir):
+    """The streaming fan-out distribution must equal the batch twin
+    exactly (shared ORDER_LINECOUNT_ORACLE constant + the shared
+    _linecount_report tail): same cells, same shares, same cumulative."""
+    from mapreduce_infrastructure_spark.operators.stats import (
+        order_linecount_distribution,
+    )
+    from mapreduce_infrastructure_spark.streaming.stream import (
+        stream_order_linecount_distribution,
+    )
+
+    cols = "n_orders n_lines order_share line_share cum_order_share".split()
+    batch = {
+        r.lines_per_order: tuple(getattr(r, c) for c in cols)
+        for r in order_linecount_distribution(spark, sf_dir).collect()
+    }
+    stream = {
+        r.lines_per_order: tuple(getattr(r, c) for c in cols)
+        for r in stream_order_linecount_distribution(spark, sf_dir).collect()
+    }
+    assert stream == batch
+    from mapreduce_infrastructure_spark.registry import all_queries
+
+    qs = all_queries()
+    assert (
+        qs["stream_order_linecount_distribution"].oracle
+        is qs["order_linecount_distribution"].oracle
+    )

@@ -1630,3 +1630,51 @@ def test_doc_len_quality_matrix_scalar_reference(spark, sf_dir):
         assert r.decile_total == row_tot[d]
         assert r.row_share == c / row_tot[d]
     assert sum(r.n_docs for r in got.values()) == len(docs)
+
+
+def test_token_weighted_length_percentiles_scalar_reference(spark, sf_dir):
+    """Python recount of the weighted-rank form: per source, w50/w90 are
+    the smallest lengths whose tie-inclusive cumulative token-mass share
+    reaches q (same IEEE division), p50 the doc-count analogue, and the
+    weighted median never precedes the unweighted one."""
+    from mapreduce_infrastructure_spark.llm.text import (
+        source_token_weighted_length_percentiles,
+    )
+
+    got = {
+        r.source: r
+        for r in source_token_weighted_length_percentiles(
+            spark, sf_dir
+        ).collect()
+    }
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    ).to_pydict()
+    per_source: dict = {}
+    for source, text in zip(tbl["source"], tbl["text"]):
+        per_source.setdefault(source, []).append(len(_tokens(text)))
+    assert set(got) == set(per_source)
+
+    def pick(vals, weights, q):
+        tot = sum(weights)
+        cum = 0
+        for i, v in enumerate(vals):
+            cum += weights[i]
+            if i + 1 < len(vals) and vals[i + 1] == v:
+                continue
+            if cum / tot >= q:
+                return v
+        return None
+
+    for source, lens in per_source.items():
+        lens.sort()
+        r = got[source]
+        assert r.n_docs == len(lens)
+        assert r.total_tokens == sum(lens)
+        ones = [1] * len(lens)
+        assert r.p50_len == pick(lens, ones, 0.5)
+        assert r.w50_len == pick(lens, lens, 0.5)
+        assert r.w90_len == pick(lens, lens, 0.9)
+        # token mass concentrates in longer docs, so the weighted median
+        # cannot precede the unweighted one.
+        assert r.w50_len >= r.p50_len
