@@ -1399,9 +1399,10 @@ def customer_order_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-@query(
-    "customer_revenue_concentration",
-    oracle="""
+# Shared with the streaming twin in streaming/stream.py: one statement of
+# the exact-cents per-customer fold, the five percentile_disc thresholds
+# and the value-based membership fold, so batch and stream cannot drift.
+CUSTOMER_REV_CONCENTRATION_ORACLE = """
     WITH cm AS (
       SELECT o_custkey,
              CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
@@ -1432,34 +1433,21 @@ def customer_order_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFram
              / CAST(CAST(SUM(c.cents) AS BIGINT) AS DOUBLE) AS revenue_share
     FROM th t CROSS JOIN cm c
     GROUP BY 1, 2
-    """,
-    tags=("stats", "percentile", "iterative", "concentration"),
-)
-def customer_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Revenue-concentration report (the Pareto read every growth team
-    runs): for spend-percentile checkpoints p ∈ {50, 75, 90, 95, 99},
-    the EXACT spend threshold at that percentile and the customer count
-    and revenue share at-or-above it — "the top decile of customers
-    carries X% of revenue". Membership is VALUE-based (spend ≥ the exact
-    percentile_disc threshold), so ties at a boundary land on one
-    deterministic side in both engines — unlike ntile/top-k%-by-rank,
-    whose tie-splitting is engine-arbitrary.
+    """
 
-    Scale shape: the five thresholds come from `kth_order_statistic`
-    range narrowing over the cached per-customer spend projection (the
-    same unbounded-domain primitive and cache slot as
-    `exact_customer_spend_percentiles` — thresholds over row-scale
-    sums have no histogram closed form), then ONE distributed fold:
-    spend × broadcast 5-row threshold grid, grouped by checkpoint —
-    every group sees all customers, so SUM(cents) per group IS the
-    denominator and the share divides two exact int64 sums. No sort, no
-    ntile window, no driver-side aggregation. The oracle's global
-    row_number is fine at oracle scale."""
+
+def _revenue_concentration_report(
+    spark: SparkSession, cm: DataFrame
+) -> DataFrame:
+    """Five-checkpoint concentration report over a per-customer exact-cents
+    frame (column ``cents``) — the shared tail of
+    customer_revenue_concentration and its streaming twin, so the two
+    derivations cannot drift: `kth_order_statistic` narrowing for the
+    thresholds, then ONE fold against the broadcast 5-row grid."""
     import math
 
     from ..functions.ranks import kth_order_statistic
 
-    cm = _cust_spend_cents(spark, sf_dir)
     n = cm.count()
     grid = spark.createDataFrame(
         [
@@ -1486,6 +1474,37 @@ def customer_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFram
             / F.col("_total").cast("double")
         ).alias("revenue_share"),
     )
+
+
+@query(
+    "customer_revenue_concentration",
+    oracle=CUSTOMER_REV_CONCENTRATION_ORACLE,
+    tags=("stats", "percentile", "iterative", "concentration"),
+)
+def customer_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration report (the Pareto read every growth team
+    runs): for spend-percentile checkpoints p ∈ {50, 75, 90, 95, 99},
+    the EXACT spend threshold at that percentile and the customer count
+    and revenue share at-or-above it — "the top decile of customers
+    carries X% of revenue". Membership is VALUE-based (spend ≥ the exact
+    percentile_disc threshold), so ties at a boundary land on one
+    deterministic side in both engines — unlike ntile/top-k%-by-rank,
+    whose tie-splitting is engine-arbitrary.
+
+    Scale shape: the five thresholds come from `kth_order_statistic`
+    range narrowing over the cached per-customer spend projection (the
+    same unbounded-domain primitive and cache slot as
+    `exact_customer_spend_percentiles` — thresholds over row-scale
+    sums have no histogram closed form), then ONE distributed fold:
+    spend × broadcast 5-row threshold grid, grouped by checkpoint —
+    every group sees all customers, so SUM(cents) per group IS the
+    denominator and the share divides two exact int64 sums. No sort, no
+    ntile window, no driver-side aggregation. The oracle's global
+    row_number is fine at oracle scale. Thresholds + fold live in the
+    shared _revenue_concentration_report tail (the streaming twin runs
+    the same derivation over its sink table)."""
+    cm = _cust_spend_cents(spark, sf_dir)
+    return _revenue_concentration_report(spark, cm)
 
 
 @query(
@@ -2151,3 +2170,165 @@ def order_linecount_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Histogram + shares + cumulative live in the shared _linecount_report
     # tail (the streaming twin runs the same derivation over its sink).
     return _linecount_report(c)
+
+
+@query(
+    "customer_balance_spend_matrix",
+    oracle="""
+    WITH cm AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    b AS (
+      SELECT CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents,
+             COALESCE(cm.cents, 0) AS spend_cents
+      FROM customer c LEFT JOIN cm ON c.c_custkey = cm.o_custkey
+    ),
+    r1 AS (
+      SELECT bal_cents AS v, row_number() OVER (ORDER BY bal_cents) AS rn,
+             COUNT(*) OVER () AS n
+      FROM b
+    ),
+    t1 AS (
+      SELECT g.q,
+             MAX(CASE WHEN rn = greatest(1, CAST(ceil(g.q / 5.0 * n)
+                                                 AS BIGINT))
+                      THEN v END) AS t
+      FROM (SELECT unnest([1, 2, 3, 4]) AS q) g CROSS JOIN r1 GROUP BY 1
+    ),
+    t1p AS (
+      SELECT MAX(CASE WHEN q = 1 THEN t END) AS a1,
+             MAX(CASE WHEN q = 2 THEN t END) AS a2,
+             MAX(CASE WHEN q = 3 THEN t END) AS a3,
+             MAX(CASE WHEN q = 4 THEN t END) AS a4
+      FROM t1
+    ),
+    r2 AS (
+      SELECT spend_cents AS v, row_number() OVER (ORDER BY spend_cents) AS rn,
+             COUNT(*) OVER () AS n
+      FROM b
+    ),
+    t2 AS (
+      SELECT g.q,
+             MAX(CASE WHEN rn = greatest(1, CAST(ceil(g.q / 5.0 * n)
+                                                 AS BIGINT))
+                      THEN v END) AS t
+      FROM (SELECT unnest([1, 2, 3, 4]) AS q) g CROSS JOIN r2 GROUP BY 1
+    ),
+    t2p AS (
+      SELECT MAX(CASE WHEN q = 1 THEN t END) AS b1,
+             MAX(CASE WHEN q = 2 THEN t END) AS b2,
+             MAX(CASE WHEN q = 3 THEN t END) AS b3,
+             MAX(CASE WHEN q = 4 THEN t END) AS b4
+      FROM t2
+    ),
+    m AS (
+      SELECT 1 + (CASE WHEN b.bal_cents > t1p.a1 THEN 1 ELSE 0 END)
+               + (CASE WHEN b.bal_cents > t1p.a2 THEN 1 ELSE 0 END)
+               + (CASE WHEN b.bal_cents > t1p.a3 THEN 1 ELSE 0 END)
+               + (CASE WHEN b.bal_cents > t1p.a4 THEN 1 ELSE 0 END)
+               AS bal_quintile,
+             1 + (CASE WHEN b.spend_cents > t2p.b1 THEN 1 ELSE 0 END)
+               + (CASE WHEN b.spend_cents > t2p.b2 THEN 1 ELSE 0 END)
+               + (CASE WHEN b.spend_cents > t2p.b3 THEN 1 ELSE 0 END)
+               + (CASE WHEN b.spend_cents > t2p.b4 THEN 1 ELSE 0 END)
+               AS spend_quintile
+      FROM b CROSS JOIN t1p CROSS JOIN t2p
+    ),
+    g AS (
+      SELECT bal_quintile, spend_quintile,
+             CAST(COUNT(*) AS BIGINT) AS n_customers
+      FROM m GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT bal_quintile, CAST(SUM(n_customers) AS BIGINT) AS n_bal
+      FROM g GROUP BY 1
+    )
+    SELECT CAST(g.bal_quintile AS BIGINT) AS bal_quintile,
+           CAST(g.spend_quintile AS BIGINT) AS spend_quintile,
+           g.n_customers, tot.n_bal,
+           CAST(g.n_customers AS DOUBLE) / tot.n_bal AS row_share
+    FROM g JOIN tot ON g.bal_quintile = tot.bal_quintile
+    """,
+    tags=("tpch", "stats", "matrix", "iterative"),
+)
+def customer_balance_spend_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stated-balance × realized-spend quintile matrix — the migration
+    shape applied ACROSS DIMENSIONS instead of across time: every
+    customer gets an account-balance quintile and a lifetime-spend
+    quintile (never-ordered customers count as spend 0 — the left join
+    the question demands: a credit line nobody draws IS the finding),
+    and the ≤25-cell matrix with each cell's share of its balance row
+    answers whether the attribute you have at onboarding (c_acctbal)
+    predicts the behavior you care about (spend) — a diagonal-heavy
+    matrix says balance-tiered treatment is safe, a flat one says it is
+    noise. Completes the matrix family: the migrations cross one
+    dimension with itself over time; this crosses two dimensions at one
+    time.
+
+    Both quintile dimensions quantize to EXACT integer grids before any
+    rank comparison (balance to cents by the same floor(x·100+0.5) as
+    every money column — negatives floor correctly in both engines;
+    spend is already exact cents from the shared per-customer fold), the
+    ppm/cents discipline that keeps FP out of ordering. The 4+4
+    thresholds use `kth_order_statistic` narrowing over the cached
+    customer-count-sized projection (both domains unbounded — balances
+    and per-key sums have row-scale cardinality, no histogram closed
+    form); assignment is value-based (1 + Σ v > tₖ), then ONE ≤25-cell
+    fold and a broadcast ≤5-row total join. The spend side REUSES the
+    session-cached `_cust_spend_cents` slot (third consumer). The
+    oracle's global row_number CTEs are fine at oracle scale."""
+    import math
+
+    from ..functions.ranks import kth_order_statistic
+    from ..llm.cache import tracked_persist
+
+    cm = _cust_spend_cents(spark, sf_dir)
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("bal_cents"),
+    )
+    b = tracked_persist(
+        c.join(cm, c.c_custkey == cm.o_custkey, "left").select(
+            "bal_cents",
+            F.coalesce(F.col("cents"), F.lit(0)).alias("spend_cents"),
+        ),
+        f"cust_bal_spend:{sf_dir}",
+    )
+    n = b.count()
+    th = {
+        col: [
+            kth_order_statistic(b, col, max(1, math.ceil(k / 5.0 * n)))
+            for k in (1, 2, 3, 4)
+        ]
+        for col in ("bal_cents", "spend_cents")
+    }
+
+    def quintile(col: str) -> F.Column:
+        q = F.lit(1)
+        for t in th[col]:
+            q = q + F.when(F.col(col) > F.lit(t), 1).otherwise(0)
+        return q.cast("long")
+
+    g = (
+        b.select(
+            quintile("bal_cents").alias("bal_quintile"),
+            quintile("spend_cents").alias("spend_quintile"),
+        )
+        .groupBy("bal_quintile", "spend_quintile")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    tot = g.groupBy("bal_quintile").agg(F.sum("n_customers").alias("n_bal"))
+    return g.join(F.broadcast(tot), "bal_quintile").select(
+        "bal_quintile",
+        "spend_quintile",
+        "n_customers",
+        "n_bal",
+        (F.col("n_customers").cast("double") / F.col("n_bal")).alias(
+            "row_share"
+        ),
+    )

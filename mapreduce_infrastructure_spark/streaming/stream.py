@@ -2298,6 +2298,42 @@ def stream_order_linecount_distribution(
     return _linecount_report(c)
 
 
+@query(
+    "stream_customer_revenue_concentration",
+    oracle=None,  # set below — shares the batch twin's oracle verbatim
+    tags=("streaming", "stats", "percentile", "iterative", "concentration"),
+)
+def stream_customer_revenue_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The customer revenue-concentration report maintained
+    INCREMENTALLY — the streaming twin of
+    stats.customer_revenue_concentration, same oracle verbatim (the
+    shared CUSTOMER_REV_CONCENTRATION_ORACLE constant): the LIVE whale
+    watch — as orders stream in, which spend percentile carries how much
+    of revenue right now. The row-volume work is ONE customer-keyed
+    incremental hash aggregate (running exact-cents spend per customer —
+    per-key int64 state, |customers|-bounded, the same state shape as
+    stream_part_demand_concentration). The five thresholds and the
+    membership fold are not incrementally expressible (one new order can
+    shift every rank), so they run POST-SINK via the batch twin's shared
+    `_revenue_concentration_report` tail over the persisted sink table —
+    string-identity oracle, function-identity derivation."""
+    from ..llm.cache import tracked_persist
+    from ..operators.stats import _revenue_concentration_report
+
+    o = stream_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    g_s = o.groupBy("o_custkey").agg(F.sum(cents).alias("cents"))
+    cm = tracked_persist(
+        run_to_table(g_s, "stream_cust_spend", mode="complete"),
+        f"stream_cust_spend_cents:{sf_dir}",
+    )
+    return _revenue_concentration_report(spark, cm)
+
+
 # Late-bind the shared oracles (import at module top would be circular-prone
 # and the constants live beside their batch twins).
 from ..operators.temporal import BACKLOG_ORACLE as _BL_ORACLE  # noqa: E402
@@ -2310,6 +2346,7 @@ from ..operators.relational import Q1_ORACLE as _Q1_ORACLE  # noqa: E402
 from ..operators.tpch_extra import DISCOUNT_BAND_ORACLE as _DB_ORACLE  # noqa: E402
 from ..operators.tpch_extra import LEADTIME_WEEKLY_ORACLE as _LW_ORACLE  # noqa: E402
 from ..llm.text import DOC_TOKEN_CONCENTRATION_ORACLE as _DTC_ORACLE  # noqa: E402
+from ..operators.stats import CUSTOMER_REV_CONCENTRATION_ORACLE as _CRC_ORACLE  # noqa: E402
 from ..operators.stats import ORDER_LINECOUNT_ORACLE as _OLC_ORACLE  # noqa: E402
 from ..operators.stats import PART_DEMAND_ORACLE as _PD_ORACLE  # noqa: E402
 from ..operators.tpch_extra import RETURN_RATE_ORACLE as _RR_ORACLE  # noqa: E402
@@ -2330,3 +2367,4 @@ _REG["stream_doc_token_concentration"].oracle = _DTC_ORACLE
 _REG["stream_orders_priority_mix_drift"].oracle = _OPM_ORACLE
 _REG["stream_discount_band_margin"].oracle = _DB_ORACLE
 _REG["stream_order_linecount_distribution"].oracle = _OLC_ORACLE
+_REG["stream_customer_revenue_concentration"].oracle = _CRC_ORACLE

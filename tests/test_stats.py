@@ -1696,3 +1696,60 @@ def test_order_linecount_distribution_scalar_reference(spark, sf_dir):
         assert r.order_share == c / tot_orders
         assert r.line_share == (k * c) / tot_lines
         assert r.cum_order_share == cum / tot_orders
+
+
+def test_customer_balance_spend_matrix_scalar_reference(spark, sf_dir):
+    """Python recount of the cross-dimension quintile matrix: same cents
+    grids (negative balances floor the same way), same max(1, ceil(q*n))
+    thresholds, same value-based assignment, never-ordered customers as
+    spend 0, mass law: cells sum to |customers|."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from mapreduce_infrastructure_spark.operators.stats import (
+        customer_balance_spend_matrix,
+    )
+
+    got = {
+        (r.bal_quintile, r.spend_quintile): r
+        for r in customer_balance_spend_matrix(spark, sf_dir).collect()
+    }
+    o = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).to_pydict()
+    spend: dict = {}
+    for ck, tp in zip(o["o_custkey"], o["o_totalprice"]):
+        spend[ck] = spend.get(ck, 0) + math.floor(tp * 100 + 0.5)
+    c = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"]
+    ).to_pydict()
+    rows = [
+        (math.floor(ab * 100 + 0.5), spend.get(ck, 0))
+        for ck, ab in zip(c["c_custkey"], c["c_acctbal"])
+    ]
+    n = len(rows)
+
+    def thresholds(vals):
+        vals = sorted(vals)
+        return [
+            vals[max(1, math.ceil(k / 5.0 * n)) - 1] for k in (1, 2, 3, 4)
+        ]
+
+    tb = thresholds([b for b, _s in rows])
+    ts = thresholds([s for _b, s in rows])
+    want: dict = {}
+    for bal, sp in rows:
+        qb = 1 + sum(1 for t in tb if bal > t)
+        qs = 1 + sum(1 for t in ts if sp > t)
+        want[(qb, qs)] = want.get((qb, qs), 0) + 1
+    row_tot: dict = {}
+    for (qb, _qs), cnt in want.items():
+        row_tot[qb] = row_tot.get(qb, 0) + cnt
+    assert set(got) == set(want)
+    for (qb, qs), cnt in want.items():
+        r = got[(qb, qs)]
+        assert r.n_customers == cnt
+        assert r.n_bal == row_tot[qb]
+        assert r.row_share == cnt / row_tot[qb]
+    assert sum(r.n_customers for r in got.values()) == n

@@ -1233,3 +1233,38 @@ def test_stream_order_linecount_matches_batch_twin(spark, sf_dir):
         qs["stream_order_linecount_distribution"].oracle
         is qs["order_linecount_distribution"].oracle
     )
+
+
+def test_stream_customer_revenue_concentration_matches_batch_twin(
+    spark, sf_dir
+):
+    """The streaming whale-watch report must equal the batch twin
+    exactly (shared CUSTOMER_REV_CONCENTRATION_ORACLE constant + the
+    shared _revenue_concentration_report tail): same exact thresholds,
+    same membership counts, same one-division shares."""
+    from mapreduce_infrastructure_spark.operators.stats import (
+        customer_revenue_concentration,
+    )
+    from mapreduce_infrastructure_spark.streaming.stream import (
+        stream_customer_revenue_concentration,
+    )
+
+    cols = "threshold_cents n_customers revenue_cents revenue_share".split()
+    batch = {
+        r.pct: tuple(getattr(r, c) for c in cols)
+        for r in customer_revenue_concentration(spark, sf_dir).collect()
+    }
+    stream = {
+        r.pct: tuple(getattr(r, c) for c in cols)
+        for r in stream_customer_revenue_concentration(
+            spark, sf_dir
+        ).collect()
+    }
+    assert stream == batch
+    from mapreduce_infrastructure_spark.registry import all_queries
+
+    qs = all_queries()
+    assert (
+        qs["stream_customer_revenue_concentration"].oracle
+        is qs["customer_revenue_concentration"].oracle
+    )
