@@ -1850,3 +1850,147 @@ from ..registry import _REGISTRY as _REG  # noqa: E402
 _REG["events_user_lifetime_span_percentiles"].oracle = (
     USER_LIFETIME_SPAN_ORACLE
 )
+
+
+@query(
+    "event_transition_mix_drift",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, ts, event_type,
+             CAST(epoch_us(ts) AS BIGINT) // 1000000 // 86400 AS day
+      FROM events
+    ),
+    r AS (
+      SELECT day, row_number() OVER (ORDER BY day) AS rn,
+             COUNT(*) OVER () AS n
+      FROM e
+    ),
+    mid AS (
+      SELECT MAX(CASE WHEN rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+                      THEN day END) AS d
+      FROM r
+    ),
+    seq AS (
+      SELECT event_type AS to_type, day,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS from_type
+      FROM e
+    ),
+    h AS (
+      SELECT s.from_type, s.to_type,
+             CASE WHEN s.day <= mid.d THEN 1 ELSE 2 END AS half
+      FROM seq s CROSS JOIN mid
+      WHERE s.from_type IS NOT NULL
+    ),
+    c AS (
+      SELECT half, from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM h GROUP BY 1, 2, 3
+    ),
+    t AS (
+      SELECT half, from_type, CAST(SUM(n) AS BIGINT) AS from_total
+      FROM c GROUP BY 1, 2
+    )
+    SELECT c2.from_type, c2.to_type, c2.n AS n2,
+           t2.from_total AS from_total2,
+           CAST(c2.n AS DOUBLE) / t2.from_total AS share2,
+           c1.n AS n1,
+           CASE WHEN c1.n IS NOT NULL THEN
+             (c2.n - CAST(c1.n AS DOUBLE) * t2.from_total / t1.from_total)
+             * (c2.n - CAST(c1.n AS DOUBLE) * t2.from_total / t1.from_total)
+             / (CAST(c1.n AS DOUBLE) * t2.from_total / t1.from_total)
+           END AS chi2_term
+    FROM c c2
+    JOIN t t2 ON t2.half = 2 AND t2.from_type = c2.from_type
+    LEFT JOIN c c1 ON c1.half = 1 AND c1.from_type = c2.from_type
+                  AND c1.to_type = c2.to_type
+    LEFT JOIN t t1 ON t1.half = 1 AND t1.from_type = c2.from_type
+    WHERE c2.half = 2
+    """,
+    tags=("events", "sequence", "markov", "drift", "iterative"),
+)
+def event_transition_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENCE-level drift: split the event timeline at its exact
+    median epoch-day (by event count), count (from_type → to_type)
+    transitions per half — a transition belongs to the half of the event
+    COMPLETING it — and report, per half-2 cell, its count, its share of
+    its from_type row, the half-1 count, and the chi-square term of the
+    half-2 count against the expectation extrapolated from half-1's
+    CONDITIONAL mix (e = p₁(to|from) · half-2 from-total). Completes the
+    drift family a composition alarm cannot: `event_mix_weekly_drift`
+    sees WHAT users do shift, this sees the ORDER they do it in shift —
+    a stable event mix with a drifting transition matrix is exactly the
+    funnel-reordering signature (same actions, different paths) that
+    breaks next-action models trained on half-1 sequences. Cells absent
+    from half 1 get NULL n1/chi2 (first-observed transitions — the
+    weekly-drift NULL convention); cells that vanished by half 2 drop
+    (the matrix reports the CURRENT mix).
+
+    Plan: ONE narrower pass for the median split day
+    (`kth_order_statistic` over the cached per-event day column —
+    calendar-bounded domain, 1–3 census rounds), ONE user-keyed lag
+    shuffle for adjacency (unique (ts, event_id) total order, so the
+    pairing is engine-exact — the `event_transition_matrix` build), then
+    a ≤2·|types|²-cell fold; every remaining join is broadcast over
+    bounded cell tables. Per-cell IEEE chi2 terms over exact int64
+    counts, never summed engine-side; TZ-proof epoch-day integers."""
+    import math
+
+    from ..functions.ranks import kth_order_statistic
+    from ..llm.cache import tracked_persist
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr("unix_micros(ts) div 1000000 div 86400")
+    e = tracked_persist(
+        ev.select("user_id", "event_id", "ts", "event_type", day.alias("day")),
+        f"event_day_seq:{sf_dir}",
+    )
+    n = e.count()
+    mid = kth_order_statistic(e, "day", max(1, math.ceil(0.5 * n)))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        e.select(
+            F.col("event_type").alias("to_type"),
+            "day",
+            F.lag("event_type").over(w).alias("from_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+    )
+    c = (
+        seq.select(
+            "from_type",
+            "to_type",
+            F.when(F.col("day") <= mid, 1).otherwise(2).alias("half"),
+        )
+        .groupBy("half", "from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    c = tracked_persist(c, f"event_transition_halves:{sf_dir}")
+    t = c.groupBy("half", "from_type").agg(F.sum("n").alias("from_total"))
+    c2 = c.filter(F.col("half") == 2).select("from_type", "to_type", F.col("n").alias("n2"))
+    t2 = t.filter(F.col("half") == 2).select("from_type", F.col("from_total").alias("from_total2"))
+    c1 = c.filter(F.col("half") == 1).select("from_type", "to_type", F.col("n").alias("n1"))
+    t1 = t.filter(F.col("half") == 1).select("from_type", F.col("from_total").alias("from_total1"))
+    ex = (
+        F.col("n1").cast("double")
+        * F.col("from_total2")
+        / F.col("from_total1")
+    )
+    return (
+        c2.join(F.broadcast(t2), "from_type")
+        .join(F.broadcast(c1), ["from_type", "to_type"], "left")
+        .join(F.broadcast(t1), "from_type", "left")
+        .select(
+            "from_type",
+            "to_type",
+            "n2",
+            "from_total2",
+            (F.col("n2").cast("double") / F.col("from_total2")).alias(
+                "share2"
+            ),
+            "n1",
+            F.when(
+                F.col("n1").isNotNull(),
+                (F.col("n2") - ex) * (F.col("n2") - ex) / ex,
+            ).alias("chi2_term"),
+        )
+    )

@@ -1778,3 +1778,79 @@ def supplier_return_rate_migration(spark: SparkSession, sf_dir: str) -> DataFram
             "row_share"
         ),
     )
+
+
+@query(
+    "priority_leadtime_sla_profile",
+    oracle="""
+    WITH l AS (
+      SELECT o_orderpriority,
+             CAST(floor(epoch(l_shipdate)) AS BIGINT) // 86400
+             - CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS lag
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    ranked AS (
+      SELECT o_orderpriority, lag,
+             cume_dist() OVER (PARTITION BY o_orderpriority ORDER BY lag)
+               AS cd
+      FROM l
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           MIN(CASE WHEN cd >= 0.5 THEN lag END) AS p50_lag_days,
+           MIN(CASE WHEN cd >= 0.9 THEN lag END) AS p90_lag_days,
+           MIN(CASE WHEN cd >= 0.99 THEN lag END) AS p99_lag_days,
+           CAST(SUM(CASE WHEN lag > 90 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_late,
+           CAST(SUM(CASE WHEN lag > 90 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS late_share
+    FROM ranked GROUP BY 1
+    """,
+    tags=("tpch", "percentile", "quality"),
+)
+def priority_leadtime_sla_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-ORDER-PRIORITY lead-time SLA profile: exact p50/p90/p99
+    ship-lag days and the >90-day late share for each of the five
+    priority classes — does URGENT actually ship faster? The demand-side
+    complement of the supplier scorecard
+    (`supplier_leadtime_percentiles` localizes WHO is slow; this answers
+    whether the priority field MEANS anything operationally — the
+    question `orders_priority_mix_weekly_drift`'s early warning only
+    matters if it does). A flat p90 across priorities says the SLA knob
+    is disconnected; a fanned p99 with a flat p50 says priorities are
+    honored in the median and abandoned in the tail.
+
+    Exactness/scale: TZ-proof epoch-day integer lags; percentiles via
+    the count-value HISTOGRAM closed form (`hist_cume_counts` — the lag
+    domain is calendar-bounded however large the fact grows, and the
+    5-stratum partition key is safe BECAUSE the window input is the
+    histogram, the `supplier_leadtime_percentiles` form decision,
+    stated in the oracle as the equivalent cume_dist ≥ q). The late
+    counter folds from the same histogram cells (m rows at each lag), so
+    the whole report is one lineitem⋈orders shuffle + ONE
+    partial-aggregatable histogram fold; late_share is one IEEE division
+    of exact int64s per stratum."""
+    from ..functions.ranks import hist_cume_counts, hist_disc_percentile
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.expr("unix_micros(l_shipdate) div 1000000 div 86400").alias("dship"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.expr("unix_micros(o_orderdate) div 1000000 div 86400").alias("dord"),
+    )
+    l = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority", (F.col("dship") - F.col("dord")).alias("lag")
+    )
+    cume = hist_cume_counts(l, ["o_orderpriority"], "lag")
+    late_m = F.when(F.col("lag") > 90, F.col("m")).otherwise(0)
+    return cume.groupBy("o_orderpriority").agg(
+        F.sum("m").alias("n_lines"),
+        hist_disc_percentile("lag", 0.5, "p50_lag_days"),
+        hist_disc_percentile("lag", 0.9, "p90_lag_days"),
+        hist_disc_percentile("lag", 0.99, "p99_lag_days"),
+        F.sum(late_m).cast("long").alias("n_late"),
+        (F.sum(late_m).cast("double") / F.sum("m")).alias("late_share"),
+    )

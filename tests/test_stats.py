@@ -1753,3 +1753,118 @@ def test_customer_balance_spend_matrix_scalar_reference(spark, sf_dir):
         assert r.n_bal == row_tot[qb]
         assert r.row_share == cnt / row_tot[qb]
     assert sum(r.n_customers for r in got.values()) == n
+
+
+def test_event_transition_mix_drift_scalar_reference(spark, sf_dir):
+    """Python recount of the sequence drift: same median split day
+    (max(1, ceil(0.5*n)) order statistic), same (ts, event_id) adjacency,
+    destination-half attribution, and the weekly-drift NULL convention
+    on first-observed transitions."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from mapreduce_infrastructure_spark.operators.temporal import (
+        event_transition_mix_drift,
+    )
+
+    got = {
+        (r.from_type, r.to_type): r
+        for r in event_transition_mix_drift(spark, sf_dir).collect()
+    }
+    t = pq.read_table(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "event_type"],
+    ).to_pydict()
+    rows = [
+        (u, int(ts.timestamp() * 1_000_000), e, et)
+        for u, e, ts, et in zip(
+            t["user_id"], t["event_id"], t["ts"], t["event_type"]
+        )
+    ]
+    days = sorted(us // 1_000_000 // 86400 for _u, us, _e, _t in rows)
+    mid = days[max(1, math.ceil(0.5 * len(days))) - 1]
+    by_user: dict = {}
+    for u, us, e, et in rows:
+        by_user.setdefault(u, []).append((us, e, et, us // 1_000_000 // 86400))
+    cells: dict = {}
+    for seq in by_user.values():
+        seq.sort()
+        for prev, cur in zip(seq, seq[1:]):
+            half = 1 if cur[3] <= mid else 2
+            k = (half, prev[2], cur[2])
+            cells[k] = cells.get(k, 0) + 1
+    tot: dict = {}
+    for (h, f, _t2), n in cells.items():
+        tot[(h, f)] = tot.get((h, f), 0) + n
+    want = {
+        (f, t2): n for (h, f, t2), n in cells.items() if h == 2
+    }
+    assert set(got) == set(want)
+    for (f, t2), n2 in want.items():
+        r = got[(f, t2)]
+        assert r.n2 == n2
+        assert r.from_total2 == tot[(2, f)]
+        assert r.share2 == n2 / tot[(2, f)]
+        n1 = cells.get((1, f, t2))
+        if n1 is None:
+            assert r.n1 is None and r.chi2_term is None
+        else:
+            assert r.n1 == n1
+            e = float(n1) * tot[(2, f)] / tot[(1, f)]
+            assert r.chi2_term == (n2 - e) * (n2 - e) / e
+
+
+def test_priority_leadtime_sla_scalar_reference(spark, sf_dir):
+    """Python recount of the per-priority SLA profile: same epoch-day
+    lags, tie-inclusive cume_dist percentile selection, and the >90-day
+    late share as one division."""
+    import pyarrow.parquet as pq
+
+    from mapreduce_infrastructure_spark.operators.tpch_extra import (
+        priority_leadtime_sla_profile,
+    )
+
+    got = {
+        r.o_orderpriority: r
+        for r in priority_leadtime_sla_profile(spark, sf_dir).collect()
+    }
+    o = pq.read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_orderdate"],
+    ).to_pydict()
+    omap = {
+        k: (p, int(d.timestamp()) // 86400)
+        for k, p, d in zip(
+            o["o_orderkey"], o["o_orderpriority"], o["o_orderdate"]
+        )
+    }
+    li = pq.read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    ).to_pydict()
+    lags: dict = {}
+    for k, s in zip(li["l_orderkey"], li["l_shipdate"]):
+        p, dord = omap[k]
+        lags.setdefault(p, []).append(int(s.timestamp()) // 86400 - dord)
+
+    def pick(vals, q):
+        n = len(vals)
+        cum = 0
+        for i, v in enumerate(vals):
+            cum = i + 1
+            if i + 1 < n and vals[i + 1] == v:
+                continue
+            if cum / n >= q:
+                return v
+
+    assert set(got) == set(lags)
+    for p, vs in lags.items():
+        vs.sort()
+        r = got[p]
+        n_late = sum(1 for v in vs if v > 90)
+        assert r.n_lines == len(vs)
+        assert r.p50_lag_days == pick(vs, 0.5)
+        assert r.p90_lag_days == pick(vs, 0.9)
+        assert r.p99_lag_days == pick(vs, 0.99)
+        assert r.n_late == n_late
+        assert r.late_share == n_late / len(vs)
