@@ -1780,9 +1780,10 @@ def supplier_return_rate_migration(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-@query(
-    "priority_leadtime_sla_profile",
-    oracle="""
+# Shared with the streaming twin in streaming/stream.py: one statement of
+# the TZ-proof lag, the per-priority cume_dist ≥ q selection and the late
+# fold, so batch and stream cannot drift.
+PRIORITY_SLA_ORACLE = """
     WITH l AS (
       SELECT o_orderpriority,
              CAST(floor(epoch(l_shipdate)) AS BIGINT) // 86400
@@ -1805,7 +1806,50 @@ def supplier_return_rate_migration(spark: SparkSession, sf_dir: str) -> DataFram
            CAST(SUM(CASE WHEN lag > 90 THEN 1 ELSE 0 END) AS DOUBLE)
              / COUNT(*) AS late_share
     FROM ranked GROUP BY 1
-    """,
+    """
+
+
+def _priority_sla_report(cells: DataFrame) -> DataFrame:
+    """Cumulative windows + percentile/late fold over (o_orderpriority,
+    lag, m) HISTOGRAM CELLS — the shared tail of
+    priority_leadtime_sla_profile and its streaming twin, so the two
+    derivations cannot drift. Replicates hist_cume_counts' cumulative
+    form over pre-folded cells (the stream's sink table IS the cell
+    grid); every window input is |distinct lags| per priority,
+    domain-bounded."""
+    from pyspark.sql import Window
+
+    whole = Window.partitionBy("o_orderpriority")
+    before = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("lag")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cume = cells.select(
+        "o_orderpriority",
+        "lag",
+        "m",
+        F.coalesce(F.sum("m").over(before), F.lit(0))
+        .cast("long")
+        .alias("cumb"),
+        F.sum("m").over(whole).cast("long").alias("n_stratum"),
+    ).withColumn("cum", (F.col("cumb") + F.col("m")).cast("long"))
+    from ..functions.ranks import hist_disc_percentile
+
+    late_m = F.when(F.col("lag") > 90, F.col("m")).otherwise(0)
+    return cume.groupBy("o_orderpriority").agg(
+        F.sum("m").alias("n_lines"),
+        hist_disc_percentile("lag", 0.5, "p50_lag_days"),
+        hist_disc_percentile("lag", 0.9, "p90_lag_days"),
+        hist_disc_percentile("lag", 0.99, "p99_lag_days"),
+        F.sum(late_m).cast("long").alias("n_late"),
+        (F.sum(late_m).cast("double") / F.sum("m")).alias("late_share"),
+    )
+
+
+@query(
+    "priority_leadtime_sla_profile",
+    oracle=PRIORITY_SLA_ORACLE,
     tags=("tpch", "percentile", "quality"),
 )
 def priority_leadtime_sla_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1830,8 +1874,6 @@ def priority_leadtime_sla_profile(spark: SparkSession, sf_dir: str) -> DataFrame
     the whole report is one lineitem⋈orders shuffle + ONE
     partial-aggregatable histogram fold; late_share is one IEEE division
     of exact int64s per stratum."""
-    from ..functions.ranks import hist_cume_counts, hist_disc_percentile
-
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey",
         F.expr("unix_micros(l_shipdate) div 1000000 div 86400").alias("dship"),
@@ -1844,13 +1886,147 @@ def priority_leadtime_sla_profile(spark: SparkSession, sf_dir: str) -> DataFrame
     l = li.join(o, li.l_orderkey == o.o_orderkey).select(
         "o_orderpriority", (F.col("dship") - F.col("dord")).alias("lag")
     )
-    cume = hist_cume_counts(l, ["o_orderpriority"], "lag")
-    late_m = F.when(F.col("lag") > 90, F.col("m")).otherwise(0)
-    return cume.groupBy("o_orderpriority").agg(
-        F.sum("m").alias("n_lines"),
-        hist_disc_percentile("lag", 0.5, "p50_lag_days"),
-        hist_disc_percentile("lag", 0.9, "p90_lag_days"),
-        hist_disc_percentile("lag", 0.99, "p99_lag_days"),
-        F.sum(late_m).cast("long").alias("n_late"),
-        (F.sum(late_m).cast("double") / F.sum("m")).alias("late_share"),
+    cells = l.groupBy("o_orderpriority", "lag").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    # Cumulative windows + percentile/late fold live in the shared
+    # _priority_sla_report tail (the streaming twin runs the same
+    # derivation over its sink cell table).
+    return _priority_sla_report(cells)
+
+
+@query(
+    "order_price_reconciliation",
+    oracle="""
+    WITH ls AS (
+      SELECT l_orderkey,
+             CAST(floor(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                            * (1 + CAST(l_tax AS DECIMAL(18,2))))
+                        * 100 + 0.5) AS BIGINT) AS rec_cents
+      FROM lineitem GROUP BY 1
+    ),
+    j AS (
+      SELECT CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS o_cents,
+             ls.rec_cents
+      FROM orders o LEFT JOIN ls ON o.o_orderkey = ls.l_orderkey
+    ),
+    d AS (
+      SELECT CASE WHEN rec_cents IS NULL THEN 'no_lines'
+                  WHEN o_cents > rec_cents THEN 'over'
+                  WHEN o_cents < rec_cents THEN 'under'
+                  ELSE 'exact' END AS diff_class,
+             abs(o_cents - rec_cents) AS adiff
+      FROM j
+    ),
+    r AS (
+      SELECT diff_class, adiff,
+             row_number() OVER (PARTITION BY diff_class ORDER BY adiff)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY diff_class) AS n
+      FROM d WHERE adiff IS NOT NULL
+    ),
+    p AS (
+      SELECT diff_class,
+             MAX(CASE WHEN rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+                      THEN adiff END) AS p50_abs_diff_cents,
+             MAX(CASE WHEN rn = greatest(1, CAST(ceil(0.9 * n) AS BIGINT))
+                      THEN adiff END) AS p90_abs_diff_cents
+      FROM r GROUP BY 1
+    ),
+    g AS (
+      SELECT diff_class, CAST(COUNT(*) AS BIGINT) AS n_orders,
+             SUM(adiff) AS sad
+      FROM d GROUP BY 1
+    ),
+    t AS (SELECT CAST(SUM(n_orders) AS BIGINT) AS total FROM g)
+    SELECT g.diff_class, g.n_orders,
+           CAST(g.n_orders AS DOUBLE) / t.total AS order_share,
+           CAST(g.sad AS BIGINT) AS total_abs_diff_cents,
+           p.p50_abs_diff_cents, p.p90_abs_diff_cents
+    FROM g CROSS JOIN t LEFT JOIN p ON g.diff_class = p.diff_class
+    """,
+    tags=("tpch", "audit", "iterative", "percentile"),
+)
+def order_price_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARITHMETIC-consistency audit across the orders↔lineitem grain:
+    recompute each order's total from its lines in exact DECIMAL
+    (Σ extprice·(1−disc)·(1+tax), quantized to cents by the module's
+    money floor), diff it against the header's o_totalprice, and report
+    the reconciliation distribution per class — exact / over (header
+    exceeds lines) / under / no_lines (headers with no line rows, the
+    orphan the referential audit in `data_quality_audit` counts but
+    cannot size): order count and share, total absolute drift in cents,
+    and the exact p50/p90 absolute diff per class. Constraint audits say
+    WHETHER rows violate; this sizes HOW FAR the money disagrees — the
+    warehouse-promotion gate for a feed whose header totals are written
+    by a different system than its lines (on this fixture the header is
+    synthesized independently, so the report shows a genuine non-zero
+    drift distribution — exactly what it is for).
+
+    Exactness: both sides quantize to int64 cents before any comparison
+    (DECIMAL products are exact and associative, so the per-order sum is
+    bit-stable under any partitioning; magnitudes stay far below 2^53,
+    so the oracle's floor is exact even where DuckDB routes decimals
+    through double). The per-class p50/p90 use the STRATIFIED narrower
+    (`kth_order_statistics_by` — diff domain unbounded, strata ≤ 4, all
+    narrowing together over the cached order-count-sized diff
+    projection); class counts/sums are ONE fold; the share is one IEEE
+    division against the broadcast 1-row total. SUM over the all-NULL
+    no_lines class is NULL in both engines — stated, not patched."""
+    from ..functions.ranks import kth_order_statistics_by
+
+    li = load_table(spark, sf_dir, "lineitem")
+    charge = (
+        disc_rev().cast("decimal(18,4)") * (F.lit(1) + dec("l_tax"))
+    )
+    ls = li.groupBy("l_orderkey").agg(
+        F.floor(F.sum(charge) * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("rec_cents")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("o_cents"),
+    )
+    cls = (
+        F.when(F.col("rec_cents").isNull(), "no_lines")
+        .when(F.col("o_cents") > F.col("rec_cents"), "over")
+        .when(F.col("o_cents") < F.col("rec_cents"), "under")
+        .otherwise("exact")
+    )
+    d = tracked_persist(
+        o.join(ls, o.o_orderkey == ls.l_orderkey, "left").select(
+            cls.alias("diff_class"),
+            F.abs(F.col("o_cents") - F.col("rec_cents")).alias("adiff"),
+        ),
+        f"order_price_diffs:{sf_dir}",
+    )
+    nn = d.filter(F.col("adiff").isNotNull())
+    p50 = kth_order_statistics_by(nn, "diff_class", "adiff", q=0.5)
+    p90 = kth_order_statistics_by(nn, "diff_class", "adiff", q=0.9)
+    grid = spark.createDataFrame(
+        [(c, p50[c], p90[c]) for c in sorted(p50)],
+        "diff_class string, p50_abs_diff_cents long, p90_abs_diff_cents long",
+    )
+    g = d.groupBy("diff_class").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("adiff").alias("total_abs_diff_cents"),
+    )
+    t = g.agg(F.sum("n_orders").alias("total"))
+    return (
+        g.crossJoin(F.broadcast(t))
+        .join(F.broadcast(grid), "diff_class", "left")
+        .select(
+            "diff_class",
+            "n_orders",
+            (F.col("n_orders").cast("double") / F.col("total")).alias(
+                "order_share"
+            ),
+            "total_abs_diff_cents",
+            "p50_abs_diff_cents",
+            "p90_abs_diff_cents",
+        )
     )

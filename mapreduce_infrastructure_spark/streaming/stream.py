@@ -2334,6 +2334,57 @@ def stream_customer_revenue_concentration(
     return _revenue_concentration_report(spark, cm)
 
 
+@query(
+    "stream_priority_leadtime_sla",
+    oracle=None,  # set below — shares the batch twin's oracle verbatim
+    tags=("streaming", "tpch", "percentile", "quality"),
+)
+def stream_priority_leadtime_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-priority lead-time SLA profile maintained INCREMENTALLY —
+    the streaming twin of tpch_extra.priority_leadtime_sla_profile, same
+    oracle verbatim (the shared PRIORITY_SLA_ORACLE constant): LIVE SLA
+    monitoring — watch the URGENT tail fan out as lines arrive instead
+    of reading it in tomorrow's batch scorecard. Per micro-batch the
+    lineitem stream enriches against the orders batch relation (the
+    stream-static join of stream_leadtime_weekly_trend) and folds into
+    ONE incremental hash aggregate keyed by (priority, lag-day)
+    HISTOGRAM CELL — state is 5 × |distinct lag days|, calendar-bounded
+    no matter how many lines stream through. Percentiles and the late
+    share are derived POST-SINK by the batch twin's shared
+    `_priority_sla_report` tail over the persisted cell table —
+    string-identity oracle, function-identity derivation."""
+    from ..catalog import load_table
+    from ..llm.cache import tracked_persist
+    from ..operators.tpch_extra import _priority_sla_report
+
+    li = stream_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.expr("unix_micros(l_shipdate) div 1000000 div 86400").alias(
+            "dship"
+        ),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.expr("unix_micros(o_orderdate) div 1000000 div 86400").alias(
+            "dord"
+        ),
+    )
+    g_s = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            "o_orderpriority", (F.col("dship") - F.col("dord")).alias("lag")
+        )
+        .groupBy("o_orderpriority", "lag")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    cells = tracked_persist(
+        run_to_table(g_s, "stream_priority_sla_cells", mode="complete"),
+        f"stream_priority_sla_cells:{sf_dir}",
+    )
+    return _priority_sla_report(cells)
+
+
 # Late-bind the shared oracles (import at module top would be circular-prone
 # and the constants live beside their batch twins).
 from ..operators.temporal import BACKLOG_ORACLE as _BL_ORACLE  # noqa: E402
@@ -2345,6 +2396,7 @@ from ..operators.temporal import WEEKLY_TREND_ORACLE as _WT_ORACLE  # noqa: E402
 from ..operators.relational import Q1_ORACLE as _Q1_ORACLE  # noqa: E402
 from ..operators.tpch_extra import DISCOUNT_BAND_ORACLE as _DB_ORACLE  # noqa: E402
 from ..operators.tpch_extra import LEADTIME_WEEKLY_ORACLE as _LW_ORACLE  # noqa: E402
+from ..operators.tpch_extra import PRIORITY_SLA_ORACLE as _PSLA_ORACLE  # noqa: E402
 from ..llm.text import DOC_TOKEN_CONCENTRATION_ORACLE as _DTC_ORACLE  # noqa: E402
 from ..operators.stats import CUSTOMER_REV_CONCENTRATION_ORACLE as _CRC_ORACLE  # noqa: E402
 from ..operators.stats import ORDER_LINECOUNT_ORACLE as _OLC_ORACLE  # noqa: E402
@@ -2368,3 +2420,4 @@ _REG["stream_orders_priority_mix_drift"].oracle = _OPM_ORACLE
 _REG["stream_discount_band_margin"].oracle = _DB_ORACLE
 _REG["stream_order_linecount_distribution"].oracle = _OLC_ORACLE
 _REG["stream_customer_revenue_concentration"].oracle = _CRC_ORACLE
+_REG["stream_priority_leadtime_sla"].oracle = _PSLA_ORACLE

@@ -1868,3 +1868,69 @@ def test_priority_leadtime_sla_scalar_reference(spark, sf_dir):
         assert r.p99_lag_days == pick(vs, 0.99)
         assert r.n_late == n_late
         assert r.late_share == n_late / len(vs)
+
+
+def test_order_price_reconciliation_scalar_reference(spark, sf_dir):
+    """Python recount of the reconciliation audit with exact decimal
+    line recompute (Fraction arithmetic — no FP in the cents grid),
+    same class partition, shares, drift sums and per-class max(1,
+    ceil(q*n)) percentiles."""
+    import math
+    from fractions import Fraction
+
+    import pyarrow.parquet as pq
+
+    from mapreduce_infrastructure_spark.operators.tpch_extra import (
+        order_price_reconciliation,
+    )
+
+    got = {
+        r.diff_class: r
+        for r in order_price_reconciliation(spark, sf_dir).collect()
+    }
+    li = pq.read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_tax"],
+    ).to_pydict()
+    rec: dict = {}
+    cent = Fraction(1, 100)
+    for k, ep, dc, tx in zip(
+        li["l_orderkey"], li["l_extendedprice"], li["l_discount"], li["l_tax"]
+    ):
+        # the stored doubles are exact 2-decimal values; snap to the
+        # decimal grid the engines' DECIMAL(18,2) casts land on.
+        epf = Fraction(round(ep * 100)) * cent
+        dcf = Fraction(round(dc * 100)) * cent
+        txf = Fraction(round(tx * 100)) * cent
+        rec[k] = rec.get(k, Fraction(0)) + epf * (1 - dcf) * (1 + txf)
+    o = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    ).to_pydict()
+    rows = []
+    for k, tp in zip(o["o_orderkey"], o["o_totalprice"]):
+        oc = math.floor(tp * 100 + 0.5)
+        if k not in rec:
+            rows.append(("no_lines", None))
+            continue
+        rc = math.floor(rec[k] * 100 + Fraction(1, 2))
+        cls = "over" if oc > rc else ("under" if oc < rc else "exact")
+        rows.append((cls, abs(oc - rc)))
+    want: dict = {}
+    for cls, ad in rows:
+        want.setdefault(cls, []).append(ad)
+    assert set(got) == set(want)
+    total = len(rows)
+    for cls, ads in want.items():
+        r = got[cls]
+        assert r.n_orders == len(ads)
+        assert r.order_share == len(ads) / total
+        if cls == "no_lines":
+            assert r.total_abs_diff_cents is None
+            assert r.p50_abs_diff_cents is None
+            assert r.p90_abs_diff_cents is None
+            continue
+        assert r.total_abs_diff_cents == sum(ads)
+        ads.sort()
+        for q, col in ((0.5, "p50_abs_diff_cents"), (0.9, "p90_abs_diff_cents")):
+            k = max(1, math.ceil(q * len(ads)))
+            assert getattr(r, col) == ads[k - 1]

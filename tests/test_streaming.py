@@ -1268,3 +1268,36 @@ def test_stream_customer_revenue_concentration_matches_batch_twin(
         qs["stream_customer_revenue_concentration"].oracle
         is qs["customer_revenue_concentration"].oracle
     )
+
+
+def test_stream_priority_sla_matches_batch_twin(spark, sf_dir):
+    """The streaming SLA profile must equal the batch twin exactly
+    (shared PRIORITY_SLA_ORACLE constant + the shared
+    _priority_sla_report tail): same histogram cells, same discrete
+    percentiles, same late share."""
+    from mapreduce_infrastructure_spark.operators.tpch_extra import (
+        priority_leadtime_sla_profile,
+    )
+    from mapreduce_infrastructure_spark.streaming.stream import (
+        stream_priority_leadtime_sla,
+    )
+
+    cols = (
+        "n_lines p50_lag_days p90_lag_days p99_lag_days n_late late_share"
+    ).split()
+    batch = {
+        r.o_orderpriority: tuple(getattr(r, c) for c in cols)
+        for r in priority_leadtime_sla_profile(spark, sf_dir).collect()
+    }
+    stream = {
+        r.o_orderpriority: tuple(getattr(r, c) for c in cols)
+        for r in stream_priority_leadtime_sla(spark, sf_dir).collect()
+    }
+    assert stream == batch
+    from mapreduce_infrastructure_spark.registry import all_queries
+
+    qs = all_queries()
+    assert (
+        qs["stream_priority_leadtime_sla"].oracle
+        is qs["priority_leadtime_sla_profile"].oracle
+    )
