@@ -37,7 +37,7 @@ any hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..catalog import load_table
 from ..functions.exact import dec, disc_rev, dsum, lcount, rnd
@@ -2029,4 +2029,118 @@ def order_price_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p50_abs_diff_cents",
             "p90_abs_diff_cents",
         )
+    )
+
+
+@query(
+    "revenue_weighted_leadtime_percentiles",
+    oracle="""
+    WITH l AS (
+      SELECT o.o_orderpriority,
+             CAST(floor(epoch(li.l_shipdate)) AS BIGINT) // 86400
+             - CAST(floor(epoch(o.o_orderdate)) AS BIGINT) // 86400 AS lag,
+             CAST(floor((CAST(li.l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(li.l_discount AS DECIMAL(18,2))))
+                        * 100 + 0.5) AS BIGINT) AS rev_cents
+      FROM lineitem li JOIN orders o ON li.l_orderkey = o.o_orderkey
+    ),
+    r AS (
+      SELECT o_orderpriority, lag,
+             CAST(COUNT(*) OVER (PARTITION BY o_orderpriority ORDER BY lag
+                    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_cnt,
+             CAST(COUNT(*) OVER (PARTITION BY o_orderpriority) AS BIGINT)
+               AS tot_cnt,
+             CAST(SUM(rev_cents) OVER (PARTITION BY o_orderpriority
+                    ORDER BY lag
+                    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_mass,
+             CAST(SUM(rev_cents) OVER (PARTITION BY o_orderpriority)
+                  AS BIGINT) AS tot_mass
+      FROM l
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(MAX(tot_mass) AS BIGINT) AS total_rev_cents,
+           MIN(CASE WHEN CAST(cum_cnt AS DOUBLE) / tot_cnt >= 0.5
+                    THEN lag END) AS p50_lag_days,
+           MIN(CASE WHEN CAST(cum_mass AS DOUBLE) / tot_mass >= 0.5
+                    THEN lag END) AS w50_lag_days,
+           MIN(CASE WHEN CAST(cum_mass AS DOUBLE) / tot_mass >= 0.9
+                    THEN lag END) AS w90_lag_days
+    FROM r GROUP BY 1
+    """,
+    tags=("tpch", "percentile", "weighted", "quality"),
+)
+def revenue_weighted_leadtime_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REVENUE-weighted lead-time percentiles per order priority: w50/w90
+    are the lag days below which 50%/90% of discounted revenue ships
+    (each line weighted by its exact revenue cents), published next to
+    the plain line-count median — the money-at-risk read the SLA profile
+    cannot give: `priority_leadtime_sla_profile` counts LINES late, this
+    weighs DOLLARS late, and a w90 far above p90 says the expensive
+    lines are precisely the slow ones (revenue concentrated in the lag
+    tail — the worst case for cash-flow forecasting). Second consumer of
+    the WEIGHTED-rank form `source_token_weighted_length_percentiles`
+    introduced: min value whose cumulative weight share reaches q, ties
+    block-inclusive, stated in the oracle as RANGE-framed window sums
+    over raw rows.
+
+    Engine side folds to (priority, lag) HISTOGRAM CELLS first — m lines
+    and an exact int64 revenue mass per cell (per-LINE cents quantized
+    from the exact DECIMAL discounted price BEFORE summing, the money
+    floor) — so the cumulative windows run over |distinct lags| per
+    priority (calendar-bounded), never the fact rows; tie-blocks are
+    single cells, so the histogram cumulative IS the RANGE sum. One
+    lineitem⋈orders shuffle + ONE partial-aggregatable cell fold; each
+    percentile comparison is one IEEE division of exact int64s."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.expr("unix_micros(l_shipdate) div 1000000 div 86400").alias("dship"),
+        F.floor(disc_rev() * 100 + F.lit(0.5)).cast("long").alias("rev_cents"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.expr("unix_micros(o_orderdate) div 1000000 div 86400").alias("dord"),
+    )
+    cells = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            "o_orderpriority",
+            (F.col("dship") - F.col("dord")).alias("lag"),
+            "rev_cents",
+        )
+        .groupBy("o_orderpriority", "lag")
+        .agg(
+            F.count(F.lit(1)).alias("m"),
+            F.sum("rev_cents").alias("wm"),
+        )
+    )
+    cum = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("lag")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    whole = Window.partitionBy("o_orderpriority")
+    r = cells.select(
+        "o_orderpriority",
+        "lag",
+        "m",
+        "wm",
+        (
+            F.sum("m").over(cum).cast("double") / F.sum("m").over(whole)
+        ).alias("cd"),
+        (
+            F.sum("wm").over(cum).cast("double") / F.sum("wm").over(whole)
+        ).alias("md"),
+    )
+    return r.groupBy("o_orderpriority").agg(
+        F.sum("m").alias("n_lines"),
+        F.sum("wm").alias("total_rev_cents"),
+        F.min(F.when(F.col("cd") >= 0.5, F.col("lag"))).alias("p50_lag_days"),
+        F.min(F.when(F.col("md") >= 0.5, F.col("lag"))).alias("w50_lag_days"),
+        F.min(F.when(F.col("md") >= 0.9, F.col("lag"))).alias("w90_lag_days"),
     )

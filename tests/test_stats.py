@@ -1934,3 +1934,73 @@ def test_order_price_reconciliation_scalar_reference(spark, sf_dir):
         for q, col in ((0.5, "p50_abs_diff_cents"), (0.9, "p90_abs_diff_cents")):
             k = max(1, math.ceil(q * len(ads)))
             assert getattr(r, col) == ads[k - 1]
+
+
+def test_revenue_weighted_leadtime_scalar_reference(spark, sf_dir):
+    """Python recount of the revenue-weighted lag percentiles: exact
+    per-line cents (2-decimal grid arithmetic via integer cents), same
+    tie-inclusive cumulative-share selection, and the weighted median
+    never below zero mass."""
+    import pyarrow.parquet as pq
+
+    from mapreduce_infrastructure_spark.operators.tpch_extra import (
+        revenue_weighted_leadtime_percentiles,
+    )
+
+    got = {
+        r.o_orderpriority: r
+        for r in revenue_weighted_leadtime_percentiles(
+            spark, sf_dir
+        ).collect()
+    }
+    o = pq.read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_orderdate"],
+    ).to_pydict()
+    omap = {
+        k: (p, int(d.timestamp()) // 86400)
+        for k, p, d in zip(
+            o["o_orderkey"], o["o_orderpriority"], o["o_orderdate"]
+        )
+    }
+    li = pq.read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    ).to_pydict()
+    per_p: dict = {}
+    for k, s, ep, dc in zip(
+        li["l_orderkey"], li["l_shipdate"], li["l_extendedprice"],
+        li["l_discount"],
+    ):
+        p, dord = omap[k]
+        lag = int(s.timestamp()) // 86400 - dord
+        # exact integer-cents arithmetic on the 2-decimal grid:
+        # extprice_cents * (100 - disc_pct) is cents*1e2; the money floor
+        # of (price*(1-disc))*100 + 0.5 on a 4-decimal exact product is
+        # round-half-up at the hundredths of a cent.
+        epc = round(ep * 100)
+        dpc = round(dc * 100)
+        quarter = epc * (100 - dpc)  # units of 1e-4 dollars = 1e-2 cents
+        rev_cents = (quarter * 10 + 500) // 1000  # floor(q/100 + 0.5)
+        per_p.setdefault(p, []).append((lag, rev_cents))
+
+    def pick(pairs, weighted, q):
+        tot = sum(w for _v, w in pairs) if weighted else len(pairs)
+        cum = 0
+        for i, (v, w) in enumerate(pairs):
+            cum += w if weighted else 1
+            if i + 1 < len(pairs) and pairs[i + 1][0] == v:
+                continue
+            if cum / tot >= q:
+                return v
+        return None
+
+    assert set(got) == set(per_p)
+    for p, pairs in per_p.items():
+        pairs.sort()
+        r = got[p]
+        assert r.n_lines == len(pairs)
+        assert r.total_rev_cents == sum(w for _v, w in pairs)
+        assert r.p50_lag_days == pick(pairs, False, 0.5)
+        assert r.w50_lag_days == pick(pairs, True, 0.5)
+        assert r.w90_lag_days == pick(pairs, True, 0.9)
