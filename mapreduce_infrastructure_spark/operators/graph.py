@@ -21,7 +21,7 @@ one block per iteration — built by `_pagerank_oracle()`.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..catalog import load_table
 from ..functions.exact import rnd
@@ -1256,33 +1256,53 @@ def parts_graph_edge_weight_histogram(
     unweighted `_part_cooccur_edges` projection feeds every other graph
     query from — free after any of them ran this session; the weight
     column finally consumed directly). One histogram fold over
-    edge-count-sized data to the |distinct weights|-row grid; the
-    share/cumulative windows run over the HISTOGRAM, never the edges
-    (weight domain is bounded by order-count co-membership, the same
-    domain-bounded premise as the degree histogram). Counts and masses
-    exact int64; each share is one IEEE division stated identically in
-    the oracle."""
+    edge-count-sized data to the |distinct weights|-row grid; shares
+    and the ascending cumulative derive over the HISTOGRAM, never the
+    edges (broadcast triangular self-join + scalar totals — no global
+    window, no single-partition exchange; weight domain is bounded by
+    order-count co-membership, the same domain-bounded premise as the
+    degree histogram). Counts and masses exact int64; each share is one
+    IEEE division stated identically in the oracle."""
+    from ..llm.cache import tracked_persist
+
     e = _part_cooccur_edges_weighted(spark, sf_dir)
-    h = e.groupBy(F.col("w").alias("weight")).agg(
-        F.count(F.lit(1)).alias("n_edges")
+    # Cumulative via a broadcast TRIANGULAR self-join over the persisted
+    # |distinct weights|-row histogram, NOT a global window — an
+    # unpartitioned window plans an Exchange SinglePartition over the
+    # keyed aggregate, exactly the squeeze the plan guard bans; the
+    # totals fold is a scalar (keys=[]) aggregate, the guard-exempt
+    # 1-row shape.
+    h = tracked_persist(
+        e.groupBy(F.col("w").alias("weight")).agg(
+            F.count(F.lit(1)).alias("n_edges")
+        ),
+        f"edge_weight_hist:{sf_dir}",
     )
     t = h.agg(
         F.sum("n_edges").alias("total_edges"),
         F.sum(F.col("weight") * F.col("n_edges")).alias("total_weight"),
     )
-    cum = Window.orderBy("weight").rowsBetween(Window.unboundedPreceding, 0)
-    return h.crossJoin(F.broadcast(t)).select(
-        "weight",
-        "n_edges",
-        (F.col("n_edges").cast("double") / F.col("total_edges")).alias(
-            "edge_share"
-        ),
-        (
-            (F.col("weight") * F.col("n_edges")).cast("double")
-            / F.col("total_weight")
-        ).alias("weight_share"),
-        (
-            F.sum("n_edges").over(cum).cast("long").cast("double")
-            / F.col("total_edges")
-        ).alias("cum_edge_share"),
+    prev = h.select(F.col("weight").alias("w2"), F.col("n_edges").alias("n2"))
+    cum = (
+        h.join(F.broadcast(prev), F.col("w2") <= F.col("weight"))
+        .groupBy("weight")
+        .agg(F.sum("n2").alias("cum_edges"))
+    )
+    return (
+        h.join(F.broadcast(cum), "weight")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "weight",
+            "n_edges",
+            (F.col("n_edges").cast("double") / F.col("total_edges")).alias(
+                "edge_share"
+            ),
+            (
+                (F.col("weight") * F.col("n_edges")).cast("double")
+                / F.col("total_weight")
+            ).alias("weight_share"),
+            (
+                F.col("cum_edges").cast("double") / F.col("total_edges")
+            ).alias("cum_edge_share"),
+        )
     )

@@ -2108,36 +2108,56 @@ ORDER_LINECOUNT_ORACLE = """
     """
 
 
-def _linecount_report(c: DataFrame) -> DataFrame:
+def _linecount_report(c: DataFrame, slot: str) -> DataFrame:
     """Histogram + shares + ascending cumulative over a per-order
     line-count frame (column ``k``) — the shared tail of
     order_linecount_distribution and its streaming twin, so the two
-    derivations cannot drift. All windows run over the |distinct
-    fan-outs|-row histogram, never the per-order rows."""
-    h = c.groupBy(F.col("k").alias("lines_per_order")).agg(
-        F.count(F.lit(1)).alias("n_orders")
-    )
-    whole = Window.partitionBy()
-    cum = Window.orderBy("lines_per_order").rowsBetween(
-        Window.unboundedPreceding, 0
+    derivations cannot drift. The cumulative is a broadcast TRIANGULAR
+    self-join over the persisted |distinct fan-outs|-row histogram
+    (domain-bounded by schema policy), NOT a global window — an
+    unpartitioned window plans an Exchange SinglePartition over the
+    keyed aggregate, exactly the squeeze the plan guard bans; O(k²)
+    join work over a bounded k is free at any SF. Totals fold through
+    a scalar (keys=[]) aggregate, the guard-exempt 1-row shape."""
+    from ..llm.cache import tracked_persist
+
+    h = tracked_persist(
+        c.groupBy(F.col("k").alias("lines_per_order")).agg(
+            F.count(F.lit(1)).alias("n_orders")
+        ),
+        slot,
     )
     n_lines = (F.col("lines_per_order") * F.col("n_orders")).cast("long")
-    return h.select(
-        "lines_per_order",
-        "n_orders",
-        n_lines.alias("n_lines"),
-        (
-            F.col("n_orders").cast("double")
-            / F.sum("n_orders").over(whole).cast("long")
-        ).alias("order_share"),
-        (
-            n_lines.cast("double")
-            / F.sum(n_lines).over(whole).cast("long")
-        ).alias("line_share"),
-        (
-            F.sum("n_orders").over(cum).cast("long").cast("double")
-            / F.sum("n_orders").over(whole).cast("long")
-        ).alias("cum_order_share"),
+    t = h.agg(
+        F.sum("n_orders").alias("total_orders"),
+        F.sum(n_lines).alias("total_lines"),
+    )
+    prev = h.select(
+        F.col("lines_per_order").alias("lp2"),
+        F.col("n_orders").alias("n2"),
+    )
+    cum = (
+        h.join(F.broadcast(prev), F.col("lp2") <= F.col("lines_per_order"))
+        .groupBy("lines_per_order")
+        .agg(F.sum("n2").alias("cum_orders"))
+    )
+    return (
+        h.join(F.broadcast(cum), "lines_per_order")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "lines_per_order",
+            "n_orders",
+            n_lines.alias("n_lines"),
+            (
+                F.col("n_orders").cast("double") / F.col("total_orders")
+            ).alias("order_share"),
+            (n_lines.cast("double") / F.col("total_lines")).alias(
+                "line_share"
+            ),
+            (
+                F.col("cum_orders").cast("double") / F.col("total_orders")
+            ).alias("cum_order_share"),
+        )
     )
 
 
@@ -2160,16 +2180,17 @@ def order_linecount_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan at 100 TB: one per-order count fold (partial map-side, keyed by
     the join key itself) then ONE histogram fold over order-count-sized
     data to the |distinct fan-outs|-row grid — domain-bounded (an order
-    has a bounded line count by schema policy), so the share/cumulative
-    windows run over the HISTOGRAM, never the facts (the
-    `hist_cume_counts` exemption shape: the window's order column is the
-    upstream aggregate's key). Counts and line masses exact int64; each
-    share is one IEEE division stated identically in the oracle."""
+    has a bounded line count by schema policy), so the shares and the
+    ascending cumulative derive over the HISTOGRAM, never the facts
+    (broadcast triangular self-join + scalar totals — no global window,
+    no single-partition exchange; see _linecount_report). Counts and
+    line masses exact int64; each share is one IEEE division stated
+    identically in the oracle."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
     c = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("k"))
     # Histogram + shares + cumulative live in the shared _linecount_report
     # tail (the streaming twin runs the same derivation over its sink).
-    return _linecount_report(c)
+    return _linecount_report(c, f"order_linecount_hist:{sf_dir}")
 
 
 @query(

@@ -2295,7 +2295,7 @@ def stream_order_linecount_distribution(
         run_to_table(g_s, "stream_order_linecounts", mode="complete"),
         f"stream_order_linecounts:{sf_dir}",
     )
-    return _linecount_report(c)
+    return _linecount_report(c, f"stream_order_linecount_hist:{sf_dir}")
 
 
 @query(
