@@ -136,3 +136,31 @@ class BigramCountMapper(BaseMapper):
         toks = [t for t in record.split(" ") if t]
         for a, b in zip(toks, toks[1:]):
             self.emit(a + " " + b, "1")
+
+
+class DoclenStatsMapper(BaseMapper):
+    """Per-source document-length stats mapper — records are
+    ``source<TAB>n_chars``; emit (source, n_chars). Fifth registered
+    user_id: paired with a reducer computing an ALGEBRAIC aggregate
+    (count + sum in one pass), the shape the demo's distributive sum
+    reducer cannot express."""
+
+    def map(self, record: str) -> None:
+        source, _, n_chars = record.partition("\t")
+        self.emit(source, n_chars)
+
+
+class DoclenStatsReducer(BaseReducer):
+    """Emit (source, "count|total_chars") — a COMPOSITE value through the
+    reference's string-typed value channel (``src/mr_tasks.h:55``: keys
+    and values are strings; structure is the user function's job). Both
+    fields are exact integers, so the output is engine-stable with no
+    float formatting in the channel."""
+
+    def reduce(self, key: str, values) -> None:
+        n = 0
+        total = 0
+        for v in values:
+            n += 1
+            total += int(v)
+        self.emit(key, f"{n}|{total}")

@@ -114,3 +114,35 @@ def mr_bigram_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kv.select(
         F.col("key").alias("bigram"), F.col("value").cast("long").alias("cnt")
     )
+
+
+@query(
+    "mr_doclen_stats_by_source",
+    oracle="""
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY 1
+    """,
+    tags=("mr-compat", "text", "agg"),
+)
+def mr_doclen_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source length stats through the MR-compat API (fifth
+    registered user_id): the reducer computes an ALGEBRAIC aggregate —
+    count and sum folded in one pass over the value iterator — and ships
+    the pair as a composite ``n|total`` string through the reference's
+    string-typed value channel (``src/mr_tasks.h:55``), which the query
+    layer splits back into typed columns. Completes the reducer-shape
+    coverage: distributive sum (wordcount/bigram), dedup-and-join
+    (invidx), identity (grep), and now multi-field algebraic state.
+    Integer-only channel, so no float formatting can drift between
+    engines."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.concat_ws("\t", F.col("source"), F.col("n_chars")).alias("record")
+    )
+    kv = run_mr_job(spark, docs, user_id="doclenstats", num_output_files=4)
+    parts = F.split(F.col("value"), "\\|")
+    return kv.select(
+        F.col("key").alias("source"),
+        parts.getItem(0).cast("long").alias("n_docs"),
+        parts.getItem(1).cast("long").alias("total_chars"),
+    )

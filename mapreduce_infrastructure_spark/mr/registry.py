@@ -54,3 +54,9 @@ register_tasks("grep", GrepMapper, IdentityReducer)
 from .api import BigramCountMapper  # noqa: E402
 
 register_tasks("bigram", BigramCountMapper, WordCountReducer)
+# Fifth task: per-source length stats under "doclenstats" (an ALGEBRAIC
+# reducer — count+sum in one pass, composite "n|total" value through the
+# string channel; the demo reducer is distributive-only).
+from .api import DoclenStatsMapper, DoclenStatsReducer  # noqa: E402
+
+register_tasks("doclenstats", DoclenStatsMapper, DoclenStatsReducer)

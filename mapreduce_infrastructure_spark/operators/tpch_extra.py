@@ -2144,3 +2144,80 @@ def revenue_weighted_leadtime_percentiles(
         F.min(F.when(F.col("md") >= 0.5, F.col("lag"))).alias("w50_lag_days"),
         F.min(F.when(F.col("md") >= 0.9, F.col("lag"))).alias("w90_lag_days"),
     )
+
+
+@query(
+    "modal_priority_by_nation",
+    oracle="""
+    WITH g AS (
+      SELECT n.n_name AS nation, o.o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT nation, o_orderpriority, cnt,
+             row_number() OVER (PARTITION BY nation
+                                ORDER BY cnt DESC, o_orderpriority ASC)
+               AS rn,
+             CAST(SUM(cnt) OVER (PARTITION BY nation) AS BIGINT)
+               AS nation_total
+      FROM g
+    )
+    SELECT nation, o_orderpriority AS modal_priority, cnt AS n_orders,
+           nation_total,
+           CAST(cnt AS DOUBLE) / nation_total AS modal_share
+    FROM r WHERE rn = 1
+    """,
+    tags=("tpch", "agg", "mode"),
+)
+def modal_priority_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped MODE with a STATED tie order: per customer nation,
+    the most common order priority, its count, the nation's order total
+    and the modal share — the categorical analogue of the percentile
+    tier (a median summarizes an ordered column; the mode is the only
+    central tendency a nominal column has, and per-market modal demand
+    class is what a capacity planner actually reads). Ties break to the
+    LEXICOGRAPHICALLY SMALLEST priority — deterministic in both engines,
+    never engine-arbitrary row order (the same discipline as the
+    value-based quintile assignment).
+
+    Plan: the orders⋈customer shuffle (nation hard-broadcast), ONE
+    partial-aggregatable fold to the ≤|nations|·5 cell grid, then the
+    mode is a struct-min argmax per nation ((−cnt, priority)
+    lexicographic — one more tiny fold, no window engine-side; the
+    oracle's row_number over the cell grid is the same selection).
+    Counts exact int64; the share is one IEEE division per nation."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    g = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    per = g.groupBy("nation").agg(
+        F.min(
+            F.struct(
+                (-F.col("cnt")).alias("nc"),
+                F.col("o_orderpriority").alias("p"),
+            )
+        ).alias("m"),
+        F.sum("cnt").alias("nation_total"),
+    )
+    return per.select(
+        "nation",
+        F.col("m.p").alias("modal_priority"),
+        (-F.col("m.nc")).cast("long").alias("n_orders"),
+        "nation_total",
+        (
+            (-F.col("m.nc")).cast("double") / F.col("nation_total")
+        ).alias("modal_share"),
+    )

@@ -268,3 +268,27 @@ def test_mr_bigram_count_scalar_reference(spark, sf_dir):
             want[bg] = want.get(bg, 0) + 1
     assert got == want
     assert sum(got.values()) == total
+
+
+def test_mr_doclen_stats_algebraic_reducer(spark, sf_dir):
+    """The fifth MR task's algebraic reducer: per-source count+sum folded
+    in one pass and shipped as a composite integer string — recounted in
+    python against the raw parquet."""
+    import pyarrow.parquet as pq
+
+    from mapreduce_infrastructure_spark.mr.queries import (
+        mr_doclen_stats_by_source,
+    )
+
+    got = {
+        r.source: (r.n_docs, r.total_chars)
+        for r in mr_doclen_stats_by_source(spark, sf_dir).collect()
+    }
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]
+    ).to_pydict()
+    want: dict = {}
+    for s, n in zip(t["source"], t["n_chars"]):
+        c, tot = want.get(s, (0, 0))
+        want[s] = (c + 1, tot + n)
+    assert got == want

@@ -2004,3 +2004,48 @@ def test_revenue_weighted_leadtime_scalar_reference(spark, sf_dir):
         assert r.p50_lag_days == pick(pairs, False, 0.5)
         assert r.w50_lag_days == pick(pairs, True, 0.5)
         assert r.w90_lag_days == pick(pairs, True, 0.9)
+
+
+def test_modal_priority_by_nation_scalar_reference(spark, sf_dir):
+    """Python recount of the grouped mode: same cells, highest count with
+    lexicographically-smallest-priority tie break, share as one
+    division."""
+    import pyarrow.parquet as pq
+
+    from mapreduce_infrastructure_spark.operators.tpch_extra import (
+        modal_priority_by_nation,
+    )
+
+    got = {
+        r.nation: r for r in modal_priority_by_nation(spark, sf_dir).collect()
+    }
+    c = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pydict()
+    cmap = dict(zip(c["c_custkey"], c["c_nationkey"]))
+    n = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pydict()
+    nmap = dict(zip(n["n_nationkey"], n["n_name"]))
+    o = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    ).to_pydict()
+    cells: dict = {}
+    for ck, p in zip(o["o_custkey"], o["o_orderpriority"]):
+        nat = nmap[cmap[ck]]
+        cells[(nat, p)] = cells.get((nat, p), 0) + 1
+    per: dict = {}
+    for (nat, p), cnt in cells.items():
+        tot, best = per.get(nat, (0, None))
+        per[nat] = (tot + cnt, best)
+    for (nat, p), cnt in cells.items():
+        tot, best = per[nat]
+        if best is None or (-cnt, p) < best:
+            per[nat] = (tot, (-cnt, p))
+    assert set(got) == set(per)
+    for nat, (tot, (negcnt, p)) in per.items():
+        r = got[nat]
+        assert r.modal_priority == p
+        assert r.n_orders == -negcnt
+        assert r.nation_total == tot
+        assert r.modal_share == -negcnt / tot
