@@ -2519,12 +2519,18 @@ def doc_length_vs_quality_interaction_matrix(
         f"doc_len_quality:{sf_dir}",
     )
     hist = hist_cume_counts(tc.withColumn("g", F.lit(1)), ["g"], "n_tokens")
-    row = hist.groupBy("g").agg(
+    rows = hist.groupBy("g").agg(
         *[
             hist_disc_percentile("n_tokens", k / 10.0, f"t{k}")
             for k in range(1, 10)
         ]
-    ).collect()[0]
+    ).collect()
+    if not rows:
+        raise ValueError(
+            "doc_length_vs_quality_interaction_matrix: empty documents "
+            "table — no rows to compute decile thresholds over"
+        )
+    row = rows[0]
     decile = F.lit(1)
     for k in range(1, 10):
         decile = decile + F.when(

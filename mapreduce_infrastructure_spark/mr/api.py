@@ -143,10 +143,13 @@ class DoclenStatsMapper(BaseMapper):
     ``source<TAB>n_chars``; emit (source, n_chars). Fifth registered
     user_id: paired with a reducer computing an ALGEBRAIC aggregate
     (count + sum in one pass), the shape the demo's distributive sum
-    reducer cannot express."""
+    reducer cannot express. Splits at the LAST tab (rpartition): the
+    numeric field can never contain one, so a source name that does
+    stays intact in the key instead of leaking into the value and
+    blowing up the reducer's int() deep inside a python worker."""
 
     def map(self, record: str) -> None:
-        source, _, n_chars = record.partition("\t")
+        source, _, n_chars = record.rpartition("\t")
         self.emit(source, n_chars)
 
 

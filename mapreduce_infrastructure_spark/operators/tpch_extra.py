@@ -1254,6 +1254,28 @@ DISCOUNT_BAND_ORACLE = """
     """
 
 
+def _discount_band_report(cells: DataFrame) -> DataFrame:
+    """Percent-bridge derivation over the per-band counter cells
+    (n_lines / total_qty / gross_cents / _cost) — the shared tail of
+    discount_band_margin_report and its streaming twin, so the bridge
+    cannot drift between them (the fold itself must live inside each
+    side's aggregate — batch HashAggregate vs streaming state — but the
+    published columns derive HERE, once)."""
+    return cells.select(
+        "discount_pct",
+        "n_lines",
+        "total_qty",
+        "gross_cents",
+        # cost is in DOLLARS, gross in CENTS: ×10000 = ÷100 unit bridge
+        # then ×100 to percent (stated identically in the oracle).
+        (
+            F.col("_cost").cast("double")
+            / F.col("gross_cents").cast("double")
+            * 10000
+        ).alias("discount_cost_pct"),
+    )
+
+
 @query(
     "discount_band_margin_report",
     oracle=DISCOUNT_BAND_ORACLE,
@@ -1283,19 +1305,7 @@ def discount_band_margin_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(cents).alias("gross_cents"),
         F.sum(cost).alias("_cost"),
     )
-    return g.select(
-        "discount_pct",
-        "n_lines",
-        "total_qty",
-        "gross_cents",
-        # cost is in DOLLARS, gross in CENTS: ×10000 = ÷100 unit bridge
-        # then ×100 to percent (stated identically in the oracle).
-        (
-            F.col("_cost").cast("double")
-            / F.col("gross_cents").cast("double")
-            * 10000
-        ).alias("discount_cost_pct"),
-    )
+    return _discount_band_report(g)
 
 
 # Shared with the streaming twin in streaming/stream.py: one statement of

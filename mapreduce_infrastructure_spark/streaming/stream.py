@@ -2247,21 +2247,10 @@ def stream_discount_band_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(cents).alias("gross_cents"),
         F.sum(cost).alias("_cost"),
     )
+    from ..operators.tpch_extra import _discount_band_report
+
     cells = run_to_table(g_s, "stream_discount_band_cells", mode="complete")
-    return cells.select(
-        "discount_pct",
-        "n_lines",
-        "total_qty",
-        "gross_cents",
-        # cost is in DOLLARS, gross in CENTS: ×10000 = ÷100 unit bridge
-        # then ×100 to percent (stated identically in the oracle and the
-        # batch twin).
-        (
-            F.col("_cost").cast("double")
-            / F.col("gross_cents").cast("double")
-            * 10000
-        ).alias("discount_cost_pct"),
-    )
+    return _discount_band_report(cells)
 
 
 @query(
@@ -2280,8 +2269,13 @@ def stream_order_linecount_distribution(
     lines arrive instead of profiling a finished table. The row-volume
     work is ONE order-keyed incremental hash aggregate (running line
     count per order — the per-key int64 state shape of
-    stream_part_demand_concentration; state scales with |orders|, the
-    same bound as any per-order stream-stream join). The histogram,
+    stream_part_demand_concentration; the AGGREGATE state lives in the
+    executor state store, |orders|-bounded like any per-order
+    stream-stream join's). The memory-format sink that materializes the
+    per-order counts here is the module's oracle-check BRIDGE, not the
+    deployment shape — at 100 TB the complete-mode cells write to a
+    file/Delta sink and the post-sink tail reads that table, so nothing
+    row-scale transits the driver. The histogram,
     shares and cumulative are not incrementally expressible (one new
     line moves an order BETWEEN cells), so they run POST-SINK via the
     batch twin's shared `_linecount_report` tail over the persisted
@@ -2313,8 +2307,12 @@ def stream_customer_revenue_concentration(
     watch — as orders stream in, which spend percentile carries how much
     of revenue right now. The row-volume work is ONE customer-keyed
     incremental hash aggregate (running exact-cents spend per customer —
-    per-key int64 state, |customers|-bounded, the same state shape as
-    stream_part_demand_concentration). The five thresholds and the
+    per-key int64 state in the executor state store, |customers|-bounded,
+    the same state shape as stream_part_demand_concentration; the
+    memory-format sink materializing it here is the module's
+    oracle-check bridge — a deployment writes the complete-mode rows to
+    a file/Delta sink and the tail reads that table, keeping row-scale
+    data off the driver). The five thresholds and the
     membership fold are not incrementally expressible (one new order can
     shift every rank), so they run POST-SINK via the batch twin's shared
     `_revenue_concentration_report` tail over the persisted sink table —

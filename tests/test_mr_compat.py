@@ -292,3 +292,20 @@ def test_mr_doclen_stats_algebraic_reducer(spark, sf_dir):
         c, tot = want.get(s, (0, 0))
         want[s] = (c + 1, tot + n)
     assert got == want
+
+
+def test_mr_doclen_mapper_splits_at_last_tab():
+    """A source name containing a tab must stay intact in the KEY (the
+    numeric field can never contain one) — rpartition, not partition —
+    so the reducer's int() never sees key fragments."""
+    from mapreduce_infrastructure_spark.mr.api import (
+        DoclenStatsMapper,
+        DoclenStatsReducer,
+    )
+
+    m = DoclenStatsMapper()
+    m.map("a\tb\t123")
+    assert m._drain() == [("a\tb", "123")]
+    r = DoclenStatsReducer()
+    r.reduce("a\tb", ["123", "7"])
+    assert r._drain() == [("a\tb", "2|130")]
