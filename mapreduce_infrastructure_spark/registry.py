@@ -50,76 +50,85 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # Ordering is therefore a curated, per-round decision, not an accident of
 # imports; CERTIFIED_HISTORY.md tracks which rounds certified what.
 #
-# Round-13 window (round-12 verdict item 1): new round-13 queries lead
-# (inserted at the front as they land), then the FULL 44-row r7-vintage
-# cohort — the stalest standing rows after round 12, recomputed from the
-# CORRECTNESS_r* census (every r7-window row whose latest green is still
-# r7), in CORRECTNESS_r07 order. 44 + new must stay <= 50, so round 13
-# caps new window entrants at 6; if fewer land, the tail fills from the
-# r8-vintage cohort head in CORRECTNESS_r08 order. Displaced rows keep
+# Round-14 window (round-13 verdict item 1): the TWENTY-FIVE round-13
+# additions registered past the round-13 entrant cap lead — each has a
+# green landing-day gate and a hostile-r13 row but has never had a driver
+# CORRECTNESS row (the judge independently verified all 25 hash-green at
+# sf0.01 in the round-13 judging session; this window converts that into
+# driver truth). They appear in registration order, the same order the
+# round-13 CERTIFIED_HISTORY waves recorded them. The remaining 25 slots
+# fill from the head of the r8-vintage cohort (standing rows whose latest
+# green is still r8, recomputed from the CORRECTNESS_r* census — 44 rows)
+# in CORRECTNESS_r08 order; the 19 unfilled r8 rows stay the stalest and
+# lead the round-15 fill. New round-14 queries register PAST the cap
+# (entrant cap 0 window slots this round, ≤6 registrations total so the
+# round-15 debt stays ≤ round-14's 25); displaced/past-cap rows keep
 # their standing greens and tests/test_oracle_queries.py mirrors every
 # oracle-backed query each pytest run.
 CERTIFIED_FIRST: tuple[str, ...] = (
-    # --- new in round 13 (first-time certification; added as they land) ---
-    "supplier_leadtime_migration",
-    "events_user_lifetime_span_percentiles",
-    "stream_leadtime_weekly_trend",
-    "parts_graph_component_sizes",
-    "stream_user_lifetime_spans",
-    "doc_token_concentration_by_source",
-    # --- r7-vintage cohort (all 44), CORRECTNESS_r07 order ---
-    "sample_weighted_aes",
-    "doc_unigram_logloss",
-    "source_js_divergence",
-    "sample_weighted_by_quality",
-    "ngram_novelty_ratio",
-    "stopword_profile_drift",
-    "doc_lang_confusion",
-    "dup_cluster_size_histogram",
-    "quality_flag_transition_by_source",
-    "q5_supplier_revenue",
-    "join_right_orders_customer",
-    "cross_join_region_status",
-    "salted_agg_user_value",
-    "set_ops_all_variants",
-    "argmax_top_order",
-    "correlated_max_acctbal",
-    "in_subquery_parts",
-    "approx_percentiles_price",
-    "window_rank_acctbal",
-    "window_running_total",
-    "window_lag_lead",
-    "window_movavg_ntile",
-    "window_first_last",
-    "window_range_7day_sum",
-    "asof_join_purchase_click",
-    "latest_event_per_user",
-    "stats_corr_qty_price",
-    "stats_moments_by_status",
-    "scalar_string_funcs",
-    "scalar_date_funcs",
-    "scalar_math_funcs",
-    "json_extract_props",
-    "json_agg_by_type",
-    "array_functions",
-    "case_when_buckets",
-    "pivot_status_by_priority",
-    "funnel_click_purchase",
-    "map_functions",
-    "posexplode_tokens",
-    "udf_price_per_unit",
-    "udaf_median_price",
-    "csv_roundtrip_nation",
-    "json_roundtrip_events",
-    "text_scan_doc_langs",
-    # (r8-vintage fill exhausted: xml_roundtrip_region and
-    #  binaryfile_ingest_stats displaced by the round-13 third wave
-    #  (stream_user_lifetime_spans, doc_token_concentration_by_source);
-    #  source_length_lognormal_fit and multimodal_frame_sample by the
-    #  second wave (stream_leadtime_weekly_trend,
-    #  parts_graph_component_sizes). Their r8 greens stand and they are
-    #  first in line for round 14 — the round-13 entrant cap of 6 is now
-    #  reached, so no further waves may displace the r7 cohort.)
+    # --- round-13 past-cap additions (25, first driver certification),
+    #     registration order ---
+    "orders_priority_mix_weekly_drift",
+    "event_transition_mix_drift",
+    "part_demand_concentration",
+    "customer_order_gap_migration",
+    "order_linecount_distribution",
+    "customer_balance_spend_matrix",
+    "parts_triangle_participation_by_degree",
+    "parts_graph_edge_weight_histogram",
+    "supplier_return_rate_migration",
+    "priority_leadtime_sla_profile",
+    "order_price_reconciliation",
+    "revenue_weighted_leadtime_percentiles",
+    "modal_priority_by_nation",
+    "doc_length_vs_quality_interaction_matrix",
+    "source_token_weighted_length_percentiles",
+    "stream_return_rate_matrix",
+    "stream_pricing_summary",
+    "stream_part_demand_concentration",
+    "stream_doc_token_concentration",
+    "stream_orders_priority_mix_drift",
+    "stream_discount_band_margin",
+    "stream_order_linecount_distribution",
+    "stream_customer_revenue_concentration",
+    "stream_priority_leadtime_sla",
+    "mr_doclen_stats_by_source",
+    # --- r8-vintage cohort head (first 25 of 44), CORRECTNESS_r08 order ---
+    "xml_roundtrip_region",
+    "binaryfile_ingest_stats",
+    "source_length_lognormal_fit",
+    "multimodal_frame_sample",
+    "stream_topk_users_per_window",
+    "source_bigram_js_divergence",
+    "event_interarrival_stats",
+    "source_char_class_profile",
+    "source_zipf_alpha_mle",
+    "embedding_norm_profile",
+    "user_activity_skew",
+    "ngram_lm_bigram_logloss",
+    "source_embedding_centroid_drift",
+    "dup_mass_by_lang_cross",
+    "ngram_idf_weighted_novelty",
+    "source_pair_jaccard",
+    "packing_bin_fill_histogram",
+    "doc_bigram_cond_entropy",
+    "source_vocab_gini",
+    "cross_source_dup_matrix",
+    "doc_repeated_ngram_ratio",
+    "label_centroid_cohesion",
+    "token_budget_epoch_plan",
+    "embedding_dim_variance",
+    "stream_sliding_1h_15m",
+    # (r8-vintage tail deferred to round 15, CORRECTNESS_r08 order:
+    #  stream_session_window_30m, wordcount, stream_user_totals,
+    #  stream_join_click_purchase, stream_dedup_events, sessionize_gaps,
+    #  rollup_hierarchical_daily, stream_tumbling_hourly,
+    #  window_tumbling_hourly, window_sliding_1h_15m, session_window_30m,
+    #  parquet_partitioned_prune, bucketed_join_orders_customer,
+    #  quality_scores, lang_id_heuristic, corpus_clean_pipeline,
+    #  source_dup_mass, q15_top_supplier, q11_important_stock — 19 rows,
+    #  the stalest standing greens after round 14; they lead the round-15
+    #  fill.)
 )
 
 
