@@ -48,6 +48,8 @@ def hist_cume_counts(
     stratum_cols: list[str],
     value_col: str,
     descending: bool = False,
+    m_col: str | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Count-value histogram with cumulative counts per stratum.
 
@@ -59,8 +61,32 @@ def hist_cume_counts(
     low-cardinality partition key is safe (the plan guard's
     histogram-input exemption recognises this shape by the upstream
     aggregate keyed on the window's order column).
+
+    ``m_col``: when given, ``df`` is treated as PRE-FOLDED histogram
+    cells — one row per distinct (strata, value) with ``m_col`` holding
+    the rows-in-cell count — and the internal count fold is skipped (the
+    streaming twins' sink tables and the weighted-percentile queries
+    arrive as cells already; re-folding would add a redundant shuffle).
+
+    ``weight_col``: optional second MEASURE on the cells (requires
+    ``m_col``; an int64 per-cell mass such as token or revenue totals).
+    Adds ``wm`` (mass at this value), ``cumwb``/``cumw`` (strictly-earlier
+    / inclusive cumulative mass) and ``w_stratum`` (stratum mass total)
+    over the SAME two window specs — the weighted-rank selection
+    (smallest value whose cumulative mass share reaches q) reads
+    ``cumw / w_stratum`` exactly as the count form reads
+    ``cum / n_stratum``.
     """
-    hist = df.groupBy(*stratum_cols, value_col).agg(F.count(F.lit(1)).alias("m"))
+    if m_col is None:
+        assert weight_col is None, "weight_col requires pre-folded cells (m_col)"
+        hist = df.groupBy(*stratum_cols, value_col).agg(
+            F.count(F.lit(1)).alias("m")
+        )
+    else:
+        keep = [F.col(m_col).cast("long").alias("m")]
+        if weight_col is not None:
+            keep.append(F.col(weight_col).cast("long").alias("wm"))
+        hist = df.select(*stratum_cols, value_col, *keep)
     order = F.col(value_col).desc() if descending else F.col(value_col).asc()
     before = (
         Window.partitionBy(*stratum_cols)
@@ -68,13 +94,27 @@ def hist_cume_counts(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     whole = Window.partitionBy(*stratum_cols)
-    return hist.select(
+    cols = [
         *stratum_cols,
         value_col,
         "m",
         F.coalesce(F.sum("m").over(before), F.lit(0)).cast("long").alias("cumb"),
         F.sum("m").over(whole).cast("long").alias("n_stratum"),
-    ).withColumn("cum", (F.col("cumb") + F.col("m")).cast("long"))
+    ]
+    if weight_col is not None:
+        cols += [
+            F.col("wm"),
+            F.coalesce(F.sum("wm").over(before), F.lit(0))
+            .cast("long")
+            .alias("cumwb"),
+            F.sum("wm").over(whole).cast("long").alias("w_stratum"),
+        ]
+    out = hist.select(*cols).withColumn(
+        "cum", (F.col("cumb") + F.col("m")).cast("long")
+    )
+    if weight_col is not None:
+        out = out.withColumn("cumw", (F.col("cumwb") + F.col("wm")).cast("long"))
+    return out
 
 
 def hist_disc_percentile(value_col: str, q: float, alias: str) -> Column:
@@ -88,6 +128,47 @@ def hist_disc_percentile(value_col: str, q: float, alias: str) -> Column:
     """
     cd = F.col("cum").cast("double") / F.col("n_stratum")
     return F.min(F.when(cd >= q, F.col(value_col))).alias(alias)
+
+
+def hist_disc_weighted_percentile(value_col: str, q: float, alias: str) -> Column:
+    """Weighted companion of :func:`hist_disc_percentile`: the smallest
+    value whose cumulative MASS share ``cumw / w_stratum`` reaches ``q``
+    (ties block-inclusive — a tie block is a single histogram cell, so
+    the histogram cumulative IS the RANGE-framed sum an oracle states
+    over raw rows). Reads the ``cumw``/``w_stratum`` columns that
+    ``hist_cume_counts(..., weight_col=...)`` adds; same exact int64s,
+    same one IEEE division per comparison on both engines.
+    """
+    md = F.col("cumw").cast("double") / F.col("w_stratum")
+    return F.min(F.when(md >= q, F.col(value_col))).alias(alias)
+
+
+def hist_triangular_cume(
+    h: DataFrame,
+    value_col: str,
+    count_col: str,
+    cum_alias: str,
+) -> DataFrame:
+    """Ascending cumulative of ``count_col`` over ``value_col`` order via
+    a broadcast TRIANGULAR self-join over a (persisted, domain-bounded)
+    histogram — NOT a global window: an UNPARTITIONED cumulative window
+    plans an ``Exchange SinglePartition`` over the keyed aggregate,
+    exactly the squeeze the repo-wide plan guard bans, while O(k²) join
+    work over a bounded k-row histogram is free at any SF. ``h`` must be
+    one row per distinct ``value_col`` (a global histogram); returns
+    ``h`` with ``cum_alias`` added (long, inclusive). Callers with a
+    STRATIFIED histogram want :func:`hist_cume_counts`' window form
+    instead — its partition key makes the window safe.
+    """
+    prev = h.select(
+        F.col(value_col).alias("_tc_v"), F.col(count_col).alias("_tc_n")
+    )
+    cum = (
+        h.join(F.broadcast(prev), F.col("_tc_v") <= F.col(value_col))
+        .groupBy(value_col)
+        .agg(F.sum("_tc_n").cast("long").alias(cum_alias))
+    )
+    return h.join(F.broadcast(cum), value_col)
 
 
 def hist_percent_rank(
@@ -419,7 +500,7 @@ def kth_order_statistics_by(
     stratum_col: str,
     value_col: str,
     k_of: "dict | None" = None,
-    q: float | None = None,
+    q: "float | dict[str, float] | None" = None,
     n_buckets: int = PREFIX_SUM_BUCKETS,
 ) -> dict:
     """STRATIFIED exact k-th order statistics: for every stratum value,
@@ -431,6 +512,15 @@ def kth_order_statistics_by(
     explicit rank) or ``q`` (each stratum's rank = max(1, ⌈q·n_s⌉) — the
     percentile_disc rank, computed with the same IEEE multiply an oracle
     states). Returns {stratum: value}.
+
+    MULTI-RANK: ``q`` may be a dict {label: quantile} — every (stratum,
+    label) narrowing task then advances through the SAME census sequence
+    (each round's census carries one row-range per active task; a fact
+    row falling in several tasks' surviving ranges is counted once per
+    task by the broadcast range join), so a p50+p90 report pays ONE scan
+    per round instead of one per quantile. Returns {stratum: {label:
+    value}}. Ranks within a stratum derive from the same n_s, so the
+    scalar and multi forms are value-identical per quantile.
 
     PRECONDITION: the stratum column must be driver-small (event types,
     priorities, nations — the census collect is |strata|-bounded;
@@ -452,6 +542,8 @@ def kth_order_statistics_by(
     import math
 
     assert (k_of is None) != (q is None), "pass exactly one of k_of / q"
+    multi = isinstance(q, dict)
+    labels = q if multi else {"_": q}
     v = F.col(value_col).cast("long")
     s = F.col(stratum_col)
     init = {
@@ -467,49 +559,54 @@ def kth_order_statistics_by(
             "join cannot match it; filter null strata (or impute a sentinel) "
             "before calling"
         )
+    # Narrowing tasks keyed by (stratum, label): the scalar q / k_of forms
+    # are the single-label ("_") case of the same loop.
     active: dict = {}
     for st, (lo, hi, n) in init.items():
         if n == 0:
             continue
-        k = k_of[st] if k_of is not None else max(1, math.ceil(q * n))
-        if not 1 <= k <= n:
-            raise ValueError(f"rank {k} out of range 1..{n} for stratum {st!r}")
         assert hi - lo < 2**62, "value span too wide for integer bucket math"
-        active[st] = (lo, hi, k)
+        for lbl, ql in labels.items():
+            k = k_of[st] if k_of is not None else max(1, math.ceil(ql * n))
+            if not 1 <= k <= n:
+                raise ValueError(
+                    f"rank {k} out of range 1..{n} for stratum {st!r}"
+                )
+            active[(st, lbl)] = (lo, hi, k)
     done: dict = {}
     spark = df.sparkSession
     while active:
-        for st in [s_ for s_, (lo, hi, _k) in active.items() if lo == hi]:
-            done[st] = int(active.pop(st)[0])
+        for key in [k_ for k_, (lo, hi, _k) in active.items() if lo == hi]:
+            done[key] = int(active.pop(key)[0])
         if not active:
             break
         ranges = spark.createDataFrame(
             [
-                (st, lo, hi, (hi - lo) // n_buckets + 1)
-                for st, (lo, hi, _k) in active.items()
+                (st, lbl, lo, hi, (hi - lo) // n_buckets + 1)
+                for (st, lbl), (lo, hi, _k) in active.items()
             ],
             f"_s {df.schema[stratum_col].dataType.simpleString()}, "
-            "_lo long, _hi long, _w long",
+            "_l string, _lo long, _hi long, _w long",
         )
         counts: dict = {}
         rows = (
             df.join(F.broadcast(ranges), s == F.col("_s"))
             .filter((v >= F.col("_lo")) & (v <= F.col("_hi")))
             .withColumn("_d", v - F.col("_lo"))
-            .groupBy(F.col("_s"), F.expr("_d div _w").alias("_b"))
+            .groupBy(F.col("_s"), F.col("_l"), F.expr("_d div _w").alias("_b"))
             .agg(F.count(F.lit(1)).alias("_m"))
             .collect()
         )
         for r in rows:
-            counts[(r["_s"], r["_b"])] = r["_m"]
+            counts[(r["_s"], r["_l"], r["_b"])] = r["_m"]
         nxt: dict = {}
-        for st, (lo, hi, k) in active.items():
+        for (st, lbl), (lo, hi, k) in active.items():
             width = (hi - lo) // n_buckets + 1
             cum = 0
             for b in range(n_buckets + 1):
-                m = counts.get((st, b), 0)
+                m = counts.get((st, lbl, b), 0)
                 if cum + m >= k:
-                    nxt[st] = (
+                    nxt[(st, lbl)] = (
                         lo + b * width,
                         min(hi, lo + (b + 1) * width - 1),
                         k - cum,
@@ -519,4 +616,9 @@ def kth_order_statistics_by(
             else:  # pragma: no cover - unreachable when k <= n_s
                 raise AssertionError(f"rank not found for stratum {st!r}")
         active = nxt
-    return done
+    if multi:
+        out: dict = {}
+        for (st, lbl), val in done.items():
+            out.setdefault(st, {})[lbl] = val
+        return out
+    return {st: val for (st, _lbl), val in done.items()}

@@ -2615,33 +2615,24 @@ def source_token_weighted_length_percentiles(
     n_docs and p50_len; a source that is ENTIRELY zero-token would yield
     NULL weighted ranks on both engines (0/0 NaN compares false) —
     fixture-excluded, noted for completeness."""
+    from ..functions.ranks import (
+        hist_cume_counts,
+        hist_disc_percentile,
+        hist_disc_weighted_percentile,
+    )
+
     tc = _doc_token_counts(spark, sf_dir)
     h = tc.groupBy("source", "n_tokens").agg(F.count(F.lit(1)).alias("cnt"))
-    mass = (F.col("n_tokens") * F.col("cnt")).cast("long")
-    cum = (
-        Window.partitionBy("source")
-        .orderBy("n_tokens")
-        .rowsBetween(Window.unboundedPreceding, 0)
+    cells = h.withColumn(
+        "mass", (F.col("n_tokens") * F.col("cnt")).cast("long")
     )
-    whole = Window.partitionBy("source")
-    r = h.select(
-        "source",
-        "n_tokens",
-        "cnt",
-        mass.alias("mass"),
-        (
-            F.sum("cnt").over(cum).cast("double")
-            / F.sum("cnt").over(whole)
-        ).alias("cd"),
-        (
-            F.sum(mass).over(cum).cast("double")
-            / F.sum(mass).over(whole)
-        ).alias("md"),
+    r = hist_cume_counts(
+        cells, ["source"], "n_tokens", m_col="cnt", weight_col="mass"
     )
     return r.groupBy("source").agg(
-        F.sum("cnt").alias("n_docs"),
-        F.sum("mass").alias("total_tokens"),
-        F.min(F.when(F.col("cd") >= 0.5, F.col("n_tokens"))).alias("p50_len"),
-        F.min(F.when(F.col("md") >= 0.5, F.col("n_tokens"))).alias("w50_len"),
-        F.min(F.when(F.col("md") >= 0.9, F.col("n_tokens"))).alias("w90_len"),
+        F.sum("m").alias("n_docs"),
+        F.sum("wm").alias("total_tokens"),
+        hist_disc_percentile("n_tokens", 0.5, "p50_len"),
+        hist_disc_weighted_percentile("n_tokens", 0.5, "w50_len"),
+        hist_disc_weighted_percentile("n_tokens", 0.9, "w90_len"),
     )

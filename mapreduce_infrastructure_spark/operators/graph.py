@@ -1263,14 +1263,14 @@ def parts_graph_edge_weight_histogram(
     order-count co-membership, the same domain-bounded premise as the
     degree histogram). Counts and masses exact int64; each share is one
     IEEE division stated identically in the oracle."""
+    from ..functions.ranks import hist_triangular_cume
     from ..llm.cache import tracked_persist
 
     e = _part_cooccur_edges_weighted(spark, sf_dir)
-    # Cumulative via a broadcast TRIANGULAR self-join over the persisted
-    # |distinct weights|-row histogram, NOT a global window — an
-    # unpartitioned window plans an Exchange SinglePartition over the
-    # keyed aggregate, exactly the squeeze the plan guard bans; the
-    # totals fold is a scalar (keys=[]) aggregate, the guard-exempt
+    # Cumulative via hist_triangular_cume (broadcast TRIANGULAR self-join
+    # over the persisted |distinct weights|-row histogram, NOT a global
+    # window — the Exchange SinglePartition squeeze the plan guard bans);
+    # the totals fold is a scalar (keys=[]) aggregate, the guard-exempt
     # 1-row shape.
     h = tracked_persist(
         e.groupBy(F.col("w").alias("weight")).agg(
@@ -1282,14 +1282,8 @@ def parts_graph_edge_weight_histogram(
         F.sum("n_edges").alias("total_edges"),
         F.sum(F.col("weight") * F.col("n_edges")).alias("total_weight"),
     )
-    prev = h.select(F.col("weight").alias("w2"), F.col("n_edges").alias("n2"))
-    cum = (
-        h.join(F.broadcast(prev), F.col("w2") <= F.col("weight"))
-        .groupBy("weight")
-        .agg(F.sum("n2").alias("cum_edges"))
-    )
     return (
-        h.join(F.broadcast(cum), "weight")
+        hist_triangular_cume(h, "weight", "n_edges", "cum_edges")
         .crossJoin(F.broadcast(t))
         .select(
             "weight",

@@ -1310,14 +1310,15 @@ def event_value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFra
     }
     # 256-way branching: the census is still ≤|types|·257 rows, and the
     # micro-unit domain (~2^30 at fixture value ranges, ~2^45 for any
-    # plausible metric) narrows in 4–6 rounds instead of 6–13.
-    pct = {
-        q: kth_order_statistics_by(tv, "event_type", "m", q=q, n_buckets=256)
-        for q in (0.5, 0.95, 0.99)
-    }
+    # plausible metric) narrows in 4–6 rounds instead of 6–13. All three
+    # quantiles ride ONE census sequence (multi-rank narrower).
+    pct = kth_order_statistics_by(
+        tv, "event_type", "m",
+        q={"p50": 0.5, "p95": 0.95, "p99": 0.99}, n_buckets=256,
+    )
     return spark.createDataFrame(
         [
-            (et, n, pct[0.5][et], pct[0.95][et], pct[0.99][et])
+            (et, n, pct[et]["p50"], pct[et]["p95"], pct[et]["p99"])
             for et, n in sorted(ns.items())
         ],
         "event_type string, n_events long, p50_micro long, p95_micro long, "
@@ -2112,13 +2113,13 @@ def _linecount_report(c: DataFrame, slot: str) -> DataFrame:
     """Histogram + shares + ascending cumulative over a per-order
     line-count frame (column ``k``) — the shared tail of
     order_linecount_distribution and its streaming twin, so the two
-    derivations cannot drift. The cumulative is a broadcast TRIANGULAR
-    self-join over the persisted |distinct fan-outs|-row histogram
-    (domain-bounded by schema policy), NOT a global window — an
-    unpartitioned window plans an Exchange SinglePartition over the
-    keyed aggregate, exactly the squeeze the plan guard bans; O(k²)
-    join work over a bounded k is free at any SF. Totals fold through
-    a scalar (keys=[]) aggregate, the guard-exempt 1-row shape."""
+    derivations cannot drift. The cumulative is `hist_triangular_cume`
+    (a broadcast TRIANGULAR self-join over the persisted
+    |distinct fan-outs|-row histogram, domain-bounded by schema policy —
+    NOT a global window, which would plan the Exchange SinglePartition
+    squeeze the plan guard bans). Totals fold through a scalar (keys=[])
+    aggregate, the guard-exempt 1-row shape."""
+    from ..functions.ranks import hist_triangular_cume
     from ..llm.cache import tracked_persist
 
     h = tracked_persist(
@@ -2132,17 +2133,8 @@ def _linecount_report(c: DataFrame, slot: str) -> DataFrame:
         F.sum("n_orders").alias("total_orders"),
         F.sum(n_lines).alias("total_lines"),
     )
-    prev = h.select(
-        F.col("lines_per_order").alias("lp2"),
-        F.col("n_orders").alias("n2"),
-    )
-    cum = (
-        h.join(F.broadcast(prev), F.col("lp2") <= F.col("lines_per_order"))
-        .groupBy("lines_per_order")
-        .agg(F.sum("n2").alias("cum_orders"))
-    )
     return (
-        h.join(F.broadcast(cum), "lines_per_order")
+        hist_triangular_cume(h, "lines_per_order", "n_orders", "cum_orders")
         .crossJoin(F.broadcast(t))
         .select(
             "lines_per_order",

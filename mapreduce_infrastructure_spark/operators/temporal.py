@@ -1657,12 +1657,12 @@ def _lifetime_span_report(spark: SparkSession, u: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
-    pct = {
-        q: kth_order_statistics_by(u, "first_type", "span_us", q=q, n_buckets=256)
-        for q in (0.5, 0.9)
-    }
+    # Both quantiles ride ONE census sequence (multi-rank narrower).
+    pct = kth_order_statistics_by(
+        u, "first_type", "span_us", q={"p50": 0.5, "p90": 0.9}, n_buckets=256
+    )
     return spark.createDataFrame(
-        [(t, n, pct[0.5][t], pct[0.9][t]) for t, n in sorted(ns.items())],
+        [(t, n, pct[t]["p50"], pct[t]["p90"]) for t, n in sorted(ns.items())],
         "first_type string, n_users long, p50_span_us long, p90_span_us long",
     )
 

@@ -1823,28 +1823,13 @@ def _priority_sla_report(cells: DataFrame) -> DataFrame:
     """Cumulative windows + percentile/late fold over (o_orderpriority,
     lag, m) HISTOGRAM CELLS — the shared tail of
     priority_leadtime_sla_profile and its streaming twin, so the two
-    derivations cannot drift. Replicates hist_cume_counts' cumulative
-    form over pre-folded cells (the stream's sink table IS the cell
-    grid); every window input is |distinct lags| per priority,
-    domain-bounded."""
-    from pyspark.sql import Window
+    derivations cannot drift. ``hist_cume_counts(m_col=...)`` runs its
+    cumulative form directly over the pre-folded cells (the stream's
+    sink table IS the cell grid); every window input is |distinct lags|
+    per priority, domain-bounded."""
+    from ..functions.ranks import hist_cume_counts, hist_disc_percentile
 
-    whole = Window.partitionBy("o_orderpriority")
-    before = (
-        Window.partitionBy("o_orderpriority")
-        .orderBy("lag")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    cume = cells.select(
-        "o_orderpriority",
-        "lag",
-        "m",
-        F.coalesce(F.sum("m").over(before), F.lit(0))
-        .cast("long")
-        .alias("cumb"),
-        F.sum("m").over(whole).cast("long").alias("n_stratum"),
-    ).withColumn("cum", (F.col("cumb") + F.col("m")).cast("long"))
-    from ..functions.ranks import hist_disc_percentile
+    cume = hist_cume_counts(cells, ["o_orderpriority"], "lag", m_col="m")
 
     late_m = F.when(F.col("lag") > 90, F.col("m")).otherwise(0)
     return cume.groupBy("o_orderpriority").agg(
@@ -2015,10 +2000,14 @@ def order_price_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"order_price_diffs:{sf_dir}",
     )
     nn = d.filter(F.col("adiff").isNotNull())
-    p50 = kth_order_statistics_by(nn, "diff_class", "adiff", q=0.5)
-    p90 = kth_order_statistics_by(nn, "diff_class", "adiff", q=0.9)
+    # Multi-rank narrowing: p50 and p90 advance through ONE census
+    # sequence (one scan of the cached diff projection per round), not
+    # one sequence per quantile.
+    pq = kth_order_statistics_by(
+        nn, "diff_class", "adiff", q={"p50": 0.5, "p90": 0.9}
+    )
     grid = spark.createDataFrame(
-        [(c, p50[c], p90[c]) for c in sorted(p50)],
+        [(c, pq[c]["p50"], pq[c]["p90"]) for c in sorted(pq)],
         "diff_class string, p50_abs_diff_cents long, p90_abs_diff_cents long",
     )
     g = d.groupBy("diff_class").agg(
@@ -2129,30 +2118,21 @@ def revenue_weighted_leadtime_percentiles(
             F.sum("rev_cents").alias("wm"),
         )
     )
-    cum = (
-        Window.partitionBy("o_orderpriority")
-        .orderBy("lag")
-        .rowsBetween(Window.unboundedPreceding, 0)
+    from ..functions.ranks import (
+        hist_cume_counts,
+        hist_disc_percentile,
+        hist_disc_weighted_percentile,
     )
-    whole = Window.partitionBy("o_orderpriority")
-    r = cells.select(
-        "o_orderpriority",
-        "lag",
-        "m",
-        "wm",
-        (
-            F.sum("m").over(cum).cast("double") / F.sum("m").over(whole)
-        ).alias("cd"),
-        (
-            F.sum("wm").over(cum).cast("double") / F.sum("wm").over(whole)
-        ).alias("md"),
+
+    r = hist_cume_counts(
+        cells, ["o_orderpriority"], "lag", m_col="m", weight_col="wm"
     )
     return r.groupBy("o_orderpriority").agg(
         F.sum("m").alias("n_lines"),
         F.sum("wm").alias("total_rev_cents"),
-        F.min(F.when(F.col("cd") >= 0.5, F.col("lag"))).alias("p50_lag_days"),
-        F.min(F.when(F.col("md") >= 0.5, F.col("lag"))).alias("w50_lag_days"),
-        F.min(F.when(F.col("md") >= 0.9, F.col("lag"))).alias("w90_lag_days"),
+        hist_disc_percentile("lag", 0.5, "p50_lag_days"),
+        hist_disc_weighted_percentile("lag", 0.5, "w50_lag_days"),
+        hist_disc_weighted_percentile("lag", 0.9, "w90_lag_days"),
     )
 
 

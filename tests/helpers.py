@@ -83,3 +83,119 @@ def check_query(spark, sf_dir: str, name: str, fn, oracle: str) -> None:
     finally:
         con.close()
     compare_frames(spark_pdf, oracle_pdf, name)
+
+
+# ---------------------------------------------------------------------------
+# Pure-python XXH64 reference (public algorithm, https://xxhash.com spec) —
+# the partial oracle for Spark's engine-specific `xxhash64` expression:
+# recomputes the exact chained hashes Spark produces for long/int/string
+# inputs (Spark chains multi-arg calls through the seed, default seed 42).
+# ---------------------------------------------------------------------------
+
+_XXP1 = 0x9E3779B185EBCA87
+_XXP2 = 0xC2B2AE3D4A7C2B93
+_XXP3 = 0x165667B19E3779F9
+_XXP4 = 0x85EBCA77C2B2AE63
+_XXP5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _xx_fmix(h: int) -> int:
+    h ^= h >> 33
+    h = (h * _XXP2) & _M64
+    h ^= h >> 29
+    h = (h * _XXP3) & _M64
+    h ^= h >> 32
+    return h
+
+
+def xxh64_long(value: int, seed: int) -> int:
+    """XXH64 of one 8-byte long — Spark's hash for LongType columns."""
+    value &= _M64
+    h = (seed + _XXP5 + 8) & _M64
+    h ^= (_rotl64((value * _XXP2) & _M64, 31) * _XXP1) & _M64
+    h = ((_rotl64(h, 27) * _XXP1) & _M64 + 0) & _M64
+    h = (h + _XXP4) & _M64
+    return _xx_fmix(h)
+
+
+def xxh64_int(value: int, seed: int) -> int:
+    """XXH64 of one 4-byte int — Spark's hash for IntegerType columns."""
+    h = (seed + _XXP5 + 4) & _M64
+    h ^= ((value & 0xFFFFFFFF) * _XXP1) & _M64
+    h = (_rotl64(h, 23) * _XXP2 + _XXP3) & _M64
+    return _xx_fmix(h)
+
+
+def xxh64_bytes(data: bytes, seed: int) -> int:
+    """Standard XXH64 over a byte string — Spark's hash for StringType
+    columns (UTF-8 bytes)."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _XXP1 + _XXP2) & _M64
+        v2 = (seed + _XXP2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _XXP1) & _M64
+        while i <= n - 32:
+            for j, v in enumerate((v1, v2, v3, v4)):
+                lane = int.from_bytes(data[i + 8 * j : i + 8 * j + 8], "little")
+                v = (v + lane * _XXP2) & _M64
+                v = (_rotl64(v, 31) * _XXP1) & _M64
+                if j == 0:
+                    v1 = v
+                elif j == 1:
+                    v2 = v
+                elif j == 2:
+                    v3 = v
+                else:
+                    v4 = v
+            i += 32
+        h = (
+            _rotl64(v1, 1) + _rotl64(v2, 7) + _rotl64(v3, 12) + _rotl64(v4, 18)
+        ) & _M64
+        for v in (v1, v2, v3, v4):
+            h ^= (_rotl64((v * _XXP2) & _M64, 31) * _XXP1) & _M64
+            h = (h * _XXP1 + _XXP4) & _M64
+    else:
+        h = (seed + _XXP5) & _M64
+    h = (h + n) & _M64
+    while i <= n - 8:
+        lane = int.from_bytes(data[i : i + 8], "little")
+        h ^= (_rotl64((lane * _XXP2) & _M64, 31) * _XXP1) & _M64
+        h = (_rotl64(h, 27) * _XXP1 + _XXP4) & _M64
+        i += 8
+    if i <= n - 4:
+        lane = int.from_bytes(data[i : i + 4], "little")
+        h ^= (lane * _XXP1) & _M64
+        h = (_rotl64(h, 23) * _XXP2 + _XXP3) & _M64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _XXP5) & _M64
+        h = (_rotl64(h, 11) * _XXP1) & _M64
+        i += 1
+    return _xx_fmix(h)
+
+
+def _to_i64(u: int) -> int:
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+def spark_xxhash64(*values, seed: int = 42) -> int:
+    """Spark's `xxhash64(...)` for a mix of python ints (hashed as
+    LongType), (value, "int") tuples (IntegerType) and strs (StringType
+    UTF-8): multi-arg calls CHAIN — each value's hash seeds the next.
+    Returns the SIGNED int64 Spark surfaces."""
+    h = seed
+    for v in values:
+        if isinstance(v, tuple) and v[1] == "int":
+            h = xxh64_int(v[0], h)
+        elif isinstance(v, str):
+            h = xxh64_bytes(v.encode("utf-8"), h)
+        else:
+            h = xxh64_long(v, h)
+    return _to_i64(h)

@@ -420,3 +420,120 @@ def test_kth_order_statistics_by_skips_all_null_value_stratum(spark):
         [("a", 1), ("a", None), ("a", 3), ("b", None)], "s string, v long"
     )
     assert kth_order_statistics_by(df, "s", "v", q=0.5) == {"a": 1}
+
+
+def test_hist_cume_counts_prefolded_cells_match_unfolded(spark):
+    """m_col: pre-folded histogram cells (the streaming sinks' shape)
+    must yield the exact rows the internal count fold produces."""
+    df = _fixture(spark, _rows(seed=7))
+    cells = df.groupBy("stratum", "v").agg(F.count(F.lit(1)).alias("n_cell"))
+    cols = ["stratum", "v", "m", "cumb", "n_stratum", "cum"]
+    a = sorted(map(tuple, hist_cume_counts(df, ["stratum"], "v").select(cols).collect()))
+    b = sorted(
+        map(
+            tuple,
+            hist_cume_counts(cells, ["stratum"], "v", m_col="n_cell")
+            .select(cols)
+            .collect(),
+        )
+    )
+    assert a == b
+
+
+def test_hist_cume_counts_weight_col_matches_range_window(spark):
+    """weight_col: cumw / w_stratum must equal the RANGE-framed window
+    sums over raw rows an oracle states (ties block-inclusive), and the
+    weighted percentile selector must match the naive selection."""
+    from mapreduce_infrastructure_spark.functions.ranks import (
+        hist_disc_weighted_percentile,
+    )
+
+    rows = [(s, i, v, v * 3 + 1) for s, i, v in _rows(seed=11)]
+    df = spark.createDataFrame(rows, "stratum string, id long, v long, w long")
+    rng = (
+        Window.partitionBy("stratum")
+        .orderBy("v")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    whole = Window.partitionBy("stratum")
+    naive = (
+        df.select(
+            "stratum",
+            "v",
+            F.sum("w").over(rng).alias("cumw"),
+            F.sum("w").over(whole).alias("w_stratum"),
+        )
+        .distinct()
+    )
+    cells = df.groupBy("stratum", "v").agg(
+        F.count(F.lit(1)).alias("m"), F.sum("w").alias("wm")
+    )
+    fast = hist_cume_counts(cells, ["stratum"], "v", m_col="m", weight_col="wm")
+    key_cols = ["stratum", "v", "cumw", "w_stratum"]
+    assert sorted(map(tuple, fast.select(key_cols).collect())) == sorted(
+        map(tuple, naive.collect())
+    )
+    # Weighted percentile selection vs the naive cumulative-share form.
+    naive_sel = (
+        naive.withColumn("md", F.col("cumw").cast("double") / F.col("w_stratum"))
+        .groupBy("stratum")
+        .agg(
+            *[
+                F.min(F.when(F.col("md") >= q, F.col("v"))).alias(f"w{int(q*100)}")
+                for q in (0.5, 0.9)
+            ]
+        )
+    )
+    fast_sel = fast.groupBy("stratum").agg(
+        *[
+            hist_disc_weighted_percentile("v", q, f"w{int(q*100)}")
+            for q in (0.5, 0.9)
+        ]
+    )
+    assert sorted(map(tuple, fast_sel.collect())) == sorted(
+        map(tuple, naive_sel.collect())
+    )
+
+
+def test_hist_triangular_cume_matches_window_cumsum(spark):
+    """The broadcast triangular cumulative over a global histogram must
+    equal the naive unpartitioned window cumsum (computed in python —
+    the engine-side global window is exactly what the helper avoids)."""
+    from mapreduce_infrastructure_spark.functions.ranks import (
+        hist_triangular_cume,
+    )
+
+    h_rows = [(v, (v * 7) % 13 + 1) for v in (2, 3, 5, 8, 13, 21, 34)]
+    h = spark.createDataFrame(h_rows, "val long, n long")
+    got = {
+        r["val"]: r["cum"]
+        for r in hist_triangular_cume(h, "val", "n", "cum").collect()
+    }
+    cum = 0
+    want = {}
+    for v, n in sorted(h_rows):
+        cum += n
+        want[v] = cum
+    assert got == want
+
+
+@pytest.mark.parametrize("n_buckets", [7, 256])
+def test_kth_order_statistics_by_multi_matches_scalar(spark, n_buckets):
+    """Multi-rank narrowing (one census sequence for all quantiles) must
+    be value-identical to the scalar per-quantile calls."""
+    from mapreduce_infrastructure_spark.functions.ranks import (
+        kth_order_statistics_by,
+    )
+
+    data = {
+        "a": [5, 5, 5, -2, 2**41, 0, 7],
+        "b": [1],
+        "c": [(i * 2654435761) % 9973 - 5000 for i in range(200)],
+    }
+    rows = [(s, v) for s, vs in data.items() for v in vs]
+    df = spark.createDataFrame(rows, "s string, v long")
+    qs = {"p50": 0.5, "p90": 0.9, "p99": 0.99}
+    multi = kth_order_statistics_by(df, "s", "v", q=qs, n_buckets=n_buckets)
+    for lbl, q in qs.items():
+        scalar = kth_order_statistics_by(df, "s", "v", q=q, n_buckets=n_buckets)
+        assert {s: multi[s][lbl] for s in multi} == scalar
