@@ -383,8 +383,13 @@ def minhash_signatures(
     (xxhash64 is non-cryptographic — digest equality is necessary, not
     sufficient, for element-wise equality). Tests pass ``include_array=True``
     to assert determinism over every element directly.
-    Deterministic but engine-specific hashing → no SQL oracle; invariants
-    (signature equality tracks Jaccard) are asserted in tests/test_dedup.py."""
+    Deterministic but engine-specific hashing → no SQL oracle (DuckDB has no
+    xxhash64 builtin); since round 14 a PARTIAL ORACLE pins the full chain
+    anyway: a pure-python XXH64 reference (spec-vector-validated) recomputes
+    40 docs' signatures from the raw parquet text and matches every element,
+    mh column and digest token-for-token
+    (tests/test_dedup_similarity.py::test_minhash_signatures_partial_oracle_pure_python_xxh64);
+    invariants (signature equality tracks Jaccard) are asserted alongside."""
     sig = _signatures(_doc_shingles(spark, sf_dir))
     cols = [
         F.col("doc_id"),

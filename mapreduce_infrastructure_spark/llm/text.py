@@ -487,7 +487,10 @@ def frequent_terms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     one small join back, so downstream consumers can threshold precisely.
     No SQL oracle: the admitted false-positive set is engine- and
     partitioning-specific (rows-only; the superset guarantee is the
-    tested contract)."""
+    tested contract). Since round 14 a PARTIAL ORACLE pins the exact side:
+    DuckDB recounts every returned word from the same parquet and must
+    match cnt token-for-token
+    (tests/test_sampling.py::test_frequent_terms_counts_match_duckdb_exact)."""
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select(F.explode(tokens_col()).alias("word"))
     sketch = words.stat.freqItems(["word"], _FREQ_SUPPORT)

@@ -93,7 +93,7 @@ def check_query(spark, sf_dir: str, name: str, fn, oracle: str) -> None:
 # ---------------------------------------------------------------------------
 
 _XXP1 = 0x9E3779B185EBCA87
-_XXP2 = 0xC2B2AE3D4A7C2B93
+_XXP2 = 0xC2B2AE3D27D4EB4F
 _XXP3 = 0x165667B19E3779F9
 _XXP4 = 0x85EBCA77C2B2AE63
 _XXP5 = 0x27D4EB2F165667C5

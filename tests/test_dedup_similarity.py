@@ -1729,3 +1729,53 @@ def test_ann_topk_returned_cosines_match_duckdb_exact_scores(spark, sf_dir):
             rs.sort(key=lambda r: r.rank)
             assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
             assert rs == sorted(rs, key=lambda r: (-r.cosine, r.neighbor_id))
+
+
+def test_minhash_signatures_partial_oracle_pure_python_xxh64(spark, sf_dir):
+    """PARTIAL ORACLE (round-14 graduation, round-13 verdict item 5):
+    Spark's xxhash64 is deterministic public XXH64, so the full signature
+    chain — tokenize → 3-gram shingles → per-shingle xxhash64 → 32 seeded
+    re-hashes → array_min folds → digest — is recomputable OUTSIDE the
+    engine. This recomputes 40 documents' signatures from the RAW PARQUET
+    TEXT in pure python (tests/helpers.py XXH64 reference, validated
+    against the spec vectors) and pins every mh value, every signature
+    element and the sig_digest token-for-token. DuckDB has no xxhash64
+    builtin, so the reference implementation stands in as the second
+    engine; the value set is exact, not statistical."""
+    import re
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from tests.helpers import spark_xxhash64
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = sorted(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))[:40]
+    want = {}
+    for doc_id, text in docs:
+        toks = [t for t in re.split("[^a-z0-9]+", text.lower()) if t]
+        if len(toks) < 3:
+            continue  # engine filters size(sh) == 0
+        # array_distinct keeps first occurrence; minhash folds a MIN over
+        # the set, so order is irrelevant — a python set matches.
+        sh = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+        hs = [spark_xxhash64(s) for s in sh]
+        sig = [
+            min(spark_xxhash64(h, (s, "int")) for h in hs)
+            for s in range(dedup.N_HASHES)
+        ]
+        want[doc_id] = sig
+    assert len(want) >= 30  # the fixture premise: most docs have >= 3 tokens
+    got = {
+        r.doc_id: (list(r.signature), r.mh_0, r.mh_1, r.mh_2, r.mh_3, r.sig_digest)
+        for r in dedup.minhash_signatures(spark, sf_dir, include_array=True)
+        .filter(F.col("doc_id").isin(list(want)))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for doc_id, sig in want.items():
+        g_sig, m0, m1, m2, m3, digest = got[doc_id]
+        assert g_sig == sig, doc_id
+        assert (m0, m1, m2, m3) == tuple(sig[:4]), doc_id
+        # array hashing chains element hashes through the running seed
+        assert digest == spark_xxhash64(*sig), doc_id

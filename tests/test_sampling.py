@@ -822,3 +822,36 @@ def test_split_leakage_after_fix_is_zero(spark, sf_dir):
     assert rows["train"].n_docs > sum(
         r.n_docs for s, r in rows.items() if s != "train"
     )
+
+
+def test_frequent_terms_counts_match_duckdb_exact(spark, sf_dir):
+    """PARTIAL ORACLE (round-14 graduation, round-13 verdict item 5): the
+    sketch's ADMITTED word set is engine-specific (Misra-Gries false
+    positives depend on partitioning), but every reported count is exact —
+    so DuckDB recounting the returned words from the same parquet must
+    match token-for-token. Complements the superset-guarantee test, which
+    pins no-false-negatives against a Spark-side recount."""
+    from tests.helpers import duckdb_con
+
+    from mapreduce_infrastructure_spark.llm import text as llm_text
+
+    got = {
+        r.word: r.cnt
+        for r in llm_text.frequent_terms_sketch(spark, sf_dir).collect()
+    }
+    assert got
+    con = duckdb_con(sf_dir)
+    exact = dict(
+        con.execute(
+            f"""
+            SELECT w, CAST(COUNT(*) AS BIGINT) FROM (
+              SELECT UNNEST(list_filter(
+                regexp_split_to_array(lower(text), '{llm_text.TOKEN_DELIM}'),
+                x -> x <> '')) AS w
+              FROM documents)
+            GROUP BY 1
+            """
+        ).fetchall()
+    )
+    for w, c in got.items():
+        assert exact.get(w) == c, (w, c, exact.get(w))
