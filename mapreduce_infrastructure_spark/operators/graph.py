@@ -1300,3 +1300,84 @@ def parts_graph_edge_weight_histogram(
             ).alias("cum_edge_share"),
         )
     )
+
+
+@query(
+    "parts_graph_weighted_degree_distribution",
+    oracle=f"""
+    WITH op AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS pk FROM lineitem
+    ),
+    e AS MATERIALIZED (
+      SELECT a.pk AS a, b.pk AS b, CAST(COUNT(*) AS BIGINT) AS w
+      FROM op a JOIN op b ON a.o = b.o AND a.pk < b.pk
+      GROUP BY 1, 2 HAVING COUNT(*) >= {TRI_MIN_SHARED}
+    ),
+    st AS (
+      SELECT node, CAST(SUM(w) AS BIGINT) AS s
+      FROM (SELECT a AS node, w FROM e UNION ALL SELECT b, w FROM e)
+      GROUP BY 1
+    ),
+    h AS (
+      SELECT s AS strength, CAST(COUNT(*) AS BIGINT) AS n_nodes
+      FROM st GROUP BY 1
+    ),
+    t AS (
+      SELECT CAST(SUM(n_nodes) AS BIGINT) AS total,
+             CAST(SUM(strength * n_nodes) AS BIGINT) AS strength_mass
+      FROM h
+    )
+    SELECT h.strength, h.n_nodes,
+           CAST(h.n_nodes AS DOUBLE) / t.total AS node_share,
+           CAST(h.strength * h.n_nodes AS DOUBLE) / t.strength_mass
+             AS strength_mass_share
+    FROM h CROSS JOIN t
+    """,
+    tags=("graph", "histogram", "stats", "weighted"),
+)
+def parts_graph_weighted_degree_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STRENGTH distribution of the part co-occurrence graph: per exact
+    node strength (sum of incident edge WEIGHTS — shared-order counts),
+    the node count, its share of nodes, and its share of total strength
+    mass (= 2·total edge weight by the weighted handshake lemma) — the
+    weighted companion of `parts_graph_degree_distribution`: degree says
+    how many parts a part co-occurs with, strength says how OFTEN. A node
+    whose strength share dwarfs its node share is a hub by volume even if
+    its degree is modest (few partners, ordered together constantly) —
+    exactly the key a weight-blind degree histogram under-ranks, and the
+    node-level skew read for any aggregation keyed by part with
+    per-co-occurrence fan-in.
+
+    Composes the session-cached WEIGHTED edge build
+    (`_part_cooccur_edges_weighted` — free after any part-graph query ran
+    this session; the weight column folds per node instead of per edge).
+    One union + one per-node fold + one |distinct strengths|-row
+    histogram fold; shares divide exact int64 sums against the broadcast
+    1-row totals (no window anywhere). Strength support grows like the
+    degree histogram's (~O(sqrt(m)) distinct values), so the grid stays
+    bounded at any SF."""
+    e = _part_cooccur_edges_weighted(spark, sf_dir)
+    st = (
+        e.select(F.col("x").alias("node"), "w")
+        .union(e.select(F.col("y").alias("node"), "w"))
+        .groupBy("node")
+        .agg(F.sum("w").cast("long").alias("s"))
+    )
+    h = st.groupBy(F.col("s").alias("strength")).agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
+    t = h.agg(
+        F.sum("n_nodes").alias("total"),
+        F.sum(F.col("strength") * F.col("n_nodes")).alias("strength_mass"),
+    )
+    return h.crossJoin(F.broadcast(t)).select(
+        "strength",
+        "n_nodes",
+        (F.col("n_nodes").cast("double") / F.col("total")).alias("node_share"),
+        (
+            (F.col("strength") * F.col("n_nodes")).cast("double")
+            / F.col("strength_mass")
+        ).alias("strength_mass_share"),
+    )

@@ -489,3 +489,63 @@ def test_parts_edge_weight_histogram_scalar_reference(spark, sf_dir):
         assert row.weight_share == (w * n) / total_mass
         assert row.cum_edge_share == cum / total_edges
     assert got[max(hist)].cum_edge_share == 1.0
+
+
+def test_parts_weighted_degree_distribution_scalar_reference(spark, sf_dir):
+    """Python recount of the STRENGTH histogram: per-node incident-weight
+    sums over the same pair counts and TRI_MIN_SHARED floor, same
+    one-division shares, weighted handshake identity
+    Σ strength·n_nodes = 2·Σ edge weight, node total matches the
+    (unweighted) degree distribution's."""
+    from itertools import combinations
+
+    import pyarrow.parquet as pq
+
+    from mapreduce_infrastructure_spark.operators.graph import (
+        TRI_MIN_SHARED,
+        parts_graph_degree_distribution,
+        parts_graph_weighted_degree_distribution,
+    )
+
+    li = pq.read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).to_pydict()
+    by_order = {}
+    for o, p in zip(li["l_orderkey"], li["l_partkey"]):
+        by_order.setdefault(o, set()).add(p)
+    pair_counts = {}
+    for parts in by_order.values():
+        for a, b in combinations(sorted(parts), 2):
+            pair_counts[(a, b)] = pair_counts.get((a, b), 0) + 1
+    strength = {}
+    total_w = 0
+    for (a, b), w in pair_counts.items():
+        if w < TRI_MIN_SHARED:
+            continue
+        total_w += w
+        strength[a] = strength.get(a, 0) + w
+        strength[b] = strength.get(b, 0) + w
+    hist = {}
+    for s in strength.values():
+        hist[s] = hist.get(s, 0) + 1
+    got = {
+        r.strength: r
+        for r in parts_graph_weighted_degree_distribution(
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(got) == set(hist)
+    n_nodes = len(strength)
+    mass = sum(strength.values())
+    assert mass == 2 * total_w  # weighted handshake lemma
+    for s, n in hist.items():
+        row = got[s]
+        assert row.n_nodes == n
+        assert row.node_share == n / n_nodes
+        assert row.strength_mass_share == (s * n) / mass
+    # node population identical to the unweighted degree histogram's
+    deg_total = sum(
+        r.n_nodes
+        for r in parts_graph_degree_distribution(spark, sf_dir).collect()
+    )
+    assert deg_total == n_nodes
