@@ -2345,3 +2345,87 @@ def customer_balance_spend_matrix(spark: SparkSession, sf_dir: str) -> DataFrame
             "row_share"
         ),
     )
+
+
+@query(
+    "events_value_weighted_dow_hour_profile",
+    oracle="""
+    WITH g AS (
+      SELECT ((CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 3) % 7) + 1
+               AS dow,
+             (CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 24 AS hour_utc,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS m
+      FROM events WHERE value IS NOT NULL
+    ),
+    h AS (
+      SELECT dow, hour_utc, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(m) AS BIGINT) AS value_micro
+      FROM g GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT CAST(SUM(n_events) AS BIGINT) AS tn,
+             CAST(SUM(value_micro) AS BIGINT) AS tm
+      FROM h
+    )
+    SELECT h.dow, h.hour_utc, h.n_events, h.value_micro,
+           CAST(h.n_events AS DOUBLE) / t.tn AS event_share,
+           CAST(h.value_micro AS DOUBLE) / t.tm AS value_share,
+           (CAST(h.value_micro AS DOUBLE) / t.tm)
+             / (CAST(h.n_events AS DOUBLE) / t.tn) AS value_per_event_index
+    FROM h CROSS JOIN t
+    """,
+    tags=("events", "stats", "weighted", "calendar"),
+)
+def events_value_weighted_dow_hour_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Where the event-value MASS sits in the week vs where the event
+    COUNTS sit: per (ISO day-of-week, UTC hour) cell of the 168-cell
+    weekly grid, the event count, the exact micro-unit value mass, each
+    one's share of its total, and the value-per-event INDEX
+    (value_share / event_share — >1 where each event carries more value
+    than the weekly average, <1 where traffic is cheap). The
+    weighted-vs-count discipline of the token/revenue percentile reports
+    applied to the calendar grid: a capacity plan sized by event counts
+    misallocates if the value mass peaks elsewhere (the same read
+    `doc_token_concentration_by_source` gives for token budgets).
+
+    TZ-proof: dow and hour derive from epoch-second INTEGER arithmetic
+    (epoch day 0 = Thursday, so ISO dow = ((d + 3) % 7) + 1; hour is the
+    UTC hour), never from session-zone date parts — the hostile gate
+    flips the session TZ and both engines must bucket identically.
+    Values quantized to exact int64 micros by the module's money floor
+    BEFORE summing (null values excluded from count and mass alike —
+    stated in the oracle's WHERE). One partial-aggregatable fold to the
+    ≤168-row grid; shares and the index are IEEE divisions of exact
+    int64s stated identically in the oracle; totals broadcast from the
+    scalar (keys=[]) aggregate — no window, no single-partition squeeze
+    at any SF."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    g = ev.select(
+        F.expr(
+            "(unix_micros(ts) div 1000000 div 86400 + 3) % 7 + 1"
+        ).alias("dow"),
+        F.expr("(unix_micros(ts) div 1000000 div 3600) % 24").alias(
+            "hour_utc"
+        ),
+        F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long").alias("m"),
+    )
+    h = g.groupBy("dow", "hour_utc").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("m").alias("value_micro"),
+    )
+    t = h.agg(
+        F.sum("n_events").alias("tn"), F.sum("value_micro").alias("tm")
+    )
+    ev_share = F.col("n_events").cast("double") / F.col("tn")
+    va_share = F.col("value_micro").cast("double") / F.col("tm")
+    return h.crossJoin(F.broadcast(t)).select(
+        "dow",
+        "hour_utc",
+        "n_events",
+        "value_micro",
+        ev_share.alias("event_share"),
+        va_share.alias("value_share"),
+        (va_share / ev_share).alias("value_per_event_index"),
+    )

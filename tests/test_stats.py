@@ -2049,3 +2049,46 @@ def test_modal_priority_by_nation_scalar_reference(spark, sf_dir):
         assert r.n_orders == -negcnt
         assert r.nation_total == tot
         assert r.modal_share == -negcnt / tot
+
+
+def test_events_value_weighted_dow_hour_profile_scalar_reference(spark, sf_dir):
+    """Python recount of the 168-cell weekly value profile from raw
+    parquet micros: same integer dow/hour bucketing (epoch day 0 =
+    Thursday), same micro quantization, same one-IEEE-division shares;
+    grid is bounded and the two share columns each sum to 1."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mapreduce_infrastructure_spark.operators.stats import (
+        events_value_weighted_dow_hour_profile,
+    )
+
+    tbl = pq.read_table(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+    micros = tbl["ts"].cast(pa.int64()).to_pylist()
+    values = tbl["value"].to_pylist()
+    cells = {}
+    import math
+
+    for us, v in zip(micros, values):
+        if v is None:
+            continue
+        sec = us // 1_000_000
+        key = ((sec // 86400 + 3) % 7 + 1, (sec // 3600) % 24)
+        n, m = cells.get(key, (0, 0))
+        cells[key] = (n + 1, m + int(math.floor(v * 1_000_000 + 0.5)))
+    tn = sum(n for n, _ in cells.values())
+    tm = sum(m for _, m in cells.values())
+    got = {
+        (r.dow, r.hour_utc): r
+        for r in events_value_weighted_dow_hour_profile(spark, sf_dir).collect()
+    }
+    assert set(got) == set(cells)
+    assert len(got) <= 168
+    for key, (n, m) in cells.items():
+        row = got[key]
+        assert row.n_events == n
+        assert row.value_micro == m
+        assert row.event_share == n / tn
+        assert row.value_share == m / tm
+        assert row.value_per_event_index == (m / tm) / (n / tn)
+        assert 1 <= row.dow <= 7 and 0 <= row.hour_utc <= 23
