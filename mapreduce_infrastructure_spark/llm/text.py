@@ -2639,3 +2639,143 @@ def source_token_weighted_length_percentiles(
         hist_disc_weighted_percentile("n_tokens", 0.5, "w50_len"),
         hist_disc_weighted_percentile("n_tokens", 0.9, "w90_len"),
     )
+
+
+@query(
+    "source_quality_flag_share_drift",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             list_filter(regexp_split_to_array(lower(text), '{TOKEN_DELIM}'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM t
+    ),
+    mid AS (
+      SELECT MAX(CASE WHEN rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+                      THEN doc_id END) AS d
+      FROM r
+    ),
+    h AS (
+      SELECT source, {quality_flag_sql()} AS quality_flag,
+             CASE WHEN doc_id <= mid.d THEN 1 ELSE 2 END AS half
+      FROM t CROSS JOIN mid
+    ),
+    c AS (
+      SELECT half, source, quality_flag, CAST(COUNT(*) AS BIGINT) AS n
+      FROM h GROUP BY 1, 2, 3
+    ),
+    st AS (
+      SELECT half, source, CAST(SUM(n) AS BIGINT) AS s_total
+      FROM c GROUP BY 1, 2
+    )
+    SELECT c2.source, c2.quality_flag, c2.n AS n2,
+           t2.s_total AS source_total2,
+           CAST(c2.n AS DOUBLE) / t2.s_total AS share2,
+           c1.n AS n1,
+           CASE WHEN c1.n IS NOT NULL THEN
+             (c2.n - CAST(c1.n AS DOUBLE) * t2.s_total / t1.s_total)
+             * (c2.n - CAST(c1.n AS DOUBLE) * t2.s_total / t1.s_total)
+             / (CAST(c1.n AS DOUBLE) * t2.s_total / t1.s_total)
+           END AS chi2_term
+    FROM c c2
+    JOIN st t2 ON t2.half = 2 AND t2.source = c2.source
+    LEFT JOIN c c1 ON c1.half = 1 AND c1.source = c2.source
+                  AND c1.quality_flag = c2.quality_flag
+    LEFT JOIN st t1 ON t1.half = 1 AND t1.source = c2.source
+    WHERE c2.half = 2
+    """,
+    tags=("text", "quality", "drift", "llm", "iterative"),
+)
+def source_quality_flag_share_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CORPUS-side half-split drift of the quality-flag mix: split the
+    corpus at its exact median doc_id (by doc count — ingest-order proxy,
+    the same whole-corpus split `source_length_lognormal_fit`'s family
+    reads), count (source, quality_flag) cells per half, and report each
+    half-2 cell's count, its share of the source's half-2 docs, the
+    half-1 count, and the chi-square term against the expectation
+    extrapolated from half-1's per-source flag mix
+    (e = p₁(flag|source) · half-2 source total). Pairs with
+    `quality_flag_transition_by_source` the way the transition drift
+    pairs with the transition matrix: the cross-tab says what the joint
+    mix IS, this says whether each source's keep-rate is MOVING — the
+    scraper-regression alarm (a source whose 'low' share doubles between
+    halves changed its extraction, whatever the current mix looks like).
+    Flags absent from a source's half 1 get NULL n1/chi2 (first-observed
+    — the family's NULL convention); flags that vanished by half 2 drop
+    (the report covers the CURRENT mix).
+
+    Plan: ONE narrower pass for the median doc_id
+    (`kth_order_statistic` over the cached (doc_id, source, flag)
+    projection — 1–3 census rounds of pushed-filter scans), then one
+    fold to the ≤2·|sources|·2-cell table; every remaining join is
+    broadcast over bounded cell tables. The flag itself is the shared
+    codegen'd classifier (`quality_flag_col`), stated once for both
+    engines. Per-cell IEEE chi2 terms over exact int64 counts, never
+    summed engine-side."""
+    import math
+
+    from ..functions.ranks import kth_order_statistic
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = tracked_persist(
+        docs.select(
+            "doc_id", "source", quality_flag_col(tokens_col()).alias("quality_flag")
+        ),
+        f"source_flag_half_base:{sf_dir}",
+    )
+    n = base.count()
+    mid = kth_order_statistic(base, "doc_id", max(1, math.ceil(0.5 * n)))
+    c = (
+        base.select(
+            "source",
+            "quality_flag",
+            F.when(F.col("doc_id") <= mid, 1).otherwise(2).alias("half"),
+        )
+        .groupBy("half", "source", "quality_flag")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    c = tracked_persist(c, f"source_flag_halves:{sf_dir}")
+    st = c.groupBy("half", "source").agg(F.sum("n").alias("s_total"))
+    c2 = c.filter(F.col("half") == 2).select(
+        "source", "quality_flag", F.col("n").alias("n2")
+    )
+    t2 = st.filter(F.col("half") == 2).select(
+        "source", F.col("s_total").alias("source_total2")
+    )
+    c1 = c.filter(F.col("half") == 1).select(
+        "source", "quality_flag", F.col("n").alias("n1")
+    )
+    t1 = st.filter(F.col("half") == 1).select(
+        "source", F.col("s_total").alias("s_total1")
+    )
+    ex = (
+        F.col("n1").cast("double")
+        * F.col("source_total2")
+        / F.col("s_total1")
+    )
+    return (
+        c2.join(F.broadcast(t2), "source")
+        .join(F.broadcast(c1), ["source", "quality_flag"], "left")
+        .join(F.broadcast(t1), "source", "left")
+        .select(
+            "source",
+            "quality_flag",
+            "n2",
+            "source_total2",
+            (F.col("n2").cast("double") / F.col("source_total2")).alias(
+                "share2"
+            ),
+            "n1",
+            F.when(
+                F.col("n1").isNotNull(),
+                (F.col("n2") - ex) * (F.col("n2") - ex) / ex,
+            ).alias("chi2_term"),
+        )
+    )

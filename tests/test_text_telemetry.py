@@ -1678,3 +1678,58 @@ def test_token_weighted_length_percentiles_scalar_reference(spark, sf_dir):
         # token mass concentrates in longer docs, so the weighted median
         # cannot precede the unweighted one.
         assert r.w50_len >= r.p50_len
+
+
+def test_source_quality_flag_share_drift_scalar_reference(spark, sf_dir):
+    """Python recount of the half-split flag drift: same median-doc_id
+    split (rank ceil(n/2)), same classifier rule, same per-cell shares
+    and chi2 terms; half-2 shares partition each source; cells absent
+    from half 1 carry NULL n1/chi2."""
+    import math
+
+    from mapreduce_infrastructure_spark.llm.text import (
+        source_quality_flag_share_drift,
+    )
+
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    ).to_pydict()
+    docs = sorted(zip(tbl["doc_id"], tbl["source"], tbl["text"]))
+    mid = docs[max(1, math.ceil(0.5 * len(docs))) - 1][0]
+    cells: dict[tuple[int, str, str], int] = {}
+    for doc_id, source, text in docs:
+        toks = _tokens(text)
+        n_stop = sum(1 for t in toks if t in ("the", "a"))
+        flag = "ok" if (len(toks) >= 20 and n_stop * 2 <= len(toks)) else "low"
+        half = 1 if doc_id <= mid else 2
+        cells[(half, source, flag)] = cells.get((half, source, flag), 0) + 1
+    s_tot: dict[tuple[int, str], int] = {}
+    for (half, source, _flag), n in cells.items():
+        s_tot[(half, source)] = s_tot.get((half, source), 0) + n
+    rows = {
+        (r.source, r.quality_flag): r
+        for r in source_quality_flag_share_drift(spark, sf_dir).collect()
+    }
+    want_keys = {
+        (s, f) for (h, s, f) in cells if h == 2
+    }
+    assert set(rows) == want_keys
+    share_sum: dict[str, float] = {}
+    for (source, flag), r in rows.items():
+        n2 = cells[(2, source, flag)]
+        tot2 = s_tot[(2, source)]
+        assert r.n2 == n2
+        assert r.source_total2 == tot2
+        assert r.share2 == n2 / tot2
+        share_sum[source] = share_sum.get(source, 0.0) + r.share2
+        n1 = cells.get((1, source, flag))
+        if n1 is None:
+            assert r.n1 is None and r.chi2_term is None
+        else:
+            assert r.n1 == n1
+            e = n1 * tot2 / s_tot[(1, source)]
+            assert abs(r.chi2_term - (n2 - e) ** 2 / e) <= 1e-9 * max(
+                1.0, abs(r.chi2_term)
+            )
+    for source, s in share_sum.items():
+        assert abs(s - 1.0) <= 1e-9, (source, s)
