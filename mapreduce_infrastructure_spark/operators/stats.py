@@ -2429,3 +2429,187 @@ def events_value_weighted_dow_hour_profile(
         va_share.alias("value_share"),
         (va_share / ev_share).alias("value_per_event_index"),
     )
+
+
+@query(
+    "customer_gap_vs_value_matrix",
+    oracle="""
+    WITH d AS (
+      SELECT o_custkey AS ck, o_orderkey,
+             CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS day
+      FROM orders
+    ),
+    g0 AS (
+      SELECT ck,
+             day - lag(day) OVER (PARTITION BY ck
+                                  ORDER BY day, o_orderkey) AS gap
+      FROM d
+    ),
+    ranked AS (
+      SELECT ck, gap,
+             cume_dist() OVER (PARTITION BY ck ORDER BY gap) AS cd
+      FROM g0 WHERE gap IS NOT NULL
+    ),
+    med AS (
+      SELECT ck, MIN(CASE WHEN cd >= 0.5 THEN gap END) AS v
+      FROM ranked GROUP BY 1
+    ),
+    sp AS (
+      SELECT o_custkey AS ck,
+             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    p AS (
+      SELECT med.ck, med.v, sp.cents FROM med JOIN sp USING (ck)
+    ),
+    r1 AS (
+      SELECT v, row_number() OVER (ORDER BY v) AS rn, COUNT(*) OVER () AS n
+      FROM p
+    ),
+    t1 AS (
+      SELECT g.q,
+             MAX(CASE WHEN rn = greatest(1, CAST(ceil(g.q / 5.0 * n)
+                                                 AS BIGINT))
+                      THEN v END) AS t
+      FROM (SELECT unnest([1, 2, 3, 4]) AS q) g CROSS JOIN r1 GROUP BY 1
+    ),
+    t1p AS (
+      SELECT MAX(CASE WHEN q = 1 THEN t END) AS a1,
+             MAX(CASE WHEN q = 2 THEN t END) AS a2,
+             MAX(CASE WHEN q = 3 THEN t END) AS a3,
+             MAX(CASE WHEN q = 4 THEN t END) AS a4
+      FROM t1
+    ),
+    r2 AS (
+      SELECT cents, row_number() OVER (ORDER BY cents) AS rn,
+             COUNT(*) OVER () AS n
+      FROM p
+    ),
+    t2 AS (
+      SELECT g.q,
+             MAX(CASE WHEN rn = greatest(1, CAST(ceil(g.q / 5.0 * n)
+                                                 AS BIGINT))
+                      THEN cents END) AS t
+      FROM (SELECT unnest([1, 2, 3, 4]) AS q) g CROSS JOIN r2 GROUP BY 1
+    ),
+    t2p AS (
+      SELECT MAX(CASE WHEN q = 1 THEN t END) AS b1,
+             MAX(CASE WHEN q = 2 THEN t END) AS b2,
+             MAX(CASE WHEN q = 3 THEN t END) AS b3,
+             MAX(CASE WHEN q = 4 THEN t END) AS b4
+      FROM t2
+    ),
+    m AS (
+      SELECT 1 + (CASE WHEN p.v > t1p.a1 THEN 1 ELSE 0 END)
+               + (CASE WHEN p.v > t1p.a2 THEN 1 ELSE 0 END)
+               + (CASE WHEN p.v > t1p.a3 THEN 1 ELSE 0 END)
+               + (CASE WHEN p.v > t1p.a4 THEN 1 ELSE 0 END) AS gq,
+             1 + (CASE WHEN p.cents > t2p.b1 THEN 1 ELSE 0 END)
+               + (CASE WHEN p.cents > t2p.b2 THEN 1 ELSE 0 END)
+               + (CASE WHEN p.cents > t2p.b3 THEN 1 ELSE 0 END)
+               + (CASE WHEN p.cents > t2p.b4 THEN 1 ELSE 0 END) AS sq
+      FROM p CROSS JOIN t1p CROSS JOIN t2p
+    ),
+    g AS (
+      SELECT gq, sq, CAST(COUNT(*) AS BIGINT) AS n_customers
+      FROM m GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT gq, CAST(SUM(n_customers) AS BIGINT) AS n_row FROM g GROUP BY 1
+    )
+    SELECT CAST(g.gq AS BIGINT) AS gap_quintile,
+           CAST(g.sq AS BIGINT) AS spend_quintile,
+           g.n_customers, tot.n_row,
+           CAST(g.n_customers AS DOUBLE) / tot.n_row AS row_share
+    FROM g JOIN tot ON g.gq = tot.gq
+    """,
+    tags=("stats", "iterative", "retention", "matrix"),
+)
+def customer_gap_vs_value_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does purchase RHYTHM predict VALUE? Cross-dimension quintile
+    matrix: every repeat customer (≥1 inter-order gap) gets a cadence
+    quintile (by median inter-order gap days, quintile 1 = fastest
+    re-purchase) and a spend quintile (by exact lifetime cents, quintile
+    1 = lowest spend), and the ≤25-cell joint matrix reports counts and
+    cadence-row shares. A diagonal-heavy matrix (fast rhythm ⇒ high
+    spend) validates cadence as the early LTV proxy the gap-migration
+    matrix watches; a flat matrix says rhythm and value are independent
+    dimensions and retention triage must score them separately. The
+    MIGRATION matrices track one dimension over time; this crosses the
+    two dimensions at a point.
+
+    Composition, each piece on its established precondition: gaps lag
+    over (customer) with the (day, o_orderkey) tie-break; per-customer
+    median gap via the count-value HISTOGRAM closed form (customer
+    cardinality scales with SF, gap-day domain calendar-bounded); spend
+    from the shared `_cust_spend_cents` slot (exact cents, quantized
+    per order before summing); the 4+4 quintile thresholds over the
+    joined customer-count-sized table via `kth_order_statistic`
+    narrowing (gap-median and cents domains unbounded — the narrower's
+    case). The matrix is then ONE pass: CASE ladder against eight
+    literal thresholds, ≤25-cell fold, broadcast ≤5-row row-total join.
+    Ranks are max(1, ⌈q·n⌉) with the same IEEE multiply the oracle
+    states; single-order customers drop via the gap filter (stated —
+    the matrix reads repeat behavior only)."""
+    from ..functions.ranks import (
+        hist_cume_counts,
+        hist_disc_percentile,
+        kth_order_statistics_by,
+    )
+    from ..llm.cache import tracked_persist
+
+    o = load_table(spark, sf_dir, "orders")
+    d = o.select(
+        F.col("o_custkey").alias("ck"),
+        "o_orderkey",
+        F.expr("unix_micros(o_orderdate) div 1000000 div 86400").alias("day"),
+    )
+    w = Window.partitionBy("ck").orderBy("day", "o_orderkey")
+    gaps = d.select(
+        "ck", (F.col("day") - F.lag("day").over(w)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    med = hist_cume_counts(gaps, ["ck"], "gap").groupBy("ck").agg(
+        hist_disc_percentile("gap", 0.5, "v")
+    )
+    sp = _cust_spend_cents(spark, sf_dir).select(
+        F.col("o_custkey").alias("ck"), "cents"
+    )
+    p = tracked_persist(
+        med.join(sp, "ck").withColumn("_g", F.lit(1)),
+        f"cust_gap_value:{sf_dir}",
+    )
+    # Both columns' four quintile thresholds ride ONE multi-rank census
+    # sequence each (2 sequences total, not 8): q = k/5.0 gives the same
+    # max(1, ceil(q·n)) rank with the same IEEE multiply the oracle
+    # states; the constant stratum makes the stratified narrower global.
+    qs = {str(k): k / 5.0 for k in (1, 2, 3, 4)}
+    th = {}
+    for col in ("v", "cents"):
+        ranks = kth_order_statistics_by(p, "_g", col, q=qs)[1]
+        th[col] = [ranks[str(k)] for k in (1, 2, 3, 4)]
+
+    def quintile(col: str) -> F.Column:
+        q = F.lit(1)
+        for t in th[col]:
+            q = q + F.when(F.col(col) > F.lit(t), 1).otherwise(0)
+        return q.cast("long")
+
+    g = (
+        p.select(
+            quintile("v").alias("gap_quintile"),
+            quintile("cents").alias("spend_quintile"),
+        )
+        .groupBy("gap_quintile", "spend_quintile")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    tot = g.groupBy("gap_quintile").agg(F.sum("n_customers").alias("n_row"))
+    return g.join(F.broadcast(tot), "gap_quintile").select(
+        "gap_quintile",
+        "spend_quintile",
+        "n_customers",
+        "n_row",
+        (F.col("n_customers").cast("double") / F.col("n_row")).alias(
+            "row_share"
+        ),
+    )

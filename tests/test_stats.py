@@ -2092,3 +2092,71 @@ def test_events_value_weighted_dow_hour_profile_scalar_reference(spark, sf_dir):
         assert row.value_share == m / tm
         assert row.value_per_event_index == (m / tm) / (n / tn)
         assert 1 <= row.dow <= 7 and 0 <= row.hour_utc <= 23
+
+
+def test_customer_gap_vs_value_matrix_scalar_reference(spark, sf_dir):
+    """Python recount of the cadence x spend quintile matrix: same
+    (day, o_orderkey)-tie-broken gaps, same cume_dist>=0.5 median, same
+    exact cents, same max(1, ceil(k/5*n)) thresholds and strict-greater
+    CASE ladder; row shares partition each cadence row."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from mapreduce_infrastructure_spark.operators.stats import (
+        customer_gap_vs_value_matrix,
+    )
+
+    tbl = pq.read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
+    )
+    import pyarrow as pa
+
+    days = [us // 86_400_000_000 for us in tbl["o_orderdate"].cast(pa.int64()).to_pylist()]
+    rows = sorted(
+        zip(tbl["o_custkey"].to_pylist(), days, tbl["o_orderkey"].to_pylist(),
+            tbl["o_totalprice"].to_pylist())
+    )
+    by_ck: dict[int, list[tuple[int, int]]] = {}
+    spend: dict[int, int] = {}
+    for ck, day, ok, price in rows:
+        by_ck.setdefault(ck, []).append((day, ok))
+        spend[ck] = spend.get(ck, 0) + int(math.floor(price * 100 + 0.5))
+    med: dict[int, int] = {}
+    for ck, orders in by_ck.items():
+        orders.sort()
+        gaps = sorted(
+            orders[i + 1][0] - orders[i][0] for i in range(len(orders) - 1)
+        )
+        if not gaps:
+            continue
+        med[ck] = gaps[max(1, math.ceil(0.5 * len(gaps))) - 1]
+    cks = sorted(med)
+    n = len(cks)
+
+    def thresholds(vals: list[int]) -> list[int]:
+        s = sorted(vals)
+        return [s[max(1, math.ceil(k / 5.0 * n)) - 1] for k in (1, 2, 3, 4)]
+
+    tv = thresholds([med[ck] for ck in cks])
+    ts = thresholds([spend[ck] for ck in cks])
+    cells: dict[tuple[int, int], int] = {}
+    for ck in cks:
+        gq = 1 + sum(1 for t in tv if med[ck] > t)
+        sq = 1 + sum(1 for t in ts if spend[ck] > t)
+        cells[(gq, sq)] = cells.get((gq, sq), 0) + 1
+    row_tot: dict[int, int] = {}
+    for (gq, _sq), c in cells.items():
+        row_tot[gq] = row_tot.get(gq, 0) + c
+    got = {
+        (r.gap_quintile, r.spend_quintile): r
+        for r in customer_gap_vs_value_matrix(spark, sf_dir).collect()
+    }
+    assert set(got) == set(cells)
+    for key, c in cells.items():
+        r = got[key]
+        assert r.n_customers == c
+        assert r.n_row == row_tot[key[0]]
+        assert r.row_share == c / row_tot[key[0]]
+    assert sum(cells.values()) == n
