@@ -2136,9 +2136,10 @@ def revenue_weighted_leadtime_percentiles(
     )
 
 
-@query(
-    "modal_priority_by_nation",
-    oracle="""
+# Shared with the streaming twin in streaming/stream.py: one statement of
+# the cell fold, the (−cnt, priority) lexicographic tie order and the
+# share division, so batch and stream cannot drift.
+MODAL_PRIORITY_ORACLE = """
     WITH g AS (
       SELECT n.n_name AS nation, o.o_orderpriority,
              CAST(COUNT(*) AS BIGINT) AS cnt
@@ -2160,7 +2161,40 @@ def revenue_weighted_leadtime_percentiles(
            nation_total,
            CAST(cnt AS DOUBLE) / nation_total AS modal_share
     FROM r WHERE rn = 1
-    """,
+    """
+
+
+def _modal_priority_report(g: DataFrame) -> DataFrame:
+    """Struct-min argmax + share over (nation, o_orderpriority, cnt)
+    HISTOGRAM CELLS — the shared tail of modal_priority_by_nation and its
+    streaming twin, so the two derivations cannot drift: the mode is the
+    lexicographic min of (−cnt, priority) per nation (the STATED tie
+    order — deterministic in both engines), one tiny fold over the
+    ≤|nations|·5 cell grid, no window engine-side; the share is one IEEE
+    division of exact int64s."""
+    per = g.groupBy("nation").agg(
+        F.min(
+            F.struct(
+                (-F.col("cnt")).alias("nc"),
+                F.col("o_orderpriority").alias("p"),
+            )
+        ).alias("m"),
+        F.sum("cnt").alias("nation_total"),
+    )
+    return per.select(
+        "nation",
+        F.col("m.p").alias("modal_priority"),
+        (-F.col("m.nc")).cast("long").alias("n_orders"),
+        "nation_total",
+        (
+            (-F.col("m.nc")).cast("double") / F.col("nation_total")
+        ).alias("modal_share"),
+    )
+
+
+@query(
+    "modal_priority_by_nation",
+    oracle=MODAL_PRIORITY_ORACLE,
     tags=("tpch", "agg", "mode"),
 )
 def modal_priority_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2193,21 +2227,6 @@ def modal_priority_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"), "o_orderpriority")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    per = g.groupBy("nation").agg(
-        F.min(
-            F.struct(
-                (-F.col("cnt")).alias("nc"),
-                F.col("o_orderpriority").alias("p"),
-            )
-        ).alias("m"),
-        F.sum("cnt").alias("nation_total"),
-    )
-    return per.select(
-        "nation",
-        F.col("m.p").alias("modal_priority"),
-        (-F.col("m.nc")).cast("long").alias("n_orders"),
-        "nation_total",
-        (
-            (-F.col("m.nc")).cast("double") / F.col("nation_total")
-        ).alias("modal_share"),
-    )
+    # Argmax + share live in the shared _modal_priority_report tail (the
+    # streaming twin runs the same derivation over its sink cell table).
+    return _modal_priority_report(g)

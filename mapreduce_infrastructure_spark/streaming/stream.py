@@ -2387,6 +2387,51 @@ def stream_priority_leadtime_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and the constants live beside their batch twins).
 from ..operators.temporal import BACKLOG_ORACLE as _BL_ORACLE  # noqa: E402
 from ..operators.temporal import DOW_HOUR_PROFILE_ORACLE as _DHP_ORACLE  # noqa: E402
+@query(
+    "stream_modal_priority_by_nation",
+    oracle=None,  # set below — shares the batch twin's oracle verbatim
+    tags=("streaming", "tpch", "agg", "mode"),
+)
+def stream_modal_priority_by_nation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact grouped MODE per customer nation maintained INCREMENTALLY —
+    the streaming twin of tpch_extra.modal_priority_by_nation, same
+    oracle verbatim (the shared MODAL_PRIORITY_ORACLE constant). The
+    fact stream (orders) enriches against the customer and nation batch
+    dimensions inside the micro-batch (nation hard-broadcast, customer
+    size-planned per batch — the batch twin's hint policy) and folds
+    into ONE incremental hash aggregate keyed by the ≤|nations|·5 cell —
+    state is one exact int64 count per cell no matter how many orders
+    stream through.
+
+    The argmax CANNOT be maintained incrementally without retractions (a
+    cell overtaking another flips the mode mid-stream), so it derives
+    POST-SINK over the bounded cell table through the SAME
+    `_modal_priority_report` tail the batch query runs — sink rows stay
+    exact counters, and the tie order ((−cnt, priority) lexicographic
+    struct-min) is stated once for both shapes; the same cells-then-
+    derive bridge as the other twins."""
+    from ..catalog import load_table
+    from ..operators.tpch_extra import _modal_priority_report
+
+    o = stream_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    g_s = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cells = run_to_table(g_s, "stream_modal_priority_cells", mode="complete")
+    return _modal_priority_report(cells)
+
+
 from ..operators.temporal import EVENT_MIX_DRIFT_ORACLE as _EMD_ORACLE  # noqa: E402
 from ..operators.temporal import ORDERS_PRIORITY_MIX_ORACLE as _OPM_ORACLE  # noqa: E402
 from ..operators.temporal import USER_LIFETIME_SPAN_ORACLE as _ULS_ORACLE  # noqa: E402
@@ -2399,6 +2444,7 @@ from ..llm.text import DOC_TOKEN_CONCENTRATION_ORACLE as _DTC_ORACLE  # noqa: E4
 from ..operators.stats import CUSTOMER_REV_CONCENTRATION_ORACLE as _CRC_ORACLE  # noqa: E402
 from ..operators.stats import ORDER_LINECOUNT_ORACLE as _OLC_ORACLE  # noqa: E402
 from ..operators.stats import PART_DEMAND_ORACLE as _PD_ORACLE  # noqa: E402
+from ..operators.tpch_extra import MODAL_PRIORITY_ORACLE as _MP_ORACLE  # noqa: E402
 from ..operators.tpch_extra import RETURN_RATE_ORACLE as _RR_ORACLE  # noqa: E402
 from ..operators.tpch_extra import TRADE_MATRIX_ORACLE as _TM_ORACLE  # noqa: E402
 from ..registry import _REGISTRY as _REG  # noqa: E402
@@ -2419,3 +2465,4 @@ _REG["stream_discount_band_margin"].oracle = _DB_ORACLE
 _REG["stream_order_linecount_distribution"].oracle = _OLC_ORACLE
 _REG["stream_customer_revenue_concentration"].oracle = _CRC_ORACLE
 _REG["stream_priority_leadtime_sla"].oracle = _PSLA_ORACLE
+_REG["stream_modal_priority_by_nation"].oracle = _MP_ORACLE

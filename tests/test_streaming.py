@@ -1301,3 +1301,34 @@ def test_stream_priority_sla_matches_batch_twin(spark, sf_dir):
         qs["stream_priority_leadtime_sla"].oracle
         is qs["priority_leadtime_sla_profile"].oracle
     )
+
+
+def test_stream_modal_priority_matches_batch_twin(spark, sf_dir):
+    """The streaming grouped mode must equal the batch twin exactly
+    (shared MODAL_PRIORITY_ORACLE constant + the shared
+    _modal_priority_report tail): same cell counts, same (−cnt, priority)
+    tie order, same modal share."""
+    from mapreduce_infrastructure_spark.operators.tpch_extra import (
+        modal_priority_by_nation,
+    )
+    from mapreduce_infrastructure_spark.streaming.stream import (
+        stream_modal_priority_by_nation,
+    )
+
+    cols = "modal_priority n_orders nation_total modal_share".split()
+    batch = {
+        r.nation: tuple(getattr(r, c) for c in cols)
+        for r in modal_priority_by_nation(spark, sf_dir).collect()
+    }
+    stream = {
+        r.nation: tuple(getattr(r, c) for c in cols)
+        for r in stream_modal_priority_by_nation(spark, sf_dir).collect()
+    }
+    assert stream == batch
+    from mapreduce_infrastructure_spark.registry import all_queries
+
+    qs = all_queries()
+    assert (
+        qs["stream_modal_priority_by_nation"].oracle
+        is qs["modal_priority_by_nation"].oracle
+    )
