@@ -167,3 +167,46 @@ class DoclenStatsReducer(BaseReducer):
             n += 1
             total += int(v)
         self.emit(key, f"{n}|{total}")
+
+
+class DocTopKMapper(BaseMapper):
+    """Top-k prep mapper — records are ``source<TAB>n_chars<TAB>doc_id``;
+    emit (source, "n_chars|doc_id"). Splits with rsplit on the LAST two
+    tabs (the DoclenStatsMapper discipline): both numeric fields can
+    never contain a tab, so a source name that does stays intact in the
+    key instead of corrupting the composite value."""
+
+    def map(self, record: str) -> None:
+        source, n_chars, doc_id = record.rsplit("\t", 2)
+        self.emit(source, n_chars + "|" + doc_id)
+
+
+class TopKDocsReducer(BaseReducer):
+    """SELECTIVE-emit reducer with BOUNDED per-key state (the last reducer
+    shape missing from the MR-compat coverage: distributive sum,
+    dedup-and-join, identity and one-pass algebraic exist) — keep a k-item
+    heap of the longest documents per key and emit ONLY those, however
+    many values stream through. Order: n_chars DESC, doc_id ASC (stated,
+    deterministic in both engines); the heap stores (n_chars, -doc_id) so
+    its min is always the worst kept candidate, the one-pass O(n log k)
+    textbook form. Emits (key, "rank|n_chars|doc_id") — an integer-only
+    composite through the reference's string value channel
+    (``src/mr_tasks.h:55``), rank 1-based in emit order."""
+
+    K = 3
+
+    def reduce(self, key: str, values) -> None:
+        import heapq
+
+        heap: list[tuple[int, int]] = []
+        for v in values:
+            n_chars, _, doc_id = v.partition("|")
+            item = (int(n_chars), -int(doc_id))
+            if len(heap) < self.K:
+                heapq.heappush(heap, item)
+            elif item > heap[0]:
+                heapq.heapreplace(heap, item)
+        for rank, (n, nd) in enumerate(
+            sorted(heap, key=lambda t: (-t[0], -t[1])), start=1
+        ):
+            self.emit(key, f"{rank}|{n}|{-nd}")

@@ -146,3 +146,47 @@ def mr_doclen_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         parts.getItem(0).cast("long").alias("n_docs"),
         parts.getItem(1).cast("long").alias("total_chars"),
     )
+
+
+@query(
+    "mr_topk_per_key",
+    oracle="""
+    WITH r AS (
+      SELECT source, n_chars, doc_id,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id ASC) AS rn
+      FROM documents
+    )
+    SELECT source, CAST(rn AS BIGINT) AS rank,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(doc_id AS BIGINT) AS doc_id
+    FROM r WHERE rn <= 3
+    """,
+    tags=("mr-compat", "topk", "selective"),
+)
+def mr_topk_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 longest documents per source through the MR-compat API
+    (sixth registered user_id): the reducer is SELECTIVE-EMIT with
+    BOUNDED state — a 3-item heap per key, emitting only the kept
+    candidates however many values stream through (the reference's
+    contract allows zero-or-more emits per reduce,
+    ``external/include/mr_task_factory.h:38``; the five other user_ids
+    all emit one-per-key or pass-through, so this pins the last reducer
+    shape). Order n_chars DESC, doc_id ASC — stated, so the oracle's
+    row_number selection is the same top-3. The rank|n_chars|doc_id
+    composite is integer-only through the string value channel
+    (``src/mr_tasks.h:55``); the query layer splits it back into typed
+    columns."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.concat_ws(
+            "\t", F.col("source"), F.col("n_chars"), F.col("doc_id")
+        ).alias("record")
+    )
+    kv = run_mr_job(spark, docs, user_id="topk", num_output_files=4)
+    parts = F.split(F.col("value"), "\\|")
+    return kv.select(
+        F.col("key").alias("source"),
+        parts.getItem(0).cast("long").alias("rank"),
+        parts.getItem(1).cast("long").alias("n_chars"),
+        parts.getItem(2).cast("long").alias("doc_id"),
+    )

@@ -60,3 +60,9 @@ register_tasks("bigram", BigramCountMapper, WordCountReducer)
 from .api import DoclenStatsMapper, DoclenStatsReducer  # noqa: E402
 
 register_tasks("doclenstats", DoclenStatsMapper, DoclenStatsReducer)
+# Sixth registered task: per-key top-k under "topk" — the SELECTIVE-emit
+# reducer shape (bounded heap state, emits <= K of n inputs), completing
+# the reducer-shape coverage the other five user_ids span.
+from .api import DocTopKMapper, TopKDocsReducer  # noqa: E402
+
+register_tasks("topk", DocTopKMapper, TopKDocsReducer)

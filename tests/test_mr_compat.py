@@ -309,3 +309,54 @@ def test_mr_doclen_mapper_splits_at_last_tab():
     r = DoclenStatsReducer()
     r.reduce("a\tb", ["123", "7"])
     assert r._drain() == [("a\tb", "2|130")]
+
+
+def test_mr_topk_reducer_bounded_heap_and_tie_order():
+    """Selective emit: <= K outputs per key whatever streams in; order
+    n_chars DESC then doc_id ASC; the heap keeps the BEST k (a later
+    better candidate evicts the worst kept one); tabby source names
+    survive the rsplit mapper."""
+    from mapreduce_infrastructure_spark.mr.api import (
+        DocTopKMapper,
+        TopKDocsReducer,
+    )
+
+    m = DocTopKMapper()
+    m.map("a\tb\t500\t9")
+    assert m._drain() == [("a\tb", "500|9")]
+    r = TopKDocsReducer()
+    # ties on n_chars resolve to the SMALLEST doc_id; 10 candidates -> 3 out
+    vals = [f"{n}|{d}" for n, d in
+            [(5, 8), (9, 2), (5, 1), (9, 7), (1, 3), (2, 4), (9, 5),
+             (9, 1), (3, 6), (4, 9)]]
+    r.reduce("k", vals)
+    assert r._drain() == [("k", "1|9|1"), ("k", "2|9|2"), ("k", "3|9|5")]
+    # fewer than K values: emit them all, still fully ordered
+    r.reduce("k2", ["7|3", "8|1"])
+    assert r._drain() == [("k2", "1|8|1"), ("k2", "2|7|3")]
+
+
+def test_mr_topk_per_key_scalar_reference(spark, sf_dir):
+    """Python recount: top-3 longest docs per source under the stated
+    (n_chars DESC, doc_id ASC) order, exactly K-or-fewer rows per
+    source."""
+    import pyarrow.parquet as pq
+
+    from mapreduce_infrastructure_spark.mr.queries import mr_topk_per_key
+
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet",
+        columns=["source", "n_chars", "doc_id"],
+    ).to_pydict()
+    by_src: dict = {}
+    for s, n, d in zip(t["source"], t["n_chars"], t["doc_id"]):
+        by_src.setdefault(s, []).append((-n, d))
+    want = set()
+    for s, items in by_src.items():
+        for rank, (nn, d) in enumerate(sorted(items)[:3], start=1):
+            want.add((s, rank, -nn, d))
+    got = {
+        (r.source, r.rank, r.n_chars, r.doc_id)
+        for r in mr_topk_per_key(spark, sf_dir).collect()
+    }
+    assert got == want
