@@ -495,6 +495,27 @@ def kth_order_statistic(
     return int(lo)
 
 
+def kth_order_statistics(
+    df: DataFrame,
+    value_col: str,
+    qs: "dict[str, float]",
+    n_buckets: int = PREFIX_SUM_BUCKETS,
+) -> "dict[str, int]":
+    """GLOBAL multi-rank exact order statistics: every quantile in ``qs``
+    ({label: q}, rank = max(1, ⌈q·n⌉) over the column's non-null count)
+    narrows through ONE census sequence — one scan per round for ALL
+    quantiles, where a per-quantile :func:`kth_order_statistic` loop pays
+    one sequence each. Implemented as :func:`kth_order_statistics_by`
+    over a constant stratum; returns {label: value}. The value column
+    must be non-null by construction for the internal F.count(v) to equal
+    a caller's own row count (every current call site feeds counts,
+    cents or epoch days)."""
+    tagged = df.select(F.lit(1).alias("_g"), value_col)
+    return kth_order_statistics_by(
+        tagged, "_g", value_col, q=qs, n_buckets=n_buckets
+    )[1]
+
+
 def kth_order_statistics_by(
     df: DataFrame,
     stratum_col: str,

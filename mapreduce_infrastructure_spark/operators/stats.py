@@ -1239,18 +1239,17 @@ def exact_customer_spend_percentiles(spark: SparkSession, sf_dir: str) -> DataFr
     reaches q — ties on the value are rank-order-free by construction
     (the value at a rank is unique even when row numbers among ties are
     not)."""
-    import math
-
-    from ..functions.ranks import kth_order_statistic
+    from ..functions.ranks import kth_order_statistics
 
     cm = _cust_spend_cents(spark, sf_dir)
     n = cm.count()
-    vals = {
-        q: kth_order_statistic(cm, "cents", max(1, math.ceil(q * n)))
-        for q in (0.5, 0.95, 0.99)
-    }
+    # All three quantiles ride ONE census sequence (multi-rank narrower;
+    # cents is non-null by construction, so its internal count equals n).
+    vals = kth_order_statistics(
+        cm, "cents", {"p50": 0.5, "p95": 0.95, "p99": 0.99}
+    )
     return spark.createDataFrame(
-        [(n, vals[0.5], vals[0.95], vals[0.99])],
+        [(n, vals["p50"], vals["p95"], vals["p99"])],
         "n_customers long, p50_cents long, p95_cents long, p99_cents long",
     )
 
@@ -1445,16 +1444,16 @@ def _revenue_concentration_report(
     customer_revenue_concentration and its streaming twin, so the two
     derivations cannot drift: `kth_order_statistic` narrowing for the
     thresholds, then ONE fold against the broadcast 5-row grid."""
-    import math
+    from ..functions.ranks import kth_order_statistics
 
-    from ..functions.ranks import kth_order_statistic
-
-    n = cm.count()
+    # All five checkpoints ride ONE census sequence (multi-rank narrower;
+    # q = pct/100.0 gives the same max(1, ceil(q·n)) rank, cents non-null
+    # by construction).
+    th = kth_order_statistics(
+        cm, "cents", {str(pct): pct / 100.0 for pct in (50, 75, 90, 95, 99)}
+    )
     grid = spark.createDataFrame(
-        [
-            (pct, kth_order_statistic(cm, "cents", max(1, math.ceil(pct / 100.0 * n))))
-            for pct in (50, 75, 90, 95, 99)
-        ],
+        [(pct, th[str(pct)]) for pct in (50, 75, 90, 95, 99)],
         "pct long, threshold_cents long",
     )
     above = F.col("cents") >= F.col("threshold_cents")
@@ -1625,7 +1624,7 @@ def customer_value_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFra
     oracle scale (the exact shape the narrowing avoids at 100 TB)."""
     import math
 
-    from ..functions.ranks import kth_order_statistic
+    from ..functions.ranks import kth_order_statistic, kth_order_statistics
     from ..llm.cache import tracked_persist
 
     o = load_table(spark, sf_dir, "orders")
@@ -1656,14 +1655,13 @@ def customer_value_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFra
         .select("o_custkey", "s1", "s2"),
         f"cust_half_spend:{sf_dir}",
     )
-    n_cust = p.count()
-    th = {
-        col: [
-            kth_order_statistic(p, col, max(1, math.ceil(k / 5.0 * n_cust)))
-            for k in (1, 2, 3, 4)
-        ]
-        for col in ("s1", "s2")
-    }
+    # Both halves' quintile thresholds ride ONE census sequence each
+    # (multi-rank narrower — 2 sequences, not 8; s1/s2 non-null sums).
+    qs = {str(k): k / 5.0 for k in (1, 2, 3, 4)}
+    th = {}
+    for col in ("s1", "s2"):
+        ranks = kth_order_statistics(p, col, qs)
+        th[col] = [ranks[str(k)] for k in (1, 2, 3, 4)]
 
     def quintile(col: str) -> F.Column:
         q = F.lit(1)
@@ -1832,9 +1830,7 @@ def part_demand_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     two thresholds are literals, ONE partial-aggregatable fold computes
     the report. Counts exact int64; the share is one IEEE division, the
     oracle casting its HUGEINT sums through BIGINT first (2^53 rule)."""
-    import math
-
-    from ..functions.ranks import kth_order_statistic
+    from ..functions.ranks import kth_order_statistics
     from ..llm.cache import tracked_persist
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -1842,9 +1838,10 @@ def part_demand_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n")),
         f"part_line_counts:{sf_dir}",
     )
-    m = cm.count()
-    p50 = kth_order_statistic(cm, "n", max(1, math.ceil(0.5 * m)))
-    p90 = kth_order_statistic(cm, "n", max(1, math.ceil(0.9 * m)))
+    # Both quantiles ride ONE census sequence (multi-rank narrower; the
+    # per-part count column is non-null by construction).
+    pr = kth_order_statistics(cm, "n", {"p50": 0.5, "p90": 0.9})
+    p50, p90 = pr["p50"], pr["p90"]
     top = F.col("n") >= F.lit(p90)
     return cm.agg(
         F.count(F.lit(1)).alias("n_parts"),
@@ -2004,6 +2001,7 @@ def customer_order_gap_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         hist_cume_counts,
         hist_disc_percentile,
         kth_order_statistic,
+        kth_order_statistics,
     )
     from ..llm.cache import tracked_persist
 
@@ -2042,14 +2040,14 @@ def customer_order_gap_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("v1").isNotNull() & F.col("v2").isNotNull()),
         f"cust_half_gap_p50:{sf_dir}",
     )
-    n_cust = p.count()
-    th = {
-        col: [
-            kth_order_statistic(p, col, max(1, math.ceil(k / 5.0 * n_cust)))
-            for k in (1, 2, 3, 4)
-        ]
-        for col in ("v1", "v2")
-    }
+    # Both halves' quintile thresholds ride ONE census sequence each
+    # (multi-rank narrower — 2 sequences, not 8; v1/v2 non-null via the
+    # both-halves filter).
+    qs = {str(k): k / 5.0 for k in (1, 2, 3, 4)}
+    th = {}
+    for col in ("v1", "v2"):
+        ranks = kth_order_statistics(p, col, qs)
+        th[col] = [ranks[str(k)] for k in (1, 2, 3, 4)]
 
     def quintile(col: str) -> F.Column:
         q = F.lit(1)
@@ -2293,9 +2291,7 @@ def customer_balance_spend_matrix(spark: SparkSession, sf_dir: str) -> DataFrame
     fold and a broadcast ≤5-row total join. The spend side REUSES the
     session-cached `_cust_spend_cents` slot (third consumer). The
     oracle's global row_number CTEs are fine at oracle scale."""
-    import math
-
-    from ..functions.ranks import kth_order_statistic
+    from ..functions.ranks import kth_order_statistics
     from ..llm.cache import tracked_persist
 
     cm = _cust_spend_cents(spark, sf_dir)
@@ -2312,14 +2308,15 @@ def customer_balance_spend_matrix(spark: SparkSession, sf_dir: str) -> DataFrame
         ),
         f"cust_bal_spend:{sf_dir}",
     )
-    n = b.count()
-    th = {
-        col: [
-            kth_order_statistic(b, col, max(1, math.ceil(k / 5.0 * n)))
-            for k in (1, 2, 3, 4)
-        ]
-        for col in ("bal_cents", "spend_cents")
-    }
+    # Both columns' quintile thresholds ride ONE census sequence each
+    # (multi-rank narrower — 2 sequences, not 8; both columns non-null by
+    # construction: bal_cents from a non-null fixture column, spend_cents
+    # coalesced to 0).
+    qs = {str(k): k / 5.0 for k in (1, 2, 3, 4)}
+    th = {}
+    for col in ("bal_cents", "spend_cents"):
+        ranks = kth_order_statistics(b, col, qs)
+        th[col] = [ranks[str(k)] for k in (1, 2, 3, 4)]
 
     def quintile(col: str) -> F.Column:
         q = F.lit(1)

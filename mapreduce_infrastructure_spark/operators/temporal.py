@@ -1473,9 +1473,7 @@ def session_duration_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     states; single-event sessions legitimately contribute duration 0.
     The oracle's global row_number window is fine at oracle scale — the
     exact shape the narrowing exists to avoid at 100 TB."""
-    import math
-
-    from ..functions.ranks import kth_order_statistic
+    from ..functions.ranks import kth_order_statistics
     from ..llm.cache import tracked_persist
 
     sess = tracked_persist(
@@ -1485,12 +1483,13 @@ def session_duration_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"session_durations:{sf_dir}",
     )
     n = sess.count()
-    vals = {
-        q: kth_order_statistic(sess, "dur_us", max(1, math.ceil(q * n)))
-        for q in (0.5, 0.95, 0.99)
-    }
+    # All three quantiles ride ONE census sequence (multi-rank narrower;
+    # dur_us = e − s over non-null session bounds).
+    vals = kth_order_statistics(
+        sess, "dur_us", {"p50": 0.5, "p95": 0.95, "p99": 0.99}
+    )
     return spark.createDataFrame(
-        [(n, vals[0.5], vals[0.95], vals[0.99])],
+        [(n, vals["p50"], vals["p95"], vals["p99"])],
         "n_sessions long, p50_us long, p95_us long, p99_us long",
     )
 
