@@ -181,6 +181,17 @@ FLAGSHIP_EXTRA = [
     "parts_triangle_participation_by_degree",
     "supplier_return_rate_migration",
     "orders_priority_mix_weekly_drift",
+    # round-14 additions (stream_modal_priority_by_nation executes eagerly —
+    # twin equality + the shared oracle audit it instead; mr_topk_per_key's
+    # mapper/reducer plan is the MR runner's, audited via mr_bigram_count)
+    "parts_graph_weighted_degree_distribution",
+    "events_value_weighted_dow_hour_profile",
+    "source_quality_flag_share_drift",
+    "customer_gap_vs_value_matrix",
+    "modal_priority_by_nation",
+    "order_price_reconciliation",
+    "revenue_weighted_leadtime_percentiles",
+    "priority_leadtime_sla_profile",
 ]
 
 JOIN_KINDS = [
