@@ -2552,7 +2552,7 @@ def customer_gap_vs_value_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.ranks import (
         hist_cume_counts,
         hist_disc_percentile,
-        kth_order_statistics_by,
+        kth_order_statistics,
     )
     from ..llm.cache import tracked_persist
 
@@ -2572,18 +2572,15 @@ def customer_gap_vs_value_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     sp = _cust_spend_cents(spark, sf_dir).select(
         F.col("o_custkey").alias("ck"), "cents"
     )
-    p = tracked_persist(
-        med.join(sp, "ck").withColumn("_g", F.lit(1)),
-        f"cust_gap_value:{sf_dir}",
-    )
+    p = tracked_persist(med.join(sp, "ck"), f"cust_gap_value:{sf_dir}")
     # Both columns' four quintile thresholds ride ONE multi-rank census
     # sequence each (2 sequences total, not 8): q = k/5.0 gives the same
     # max(1, ceil(q·n)) rank with the same IEEE multiply the oracle
-    # states; the constant stratum makes the stratified narrower global.
+    # states.
     qs = {str(k): k / 5.0 for k in (1, 2, 3, 4)}
     th = {}
     for col in ("v", "cents"):
-        ranks = kth_order_statistics_by(p, "_g", col, q=qs)[1]
+        ranks = kth_order_statistics(p, col, qs)
         th[col] = [ranks[str(k)] for k in (1, 2, 3, 4)]
 
     def quintile(col: str) -> F.Column:
