@@ -509,11 +509,50 @@ def kth_order_statistics(
     over a constant stratum; returns {label: value}. The value column
     must be non-null by construction for the internal F.count(v) to equal
     a caller's own row count (every current call site feeds counts,
-    cents or epoch days)."""
+    cents or epoch days). Raises ValueError on an empty (or all-null)
+    input — the scalar narrower's contract — instead of leaking the
+    stratified form's empty dict as an opaque KeyError."""
     tagged = df.select(F.lit(1).alias("_g"), value_col)
-    return kth_order_statistics_by(
+    out = kth_order_statistics_by(
         tagged, "_g", value_col, q=qs, n_buckets=n_buckets
-    )[1]
+    )
+    if not out:
+        raise ValueError(
+            f"kth_order_statistics: empty input (no non-null {value_col!r} "
+            "values)"
+        )
+    return out[1]
+
+
+def quintile_thresholds(
+    df: DataFrame,
+    cols: "list[str]",
+    n_buckets: int = PREFIX_SUM_BUCKETS,
+) -> "dict[str, list[int]]":
+    """Four quintile cut points per column — rank max(1, ⌈k/5·n⌉) for
+    k = 1..4, with q = k/5.0 the same IEEE multiply the consuming
+    oracles state — every column's four ranks riding ONE multi-rank
+    census sequence (:func:`kth_order_statistics`). The shared
+    threshold derivation of the migration / cross-dimension matrix
+    family (it was restated per query before round 14's review pass).
+    Returns {col: [t1, t2, t3, t4]}."""
+    qs = {str(k): k / 5.0 for k in (1, 2, 3, 4)}
+    out: "dict[str, list[int]]" = {}
+    for col in cols:
+        ranks = kth_order_statistics(df, col, qs, n_buckets=n_buckets)
+        out[col] = [ranks[str(k)] for k in (1, 2, 3, 4)]
+    return out
+
+
+def quintile_ladder(col: str, thresholds: "list[int]") -> Column:
+    """``1 + Σₖ (value > tₖ)`` — the strict-greater, VALUE-based quintile
+    assignment (long, 1..5) every matrix oracle states as a CASE ladder
+    against the four literal thresholds; ties share a quintile by
+    construction, never split by engine row order."""
+    q = F.lit(1)
+    for t in thresholds:
+        q = q + F.when(F.col(col) > F.lit(t), 1).otherwise(0)
+    return q.cast("long")
 
 
 def kth_order_statistics_by(

@@ -2719,9 +2719,7 @@ def source_quality_flag_share_drift(
     codegen'd classifier (`quality_flag_col`), stated once for both
     engines. Per-cell IEEE chi2 terms over exact int64 counts, never
     summed engine-side."""
-    import math
-
-    from ..functions.ranks import kth_order_statistic
+    from ..functions.ranks import kth_order_statistics
 
     docs = load_table(spark, sf_dir, "documents")
     base = tracked_persist(
@@ -2730,8 +2728,9 @@ def source_quality_flag_share_drift(
         ),
         f"source_flag_half_base:{sf_dir}",
     )
-    n = base.count()
-    mid = kth_order_statistic(base, "doc_id", max(1, math.ceil(0.5 * n)))
+    # max(1, ceil(0.5·n)) derives INSIDE the narrower (doc_id non-null),
+    # so the separate full-scan count() job is gone (review finding r14).
+    mid = kth_order_statistics(base, "doc_id", {"mid": 0.5})["mid"]
     c = (
         base.select(
             "source",

@@ -1624,7 +1624,11 @@ def customer_value_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFra
     oracle scale (the exact shape the narrowing avoids at 100 TB)."""
     import math
 
-    from ..functions.ranks import kth_order_statistic, kth_order_statistics
+    from ..functions.ranks import (
+        kth_order_statistic,
+        quintile_ladder,
+        quintile_thresholds,
+    )
     from ..llm.cache import tracked_persist
 
     o = load_table(spark, sf_dir, "orders")
@@ -1657,20 +1661,11 @@ def customer_value_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFra
     )
     # Both halves' quintile thresholds ride ONE census sequence each
     # (multi-rank narrower — 2 sequences, not 8; s1/s2 non-null sums).
-    qs = {str(k): k / 5.0 for k in (1, 2, 3, 4)}
-    th = {}
-    for col in ("s1", "s2"):
-        ranks = kth_order_statistics(p, col, qs)
-        th[col] = [ranks[str(k)] for k in (1, 2, 3, 4)]
-
-    def quintile(col: str) -> F.Column:
-        q = F.lit(1)
-        for t in th[col]:
-            q = q + F.when(F.col(col) > F.lit(t), 1).otherwise(0)
-        return q.cast("long")
+    th = quintile_thresholds(p, ["s1", "s2"])
 
     g = p.select(
-        quintile("s1").alias("quintile_h1"), quintile("s2").alias("quintile_h2")
+        quintile_ladder("s1", th["s1"]).alias("quintile_h1"),
+        quintile_ladder("s2", th["s2"]).alias("quintile_h2"),
     ).groupBy("quintile_h1", "quintile_h2").agg(
         F.count(F.lit(1)).alias("n_customers")
     )
@@ -2001,7 +1996,8 @@ def customer_order_gap_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         hist_cume_counts,
         hist_disc_percentile,
         kth_order_statistic,
-        kth_order_statistics,
+        quintile_ladder,
+        quintile_thresholds,
     )
     from ..llm.cache import tracked_persist
 
@@ -2043,22 +2039,12 @@ def customer_order_gap_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Both halves' quintile thresholds ride ONE census sequence each
     # (multi-rank narrower — 2 sequences, not 8; v1/v2 non-null via the
     # both-halves filter).
-    qs = {str(k): k / 5.0 for k in (1, 2, 3, 4)}
-    th = {}
-    for col in ("v1", "v2"):
-        ranks = kth_order_statistics(p, col, qs)
-        th[col] = [ranks[str(k)] for k in (1, 2, 3, 4)]
-
-    def quintile(col: str) -> F.Column:
-        q = F.lit(1)
-        for t in th[col]:
-            q = q + F.when(F.col(col) > F.lit(t), 1).otherwise(0)
-        return q.cast("long")
+    th = quintile_thresholds(p, ["v1", "v2"])
 
     g = (
         p.select(
-            quintile("v1").alias("quintile_h1"),
-            quintile("v2").alias("quintile_h2"),
+            quintile_ladder("v1", th["v1"]).alias("quintile_h1"),
+            quintile_ladder("v2", th["v2"]).alias("quintile_h2"),
         )
         .groupBy("quintile_h1", "quintile_h2")
         .agg(F.count(F.lit(1)).alias("n_customers"))
@@ -2291,7 +2277,7 @@ def customer_balance_spend_matrix(spark: SparkSession, sf_dir: str) -> DataFrame
     fold and a broadcast ≤5-row total join. The spend side REUSES the
     session-cached `_cust_spend_cents` slot (third consumer). The
     oracle's global row_number CTEs are fine at oracle scale."""
-    from ..functions.ranks import kth_order_statistics
+    from ..functions.ranks import quintile_ladder, quintile_thresholds
     from ..llm.cache import tracked_persist
 
     cm = _cust_spend_cents(spark, sf_dir)
@@ -2312,22 +2298,12 @@ def customer_balance_spend_matrix(spark: SparkSession, sf_dir: str) -> DataFrame
     # (multi-rank narrower — 2 sequences, not 8; both columns non-null by
     # construction: bal_cents from a non-null fixture column, spend_cents
     # coalesced to 0).
-    qs = {str(k): k / 5.0 for k in (1, 2, 3, 4)}
-    th = {}
-    for col in ("bal_cents", "spend_cents"):
-        ranks = kth_order_statistics(b, col, qs)
-        th[col] = [ranks[str(k)] for k in (1, 2, 3, 4)]
-
-    def quintile(col: str) -> F.Column:
-        q = F.lit(1)
-        for t in th[col]:
-            q = q + F.when(F.col(col) > F.lit(t), 1).otherwise(0)
-        return q.cast("long")
+    th = quintile_thresholds(b, ["bal_cents", "spend_cents"])
 
     g = (
         b.select(
-            quintile("bal_cents").alias("bal_quintile"),
-            quintile("spend_cents").alias("spend_quintile"),
+            quintile_ladder("bal_cents", th["bal_cents"]).alias("bal_quintile"),
+            quintile_ladder("spend_cents", th["spend_cents"]).alias("spend_quintile"),
         )
         .groupBy("bal_quintile", "spend_quintile")
         .agg(F.count(F.lit(1)).alias("n_customers"))
@@ -2552,7 +2528,8 @@ def customer_gap_vs_value_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.ranks import (
         hist_cume_counts,
         hist_disc_percentile,
-        kth_order_statistics,
+        quintile_ladder,
+        quintile_thresholds,
     )
     from ..llm.cache import tracked_persist
 
@@ -2574,25 +2551,14 @@ def customer_gap_vs_value_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = tracked_persist(med.join(sp, "ck"), f"cust_gap_value:{sf_dir}")
     # Both columns' four quintile thresholds ride ONE multi-rank census
-    # sequence each (2 sequences total, not 8): q = k/5.0 gives the same
-    # max(1, ceil(q·n)) rank with the same IEEE multiply the oracle
-    # states.
-    qs = {str(k): k / 5.0 for k in (1, 2, 3, 4)}
-    th = {}
-    for col in ("v", "cents"):
-        ranks = kth_order_statistics(p, col, qs)
-        th[col] = [ranks[str(k)] for k in (1, 2, 3, 4)]
-
-    def quintile(col: str) -> F.Column:
-        q = F.lit(1)
-        for t in th[col]:
-            q = q + F.when(F.col(col) > F.lit(t), 1).otherwise(0)
-        return q.cast("long")
+    # sequence each (2 sequences total, not 8); thresholds + ladder come
+    # from the shared matrix-family helpers.
+    th = quintile_thresholds(p, ["v", "cents"])
 
     g = (
         p.select(
-            quintile("v").alias("gap_quintile"),
-            quintile("cents").alias("spend_quintile"),
+            quintile_ladder("v", th["v"]).alias("gap_quintile"),
+            quintile_ladder("cents", th["cents"]).alias("spend_quintile"),
         )
         .groupBy("gap_quintile", "spend_quintile")
         .agg(F.count(F.lit(1)).alias("n_customers"))

@@ -118,8 +118,7 @@ def xxh64_long(value: int, seed: int) -> int:
     value &= _M64
     h = (seed + _XXP5 + 8) & _M64
     h ^= (_rotl64((value * _XXP2) & _M64, 31) * _XXP1) & _M64
-    h = ((_rotl64(h, 27) * _XXP1) & _M64 + 0) & _M64
-    h = (h + _XXP4) & _M64
+    h = (_rotl64(h, 27) * _XXP1 + _XXP4) & _M64
     return _xx_fmix(h)
 
 

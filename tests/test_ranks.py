@@ -537,3 +537,62 @@ def test_kth_order_statistics_by_multi_matches_scalar(spark, n_buckets):
     for lbl, q in qs.items():
         scalar = kth_order_statistics_by(df, "s", "v", q=q, n_buckets=n_buckets)
         assert {s: multi[s][lbl] for s in multi} == scalar
+
+
+def test_kth_order_statistics_global_empty_raises_and_matches(spark):
+    """The global multi-rank wrapper must (a) equal per-quantile sorted()
+    selection, (b) raise the scalar narrower's descriptive ValueError on
+    empty/all-null input instead of an opaque KeyError."""
+    import math
+
+    from mapreduce_infrastructure_spark.functions.ranks import (
+        kth_order_statistics,
+    )
+
+    vals = [(v,) for v in [5, 5, -2, 2**41, 0, 7, 3]]
+    df = spark.createDataFrame(vals, "v long")
+    got = kth_order_statistics(df, "v", {"p50": 0.5, "p95": 0.95})
+    s = sorted(v for (v,) in vals)
+    want = {
+        lbl: s[max(1, math.ceil(q * len(s))) - 1]
+        for lbl, q in (("p50", 0.5), ("p95", 0.95))
+    }
+    assert got == want
+    empty = df.limit(0)
+    with pytest.raises(ValueError, match="empty input"):
+        kth_order_statistics(empty, "v", {"p50": 0.5})
+
+
+def test_quintile_helpers_match_sorted_reference(spark):
+    """quintile_thresholds = max(1, ceil(k/5·n)) cut points per column;
+    quintile_ladder = 1 + strict-greater CASE count — together they must
+    reproduce a python quintile assignment, ties sharing a bucket."""
+    import math
+
+    from mapreduce_infrastructure_spark.functions.ranks import (
+        quintile_ladder,
+        quintile_thresholds,
+    )
+
+    vals = [(i, (i * 37) % 11, (i * 13) % 7) for i in range(23)]
+    df = spark.createDataFrame(vals, "id long, a long, b long")
+    th = quintile_thresholds(df, ["a", "b"])
+    for col_idx, col in ((1, "a"), (2, "b")):
+        s = sorted(r[col_idx] for r in vals)
+        want_th = [s[max(1, math.ceil(k / 5.0 * len(s))) - 1] for k in (1, 2, 3, 4)]
+        assert th[col] == want_th
+    got = {
+        r.id: (r.qa, r.qb)
+        for r in df.select(
+            "id",
+            quintile_ladder("a", th["a"]).alias("qa"),
+            quintile_ladder("b", th["b"]).alias("qb"),
+        ).collect()
+    }
+    for i, a, b in vals:
+        want = tuple(
+            1 + sum(1 for t in th[c] if v > t)
+            for c, v in (("a", a), ("b", b))
+        )
+        assert got[i] == want
+        assert all(1 <= q <= 5 for q in got[i])
