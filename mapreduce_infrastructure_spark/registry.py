@@ -50,85 +50,88 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # Ordering is therefore a curated, per-round decision, not an accident of
 # imports; CERTIFIED_HISTORY.md tracks which rounds certified what.
 #
-# Round-14 window (round-13 verdict item 1): the TWENTY-FIVE round-13
-# additions registered past the round-13 entrant cap lead — each has a
-# green landing-day gate and a hostile-r13 row but has never had a driver
-# CORRECTNESS row (the judge independently verified all 25 hash-green at
-# sf0.01 in the round-13 judging session; this window converts that into
-# driver truth). They appear in registration order, the same order the
-# round-13 CERTIFIED_HISTORY waves recorded them. The remaining 25 slots
-# fill from the head of the r8-vintage cohort (standing rows whose latest
-# green is still r8, recomputed from the CORRECTNESS_r* census — 44 rows)
-# in CORRECTNESS_r08 order; the 19 unfilled r8 rows stay the stalest and
-# lead the round-15 fill. New round-14 queries register PAST the cap
-# (entrant cap 0 window slots this round, ≤6 registrations total so the
-# round-15 debt stays ≤ round-14's 25); displaced/past-cap rows keep
-# their standing greens and tests/test_oracle_queries.py mirrors every
-# oracle-backed query each pytest run.
+# Round-15 window (round-14 verdict item 1 / NEXT.md item 2): the SIX
+# round-14 additions registered past the round-14 entrant cap lead — each
+# has a green landing-day gate and a hostile-r14 row but has never had a
+# driver CORRECTNESS row (the judge independently verified all 6 hash-green
+# at sf0.01 in the round-14 judging session; this window converts that into
+# driver truth). They appear in registration order. Next come the 19
+# remaining r8-vintage rows (standing rows whose latest green was still r8
+# after the round-14 rotation — the stalest standing greens) in
+# CORRECTNESS_r08 order. The final 25 slots fill from the head of the
+# r9-vintage cohort (50 rows whose latest driver row is r9, recomputed from
+# the CORRECTNESS_r* census) in CORRECTNESS_r09 order; the 25 unfilled r9
+# rows stay the stalest and lead the round-16 fill (CORRECTNESS_r09 order:
+# quality_quantile_filter, corpus_assemble_pipeline, pack_sequences,
+# packing_overflow_report, source_novelty_trend, source_quality_trend,
+# source_type_token_curve, budget_pack_efficiency,
+# quality_classifier_scores, quality_model_calibration_bins,
+# dedup_incremental_new_batch, neardup_cosine_pairs, ann_ivf_topk,
+# neardup_cosine_ivf, multimodal_meta, mr_wordcount, mr_inverted_index,
+# containment_pairs, dedup_clusters, substring_dedup, knn_bruteforce,
+# ngram_jaccard_pairs, minhash_lsh_pairs, simhash_neardup_pairs,
+# tfidf_top_terms). After round 15 no standing row is older than r9. New
+# round-15 queries register PAST the cap (entrant cap 0 window slots, ≤6
+# registrations total so the round-16 debt stays ≤ 6 + the r9 tail);
+# displaced/past-cap rows keep their standing greens and
+# tests/test_oracle_queries.py mirrors every oracle-backed query each
+# pytest run.
 CERTIFIED_FIRST: tuple[str, ...] = (
-    # --- round-13 past-cap additions (25, first driver certification),
+    # --- round-14 past-cap additions (6, first driver certification),
     #     registration order ---
-    "orders_priority_mix_weekly_drift",
-    "event_transition_mix_drift",
-    "part_demand_concentration",
-    "customer_order_gap_migration",
-    "order_linecount_distribution",
-    "customer_balance_spend_matrix",
-    "parts_triangle_participation_by_degree",
-    "parts_graph_edge_weight_histogram",
-    "supplier_return_rate_migration",
-    "priority_leadtime_sla_profile",
-    "order_price_reconciliation",
-    "revenue_weighted_leadtime_percentiles",
-    "modal_priority_by_nation",
-    "doc_length_vs_quality_interaction_matrix",
-    "source_token_weighted_length_percentiles",
-    "stream_return_rate_matrix",
-    "stream_pricing_summary",
-    "stream_part_demand_concentration",
-    "stream_doc_token_concentration",
-    "stream_orders_priority_mix_drift",
-    "stream_discount_band_margin",
-    "stream_order_linecount_distribution",
-    "stream_customer_revenue_concentration",
-    "stream_priority_leadtime_sla",
-    "mr_doclen_stats_by_source",
-    # --- r8-vintage cohort head (first 25 of 44), CORRECTNESS_r08 order ---
-    "xml_roundtrip_region",
-    "binaryfile_ingest_stats",
-    "source_length_lognormal_fit",
-    "multimodal_frame_sample",
-    "stream_topk_users_per_window",
-    "source_bigram_js_divergence",
-    "event_interarrival_stats",
-    "source_char_class_profile",
-    "source_zipf_alpha_mle",
-    "embedding_norm_profile",
-    "user_activity_skew",
-    "ngram_lm_bigram_logloss",
-    "source_embedding_centroid_drift",
-    "dup_mass_by_lang_cross",
-    "ngram_idf_weighted_novelty",
-    "source_pair_jaccard",
-    "packing_bin_fill_histogram",
-    "doc_bigram_cond_entropy",
-    "source_vocab_gini",
-    "cross_source_dup_matrix",
-    "doc_repeated_ngram_ratio",
-    "label_centroid_cohesion",
-    "token_budget_epoch_plan",
-    "embedding_dim_variance",
-    "stream_sliding_1h_15m",
-    # (r8-vintage tail deferred to round 15, CORRECTNESS_r08 order:
-    #  stream_session_window_30m, wordcount, stream_user_totals,
-    #  stream_join_click_purchase, stream_dedup_events, sessionize_gaps,
-    #  rollup_hierarchical_daily, stream_tumbling_hourly,
-    #  window_tumbling_hourly, window_sliding_1h_15m, session_window_30m,
-    #  parquet_partitioned_prune, bucketed_join_orders_customer,
-    #  quality_scores, lang_id_heuristic, corpus_clean_pipeline,
-    #  source_dup_mass, q15_top_supplier, q11_important_stock — 19 rows,
-    #  the stalest standing greens after round 14; they lead the round-15
-    #  fill.)
+    "parts_graph_weighted_degree_distribution",
+    "events_value_weighted_dow_hour_profile",
+    "source_quality_flag_share_drift",
+    "customer_gap_vs_value_matrix",
+    "stream_modal_priority_by_nation",
+    "mr_topk_per_key",
+    # --- r8-vintage cohort tail (19 of 44, the last unrefreshed r8 rows),
+    #     CORRECTNESS_r08 order ---
+    "stream_session_window_30m",
+    "wordcount",
+    "stream_user_totals",
+    "stream_join_click_purchase",
+    "stream_dedup_events",
+    "sessionize_gaps",
+    "rollup_hierarchical_daily",
+    "stream_tumbling_hourly",
+    "window_tumbling_hourly",
+    "window_sliding_1h_15m",
+    "session_window_30m",
+    "parquet_partitioned_prune",
+    "bucketed_join_orders_customer",
+    "quality_scores",
+    "lang_id_heuristic",
+    "corpus_clean_pipeline",
+    "source_dup_mass",
+    "q15_top_supplier",
+    "q11_important_stock",
+    # --- r9-vintage cohort head (first 25 of 50), CORRECTNESS_r09 order ---
+    "lsh_precision_recall_report",
+    "revenue_mom_growth_by_nation",
+    "twap_purchase_by_user",
+    "funnel_3step_windowed",
+    "embedding_cosine_histogram",
+    "stream_full_join_click_purchase",
+    "ann_recall_report",
+    "doc_compression_ratio",
+    "corpus_split_assign",
+    "stream_ohlc_hourly",
+    "stream_ingest_dedup_status",
+    "dedup_keeper_policy_sensitivity",
+    "approx_vs_exact_quantile_error",
+    "stream_left_join_click_purchase",
+    "stream_hourly_active_users",
+    "corpus_interleave_plan",
+    "stream_session_topk_event_types",
+    "epoch_sample_overlap",
+    "minhash_estimate_error",
+    "source_quality_dup_interaction",
+    "event_value_winsor_by_type",
+    "embedding_pca_top_components",
+    "exact_percentiles_disc",
+    "winsorized_stats",
+    "doc_length_percentile_by_source",
 )
 
 
