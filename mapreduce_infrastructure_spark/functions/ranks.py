@@ -67,6 +67,10 @@ def hist_cume_counts(
     the rows-in-cell count — and the internal count fold is skipped (the
     streaming twins' sink tables and the weighted-percentile queries
     arrive as cells already; re-folding would add a redundant shuffle).
+    The uniqueness contract is ENFORCED: a duplicate (strata, value)
+    cell raises at evaluation time via a lag-based ``assert_true`` that
+    rides the same window exchange (threaded through the ``m`` and
+    ``wm`` outputs so pruning cannot drop it).
 
     ``weight_col``: optional second MEASURE on the cells (requires
     ``m_col``; an int64 per-cell mass such as token or revenue totals).
@@ -78,7 +82,10 @@ def hist_cume_counts(
     ``cum / n_stratum``.
     """
     if m_col is None:
-        assert weight_col is None, "weight_col requires pre-folded cells (m_col)"
+        if weight_col is not None:
+            raise ValueError(
+                "hist_cume_counts: weight_col requires pre-folded cells (m_col)"
+            )
         hist = df.groupBy(*stratum_cols, value_col).agg(
             F.count(F.lit(1)).alias("m")
         )
@@ -88,6 +95,28 @@ def hist_cume_counts(
             keep.append(F.col(weight_col).cast("long").alias("wm"))
         hist = df.select(*stratum_cols, value_col, *keep)
     order = F.col(value_col).desc() if descending else F.col(value_col).asc()
+    m_out: Column = F.col("m")
+    if m_col is not None:
+        # Contract guard: the m_col path trusts that input cells are
+        # UNIQUE per (strata, value) — a non-folded frame would produce
+        # wrong cumulative sums silently. Detect duplicates with a lag
+        # over the SAME partition/order spec as the cumulative windows
+        # below (merged into the same physical Window — no extra
+        # shuffle) and fail loudly at evaluation time. Folded into the
+        # ``m`` output so column pruning cannot drop the check. NULL
+        # values pass (lag's first-row NULL is indistinguishable); every
+        # current call site feeds non-null histogram values.
+        prev = F.lag(F.col(value_col)).over(
+            Window.partitionBy(*stratum_cols).orderBy(order)
+        )
+        guard = F.assert_true(
+            prev.isNull() | (prev != F.col(value_col)),
+            F.lit(
+                "hist_cume_counts: m_col requires pre-folded cells — "
+                f"duplicate (stratum, {value_col}) cell found"
+            ),
+        )
+        m_out = F.col("m") + F.coalesce(guard.cast("long"), F.lit(0))
     before = (
         Window.partitionBy(*stratum_cols)
         .orderBy(order)
@@ -97,13 +126,16 @@ def hist_cume_counts(
     cols = [
         *stratum_cols,
         value_col,
-        "m",
+        m_out.cast("long").alias("m"),
         F.coalesce(F.sum("m").over(before), F.lit(0)).cast("long").alias("cumb"),
         F.sum("m").over(whole).cast("long").alias("n_stratum"),
     ]
     if weight_col is not None:
+        # Thread the duplicate-cell guard through ``wm`` too, so a
+        # weighted consumer that reads only cumw/w_stratum still
+        # evaluates it (weight_col implies m_col, so m_out carries it).
         cols += [
-            F.col("wm"),
+            (m_out - F.col("m") + F.col("wm")).cast("long").alias("wm"),
             F.coalesce(F.sum("wm").over(before), F.lit(0))
             .cast("long")
             .alias("cumwb"),
@@ -537,11 +569,36 @@ def quintile_thresholds(
     family (it was restated per query before round 14's review pass).
     Returns {col: [t1, t2, t3, t4]}."""
     qs = {str(k): k / 5.0 for k in (1, 2, 3, 4)}
-    out: "dict[str, list[int]]" = {}
-    for col in cols:
-        ranks = kth_order_statistics(df, col, qs, n_buckets=n_buckets)
-        out[col] = [ranks[str(k)] for k in (1, 2, 3, 4)]
-    return out
+    # ALL columns share ONE stratified census sequence: unpivot to
+    # (_qt_col, _qt_v) cells and narrow keyed by the column tag — one
+    # scan per round for every (column, quantile) task, where a
+    # per-column kth_order_statistics loop paid one sequence each
+    # (round-14 advice item). Each column's ranks derive from its OWN
+    # non-null count (the stratified narrower counts per stratum), so
+    # results are value-identical to the per-column form.
+    tagged = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("_qt_col"),
+                        F.col(c).cast("long").alias("_qt_v"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("_qt")
+    ).select("_qt._qt_col", "_qt._qt_v")
+    ranks = kth_order_statistics_by(
+        tagged, "_qt_col", "_qt_v", q=qs, n_buckets=n_buckets
+    )
+    missing = [c for c in cols if c not in ranks]
+    if missing:
+        raise ValueError(
+            f"quintile_thresholds: empty input (no non-null values) for "
+            f"column(s) {missing}"
+        )
+    return {c: [ranks[c][str(k)] for k in (1, 2, 3, 4)] for c in cols}
 
 
 def quintile_ladder(col: str, thresholds: "list[int]") -> Column:

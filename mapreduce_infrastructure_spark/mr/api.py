@@ -20,6 +20,7 @@ key); grouping belongs to Spark's shuffle, which spills.
 
 from __future__ import annotations
 
+import heapq
 from abc import ABC, abstractmethod
 from collections.abc import Iterable
 
@@ -196,8 +197,6 @@ class TopKDocsReducer(BaseReducer):
     K = 3
 
     def reduce(self, key: str, values) -> None:
-        import heapq
-
         heap: list[tuple[int, int]] = []
         for v in values:
             n_chars, _, doc_id = v.partition("|")

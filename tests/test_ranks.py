@@ -596,3 +596,44 @@ def test_quintile_helpers_match_sorted_reference(spark):
         )
         assert got[i] == want
         assert all(1 <= q <= 5 for q in got[i])
+
+
+def test_hist_cume_counts_m_col_rejects_duplicate_cells(spark):
+    """m_col path contract guard (round-14 advice): a NON-folded frame
+    (duplicate (stratum, value) cells) must fail loudly at evaluation
+    time instead of silently producing wrong cumulative sums. The guard
+    is threaded through the m and wm outputs, so any consumer of
+    m/cum/cumw trips it."""
+    dup = spark.createDataFrame(
+        [("a", 1, 2), ("a", 1, 3), ("a", 2, 1)], "stratum string, v long, n long"
+    )
+    with pytest.raises(Exception, match="pre-folded"):
+        hist_cume_counts(dup, ["stratum"], "v", m_col="n").select("cum").collect()
+    uniq = spark.createDataFrame(
+        [("a", 1, 2), ("b", 1, 3), ("a", 2, 1)], "stratum string, v long, n long"
+    )
+    got = {
+        (r["stratum"], r["v"]): (r["m"], r["cum"])
+        for r in hist_cume_counts(uniq, ["stratum"], "v", m_col="n").collect()
+    }
+    assert got == {("a", 1): (2, 2), ("a", 2): (1, 3), ("b", 1): (3, 3)}
+
+
+def test_hist_cume_counts_weight_col_requires_m_col(spark):
+    """weight_col without m_col is a caller-contract violation — a
+    ValueError (not a bare assert: must survive python -O)."""
+    df = spark.createDataFrame([("a", 1)], "stratum string, v long")
+    with pytest.raises(ValueError, match="weight_col requires"):
+        hist_cume_counts(df, ["stratum"], "v", weight_col="v")
+
+
+def test_quintile_thresholds_empty_input_raises(spark):
+    """The shared-census unpivot form must keep the per-column
+    ValueError-on-empty contract (an all-null column has no ranks)."""
+    from mapreduce_infrastructure_spark.functions.ranks import (
+        quintile_thresholds,
+    )
+
+    df = spark.createDataFrame([], "a long, b long")
+    with pytest.raises(ValueError, match="empty input"):
+        quintile_thresholds(df, ["a", "b"])
