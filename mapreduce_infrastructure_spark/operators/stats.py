@@ -2320,9 +2320,7 @@ def customer_balance_spend_matrix(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@query(
-    "events_value_weighted_dow_hour_profile",
-    oracle="""
+DOW_HOUR_VALUE_ORACLE = """
     WITH g AS (
       SELECT ((CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 3) % 7) + 1
                AS dow,
@@ -2346,7 +2344,36 @@ def customer_balance_spend_matrix(spark: SparkSession, sf_dir: str) -> DataFrame
            (CAST(h.value_micro AS DOUBLE) / t.tm)
              / (CAST(h.n_events AS DOUBLE) / t.tn) AS value_per_event_index
     FROM h CROSS JOIN t
-    """,
+"""
+
+
+def _dow_hour_value_report(h: DataFrame) -> DataFrame:
+    """Shared derivation tail of the value-weighted weekly calendar
+    profile: given the ≤168-row (dow, hour_utc, n_events, value_micro)
+    cell table — batch fold or streaming sink alike — broadcast the
+    scalar totals and derive both shares plus the value-per-event index
+    (one IEEE division each over exact int64s, stated identically in
+    DOW_HOUR_VALUE_ORACLE). Stated ONCE so the batch query and its
+    streaming twin cannot drift."""
+    t = h.agg(
+        F.sum("n_events").alias("tn"), F.sum("value_micro").alias("tm")
+    )
+    ev_share = F.col("n_events").cast("double") / F.col("tn")
+    va_share = F.col("value_micro").cast("double") / F.col("tm")
+    return h.crossJoin(F.broadcast(t)).select(
+        "dow",
+        "hour_utc",
+        "n_events",
+        "value_micro",
+        ev_share.alias("event_share"),
+        va_share.alias("value_share"),
+        (va_share / ev_share).alias("value_per_event_index"),
+    )
+
+
+@query(
+    "events_value_weighted_dow_hour_profile",
+    oracle=DOW_HOUR_VALUE_ORACLE,
     tags=("events", "stats", "weighted", "calendar"),
 )
 def events_value_weighted_dow_hour_profile(
@@ -2388,20 +2415,7 @@ def events_value_weighted_dow_hour_profile(
         F.count(F.lit(1)).alias("n_events"),
         F.sum("m").alias("value_micro"),
     )
-    t = h.agg(
-        F.sum("n_events").alias("tn"), F.sum("value_micro").alias("tm")
-    )
-    ev_share = F.col("n_events").cast("double") / F.col("tn")
-    va_share = F.col("value_micro").cast("double") / F.col("tm")
-    return h.crossJoin(F.broadcast(t)).select(
-        "dow",
-        "hour_utc",
-        "n_events",
-        "value_micro",
-        ev_share.alias("event_share"),
-        va_share.alias("value_share"),
-        (va_share / ev_share).alias("value_per_event_index"),
-    )
+    return _dow_hour_value_report(h)
 
 
 @query(

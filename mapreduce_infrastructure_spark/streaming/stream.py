@@ -2383,10 +2383,6 @@ def stream_priority_leadtime_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _priority_sla_report(cells)
 
 
-# Late-bind the shared oracles (import at module top would be circular-prone
-# and the constants live beside their batch twins).
-from ..operators.temporal import BACKLOG_ORACLE as _BL_ORACLE  # noqa: E402
-from ..operators.temporal import DOW_HOUR_PROFILE_ORACLE as _DHP_ORACLE  # noqa: E402
 @query(
     "stream_modal_priority_by_nation",
     oracle=None,  # set below — shares the batch twin's oracle verbatim
@@ -2432,6 +2428,64 @@ def stream_modal_priority_by_nation(
     return _modal_priority_report(cells)
 
 
+@query(
+    "stream_events_value_dow_hour_profile",
+    oracle=None,  # set below — shares the batch twin's oracle verbatim
+    tags=("streaming", "events", "weighted", "calendar"),
+)
+def stream_events_value_dow_hour_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The 168-cell value-weighted weekly calendar profile maintained
+    INCREMENTALLY — the streaming twin of
+    stats.events_value_weighted_dow_hour_profile, same oracle verbatim
+    (the shared DOW_HOUR_VALUE_ORACLE constant): live where-does-the-
+    money-sit telemetry, so a capacity plan sized off event counts can
+    see the value mass migrating across the week as events arrive. The
+    row-volume work is ONE incremental hash aggregate keyed by the fixed
+    (dow, hour_utc) grid — state is two exact int64 counters per cell
+    (count + micro-unit value mass) no matter how many events stream
+    through; dow/hour derive from the same epoch-integer arithmetic as
+    the batch twin (TZ-proof — the hostile gate flips the session zone).
+
+    The shares and the value-per-event index CANNOT ride the incremental
+    aggregate (each event moves both totals, re-weighting every cell),
+    so they derive POST-SINK over the bounded cell table through the
+    SAME `_dow_hour_value_report` tail the batch query runs — sink rows
+    stay exact counters, derivations stated once for both shapes."""
+    from ..operators.stats import _dow_hour_value_report
+
+    ev = stream_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    g_s = (
+        ev.select(
+            F.expr(
+                "(unix_micros(ts) div 1000000 div 86400 + 3) % 7 + 1"
+            ).alias("dow"),
+            F.expr("(unix_micros(ts) div 1000000 div 3600) % 24").alias(
+                "hour_utc"
+            ),
+            F.floor(F.col("value") * 1000000 + F.lit(0.5))
+            .cast("long")
+            .alias("m"),
+        )
+        .groupBy("dow", "hour_utc")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("m").alias("value_micro"),
+        )
+    )
+    cells = run_to_table(
+        g_s, "stream_events_value_dow_hour_cells", mode="complete"
+    )
+    return _dow_hour_value_report(cells)
+
+
+# Late-bind the shared oracles (import at module top would be circular-prone
+# and the constants live beside their batch twins).
+from ..operators.temporal import BACKLOG_ORACLE as _BL_ORACLE  # noqa: E402
+from ..operators.temporal import DOW_HOUR_PROFILE_ORACLE as _DHP_ORACLE  # noqa: E402
 from ..operators.temporal import EVENT_MIX_DRIFT_ORACLE as _EMD_ORACLE  # noqa: E402
 from ..operators.temporal import ORDERS_PRIORITY_MIX_ORACLE as _OPM_ORACLE  # noqa: E402
 from ..operators.temporal import USER_LIFETIME_SPAN_ORACLE as _ULS_ORACLE  # noqa: E402
@@ -2442,6 +2496,7 @@ from ..operators.tpch_extra import LEADTIME_WEEKLY_ORACLE as _LW_ORACLE  # noqa:
 from ..operators.tpch_extra import PRIORITY_SLA_ORACLE as _PSLA_ORACLE  # noqa: E402
 from ..llm.text import DOC_TOKEN_CONCENTRATION_ORACLE as _DTC_ORACLE  # noqa: E402
 from ..operators.stats import CUSTOMER_REV_CONCENTRATION_ORACLE as _CRC_ORACLE  # noqa: E402
+from ..operators.stats import DOW_HOUR_VALUE_ORACLE as _DHV_ORACLE  # noqa: E402
 from ..operators.stats import ORDER_LINECOUNT_ORACLE as _OLC_ORACLE  # noqa: E402
 from ..operators.stats import PART_DEMAND_ORACLE as _PD_ORACLE  # noqa: E402
 from ..operators.tpch_extra import MODAL_PRIORITY_ORACLE as _MP_ORACLE  # noqa: E402
@@ -2450,6 +2505,7 @@ from ..operators.tpch_extra import TRADE_MATRIX_ORACLE as _TM_ORACLE  # noqa: E4
 from ..registry import _REGISTRY as _REG  # noqa: E402
 
 _REG["stream_dow_hour_profile"].oracle = _DHP_ORACLE
+_REG["stream_events_value_dow_hour_profile"].oracle = _DHV_ORACLE
 _REG["stream_backlog_daily"].oracle = _BL_ORACLE
 _REG["stream_trade_balance_matrix"].oracle = _TM_ORACLE
 _REG["stream_weekly_trend"].oracle = _WT_ORACLE

@@ -1332,3 +1332,40 @@ def test_stream_modal_priority_matches_batch_twin(spark, sf_dir):
         qs["stream_modal_priority_by_nation"].oracle
         is qs["modal_priority_by_nation"].oracle
     )
+
+
+def test_stream_events_value_dow_hour_matches_batch_twin(spark, sf_dir):
+    """The streaming value-weighted calendar profile must equal the batch
+    twin exactly (shared DOW_HOUR_VALUE_ORACLE constant + the shared
+    _dow_hour_value_report tail): same cell counts and masses, same
+    shares, same value-per-event index."""
+    from mapreduce_infrastructure_spark.operators.stats import (
+        events_value_weighted_dow_hour_profile,
+    )
+    from mapreduce_infrastructure_spark.streaming.stream import (
+        stream_events_value_dow_hour_profile,
+    )
+
+    cols = (
+        "n_events value_micro event_share value_share "
+        "value_per_event_index".split()
+    )
+    batch = {
+        (r.dow, r.hour_utc): tuple(getattr(r, c) for c in cols)
+        for r in events_value_weighted_dow_hour_profile(
+            spark, sf_dir
+        ).collect()
+    }
+    stream = {
+        (r.dow, r.hour_utc): tuple(getattr(r, c) for c in cols)
+        for r in stream_events_value_dow_hour_profile(spark, sf_dir).collect()
+    }
+    assert stream == batch
+    assert len(batch) <= 168
+    from mapreduce_infrastructure_spark.registry import all_queries
+
+    qs = all_queries()
+    assert (
+        qs["stream_events_value_dow_hour_profile"].oracle
+        is qs["events_value_weighted_dow_hour_profile"].oracle
+    )
