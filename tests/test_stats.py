@@ -2160,3 +2160,81 @@ def test_customer_gap_vs_value_matrix_scalar_reference(spark, sf_dir):
         assert r.n_row == row_tot[key[0]]
         assert r.row_share == c / row_tot[key[0]]
     assert sum(cells.values()) == n
+
+
+def test_supplier_balance_leadtime_matrix_scalar_reference(spark, sf_dir):
+    """Python recount of the balance x lead-time quintile matrix: same
+    day-integer ship lags, same cume_dist>=0.5 per-supplier median, same
+    exact balance cents, same max(1, ceil(k/5*n)) thresholds and
+    strict-greater CASE ladder; row shares partition each balance row."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mapreduce_infrastructure_spark.operators.stats import (
+        supplier_balance_leadtime_interaction,
+    )
+
+    li = pq.read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+    )
+    o = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    )
+    odate = {
+        k: us // 86_400_000_000
+        for k, us in zip(
+            o["o_orderkey"].to_pylist(),
+            o["o_orderdate"].cast(pa.int64()).to_pylist(),
+        )
+    }
+    lags: dict[int, list[int]] = {}
+    for ok, sk, ship_us in zip(
+        li["l_orderkey"].to_pylist(),
+        li["l_suppkey"].to_pylist(),
+        li["l_shipdate"].cast(pa.int64()).to_pylist(),
+    ):
+        lags.setdefault(sk, []).append(ship_us // 86_400_000_000 - odate[ok])
+    med = {
+        sk: sorted(v)[max(1, math.ceil(0.5 * len(v))) - 1]
+        for sk, v in lags.items()
+    }
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_acctbal"]
+    )
+    bal = {
+        sk: int(math.floor(b * 100 + 0.5))
+        for sk, b in zip(
+            sup["s_suppkey"].to_pylist(), sup["s_acctbal"].to_pylist()
+        )
+    }
+    sks = sorted(set(med) & set(bal))
+    n = len(sks)
+
+    def thresholds(vals: "list[int]") -> "list[int]":
+        s = sorted(vals)
+        return [s[max(1, math.ceil(k / 5.0 * n)) - 1] for k in (1, 2, 3, 4)]
+
+    tb = thresholds([bal[sk] for sk in sks])
+    tl = thresholds([med[sk] for sk in sks])
+    cells: dict = {}
+    for sk in sks:
+        bq = 1 + sum(1 for t in tb if bal[sk] > t)
+        lq = 1 + sum(1 for t in tl if med[sk] > t)
+        cells[(bq, lq)] = cells.get((bq, lq), 0) + 1
+    row_tot: dict = {}
+    for (bq, _lq), c in cells.items():
+        row_tot[bq] = row_tot.get(bq, 0) + c
+    got = {
+        (r.bal_quintile, r.leadtime_quintile): r
+        for r in supplier_balance_leadtime_interaction(spark, sf_dir).collect()
+    }
+    assert set(got) == set(cells)
+    for key, c in cells.items():
+        r = got[key]
+        assert r.n_suppliers == c
+        assert r.n_row == row_tot[key[0]]
+        assert r.row_share == c / row_tot[key[0]]
+    assert sum(cells.values()) == n
