@@ -1381,3 +1381,145 @@ def parts_graph_weighted_degree_distribution(
             / F.col("strength_mass")
         ).alias("strength_mass_share"),
     )
+
+
+@query(
+    "parts_graph_strength_vs_degree_matrix",
+    oracle=f"""
+    WITH op AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS pk FROM lineitem
+    ),
+    e AS MATERIALIZED (
+      SELECT a.pk AS a, b.pk AS b, CAST(COUNT(*) AS BIGINT) AS w
+      FROM op a JOIN op b ON a.o = b.o AND a.pk < b.pk
+      GROUP BY 1, 2 HAVING COUNT(*) >= {TRI_MIN_SHARED}
+    ),
+    st AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS degree,
+             CAST(SUM(w) AS BIGINT) AS strength
+      FROM (SELECT a AS node, w FROM e UNION ALL SELECT b, w FROM e)
+      GROUP BY 1
+    ),
+    r1 AS (
+      SELECT degree AS v, row_number() OVER (ORDER BY degree) AS rn,
+             COUNT(*) OVER () AS n
+      FROM st
+    ),
+    t1 AS (
+      SELECT g.q,
+             MAX(CASE WHEN rn = greatest(1, CAST(ceil(g.q / 5.0 * n)
+                                                 AS BIGINT))
+                      THEN v END) AS t
+      FROM (SELECT unnest([1, 2, 3, 4]) AS q) g CROSS JOIN r1 GROUP BY 1
+    ),
+    t1p AS (
+      SELECT MAX(CASE WHEN q = 1 THEN t END) AS a1,
+             MAX(CASE WHEN q = 2 THEN t END) AS a2,
+             MAX(CASE WHEN q = 3 THEN t END) AS a3,
+             MAX(CASE WHEN q = 4 THEN t END) AS a4
+      FROM t1
+    ),
+    r2 AS (
+      SELECT strength AS v, row_number() OVER (ORDER BY strength) AS rn,
+             COUNT(*) OVER () AS n
+      FROM st
+    ),
+    t2 AS (
+      SELECT g.q,
+             MAX(CASE WHEN rn = greatest(1, CAST(ceil(g.q / 5.0 * n)
+                                                 AS BIGINT))
+                      THEN v END) AS t
+      FROM (SELECT unnest([1, 2, 3, 4]) AS q) g CROSS JOIN r2 GROUP BY 1
+    ),
+    t2p AS (
+      SELECT MAX(CASE WHEN q = 1 THEN t END) AS b1,
+             MAX(CASE WHEN q = 2 THEN t END) AS b2,
+             MAX(CASE WHEN q = 3 THEN t END) AS b3,
+             MAX(CASE WHEN q = 4 THEN t END) AS b4
+      FROM t2
+    ),
+    m AS (
+      SELECT 1 + (CASE WHEN st.degree > t1p.a1 THEN 1 ELSE 0 END)
+               + (CASE WHEN st.degree > t1p.a2 THEN 1 ELSE 0 END)
+               + (CASE WHEN st.degree > t1p.a3 THEN 1 ELSE 0 END)
+               + (CASE WHEN st.degree > t1p.a4 THEN 1 ELSE 0 END) AS dq,
+             1 + (CASE WHEN st.strength > t2p.b1 THEN 1 ELSE 0 END)
+               + (CASE WHEN st.strength > t2p.b2 THEN 1 ELSE 0 END)
+               + (CASE WHEN st.strength > t2p.b3 THEN 1 ELSE 0 END)
+               + (CASE WHEN st.strength > t2p.b4 THEN 1 ELSE 0 END) AS sq
+      FROM st CROSS JOIN t1p CROSS JOIN t2p
+    ),
+    g AS (
+      SELECT dq, sq, CAST(COUNT(*) AS BIGINT) AS n_parts
+      FROM m GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT dq, CAST(SUM(n_parts) AS BIGINT) AS n_row FROM g GROUP BY 1
+    )
+    SELECT CAST(g.dq AS BIGINT) AS degree_quintile,
+           CAST(g.sq AS BIGINT) AS strength_quintile,
+           g.n_parts, tot.n_row,
+           CAST(g.n_parts AS DOUBLE) / tot.n_row AS row_share
+    FROM g JOIN tot ON g.dq = tot.dq
+    """,
+    tags=("graph", "stats", "matrix", "weighted"),
+)
+def parts_graph_strength_vs_degree_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Does BREADTH predict VOLUME in the part co-occurrence graph? The
+    graph-side cross-dimension quintile matrix (customer_gap_vs_value's
+    read rotated onto graph structure): every part in the edge set gets
+    a degree quintile (by incident-edge count — how many distinct
+    partners, quintile 1 = fewest) and a strength quintile (by summed
+    edge weight — how many shared orders total, quintile 1 = lightest),
+    and the ≤25-cell joint matrix reports counts and degree-row shares.
+    Off-diagonal mass is the interesting read: a low-degree/high-
+    strength cell is the few-partners-ordered-constantly hub the
+    weighted degree distribution flags by share — this matrix counts
+    those nodes and localizes them against the breadth axis (the
+    degree-blind spot a salting plan keyed on degree alone inherits).
+
+    Composition: both per-node measures fold from the SESSION-CACHED
+    weighted edge build (`_part_cooccur_edges_weighted` — free after any
+    part-graph query ran; one union + one per-node fold). The 4+4
+    quintile thresholds over the node-count-sized table ride ONE shared
+    multi-rank census sequence (`quintile_thresholds` unpivots both
+    columns). The matrix is ONE pass: CASE ladder against eight literal
+    thresholds, ≤25-cell fold, broadcast ≤5-row row-total join. Ranks
+    are max(1, ⌈q·n⌉) with the same IEEE multiply the oracle states;
+    parts with no qualifying edge (w < TRI_MIN_SHARED everywhere) are
+    not graph nodes and drop in both engines by construction."""
+    from ..functions.ranks import quintile_ladder, quintile_thresholds
+    from ..llm.cache import tracked_persist
+
+    e = _part_cooccur_edges_weighted(spark, sf_dir)
+    st = tracked_persist(
+        e.select(F.col("x").alias("node"), "w")
+        .union(e.select(F.col("y").alias("node"), "w"))
+        .groupBy("node")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("degree"),
+            F.sum("w").cast("long").alias("strength"),
+        ),
+        f"part_degree_strength:{sf_dir}",
+    )
+    th = quintile_thresholds(st, ["degree", "strength"])
+    g = (
+        st.select(
+            quintile_ladder("degree", th["degree"]).alias("degree_quintile"),
+            quintile_ladder("strength", th["strength"]).alias(
+                "strength_quintile"
+            ),
+        )
+        .groupBy("degree_quintile", "strength_quintile")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+    tot = g.groupBy("degree_quintile").agg(F.sum("n_parts").alias("n_row"))
+    return g.join(F.broadcast(tot), "degree_quintile").select(
+        "degree_quintile",
+        "strength_quintile",
+        "n_parts",
+        "n_row",
+        (F.col("n_parts").cast("double") / F.col("n_row")).alias("row_share"),
+    )

@@ -549,3 +549,69 @@ def test_parts_weighted_degree_distribution_scalar_reference(spark, sf_dir):
         for r in parts_graph_degree_distribution(spark, sf_dir).collect()
     )
     assert deg_total == n_nodes
+
+
+def test_parts_graph_strength_vs_degree_matrix_scalar_reference(spark, sf_dir):
+    """Python recount of the degree x strength quintile matrix over the
+    w>=TRI_MIN_SHARED co-occurrence edges: same per-node degree/strength
+    folds, same max(1, ceil(k/5*n)) thresholds and strict-greater
+    ladder; row shares partition each degree row."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from mapreduce_infrastructure_spark.operators.graph import (
+        TRI_MIN_SHARED,
+        parts_graph_strength_vs_degree_matrix,
+    )
+
+    li = pq.read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    by_order: dict = {}
+    for ok, pk in zip(
+        li["l_orderkey"].to_pylist(), li["l_partkey"].to_pylist()
+    ):
+        by_order.setdefault(ok, set()).add(pk)
+    w: dict = {}
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                w[(ps[i], ps[j])] = w.get((ps[i], ps[j]), 0) + 1
+    deg: dict = {}
+    st: dict = {}
+    for (a, b), ww in w.items():
+        if ww < TRI_MIN_SHARED:
+            continue
+        for node in (a, b):
+            deg[node] = deg.get(node, 0) + 1
+            st[node] = st.get(node, 0) + ww
+    nodes = sorted(deg)
+    n = len(nodes)
+
+    def thresholds(vals: "list[int]") -> "list[int]":
+        s = sorted(vals)
+        return [s[max(1, math.ceil(k / 5.0 * n)) - 1] for k in (1, 2, 3, 4)]
+
+    td = thresholds([deg[x] for x in nodes])
+    ts = thresholds([st[x] for x in nodes])
+    cells: dict = {}
+    for x in nodes:
+        dq = 1 + sum(1 for t in td if deg[x] > t)
+        sq = 1 + sum(1 for t in ts if st[x] > t)
+        cells[(dq, sq)] = cells.get((dq, sq), 0) + 1
+    row_tot: dict = {}
+    for (dq, _sq), c in cells.items():
+        row_tot[dq] = row_tot.get(dq, 0) + c
+    got = {
+        (r.degree_quintile, r.strength_quintile): r
+        for r in parts_graph_strength_vs_degree_matrix(spark, sf_dir).collect()
+    }
+    assert set(got) == set(cells)
+    for key, c in cells.items():
+        r = got[key]
+        assert r.n_parts == c
+        assert r.n_row == row_tot[key[0]]
+        assert r.row_share == c / row_tot[key[0]]
+    assert sum(cells.values()) == n
