@@ -2778,3 +2778,126 @@ def source_quality_flag_share_drift(
             ).alias("chi2_term"),
         )
     )
+
+
+@query(
+    "source_flag_vs_length_matrix",
+    oracle=f"""
+    WITH b AS (
+      SELECT source, CAST(n_chars AS BIGINT) AS n_chars,
+             {quality_flag_sql("list_filter(regexp_split_to_array(lower(text), '" + TOKEN_DELIM + "'), x -> x <> '')")}
+               AS quality_flag
+      FROM documents
+    ),
+    r AS (
+      SELECT source, n_chars,
+             cume_dist() OVER (PARTITION BY source ORDER BY n_chars) AS cd
+      FROM b
+    ),
+    th AS (
+      SELECT source,
+             MIN(CASE WHEN cd >= 0.2 THEN n_chars END) AS t1,
+             MIN(CASE WHEN cd >= 0.4 THEN n_chars END) AS t2,
+             MIN(CASE WHEN cd >= 0.6 THEN n_chars END) AS t3,
+             MIN(CASE WHEN cd >= 0.8 THEN n_chars END) AS t4
+      FROM r GROUP BY 1
+    ),
+    m AS (
+      SELECT b.source,
+             1 + (CASE WHEN b.n_chars > th.t1 THEN 1 ELSE 0 END)
+               + (CASE WHEN b.n_chars > th.t2 THEN 1 ELSE 0 END)
+               + (CASE WHEN b.n_chars > th.t3 THEN 1 ELSE 0 END)
+               + (CASE WHEN b.n_chars > th.t4 THEN 1 ELSE 0 END)
+               AS len_quintile,
+             b.quality_flag
+      FROM b JOIN th ON b.source = th.source
+    ),
+    g AS (
+      SELECT source, CAST(len_quintile AS BIGINT) AS len_quintile,
+             quality_flag, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM m GROUP BY 1, 2, 3
+    ),
+    tot AS (
+      SELECT source, len_quintile, CAST(SUM(n_docs) AS BIGINT) AS cell_total
+      FROM g GROUP BY 1, 2
+    )
+    SELECT g.source, g.len_quintile, g.quality_flag, g.n_docs,
+           tot.cell_total,
+           CAST(g.n_docs AS DOUBLE) / tot.cell_total AS flag_share
+    FROM g JOIN tot ON g.source = tot.source
+                   AND g.len_quintile = tot.len_quintile
+    """,
+    tags=("text", "llm", "quality", "matrix", "percentile"),
+)
+def source_flag_vs_length_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quality-flag share per (source, WITHIN-SOURCE length quintile):
+    each document gets a length quintile against its OWN source's exact
+    n_chars distribution (quintile 1 = that source's shortest fifth),
+    and the ≤|sources|·5·2-cell matrix reports per-cell doc counts and
+    the flag share within each (source, quintile) cell. The within-
+    source normalization is the point — the GLOBAL length×quality
+    matrix (`doc_length_vs_quality_interaction_matrix`) confounds
+    source identity with length (a short-doc source drags the global
+    low band); normalizing per source isolates whether length predicts
+    quality INSIDE each scraper's own regime, which is the cut a
+    per-source length filter would actually apply. Composes the r14
+    drift family: the drift query says a source's flag mix is MOVING,
+    this localizes WHERE in the source's length spectrum the 'low' mass
+    sits.
+
+    Plan: per-source quintile thresholds via the count-value HISTOGRAM
+    closed form (`hist_cume_counts` over (source, n_chars) — n_chars
+    domain bounded by the corpus length-cap policy, so the cumulative
+    window runs over histogram cells; threshold selection is
+    `hist_disc_percentile`'s cume_dist ≥ q, the SAME integers and one
+    IEEE division the oracle states). Thresholds broadcast back
+    (|sources|-row table), then ONE fold over the doc-count-sized
+    projection to the bounded grid and a broadcast cell-total join.
+    The flag is the shared codegen'd classifier (`quality_flag_col`),
+    stated once for both engines; counts exact int64; the share is one
+    IEEE division per cell."""
+    from ..functions.ranks import hist_cume_counts, hist_disc_percentile
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = tracked_persist(
+        docs.select(
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            quality_flag_col(tokens_col()).alias("quality_flag"),
+        ),
+        f"source_flag_len_base:{sf_dir}",
+    )
+    th = (
+        hist_cume_counts(base, ["source"], "n_chars")
+        .groupBy("source")
+        .agg(
+            *[
+                hist_disc_percentile("n_chars", k / 5.0, f"t{k}")
+                for k in (1, 2, 3, 4)
+            ]
+        )
+    )
+    lq = F.lit(1)
+    for k in (1, 2, 3, 4):
+        lq = lq + F.when(F.col("n_chars") > F.col(f"t{k}"), 1).otherwise(0)
+    g = (
+        base.join(F.broadcast(th), "source")
+        .select("source", lq.cast("long").alias("len_quintile"), "quality_flag")
+        .groupBy("source", "len_quintile", "quality_flag")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    tot = g.groupBy("source", "len_quintile").agg(
+        F.sum("n_docs").alias("cell_total")
+    )
+    return g.join(F.broadcast(tot), ["source", "len_quintile"]).select(
+        "source",
+        "len_quintile",
+        "quality_flag",
+        "n_docs",
+        "cell_total",
+        (F.col("n_docs").cast("double") / F.col("cell_total")).alias(
+            "flag_share"
+        ),
+    )

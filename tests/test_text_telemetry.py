@@ -1733,3 +1733,61 @@ def test_source_quality_flag_share_drift_scalar_reference(spark, sf_dir):
             )
     for source, s in share_sum.items():
         assert abs(s - 1.0) <= 1e-9, (source, s)
+
+
+def test_source_flag_vs_length_matrix_scalar_reference(spark, sf_dir):
+    """Python recount of the within-source length-quintile x flag
+    matrix: same tokenizer + quality rule, same per-source
+    cume_dist>=k/5 thresholds, same strict-greater ladder; flag shares
+    partition each (source, quintile) cell."""
+    import math
+    import re
+
+    import pyarrow.parquet as pq
+
+    from mapreduce_infrastructure_spark.llm.text import (
+        source_flag_vs_length_matrix,
+    )
+
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["source", "n_chars", "text"]
+    )
+    rows = list(
+        zip(
+            tbl["source"].to_pylist(),
+            tbl["n_chars"].to_pylist(),
+            tbl["text"].to_pylist(),
+        )
+    )
+
+    def flag(text: str) -> str:
+        toks = [t for t in re.split("[^a-z0-9]+", text.lower()) if t]
+        stop = sum(1 for t in toks if t in ("the", "a"))
+        return "ok" if len(toks) >= 20 and stop * 2 <= len(toks) else "low"
+
+    by_src: dict = {}
+    for src, nc, text in rows:
+        by_src.setdefault(src, []).append((nc, flag(text)))
+    cells: dict = {}
+    for src, docs in by_src.items():
+        lens = sorted(nc for nc, _ in docs)
+        n = len(lens)
+        th = [
+            lens[max(1, math.ceil(k / 5.0 * n)) - 1] for k in (1, 2, 3, 4)
+        ]
+        for nc, fl in docs:
+            lq = 1 + sum(1 for t in th if nc > t)
+            cells[(src, lq, fl)] = cells.get((src, lq, fl), 0) + 1
+    cell_tot: dict = {}
+    for (src, lq, _fl), c in cells.items():
+        cell_tot[(src, lq)] = cell_tot.get((src, lq), 0) + c
+    got = {
+        (r.source, r.len_quintile, r.quality_flag): r
+        for r in source_flag_vs_length_matrix(spark, sf_dir).collect()
+    }
+    assert set(got) == set(cells)
+    for key, c in cells.items():
+        r = got[key]
+        assert r.n_docs == c
+        assert r.cell_total == cell_tot[key[:2]]
+        assert r.flag_share == c / cell_tot[key[:2]]
