@@ -209,3 +209,36 @@ class TopKDocsReducer(BaseReducer):
             sorted(heap, key=lambda t: (-t[0], -t[1])), start=1
         ):
             self.emit(key, f"{rank}|{n}|{-nd}")
+
+
+class KeyValuePairMapper(BaseMapper):
+    """Generic key/value pair mapper — records are ``key<TAB>value``;
+    emit (key, value) as-is. Splits at the LAST tab (rpartition, the
+    DoclenStatsMapper discipline): the value field in current pairings
+    is numeric and can never contain a tab, so a key that does stays
+    intact instead of corrupting the value."""
+
+    def map(self, record: str) -> None:
+        key, _, value = record.rpartition("\t")
+        self.emit(key, value)
+
+
+class DistinctCountReducer(BaseReducer):
+    """Emit (key, count of DISTINCT values) — a reducer whose state is a
+    VALUE-CARDINALITY-bounded set (|distinct values| entries, however
+    many duplicates stream through), the holistic-aggregate shape none
+    of the other six user_ids exercise: the sum/algebraic reducers keep
+    O(1) state, the top-k heap O(k), the dedup-join reducer re-emits
+    every distinct value (output scales with the set) — this one folds
+    the set to a single integer. The reference's reduce contract hands
+    over the full value iterator per key (``mr_task_factory.h:33-38``),
+    so a set fold is exactly the in-memory shape its API implies; a key
+    whose distinct-value cardinality exceeded worker memory would need
+    the dedup-join reducer composed with a counting pass instead
+    (documented bound, not a silent cap)."""
+
+    def reduce(self, key: str, values) -> None:
+        seen: set[str] = set()
+        for v in values:
+            seen.add(v)
+        self.emit(key, str(len(seen)))

@@ -190,3 +190,33 @@ def mr_topk_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         parts.getItem(1).cast("long").alias("n_chars"),
         parts.getItem(2).cast("long").alias("doc_id"),
     )
+
+
+@query(
+    "mr_distinct_count_per_key",
+    oracle="""
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1
+    """,
+    tags=("mr-compat", "events", "distinct"),
+)
+def mr_distinct_count_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type through the MR-compat API (seventh
+    registered user_id): the reducer keeps a SET of the values seen for
+    its key and emits the set's size — the holistic-aggregate reducer
+    shape (state bounded by value CARDINALITY, not by a constant or a
+    k), which none of the six prior user_ids pin: sum and count|sum are
+    O(1), top-k is O(k), the dedup-join reducer's output scales with the
+    set instead of folding it. Event type and user id are both non-null
+    in the fixture (asserted by the events loader's contract); the
+    integer-only value channel keeps the output engine-stable."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.concat_ws("\t", F.col("event_type"), F.col("user_id")).alias(
+            "record"
+        )
+    )
+    kv = run_mr_job(spark, ev, user_id="distinct", num_output_files=4)
+    return kv.select(
+        F.col("key").alias("event_type"),
+        F.col("value").cast("long").alias("n_users"),
+    )

@@ -66,3 +66,9 @@ register_tasks("doclenstats", DoclenStatsMapper, DoclenStatsReducer)
 from .api import DocTopKMapper, TopKDocsReducer  # noqa: E402
 
 register_tasks("topk", DocTopKMapper, TopKDocsReducer)
+# Seventh registered task: per-key distinct count under "distinct" — the
+# HOLISTIC reducer shape (value-cardinality-bounded set state folded to
+# one integer), pairing the generic tab-split mapper with a dedup fold.
+from .api import DistinctCountReducer, KeyValuePairMapper  # noqa: E402
+
+register_tasks("distinct", KeyValuePairMapper, DistinctCountReducer)

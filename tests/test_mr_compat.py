@@ -360,3 +360,47 @@ def test_mr_topk_per_key_scalar_reference(spark, sf_dir):
         for r in mr_topk_per_key(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_mr_distinct_count_reducer_set_fold():
+    """Holistic shape: duplicates collapse (set state), count is exact;
+    tabby keys survive the rpartition mapper; empty-string values count
+    as a distinct value like any other."""
+    from mapreduce_infrastructure_spark.mr.api import (
+        DistinctCountReducer,
+        KeyValuePairMapper,
+    )
+
+    m = KeyValuePairMapper()
+    m.map("click\t42")
+    m.map("a\tb\t7")  # tab inside the key stays in the key
+    assert m._drain() == [("click", "42"), ("a\tb", "7")]
+    r = DistinctCountReducer()
+    r.reduce("k", ["1", "2", "1", "3", "2", "1"])
+    assert r._drain() == [("k", "3")]
+    r.reduce("k2", ["9"] * 100)
+    assert r._drain() == [("k2", "1")]
+
+
+def test_mr_distinct_count_per_key_scalar_reference(spark, sf_dir):
+    """Python recount: distinct users per event type over the raw
+    parquet must match the MR path exactly."""
+    import pyarrow.parquet as pq
+
+    from mapreduce_infrastructure_spark.mr.queries import (
+        mr_distinct_count_per_key,
+    )
+
+    tbl = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    want: dict = {}
+    for et, uid in zip(
+        tbl["event_type"].to_pylist(), tbl["user_id"].to_pylist()
+    ):
+        want.setdefault(et, set()).add(uid)
+    got = {
+        r.event_type: r.n_users
+        for r in mr_distinct_count_per_key(spark, sf_dir).collect()
+    }
+    assert got == {et: len(s) for et, s in want.items()}
