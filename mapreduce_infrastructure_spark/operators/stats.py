@@ -2760,3 +2760,160 @@ def supplier_balance_leadtime_interaction(
             "row_share"
         ),
     )
+
+
+@query(
+    "events_value_weighted_dow_hour_drift",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             ((CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 3) % 7) + 1
+               AS dow,
+             (CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 24 AS hour_utc,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS m
+      FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+      SELECT sec, row_number() OVER (ORDER BY sec) AS rn,
+             COUNT(*) OVER () AS n
+      FROM b
+    ),
+    md AS (
+      SELECT MAX(CASE WHEN rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+                      THEN sec END) AS mid
+      FROM r
+    ),
+    c AS (
+      SELECT CASE WHEN b.sec <= md.mid THEN 1 ELSE 2 END AS half,
+             b.dow, b.hour_utc,
+             CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(b.m) AS BIGINT) AS mass
+      FROM b CROSS JOIN md GROUP BY 1, 2, 3
+    ),
+    t AS (
+      SELECT CAST(SUM(CASE WHEN half = 1 THEN mass END) AS BIGINT) AS tm1,
+             CAST(SUM(CASE WHEN half = 2 THEN mass END) AS BIGINT) AS tm2
+      FROM c
+    ),
+    c2 AS (
+      SELECT dow, hour_utc, n AS n_events2, mass AS value_micro2
+      FROM c WHERE half = 2
+    ),
+    c1 AS (
+      SELECT dow, hour_utc, mass AS value_micro1 FROM c WHERE half = 1
+    )
+    SELECT c2.dow, c2.hour_utc, c2.n_events2, c2.value_micro2,
+           CAST(c2.value_micro2 AS DOUBLE) / t.tm2 AS value_share2,
+           c1.value_micro1,
+           CASE WHEN c1.value_micro1 IS NOT NULL THEN
+             (c2.value_micro2
+              - CAST(c1.value_micro1 AS DOUBLE) * t.tm2 / t.tm1)
+             * (c2.value_micro2
+                - CAST(c1.value_micro1 AS DOUBLE) * t.tm2 / t.tm1)
+             / (CAST(c1.value_micro1 AS DOUBLE) * t.tm2 / t.tm1)
+           END AS chi2_term
+    FROM c2 CROSS JOIN t
+    LEFT JOIN c1 ON c2.dow = c1.dow AND c2.hour_utc = c1.hour_utc
+    """,
+    tags=("events", "stats", "weighted", "calendar", "drift"),
+)
+def events_value_weighted_dow_hour_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Half-split drift of WHERE THE MONEY SITS in the week: split the
+    event stream at its exact median timestamp (by event count — the
+    corpus-family half-split applied to time), fold the 168-cell
+    (dow, hour_utc) VALUE-mass grid per half, and report each half-2
+    cell's count, micro-unit mass, mass share, the half-1 mass, and the
+    chi-square term of the half-2 mass against the expectation
+    extrapolated from half-1's mass mix (e = mass₁ · tm₂ / tm₁).
+    Completes the value-grid pair the way the flag-share drift completes
+    the flag cross-tab: the PROFILE says where the value mass sits, this
+    says whether it is MOVING — the revenue-seasonality regression alarm
+    (a value peak migrating from weekday-business hours to weekend
+    nights changes capacity and fraud-screen plans even if event counts
+    hold still). Chi2-on-mass assumes a NONNEGATIVE measure (true for
+    this value column — fixture min 0.01; a signed measure would need an
+    L1/JS form instead). Cells absent from half 1 get NULL
+    value_micro1/chi2_term (first-observed, the family's convention);
+    cells that vanished by half 2 drop (the report covers the current
+    mix).
+
+    Plan: ONE narrower pass for the median epoch-second
+    (`kth_order_statistics` over the persisted (sec, dow, hour_utc, m)
+    projection — epoch-second domain is unbounded-int64, the narrower's
+    case, ≤13 census rounds of pushed-filter scans against the cached
+    projection), then ONE fold to the ≤336-cell half×grid table; the
+    per-half totals are one conditional scalar aggregate broadcast back;
+    the half-1 lookup is a broadcast self-join over the bounded cell
+    table. dow/hour/masses from the same TZ-proof epoch-integer
+    arithmetic and money floor as the profile twin; per-cell IEEE terms
+    over exact int64 masses, never summed engine-side."""
+    from ..functions.ranks import kth_order_statistics
+    from ..llm.cache import tracked_persist
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    base = tracked_persist(
+        ev.select(
+            F.expr("unix_micros(ts) div 1000000").alias("sec"),
+            F.expr(
+                "(unix_micros(ts) div 1000000 div 86400 + 3) % 7 + 1"
+            ).alias("dow"),
+            F.expr("(unix_micros(ts) div 1000000 div 3600) % 24").alias(
+                "hour_utc"
+            ),
+            F.floor(F.col("value") * 1000000 + F.lit(0.5))
+            .cast("long")
+            .alias("m"),
+        ),
+        f"events_value_half_base:{sf_dir}",
+    )
+    mid = kth_order_statistics(base, "sec", {"mid": 0.5})["mid"]
+    c = tracked_persist(
+        base.select(
+            F.when(F.col("sec") <= mid, 1).otherwise(2).alias("half"),
+            "dow",
+            "hour_utc",
+            "m",
+        )
+        .groupBy("half", "dow", "hour_utc")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("m").alias("mass")),
+        f"events_value_halves:{sf_dir}",
+    )
+    t = c.agg(
+        F.sum(F.when(F.col("half") == 1, F.col("mass")))
+        .cast("long")
+        .alias("tm1"),
+        F.sum(F.when(F.col("half") == 2, F.col("mass")))
+        .cast("long")
+        .alias("tm2"),
+    )
+    c2 = c.filter(F.col("half") == 2).select(
+        "dow",
+        "hour_utc",
+        F.col("n").alias("n_events2"),
+        F.col("mass").alias("value_micro2"),
+    )
+    c1 = c.filter(F.col("half") == 1).select(
+        "dow", "hour_utc", F.col("mass").alias("value_micro1")
+    )
+    e = F.col("value_micro1").cast("double") * F.col("tm2") / F.col("tm1")
+    return (
+        c2.join(F.broadcast(c1), ["dow", "hour_utc"], "left")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "dow",
+            "hour_utc",
+            "n_events2",
+            "value_micro2",
+            (F.col("value_micro2").cast("double") / F.col("tm2")).alias(
+                "value_share2"
+            ),
+            "value_micro1",
+            F.when(
+                F.col("value_micro1").isNotNull(),
+                (F.col("value_micro2") - e) * (F.col("value_micro2") - e) / e,
+            ).alias("chi2_term"),
+        )
+    )

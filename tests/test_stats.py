@@ -2238,3 +2238,57 @@ def test_supplier_balance_leadtime_matrix_scalar_reference(spark, sf_dir):
         assert r.n_row == row_tot[key[0]]
         assert r.row_share == c / row_tot[key[0]]
     assert sum(cells.values()) == n
+
+
+def test_events_value_dow_hour_drift_scalar_reference(spark, sf_dir):
+    """Python recount of the half-split value-grid drift: same
+    max(1, ceil(0.5*n)) median epoch-second, same TZ-proof dow/hour
+    integer arithmetic, same micro-unit masses, same IEEE chi2 term
+    order (e = mass1*tm2/tm1; (m2-e)*(m2-e)/e)."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mapreduce_infrastructure_spark.operators.stats import (
+        events_value_weighted_dow_hour_drift,
+    )
+
+    tbl = pq.read_table(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+    rows = [
+        (us // 1_000_000, v)
+        for us, v in zip(
+            tbl["ts"].cast(pa.int64()).to_pylist(), tbl["value"].to_pylist()
+        )
+        if v is not None
+    ]
+    secs = sorted(s for s, _ in rows)
+    mid = secs[max(1, math.ceil(0.5 * len(secs))) - 1]
+    cells: dict = {}
+    for s, v in rows:
+        half = 1 if s <= mid else 2
+        key = (half, (s // 86400 + 3) % 7 + 1, (s // 3600) % 24)
+        n, mass = cells.get(key, (0, 0))
+        cells[key] = (n + 1, mass + int(math.floor(v * 1_000_000 + 0.5)))
+    tm1 = sum(m for (h, _d, _u), (_n, m) in cells.items() if h == 1)
+    tm2 = sum(m for (h, _d, _u), (_n, m) in cells.items() if h == 2)
+    got = {
+        (r.dow, r.hour_utc): r
+        for r in events_value_weighted_dow_hour_drift(spark, sf_dir).collect()
+    }
+    want_keys = {(d, u) for (h, d, u) in cells if h == 2}
+    assert set(got) == want_keys
+    for (d, u) in want_keys:
+        n2, m2 = cells[(2, d, u)]
+        r = got[(d, u)]
+        assert r.n_events2 == n2
+        assert r.value_micro2 == m2
+        assert r.value_share2 == m2 / tm2
+        h1 = cells.get((1, d, u))
+        if h1 is None:
+            assert r.value_micro1 is None and r.chi2_term is None
+        else:
+            m1 = h1[1]
+            assert r.value_micro1 == m1
+            e = float(m1) * tm2 / tm1
+            assert r.chi2_term == (m2 - e) * (m2 - e) / e
