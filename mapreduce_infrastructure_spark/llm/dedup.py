@@ -587,8 +587,12 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same LSH shape as minhash_lsh_pairs but constant-size state per doc —
     the cheapest near-dup tier at 100 TB. (On a shared-vocabulary corpus
     like this fixture, simhashes crowd together — hence the tight verify
-    radius; the banding guarantee matches it exactly.) No SQL oracle; tests
-    assert the exact near-dup pairs are found."""
+    radius; the banding guarantee matches it exactly.) No SQL oracle
+    (DuckDB has no blake2b), but since round 15 the FULL pair set +
+    Hamming distances are re-derived from raw text by a pure-python
+    blake2b reference (tests/test_dedup_similarity.py partial oracle —
+    fingerprint, banding, verify and dedup all recomputed outside the
+    engine); recall-vs-exact tests stand alongside."""
     docs = load_table(spark, sf_dir, "documents")
     fp = docs.select(
         "doc_id", _simhash64(tokens_col()).alias("simhash")

@@ -1779,3 +1779,65 @@ def test_minhash_signatures_partial_oracle_pure_python_xxh64(spark, sf_dir):
         assert (m0, m1, m2, m3) == tuple(sig[:4]), doc_id
         # array hashing chains element hashes through the running seed
         assert digest == spark_xxhash64(*sig), doc_id
+
+
+def test_simhash_neardup_pairs_partial_oracle_pure_python_blake2b(spark, sf_dir):
+    """PARTIAL ORACLE (round-15 graduation, round-14 verdict item 5):
+    the simhash fingerprint is blake2b-based (public, available in
+    hashlib), so the ENTIRE query — tokenize → per-token 8-byte blake2b
+    → per-bit ±1 votes → sign-packed 64-bit fingerprint → 8×8-bit chunk
+    banding → bucket join → Hamming ≤ 7 verify → pair dedup — is
+    recomputable OUTSIDE the engine. This recomputes every document's
+    fingerprint from the RAW PARQUET TEXT in pure python and derives the
+    exact expected pair set with per-pair Hamming distances; the value
+    set is exact, not statistical (DuckDB has no blake2b, so the scalar
+    reference stands in as the second engine, the minhash-graduation
+    pattern)."""
+    import hashlib
+    import re
+
+    import pyarrow.parquet as pq
+
+    from mapreduce_infrastructure_spark.llm import dedup
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    fps: dict[int, int] = {}
+    for doc_id, text in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
+        toks = [t for t in re.split("[^a-z0-9]+", (text or "").lower()) if t]
+        votes = [0] * 64
+        for t in toks:
+            h = int.from_bytes(
+                hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(),
+                "big",
+            )
+            for i in range(64):
+                votes[i] += 1 if (h >> i) & 1 else -1
+        fp = 0
+        for i in range(64):
+            if votes[i] > 0:
+                fp |= 1 << i
+        fps[doc_id] = fp
+    # banding: candidates agree on >= 1 of the 8 byte chunks
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for doc_id, fp in fps.items():
+        for ci in range(8):
+            buckets.setdefault((ci, (fp >> (8 * ci)) & 0xFF), []).append(doc_id)
+    want: dict[tuple[int, int], int] = {}
+    for ids in buckets.values():
+        ids.sort()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a, b = ids[i], ids[j]
+                if (a, b) in want:
+                    continue
+                hd = bin(fps[a] ^ fps[b]).count("1")
+                if hd <= 7:
+                    want[(a, b)] = hd
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dedup.simhash_neardup_pairs(spark, sf_dir).collect()
+    }
+    assert got == want
+    # the premise that makes this non-vacuous: the banding actually
+    # produced candidates and at least one true near-dup pair exists
+    assert len(want) >= 1
