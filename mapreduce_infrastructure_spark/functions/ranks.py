@@ -104,13 +104,18 @@ def hist_cume_counts(
         # below (merged into the same physical Window — no extra
         # shuffle) and fail loudly at evaluation time. Folded into the
         # ``m`` output so column pruning cannot drop the check. NULL
-        # values pass (lag's first-row NULL is indistinguishable); every
-        # current call site feeds non-null histogram values.
+        # values pass unconditionally (both disjuncts below — lag's
+        # first-row NULL is indistinguishable from a NULL value, and
+        # under descending order NULLS sort LAST so a NULL cell's lag is
+        # non-null); every current call site feeds non-null histogram
+        # values.
         prev = F.lag(F.col(value_col)).over(
             Window.partitionBy(*stratum_cols).orderBy(order)
         )
         guard = F.assert_true(
-            prev.isNull() | (prev != F.col(value_col)),
+            prev.isNull()
+            | F.col(value_col).isNull()
+            | (prev != F.col(value_col)),
             F.lit(
                 "hist_cume_counts: m_col requires pre-folded cells — "
                 f"duplicate (stratum, {value_col}) cell found"

@@ -196,7 +196,9 @@ def mr_topk_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mr_distinct_count_per_key",
     oracle="""
     SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
-    FROM events GROUP BY 1
+    FROM events
+    WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+    GROUP BY 1
     """,
     tags=("mr-compat", "events", "distinct"),
 )
@@ -207,10 +209,15 @@ def mr_distinct_count_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape (state bounded by value CARDINALITY, not by a constant or a
     k), which none of the six prior user_ids pin: sum and count|sum are
     O(1), top-k is O(k), the dedup-join reducer's output scales with the
-    set instead of folding it. Event type and user id are both non-null
-    in the fixture (asserted by the events loader's contract); the
-    integer-only value channel keeps the output engine-stable."""
-    ev = load_table(spark, sf_dir, "events").select(
+    set instead of folding it. NULL event types and user ids are
+    filtered EXPLICITLY before the tab encode (stated in the oracle's
+    WHERE) — concat_ws silently skips NULLs, which would otherwise
+    produce a tab-less record the mapper mis-splits into a spurious ''
+    key; the integer-only value channel keeps the output
+    engine-stable."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("user_id").isNotNull()
+    ).select(
         F.concat_ws("\t", F.col("event_type"), F.col("user_id")).alias(
             "record"
         )

@@ -1659,8 +1659,8 @@ def customer_value_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFra
         .select("o_custkey", "s1", "s2"),
         f"cust_half_spend:{sf_dir}",
     )
-    # Both halves' quintile thresholds ride ONE census sequence each
-    # (multi-rank narrower — 2 sequences, not 8; s1/s2 non-null sums).
+    # Both halves' eight quintile thresholds ride ONE shared unpivoted
+    # census sequence (round-15 quintile_thresholds; s1/s2 non-null sums).
     th = quintile_thresholds(p, ["s1", "s2"])
 
     g = p.select(
@@ -2036,9 +2036,9 @@ def customer_order_gap_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("v1").isNotNull() & F.col("v2").isNotNull()),
         f"cust_half_gap_p50:{sf_dir}",
     )
-    # Both halves' quintile thresholds ride ONE census sequence each
-    # (multi-rank narrower — 2 sequences, not 8; v1/v2 non-null via the
-    # both-halves filter).
+    # Both halves' eight quintile thresholds ride ONE shared unpivoted
+    # census sequence (round-15 quintile_thresholds; v1/v2 non-null via
+    # the both-halves filter).
     th = quintile_thresholds(p, ["v1", "v2"])
 
     g = (
@@ -2294,10 +2294,10 @@ def customer_balance_spend_matrix(spark: SparkSession, sf_dir: str) -> DataFrame
         ),
         f"cust_bal_spend:{sf_dir}",
     )
-    # Both columns' quintile thresholds ride ONE census sequence each
-    # (multi-rank narrower — 2 sequences, not 8; both columns non-null by
-    # construction: bal_cents from a non-null fixture column, spend_cents
-    # coalesced to 0).
+    # Both columns' eight quintile thresholds ride ONE shared unpivoted
+    # census sequence (round-15 quintile_thresholds; both columns non-null
+    # by construction: bal_cents from a non-null fixture column,
+    # spend_cents coalesced to 0).
     th = quintile_thresholds(b, ["bal_cents", "spend_cents"])
 
     g = (
@@ -2564,9 +2564,9 @@ def customer_gap_vs_value_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("ck"), "cents"
     )
     p = tracked_persist(med.join(sp, "ck"), f"cust_gap_value:{sf_dir}")
-    # Both columns' four quintile thresholds ride ONE multi-rank census
-    # sequence each (2 sequences total, not 8); thresholds + ladder come
-    # from the shared matrix-family helpers.
+    # Both columns' eight quintile thresholds ride ONE shared unpivoted
+    # census sequence (round-15 quintile_thresholds); thresholds + ladder
+    # come from the shared matrix-family helpers.
     th = quintile_thresholds(p, ["v", "cents"])
 
     g = (

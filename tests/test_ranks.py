@@ -637,3 +637,19 @@ def test_quintile_thresholds_empty_input_raises(spark):
     df = spark.createDataFrame([], "a long, b long")
     with pytest.raises(ValueError, match="empty input"):
         quintile_thresholds(df, ["a", "b"])
+
+
+def test_hist_cume_counts_m_col_null_value_passes_descending(spark):
+    """Round-15 review regression: the duplicate-cell guard must NOT
+    fire on a NULL histogram value under descending order (NULLS sort
+    LAST there, so lag(prev) is non-null and a naive prev != value is
+    NULL) — NULL values pass unconditionally per the docstring."""
+    df = spark.createDataFrame(
+        [("a", 1, 2), ("a", 2, 3), ("a", None, 1)],
+        "stratum string, v long, n long",
+    )
+    for desc in (True, False):
+        rows = hist_cume_counts(
+            df, ["stratum"], "v", m_col="n", descending=desc
+        ).collect()
+        assert len(rows) == 3
