@@ -468,8 +468,11 @@ def minhash_lsh_pairs(
     recompute the pipeline per side. Band buckets over ``hot_band_cap``
     docs are truncated (deterministically, lowest doc_ids kept) with a loud
     warning, so boilerplate corpora cannot push the self-join quadratic —
-    see HOT_BAND_CAP. No SQL oracle (LSH recall is probabilistic); tests
-    assert recall vs the exact ngram ground truth.
+    see HOT_BAND_CAP. No SQL oracle (DuckDB has no xxhash64), but since
+    round 15 the ENTIRE pair set + jaccard values are re-derived from raw
+    text by the pure-python XXH64 reference (tests/test_dedup_similarity.py
+    partial oracle — signatures, band hashes, cap, verify all recomputed
+    outside the engine); recall-vs-exact tests stand alongside.
     """
     t = _shingle_table(spark, sf_dir)
     sig = _signatures(t)

@@ -1841,3 +1841,66 @@ def test_simhash_neardup_pairs_partial_oracle_pure_python_blake2b(spark, sf_dir)
     # the premise that makes this non-vacuous: the banding actually
     # produced candidates and at least one true near-dup pair exists
     assert len(want) >= 1
+
+
+def test_minhash_lsh_pairs_partial_oracle_pure_python_xxh64(spark, sf_dir):
+    """PARTIAL ORACLE (round-15, second graduation): with the signature
+    chain already pinned by the pure-python XXH64 reference, the REST of
+    minhash_lsh_pairs is deterministic too — band hashes are xxhash64
+    over 2-element signature slices (array hashing chains element hashes
+    through the running seed, the sig_digest property), candidates are
+    same-(band, hash) pairs under the keep-lowest-doc_ids hot-band cap,
+    and the verify is an exact-Jaccard floor-round against the stated
+    threshold. This re-derives the ENTIRE expected pair set + jaccard
+    values from raw parquet text in pure python and matches the query
+    token-for-token (DuckDB has no xxhash64; the reference stands in as
+    the second engine)."""
+    import math
+    import re
+
+    import pyarrow.parquet as pq
+
+    from mapreduce_infrastructure_spark.llm import dedup
+    from tests.helpers import spark_xxhash64
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    shingles: dict[int, frozenset] = {}
+    sigs: dict[int, list] = {}
+    for doc_id, text in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
+        toks = [t for t in re.split("[^a-z0-9]+", (text or "").lower()) if t]
+        if len(toks) < 3:
+            continue  # engine filters size(sh) == 0
+        sh = frozenset(
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        )
+        hs = [spark_xxhash64(s) for s in sh]
+        sigs[doc_id] = [
+            min(spark_xxhash64(h, (s, "int")) for h in hs)
+            for s in range(dedup.N_HASHES)
+        ]
+        shingles[doc_id] = sh
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for doc_id, sig in sigs.items():
+        for b in range(dedup.LSH_BANDS):
+            bh = spark_xxhash64(*sig[b * dedup.LSH_ROWS : (b + 1) * dedup.LSH_ROWS])
+            buckets.setdefault((b, bh), []).append(doc_id)
+    want: dict[tuple[int, int], float] = {}
+    for ids in buckets.values():
+        ids.sort()
+        kept = ids[: dedup.HOT_BAND_CAP]  # keep-lowest cap (no-op here)
+        for i in range(len(kept)):
+            for j in range(i + 1, len(kept)):
+                a, b = kept[i], kept[j]
+                if (a, b) in want:
+                    continue
+                inter = len(shingles[a] & shingles[b])
+                union = len(shingles[a] | shingles[b])
+                jac = math.floor(inter / union * 10000 + 0.5) / 10000
+                if jac >= dedup.VERIFY_THRESHOLD:
+                    want[(a, b)] = jac
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.minhash_lsh_pairs(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert len(want) >= 1  # non-vacuous: the fixture has true near-dups
