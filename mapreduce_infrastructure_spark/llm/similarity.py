@@ -183,10 +183,13 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Linear-shuffle ANN: at 100 TB the bucket join replaces the O(|Q|·N)
     scan — each query touches ~(probes/2^planes) of the corpus; margins are
     computed only for the (tiny, broadcast) query side. No SQL oracle
-    (the candidate set is approximate by construction); tests measure
-    recall vs knn_bruteforce, and a PARTIAL DuckDB oracle pins every
-    returned pair's exact cosine and the rank law
-    (tests/test_dedup_similarity.py::test_ann_topk_returned_cosines_match_duckdb_exact_scores)."""
+    (DuckDB's accumulation order is unspecified); tests measure recall
+    vs knn_bruteforce, a PARTIAL DuckDB oracle pins every returned
+    pair's exact cosine and the rank law
+    (tests/test_dedup_similarity.py::test_ann_topk_returned_cosines_match_duckdb_exact_scores),
+    and since round 15 a pure-python ordered-fold reference re-derives
+    the ENTIRE result — buckets, margin-guided probes, cosines, ranks —
+    token-for-token (test_ann_lsh_topk_partial_oracle_pure_python)."""
     from pyspark.sql import Window
 
     vecs = _vectors(spark, sf_dir)

@@ -1904,3 +1904,87 @@ def test_minhash_lsh_pairs_partial_oracle_pure_python_xxh64(spark, sf_dir):
     }
     assert got == want
     assert len(want) >= 1  # non-vacuous: the fixture has true near-dups
+
+
+def test_ann_lsh_topk_partial_oracle_pure_python(spark, sf_dir):
+    """PARTIAL ORACLE (round-15, third graduation): every stage of
+    ann_lsh_topk is deterministic IEEE arithmetic over literal planes —
+    the float32→double widening is exact, _dot/_norm are SEQUENTIAL
+    left-folds (F.aggregate), the planes are seeded-numpy literals baked
+    into the plan, margins/buckets/probe masks are pure functions of
+    those dots, and the final rank is row_number over (cosine DESC,
+    neighbor_id ASC). This re-derives the ENTIRE result — candidate
+    probes, cosines, ranks — from raw parquet in pure python and matches
+    token-for-token (no SQL oracle exists because DuckDB's accumulation
+    order is unspecified; the ordered python fold IS the second
+    engine)."""
+    import math
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from mapreduce_infrastructure_spark.llm import similarity as sim
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vecs = {
+        vid: [float(x) for x in emb]
+        for vid, emb in zip(tbl["vec_id"].to_pylist(), tbl["embedding"].to_pylist())
+    }
+    planes = (
+        np.random.default_rng(42)
+        .standard_normal((sim._N_PLANES, sim._DIM))
+        .round(6)
+        .tolist()
+    )
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def norm(a):
+        s = 0.0
+        for x in a:
+            s = s + x * x
+        return math.sqrt(s)
+
+    nrm = {vid: norm(d) for vid, d in vecs.items()}
+    margins = {
+        vid: [dot(d, p) for p in planes] for vid, d in vecs.items()
+    }
+    bucket = {
+        vid: sum((1 << i) for i, m in enumerate(ms) if m > 0)
+        for vid, ms in margins.items()
+    }
+    want = {}
+    for qid in sorted(v for v in vecs if v < 10):
+        ranked = sorted((abs(m), i) for i, m in enumerate(margins[qid]))
+        low = [int(2.0 ** ranked[k][1]) for k in range(sim._PROBE_PLANES)]
+        probes = [bucket[qid]]
+        probes += [bucket[qid] ^ (1 << i) for i in range(sim._N_PLANES)]
+        for s in range(2**sim._PROBE_PLANES):
+            if bin(s).count("1") < 2:
+                continue
+            p = bucket[qid]
+            for k in range(sim._PROBE_PLANES):
+                if s >> k & 1:
+                    p ^= low[k]
+            probes.append(p)
+        probe_set = set(probes)
+        cands = [
+            v for v in vecs if v != qid and bucket[v] in probe_set
+        ]
+        scored = []
+        for v in cands:
+            c = dot(vecs[qid], vecs[v]) / (nrm[qid] * nrm[v])
+            scored.append((math.floor(c * 10000 + 0.5) / 10000, v))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (c, v) in enumerate(scored[:3], start=1):
+            want[(qid, v)] = (c, rank)
+    got = {
+        (r.query_id, r.neighbor_id): (r.cosine, r.rank)
+        for r in sim.ann_lsh_topk(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert len(want) >= 10  # non-vacuous: most queries found 3 candidates
