@@ -408,8 +408,11 @@ def ann_ivf_topk(
     (centroids are tiny); assignment is one broadcast-join pass over the
     corpus, candidate search touches ~probes/cells of the data. No SQL
     oracle (k-means cells are engine-specific); tests measure recall vs
-    knn_bruteforce, and a partial DuckDB oracle pins every returned
-    pair's exact cosine and the rank law.
+    knn_bruteforce, a partial DuckDB oracle pins every returned pair's
+    exact cosine and the rank law, and since round 15 a pure-python
+    reference re-derives the ENTIRE sample-fit result — centroids
+    (seeded-numpy replication), assignment, probes, cosines, ranks —
+    token-for-token (test_ann_ivf_topk_partial_oracle_pure_python).
 
     ``fit`` picks the quantizer fit: ``"sample"`` (driver-side numpy Lloyd
     on the deterministic 4,096-row sample), ``"distributed"`` (the fully
@@ -798,7 +801,12 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     stating the exact fixpoint would disagree whenever a borderline edge
     is missed. The driver applies its rows-only check (one row per
     vector, stable); tests assert edge precision 1.0, component
-    consistency, recall floor vs the exact pair tier, and determinism."""
+    consistency, recall floor vs the exact pair tier, and determinism;
+    since round 15 a pure-python reference additionally re-derives the
+    ENTIRE (vec_id, cluster) labeling the engine computes —
+    unit-vector fit, 3-cell assignment, verify, min-label CC —
+    token-for-token
+    (test_semantic_dedup_clusters_partial_oracle_pure_python)."""
     vecs = _vectors(spark, sf_dir)
     unit = vecs.select(
         "vec_id",
@@ -861,7 +869,10 @@ def neardup_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     This replaces the O(N²) all-pairs scan with shuffles linear in N plus
     within-cell quadratics — the same candidates/verify shape as
     minhash_lsh_pairs, with k-means cells instead of hash bands. The
-    cells/assignments dials trade recall vs candidate volume."""
+    cells/assignments dials trade recall vs candidate volume. Since
+    round 15 a pure-python reference re-derives the ENTIRE pair set +
+    cosines token-for-token
+    (test_neardup_cosine_ivf_partial_oracle_pure_python)."""
     from pyspark.sql import Window
 
     vecs = _vectors(spark, sf_dir)

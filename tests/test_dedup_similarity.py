@@ -1988,3 +1988,283 @@ def test_ann_lsh_topk_partial_oracle_pure_python(spark, sf_dir):
     }
     assert got == want
     assert len(want) >= 10  # non-vacuous: most queries found 3 candidates
+
+
+def test_ann_ivf_topk_partial_oracle_pure_python(spark, sf_dir):
+    """PARTIAL ORACLE (round-15, fourth graduation): at fixture scale
+    ann_ivf_topk takes the SAMPLE fit — seeded numpy k-means++ + Lloyd
+    on the deterministic lowest-vec_id sample — so the centroids are
+    bit-reproducible outside the engine (same seed, same dtype, same
+    numpy ops); everything downstream is sequential IEEE folds over
+    those centroid literals (assignment argmin with the (dist, cell)
+    tie order, sqrt-L2 query→cell ranking with the (dist, cell) tie
+    order, exact cosine, row_number over (cosine DESC, neighbor_id
+    ASC)). This re-derives the ENTIRE result from raw parquet and
+    matches token-for-token. The FIT is re-run numpy (same library —
+    deterministic replication, not an independent engine, stated
+    honestly); the distributed stages ARE independently re-derived by
+    ordered python folds."""
+    import math
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from mapreduce_infrastructure_spark.llm import similarity as sim
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vecs = {
+        vid: [float(x) for x in emb]
+        for vid, emb in zip(tbl["vec_id"].to_pylist(), tbl["embedding"].to_pylist())
+    }
+    assert len(vecs) < sim._IVF_DISTRIBUTED_MIN_ROWS  # sample-fit premise
+    # --- the sample fit, replicated step for step ---
+    X = np.array([vecs[v] for v in sorted(vecs)][: sim._IVF_SAMPLE])
+    rng = np.random.default_rng(7)
+    k = min(sim._IVF_CELLS, len(X))
+    C = [X[rng.integers(len(X))]]
+    for _ in range(k - 1):
+        d2 = np.min(
+            ((X[:, None, :] - np.array(C)[None, :, :]) ** 2).sum(axis=2), axis=1
+        )
+        p = d2 / d2.sum() if d2.sum() > 0 else None
+        C.append(X[rng.choice(len(X), p=p)])
+    C = np.array(C)
+    for _ in range(sim._IVF_ITERS):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        for j in range(len(C)):
+            pts = X[a == j]
+            if len(pts):
+                C[j] = pts.mean(axis=0)
+    cents = [[float(x) for x in C[j]] for j in range(len(C))]
+
+    # --- downstream: ordered IEEE folds, independent of numpy ---
+    def fold_sq(a, c):
+        s = 0.0
+        for x, cc in zip(a, c):
+            s = s + (x - cc) * (x - cc)
+        return s
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def norm(a):
+        s = 0.0
+        for x in a:
+            s = s + x * x
+        return math.sqrt(s)
+
+    nrm = {v: norm(d) for v, d in vecs.items()}
+    cell = {
+        v: min((fold_sq(d, cents[j]), j) for j in range(len(cents)))[1]
+        for v, d in vecs.items()
+    }
+    want = {}
+    for qid in sorted(v for v in vecs if v < 10):
+        ranked = sorted(
+            (math.sqrt(fold_sq(vecs[qid], cents[j])), j)
+            for j in range(len(cents))
+        )
+        pcells = {j for _d, j in ranked[: sim._IVF_PROBES]}
+        scored = []
+        for v in vecs:
+            if v == qid or cell[v] not in pcells:
+                continue
+            c = dot(vecs[qid], vecs[v]) / (nrm[qid] * nrm[v])
+            scored.append((math.floor(c * 10000 + 0.5) / 10000, v))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (c, v) in enumerate(scored[:3], start=1):
+            want[(qid, v)] = (c, rank)
+    got = {
+        (r.query_id, r.neighbor_id): (r.cosine, r.rank)
+        for r in sim.ann_ivf_topk(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert len(want) >= 10
+
+
+def test_neardup_cosine_ivf_partial_oracle_pure_python(spark, sf_dir):
+    """PARTIAL ORACLE (round-15, fifth graduation): neardup_cosine_ivf
+    shares ann_ivf_topk's sample fit (bit-reproducible seeded numpy) and
+    its downstream stages are ordered IEEE folds — 2-nearest-cell
+    assignment with the (dist, cell) struct sort order, same-cell
+    candidate pairs deduped, exact-cosine floor-round >= 0.4 verify.
+    This re-derives the ENTIRE pair set + cosines from raw parquet and
+    matches token-for-token (fit replicated with the same numpy ops;
+    distributed stages independently re-derived)."""
+    import math
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from mapreduce_infrastructure_spark.llm import similarity as sim
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vecs = {
+        vid: [float(x) for x in emb]
+        for vid, emb in zip(tbl["vec_id"].to_pylist(), tbl["embedding"].to_pylist())
+    }
+    X = np.array([vecs[v] for v in sorted(vecs)][: sim._IVF_SAMPLE])
+    rng = np.random.default_rng(7)
+    k = min(sim._IVF_CELLS, len(X))
+    C = [X[rng.integers(len(X))]]
+    for _ in range(k - 1):
+        d2 = np.min(
+            ((X[:, None, :] - np.array(C)[None, :, :]) ** 2).sum(axis=2), axis=1
+        )
+        p = d2 / d2.sum() if d2.sum() > 0 else None
+        C.append(X[rng.choice(len(X), p=p)])
+    C = np.array(C)
+    for _ in range(sim._IVF_ITERS):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        for j in range(len(C)):
+            pts = X[a == j]
+            if len(pts):
+                C[j] = pts.mean(axis=0)
+    cents = [[float(x) for x in C[j]] for j in range(len(C))]
+
+    def fold_sq(a, c):
+        s = 0.0
+        for x, cc in zip(a, c):
+            s = s + (x - cc) * (x - cc)
+        return s
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def norm(a):
+        s = 0.0
+        for x in a:
+            s = s + x * x
+        return math.sqrt(s)
+
+    nrm = {v: norm(d) for v, d in vecs.items()}
+    by_cell: dict[int, list[int]] = {}
+    for v, d in vecs.items():
+        two = sorted((fold_sq(d, cents[j]), j) for j in range(len(cents)))[:2]
+        for _d, j in two:
+            by_cell.setdefault(j, []).append(v)
+    cand = set()
+    for ids in by_cell.values():
+        ids.sort()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                cand.add((ids[i], ids[j]))
+    want = {}
+    for a_, b_ in cand:
+        c = dot(vecs[a_], vecs[b_]) / (nrm[a_] * nrm[b_])
+        c = math.floor(c * 10000 + 0.5) / 10000
+        if c >= 0.4:
+            want[(a_, b_)] = c
+    got = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in sim.neardup_cosine_ivf(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert len(want) >= 1
+
+
+def test_semantic_dedup_clusters_partial_oracle_pure_python(spark, sf_dir):
+    """PARTIAL ORACLE (round-15, sixth graduation): the full semantic
+    dedup chain is deterministic at fixture scale — unit vectors
+    (per-element x/nrm over the sequential norm fold), the shared
+    sample fit re-run on the unit vectors (bit-reproducible seeded
+    numpy), 3-nearest-cell assignment with the (dist, cell) sort order,
+    same-cell candidates, rnd(dot) >= tau verify, min-label connected
+    components (cluster = min vec_id of the component, singletons map
+    to themselves). This re-derives the ENTIRE (vec_id, cluster)
+    labeling from raw parquet and matches token-for-token. The
+    no-SQL-oracle rationale stands (candidate recall is approximate vs
+    the exact fixpoint); this pins WHAT THE ENGINE COMPUTES, not the
+    all-pairs ideal."""
+    import math
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from mapreduce_infrastructure_spark.llm import similarity as sim
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    raw = {
+        vid: [float(x) for x in emb]
+        for vid, emb in zip(tbl["vec_id"].to_pylist(), tbl["embedding"].to_pylist())
+    }
+
+    def norm(a):
+        s = 0.0
+        for x in a:
+            s = s + x * x
+        return math.sqrt(s)
+
+    unit = {v: [x / norm(d) for x in d] for v, d in raw.items()}
+    X = np.array([unit[v] for v in sorted(unit)][: sim._IVF_SAMPLE])
+    rng = np.random.default_rng(7)
+    k = min(sim._IVF_CELLS, len(X))
+    C = [X[rng.integers(len(X))]]
+    for _ in range(k - 1):
+        d2 = np.min(
+            ((X[:, None, :] - np.array(C)[None, :, :]) ** 2).sum(axis=2), axis=1
+        )
+        p = d2 / d2.sum() if d2.sum() > 0 else None
+        C.append(X[rng.choice(len(X), p=p)])
+    C = np.array(C)
+    for _ in range(sim._IVF_ITERS):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        for j in range(len(C)):
+            pts = X[a == j]
+            if len(pts):
+                C[j] = pts.mean(axis=0)
+    cents = [[float(x) for x in C[j]] for j in range(len(C))]
+
+    def fold_sq(a, c):
+        s = 0.0
+        for x, cc in zip(a, c):
+            s = s + (x - cc) * (x - cc)
+        return s
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    by_cell: dict[int, list[int]] = {}
+    for v, u in unit.items():
+        near = sorted((fold_sq(u, cents[j]), j) for j in range(len(cents)))
+        for _d, j in near[: sim._SEM_ASSIGN]:
+            by_cell.setdefault(j, []).append(v)
+    cand = set()
+    for ids in by_cell.values():
+        ids.sort()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                cand.add((ids[i], ids[j]))
+    parent = {v: v for v in raw}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a_, b_ in cand:
+        c = dot(unit[a_], unit[b_])
+        if math.floor(c * 10000 + 0.5) / 10000 >= sim.SEMANTIC_TAU:
+            ra, rb = find(a_), find(b_)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    want = {v: find(v) for v in raw}
+    got = {
+        r.vec_id: r.cluster
+        for r in sim.semantic_dedup_clusters(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert len(set(want.values())) < len(want)  # non-vacuous: real merges
