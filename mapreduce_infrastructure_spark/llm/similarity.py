@@ -591,9 +591,13 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant _PQ_CANDIDATES=40 rows per query. Codebooks, like the IVF quantizer, are fit
     driver-side on a deterministic seeded sample. No SQL oracle
     (quantization is engine-specific); tests assert recall@3 vs
-    knn_bruteforce, and a partial DuckDB oracle pins every returned
-    pair's exact re-ranked cosine (unit-vector dot, stated with the
-    same per-element normalization order) and the rank law."""
+    knn_bruteforce, a partial DuckDB oracle pins every returned pair's
+    exact re-ranked cosine (unit-vector dot, stated with the same
+    per-element normalization order) and the rank law, and since round
+    15 a pure-python reference re-derives the ENTIRE result — codebooks
+    (seeded-numpy replication), codes, ADC table-sums, candidate and
+    re-rank orders — token-for-token
+    (test_ann_pq_topk_partial_oracle_pure_python)."""
     vecs = _vectors(spark, sf_dir)
     unit = vecs.select(
         "vec_id", F.transform("d", lambda x: x / F.col("nrm")).alias("u")
@@ -738,7 +742,12 @@ def ann_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     64×64 matrix-vector product per row would be a 4096-term codegen
     expression); rotation preserves inner products, so the exact cosine
     re-rank is unchanged and recall is compared against the same
-    knn_bruteforce ground truth in tests."""
+    knn_bruteforce ground truth in tests. NOT graduable to the PQ
+    tier's full pure-python re-derivation: the rotation runs engine-side
+    as a BATCHED numpy matmul whose BLAS blocking depends on the Arrow
+    batch shape, so a reference matmul of a different shape is not
+    guaranteed bit-identical — the recall floor, orthonormal-R invariant
+    and exact re-rank equality tests pin it instead."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, DoubleType
 

@@ -2268,3 +2268,121 @@ def test_semantic_dedup_clusters_partial_oracle_pure_python(spark, sf_dir):
     }
     assert got == want
     assert len(set(want.values())) < len(want)  # non-vacuous: real merges
+
+
+def test_ann_pq_topk_partial_oracle_pure_python(spark, sf_dir):
+    """PARTIAL ORACLE (round-15, seventh graduation): ann_pq_topk's
+    codebooks are seeded-numpy Lloyd fits per subspace over the
+    deterministic unit-vector sample (rng(11) carries across subspaces
+    in order — replicated bit-for-bit), and everything downstream is
+    JVM-side sequential IEEE folds: per-subspace encode with the
+    (dist, code) tie order, the ADC table-sum in subspace order, the
+    (adc_dist, vec_id) top-40 candidate rank, the exact-cosine
+    floor-round re-rank with (cosine DESC, neighbor_id ASC). This
+    re-derives the ENTIRE result from raw parquet and matches
+    token-for-token. (ann_opq_topk is NOT graduable this way: its
+    rotation applies engine-side as a batched numpy matmul whose BLAS
+    blocking depends on Arrow batch shape, so a reference matmul of a
+    different shape is not guaranteed bit-identical — documented
+    why-not.)"""
+    import math
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from mapreduce_infrastructure_spark.llm import similarity as sim
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    raw = {
+        vid: [float(x) for x in emb]
+        for vid, emb in zip(tbl["vec_id"].to_pylist(), tbl["embedding"].to_pylist())
+    }
+
+    def norm(a):
+        s = 0.0
+        for x in a:
+            s = s + x * x
+        return math.sqrt(s)
+
+    unit = {v: [x / norm(d) for x in d] for v, d in raw.items()}
+    # --- the per-subspace sample fit, replicated step for step ---
+    X = np.array([unit[v] for v in sorted(unit)][: sim._IVF_SAMPLE])
+    sub = X.reshape(len(X), sim._PQ_M, -1)
+    rng = np.random.default_rng(11)
+    books = []
+    for m in range(sim._PQ_M):
+        Xm = sub[:, m, :]
+        k = min(sim._PQ_K, len(Xm))
+        C = [Xm[rng.integers(len(Xm))]]
+        for _ in range(k - 1):
+            d2 = np.min(
+                ((Xm[:, None, :] - np.array(C)[None, :, :]) ** 2).sum(axis=2),
+                axis=1,
+            )
+            p = d2 / d2.sum() if d2.sum() > 0 else None
+            C.append(Xm[rng.choice(len(Xm), p=p)])
+        C = np.array(C)
+        for _ in range(sim._IVF_ITERS):
+            d2 = ((Xm[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for j in range(len(C)):
+                pts = Xm[a == j]
+                if len(pts):
+                    C[j] = pts.mean(axis=0)
+        books.append([[float(x) for x in c] for c in C])
+    sub_dim = len(unit[next(iter(unit))]) // sim._PQ_M
+
+    def fold_sq(a, c):
+        s = 0.0
+        for x, cc in zip(a, c):
+            s = s + (x - cc) * (x - cc)
+        return s
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def sub_vec(u, m):
+        return u[m * sub_dim : (m + 1) * sub_dim]
+
+    codes = {
+        v: [
+            min(
+                (fold_sq(sub_vec(u, m), books[m][c]), c)
+                for c in range(len(books[m]))
+            )[1]
+            for m in range(sim._PQ_M)
+        ]
+        for v, u in unit.items()
+    }
+    want = {}
+    for qid in sorted(v for v in unit if v < 10):
+        dtab = [
+            [fold_sq(sub_vec(unit[qid], m), books[m][c]) for c in range(len(books[m]))]
+            for m in range(sim._PQ_M)
+        ]
+        adc = []
+        for v in unit:
+            if v == qid:
+                continue
+            s = 0.0
+            for m in range(sim._PQ_M):
+                s = s + dtab[m][codes[v][m]]
+            adc.append((s, v))
+        adc.sort()
+        cands = [v for _s, v in adc[: sim._PQ_CANDIDATES]]
+        scored = []
+        for v in cands:
+            c = dot(unit[qid], unit[v])
+            scored.append((math.floor(c * 10000 + 0.5) / 10000, v))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (c, v) in enumerate(scored[:3], start=1):
+            want[(qid, v)] = (c, rank)
+    got = {
+        (r.query_id, r.neighbor_id): (r.cosine, r.rank)
+        for r in sim.ann_pq_topk(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert len(want) >= 10
