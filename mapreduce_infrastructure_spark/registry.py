@@ -50,88 +50,82 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # Ordering is therefore a curated, per-round decision, not an accident of
 # imports; CERTIFIED_HISTORY.md tracks which rounds certified what.
 #
-# Round-15 window (round-14 verdict item 1 / NEXT.md item 2): the SIX
-# round-14 additions registered past the round-14 entrant cap lead — each
-# has a green landing-day gate and a hostile-r14 row but has never had a
-# driver CORRECTNESS row (the judge independently verified all 6 hash-green
-# at sf0.01 in the round-14 judging session; this window converts that into
-# driver truth). They appear in registration order. Next come the 19
-# remaining r8-vintage rows (standing rows whose latest green was still r8
-# after the round-14 rotation — the stalest standing greens) in
-# CORRECTNESS_r08 order. The final 25 slots fill from the head of the
-# r9-vintage cohort (50 rows whose latest driver row is r9, recomputed from
-# the CORRECTNESS_r* census) in CORRECTNESS_r09 order; the 25 unfilled r9
-# rows stay the stalest and lead the round-16 fill (CORRECTNESS_r09 order:
-# quality_quantile_filter, corpus_assemble_pipeline, pack_sequences,
-# packing_overflow_report, source_novelty_trend, source_quality_trend,
-# source_type_token_curve, budget_pack_efficiency,
-# quality_classifier_scores, quality_model_calibration_bins,
-# dedup_incremental_new_batch, neardup_cosine_pairs, ann_ivf_topk,
-# neardup_cosine_ivf, multimodal_meta, mr_wordcount, mr_inverted_index,
-# containment_pairs, dedup_clusters, substring_dedup, knn_bruteforce,
-# ngram_jaccard_pairs, minhash_lsh_pairs, simhash_neardup_pairs,
-# tfidf_top_terms). After round 15 no standing row is older than r9. New
-# round-15 queries register PAST the cap (entrant cap 0 window slots, ≤6
-# registrations total so the round-16 debt stays ≤ 6 + the r9 tail);
-# displaced/past-cap rows keep their standing greens and
-# tests/test_oracle_queries.py mirrors every oracle-backed query each
+# Round-16 window (round-15 verdict / NEXT.md item 2): the SIX round-15
+# additions registered past the round-15 entrant cap lead — each has a
+# green landing-day gate and a hostile-r15 row but has never had a driver
+# CORRECTNESS row (the judge independently verified all 6 hash-green at
+# sf0.01 in the round-15 judging session; this window converts that into
+# driver truth). They appear in registration order. Next come the 25
+# remaining r9-vintage rows (standing rows whose latest green was still r9
+# after the round-15 rotation — the stalest standing greens) in
+# CORRECTNESS_r09 order. The final 19 slots fill from the head of the
+# r10-vintage cohort (rows whose latest driver row is r10, recomputed from
+# the CORRECTNESS_r* census) in CORRECTNESS_r10 order; the unfilled r10
+# rows stay the stalest and lead the round-17 fill (CORRECTNESS_r10 order,
+# continuing from q9_profit_by_nation_year: q10_returned_items,
+# q12_ship_delay_priority, q13_customer_distribution, q14_promo_revenue,
+# q16_parts_supplier_count, q17_small_qty_revenue, ...). After round 16 no
+# standing row is older than r10. New round-16 queries register PAST the
+# cap (entrant cap 0 window slots, ≤6 registrations total so the round-17
+# debt stays bounded); displaced/past-cap rows keep their standing greens
+# and tests/test_oracle_queries.py mirrors every oracle-backed query each
 # pytest run.
 CERTIFIED_FIRST: tuple[str, ...] = (
-    # --- round-14 past-cap additions (6, first driver certification),
+    # --- round-15 past-cap additions (6, first driver certification),
     #     registration order ---
-    "parts_graph_weighted_degree_distribution",
-    "events_value_weighted_dow_hour_profile",
-    "source_quality_flag_share_drift",
-    "customer_gap_vs_value_matrix",
-    "stream_modal_priority_by_nation",
-    "mr_topk_per_key",
-    # --- r8-vintage cohort tail (19 of 44, the last unrefreshed r8 rows),
-    #     CORRECTNESS_r08 order ---
-    "stream_session_window_30m",
-    "wordcount",
-    "stream_user_totals",
-    "stream_join_click_purchase",
-    "stream_dedup_events",
-    "sessionize_gaps",
-    "rollup_hierarchical_daily",
-    "stream_tumbling_hourly",
-    "window_tumbling_hourly",
-    "window_sliding_1h_15m",
-    "session_window_30m",
-    "parquet_partitioned_prune",
-    "bucketed_join_orders_customer",
-    "quality_scores",
-    "lang_id_heuristic",
-    "corpus_clean_pipeline",
-    "source_dup_mass",
-    "q15_top_supplier",
-    "q11_important_stock",
-    # --- r9-vintage cohort head (first 25 of 50), CORRECTNESS_r09 order ---
-    "lsh_precision_recall_report",
-    "revenue_mom_growth_by_nation",
-    "twap_purchase_by_user",
-    "funnel_3step_windowed",
-    "embedding_cosine_histogram",
-    "stream_full_join_click_purchase",
-    "ann_recall_report",
-    "doc_compression_ratio",
-    "corpus_split_assign",
-    "stream_ohlc_hourly",
-    "stream_ingest_dedup_status",
-    "dedup_keeper_policy_sensitivity",
-    "approx_vs_exact_quantile_error",
-    "stream_left_join_click_purchase",
-    "stream_hourly_active_users",
-    "corpus_interleave_plan",
-    "stream_session_topk_event_types",
-    "epoch_sample_overlap",
-    "minhash_estimate_error",
-    "source_quality_dup_interaction",
-    "event_value_winsor_by_type",
-    "embedding_pca_top_components",
-    "exact_percentiles_disc",
-    "winsorized_stats",
-    "doc_length_percentile_by_source",
+    "stream_events_value_dow_hour_profile",
+    "supplier_balance_leadtime_interaction",
+    "parts_graph_strength_vs_degree_matrix",
+    "source_flag_vs_length_matrix",
+    "mr_distinct_count_per_key",
+    "events_value_weighted_dow_hour_drift",
+    # --- r9-vintage cohort tail (25 of 50, the last unrefreshed r9 rows),
+    #     CORRECTNESS_r09 order ---
+    "quality_quantile_filter",
+    "corpus_assemble_pipeline",
+    "pack_sequences",
+    "packing_overflow_report",
+    "source_novelty_trend",
+    "source_quality_trend",
+    "source_type_token_curve",
+    "budget_pack_efficiency",
+    "quality_classifier_scores",
+    "quality_model_calibration_bins",
+    "dedup_incremental_new_batch",
+    "neardup_cosine_pairs",
+    "ann_ivf_topk",
+    "neardup_cosine_ivf",
+    "multimodal_meta",
+    "mr_wordcount",
+    "mr_inverted_index",
+    "containment_pairs",
+    "dedup_clusters",
+    "substring_dedup",
+    "knn_bruteforce",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_neardup_pairs",
+    "tfidf_top_terms",
+    # --- r10-vintage cohort head (first 19), CORRECTNESS_r10 order ---
+    "skyline_2d_parts",
+    "skyline_docs_vocab_tokens",
+    "source_dedup_order_sensitivity",
+    "exact_percentiles_cont",
+    "khop_reachability_trade",
+    "mad_totalprice_by_priority",
+    "cheapest_path_3hop_trade",
+    "prefix_dup_pairs",
+    "pagerank_weighted_personalized",
+    "source_doclen_mad_profile",
+    "events_hourly_mad_anomaly",
+    "prefix_dup_keep_policy",
+    "split_leakage_report",
+    "q2_min_cost_supplier",
+    "q4_priority_exists",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
 )
 
 
