@@ -69,8 +69,15 @@ def hist_cume_counts(
     arrive as cells already; re-folding would add a redundant shuffle).
     The uniqueness contract is ENFORCED: a duplicate (strata, value)
     cell raises at evaluation time via a lag-based ``assert_true`` that
-    rides the same window exchange (threaded through the ``m`` and
-    ``wm`` outputs so pruning cannot drop it).
+    rides the same window exchange. The guard is threaded through the
+    ``m`` and ``wm`` outputs ONLY — and thus through ``cum``/``cumw``,
+    which sum the guarded ``m``/``wm`` — so any consumer reading at
+    least one of ``m``/``wm``/``cum``/``cumw`` evaluates it. The
+    remaining outputs (``cumb``/``cumwb``/``n_stratum``/``w_stratum``)
+    are window sums over the RAW input columns; a consumer selecting
+    only those would bypass the check (a nested-window sum over the
+    guarded ``m`` is not expressible, so this asymmetry is inherent).
+    Every current consumer reads ``m``/``cum``/``cumw``.
 
     ``weight_col``: optional second MEASURE on the cells (requires
     ``m_col``; an int64 per-cell mass such as token or revenue totals).
@@ -572,8 +579,25 @@ def quintile_thresholds(
     census sequence (:func:`kth_order_statistics`). The shared
     threshold derivation of the migration / cross-dimension matrix
     family (it was restated per query before round 14's review pass).
-    Returns {col: [t1, t2, t3, t4]}."""
+    Returns {col: [t1, t2, t3, t4]}.
+
+    Input columns must be INTEGRAL (byte/short/int/long) — the shared
+    unpivot casts every cell to long, so a fractional column would be
+    silently truncated before ranking; asserted loudly here instead
+    (round-15 advice item). Every current call site feeds int64
+    cents/counts/days."""
     qs = {str(k): k / 5.0 for k in (1, 2, 3, 4)}
+    integral = {"tinyint", "smallint", "int", "bigint"}
+    dtypes = dict(df.dtypes)
+    bad = [
+        f"{c}:{dtypes[c]}" for c in cols if dtypes.get(c, "?") not in integral
+    ]
+    if bad:
+        raise TypeError(
+            "quintile_thresholds: non-integral column(s) would be "
+            f"truncated by the long cast: {bad} (cast explicitly upstream "
+            "if truncation is intended)"
+        )
     # ALL columns share ONE stratified census sequence: unpivot to
     # (_qt_col, _qt_v) cells and narrow keyed by the column tag — one
     # scan per round for every (column, quantile) task, where a

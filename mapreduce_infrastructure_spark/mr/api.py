@@ -216,10 +216,19 @@ class KeyValuePairMapper(BaseMapper):
     emit (key, value) as-is. Splits at the LAST tab (rpartition, the
     DoclenStatsMapper discipline): the value field in current pairings
     is numeric and can never contain a tab, so a key that does stays
-    intact instead of corrupting the value."""
+    intact instead of corrupting the value. Records MUST contain a tab
+    — this mapper is registered as a reusable generic task, and a
+    separator-less record would otherwise fold into a spurious empty
+    key (rpartition's miss case puts the whole record in ``value``), so
+    it raises instead of silently corrupting the key space."""
 
     def map(self, record: str) -> None:
-        key, _, value = record.rpartition("\t")
+        key, sep, value = record.rpartition("\t")
+        if not sep:
+            raise ValueError(
+                "KeyValuePairMapper: record has no tab separator: "
+                f"{record[:80]!r}"
+            )
         self.emit(key, value)
 
 

@@ -375,6 +375,10 @@ def test_mr_distinct_count_reducer_set_fold():
     m.map("click\t42")
     m.map("a\tb\t7")  # tab inside the key stays in the key
     assert m._drain() == [("click", "42"), ("a\tb", "7")]
+    # Round-15 advice item: a separator-less record must fail loudly
+    # instead of folding into a spurious empty key.
+    with pytest.raises(ValueError, match="no tab separator"):
+        m.map("malformed-record-without-tab")
     r = DistinctCountReducer()
     r.reduce("k", ["1", "2", "1", "3", "2", "1"])
     assert r._drain() == [("k", "3")]

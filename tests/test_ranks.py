@@ -639,6 +639,23 @@ def test_quintile_thresholds_empty_input_raises(spark):
         quintile_thresholds(df, ["a", "b"])
 
 
+def test_quintile_thresholds_rejects_fractional_columns(spark):
+    """Round-15 advice item: the shared unpivot casts cells to long, so
+    a double column must be rejected loudly instead of silently
+    truncating before ranking (int columns still pass)."""
+    from mapreduce_infrastructure_spark.functions.ranks import (
+        quintile_thresholds,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1.5), (2, 2.5)], "a long, b double"
+    )
+    with pytest.raises(TypeError, match="non-integral"):
+        quintile_thresholds(df, ["a", "b"])
+    # An all-integral request on the same frame is unaffected.
+    assert quintile_thresholds(df, ["a"])["a"] == [1, 1, 2, 2]
+
+
 def test_hist_cume_counts_m_col_null_value_passes_descending(spark):
     """Round-15 review regression: the duplicate-cell guard must NOT
     fire on a NULL histogram value under descending order (NULLS sort
