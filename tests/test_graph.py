@@ -205,6 +205,40 @@ def test_degree_assortativity_scalar_reference(spark, sf_dir):
     assert n % 2 == 0  # symmetric edge list
 
 
+def test_strength_assortativity_scalar_reference(spark, sf_dir):
+    """Exact-integer Python recount of the weighted (strength)
+    assortativity over the collected weighted part edges: same stub
+    sums, same single IEEE division — the engine value must match
+    bit-for-bit; w_total/n_edges/n_nodes recounted too."""
+    from mapreduce_infrastructure_spark.operators.graph import (
+        _part_cooccur_edges_weighted,
+        parts_graph_strength_assortativity,
+    )
+
+    row = parts_graph_strength_assortativity(spark, sf_dir).collect()[0]
+    es = [
+        (r.x, r.y, r.w)
+        for r in _part_cooccur_edges_weighted(spark, sf_dir).collect()
+    ]
+    s: dict = {}
+    for x, y, w in es:
+        s[x] = s.get(x, 0) + w
+        s[y] = s.get(y, 0) + w
+    stubs = [(x, y, w) for x, y, w in es] + [(y, x, w) for x, y, w in es]
+    tw = sum(w for _, _, w in stubs)
+    sx1 = sum(w * s[u] for u, _, w in stubs)
+    sxy = sum(w * s[u] * s[v] for u, v, w in stubs)
+    sxx = sum(w * s[u] * s[u] for u, _, w in stubs)
+    assert row.n_edges == len(es)
+    assert row.n_nodes == len(s)
+    assert row.w_total == sum(w for _, _, w in es)
+    num, den = tw * sxy - sx1 * sx1, tw * sxx - sx1 * sx1
+    if den == 0:
+        assert row.strength_assortativity is None
+    else:
+        assert row.strength_assortativity == float(num) / float(den)
+
+
 def test_parts_clustering_by_degree_scalar_reference(spark, sf_dir):
     """Python recount of the clustering-by-degree curve from the raw
     fixture: rebuild the co-occurrence edge set, per-node degrees and
