@@ -1437,42 +1437,50 @@ CUSTOMER_REV_CONCENTRATION_ORACLE = """
 
 
 def _revenue_concentration_report(
-    spark: SparkSession, cm: DataFrame
+    spark: SparkSession,
+    cm: DataFrame,
+    value_col: str = "cents",
+    threshold_col: str = "threshold_cents",
+    n_col: str = "n_customers",
+    mass_col: str = "revenue_cents",
+    share_col: str = "revenue_share",
 ) -> DataFrame:
-    """Five-checkpoint concentration report over a per-customer exact-cents
-    frame (column ``cents``) — the shared tail of
-    customer_revenue_concentration and its streaming twin, so the two
-    derivations cannot drift: `kth_order_statistic` narrowing for the
-    thresholds, then ONE fold against the broadcast 5-row grid."""
+    """Five-checkpoint concentration report over a per-entity exact-int64
+    frame (column ``value_col``) — the shared tail of
+    customer_revenue_concentration, its streaming twin and the
+    user-axis events report, so the derivations cannot drift:
+    `kth_order_statistic` narrowing for the thresholds, then ONE fold
+    against the broadcast 5-row grid. Output column names are
+    parameterized (defaults keep the original revenue vocabulary) —
+    the derivation is identical for every caller."""
     from ..functions.ranks import kth_order_statistics
 
     # All five checkpoints ride ONE census sequence (multi-rank narrower;
-    # q = pct/100.0 gives the same max(1, ceil(q·n)) rank, cents non-null
+    # q = pct/100.0 gives the same max(1, ceil(q·n)) rank, values non-null
     # by construction).
     th = kth_order_statistics(
-        cm, "cents", {str(pct): pct / 100.0 for pct in (50, 75, 90, 95, 99)}
+        cm,
+        value_col,
+        {str(pct): pct / 100.0 for pct in (50, 75, 90, 95, 99)},
     )
     grid = spark.createDataFrame(
         [(pct, th[str(pct)]) for pct in (50, 75, 90, 95, 99)],
-        "pct long, threshold_cents long",
+        f"pct long, {threshold_col} long",
     )
-    above = F.col("cents") >= F.col("threshold_cents")
-    g = cm.crossJoin(F.broadcast(grid)).groupBy("pct", "threshold_cents").agg(
-        F.sum(F.when(above, 1).otherwise(0)).cast("long").alias("n_customers"),
-        F.sum(F.when(above, F.col("cents")).otherwise(0)).alias(
-            "revenue_cents"
-        ),
-        F.sum("cents").alias("_total"),
+    above = F.col(value_col) >= F.col(threshold_col)
+    g = cm.crossJoin(F.broadcast(grid)).groupBy("pct", threshold_col).agg(
+        F.sum(F.when(above, 1).otherwise(0)).cast("long").alias(n_col),
+        F.sum(F.when(above, F.col(value_col)).otherwise(0)).alias(mass_col),
+        F.sum(value_col).alias("_total"),
     )
     return g.select(
         "pct",
-        "threshold_cents",
-        "n_customers",
-        "revenue_cents",
+        threshold_col,
+        n_col,
+        mass_col,
         (
-            F.col("revenue_cents").cast("double")
-            / F.col("_total").cast("double")
-        ).alias("revenue_share"),
+            F.col(mass_col).cast("double") / F.col("_total").cast("double")
+        ).alias(share_col),
     )
 
 
@@ -2916,4 +2924,90 @@ def events_value_weighted_dow_hour_drift(
                 (F.col("value_micro2") - e) * (F.col("value_micro2") - e) / e,
             ).alias("chi2_term"),
         )
+    )
+
+
+@query(
+    "events_user_value_concentration",
+    oracle="""
+    WITH um AS (
+      SELECT user_id,
+             CAST(SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+                  AS BIGINT) AS micro
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    r AS (
+      SELECT micro,
+             row_number() OVER (ORDER BY micro) AS rn,
+             COUNT(*) OVER () AS n
+      FROM um
+    ),
+    grid AS (SELECT unnest([50, 75, 90, 95, 99]) AS pct),
+    th AS (
+      SELECT g.pct,
+             MAX(CASE WHEN r.rn = greatest(1, CAST(ceil(g.pct / 100.0 * r.n)
+                                                   AS BIGINT))
+                      THEN r.micro END) AS threshold_micro
+      FROM grid g CROSS JOIN r GROUP BY 1
+    )
+    SELECT t.pct, t.threshold_micro,
+           CAST(SUM(CASE WHEN u.micro >= t.threshold_micro THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN u.micro >= t.threshold_micro THEN u.micro
+                         ELSE 0 END) AS BIGINT) AS value_micro,
+           CAST(SUM(CASE WHEN u.micro >= t.threshold_micro THEN u.micro
+                         ELSE 0 END) AS DOUBLE)
+             / CAST(CAST(SUM(u.micro) AS BIGINT) AS DOUBLE) AS value_share
+    FROM th t CROSS JOIN um u
+    GROUP BY 1, 2
+    """,
+    tags=("events", "stats", "percentile", "iterative", "concentration"),
+)
+def events_user_value_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Value-mass concentration on the USER axis (round-15 NEXT item) —
+    the customer_revenue_concentration read rotated onto the event
+    stream: for user-value-percentile checkpoints p ∈ {50, 75, 90, 95,
+    99}, the EXACT per-user value-mass threshold at that percentile and
+    the user count and value share at-or-above it — "the top decile of
+    users carries X% of event value". The capacity/abuse-screening twin
+    of the revenue Pareto: a rising 99th-checkpoint share says the
+    value mass is collapsing onto a few accounts (the skew a
+    user-keyed aggregation plan must salt for), while the revenue
+    report watches the same shape on spend. Membership is VALUE-based
+    (mass ≥ the exact percentile_disc threshold), so boundary ties land
+    on one deterministic side in both engines.
+
+    Exactness: per-user masses are exact int64 micro-unit sums (the
+    family's value*1e6 floor; NULL values dropped, stated in the
+    oracle). Scale shape: ONE scan-speed fold to the per-user frame
+    (|users| rows), five thresholds riding ONE `kth_order_statistics`
+    census sequence over the unbounded-int64 domain, then ONE
+    distributed fold against the broadcast 5-row grid — every group
+    sees all users, so SUM(micro) per group IS the denominator and the
+    share divides two exact int64 sums. No sort, no ntile window, no
+    driver-side aggregation. Thresholds + fold live in the shared
+    _revenue_concentration_report tail (parameterized column names;
+    same derivation as the revenue report and its streaming twin)."""
+    um = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long")
+            )
+            .cast("long")
+            .alias("micro")
+        )
+    )
+    return _revenue_concentration_report(
+        spark,
+        um.select("micro"),
+        value_col="micro",
+        threshold_col="threshold_micro",
+        n_col="n_users",
+        mass_col="value_micro",
+        share_col="value_share",
     )

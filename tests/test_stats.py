@@ -1181,6 +1181,56 @@ def test_customer_revenue_concentration_scalar_reference(spark, sf_dir):
         prev_threshold, prev_share = row.threshold_cents, row.revenue_share
 
 
+def test_events_user_value_concentration_scalar_reference(spark, sf_dir):
+    """Python recount of the user-axis value concentration: same exact
+    per-user micro-unit masses, same max(1, ceil(pct/100·n)) threshold
+    ranks over the sorted mass list, same value-based membership and
+    one-division share. Plus the monotone laws (thresholds rise, shares
+    fall) and the share floor: the top-decile checkpoint must carry at
+    least its population share of the mass."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from mapreduce_infrastructure_spark.operators.stats import (
+        events_user_value_concentration,
+    )
+
+    got = {
+        r.pct: r
+        for r in events_user_value_concentration(spark, sf_dir).collect()
+    }
+    e = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["user_id", "value"]
+    ).to_pydict()
+    mass: dict = {}
+    for uid, v in zip(e["user_id"], e["value"]):
+        if v is None:
+            continue
+        mass[uid] = mass.get(uid, 0) + int(
+            math.floor(float(v) * 1000000 + 0.5)
+        )
+    vals = sorted(mass.values())
+    n, total = len(vals), sum(vals)
+    assert set(got) == {50, 75, 90, 95, 99}
+    prev_threshold, prev_share = None, None
+    for pct in (50, 75, 90, 95, 99):
+        row = got[pct]
+        t = vals[max(1, math.ceil(pct / 100.0 * n)) - 1]
+        above = [v for v in vals if v >= t]
+        assert row.threshold_micro == t
+        assert row.n_users == len(above)
+        assert row.value_micro == sum(above)
+        assert row.value_share == sum(above) / total
+        # Concentration floor: the at-or-above cohort's mass share is at
+        # least its population share (they hold the largest masses).
+        assert row.value_share >= len(above) / n
+        if prev_threshold is not None:
+            assert row.threshold_micro >= prev_threshold
+            assert row.value_share <= prev_share
+        prev_threshold, prev_share = row.threshold_micro, row.value_share
+
+
 def test_leadtime_weekly_trend_scalar_reference(spark, sf_dir):
     """Python recount of the per-week ship-lag percentiles (same epoch
     integers, same discrete selection), plus consistency with the
