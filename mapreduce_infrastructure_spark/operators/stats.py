@@ -3011,3 +3011,112 @@ def events_user_value_concentration(
         mass_col="value_micro",
         share_col="value_share",
     )
+
+
+@query(
+    "customer_priority_mix_by_value_quintile",
+    oracle="""
+    WITH cm AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    r AS (
+      SELECT cents AS v, row_number() OVER (ORDER BY cents) AS rn,
+             COUNT(*) OVER () AS n
+      FROM cm
+    ),
+    t AS (
+      SELECT g.q,
+             MAX(CASE WHEN rn = greatest(1, CAST(ceil(g.q / 5.0 * n)
+                                                 AS BIGINT))
+                      THEN v END) AS t
+      FROM (SELECT unnest([1, 2, 3, 4]) AS q) g CROSS JOIN r GROUP BY 1
+    ),
+    tp AS (
+      SELECT MAX(CASE WHEN q = 1 THEN t END) AS t1,
+             MAX(CASE WHEN q = 2 THEN t END) AS t2,
+             MAX(CASE WHEN q = 3 THEN t END) AS t3,
+             MAX(CASE WHEN q = 4 THEN t END) AS t4
+      FROM t
+    ),
+    cq AS (
+      SELECT cm.o_custkey,
+             1 + (CASE WHEN cm.cents > tp.t1 THEN 1 ELSE 0 END)
+               + (CASE WHEN cm.cents > tp.t2 THEN 1 ELSE 0 END)
+               + (CASE WHEN cm.cents > tp.t3 THEN 1 ELSE 0 END)
+               + (CASE WHEN cm.cents > tp.t4 THEN 1 ELSE 0 END) AS vq
+      FROM cm CROSS JOIN tp
+    ),
+    g AS (
+      SELECT cq.vq, o.o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders o JOIN cq ON o.o_custkey = cq.o_custkey
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT vq, CAST(SUM(n_orders) AS BIGINT) AS n_row FROM g GROUP BY 1
+    )
+    SELECT CAST(g.vq AS BIGINT) AS value_quintile, g.o_orderpriority,
+           g.n_orders, tot.n_row,
+           CAST(g.n_orders AS DOUBLE) / tot.n_row AS row_share
+    FROM g JOIN tot ON g.vq = tot.vq
+    """,
+    tags=("stats", "matrix", "composition", "percentile"),
+)
+def customer_priority_mix_by_value_quintile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Do the BIG customers order URGENTLY? Order-priority composition
+    per customer lifetime-spend quintile (round-15 NEXT item) — the
+    composition × value interaction the order-routing planner reads
+    before reserving expedite capacity: every customer gets a spend
+    quintile (by exact lifetime cents, quintile 1 = lightest), every
+    ORDER inherits its customer's quintile, and the ≤5×5-cell
+    (quintile, o_orderpriority) table reports order counts and
+    within-quintile shares. A 1-URGENT share rising with the quintile
+    says expedite demand concentrates in the high-value book (priority
+    pricing works); a flat profile says priority is value-blind. Row
+    shares are per QUINTILE (each quintile's priority mix sums to 1),
+    the composition family's convention.
+
+    Exactness: spends are exact int64 cents; quintile ranks are
+    max(1, ⌈q·n⌉) with the same IEEE multiply the oracle states; the
+    ladder is the shared strict-greater VALUE-based assignment (ties
+    share a quintile, never split by engine row order); shares divide
+    two exact int64 counts once per cell.
+
+    Plan: the per-customer spend frame is the SESSION-CACHED
+    `_cust_spend_cents` slot (free after any spend-percentile query
+    ran); the 4 thresholds ride ONE `quintile_thresholds` census
+    sequence over it; the quintile map back to orders is one hash join
+    (orders ⋈ |customers|-row quintile table — co-partitioned on the
+    join key by the shuffle, no skew: quintiles are population-balanced
+    by construction), then a ≤25-cell fold and a broadcast ≤5-row
+    row-total join. No windows over facts, no driver math."""
+    from ..functions.ranks import quintile_ladder, quintile_thresholds
+
+    cm = _cust_spend_cents(spark, sf_dir)
+    th = quintile_thresholds(cm, ["cents"])
+    cq = cm.select(
+        "o_custkey", quintile_ladder("cents", th["cents"]).alias("value_quintile")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    g = (
+        o.join(cq, "o_custkey")
+        .groupBy("value_quintile", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    tot = g.groupBy("value_quintile").agg(F.sum("n_orders").alias("n_row"))
+    return g.join(F.broadcast(tot), "value_quintile").select(
+        "value_quintile",
+        "o_orderpriority",
+        "n_orders",
+        "n_row",
+        (F.col("n_orders").cast("double") / F.col("n_row")).alias(
+            "row_share"
+        ),
+    )

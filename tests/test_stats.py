@@ -1231,6 +1231,53 @@ def test_events_user_value_concentration_scalar_reference(spark, sf_dir):
         prev_threshold, prev_share = row.threshold_micro, row.value_share
 
 
+def test_customer_priority_mix_by_value_quintile_scalar(spark, sf_dir):
+    """Python recount of the priority-mix matrix from the raw orders
+    parquet: same exact cents spends, same max(1, ceil(k/5·n)) quintile
+    cuts, same strict-greater ladder, same per-quintile shares — and
+    each quintile's mix must sum to 1 over exact counts."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from mapreduce_infrastructure_spark.operators.stats import (
+        customer_priority_mix_by_value_quintile,
+    )
+
+    got = {
+        (r.value_quintile, r.o_orderpriority): r
+        for r in customer_priority_mix_by_value_quintile(
+            spark, sf_dir
+        ).collect()
+    }
+    o = pq.read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_totalprice", "o_orderpriority"],
+    ).to_pydict()
+    spend: dict = {}
+    for ck, p in zip(o["o_custkey"], o["o_totalprice"]):
+        spend[ck] = spend.get(ck, 0) + int(math.floor(float(p) * 100 + 0.5))
+    vals = sorted(spend.values())
+    n = len(vals)
+    cuts = [vals[max(1, math.ceil(k / 5.0 * n)) - 1] for k in (1, 2, 3, 4)]
+    vq = {ck: 1 + sum(s > t for t in cuts) for ck, s in spend.items()}
+    want: dict = {}
+    for ck, pr in zip(o["o_custkey"], o["o_orderpriority"]):
+        key = (vq[ck], pr)
+        want[key] = want.get(key, 0) + 1
+    row_tot: dict = {}
+    for (q, _pr), c in want.items():
+        row_tot[q] = row_tot.get(q, 0) + c
+    assert set(got) == set(want)
+    for key, c in want.items():
+        row = got[key]
+        assert row.n_orders == c
+        assert row.n_row == row_tot[key[0]]
+        assert row.row_share == c / row_tot[key[0]]
+    for q in row_tot:
+        assert sum(r.n_orders for k, r in got.items() if k[0] == q) == row_tot[q]
+
+
 def test_leadtime_weekly_trend_scalar_reference(spark, sf_dir):
     """Python recount of the per-week ship-lag percentiles (same epoch
     integers, same discrete selection), plus consistency with the
