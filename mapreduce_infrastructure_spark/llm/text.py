@@ -2901,3 +2901,179 @@ def source_flag_vs_length_matrix(
             "flag_share"
         ),
     )
+
+
+@query(
+    "source_length_drift",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM b
+    ),
+    mid AS (
+      SELECT MAX(CASE WHEN rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+                      THEN doc_id END) AS d
+      FROM r
+    ),
+    cd AS (
+      SELECT source, n_chars,
+             cume_dist() OVER (PARTITION BY source ORDER BY n_chars) AS cd
+      FROM b
+    ),
+    th AS (
+      SELECT source,
+             MIN(CASE WHEN cd >= 0.2 THEN n_chars END) AS t1,
+             MIN(CASE WHEN cd >= 0.4 THEN n_chars END) AS t2,
+             MIN(CASE WHEN cd >= 0.6 THEN n_chars END) AS t3,
+             MIN(CASE WHEN cd >= 0.8 THEN n_chars END) AS t4
+      FROM cd GROUP BY 1
+    ),
+    m AS (
+      SELECT b.source,
+             CASE WHEN b.doc_id <= mid.d THEN 1 ELSE 2 END AS half,
+             1 + (CASE WHEN b.n_chars > th.t1 THEN 1 ELSE 0 END)
+               + (CASE WHEN b.n_chars > th.t2 THEN 1 ELSE 0 END)
+               + (CASE WHEN b.n_chars > th.t3 THEN 1 ELSE 0 END)
+               + (CASE WHEN b.n_chars > th.t4 THEN 1 ELSE 0 END)
+               AS len_quintile
+      FROM b CROSS JOIN mid JOIN th ON b.source = th.source
+    ),
+    c AS (
+      SELECT half, source, CAST(len_quintile AS BIGINT) AS len_quintile,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM m GROUP BY 1, 2, 3
+    ),
+    st AS (
+      SELECT half, source, CAST(SUM(n) AS BIGINT) AS s_total
+      FROM c GROUP BY 1, 2
+    )
+    SELECT c2.source, c2.len_quintile, c2.n AS n2,
+           t2.s_total AS source_total2,
+           CAST(c2.n AS DOUBLE) / t2.s_total AS share2,
+           c1.n AS n1,
+           CASE WHEN c1.n IS NOT NULL THEN
+             (c2.n - CAST(c1.n AS DOUBLE) * t2.s_total / t1.s_total)
+             * (c2.n - CAST(c1.n AS DOUBLE) * t2.s_total / t1.s_total)
+             / (CAST(c1.n AS DOUBLE) * t2.s_total / t1.s_total)
+           END AS chi2_term
+    FROM c c2
+    JOIN st t2 ON t2.half = 2 AND t2.source = c2.source
+    LEFT JOIN c c1 ON c1.half = 1 AND c1.source = c2.source
+                  AND c1.len_quintile = c2.len_quintile
+    LEFT JOIN st t1 ON t1.half = 1 AND t1.source = c2.source
+    WHERE c2.half = 2
+    """,
+    tags=("text", "llm", "drift", "percentile", "iterative"),
+)
+def source_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-split drift of each source's LENGTH mix (round-15 NEXT
+    item) — the flag-share drift's read applied to the within-source
+    length quintiles the r15 matrix introduced: split the corpus at its
+    exact median doc_id (by doc count — ingest-order proxy, the drift
+    family's split), give every document a length quintile against its
+    OWN source's WHOLE-CORPUS exact n_chars distribution (thresholds
+    from both halves together, so the two halves grade on the SAME
+    ruler — per-half thresholds would re-balance each half to 20% by
+    construction and erase the signal), and report each half-2
+    (source, quintile) cell's count, within-source share, half-1 count,
+    and the chi-square term against the expectation extrapolated from
+    half-1's per-source quintile mix (e = p₁(q|source) · half-2 source
+    total). The flag drift says a source's QUALITY mix is moving; this
+    says its LENGTH REGIME is moving (a scraper that started truncating
+    — or concatenating — shifts mass across its own quintile cuts long
+    before the quality classifier reacts). Quintiles absent from a
+    source's half 1 get NULL n1/chi2_term (first-observed, the family's
+    convention); quintiles that vanished by half 2 drop (the report
+    covers the current mix).
+
+    Plan: ONE narrower pass for the median doc_id
+    (`kth_order_statistics` over the cached (doc_id, source, n_chars)
+    projection), per-source thresholds via the count-value HISTOGRAM
+    closed form (`hist_cume_counts` over (source, n_chars) — the
+    cumulative window runs over histogram cells, never docs; selection
+    is `hist_disc_percentile`'s cume_dist ≥ q, the same integers and
+    IEEE division the oracle's cume_dist states). Thresholds broadcast
+    back (|sources|-row table), then ONE fold over the doc-count-sized
+    projection to the ≤2·|sources|·5-cell table; every remaining join
+    is broadcast over bounded cell tables. Counts exact int64; per-cell
+    IEEE chi2 terms, never summed engine-side."""
+    from ..functions.ranks import (
+        hist_cume_counts,
+        hist_disc_percentile,
+        kth_order_statistics,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = tracked_persist(
+        docs.select(
+            "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+        ),
+        f"source_len_half_base:{sf_dir}",
+    )
+    mid = kth_order_statistics(base, "doc_id", {"mid": 0.5})["mid"]
+    th = (
+        hist_cume_counts(base, ["source"], "n_chars")
+        .groupBy("source")
+        .agg(
+            *[
+                hist_disc_percentile("n_chars", k / 5.0, f"t{k}")
+                for k in (1, 2, 3, 4)
+            ]
+        )
+    )
+    lq = F.lit(1)
+    for k in (1, 2, 3, 4):
+        lq = lq + F.when(F.col("n_chars") > F.col(f"t{k}"), 1).otherwise(0)
+    c = (
+        base.join(F.broadcast(th), "source")
+        .select(
+            "source",
+            F.when(F.col("doc_id") <= mid, 1).otherwise(2).alias("half"),
+            lq.cast("long").alias("len_quintile"),
+        )
+        .groupBy("half", "source", "len_quintile")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    c = tracked_persist(c, f"source_len_halves:{sf_dir}")
+    st = c.groupBy("half", "source").agg(F.sum("n").alias("s_total"))
+    c2 = c.filter(F.col("half") == 2).select(
+        "source", "len_quintile", F.col("n").alias("n2")
+    )
+    t2 = st.filter(F.col("half") == 2).select(
+        "source", F.col("s_total").alias("source_total2")
+    )
+    c1 = c.filter(F.col("half") == 1).select(
+        "source", "len_quintile", F.col("n").alias("n1")
+    )
+    t1 = st.filter(F.col("half") == 1).select(
+        "source", F.col("s_total").alias("s_total1")
+    )
+    ex = (
+        F.col("n1").cast("double")
+        * F.col("source_total2")
+        / F.col("s_total1")
+    )
+    return (
+        c2.join(F.broadcast(t2), "source")
+        .join(F.broadcast(c1), ["source", "len_quintile"], "left")
+        .join(F.broadcast(t1), "source", "left")
+        .select(
+            "source",
+            "len_quintile",
+            "n2",
+            "source_total2",
+            (F.col("n2").cast("double") / F.col("source_total2")).alias(
+                "share2"
+            ),
+            "n1",
+            F.when(
+                F.col("n1").isNotNull(),
+                (F.col("n2") - ex) * (F.col("n2") - ex) / ex,
+            ).alias("chi2_term"),
+        )
+    )

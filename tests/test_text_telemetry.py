@@ -1791,3 +1791,73 @@ def test_source_flag_vs_length_matrix_scalar_reference(spark, sf_dir):
         assert r.n_docs == c
         assert r.cell_total == cell_tot[key[:2]]
         assert r.flag_share == c / cell_tot[key[:2]]
+
+
+def test_source_length_drift_scalar_reference(spark, sf_dir):
+    """Python recount of the half-split length-quintile drift: corpus
+    median doc_id split (rank ceil(n/2) over doc_ids), per-source
+    WHOLE-CORPUS cume_dist>=k/5 thresholds (both halves on one ruler),
+    strict-greater quintile ladder; half-2 cells carry exact counts,
+    within-source shares summing to 1, and chi2 terms against the
+    half-1 extrapolated expectation (NULL when the quintile is absent
+    from half 1)."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from mapreduce_infrastructure_spark.llm.text import source_length_drift
+
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    )
+    rows = list(
+        zip(
+            tbl["doc_id"].to_pylist(),
+            tbl["source"].to_pylist(),
+            tbl["n_chars"].to_pylist(),
+        )
+    )
+    ids = sorted(d for d, _, _ in rows)
+    mid = ids[max(1, math.ceil(0.5 * len(ids))) - 1]
+    by_src: dict = {}
+    for _d, src, nc in rows:
+        by_src.setdefault(src, []).append(nc)
+    th = {}
+    for src, lens in by_src.items():
+        lens = sorted(lens)
+        n = len(lens)
+        th[src] = [
+            lens[max(1, math.ceil(k / 5.0 * n)) - 1] for k in (1, 2, 3, 4)
+        ]
+    cells: dict = {}
+    for d, src, nc in rows:
+        half = 1 if d <= mid else 2
+        lq = 1 + sum(1 for t in th[src] if nc > t)
+        cells[(half, src, lq)] = cells.get((half, src, lq), 0) + 1
+    s_tot: dict = {}
+    for (half, src, _lq), n in cells.items():
+        s_tot[(half, src)] = s_tot.get((half, src), 0) + n
+    got = {
+        (r.source, r.len_quintile): r
+        for r in source_length_drift(spark, sf_dir).collect()
+    }
+    assert set(got) == {(s, q) for (h, s, q) in cells if h == 2}
+    share_sum: dict = {}
+    for (src, lq), r in got.items():
+        n2 = cells[(2, src, lq)]
+        tot2 = s_tot[(2, src)]
+        assert r.n2 == n2
+        assert r.source_total2 == tot2
+        assert r.share2 == n2 / tot2
+        share_sum[src] = share_sum.get(src, 0.0) + r.share2
+        n1 = cells.get((1, src, lq))
+        if n1 is None:
+            assert r.n1 is None and r.chi2_term is None
+        else:
+            assert r.n1 == n1
+            e = n1 * tot2 / s_tot[(1, src)]
+            assert abs(r.chi2_term - (n2 - e) ** 2 / e) <= 1e-9 * max(
+                1.0, abs(r.chi2_term)
+            )
+    for src, s in share_sum.items():
+        assert abs(s - 1.0) <= 1e-9, (src, s)
