@@ -251,3 +251,36 @@ class DistinctCountReducer(BaseReducer):
         for v in values:
             seen.add(v)
         self.emit(key, str(len(seen)))
+
+
+class HistogramReducer(BaseReducer):
+    """Emit a BOUNDED per-key value histogram — the MULTI-EMIT algebraic
+    reducer shape (one reduce call produces up to ``N_BUCKETS`` output
+    pairs, each from O(1) bucket state), which none of the other seven
+    user_ids pin: sum/algebraic/distinct fold to ONE emit, top-k's
+    multi-emit is SELECTIVE (data-dependent candidates), identity's is
+    pass-through (output scales with input). Here the output is bounded
+    by the bucket count however many values stream through — the
+    zero-or-more-emit contract (``external/include/mr_task_factory.h:38``)
+    exercised on the many side with constant state. Buckets are
+    fixed-width (``WIDTH`` chars) with a terminal overflow bucket
+    (``least(v // WIDTH, N_BUCKETS-1)``), so the state is genuinely
+    bounded for ANY value domain; empty buckets are not emitted
+    (sparse), emit order is ascending bucket index (stated,
+    deterministic). Values are non-negative integers through the
+    reference's string value channel (``src/mr_tasks.h:55``); the
+    composite output is ``bucket|count``, integer-only, engine-stable."""
+
+    WIDTH = 64
+    N_BUCKETS = 10
+
+    def reduce(self, key: str, values) -> None:
+        counts = [0] * self.N_BUCKETS
+        for v in values:
+            b = int(v) // self.WIDTH
+            if b >= self.N_BUCKETS:
+                b = self.N_BUCKETS - 1
+            counts[b] += 1
+        for b, n in enumerate(counts):
+            if n:
+                self.emit(key, f"{b}|{n}")

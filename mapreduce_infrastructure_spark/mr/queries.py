@@ -227,3 +227,46 @@ def mr_distinct_count_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key").alias("event_type"),
         F.col("value").cast("long").alias("n_users"),
     )
+
+
+@query(
+    "mr_histogram_per_key",
+    oracle="""
+    SELECT source, CAST(least(n_chars // 64, 9) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents
+    WHERE source IS NOT NULL AND n_chars IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    tags=("mr-compat", "text", "histogram"),
+)
+def mr_histogram_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length histogram through the MR-compat API
+    (eighth registered user_id): the reducer is MULTI-EMIT with BOUNDED
+    algebraic state — ten fixed-width (64-char) buckets, the last an
+    overflow catch-all, one output pair per NON-EMPTY bucket — the
+    zero-or-more-emit contract
+    (``external/include/mr_task_factory.h:38``) exercised on the many
+    side with constant state, the one reducer shape the seven prior
+    user_ids leave unpinned (their multi-emitters are selective or
+    pass-through; their algebraic folds emit once). The mapper is the
+    generic tab-split ``KeyValuePairMapper`` — factory REUSE on the
+    mapper side, as "bigram" reuses the demo reducer (registry carries
+    arbitrary pairings, ``src/mr_task_factory.cc:28-88``). NULLs are
+    filtered explicitly before the tab encode (stated in the oracle's
+    WHERE — concat_ws would silently drop the NULL and the generic
+    mapper raises on tab-less records by contract); the bucket|count
+    composite is integer-only through the string value channel
+    (``src/mr_tasks.h:55``), split back into typed columns here."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull() & F.col("n_chars").isNotNull()
+    ).select(
+        F.concat_ws("\t", F.col("source"), F.col("n_chars")).alias("record")
+    )
+    kv = run_mr_job(spark, docs, user_id="histogram", num_output_files=4)
+    parts = F.split(F.col("value"), "\\|")
+    return kv.select(
+        F.col("key").alias("source"),
+        parts.getItem(0).cast("long").alias("bucket"),
+        parts.getItem(1).cast("long").alias("n_docs"),
+    )

@@ -72,3 +72,10 @@ register_tasks("topk", DocTopKMapper, TopKDocsReducer)
 from .api import DistinctCountReducer, KeyValuePairMapper  # noqa: E402
 
 register_tasks("distinct", KeyValuePairMapper, DistinctCountReducer)
+# Eighth registered task: per-key bounded histogram under "histogram" —
+# the MULTI-EMIT algebraic reducer shape (≤N_BUCKETS emits per key, each
+# from O(1) bucket state); reuses the generic tab-split mapper, showing
+# factory reuse on the mapper side like "bigram" does on the reducer side.
+from .api import HistogramReducer  # noqa: E402
+
+register_tasks("histogram", KeyValuePairMapper, HistogramReducer)

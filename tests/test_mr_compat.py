@@ -408,3 +408,49 @@ def test_mr_distinct_count_per_key_scalar_reference(spark, sf_dir):
         for r in mr_distinct_count_per_key(spark, sf_dir).collect()
     }
     assert got == {et: len(s) for et, s in want.items()}
+
+
+def test_mr_histogram_reducer_bounded_multi_emit():
+    """Multi-emit algebraic shape: one reduce call emits one pair per
+    NON-EMPTY bucket in ascending bucket order; values past the last
+    edge fold into the terminal overflow bucket; state stays O(10)
+    however many values stream through."""
+    from mapreduce_infrastructure_spark.mr.api import HistogramReducer
+
+    r = HistogramReducer()
+    r.reduce("k", ["0", "63", "64", "639", "640", "100000"])
+    assert r._drain() == [("k", "0|2"), ("k", "1|1"), ("k", "9|3")]
+    r.reduce("k2", ["5"] * 1000)
+    assert r._drain() == [("k2", "0|1000")]
+    r.reduce("k3", [])
+    assert r._drain() == []
+
+
+def test_mr_histogram_per_key_scalar_reference(spark, sf_dir):
+    """Python recount: per-source width-64 capped-bucket counts over the
+    raw parquet must match the MR path exactly, and per-source bucket
+    counts must sum back to the source's doc count."""
+    import pyarrow.parquet as pq
+
+    from mapreduce_infrastructure_spark.mr.queries import (
+        mr_histogram_per_key,
+    )
+
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]
+    )
+    want: dict = {}
+    totals: dict = {}
+    for src, nc in zip(tbl["source"].to_pylist(), tbl["n_chars"].to_pylist()):
+        b = min(nc // 64, 9)
+        want[(src, b)] = want.get((src, b), 0) + 1
+        totals[src] = totals.get(src, 0) + 1
+    got = {
+        (r.source, r.bucket): r.n_docs
+        for r in mr_histogram_per_key(spark, sf_dir).collect()
+    }
+    assert got == want
+    got_totals: dict = {}
+    for (src, _b), n in got.items():
+        got_totals[src] = got_totals.get(src, 0) + n
+    assert got_totals == totals
