@@ -2927,9 +2927,7 @@ def events_value_weighted_dow_hour_drift(
     )
 
 
-@query(
-    "events_user_value_concentration",
-    oracle="""
+EVENTS_USER_VALUE_CONCENTRATION_ORACLE = """
     WITH um AS (
       SELECT user_id,
              CAST(SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
@@ -2960,7 +2958,12 @@ def events_value_weighted_dow_hour_drift(
              / CAST(CAST(SUM(u.micro) AS BIGINT) AS DOUBLE) AS value_share
     FROM th t CROSS JOIN um u
     GROUP BY 1, 2
-    """,
+    """
+
+
+@query(
+    "events_user_value_concentration",
+    oracle=EVENTS_USER_VALUE_CONCENTRATION_ORACLE,
     tags=("events", "stats", "percentile", "iterative", "concentration"),
 )
 def events_user_value_concentration(

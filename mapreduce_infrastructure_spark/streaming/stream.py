@@ -2482,6 +2482,59 @@ def stream_events_value_dow_hour_profile(
     return _dow_hour_value_report(cells)
 
 
+@query(
+    "stream_events_user_value_concentration",
+    oracle=None,  # set below — shares the batch twin's oracle verbatim
+    tags=("streaming", "events", "stats", "percentile", "iterative",
+          "concentration"),
+)
+def stream_events_user_value_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The user value-mass concentration report maintained INCREMENTALLY
+    — the streaming twin of stats.events_user_value_concentration, same
+    oracle verbatim (the shared EVENTS_USER_VALUE_CONCENTRATION_ORACLE
+    constant): the LIVE abuse/capacity watch — as events stream in,
+    which user-value percentile carries how much of the value mass
+    right now (a 99th-checkpoint share climbing live is the skew signal
+    a user-keyed streaming aggregation must salt for, seen while it
+    forms). The row-volume work is ONE user-keyed incremental hash
+    aggregate (running exact-micro value mass per user — per-key int64
+    state in the executor state store, |users|-bounded, the same state
+    shape as stream_customer_revenue_concentration on the orders axis;
+    the memory-format sink materializing it here is the module's
+    oracle-check bridge — a deployment writes the complete-mode rows to
+    a file/Delta sink and the tail reads that table, keeping row-scale
+    data off the driver). NULL values are dropped pre-fold (stated in
+    the oracle's WHERE). The five thresholds and the membership fold
+    are not incrementally expressible (one new event can shift every
+    rank), so they run POST-SINK via the batch twin's shared
+    `_revenue_concentration_report` tail (parameterized to the user
+    vocabulary) over the persisted sink table — string-identity oracle,
+    function-identity derivation."""
+    from ..llm.cache import tracked_persist
+    from ..operators.stats import _revenue_concentration_report
+
+    ev = stream_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    micro = F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long")
+    g_s = ev.groupBy("user_id").agg(F.sum(micro).alias("micro"))
+    um = tracked_persist(
+        run_to_table(g_s, "stream_user_value_micro", mode="complete"),
+        f"stream_user_value_micro:{sf_dir}",
+    )
+    return _revenue_concentration_report(
+        spark,
+        um.select("micro"),
+        value_col="micro",
+        threshold_col="threshold_micro",
+        n_col="n_users",
+        mass_col="value_micro",
+        share_col="value_share",
+    )
+
+
 # Late-bind the shared oracles (import at module top would be circular-prone
 # and the constants live beside their batch twins).
 from ..operators.temporal import BACKLOG_ORACLE as _BL_ORACLE  # noqa: E402
@@ -2497,6 +2550,9 @@ from ..operators.tpch_extra import PRIORITY_SLA_ORACLE as _PSLA_ORACLE  # noqa: 
 from ..llm.text import DOC_TOKEN_CONCENTRATION_ORACLE as _DTC_ORACLE  # noqa: E402
 from ..operators.stats import CUSTOMER_REV_CONCENTRATION_ORACLE as _CRC_ORACLE  # noqa: E402
 from ..operators.stats import DOW_HOUR_VALUE_ORACLE as _DHV_ORACLE  # noqa: E402
+from ..operators.stats import (  # noqa: E402
+    EVENTS_USER_VALUE_CONCENTRATION_ORACLE as _EUVC_ORACLE,
+)
 from ..operators.stats import ORDER_LINECOUNT_ORACLE as _OLC_ORACLE  # noqa: E402
 from ..operators.stats import PART_DEMAND_ORACLE as _PD_ORACLE  # noqa: E402
 from ..operators.tpch_extra import MODAL_PRIORITY_ORACLE as _MP_ORACLE  # noqa: E402
@@ -2520,5 +2576,6 @@ _REG["stream_orders_priority_mix_drift"].oracle = _OPM_ORACLE
 _REG["stream_discount_band_margin"].oracle = _DB_ORACLE
 _REG["stream_order_linecount_distribution"].oracle = _OLC_ORACLE
 _REG["stream_customer_revenue_concentration"].oracle = _CRC_ORACLE
+_REG["stream_events_user_value_concentration"].oracle = _EUVC_ORACLE
 _REG["stream_priority_leadtime_sla"].oracle = _PSLA_ORACLE
 _REG["stream_modal_priority_by_nation"].oracle = _MP_ORACLE

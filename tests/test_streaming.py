@@ -1369,3 +1369,39 @@ def test_stream_events_value_dow_hour_matches_batch_twin(spark, sf_dir):
         qs["stream_events_value_dow_hour_profile"].oracle
         is qs["events_value_weighted_dow_hour_profile"].oracle
     )
+
+
+def test_stream_events_user_value_concentration_matches_batch_twin(
+    spark, sf_dir
+):
+    """The streaming user value-concentration report must equal the
+    batch twin exactly (shared EVENTS_USER_VALUE_CONCENTRATION_ORACLE
+    constant + the shared _revenue_concentration_report tail): same
+    five checkpoints, thresholds, user counts, masses and shares."""
+    from mapreduce_infrastructure_spark.operators.stats import (
+        events_user_value_concentration,
+    )
+    from mapreduce_infrastructure_spark.streaming.stream import (
+        stream_events_user_value_concentration,
+    )
+
+    cols = "threshold_micro n_users value_micro value_share".split()
+    batch = {
+        r.pct: tuple(getattr(r, c) for c in cols)
+        for r in events_user_value_concentration(spark, sf_dir).collect()
+    }
+    stream = {
+        r.pct: tuple(getattr(r, c) for c in cols)
+        for r in stream_events_user_value_concentration(
+            spark, sf_dir
+        ).collect()
+    }
+    assert stream == batch
+    assert set(batch) == {50, 75, 90, 95, 99}
+    from mapreduce_infrastructure_spark.registry import all_queries
+
+    qs = all_queries()
+    assert (
+        qs["stream_events_user_value_concentration"].oracle
+        is qs["events_user_value_concentration"].oracle
+    )
