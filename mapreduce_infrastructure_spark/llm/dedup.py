@@ -2180,14 +2180,17 @@ def incremental_dedup_classify(t: DataFrame, boundary: int) -> DataFrame:
 
 @query(
     "lsh_precision_recall_report",
-    # No oracle: the LSH side is the engine's md5-minhash banding
-    # (rows-only by construction, like minhash_lsh_pairs itself); the
-    # report's set arithmetic is pinned against an independent scalar
-    # recount in tests/test_dedup_similarity.py, and both ground-truth
-    # DENOMINATORS (n_truth, n_strong) carry a PARTIAL DuckDB oracle
-    # there — the same split ann_recall_report uses (round-11 verdict
-    # item 8): DuckDB re-runs ngram_jaccard_pairs' registered oracle and
-    # recounts the two threshold filters independently.
+    # No SQL oracle (the LSH side is xxhash64 banding, which DuckDB
+    # cannot express), but the ENTIRE report row carries a pure-python
+    # partial oracle (round-16 graduation,
+    # tests/test_dedup_similarity.py::
+    # test_lsh_report_full_partial_oracle_pure_python): the LSH pair set
+    # comes from the proven round-15 XXH64 reference
+    # (helpers.py:py_minhash_shingles_and_lsh_pairs), the lang-blocked
+    # ground truth is re-derived pure-python (and doubly pinned — the
+    # DENOMINATORS are additionally recounted by DuckDB re-running
+    # ngram_jaccard_pairs' registered oracle, the round-11 split), and
+    # every count/flag/recall is recomputed outside the engine.
     tags=("dedup", "lsh", "calibration"),
 )
 def lsh_precision_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -190,8 +190,18 @@ def count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("approx_distinct_parts", tags=("agg", "approx"))
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct count — the 100 TB-scale path where exact
-    distinct would shuffle every key. No SQL oracle (approximate); bounds are
-    asserted in tests/test_relational.py."""
+    distinct would shuffle every key.
+
+    Documented why-not for the oracle (round-16): the estimate is a
+    function of ENGINE-INTERNAL sketch state — Spark's HLL++ register
+    array with its dense/sparse encodings and baked-in bias-correction
+    tables — and DuckDB's approx_count_distinct is a different sketch
+    implementation, so no cross-engine equality exists at any rsd; a
+    pure-python re-derivation would be a reimplementation of Spark's
+    private registers, not an independent engine. The estimate is
+    instead pinned RELATIVELY: the exact_parts companion column is
+    exact (and the standalone exact query is oracle-backed), and the
+    invariant test bounds |approx − exact| by the rsd envelope."""
     return (
         load_table(spark, sf_dir, "lineitem")
         .agg(

@@ -147,8 +147,19 @@ def approx_percentiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The sketch tier for quantiles at 100 TB: mergeable per-partition state,
     one shuffle, no global sort — exact percentile_disc would sort the
-    column. No SQL oracle (sketch results are engine-specific);
-    tests/test_stats.py bounds the error against the exact quantiles."""
+    column.
+
+    Documented why-not for the oracle (round-16): which element the
+    Greenwald-Khanna sketch surfaces at a quantile is a function of
+    ENGINE-INTERNAL summary state — the compress/merge schedule over
+    per-partition summaries, which depends on partitioning and merge
+    order — so no cross-engine equality exists (DuckDB's approximate
+    quantile is a t-digest, a different sketch entirely), and a
+    pure-python re-derivation would have to replicate Spark's private
+    merge schedule rather than act as an independent engine. The sketch
+    is instead pinned RELATIVELY: exact_percentiles_disc is
+    oracle-backed on the same column, and tests/test_stats.py bounds
+    each approximate checkpoint against the exact quantiles."""
     o = load_table(spark, sf_dir, "orders")
     pct = F.percentile_approx(
         "o_totalprice", [0.5, 0.95, 0.99], 10000

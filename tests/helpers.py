@@ -198,3 +198,64 @@ def spark_xxhash64(*values, seed: int = 42) -> int:
         else:
             h = xxh64_long(v, h)
     return _to_i64(h)
+
+
+def py_minhash_shingles_and_lsh_pairs(sf_dir: str):
+    """Pure-python XXH64 re-derivation of `minhash_lsh_pairs` (the
+    round-15 partial oracle, verbatim derivation): 3-token shingles of
+    the `[^a-z0-9]+` tokenizer (docs with <3 tokens dropped, the
+    engine's size(sh)==0 filter), per-doc N_HASHES signature via
+    seed-chained xxhash64, band hashes over LSH_ROWS-element signature
+    slices, same-(band, hash) candidates under the keep-lowest-doc_ids
+    HOT_BAND_CAP, exact-Jaccard verify floor-rounded to 4 decimals
+    against VERIFY_THRESHOLD. Returns ``(shingles, lsh_pairs)`` —
+    ``doc_id -> frozenset`` and ``(doc_a, doc_b) -> jaccard`` — so the
+    report graduations can COMPOSE the proven reference instead of
+    re-deriving it."""
+    import math
+    import re
+
+    import pyarrow.parquet as pq
+
+    from mapreduce_infrastructure_spark.llm import dedup
+
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    shingles: dict[int, frozenset] = {}
+    sigs: dict[int, list] = {}
+    for doc_id, text in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
+        toks = [t for t in re.split("[^a-z0-9]+", (text or "").lower()) if t]
+        if len(toks) < 3:
+            continue  # engine filters size(sh) == 0
+        sh = frozenset(
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        )
+        hs = [spark_xxhash64(s) for s in sh]
+        sigs[doc_id] = [
+            min(spark_xxhash64(h, (s, "int")) for h in hs)
+            for s in range(dedup.N_HASHES)
+        ]
+        shingles[doc_id] = sh
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for doc_id, sig in sigs.items():
+        for b in range(dedup.LSH_BANDS):
+            bh = spark_xxhash64(
+                *sig[b * dedup.LSH_ROWS : (b + 1) * dedup.LSH_ROWS]
+            )
+            buckets.setdefault((b, bh), []).append(doc_id)
+    pairs: dict[tuple[int, int], float] = {}
+    for ids in buckets.values():
+        ids.sort()
+        kept = ids[: dedup.HOT_BAND_CAP]  # keep-lowest cap
+        for i in range(len(kept)):
+            for j in range(i + 1, len(kept)):
+                a, b = kept[i], kept[j]
+                if (a, b) in pairs:
+                    continue
+                inter = len(shingles[a] & shingles[b])
+                union = len(shingles[a] | shingles[b])
+                jac = math.floor(inter / union * 10000 + 0.5) / 10000
+                if jac >= dedup.VERIFY_THRESHOLD:
+                    pairs[(a, b)] = jac
+    return shingles, pairs

@@ -1854,50 +1854,13 @@ def test_minhash_lsh_pairs_partial_oracle_pure_python_xxh64(spark, sf_dir):
     threshold. This re-derives the ENTIRE expected pair set + jaccard
     values from raw parquet text in pure python and matches the query
     token-for-token (DuckDB has no xxhash64; the reference stands in as
-    the second engine)."""
-    import math
-    import re
-
-    import pyarrow.parquet as pq
-
+    the second engine). The derivation itself lives in
+    tests/helpers.py (py_minhash_shingles_and_lsh_pairs) so the report
+    graduation composes the same proven chain."""
     from mapreduce_infrastructure_spark.llm import dedup
-    from tests.helpers import spark_xxhash64
+    from tests.helpers import py_minhash_shingles_and_lsh_pairs
 
-    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    shingles: dict[int, frozenset] = {}
-    sigs: dict[int, list] = {}
-    for doc_id, text in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
-        toks = [t for t in re.split("[^a-z0-9]+", (text or "").lower()) if t]
-        if len(toks) < 3:
-            continue  # engine filters size(sh) == 0
-        sh = frozenset(
-            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
-        )
-        hs = [spark_xxhash64(s) for s in sh]
-        sigs[doc_id] = [
-            min(spark_xxhash64(h, (s, "int")) for h in hs)
-            for s in range(dedup.N_HASHES)
-        ]
-        shingles[doc_id] = sh
-    buckets: dict[tuple[int, int], list[int]] = {}
-    for doc_id, sig in sigs.items():
-        for b in range(dedup.LSH_BANDS):
-            bh = spark_xxhash64(*sig[b * dedup.LSH_ROWS : (b + 1) * dedup.LSH_ROWS])
-            buckets.setdefault((b, bh), []).append(doc_id)
-    want: dict[tuple[int, int], float] = {}
-    for ids in buckets.values():
-        ids.sort()
-        kept = ids[: dedup.HOT_BAND_CAP]  # keep-lowest cap (no-op here)
-        for i in range(len(kept)):
-            for j in range(i + 1, len(kept)):
-                a, b = kept[i], kept[j]
-                if (a, b) in want:
-                    continue
-                inter = len(shingles[a] & shingles[b])
-                union = len(shingles[a] | shingles[b])
-                jac = math.floor(inter / union * 10000 + 0.5) / 10000
-                if jac >= dedup.VERIFY_THRESHOLD:
-                    want[(a, b)] = jac
+    _shingles, want = py_minhash_shingles_and_lsh_pairs(sf_dir)
     got = {
         (r.doc_a, r.doc_b): r.jaccard
         for r in dedup.minhash_lsh_pairs(spark, sf_dir).collect()
@@ -2386,3 +2349,64 @@ def test_ann_pq_topk_partial_oracle_pure_python(spark, sf_dir):
     }
     assert got == want
     assert len(want) >= 10
+
+
+def test_lsh_report_full_partial_oracle_pure_python(spark, sf_dir):
+    """PARTIAL ORACLE (round-16 graduation): the ENTIRE
+    lsh_precision_recall_report row re-derived in pure python by
+    COMPOSING the proven round-15 XXH64 LSH reference
+    (tests/helpers.py:py_minhash_shingles_and_lsh_pairs — signatures,
+    band hashes, hot-band cap, exact-Jaccard verify) with a pure-python
+    re-derivation of the lang-blocked exact ground truth
+    (ngram_jaccard_pairs' semantics: same-lang a<b pairs, 3-gram
+    shingle Jaccard floor-rounded to 4 decimals, >=0.05 — itself
+    DuckDB-oracle-backed, so the truth chain is doubly pinned). Every
+    report field — counts, set intersections, consistency flag, both
+    recalls — is recomputed outside the engine; nothing numerically
+    load-bearing remains engine-specific."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from mapreduce_infrastructure_spark.llm import dedup
+    from tests.helpers import py_minhash_shingles_and_lsh_pairs
+
+    shingles, lsh = py_minhash_shingles_and_lsh_pairs(sf_dir)
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    langs = dict(zip(tbl["doc_id"].to_pylist(), tbl["lang"].to_pylist()))
+    by_lang: dict = {}
+    for d in shingles:
+        by_lang.setdefault(langs[d], []).append(d)
+    truth: set = set()
+    strong: set = set()
+    for ids in by_lang.values():
+        ids.sort()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a, b = ids[i], ids[j]
+                inter = len(shingles[a] & shingles[b])
+                if not inter:
+                    continue
+                union = len(shingles[a] | shingles[b])
+                jac = math.floor(inter / union * 10000 + 0.5) / 10000
+                if jac >= dedup.VERIFY_THRESHOLD:
+                    truth.add((a, b))
+                if jac >= 0.8:
+                    strong.add((a, b))
+    same = {p for p in lsh if langs[p[0]] == langs[p[1]]}
+    n_hits = len(set(lsh) & truth)
+    n_strong_hits = len(set(lsh) & strong)
+    r = dedup.lsh_precision_recall_report(spark, sf_dir).collect()[0]
+    assert r.n_lsh == len(lsh)
+    assert r.n_lsh_same_block == len(same)
+    assert r.n_lsh_cross_block == len(lsh) - len(same)
+    assert r.n_truth == len(truth)
+    assert r.n_strong == len(strong)
+    assert r.n_hits == n_hits
+    assert r.n_strong_hits == n_strong_hits
+    assert r.same_block_consistent == (n_hits == len(same))
+    assert r.recall_at_threshold == n_hits / len(truth)
+    assert r.recall_at_strong == n_strong_hits / len(strong)
+    assert len(truth) >= 1 and len(lsh) >= 1  # non-vacuous
