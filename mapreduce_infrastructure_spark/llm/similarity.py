@@ -1384,11 +1384,17 @@ def embedding_pca_top_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ann_recall_report",
-    # No oracle: the approximate methods are engine-specific by
-    # construction (the same reason each of them is rows-only). The
-    # report's arithmetic is pinned against an independent scalar
-    # recomputation in tests/test_dedup_similarity.py, and the ivf row
-    # inherits the >= 0.4 recall floor asserted there.
+    # No SQL oracle (the approximate tiers are engine-specific by
+    # construction), but the report carries a pure-python partial
+    # oracle (round-16 graduation, tests/test_dedup_similarity.py::
+    # test_ann_recall_report_full_partial_oracle_pure_python): the
+    # sign_lsh/ivf/pq rows are fully re-derived by composing the
+    # proven round-15 references (helpers.py: py_ann_*_topk) with the
+    # pure-python knn truth (py_knn_truth, doubly pinned by
+    # knn_bruteforce's DuckDB oracle); the opq row keeps its documented
+    # why-not (engine-side batched BLAS rotation) with its arithmetic
+    # pinned against the engine's own candidate set. The ivf row also
+    # inherits the >= 0.4 recall floor asserted in the older recount.
     tags=("similarity", "ann", "calibration"),
 )
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:

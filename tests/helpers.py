@@ -259,3 +259,258 @@ def py_minhash_shingles_and_lsh_pairs(sf_dir: str):
                 if jac >= dedup.VERIFY_THRESHOLD:
                     pairs[(a, b)] = jac
     return shingles, pairs
+
+
+def _py_dot(a, b):
+    """Sequential left-fold dot — the `F.aggregate` accumulation order."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def _py_norm(a):
+    import math
+
+    s = 0.0
+    for x in a:
+        s = s + x * x
+    return math.sqrt(s)
+
+
+def _py_fold_sq(a, c):
+    s = 0.0
+    for x, cc in zip(a, c):
+        s = s + (x - cc) * (x - cc)
+    return s
+
+
+def _py_load_vecs(sf_dir: str) -> dict:
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return {
+        vid: [float(x) for x in emb]
+        for vid, emb in zip(
+            tbl["vec_id"].to_pylist(), tbl["embedding"].to_pylist()
+        )
+    }
+
+
+def py_knn_truth(sf_dir: str, topk: int):
+    """Pure-python re-derivation of knn_bruteforce's top-``topk`` rows
+    (queries vec_id < 10, ordered IEEE folds, 4-decimal floor-round,
+    (cosine DESC, neighbor_id ASC) rank): ``(qid, vid) -> (cosine,
+    rank)``. knn_bruteforce is additionally DuckDB-oracle-backed, so
+    this chain is doubly pinned."""
+    import math
+
+    vecs = _py_load_vecs(sf_dir)
+    nrm = {v: _py_norm(d) for v, d in vecs.items()}
+    want = {}
+    for qid in sorted(v for v in vecs if v < 10):
+        scored = []
+        for v in vecs:
+            if v == qid:
+                continue
+            c = _py_dot(vecs[qid], vecs[v]) / (nrm[qid] * nrm[v])
+            scored.append((math.floor(c * 10000 + 0.5) / 10000, v))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (c, v) in enumerate(scored[:topk], start=1):
+            want[(qid, v)] = (c, rank)
+    return want
+
+
+def py_ann_lsh_topk(sf_dir: str):
+    """Pure-python re-derivation of ann_lsh_topk (the round-15 partial
+    oracle, verbatim derivation): plan-literal seeded planes, ordered
+    IEEE margin folds, sign buckets, margin-guided multi-probe, exact
+    cosine, (cosine DESC, neighbor_id ASC) top-3. Returns
+    ``(qid, vid) -> (cosine, rank)``."""
+    import math
+
+    import numpy as np
+
+    from mapreduce_infrastructure_spark.llm import similarity as sim
+
+    vecs = _py_load_vecs(sf_dir)
+    planes = (
+        np.random.default_rng(42)
+        .standard_normal((sim._N_PLANES, sim._DIM))
+        .round(6)
+        .tolist()
+    )
+    nrm = {vid: _py_norm(d) for vid, d in vecs.items()}
+    margins = {vid: [_py_dot(d, p) for p in planes] for vid, d in vecs.items()}
+    bucket = {
+        vid: sum((1 << i) for i, m in enumerate(ms) if m > 0)
+        for vid, ms in margins.items()
+    }
+    want = {}
+    for qid in sorted(v for v in vecs if v < 10):
+        ranked = sorted((abs(m), i) for i, m in enumerate(margins[qid]))
+        low = [int(2.0 ** ranked[k][1]) for k in range(sim._PROBE_PLANES)]
+        probes = [bucket[qid]]
+        probes += [bucket[qid] ^ (1 << i) for i in range(sim._N_PLANES)]
+        for s in range(2**sim._PROBE_PLANES):
+            if bin(s).count("1") < 2:
+                continue
+            p = bucket[qid]
+            for k in range(sim._PROBE_PLANES):
+                if s >> k & 1:
+                    p ^= low[k]
+            probes.append(p)
+        probe_set = set(probes)
+        cands = [v for v in vecs if v != qid and bucket[v] in probe_set]
+        scored = []
+        for v in cands:
+            c = _py_dot(vecs[qid], vecs[v]) / (nrm[qid] * nrm[v])
+            scored.append((math.floor(c * 10000 + 0.5) / 10000, v))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (c, v) in enumerate(scored[:3], start=1):
+            want[(qid, v)] = (c, rank)
+    return want
+
+
+def py_ann_ivf_topk(sf_dir: str):
+    """Pure-python re-derivation of ann_ivf_topk (the round-15 partial
+    oracle, verbatim derivation): seeded-numpy sample fit replicated
+    step for step (deterministic replication, not an independent
+    engine — stated honestly), then ordered IEEE folds for assignment,
+    probe ranking, exact cosine and top-3 rank. Returns
+    ``(qid, vid) -> (cosine, rank)``."""
+    import math
+
+    import numpy as np
+
+    from mapreduce_infrastructure_spark.llm import similarity as sim
+
+    vecs = _py_load_vecs(sf_dir)
+    assert len(vecs) < sim._IVF_DISTRIBUTED_MIN_ROWS  # sample-fit premise
+    X = np.array([vecs[v] for v in sorted(vecs)][: sim._IVF_SAMPLE])
+    rng = np.random.default_rng(7)
+    k = min(sim._IVF_CELLS, len(X))
+    C = [X[rng.integers(len(X))]]
+    for _ in range(k - 1):
+        d2 = np.min(
+            ((X[:, None, :] - np.array(C)[None, :, :]) ** 2).sum(axis=2),
+            axis=1,
+        )
+        p = d2 / d2.sum() if d2.sum() > 0 else None
+        C.append(X[rng.choice(len(X), p=p)])
+    C = np.array(C)
+    for _ in range(sim._IVF_ITERS):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        for j in range(len(C)):
+            pts = X[a == j]
+            if len(pts):
+                C[j] = pts.mean(axis=0)
+    cents = [[float(x) for x in C[j]] for j in range(len(C))]
+    nrm = {v: _py_norm(d) for v, d in vecs.items()}
+    cell = {
+        v: min((_py_fold_sq(d, cents[j]), j) for j in range(len(cents)))[1]
+        for v, d in vecs.items()
+    }
+    want = {}
+    for qid in sorted(v for v in vecs if v < 10):
+        ranked = sorted(
+            (math.sqrt(_py_fold_sq(vecs[qid], cents[j])), j)
+            for j in range(len(cents))
+        )
+        pcells = {j for _d, j in ranked[: sim._IVF_PROBES]}
+        scored = []
+        for v in vecs:
+            if v == qid or cell[v] not in pcells:
+                continue
+            c = _py_dot(vecs[qid], vecs[v]) / (nrm[qid] * nrm[v])
+            scored.append((math.floor(c * 10000 + 0.5) / 10000, v))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (c, v) in enumerate(scored[:3], start=1):
+            want[(qid, v)] = (c, rank)
+    return want
+
+
+def py_ann_pq_topk(sf_dir: str):
+    """Pure-python re-derivation of ann_pq_topk (the round-15 partial
+    oracle, verbatim derivation): per-subspace seeded-numpy codebook
+    fits over the unit-vector sample (rng(11) carried across subspaces
+    in order), then ordered IEEE folds for encode, ADC table-sum,
+    candidate rank and the exact-cosine re-rank. Returns
+    ``(qid, vid) -> (cosine, rank)``."""
+    import math
+
+    import numpy as np
+
+    from mapreduce_infrastructure_spark.llm import similarity as sim
+
+    raw = _py_load_vecs(sf_dir)
+    unit = {v: [x / _py_norm(d) for x in d] for v, d in raw.items()}
+    X = np.array([unit[v] for v in sorted(unit)][: sim._IVF_SAMPLE])
+    sub = X.reshape(len(X), sim._PQ_M, -1)
+    rng = np.random.default_rng(11)
+    books = []
+    for m in range(sim._PQ_M):
+        Xm = sub[:, m, :]
+        k = min(sim._PQ_K, len(Xm))
+        C = [Xm[rng.integers(len(Xm))]]
+        for _ in range(k - 1):
+            d2 = np.min(
+                ((Xm[:, None, :] - np.array(C)[None, :, :]) ** 2).sum(axis=2),
+                axis=1,
+            )
+            p = d2 / d2.sum() if d2.sum() > 0 else None
+            C.append(Xm[rng.choice(len(Xm), p=p)])
+        C = np.array(C)
+        for _ in range(sim._IVF_ITERS):
+            d2 = ((Xm[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for j in range(len(C)):
+                pts = Xm[a == j]
+                if len(pts):
+                    C[j] = pts.mean(axis=0)
+        books.append([[float(x) for x in c] for c in C])
+    sub_dim = len(unit[next(iter(unit))]) // sim._PQ_M
+
+    def sub_vec(u, m):
+        return u[m * sub_dim : (m + 1) * sub_dim]
+
+    codes = {
+        v: [
+            min(
+                (_py_fold_sq(sub_vec(u, m), books[m][c]), c)
+                for c in range(len(books[m]))
+            )[1]
+            for m in range(sim._PQ_M)
+        ]
+        for v, u in unit.items()
+    }
+    want = {}
+    for qid in sorted(v for v in unit if v < 10):
+        dtab = [
+            [
+                _py_fold_sq(sub_vec(unit[qid], m), books[m][c])
+                for c in range(len(books[m]))
+            ]
+            for m in range(sim._PQ_M)
+        ]
+        adc = []
+        for v in unit:
+            if v == qid:
+                continue
+            s = 0.0
+            for m in range(sim._PQ_M):
+                s = s + dtab[m][codes[v][m]]
+            adc.append((s, v))
+        adc.sort()
+        cands = [v for _s, v in adc[: sim._PQ_CANDIDATES]]
+        scored = []
+        for v in cands:
+            c = _py_dot(unit[qid], unit[v])
+            scored.append((math.floor(c * 10000 + 0.5) / 10000, v))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (c, v) in enumerate(scored[:3], start=1):
+            want[(qid, v)] = (c, rank)
+    return want

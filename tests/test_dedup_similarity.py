@@ -1880,71 +1880,12 @@ def test_ann_lsh_topk_partial_oracle_pure_python(spark, sf_dir):
     probes, cosines, ranks — from raw parquet in pure python and matches
     token-for-token (no SQL oracle exists because DuckDB's accumulation
     order is unspecified; the ordered python fold IS the second
-    engine)."""
-    import math
-
-    import numpy as np
-    import pyarrow.parquet as pq
-
+    engine). The derivation lives in tests/helpers.py (py_ann_lsh_topk)
+    so the recall-report graduation composes the same proven chain."""
     from mapreduce_infrastructure_spark.llm import similarity as sim
+    from tests.helpers import py_ann_lsh_topk
 
-    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    vecs = {
-        vid: [float(x) for x in emb]
-        for vid, emb in zip(tbl["vec_id"].to_pylist(), tbl["embedding"].to_pylist())
-    }
-    planes = (
-        np.random.default_rng(42)
-        .standard_normal((sim._N_PLANES, sim._DIM))
-        .round(6)
-        .tolist()
-    )
-
-    def dot(a, b):
-        acc = 0.0
-        for x, y in zip(a, b):
-            acc = acc + x * y
-        return acc
-
-    def norm(a):
-        s = 0.0
-        for x in a:
-            s = s + x * x
-        return math.sqrt(s)
-
-    nrm = {vid: norm(d) for vid, d in vecs.items()}
-    margins = {
-        vid: [dot(d, p) for p in planes] for vid, d in vecs.items()
-    }
-    bucket = {
-        vid: sum((1 << i) for i, m in enumerate(ms) if m > 0)
-        for vid, ms in margins.items()
-    }
-    want = {}
-    for qid in sorted(v for v in vecs if v < 10):
-        ranked = sorted((abs(m), i) for i, m in enumerate(margins[qid]))
-        low = [int(2.0 ** ranked[k][1]) for k in range(sim._PROBE_PLANES)]
-        probes = [bucket[qid]]
-        probes += [bucket[qid] ^ (1 << i) for i in range(sim._N_PLANES)]
-        for s in range(2**sim._PROBE_PLANES):
-            if bin(s).count("1") < 2:
-                continue
-            p = bucket[qid]
-            for k in range(sim._PROBE_PLANES):
-                if s >> k & 1:
-                    p ^= low[k]
-            probes.append(p)
-        probe_set = set(probes)
-        cands = [
-            v for v in vecs if v != qid and bucket[v] in probe_set
-        ]
-        scored = []
-        for v in cands:
-            c = dot(vecs[qid], vecs[v]) / (nrm[qid] * nrm[v])
-            scored.append((math.floor(c * 10000 + 0.5) / 10000, v))
-        scored.sort(key=lambda t: (-t[0], t[1]))
-        for rank, (c, v) in enumerate(scored[:3], start=1):
-            want[(qid, v)] = (c, rank)
+    want = py_ann_lsh_topk(sf_dir)
     got = {
         (r.query_id, r.neighbor_id): (r.cosine, r.rank)
         for r in sim.ann_lsh_topk(spark, sf_dir).collect()
@@ -1966,81 +1907,13 @@ def test_ann_ivf_topk_partial_oracle_pure_python(spark, sf_dir):
     matches token-for-token. The FIT is re-run numpy (same library —
     deterministic replication, not an independent engine, stated
     honestly); the distributed stages ARE independently re-derived by
-    ordered python folds."""
-    import math
-
-    import numpy as np
-    import pyarrow.parquet as pq
-
+    ordered python folds. The derivation lives in tests/helpers.py
+    (py_ann_ivf_topk) so the recall-report graduation composes the same
+    proven chain."""
     from mapreduce_infrastructure_spark.llm import similarity as sim
+    from tests.helpers import py_ann_ivf_topk
 
-    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    vecs = {
-        vid: [float(x) for x in emb]
-        for vid, emb in zip(tbl["vec_id"].to_pylist(), tbl["embedding"].to_pylist())
-    }
-    assert len(vecs) < sim._IVF_DISTRIBUTED_MIN_ROWS  # sample-fit premise
-    # --- the sample fit, replicated step for step ---
-    X = np.array([vecs[v] for v in sorted(vecs)][: sim._IVF_SAMPLE])
-    rng = np.random.default_rng(7)
-    k = min(sim._IVF_CELLS, len(X))
-    C = [X[rng.integers(len(X))]]
-    for _ in range(k - 1):
-        d2 = np.min(
-            ((X[:, None, :] - np.array(C)[None, :, :]) ** 2).sum(axis=2), axis=1
-        )
-        p = d2 / d2.sum() if d2.sum() > 0 else None
-        C.append(X[rng.choice(len(X), p=p)])
-    C = np.array(C)
-    for _ in range(sim._IVF_ITERS):
-        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-        a = d2.argmin(axis=1)
-        for j in range(len(C)):
-            pts = X[a == j]
-            if len(pts):
-                C[j] = pts.mean(axis=0)
-    cents = [[float(x) for x in C[j]] for j in range(len(C))]
-
-    # --- downstream: ordered IEEE folds, independent of numpy ---
-    def fold_sq(a, c):
-        s = 0.0
-        for x, cc in zip(a, c):
-            s = s + (x - cc) * (x - cc)
-        return s
-
-    def dot(a, b):
-        acc = 0.0
-        for x, y in zip(a, b):
-            acc = acc + x * y
-        return acc
-
-    def norm(a):
-        s = 0.0
-        for x in a:
-            s = s + x * x
-        return math.sqrt(s)
-
-    nrm = {v: norm(d) for v, d in vecs.items()}
-    cell = {
-        v: min((fold_sq(d, cents[j]), j) for j in range(len(cents)))[1]
-        for v, d in vecs.items()
-    }
-    want = {}
-    for qid in sorted(v for v in vecs if v < 10):
-        ranked = sorted(
-            (math.sqrt(fold_sq(vecs[qid], cents[j])), j)
-            for j in range(len(cents))
-        )
-        pcells = {j for _d, j in ranked[: sim._IVF_PROBES]}
-        scored = []
-        for v in vecs:
-            if v == qid or cell[v] not in pcells:
-                continue
-            c = dot(vecs[qid], vecs[v]) / (nrm[qid] * nrm[v])
-            scored.append((math.floor(c * 10000 + 0.5) / 10000, v))
-        scored.sort(key=lambda t: (-t[0], t[1]))
-        for rank, (c, v) in enumerate(scored[:3], start=1):
-            want[(qid, v)] = (c, rank)
+    want = py_ann_ivf_topk(sf_dir)
     got = {
         (r.query_id, r.neighbor_id): (r.cosine, r.rank)
         for r in sim.ann_ivf_topk(spark, sf_dir).collect()
@@ -2247,102 +2120,12 @@ def test_ann_pq_topk_partial_oracle_pure_python(spark, sf_dir):
     rotation applies engine-side as a batched numpy matmul whose BLAS
     blocking depends on Arrow batch shape, so a reference matmul of a
     different shape is not guaranteed bit-identical — documented
-    why-not.)"""
-    import math
-
-    import numpy as np
-    import pyarrow.parquet as pq
-
+    why-not.) The derivation lives in tests/helpers.py (py_ann_pq_topk)
+    so the recall-report graduation composes the same proven chain."""
     from mapreduce_infrastructure_spark.llm import similarity as sim
+    from tests.helpers import py_ann_pq_topk
 
-    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    raw = {
-        vid: [float(x) for x in emb]
-        for vid, emb in zip(tbl["vec_id"].to_pylist(), tbl["embedding"].to_pylist())
-    }
-
-    def norm(a):
-        s = 0.0
-        for x in a:
-            s = s + x * x
-        return math.sqrt(s)
-
-    unit = {v: [x / norm(d) for x in d] for v, d in raw.items()}
-    # --- the per-subspace sample fit, replicated step for step ---
-    X = np.array([unit[v] for v in sorted(unit)][: sim._IVF_SAMPLE])
-    sub = X.reshape(len(X), sim._PQ_M, -1)
-    rng = np.random.default_rng(11)
-    books = []
-    for m in range(sim._PQ_M):
-        Xm = sub[:, m, :]
-        k = min(sim._PQ_K, len(Xm))
-        C = [Xm[rng.integers(len(Xm))]]
-        for _ in range(k - 1):
-            d2 = np.min(
-                ((Xm[:, None, :] - np.array(C)[None, :, :]) ** 2).sum(axis=2),
-                axis=1,
-            )
-            p = d2 / d2.sum() if d2.sum() > 0 else None
-            C.append(Xm[rng.choice(len(Xm), p=p)])
-        C = np.array(C)
-        for _ in range(sim._IVF_ITERS):
-            d2 = ((Xm[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-            a = d2.argmin(axis=1)
-            for j in range(len(C)):
-                pts = Xm[a == j]
-                if len(pts):
-                    C[j] = pts.mean(axis=0)
-        books.append([[float(x) for x in c] for c in C])
-    sub_dim = len(unit[next(iter(unit))]) // sim._PQ_M
-
-    def fold_sq(a, c):
-        s = 0.0
-        for x, cc in zip(a, c):
-            s = s + (x - cc) * (x - cc)
-        return s
-
-    def dot(a, b):
-        acc = 0.0
-        for x, y in zip(a, b):
-            acc = acc + x * y
-        return acc
-
-    def sub_vec(u, m):
-        return u[m * sub_dim : (m + 1) * sub_dim]
-
-    codes = {
-        v: [
-            min(
-                (fold_sq(sub_vec(u, m), books[m][c]), c)
-                for c in range(len(books[m]))
-            )[1]
-            for m in range(sim._PQ_M)
-        ]
-        for v, u in unit.items()
-    }
-    want = {}
-    for qid in sorted(v for v in unit if v < 10):
-        dtab = [
-            [fold_sq(sub_vec(unit[qid], m), books[m][c]) for c in range(len(books[m]))]
-            for m in range(sim._PQ_M)
-        ]
-        adc = []
-        for v in unit:
-            if v == qid:
-                continue
-            s = 0.0
-            for m in range(sim._PQ_M):
-                s = s + dtab[m][codes[v][m]]
-            adc.append((s, v))
-        adc.sort()
-        cands = [v for _s, v in adc[: sim._PQ_CANDIDATES]]
-        scored = []
-        for v in cands:
-            c = dot(unit[qid], unit[v])
-            scored.append((math.floor(c * 10000 + 0.5) / 10000, v))
-        scored.sort(key=lambda t: (-t[0], t[1]))
-        for rank, (c, v) in enumerate(scored[:3], start=1):
-            want[(qid, v)] = (c, rank)
+    want = py_ann_pq_topk(sf_dir)
     got = {
         (r.query_id, r.neighbor_id): (r.cosine, r.rank)
         for r in sim.ann_pq_topk(spark, sf_dir).collect()
@@ -2410,3 +2193,53 @@ def test_lsh_report_full_partial_oracle_pure_python(spark, sf_dir):
     assert r.recall_at_threshold == n_hits / len(truth)
     assert r.recall_at_strong == n_strong_hits / len(strong)
     assert len(truth) >= 1 and len(lsh) >= 1  # non-vacuous
+
+
+def test_ann_recall_report_full_partial_oracle_pure_python(spark, sf_dir):
+    """PARTIAL ORACLE (round-16 graduation, the ann side of the LSH
+    report's): three of the four ann_recall_report rows re-derived in
+    pure python by COMPOSING the proven round-15 references
+    (tests/helpers.py: py_ann_lsh_topk / py_ann_ivf_topk /
+    py_ann_pq_topk) with a pure-python re-derivation of the exact
+    knn_bruteforce top-3 ground truth (py_knn_truth — itself
+    DuckDB-oracle-backed, so the denominator chain is doubly pinned):
+    n_returned, n_hits, n_truth and recall_at_3 recomputed outside the
+    engine for sign_lsh, ivf and pq. The opq row keeps its documented
+    why-not (engine-side batched BLAS rotation) — its arithmetic is
+    still pinned against the engine's own ann_opq_topk output here, so
+    the report's set algebra has no engine-specific freedom for any
+    row."""
+    from mapreduce_infrastructure_spark.llm import similarity as sim
+    from tests.helpers import (
+        py_ann_ivf_topk,
+        py_ann_lsh_topk,
+        py_ann_pq_topk,
+        py_knn_truth,
+    )
+
+    truth = set(py_knn_truth(sf_dir, 3))
+    refs = {
+        "sign_lsh": set(py_ann_lsh_topk(sf_dir)),
+        "ivf": set(py_ann_ivf_topk(sf_dir)),
+        "pq": set(py_ann_pq_topk(sf_dir)),
+    }
+    rep = {
+        r.method: r for r in sim.ann_recall_report(spark, sf_dir).collect()
+    }
+    assert set(rep) == {"sign_lsh", "ivf", "pq", "opq"}
+    for name, returned in refs.items():
+        r = rep[name]
+        assert r.n_returned == len(returned)
+        assert r.n_hits == len(returned & truth)
+        assert r.n_truth == len(truth)
+        assert r.recall_at_3 == len(returned & truth) / len(truth)
+    opq = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.ann_opq_topk(spark, sf_dir).collect()
+    }
+    r = rep["opq"]
+    assert r.n_returned == len(opq)
+    assert r.n_hits == len(opq & truth)
+    assert r.n_truth == len(truth)
+    assert r.recall_at_3 == len(opq & truth) / len(truth)
+    assert len(truth) == 30  # 10 queries x exact top-3, non-vacuous
