@@ -123,12 +123,17 @@ def quality_model_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFram
     slice — the classifier's own cost dominates (see its docstring).
 
     No SQL oracle, inherited from `quality_classifier_scores` (L-BFGS
-    coefficients are not SQL-expressible; exact bin COUNTS could flip on
-    a probability sitting at a bin edge across engine builds anyway), so
-    the driver applies its rows-only check; tests assert the semantic
-    contract instead — bins partition the labeled slice, mean_prob lies
-    inside each bin's interval, and the bin ranking is calibration-
-    consistent (pos_share broadly increases with the bin index).
+    coefficients are not SQL-expressible), so the driver applies its
+    rows-only check — but everything OUTSIDE the fit carries a
+    pure-python PARTIAL ORACLE (round-16 graduation, tests/
+    test_sampling.py::test_quality_calibration_bins_partial_oracle_
+    pure_python): the weak-label chain is re-derived from raw parquet
+    and matched per-document, and the bins are recomputed from
+    (pure-python label, engine prob) with exact counts and pos_share;
+    only mean_prob — a cross-order sum of the engine-specific
+    probabilities — is pinned to one final-decimal ulp. The older
+    contract test additionally asserts the partition/interval/
+    consistency invariants.
     """
     scored = quality_classifier_scores(spark, sf_dir).filter(
         F.col("label_weak").isNotNull()

@@ -855,3 +855,77 @@ def test_frequent_terms_counts_match_duckdb_exact(spark, sf_dir):
     )
     for w, c in got.items():
         assert exact.get(w) == c, (w, c, exact.get(w))
+
+
+def test_quality_calibration_bins_partial_oracle_pure_python(spark, sf_dir):
+    """PARTIAL ORACLE (round-16 graduation): everything OUTSIDE the
+    L-BFGS fit is re-derived in pure python. The weak-label chain —
+    per-language descending token-count percent_rank with (value,
+    doc_id) tie order, (rank-1)/(n-1), the 0.25/0.75 quartile cuts —
+    is recomputed from raw parquet and must match the engine's
+    label_weak for EVERY document; the reliability bins are then
+    recomputed from (pure-python label, engine prob): bin assignment
+    (floor(prob*10) capped at 9 — IEEE multiply/floor on the same
+    4-decimal double is bit-identical cross-runtime), exact counts and
+    exact pos_share (a 0/1 mean is exact integer arithmetic divided
+    once). Only the probabilities themselves remain engine-specific
+    (the documented L-BFGS why-not), so mean_prob — a cross-order sum
+    of those probs — is pinned to one final-decimal ulp rather than
+    exactly."""
+    import math
+    import re
+
+    import pyarrow.parquet as pq
+
+    from mapreduce_infrastructure_spark.llm.quality_model import (
+        quality_classifier_scores,
+        quality_model_calibration_bins,
+    )
+
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+    by_lang: dict = {}
+    for d, lang, text in zip(
+        tbl["doc_id"].to_pylist(),
+        tbl["lang"].to_pylist(),
+        tbl["text"].to_pylist(),
+    ):
+        n = len([t for t in re.split("[^a-z0-9]+", text.lower()) if t])
+        by_lang.setdefault(lang, []).append((n, d))
+    label: dict = {}
+    for docs in by_lang.values():
+        docs.sort(key=lambda t: (-t[0], t[1]))  # descending value, id asc
+        ns = len(docs)
+        for i, (_n, d) in enumerate(docs, start=1):
+            pr = 0.0 if ns == 1 else (i - 1) / (ns - 1)
+            label[d] = 1.0 if pr <= 0.25 else (0.0 if pr >= 0.75 else None)
+    scored = {
+        r.doc_id: (r.label_weak, r.prob)
+        for r in quality_classifier_scores(spark, sf_dir).collect()
+    }
+    assert set(scored) == set(label)
+    for d, (lw, _p) in scored.items():
+        assert lw == label[d], (d, lw, label[d])
+    cells: dict = {}
+    for d, (lw, p) in scored.items():
+        if lw is None:
+            continue
+        b = min(math.floor(p * 10), 9)
+        n, s_p, s_l = cells.get(b, (0, 0.0, 0.0))
+        cells[b] = (n + 1, s_p + p, s_l + lw)
+    got = {
+        r.bin: r for r in quality_model_calibration_bins(spark, sf_dir).collect()
+    }
+    assert set(got) == set(cells)
+    for b, (n, s_p, s_l) in cells.items():
+        r = got[b]
+        assert r.n == n
+        assert r.pos_share == math.floor(s_l / n * 10000 + 0.5) / 10000
+        assert (
+            abs(r.mean_prob - math.floor(s_p / n * 10000 + 0.5) / 10000)
+            <= 1e-4
+        )
+    assert sum(n for n, _sp, _sl in cells.values()) == sum(
+        1 for lw, _p in scored.values() if lw is not None
+    )
