@@ -589,9 +589,15 @@ def quintile_thresholds(
     qs = {str(k): k / 5.0 for k in (1, 2, 3, 4)}
     integral = {"tinyint", "smallint", "int", "bigint"}
     dtypes = dict(df.dtypes)
-    bad = [
-        f"{c}:{dtypes[c]}" for c in cols if dtypes.get(c, "?") not in integral
-    ]
+    absent = [c for c in cols if c not in dtypes]
+    if absent:
+        # Distinguish a typo'd column from a genuinely fractional one —
+        # the truncation message would misdiagnose it.
+        raise ValueError(
+            f"quintile_thresholds: column(s) not in frame: {absent} "
+            f"(have: {sorted(dtypes)})"
+        )
+    bad = [f"{c}:{dtypes[c]}" for c in cols if dtypes[c] not in integral]
     if bad:
         raise TypeError(
             "quintile_thresholds: non-integral column(s) would be "

@@ -2780,6 +2780,40 @@ def source_quality_flag_share_drift(
     )
 
 
+
+def _with_source_length_quintile(base: DataFrame) -> DataFrame:
+    """Attach each row's within-source length quintile graded against the
+    WHOLE-frame per-source exact n_chars distribution: thresholds via the
+    count-value histogram closed form (`hist_cume_counts` +
+    `hist_disc_percentile`'s cume_dist >= k/5 selection — windows run
+    over histogram cells, never docs), broadcast back (|sources|-row
+    table), then the strict-greater 4-step ladder. Shared by
+    source_flag_vs_length_matrix and source_length_drift so the ruler
+    cannot drift between the grid and its drift read (both oracles state
+    the same cd/th/ladder CTEs). Requires ``source`` and long
+    ``n_chars`` columns; every other column rides through."""
+    from ..functions.ranks import hist_cume_counts, hist_disc_percentile
+
+    th = (
+        hist_cume_counts(base, ["source"], "n_chars")
+        .groupBy("source")
+        .agg(
+            *[
+                hist_disc_percentile("n_chars", k / 5.0, f"t{k}")
+                for k in (1, 2, 3, 4)
+            ]
+        )
+    )
+    lq = F.lit(1)
+    for k in (1, 2, 3, 4):
+        lq = lq + F.when(F.col("n_chars") > F.col(f"t{k}"), 1).otherwise(0)
+    return (
+        base.join(F.broadcast(th), "source")
+        .withColumn("len_quintile", lq.cast("long"))
+        .drop("t1", "t2", "t3", "t4")
+    )
+
+
 @query(
     "source_flag_vs_length_matrix",
     oracle=f"""
@@ -2858,8 +2892,6 @@ def source_flag_vs_length_matrix(
     The flag is the shared codegen'd classifier (`quality_flag_col`),
     stated once for both engines; counts exact int64; the share is one
     IEEE division per cell."""
-    from ..functions.ranks import hist_cume_counts, hist_disc_percentile
-
     docs = load_table(spark, sf_dir, "documents")
     base = tracked_persist(
         docs.select(
@@ -2869,22 +2901,9 @@ def source_flag_vs_length_matrix(
         ),
         f"source_flag_len_base:{sf_dir}",
     )
-    th = (
-        hist_cume_counts(base, ["source"], "n_chars")
-        .groupBy("source")
-        .agg(
-            *[
-                hist_disc_percentile("n_chars", k / 5.0, f"t{k}")
-                for k in (1, 2, 3, 4)
-            ]
-        )
-    )
-    lq = F.lit(1)
-    for k in (1, 2, 3, 4):
-        lq = lq + F.when(F.col("n_chars") > F.col(f"t{k}"), 1).otherwise(0)
     g = (
-        base.join(F.broadcast(th), "source")
-        .select("source", lq.cast("long").alias("len_quintile"), "quality_flag")
+        _with_source_length_quintile(base)
+        .select("source", "len_quintile", "quality_flag")
         .groupBy("source", "len_quintile", "quality_flag")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
@@ -3002,11 +3021,7 @@ def source_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection to the ≤2·|sources|·5-cell table; every remaining join
     is broadcast over bounded cell tables. Counts exact int64; per-cell
     IEEE chi2 terms, never summed engine-side."""
-    from ..functions.ranks import (
-        hist_cume_counts,
-        hist_disc_percentile,
-        kth_order_statistics,
-    )
+    from ..functions.ranks import kth_order_statistics
 
     docs = load_table(spark, sf_dir, "documents")
     base = tracked_persist(
@@ -3016,25 +3031,12 @@ def source_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"source_len_half_base:{sf_dir}",
     )
     mid = kth_order_statistics(base, "doc_id", {"mid": 0.5})["mid"]
-    th = (
-        hist_cume_counts(base, ["source"], "n_chars")
-        .groupBy("source")
-        .agg(
-            *[
-                hist_disc_percentile("n_chars", k / 5.0, f"t{k}")
-                for k in (1, 2, 3, 4)
-            ]
-        )
-    )
-    lq = F.lit(1)
-    for k in (1, 2, 3, 4):
-        lq = lq + F.when(F.col("n_chars") > F.col(f"t{k}"), 1).otherwise(0)
     c = (
-        base.join(F.broadcast(th), "source")
+        _with_source_length_quintile(base)
         .select(
             "source",
             F.when(F.col("doc_id") <= mid, 1).otherwise(2).alias("half"),
-            lq.cast("long").alias("len_quintile"),
+            "len_quintile",
         )
         .groupBy("half", "source", "len_quintile")
         .agg(F.count(F.lit(1)).alias("n"))

@@ -277,7 +277,16 @@ class HistogramReducer(BaseReducer):
     def reduce(self, key: str, values) -> None:
         counts = [0] * self.N_BUCKETS
         for v in values:
-            b = int(v) // self.WIDTH
+            iv = int(v)
+            if iv < 0:
+                # Stated precondition, enforced (the KeyValuePairMapper
+                # discipline): a negative value would otherwise alias
+                # into the top buckets via python negative indexing.
+                raise ValueError(
+                    f"HistogramReducer: negative value {iv} for key "
+                    f"{key[:80]!r}"
+                )
+            b = iv // self.WIDTH
             if b >= self.N_BUCKETS:
                 b = self.N_BUCKETS - 1
             counts[b] += 1

@@ -1302,6 +1302,32 @@ def parts_graph_edge_weight_histogram(
     )
 
 
+
+def _part_node_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node (degree, strength) over the session-cached weighted part
+    edges — the ONE union + per-node fold shared by the weighted-degree
+    distribution, the strength-vs-degree matrix and the strength
+    assortativity. ``shared_persist`` (multi-consumer slot, the
+    `_part_cooccur_edges_weighted` discipline): the first consumer
+    materializes it, siblings reuse the same cached copy instead of
+    re-running the edge-scale fold."""
+    from ..llm.cache import shared_persist
+
+    def build() -> DataFrame:
+        e = _part_cooccur_edges_weighted(spark, sf_dir)
+        return (
+            e.select(F.col("x").alias("node"), "w")
+            .union(e.select(F.col("y").alias("node"), "w"))
+            .groupBy("node")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("degree"),
+                F.sum("w").cast("long").alias("strength"),
+            )
+        )
+
+    return shared_persist(spark, build, f"part_degree_strength:{sf_dir}")
+
+
 @query(
     "parts_graph_weighted_degree_distribution",
     oracle=f"""
@@ -1358,12 +1384,8 @@ def parts_graph_weighted_degree_distribution(
     1-row totals (no window anywhere). Strength support grows like the
     degree histogram's (~O(sqrt(m)) distinct values), so the grid stays
     bounded at any SF."""
-    e = _part_cooccur_edges_weighted(spark, sf_dir)
-    st = (
-        e.select(F.col("x").alias("node"), "w")
-        .union(e.select(F.col("y").alias("node"), "w"))
-        .groupBy("node")
-        .agg(F.sum("w").cast("long").alias("s"))
+    st = _part_node_strengths(spark, sf_dir).select(
+        "node", F.col("strength").alias("s")
     )
     h = st.groupBy(F.col("s").alias("strength")).agg(
         F.count(F.lit(1)).alias("n_nodes")
@@ -1491,19 +1513,8 @@ def parts_graph_strength_vs_degree_matrix(
     parts with no qualifying edge (w < TRI_MIN_SHARED everywhere) are
     not graph nodes and drop in both engines by construction."""
     from ..functions.ranks import quintile_ladder, quintile_thresholds
-    from ..llm.cache import tracked_persist
 
-    e = _part_cooccur_edges_weighted(spark, sf_dir)
-    st = tracked_persist(
-        e.select(F.col("x").alias("node"), "w")
-        .union(e.select(F.col("y").alias("node"), "w"))
-        .groupBy("node")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("degree"),
-            F.sum("w").cast("long").alias("strength"),
-        ),
-        f"part_degree_strength:{sf_dir}",
-    )
+    st = _part_node_strengths(spark, sf_dir)
     th = quintile_thresholds(st, ["degree", "strength"])
     g = (
         st.select(
@@ -1600,11 +1611,8 @@ def parts_graph_strength_assortativity(
     no windows, no driver math. Scalars n_edges/n_nodes/w_total ride as
     broadcast one-row joins."""
     e = _part_cooccur_edges_weighted(spark, sf_dir)
-    st = (
-        e.select(F.col("x").alias("node"), "w")
-        .union(e.select(F.col("y").alias("node"), "w"))
-        .groupBy("node")
-        .agg(F.sum("w").cast("long").alias("s"))
+    st = _part_node_strengths(spark, sf_dir).select(
+        "node", F.col("strength").alias("s")
     )
     stubs = e.selectExpr("x AS u", "y AS v", "w").unionAll(
         e.selectExpr("y AS u", "x AS v", "w")
@@ -1615,7 +1623,7 @@ def parts_graph_strength_assortativity(
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     agg = ed.agg(
         F.sum(dec(F.col("w"))).alias("tw"),
-        F.sum(dec(F.col("w") * F.col("sx"))).alias("sx1"),
+        F.sum(dec(F.col("w")) * F.col("sx")).alias("sx1"),
         F.sum(dec(F.col("w")) * F.col("sx") * F.col("sy")).alias("sxy"),
         F.sum(dec(F.col("w")) * F.col("sx") * F.col("sx")).alias("sxx"),
     )

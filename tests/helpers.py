@@ -6,6 +6,7 @@ from __future__ import annotations
 import math
 
 import duckdb
+from functools import lru_cache
 import pandas as pd
 
 from mapreduce_infrastructure_spark.catalog import TABLES
@@ -200,6 +201,7 @@ def spark_xxhash64(*values, seed: int = 42) -> int:
     return _to_i64(h)
 
 
+@lru_cache(maxsize=None)  # fixtures are immutable within a session
 def py_minhash_shingles_and_lsh_pairs(sf_dir: str):
     """Pure-python XXH64 re-derivation of `minhash_lsh_pairs` (the
     round-15 partial oracle, verbatim derivation): 3-token shingles of
@@ -299,6 +301,7 @@ def _py_load_vecs(sf_dir: str) -> dict:
     }
 
 
+@lru_cache(maxsize=None)  # fixtures are immutable within a session
 def py_knn_truth(sf_dir: str, topk: int):
     """Pure-python re-derivation of knn_bruteforce's top-``topk`` rows
     (queries vec_id < 10, ordered IEEE folds, 4-decimal floor-round,
@@ -323,6 +326,7 @@ def py_knn_truth(sf_dir: str, topk: int):
     return want
 
 
+@lru_cache(maxsize=None)  # fixtures are immutable within a session
 def py_ann_lsh_topk(sf_dir: str):
     """Pure-python re-derivation of ann_lsh_topk (the round-15 partial
     oracle, verbatim derivation): plan-literal seeded planes, ordered
@@ -374,6 +378,7 @@ def py_ann_lsh_topk(sf_dir: str):
     return want
 
 
+@lru_cache(maxsize=None)  # fixtures are immutable within a session
 def py_ann_ivf_topk(sf_dir: str):
     """Pure-python re-derivation of ann_ivf_topk (the round-15 partial
     oracle, verbatim derivation): seeded-numpy sample fit replicated
@@ -433,6 +438,7 @@ def py_ann_ivf_topk(sf_dir: str):
     return want
 
 
+@lru_cache(maxsize=None)  # fixtures are immutable within a session
 def py_ann_pq_topk(sf_dir: str):
     """Pure-python re-derivation of ann_pq_topk (the round-15 partial
     oracle, verbatim derivation): per-subspace seeded-numpy codebook

@@ -424,6 +424,10 @@ def test_mr_histogram_reducer_bounded_multi_emit():
     assert r._drain() == [("k2", "0|1000")]
     r.reduce("k3", [])
     assert r._drain() == []
+    # Round-16 review item: a negative value must fail loudly instead of
+    # aliasing into the top buckets via python negative indexing.
+    with pytest.raises(ValueError, match="negative value"):
+        r.reduce("k4", ["-1"])
 
 
 def test_mr_histogram_per_key_scalar_reference(spark, sf_dir):
