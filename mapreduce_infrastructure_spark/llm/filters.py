@@ -438,8 +438,14 @@ def _compression_batches(pdf_iter):
 
 @query(
     "doc_compression_ratio",
-    # No oracle: DuckDB has no deflate; tests/test_filters.py pins exact
-    # zlib byte counts for sampled docs plus the flag/ratio contracts.
+    # No SQL oracle (DuckDB has no deflate), but the ENTIRE result
+    # carries a pure-python partial oracle (round-16, tests/
+    # test_filters.py::test_doc_compression_full_partial_oracle_
+    # pure_python): every document's byte counts, truncating ratio
+    # round and flag re-derived row for row — the deflate recount is
+    # same-CPython-zlib replication (deterministic in input + level +
+    # library), the arithmetic independently re-derived. The older
+    # 50-doc slice test keeps the planted low/high-entropy extremes.
     tags=("llm", "quality", "compression"),
 )
 def doc_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -461,9 +461,14 @@ def approx_vs_exact_quantile_error(spark: SparkSession, sf_dir: str) -> DataFram
 
     No SQL oracle: DuckDB's approx_quantile is t-digest, a different
     sketch — the approximate column is engine-specific by nature. Driver
-    row is rows-only; tests assert the invariant that IS the operator's
-    point: every rank error within the documented bound, and the exact
-    side equal to `exact_percentiles_disc` where qs overlap.
+    row is rows-only, but everything DOWNSTREAM of the sketch value
+    carries a pure-python partial oracle (round-16, tests/test_stats.py
+    ::test_approx_quantile_error_partial_oracle_pure_python): exact
+    quantiles and n re-derived from raw parquet AND double-pinned by
+    DuckDB re-running exact_percentiles_disc's registered oracle, and
+    the rank/bound/flag/value_err arithmetic recomputed exactly over
+    the engine's approx_value. The older invariant test keeps the
+    formal-bound contract.
 
     Scale: the sketch is one partial+final aggregate (KB of state per
     group); exact side + rank lookup are histogram-bounded joins —

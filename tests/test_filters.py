@@ -170,3 +170,42 @@ def test_compression_ratio_matches_scalar_zlib(spark, sf_dir):
     }
     assert flags[1] == "low_entropy"
     assert flags[2] == "high_entropy"
+
+
+def test_doc_compression_full_partial_oracle_pure_python(spark, sf_dir):
+    """PARTIAL ORACLE (round-16 wave 2): the ENTIRE doc_compression_ratio
+    result re-derived for EVERY document (the older test pinned a 50-doc
+    slice): exact utf-8 byte counts, exact deflate byte counts at the
+    pinned level, the truncating comp_ratio round, and the integer-exact
+    flag thresholds, matched row for row. Honest label: the deflate
+    recount uses the SAME CPython zlib the engine's Arrow batches call —
+    deterministic replication of the codec, not an independent
+    implementation (zlib output is fully determined by input + level +
+    library, stated in the query's why-not); the byte/ratio/flag
+    arithmetic IS independently re-derived."""
+    import zlib
+
+    import pyarrow.parquet as pq
+
+    from mapreduce_infrastructure_spark.llm.filters import (
+        _ZLIB_LEVEL,
+        doc_compression_ratio,
+    )
+
+    got = {r.doc_id: r for r in doc_compression_ratio(spark, sf_dir).collect()}
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ids = tbl["doc_id"].to_pylist()
+    assert set(got) == set(ids)
+    for d, t in zip(ids, tbl["text"].to_pylist()):
+        raw = (t or "").encode("utf-8")
+        b, z = len(raw), len(zlib.compress(raw, _ZLIB_LEVEL))
+        r = got[d]
+        assert (r.n_bytes, r.n_zlib) == (b, z)
+        ratio = z / b if b > 0 else 0.0
+        assert r.comp_ratio == int(ratio * 10000 + 0.5) / 10000
+        want_flag = (
+            "low_entropy"
+            if z * 10 < b * 3
+            else ("high_entropy" if z >= b and b > 0 else "ok")
+        )
+        assert r.comp_flag == want_flag

@@ -2389,3 +2389,76 @@ def test_events_value_dow_hour_drift_scalar_reference(spark, sf_dir):
             assert r.value_micro1 == m1
             e = float(m1) * tm2 / tm1
             assert r.chi2_term == (m2 - e) * (m2 - e) / e
+
+
+def test_approx_quantile_error_partial_oracle_pure_python(spark, sf_dir):
+    """PARTIAL ORACLE (round-16 wave 2): everything downstream of the
+    GK sketch value is re-derived outside the engine. Per (priority, q):
+    the exact quantile (sorted-values rank max(1, ceil(q*n)) — the
+    cume_dist>=q selection) and n recomputed pure-python from raw
+    parquet AND directly double-pinned by DuckDB re-running
+    exact_percentiles_disc's REGISTERED oracle; then, taking the
+    engine's approx_value as the one engine-specific input (the
+    documented sketch why-not), the exact rank of that value (count of
+    values <= it), the ceil(q*n) target, rank_err, the formal
+    ceil(n/accuracy)+1 bound, within_bound and the floor-rounded
+    value_err are all recomputed and matched exactly."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from mapreduce_infrastructure_spark.operators.stats import (
+        _APPROX_ACC,
+        _APPROX_QS,
+        approx_vs_exact_quantile_error,
+    )
+    from tests.helpers import duckdb_con
+
+    tbl = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]
+    )
+    by_p: dict = {}
+    for p, v in zip(
+        tbl["o_orderpriority"].to_pylist(), tbl["o_totalprice"].to_pylist()
+    ):
+        by_p.setdefault(p, []).append(v)
+    for vs in by_p.values():
+        vs.sort()
+    rows = approx_vs_exact_quantile_error(spark, sf_dir).collect()
+    assert {(r.o_orderpriority, r.q) for r in rows} == {
+        (p, q) for p in by_p for q in _APPROX_QS
+    }
+    for r in rows:
+        vs = by_p[r.o_orderpriority]
+        n = len(vs)
+        assert r.n == n
+        exact = vs[max(1, math.ceil(r.q * n)) - 1]
+        assert r.exact_value == exact
+        # engine-specific input: the sketch's value; everything from
+        # here is exact arithmetic over it.
+        approx_rank = sum(1 for v in vs if v <= r.approx_value)
+        target = math.ceil(r.q * n)
+        rank_err = abs(approx_rank - target)
+        bound = math.ceil(n / _APPROX_ACC) + 1
+        assert r.rank_err == rank_err
+        assert r.rank_err_bound == bound
+        assert r.within_bound == (rank_err <= bound)
+        assert r.value_err == math.floor(
+            abs(r.approx_value - exact) * 100 + 0.5
+        ) / 100
+    # Direct DuckDB double-pin of the exact side: re-run the REGISTERED
+    # exact_percentiles_disc oracle and match exact_value and n.
+    from mapreduce_infrastructure_spark.registry import all_queries
+
+    con = duckdb_con(sf_dir)
+    sql = all_queries()["exact_percentiles_disc"].oracle
+    duck = {
+        row[0]: row
+        for row in con.execute(sql).fetchall()
+    }
+    cols = [d[0] for d in con.execute(sql).description]
+    for r in rows:
+        d = dict(zip(cols, duck[r.o_orderpriority]))
+        want = {0.5: d["p50"], 0.95: d["p95"], 0.99: d["p99"]}[r.q]
+        assert r.exact_value == want
+        assert r.n == d["n_orders"]
