@@ -192,6 +192,22 @@ FLAGSHIP_EXTRA = [
     "order_price_reconciliation",
     "revenue_weighted_leadtime_percentiles",
     "priority_leadtime_sla_profile",
+    # round-15 additions (stream_events_value_dow_hour_profile executes
+    # eagerly — twin equality + the shared oracle audit it instead;
+    # mr_distinct_count_per_key's plan is the MR runner's, audited via
+    # mr_bigram_count)
+    "supplier_balance_leadtime_interaction",
+    "parts_graph_strength_vs_degree_matrix",
+    "source_flag_vs_length_matrix",
+    "events_value_weighted_dow_hour_drift",
+    # round-16 additions (stream_events_user_value_concentration executes
+    # eagerly — twin equality + the shared oracle audit it instead;
+    # mr_histogram_per_key is the MR runner's plan, audited via
+    # mr_bigram_count)
+    "parts_graph_strength_assortativity",
+    "events_user_value_concentration",
+    "customer_priority_mix_by_value_quintile",
+    "source_length_drift",
 ]
 
 JOIN_KINDS = [
