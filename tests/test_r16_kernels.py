@@ -1,0 +1,185 @@
+"""Round-16 optimization equivalence pins.
+
+The round-16 optimization pass replaced three interpreted
+higher-order-function formulations with whole-stage-codegen'd equivalents
+(see OPTIMIZATION_r16.md):
+
+- `similarity._dot` on named columns → guarded unrolled product/sum chain,
+- `similarity._cell_dists` → one parsed SQL expression with inlined
+  centroid literals and guarded unrolled squared-L2 folds,
+- `dedup._signatures` → explode + codegen'd xxhash64 + partial-agg min.
+
+Each claims BIT-IDENTICAL results (same IEEE ops, same fold order). These
+tests pin that claim directly against the original HOF formulations, so a
+future Spark upgrade or kernel edit that drifts by one ulp fails here, not
+in a driver hash mismatch. The query-level partial oracles
+(test_dedup_similarity.py) stand alongside, pinning the same values
+against pure-python re-derivations.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from mapreduce_infrastructure_spark.llm import dedup as D
+from mapreduce_infrastructure_spark.llm import similarity as S
+
+
+def _hof_dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _hof_cell_dists(C, col):
+    return F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        col,
+                        F.array(*[F.lit(float(x)) for x in C[j]]),
+                        lambda x, c: (x - c) * (x - c),
+                    ),
+                    F.lit(0.0),
+                    lambda s, x: s + x,
+                ).alias("dist"),
+                F.lit(j).alias("cell"),
+            )
+            for j in range(len(C))
+        ]
+    )
+
+
+def _hof_signatures(t, n_hashes=D.N_HASHES):
+    hashed = t.select(
+        "doc_id", "sh", F.transform("sh", lambda x: F.xxhash64(x)).alias("hs")
+    )
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda s: F.array_min(
+            F.transform(F.col("hs"), lambda h: F.xxhash64(h, s))
+        ),
+    )
+    return hashed.select("doc_id", sig.alias("sig"))
+
+
+def _assert_same(a, b):
+    """Exact multiset equality (bit-level for doubles: exceptAll compares
+    binary row images)."""
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    assert a.count() == b.count()
+
+
+def test_unrolled_dot_matches_hof_fold_bitwise(spark, sf_dir):
+    vecs = S._vectors(spark, sf_dir)
+    a = vecs.select(
+        F.col("vec_id").alias("ia"), F.col("d").alias("da")
+    )
+    b = vecs.select(F.col("vec_id").alias("ib"), F.col("d").alias("db"))
+    j = a.join(b, F.col("ia") < F.col("ib"))
+    fast = j.select("ia", "ib", S._dot("da", "db").alias("dot"))
+    slow = j.select(
+        "ia", "ib", _hof_dot(F.col("da"), F.col("db")).alias("dot")
+    )
+    _assert_same(fast, slow)
+
+
+def test_unrolled_dot_guard_falls_back_on_short_arrays(spark):
+    # A 3-wide array is not _EMB_DIM wide: the guard must route to the HOF
+    # fold, whose null-padding semantics the unrolled chain cannot mimic.
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0], [4.0, 5.0, 6.0])], "id long, x array<double>, y array<double>"
+    )
+    fast = df.select(S._dot("x", "y").alias("dot"))
+    slow = df.select(_hof_dot(F.col("x"), F.col("y")).alias("dot"))
+    _assert_same(fast, slow)
+
+
+def test_dot_lit_matches_hof_fold_bitwise(spark, sf_dir):
+    vecs = S._vectors(spark, sf_dir)
+    plane = S._hyperplanes()[0]
+    plane_col = F.array(*[F.lit(v) for v in plane])
+    fast = vecs.select("vec_id", S._dot_lit("d", plane).alias("m"))
+    slow = vecs.select(
+        "vec_id", _hof_dot(F.col("d"), plane_col).alias("m")
+    )
+    _assert_same(fast, slow)
+
+
+def test_cell_dists_matches_hof_formulation_bitwise(spark, sf_dir):
+    vecs = S._vectors(spark, sf_dir)
+    C = S._fit_centroids_sample(vecs)
+    fast = vecs.select("vec_id", S._cell_dists(C, "d").alias("cd"))
+    slow = vecs.select("vec_id", _hof_cell_dists(C, "d").alias("cd"))
+    _assert_same(fast, slow)
+
+
+def test_cell_dists_literals_round_trip_exactly():
+    # _lit_d must reproduce the exact double bits F.lit would have shipped.
+    rng = np.random.default_rng(3)
+    for v in list(rng.standard_normal(50)) + [0.0, -0.0, 1e-300, -1.5e17]:
+        assert float(S._lit_d(float(v))[:-1]) == float(v)
+
+
+def _hof_sub_dists(books, col):
+    m_count, k_count, sub_dim = (int(s) for s in books.shape)
+    B = F.array(
+        *[
+            F.array(
+                *[
+                    F.array(*[F.lit(float(x)) for x in books[m][c]])
+                    for c in range(k_count)
+                ]
+            )
+            for m in range(m_count)
+        ]
+    )
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(m_count - 1)),
+        lambda m: F.transform(
+            F.element_at(B, m + 1),
+            lambda cb, c: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.slice(F.col(col), m * sub_dim + 1, sub_dim),
+                        cb,
+                        lambda x, cc: (x - cc) * (x - cc),
+                    ),
+                    F.lit(0.0),
+                    lambda s, x: s + x,
+                ).alias("dist"),
+                c.alias("code"),
+            ),
+        ),
+    )
+
+
+def test_sub_dists_matches_hof_formulation_bitwise(spark, sf_dir):
+    vecs = S._vectors(spark, sf_dir)
+    unit = vecs.select(
+        "vec_id", F.transform("d", lambda x: x / F.col("nrm")).alias("u")
+    )
+    books = S._fit_pq_codebooks(unit)
+    fast = unit.select("vec_id", S._sub_dists(books, "u").alias("sd"))
+    slow = unit.select("vec_id", _hof_sub_dists(books, "u").alias("sd"))
+    _assert_same(fast, slow)
+
+
+def test_exploded_signatures_match_hof_formulation(spark, sf_dir):
+    t = D._shingle_table(spark, sf_dir)
+    fast = D._signatures(t)
+    slow = _hof_signatures(t).select("doc_id", "sig")
+    fa = fast.select("doc_id", F.posexplode("sig").alias("i", "v"))
+    sl = slow.select("doc_id", F.posexplode("sig").alias("i", "v"))
+    _assert_same(fa, sl)
+
+
+def test_signatures_row_count_and_width(spark, sf_dir):
+    t = D._shingle_table(spark, sf_dir)
+    sig = D._signatures(t)
+    assert sig.count() == t.count()  # the added groupBy drops no documents
+    widths = sig.select(F.size("sig").alias("w")).distinct().collect()
+    assert [r.w for r in widths] == [D.N_HASHES]
