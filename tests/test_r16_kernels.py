@@ -177,6 +177,72 @@ def test_exploded_signatures_match_hof_formulation(spark, sf_dir):
     _assert_same(fa, sl)
 
 
+def _zipwith_shingles(toks, n=3):
+    m = F.size(toks) - (n - 1)
+    zipped = F.slice(toks, 1, m)
+    for j in range(1, n):
+        zipped = F.zip_with(
+            zipped, F.slice(toks, j + 1, m), lambda x, y: F.concat_ws(" ", x, y)
+        )
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, zipped).otherwise(
+            F.array().cast("array<string>")
+        )
+    )
+
+
+def test_regex_shingles_match_zipwith_formulation(spark, sf_dir):
+    from mapreduce_infrastructure_spark.catalog import load_table
+    from mapreduce_infrastructure_spark.llm.text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    fast = docs.select(
+        "doc_id", D.shingles_col(tokens_col()).alias("sh")
+    )
+    slow = docs.select("doc_id", _zipwith_shingles(tokens_col()).alias("sh"))
+    _assert_same(fast, slow)
+
+
+def test_regex_shingles_edge_cases(spark):
+    # short docs (0/1/2 tokens), exact-n docs, repeated shingles, and a
+    # token set exercising digits — all under the tokens_col contract
+    # (space-free [a-z0-9]+ tokens).
+    rows = [
+        (1, []),
+        (2, ["a"]),
+        (3, ["a", "b"]),
+        (4, ["a", "b", "c"]),
+        (5, ["a", "b", "a", "b", "a", "b"]),
+        (6, ["x1", "y2", "z3", "x1", "y2", "z3"]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, toks array<string>")
+    fast = df.select("doc_id", D.shingles_col(F.col("toks")).alias("sh"))
+    slow = df.select("doc_id", _zipwith_shingles(F.col("toks")).alias("sh"))
+    _assert_same(fast, slow)
+    got = {r.doc_id: r.sh for r in fast.collect()}
+    assert got[1] == got[2] == got[3] == []
+    assert got[4] == ["a b c"]
+    assert got[5] == ["a b a", "b a b"]
+    assert got[6] == ["x1 y2 z3", "y2 z3 x1", "z3 x1 y2"]
+
+
+def test_regex_shingles_n_param_matches_zipwith(spark):
+    rows = [(1, ["a", "b", "c", "d", "e", "f"])]
+    df = spark.createDataFrame(rows, "doc_id long, toks array<string>")
+    for n in (2, 4, 5):
+        fast = df.select(D.shingles_col(F.col("toks"), n).alias("sh"))
+        slow = df.select(_zipwith_shingles(F.col("toks"), n).alias("sh"))
+        _assert_same(fast, slow)
+
+
+def test_sample_matrix_matches_row_collect(spark, sf_dir):
+    vecs = S._vectors(spark, sf_dir)
+    X = S._sample_matrix(vecs, "d")
+    rows = vecs.orderBy("vec_id").limit(S._IVF_SAMPLE).select("d").collect()
+    ref = np.array([r.d for r in rows])
+    assert np.array_equal(X, ref) and X.dtype == ref.dtype
+
+
 def test_signatures_row_count_and_width(spark, sf_dir):
     t = D._shingle_table(spark, sf_dir)
     sig = D._signatures(t)
