@@ -75,10 +75,8 @@ def test_driver_materialization_sites_are_allowlisted():
         ("llm/dedup.py", "_cap_hot_bands"),  # 1-row truncation census
         ("llm/text.py", "bpe_learn_merges"),  # limit(1) argmax per merge
         ("llm/text.py", "doc_length_vs_quality_interaction_matrix"),  # 1-row, 9-threshold histogram census
-        ("llm/similarity.py", "_fit_centroids_sample"),  # sample-bounded fit
+        ("llm/similarity.py", "_sample_matrix"),  # _IVF_SAMPLE-bounded Arrow fetch shared by the sample/PQ/OPQ fits
         ("llm/similarity.py", "_fit_centroids_distributed"),  # k×dim stats
-        ("llm/similarity.py", "_fit_pq_codebooks"),  # codebook-bounded
-        ("llm/similarity.py", "_fit_opq"),  # rotation-matrix-bounded
         ("sources/formats.py", "binaryfile_ingest_stats"),  # 50-file bounded staging scaffold
         ("sources/zorder.py", "layout_context"),  # 1-row min/max for bits+box
         ("functions/ranks.py", "bucketed_prefix_sum"),  # 1-row debug-gated precondition census
