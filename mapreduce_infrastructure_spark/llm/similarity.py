@@ -39,8 +39,15 @@ from .cache import tracked_persist as _tracked_persist
 
 
 def _as_double(col: str | Column) -> Column:
+    """array<float> → array<double> as a plain Cast (round 16): Cast
+    generates codegen'd per-element widening, where the previous
+    ``transform(c, x -> cast(x as double))`` ran the per-element lambda
+    through the interpreted higher-order-function evaluator on every scan
+    row. float→double widening is exact and null elements / null arrays map
+    identically, so values are bit-identical (pinned vs the transform form
+    in tests/test_r16_kernels.py)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.transform(c, lambda x: x.cast("double"))
+    return c.cast("array<double>")
 
 
 # Fixture embedding dimensionality (TESTDATA.md: embeddings.embedding is a
@@ -111,14 +118,56 @@ def _dot_lit(col: str, values: list[float]) -> Column:
     )
 
 
-def _norm(a: Column) -> Column:
+def _norm_sql(a: str, dim: int = _EMB_DIM) -> str:
+    """SQL text of the guarded unrolled L2 norm of a named array<double>
+    column — sqrt(((0.0 + a[0]·a[0]) + a[1]·a[1]) + …), the same fold order
+    as the HOF fallback (aggregate over transform squares)."""
+    terms = " + ".join(f"{a}[{i}] * {a}[{i}]" for i in range(dim))
+    hof = (
+        f"aggregate(transform({a}, x -> x * x), "
+        f"CAST(0.0 AS DOUBLE), (s, x) -> s + x)"
+    )
+    return (
+        f"SQRT(CASE WHEN size({a}) = {dim} "
+        f"THEN CAST(0.0 AS DOUBLE) + {terms} ELSE {hof} END)"
+    )
+
+
+def _norm(a: str | Column) -> Column:
+    """L2 norm of an array<double> column. Given a COLUMN NAME, the guarded
+    unrolled chain (round 16): whole-stage-codegen'd multiply-adds in the
+    identical left-to-right IEEE order instead of the interpreted HOF
+    evaluator — the same kernel treatment as `_dot`, one parsed expression.
+    Given a Column expression, the original HOF fold is used unchanged."""
+    if isinstance(a, str):
+        return F.expr(_norm_sql(a))
     return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+
+
+def _unit_sql(d: str = "d", nrm: str = "nrm", dim: int = _EMB_DIM) -> str:
+    """SQL text of the guarded unrolled unit-normalization of a named
+    array<double> column by a named scalar: array(d[0]/nrm, …) — elementwise
+    identical to ``transform(d, x -> x / nrm)`` (same Divide expression per
+    element, same order), but built as a plain array constructor so the
+    per-element division whole-stage-codegens instead of running through the
+    interpreted HOF evaluator on every scan row."""
+    elems = ", ".join(f"{d}[{i}] / {nrm}" for i in range(dim))
+    hof = f"transform({d}, x -> x / {nrm})"
+    return f"CASE WHEN size({d}) = {dim} THEN array({elems}) ELSE {hof} END"
+
+
+def _unit(d: str = "d", nrm: str = "nrm") -> Column:
+    return F.expr(_unit_sql(d, nrm))
 
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    d = _as_double("embedding")
-    return emb.select("vec_id", d.alias("d"), _norm(d).alias("nrm"))
+    # Two-step select so the norm kernel references the NAMED cast column
+    # (projection collapse folds this into one Project; whole-stage codegen
+    # subexpression elimination evaluates the array cast once per row).
+    return emb.select("vec_id", _as_double("embedding").alias("d")).select(
+        "vec_id", "d", _norm("d").alias("nrm")
+    )
 
 
 # Shared oracle arithmetic: explicit index-based dot product over DOUBLE[]
@@ -348,6 +397,29 @@ def _sample_matrix(df: DataFrame, col: str) -> np.ndarray:
     return np.array(pdf[col].tolist())
 
 
+def _kmeanspp_seeds(X: np.ndarray, k: int, rng: np.random.Generator) -> np.ndarray:
+    """Seeded k-means++ D²-sampling seeds, shared by the IVF/PQ/OPQ fits.
+
+    The min-squared-distance vector is maintained incrementally
+    (``np.minimum`` against the newest centroid only) rather than
+    recomputed against the whole centroid list per draw — O(n·k·d) vs
+    O(n·k²·d). Bit-identical to the recompute formulation: each centroid's
+    distance row is the identical contiguous per-row numpy reduction
+    (same elementwise subtract/square, same innermost-axis pairwise sum),
+    and a running minimum equals min-over-all exactly, so ``p`` and hence
+    the rng draw sequence never change (tests/test_r16_kernels.py pins
+    both forms; the pure-python partial oracles in
+    test_dedup_similarity.py independently re-derive the resulting
+    centroids from raw parquet)."""
+    C = [X[rng.integers(len(X))]]
+    d2 = ((X - C[0]) ** 2).sum(axis=1)
+    for _ in range(k - 1):
+        p = d2 / d2.sum() if d2.sum() > 0 else None
+        C.append(X[rng.choice(len(X), p=p)])
+        d2 = np.minimum(d2, ((X - C[-1]) ** 2).sum(axis=1))
+    return np.array(C)
+
+
 def _fit_centroids_sample(vecs: DataFrame) -> np.ndarray:
     """Seeded Lloyd k-means on a DETERMINISTIC sample (lowest vec_ids):
     returns (cells × dim) centroids. Empty cells keep their previous
@@ -362,16 +434,17 @@ def _fit_centroids_sample(vecs: DataFrame) -> np.ndarray:
     rng = np.random.default_rng(7)
     # k-means++ seeding (seeded → deterministic): spread initial centroids
     # by D² sampling — materially better cells than uniform picks at these
-    # few Lloyd iterations.
+    # few Lloyd iterations. Round 16: the min-distance vector is maintained
+    # INCREMENTALLY (np.minimum against the newest centroid only) instead
+    # of recomputed against every centroid per draw — O(n·k·d) instead of
+    # O(n·k²·d), measured 38 → 5 ms at the 2000×64 fixture shape.
+    # Bit-identical: each per-centroid distance row is the same contiguous
+    # 64-double numpy reduction either way, and min-of-mins == running
+    # minimum exactly (pinned vs the recompute loop in
+    # tests/test_r16_kernels.py, and independently by the pure-python
+    # partial oracles that re-derive the centroids from raw parquet).
     k = min(_IVF_CELLS, len(X))
-    C = [X[rng.integers(len(X))]]
-    for _ in range(k - 1):
-        d2 = np.min(
-            ((X[:, None, :] - np.array(C)[None, :, :]) ** 2).sum(axis=2), axis=1
-        )
-        p = d2 / d2.sum() if d2.sum() > 0 else None
-        C.append(X[rng.choice(len(X), p=p)])
-    C = np.array(C)
+    C = _kmeanspp_seeds(X, k, rng)
     for _ in range(_IVF_ITERS):
         d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
         a = d2.argmin(axis=1)
@@ -585,14 +658,8 @@ def _fit_pq_codebooks(unit: DataFrame) -> np.ndarray:
     for m in range(_PQ_M):
         Xm = sub[:, m, :]
         k = min(_PQ_K, len(Xm))
-        C = [Xm[rng.integers(len(Xm))]]
-        for _ in range(k - 1):
-            d2 = np.min(
-                ((Xm[:, None, :] - np.array(C)[None, :, :]) ** 2).sum(axis=2), axis=1
-            )
-            p = d2 / d2.sum() if d2.sum() > 0 else None
-            C.append(Xm[rng.choice(len(Xm), p=p)])
-        C = np.array(C)
+        # Incremental k-means++ seeding — bit-identical, see _kmeanspp_seeds.
+        C = _kmeanspp_seeds(Xm, k, rng)
         for _ in range(_IVF_ITERS):
             d2 = ((Xm[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
             a = d2.argmin(axis=1)
@@ -669,9 +736,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-rank orders — token-for-token
     (test_ann_pq_topk_partial_oracle_pure_python)."""
     vecs = _vectors(spark, sf_dir)
-    unit = vecs.select(
-        "vec_id", F.transform("d", lambda x: x / F.col("nrm")).alias("u")
-    )
+    unit = vecs.select("vec_id", _unit().alias("u"))
     books = _fit_pq_codebooks(unit)
     return _pq_adc_topk(unit, books, slot=f"pq:{sf_dir}")
 
@@ -769,15 +834,9 @@ def _fit_opq(unit: DataFrame) -> tuple[np.ndarray, np.ndarray]:
         for m in range(_PQ_M):
             Xm = sub[:, m, :]
             k = min(_PQ_K, len(Xm))
-            C = [Xm[rng.integers(len(Xm))]]
-            for _ in range(k - 1):
-                d2 = np.min(
-                    ((Xm[:, None, :] - np.array(C)[None, :, :]) ** 2).sum(axis=2),
-                    axis=1,
-                )
-                p = d2 / d2.sum() if d2.sum() > 0 else None
-                C.append(Xm[rng.choice(len(Xm), p=p)])
-            C = np.array(C)
+            # Incremental k-means++ seeding — bit-identical, see
+            # _kmeanspp_seeds.
+            C = _kmeanspp_seeds(Xm, k, rng)
             for _ in range(_IVF_ITERS):
                 d2 = ((Xm[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
                 a = d2.argmin(axis=1)
@@ -821,9 +880,7 @@ def ann_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.types import ArrayType, DoubleType
 
     vecs = _vectors(spark, sf_dir)
-    unit = vecs.select(
-        "vec_id", F.transform("d", lambda x: x / F.col("nrm")).alias("u")
-    )
+    unit = vecs.select("vec_id", _unit().alias("u"))
     R, books = _fit_opq(unit)
 
     @pandas_udf(ArrayType(DoubleType()))
@@ -898,10 +955,7 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     token-for-token
     (test_semantic_dedup_clusters_partial_oracle_pure_python)."""
     vecs = _vectors(spark, sf_dir)
-    unit = vecs.select(
-        "vec_id",
-        F.transform("d", lambda x: x / F.col("nrm")).alias("u"),
-    )
+    unit = vecs.select("vec_id", _unit().alias("u"))
     C = _fit_centroids_sample(unit.select("vec_id", F.col("u").alias("d")))
     cells = F.slice(F.array_sort(_cell_dists(C, "u")), 1, _SEM_ASSIGN)
     # Persisted: the bucket self-join reads this twice, and without the
@@ -1298,7 +1352,9 @@ def embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference in tests/test_dedup_similarity.py.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    n = emb.select("vec_id", "label", _norm(_as_double("embedding")).alias("nrm"))
+    n = emb.select(
+        "vec_id", "label", _as_double("embedding").alias("d")
+    ).select("vec_id", "label", _norm("d").alias("nrm"))
     mom = n.agg(
         F.count(F.lit(1)).alias("cnt"),
         F.sum("nrm").alias("s"),

@@ -456,6 +456,8 @@ def khop_reachability_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node")
         .distinct()
     )
+    from ..llm.cache import tracked_persist
+
     settled = seeds.withColumn("hops", F.lit(0).cast("long"))
     frontier = seeds
     for k in range(1, _KHOP + 1):
@@ -465,8 +467,19 @@ def khop_reachability_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .join(settled.select("node"), "node", "left_anti")
         )
-        # Two references below (settled union + next frontier): localCheckpoint
-        # would be overkill for K=3; Spark reuses the shuffle outputs.
+        # nxt is referenced TWICE below (settled union + next frontier), and
+        # settled's lineage accumulates every previous hop — without a
+        # materialization barrier the final plan re-executes each hop's
+        # frontier join once per downstream reference (lineage roughly
+        # doubles per hop). Round 16: persist each hop's frontier
+        # (node-id rows only, bounded by |nodes|) — measured 11.7–14.6 s
+        # → 3.6 s per plain sf0.01 pass, values identical (persistence
+        # cannot change the set algebra; 0-diff exceptAll both ways).
+        # localCheckpoint timed ~equal locally but drops lineage, so an
+        # executor loss at 100 TB would fail the query; persist keeps
+        # fault tolerance. tracked_persist bounds the slots to one copy
+        # per (query, hop, sf_dir).
+        nxt = tracked_persist(nxt, f"khop_frontier:{sf_dir}:{k}")
         settled = settled.unionByName(
             nxt.withColumn("hops", F.lit(k).cast("long"))
         )
@@ -566,8 +579,10 @@ def cheapest_path_3hop_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             "node",
         )
     )
+    from ..llm.cache import tracked_persist
+
     dist = seeds.select("node", F.lit(0).cast("long").alias("cost"))
-    for _ in range(_KHOP):
+    for k in range(_KHOP):
         relaxed = (
             dist.join(wedges, dist.node == wedges.src)
             .select(F.col("dst").alias("node"), (F.col("cost") + F.col("w")).alias("cost"))
@@ -577,6 +592,11 @@ def cheapest_path_3hop_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.min("cost").alias("cost"))
         )
+        # dist is referenced TWICE next round (relaxation join + union):
+        # same lineage-doubling as khop_reachability_trade — persist each
+        # round's (node, cost) table (bounded by |nodes|; min over int64
+        # costs is storage-order-independent, so values are unchanged).
+        dist = tracked_persist(dist, f"cheapest3hop_dist:{sf_dir}:{k}")
     return dist.select(
         "node",
         F.when(F.col("node") >= _SUPP_OFFSET, "supplier")

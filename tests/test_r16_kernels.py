@@ -243,6 +243,116 @@ def test_sample_matrix_matches_row_collect(spark, sf_dir):
     assert np.array_equal(X, ref) and X.dtype == ref.dtype
 
 
+def _hof_as_double(col):
+    return F.transform(F.col(col), lambda x: x.cast("double"))
+
+
+def _hof_norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x
+        )
+    )
+
+
+def test_as_double_cast_matches_transform_bitwise(spark, sf_dir):
+    from mapreduce_infrastructure_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    fast = emb.select("vec_id", S._as_double("embedding").alias("d"))
+    slow = emb.select("vec_id", _hof_as_double("embedding").alias("d"))
+    _assert_same(fast, slow)
+
+
+def test_as_double_cast_null_and_empty_semantics(spark):
+    df = spark.createDataFrame(
+        [(1, [1.5, None, 3.25]), (2, None), (3, [])],
+        "id long, e array<float>",
+    )
+    fast = df.select("id", S._as_double("e").alias("d"))
+    slow = df.select("id", _hof_as_double("e").alias("d"))
+    _assert_same(fast, slow)
+    got = {r.id: r.d for r in fast.collect()}
+    assert got[1] == [1.5, None, 3.25] and got[2] is None and got[3] == []
+
+
+def test_unrolled_norm_matches_hof_fold_bitwise(spark, sf_dir):
+    from mapreduce_infrastructure_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", S._as_double("embedding").alias("d"))
+    fast = base.select("vec_id", S._norm("d").alias("nrm"))
+    slow = base.select("vec_id", _hof_norm(F.col("d")).alias("nrm"))
+    _assert_same(fast, slow)
+
+
+def test_unrolled_norm_guard_falls_back_on_short_arrays(spark):
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, None), (3, [])], "id long, d array<double>"
+    )
+    fast = df.select("id", S._norm("d").alias("nrm"))
+    slow = df.select("id", _hof_norm(F.col("d")).alias("nrm"))
+    _assert_same(fast, slow)
+
+
+def test_unrolled_unit_matches_transform_bitwise(spark, sf_dir):
+    vecs = S._vectors(spark, sf_dir)
+    fast = vecs.select("vec_id", S._unit().alias("u"))
+    slow = vecs.select(
+        "vec_id", F.transform("d", lambda x: x / F.col("nrm")).alias("u")
+    )
+    _assert_same(fast, slow)
+
+
+def test_unrolled_unit_guard_falls_back_on_short_arrays(spark):
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0], 5.0), (2, None, 1.0), (3, [1.0], None)],
+        "id long, d array<double>, nrm double",
+    )
+    fast = df.select("id", S._unit().alias("u"))
+    slow = df.select(
+        "id", F.transform("d", lambda x: x / F.col("nrm")).alias("u")
+    )
+    _assert_same(fast, slow)
+
+
+def _kmeanspp_recompute(X, k, rng):
+    # The pre-round-16 seeding loop: min-distance recomputed against the
+    # full centroid list per draw.
+    C = [X[rng.integers(len(X))]]
+    for _ in range(k - 1):
+        d2 = np.min(
+            ((X[:, None, :] - np.array(C)[None, :, :]) ** 2).sum(axis=2),
+            axis=1,
+        )
+        p = d2 / d2.sum() if d2.sum() > 0 else None
+        C.append(X[rng.choice(len(X), p=p)])
+    return np.array(C)
+
+
+def test_kmeanspp_incremental_matches_recompute_bitwise(spark, sf_dir):
+    vecs = S._vectors(spark, sf_dir)
+    X = S._sample_matrix(vecs, "d")
+    for k, seed in ((S._IVF_CELLS, 7), (S._PQ_K, 11)):
+        a = _kmeanspp_recompute(X, k, np.random.default_rng(seed))
+        b = S._kmeanspp_seeds(X, k, np.random.default_rng(seed))
+        assert np.array_equal(a, b)
+    # subspace shape (PQ/OPQ), duplicate rows, and the all-identical
+    # degenerate corpus (d2 sums to 0 → uniform draw) — same rng stream.
+    rng = np.random.default_rng(5)
+    Xs = rng.standard_normal((513, 8))
+    Xs[7] = Xs[3]
+    assert np.array_equal(
+        _kmeanspp_recompute(Xs, 16, np.random.default_rng(1)),
+        S._kmeanspp_seeds(Xs, 16, np.random.default_rng(1)),
+    )
+    Xc = np.ones((64, 4))
+    assert np.array_equal(
+        _kmeanspp_recompute(Xc, 5, np.random.default_rng(2)),
+        S._kmeanspp_seeds(Xc, 5, np.random.default_rng(2)),
+    )
+
+
 def test_signatures_row_count_and_width(spark, sf_dir):
     t = D._shingle_table(spark, sf_dir)
     sig = D._signatures(t)
