@@ -77,6 +77,7 @@ def main() -> None:
             "minhash_lsh_pairs",
             "ann_ivf_topk",
             "neardup_cosine_ivf",
+            "knn_bruteforce",
             "stream_tumbling_hourly",
         ):
             try:
