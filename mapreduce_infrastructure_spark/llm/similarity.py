@@ -458,9 +458,9 @@ def _fit_centroids_sample(vecs: DataFrame) -> np.ndarray:
 def _fit_centroids_distributed(vecs: DataFrame) -> np.ndarray:
     """Distributed Lloyd fit of the IVF coarse quantizer: seeds = the
     _IVF_CELLS lowest vec_ids, then _IVF_ITERS assign/re-mean rounds.
-    Each round is ONE Spark job: JVM-side nearest-centroid assignment
-    against the current centroids as literals (the same _cell_dists
-    expression the downstream corpus assignment uses), then a single
+    Each round is ONE Spark job: nearest-centroid assignment via the
+    Arrow kernel (the same _cells_topk_udf the downstream corpus
+    assignment uses — bit-identical to the _cell_dists argmin), then a single
     groupBy(cid) with one DECIMAL(28,9) column-sum per dimension plus a
     count — no row inflation, and the per-dimension sums combine map-side
     (partial HashAggregate) before the k-row shuffle. The ≤ k×(dim+1)
@@ -511,7 +511,8 @@ def _fit_centroids_distributed(vecs: DataFrame) -> np.ndarray:
 
 def _lloyd_iteration_stats(pts: DataFrame, C: np.ndarray) -> DataFrame:
     """One Lloyd iteration's cluster statistics as a single-shuffle plan:
-    nearest-centroid assignment against literal centroids, then a
+    nearest-centroid assignment via the Arrow kernel (_cells_topk_udf —
+    bit-identical to the literal-centroid _cell_dists argmin), then a
     groupBy(cid) with a count and one DECIMAL(28,9) column-sum per
     dimension. Returns ≤ len(C) rows of (cid, n, s0..s{dim-1}) — bounded
     driver state whatever the corpus size. Kept separate from the fit loop
@@ -519,7 +520,9 @@ def _lloyd_iteration_stats(pts: DataFrame, C: np.ndarray) -> DataFrame:
     cartesian product, partial aggregation before the shuffle)."""
     dim = C.shape[1]
     return (
-        pts.select(F.array_min(_cell_dists(C, "x"))["cell"].alias("cid"), "x")
+        pts.select(
+            F.element_at(_cells_topk_udf(C, 1)("x"), 1).alias("cid"), "x"
+        )
         .groupBy("cid")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -584,11 +587,13 @@ def ann_ivf_topk(
     else:
         C = _fit_centroids_sample(vecs)
 
-    # Cell assignment stays JVM-side: distance to each literal centroid as
-    # one expression (_cell_dists), array_min over (dist, cell) structs
-    # picks the argmin.
+    # Cell assignment rides the Arrow kernel (round 16, backlog item 1):
+    # bit-identical argmin by (dist, cell) — see _cells_topk_udf — with
+    # only the vector column crossing the Python boundary, instead of the
+    # interpreted 16-fold _cell_dists bank per scan row.
     assigned = vecs.select(
-        "vec_id", "d", "nrm", F.array_min(_cell_dists(C, "d"))["cell"].alias("cell")
+        "vec_id", "d", "nrm",
+        F.element_at(_cells_topk_udf(C, 1)("d"), 1).alias("cell"),
     )
     # Tiny centroid table (16 rows) — broadcast for query→cell ranking.
     centroids = spark.createDataFrame(
@@ -597,7 +602,10 @@ def ann_ivf_topk(
     )
     from pyspark.sql import Window
 
-    q = assigned.filter(F.col("vec_id") < 10).select(
+    # The query set never reads `cell`, so it comes straight from `vecs`:
+    # the vec_id < 10 filter stays below the scan (pushed) instead of
+    # sitting above the assignment kernel's ArrowEvalPython node.
+    q = vecs.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("d").alias("qd"),
         F.col("nrm").alias("qnrm"),
@@ -759,11 +767,12 @@ def _pq_adc_topk(unit: DataFrame, books: np.ndarray, slot: str = "pq") -> DataFr
     from pyspark.sql import Window
 
     unit = _tracked_persist(unit, f"pq_unit:{slot}")
+    # Corpus-side encoding rides the Arrow kernel (round 16, backlog
+    # item 1): bit-identical per-subspace argmin — see _pq_codes_udf. The
+    # _sub_dists expression stays for the 10-row query distance table
+    # below, where plan cost, not per-row throughput, is what matters.
     encoded = unit.select(
-        "vec_id",
-        F.transform(
-            _sub_dists(books, "u"), lambda per_m: F.array_min(per_m)["code"]
-        ).alias("codes"),
+        "vec_id", _pq_codes_udf(books)("u").alias("codes")
     )
     # Query side: distance TABLE per subspace — dist to every centroid IN
     # CODE ORDER (_sub_dists emits centroids in code order; no sorting,
@@ -925,6 +934,191 @@ def _cell_dists(C: np.ndarray, col: str) -> Column:
     return F.expr("array(" + ", ".join(structs) + ")")
 
 
+def _cells_topk_udf(C: np.ndarray, n: int):
+    """Arrow-batched kernel for the corpus-side IVF cell assignment: the
+    ``n`` nearest cells of each vector by (dist, cell) — exactly
+    ``transform(slice(array_sort(_cell_dists(C, col)), 1, n), s -> s.cell)``
+    (and, at n=1, exactly ``array_min(_cell_dists(C, col)).cell``), returned
+    as array<int>.
+
+    Round 16, backlog item 1: `_cell_dists` is a 16-centroid bank of
+    interpreted zip_with/aggregate folds (~125 µs/row at sf0.1 — the HOF
+    evaluator never whole-stage-codegens), and the round-16 attempt to
+    unroll it JVM-side blew the 8 KB JIT method limit and dropped the whole
+    stage to the bytecode interpreter (see `_cell_dists`). This kernel is
+    the guide-§4.2 answer instead: only the vector column crosses to the
+    Python worker (Arrow batches), and the per-(row, centroid) distance is
+    computed as a per-dimension accumulation loop over numpy row vectors —
+
+        acc = 0.0;  for i in 0..dim-1:  acc = acc + (x[i] - c[i])²
+
+    — the IDENTICAL sequence of IEEE-754 binary64 operations as the HOF
+    fold ``aggregate(zip_with(x, c, (x,c) -> (x-c)*(x-c)), 0.0D, +)``, so
+    every distance is bit-identical by construction, not by measurement
+    (numpy elementwise float64 ops are the same round-to-nearest doubles
+    the JVM computes; pinned both ways in tests/test_r16_kernels.py and
+    end-to-end by the pure-python partial oracles, whose reference fold is
+    this same loop). Cell selection is a STABLE argsort on the distance
+    row — (dist asc, cell asc), the exact (dist, cell) struct order of
+    array_sort/array_min, NaN ordered last on both sides.
+
+    Rows the expression form would null out (null array, any null/NaN
+    element, length ≠ dim) get every per-cell dist nulled AT ONCE there
+    (the zip_with pad / null term poisons all 16 folds identically), so
+    array_min/array_sort fall through to the cell tiebreak and yield cells
+    [0, 1, …] — replicated here as the fallback row path and pinned on
+    degenerate corpora in tests/test_r16_kernels.py.
+
+    Scale: replaces a 16×192-interpreted-ops-per-row corpus pass with one
+    Arrow crossing of (vector in, n ints out) and ~k·dim vectorized batch
+    ops — scan-linear with a numpy constant instead of an interpreted one.
+    Plan cost: the 16×64 centroid literal bank disappears from the plan
+    (the kernel closes over the numpy matrix), cutting plan parse/analyze
+    time for every consumer."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    Cm = np.ascontiguousarray(np.asarray(C, dtype=np.float64))
+    k, dim = Cm.shape
+    n_out = min(n, k)
+    fallback = np.arange(n_out, dtype=np.int32)
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def _cells(col: pd.Series) -> pd.Series:
+        vals = col.values
+        m = len(vals)
+        rows = np.empty((m, dim), dtype=np.float64)
+        clean = np.zeros(m, dtype=bool)
+        for r in range(m):
+            v = vals[r]
+            if v is None or len(v) != dim:
+                continue
+            try:
+                rows[r] = np.asarray(v, dtype=np.float64)
+            except (TypeError, ValueError):
+                continue  # non-numeric / None elements → expression nulls
+            clean[r] = True
+        # Null elements arrive as NaN from Arrow; the expression form nulls
+        # every cell dist for such rows (same fallback), so NaN rows join
+        # the unclean set. NaN-free rows take the vectorized path.
+        idx = np.flatnonzero(clean)
+        if len(idx):
+            nanfree = ~np.isnan(rows[idx]).any(axis=1)
+            idx = idx[nanfree]
+        out = [fallback] * m
+        if len(idx):
+            X = rows[idx]
+            D = np.empty((len(idx), k), dtype=np.float64)
+            for j in range(k):
+                acc = np.zeros(len(idx), dtype=np.float64)
+                for i in range(dim):
+                    t = X[:, i] - Cm[j, i]
+                    acc = acc + t * t
+                D[:, j] = acc
+            order = np.argsort(D, axis=1, kind="stable")[:, :n_out]
+            order = np.ascontiguousarray(order, dtype=np.int32)
+            for pos, r in enumerate(idx):
+                out[r] = order[pos]
+        return pd.Series(out)
+
+    return _cells
+
+
+def _pq_codes_udf(books: np.ndarray):
+    """Arrow-batched kernel for the corpus-side PQ encoding: per subspace
+    m, the nearest codebook centroid by (dist, code) — exactly
+    ``transform(_sub_dists(books, col), per_m -> array_min(per_m).code)``,
+    returned as array<int> of M codes.
+
+    Same construction (and the same bit-identity argument) as
+    `_cells_topk_udf`: per-(row, m, code) distances are per-dimension
+    accumulation loops in the HOF fold's exact IEEE order over the 8-dim
+    subvector, code selection is the first entry of a stable argsort
+    (dist asc, code asc — array_min's struct order). Degenerate rows
+    follow the expression semantics PER SUBSPACE: `_sub_dists` slices the
+    input per m and zip_with pads a short slice with nulls, so a row of
+    length L nulls out every code with m·sub_dim + sub_dim > L (→ code 0
+    via the cell tiebreak) while lower subspaces still encode — replicated
+    here row-by-row and pinned on degenerate corpora in
+    tests/test_r16_kernels.py. A row longer than M·sub_dim encodes its
+    first M·sub_dim dims on both sides (slice reads only those)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    B = np.ascontiguousarray(np.asarray(books, dtype=np.float64))
+    m_count, k_count, sub_dim = B.shape
+    total = m_count * sub_dim
+
+    def _row_codes(v) -> np.ndarray:
+        """Expression-faithful per-row path for rows that are not a clean
+        NaN-free ``total``-length vector (rare: fixture tests only)."""
+        codes = np.zeros(m_count, dtype=np.int32)
+        if v is None:
+            return codes
+        try:
+            arr = [None if x is None else float(x) for x in v]
+        except (TypeError, ValueError):
+            return codes
+        for mi in range(m_count):
+            sub = arr[mi * sub_dim : (mi + 1) * sub_dim]
+            if len(sub) < sub_dim or any(
+                x is None or x != x for x in sub
+            ):
+                continue  # null-padded / null / NaN terms → all dists
+                # null/NaN → array_min tie falls to code 0
+            best = None
+            for c in range(k_count):
+                acc = 0.0
+                for i in range(sub_dim):
+                    t = sub[i] - B[mi, c, i]
+                    acc = acc + t * t
+                if best is None or acc < best[0]:
+                    best = (acc, c)
+            codes[mi] = best[1]
+        return codes
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def _codes(col: pd.Series) -> pd.Series:
+        vals = col.values
+        m = len(vals)
+        rows = np.empty((m, total), dtype=np.float64)
+        clean = np.zeros(m, dtype=bool)
+        for r in range(m):
+            v = vals[r]
+            if v is None or len(v) != total:
+                continue
+            try:
+                rows[r] = np.asarray(v, dtype=np.float64)
+            except (TypeError, ValueError):
+                continue
+            clean[r] = True
+        idx = np.flatnonzero(clean)
+        if len(idx):
+            nanfree = ~np.isnan(rows[idx]).any(axis=1)
+            idx = idx[nanfree]
+        out: list = [None] * m
+        if len(idx):
+            X = rows[idx]
+            codes = np.empty((len(idx), m_count), dtype=np.int32)
+            for mi in range(m_count):
+                D = np.empty((len(idx), k_count), dtype=np.float64)
+                for c in range(k_count):
+                    acc = np.zeros(len(idx), dtype=np.float64)
+                    for i in range(sub_dim):
+                        t = X[:, mi * sub_dim + i] - B[mi, c, i]
+                        acc = acc + t * t
+                    D[:, c] = acc
+                codes[:, mi] = np.argsort(D, axis=1, kind="stable")[:, 0]
+            for pos, r in enumerate(idx):
+                out[r] = codes[pos]
+        for r in range(m):
+            if out[r] is None:
+                out[r] = _row_codes(vals[r])
+        return pd.Series(out)
+
+    return _codes
+
+
 SEMANTIC_TAU = 0.4  # same contract as the cosine near-dup tier
 _SEM_ASSIGN = 3  # cells per vector: the recall dial of the candidate step
 
@@ -957,7 +1151,8 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = _vectors(spark, sf_dir)
     unit = vecs.select("vec_id", _unit().alias("u"))
     C = _fit_centroids_sample(unit.select("vec_id", F.col("u").alias("d")))
-    cells = F.slice(F.array_sort(_cell_dists(C, "u")), 1, _SEM_ASSIGN)
+    # 3-nearest-cell assignment rides the Arrow kernel (round 16, backlog
+    # item 1): bit-identical (dist, cell) order — see _cells_topk_udf.
     # Persisted: the bucket self-join reads this twice, and without the
     # barrier projection collapse re-inlines the normalize + 16-centroid
     # distance expressions into both sides. ID + cell ONLY — the exact
@@ -966,7 +1161,7 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = _tracked_persist(
         unit.select(
             "vec_id",
-            F.explode(F.transform(cells, lambda s: s["cell"])).alias("cell"),
+            F.explode(_cells_topk_udf(C, _SEM_ASSIGN)("u")).alias("cell"),
         ),
         f"semantic_assigned:{sf_dir}",
     )
@@ -1021,7 +1216,8 @@ def neardup_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     vecs = _vectors(spark, sf_dir)
     C = _fit_centroids_sample(vecs)
-    two_cells = F.slice(F.array_sort(_cell_dists(C, "d")), 1, 2)
+    # 2-nearest-cell assignment rides the Arrow kernel (round 16, backlog
+    # item 1): bit-identical (dist, cell) order — see _cells_topk_udf.
     # Persisted for the same reason as the semantic tier: the bucket
     # self-join would otherwise recompute the 16-centroid assignment
     # expression for both sides. ID + cell ONLY (the verify joins the
@@ -1030,7 +1226,7 @@ def neardup_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = _tracked_persist(
         vecs.select(
             "vec_id",
-            F.explode(F.transform(two_cells, lambda s: s["cell"])).alias("cell"),
+            F.explode(_cells_topk_udf(C, 2)("d")).alias("cell"),
         ),
         f"neardup_ivf_assigned:{sf_dir}",
     )

@@ -9,6 +9,11 @@ higher-order-function formulations with whole-stage-codegen'd equivalents
   centroid literals and guarded unrolled squared-L2 folds,
 - `dedup._signatures` → explode + codegen'd xxhash64 + partial-agg min.
 
+and the wave-3 pass moved the corpus-side IVF cell assignment and PQ
+encoding onto Arrow kernels (`similarity._cells_topk_udf` /
+`_pq_codes_udf`) that replicate the `_cell_dists` / `_sub_dists`
+expression semantics per row.
+
 Each claims BIT-IDENTICAL results (same IEEE ops, same fold order). These
 tests pin that claim directly against the original HOF formulations, so a
 future Spark upgrade or kernel edit that drifts by one ulp fails here, not
@@ -359,3 +364,109 @@ def test_signatures_row_count_and_width(spark, sf_dir):
     assert sig.count() == t.count()  # the added groupBy drops no documents
     widths = sig.select(F.size("sig").alias("w")).distinct().collect()
     assert [r.w for r in widths] == [D.N_HASHES]
+
+
+# --- wave-3 Arrow kernels: IVF cell assignment and PQ encoding -----------
+#
+# _cells_topk_udf / _pq_codes_udf (llm/similarity.py) claim bit-identical
+# results to the _cell_dists / _sub_dists expression formulations they
+# replaced on the corpus side: same per-dimension IEEE fold order, stable
+# (dist, cell/code) argsort = array_min/array_sort struct order, and the
+# same cell-0 fallback on rows the expressions null out. Pin both the real
+# corpus and the degenerate shapes.
+
+
+def _expr_cells_topn(C, col, n):
+    return F.transform(
+        F.slice(F.array_sort(S._cell_dists(C, col)), 1, n), lambda s: s["cell"]
+    )
+
+
+def _expr_pq_codes(books, col):
+    return F.transform(
+        S._sub_dists(books, col), lambda per_m: F.array_min(per_m)["code"]
+    )
+
+
+def test_cells_topk_udf_matches_expression(spark, sf_dir):
+    vecs = S._vectors(spark, sf_dir)
+    C = S._fit_centroids_sample(vecs)
+    for n in (1, 2, 3):
+        fast = vecs.select("vec_id", S._cells_topk_udf(C, n)("d").alias("c"))
+        slow = vecs.select("vec_id", _expr_cells_topn(C, "d", n).alias("c"))
+        _assert_same(fast, slow)
+    # n=1 must also equal the array_min form ann_ivf/Lloyd actually use.
+    one = vecs.select(
+        "vec_id", F.element_at(S._cells_topk_udf(C, 1)("d"), 1).alias("c")
+    )
+    amin = vecs.select(
+        "vec_id", F.array_min(S._cell_dists(C, "d"))["cell"].alias("c")
+    )
+    _assert_same(one, amin)
+
+
+def test_cells_topk_udf_degenerate_rows(spark):
+    # Rows the expression form nulls out (null array, wrong length, null or
+    # NaN element) must fall through to the same cell-order tiebreak.
+    C = np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.5, 0.5, 0.5]])
+    rows = [
+        (1, [1.0, 0.0, 0.0]),          # clean: nearest cell 0
+        (2, None),                      # null array
+        (3, [1.0, 0.0]),                # short
+        (4, [1.0, 0.0, 0.0, 9.0]),      # long
+        (5, [1.0, None, 0.0]),          # null element
+        (6, [1.0, float("nan"), 0.0]),  # NaN element
+        (7, []),                        # empty
+        (8, [0.4, 0.6, 0.5]),           # clean: nearest cell 2
+    ]
+    df = spark.createDataFrame(rows, "id long, x array<double>")
+    for n in (1, 2, 3):
+        fast = df.select("id", S._cells_topk_udf(C, n)("x").alias("c"))
+        slow = df.select("id", _expr_cells_topn(C, "x", n).alias("c"))
+        _assert_same(fast, slow)
+    got = {r.id: r.c for r in df.select(
+        "id", S._cells_topk_udf(C, 2)("x").alias("c")).collect()}
+    assert got[1][0] == 0 and got[8][0] == 2
+    for bad in (2, 3, 4, 5, 6, 7):
+        assert got[bad] == [0, 1]  # the expression family's tiebreak order
+
+
+def test_pq_codes_udf_matches_expression(spark, sf_dir):
+    vecs = S._vectors(spark, sf_dir)
+    unit = vecs.select("vec_id", S._unit().alias("u"))
+    books = S._fit_pq_codebooks(unit)
+    fast = unit.select("vec_id", S._pq_codes_udf(books)("u").alias("codes"))
+    slow = unit.select("vec_id", _expr_pq_codes(books, "u").alias("codes"))
+    _assert_same(fast, slow)
+
+
+def test_pq_codes_udf_degenerate_rows(spark):
+    # Per-subspace semantics: a short row still encodes its complete lower
+    # subspaces (code 0 only for the truncated ones); null/NaN elements
+    # poison exactly their own subspace; extra elements are ignored.
+    books = np.array(
+        [
+            [[0.0, 0.0], [1.0, 1.0], [2.0, 2.0]],   # m=0: 3 codes, dim 2
+            [[0.0, 1.0], [1.0, 0.0], [5.0, 5.0]],   # m=1
+        ]
+    )
+    rows = [
+        (1, [1.0, 1.0, 1.0, 0.0]),           # clean → [1, 1]
+        (2, None),                            # null array
+        (3, []),                              # empty
+        (4, [2.0, 2.0, 5.0]),                 # short: m0 full, m1 truncated
+        (5, [0.0, 0.0, None, 5.0]),           # null element in m1
+        (6, [float("nan"), 0.0, 5.0, 5.0]),   # NaN in m0
+        (7, [1.0, 1.0, 1.0, 0.0, 99.0]),      # long: extra dim ignored
+    ]
+    df = spark.createDataFrame(rows, "id long, u array<double>")
+    fast = df.select("id", S._pq_codes_udf(books)("u").alias("codes"))
+    slow = df.select("id", _expr_pq_codes(books, "u").alias("codes"))
+    _assert_same(fast, slow)
+    got = {r.id: list(r.codes) for r in fast.collect()}
+    assert got[1] == [1, 1]
+    assert got[2] == got[3] == [0, 0]
+    assert got[4] == [2, 0]      # m0 encodes, truncated m1 → code 0
+    assert got[5] == [0, 0]      # m1 poisoned by its null
+    assert got[6][0] == 0 and got[6][1] == 2  # only m0 poisoned by NaN
+    assert got[7] == [1, 1]
