@@ -231,6 +231,30 @@ def test_regex_shingles_edge_cases(spark):
     assert got[6] == ["x1 y2 z3", "y2 z3 x1", "z3 x1 y2"]
 
 
+def test_regex_shingles_null_token_array_yields_empty(spark):
+    # Wave 4 replaced the when(size(toks) >= n, ...) short-doc guard with
+    # coalesce(rx, []) so the interpreted tokens_col expression is evaluated
+    # once per document, not twice. The only input where the two forms could
+    # diverge is a NULL token array (NULL propagates through array_join /
+    # regexp_extract_all and must coalesce back to the guard's empty array).
+    rows = [(1, None), (2, ["a", "b", "c"])]
+    df = spark.createDataFrame(rows, "doc_id long, toks array<string>")
+    for n in (2, 3, 5):
+        fast = df.select("doc_id", D.shingles_col(F.col("toks"), n).alias("sh"))
+        guarded = df.select(
+            "doc_id",
+            F.array_distinct(
+                F.when(
+                    F.size("toks") >= n,
+                    D.shingles_col(F.col("toks"), n),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("sh"),
+        )
+        _assert_same(fast, guarded)
+        got = {r.doc_id: r.sh for r in fast.collect()}
+        assert got[1] == []
+
+
 def test_regex_shingles_n_param_matches_zipwith(spark):
     rows = [(1, ["a", "b", "c", "d", "e", "f"])]
     df = spark.createDataFrame(rows, "doc_id long, toks array<string>")
