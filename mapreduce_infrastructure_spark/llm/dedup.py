@@ -383,20 +383,25 @@ def _signatures(t: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     (An earlier n-aliased-HOF variant made codegen emit a ~megabyte method
     whose Janino compile dominated small-scale runtime; the n plain min()
     columns here each codegen a single call, so the method stays small.)
+
+    Wave 5: the n min() aggregates and the array re-assembly are generated
+    as ONE SQL string and parsed in a single round-trip instead of ~4·n
+    py4j Column calls — the parsed tree is the identical Aggregate (the
+    array is built in the aggregate's result expressions rather than a
+    collapsed-away Project; integer literals parse to the same IntegerType
+    F.lit produced), measured 0.49–0.62 s → 0.06–0.22 s of plan
+    construction per invocation at n=32 and pinned exceptAll-equal to the
+    Column-API form (tests/test_r16_kernels.py).
     """
-    hashed = t.select("doc_id", F.explode("sh").alias("s")).select(
-        "doc_id", F.xxhash64("s").alias("h")
+    hashed = t.select("doc_id", F.explode("sh").alias("s")).selectExpr(
+        "doc_id", "xxhash64(s) AS h"
     )
-    mins = hashed.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64("h", F.lit(i))).alias(f"_m{i}")
-            for i in range(n_hashes)
-        ]
+    sig = (
+        "array("
+        + ", ".join(f"min(xxhash64(h, {i}))" for i in range(n_hashes))
+        + ") AS sig"
     )
-    return mins.select(
-        "doc_id",
-        F.array(*[F.col(f"_m{i}") for i in range(n_hashes)]).alias("sig"),
-    )
+    return hashed.groupBy("doc_id").agg(F.expr(sig))
 
 
 @query("minhash_signatures", tags=("dedup", "minhash"))
@@ -504,21 +509,17 @@ def minhash_lsh_pairs(
     """
     t = _shingle_table(spark, sf_dir)
     sig = _signatures(t)
-    bands = sig.select(
+    # Wave 5: the band explode is one parsed SQL string — the identical
+    # transform/struct/slice tree the Column-API lambda built (python
+    # lambdas route through py4j named-lambda scaffolding on every call),
+    # pinned exceptAll-equal in tests/test_r16_kernels.py.
+    bands = sig.selectExpr(
         "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
-                lambda b: F.struct(
-                    b.alias("band_id"),
-                    F.xxhash64(
-                        F.slice(F.col("sig"), b * LSH_ROWS + 1, LSH_ROWS)
-                    ).alias("band_hash"),
-                ),
-            )
-        ).alias("band"),
-    ).select("doc_id", F.col("band.band_id").alias("band_id"),
-             F.col("band.band_hash").alias("band_hash"))
+        f"explode(transform(sequence(0, {LSH_BANDS - 1}), "
+        f"b -> struct(b AS band_id, xxhash64(slice(sig, "
+        f"b * {LSH_ROWS} + 1, {LSH_ROWS})) AS band_hash))) AS band",
+    ).selectExpr("doc_id", "band.band_id AS band_id",
+                 "band.band_hash AS band_hash")
     bands = _tracked_persist(bands, f"minhash_bands:{sf_dir}")
     bands = _cap_hot_bands(bands, hot_band_cap, f"minhash_bands_capped:{sf_dir}")
 

@@ -35,6 +35,7 @@ from ..registry import query
 
 # Persisted working sets, one slot per (query, sf_dir) — bounded-cache
 # helper shared across the LLM tier (see llm/cache.py).
+from .cache import shared_value as _shared_value
 from .cache import tracked_persist as _tracked_persist
 
 
@@ -576,16 +577,31 @@ def ann_ivf_topk(
         # Column-pruned count: _vectors is a computed projection, so this is
         # a real (if cheap) zero-data-column scan job, not a pure metadata
         # lookup. The fixtures stay on the sample path, a 100 TB corpus
-        # lands on the distributed fit.
-        fit = (
-            "distributed"
-            if vecs.count() >= _IVF_DISTRIBUTED_MIN_ROWS
-            else "sample"
+        # lands on the distributed fit. Wave 5: the decision and the fit
+        # below are session-shared per sf_dir (shared_value — the
+        # shingle-table pattern), so the IVF family derives each once per
+        # session instead of once per invocation.
+        fit = _shared_value(
+            spark,
+            lambda: (
+                "distributed"
+                if vecs.count() >= _IVF_DISTRIBUTED_MIN_ROWS
+                else "sample"
+            ),
+            f"ivf_fit_kind:{sf_dir}",
         )
     if fit == "distributed":
-        C = _fit_centroids_distributed(vecs)
+        C = _shared_value(
+            spark,
+            lambda: _fit_centroids_distributed(vecs),
+            f"ivf_fit_distributed:{sf_dir}",
+        )
     else:
-        C = _fit_centroids_sample(vecs)
+        C = _shared_value(
+            spark,
+            lambda: _fit_centroids_sample(vecs),
+            f"ivf_fit_sample:{sf_dir}",
+        )
 
     # Cell assignment rides the Arrow kernel (round 16, backlog item 1):
     # bit-identical argmin by (dist, cell) — see _cells_topk_udf — with
@@ -745,7 +761,9 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (test_ann_pq_topk_partial_oracle_pure_python)."""
     vecs = _vectors(spark, sf_dir)
     unit = vecs.select("vec_id", _unit().alias("u"))
-    books = _fit_pq_codebooks(unit)
+    books = _shared_value(
+        spark, lambda: _fit_pq_codebooks(unit), f"pq_codebooks:{sf_dir}"
+    )
     return _pq_adc_topk(unit, books, slot=f"pq:{sf_dir}")
 
 
@@ -890,7 +908,9 @@ def ann_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     vecs = _vectors(spark, sf_dir)
     unit = vecs.select("vec_id", _unit().alias("u"))
-    R, books = _fit_opq(unit)
+    R, books = _shared_value(
+        spark, lambda: _fit_opq(unit), f"opq_fit:{sf_dir}"
+    )
 
     @pandas_udf(ArrayType(DoubleType()))
     def _rotate(u: pd.Series) -> pd.Series:
@@ -1150,7 +1170,13 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (test_semantic_dedup_clusters_partial_oracle_pure_python)."""
     vecs = _vectors(spark, sf_dir)
     unit = vecs.select("vec_id", _unit().alias("u"))
-    C = _fit_centroids_sample(unit.select("vec_id", F.col("u").alias("d")))
+    C = _shared_value(
+        spark,
+        lambda: _fit_centroids_sample(
+            unit.select("vec_id", F.col("u").alias("d"))
+        ),
+        f"ivf_fit_unit_sample:{sf_dir}",
+    )
     # 3-nearest-cell assignment rides the Arrow kernel (round 16, backlog
     # item 1): bit-identical (dist, cell) order — see _cells_topk_udf.
     # Persisted: the bucket self-join reads this twice, and without the
@@ -1215,7 +1241,13 @@ def neardup_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     vecs = _vectors(spark, sf_dir)
-    C = _fit_centroids_sample(vecs)
+    # Wave 5: identical fit to ann_ivf_topk's sample path — session-shared
+    # under the same slot (shared_value, the shingle-table pattern).
+    C = _shared_value(
+        spark,
+        lambda: _fit_centroids_sample(vecs),
+        f"ivf_fit_sample:{sf_dir}",
+    )
     # 2-nearest-cell assignment rides the Arrow kernel (round 16, backlog
     # item 1): bit-identical (dist, cell) order — see _cells_topk_udf.
     # Persisted for the same reason as the semantic tier: the bucket

@@ -494,3 +494,64 @@ def test_pq_codes_udf_degenerate_rows(spark):
     assert got[5] == [0, 0]      # m1 poisoned by its null
     assert got[6][0] == 0 and got[6][1] == 2  # only m0 poisoned by NaN
     assert got[7] == [1, 1]
+
+
+# --- wave-5: single-parse plan construction and session-shared fits ------
+
+
+def test_sql_band_explode_matches_column_api(spark, sf_dir):
+    # minhash_lsh_pairs builds its band explode as one parsed SQL string
+    # (wave 5); pin it against the Column-API lambda formulation it
+    # replaced — same transform/struct/slice tree, same xxhash64 values.
+    sig = D._signatures(D._shingle_table(spark, sf_dir))
+    fast = sig.selectExpr(
+        "doc_id",
+        f"explode(transform(sequence(0, {D.LSH_BANDS - 1}), "
+        f"b -> struct(b AS band_id, xxhash64(slice(sig, "
+        f"b * {D.LSH_ROWS} + 1, {D.LSH_ROWS})) AS band_hash))) AS band",
+    ).selectExpr("doc_id", "band.band_id AS band_id",
+                 "band.band_hash AS band_hash")
+    slow = sig.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(D.LSH_BANDS - 1)),
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.xxhash64(
+                        F.slice(F.col("sig"), b * D.LSH_ROWS + 1, D.LSH_ROWS)
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select("doc_id", F.col("band.band_id").alias("band_id"),
+             F.col("band.band_hash").alias("band_hash"))
+    _assert_same(fast, slow)
+
+
+def test_shared_value_computes_once_per_slot_and_app(spark):
+    from mapreduce_infrastructure_spark.llm import cache as C
+
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return object()
+
+    slot = "test_shared_value_slot_r16w5"
+    key = f"{slot}@{spark.sparkContext.applicationId}"
+    C._VALUES.pop(key, None)
+    try:
+        a = C.shared_value(spark, build, slot)
+        b = C.shared_value(spark, build, slot)
+        assert a is b
+        assert calls["n"] == 1
+        # a different slot builds independently
+        key2 = f"{slot}2@{spark.sparkContext.applicationId}"
+        C._VALUES.pop(key2, None)
+        c = C.shared_value(spark, build, slot + "2")
+        assert calls["n"] == 2
+        assert c is not a
+    finally:
+        C._VALUES.pop(key, None)
+        C._VALUES.pop(f"{slot}2@{spark.sparkContext.applicationId}", None)
