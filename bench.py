@@ -46,6 +46,35 @@ HEADLINE = [
 ]
 
 
+def _cpu_probe() -> dict:
+    """Snapshot /proc/stat's aggregate cpu line + /proc/loadavg.
+
+    Used to stamp the timed loop with host-contention evidence (hypervisor
+    steal, competing load) so a contaminated reading is distinguishable from
+    a code regression after the fact (see BENCH_NOTES.md: uniform inflation
+    with high steal is host-side, not a plan change). Returns zeros if the
+    proc files are unavailable (non-Linux) — the probe must never fail the
+    bench.
+    """
+    out = {"user": 0, "system": 0, "idle": 0, "iowait": 0, "steal": 0, "total": 0, "load1": 0.0}
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        # cpu user nice system idle iowait irq softirq steal ...
+        vals = [int(x) for x in parts[1:]]
+        out["user"] = vals[0] + vals[1]
+        out["system"] = vals[2]
+        out["idle"] = vals[3]
+        out["iowait"] = vals[4] if len(vals) > 4 else 0
+        out["steal"] = vals[7] if len(vals) > 7 else 0
+        out["total"] = sum(vals)
+        with open("/proc/loadavg") as f:
+            out["load1"] = float(f.read().split()[0])
+    except Exception:
+        pass
+    return out
+
+
 def main() -> None:
     from mapreduce_infrastructure_spark.catalog import DEFAULT_SF_DIR
 
@@ -90,6 +119,7 @@ def main() -> None:
             finally:
                 spark.sparkContext.setJobDescription(None)
 
+    probe0 = _cpu_probe()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name].fn
@@ -101,7 +131,15 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         spark.sparkContext.setJobDescription(None)
 
+    probe1 = _cpu_probe()
     total = round(sum(timings.values()), 3)
+    # Additions-only host-contention evidence for the timed loop (the
+    # metric/value/unit/queries/sf contract is unchanged): tick deltas from
+    # /proc/stat across the timed region, plus the 1-min loadavg at each
+    # end. steal_ticks/user_ticks > ~0.05, or busy ticks from processes
+    # other than this bench (visible as dtotal-didle far above duser+dsys),
+    # mark a contaminated reading.
+    d = {k: probe1[k] - probe0[k] for k in ("user", "system", "idle", "iowait", "steal", "total")}
     print(
         json.dumps(
             {
@@ -110,6 +148,17 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "host_probe": {
+                    "user_ticks": d["user"],
+                    "system_ticks": d["system"],
+                    "idle_ticks": d["idle"],
+                    "iowait_ticks": d["iowait"],
+                    "steal_ticks": d["steal"],
+                    "total_ticks": d["total"],
+                    "steal_over_user": round(d["steal"] / d["user"], 4) if d["user"] > 0 else 0.0,
+                    "load1_start": probe0["load1"],
+                    "load1_end": probe1["load1"],
+                },
             }
         )
     )
