@@ -40,6 +40,25 @@ _RUNTIME_CONF = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for every pandas_udf / applyInPandas / mapInPandas boundary.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Streaming state store: RocksDB with changelog checkpointing (round 17,
+    # guide §5). The default HDFSBackedStateStoreProvider keeps every state
+    # partition's full map on-heap and rewrites it per commit; RocksDB bounds
+    # executor memory (off-heap, spills to local disk) and the changelog
+    # commit uploads only the batch's delta instead of a snapshot — the
+    # scale posture for 100 TB/day keyed state. Measured locally (sf0.1
+    # tumbling aggregation, 32 state partitions, 3 alternating reps):
+    # per-batch state commit 8.7-13.0 s cumulative -> 5.8-7.8 s, wall
+    # 1.20-1.46 -> 1.17-1.30 s. Plain RocksDB WITHOUT changelog was 2-3x
+    # WORSE than HDFS on commit (full snapshot sync per batch) — the pair
+    # below is only correct together. State semantics are provider-
+    # independent (storage backend only); results are byte-identical.
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    ),
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": (
+        "true"
+    ),
 }
 
 
