@@ -52,6 +52,24 @@ def shared_persist(
 
 
 _VALUES: dict[str, object] = {}
+_VALUES_LOCK = __import__("threading").Lock()
+
+
+def _freeze(v):
+    """Make cached numpy values raise on in-place mutation instead of
+    silently corrupting every other consumer in the session (round-17
+    ADVICE item): ndarray → non-writable view; tuples frozen member-wise.
+    Other types pass through (the only non-ndarray values cached today are
+    str fit-mode decisions, which are immutable anyway)."""
+    import numpy as np
+
+    if isinstance(v, np.ndarray):
+        v = v.view()
+        v.setflags(write=False)
+        return v
+    if isinstance(v, tuple):
+        return tuple(_freeze(x) for x in v)
+    return v
 
 
 def shared_value(spark: SparkSession, build: Callable[[], object], slot: str):
@@ -63,9 +81,21 @@ def shared_value(spark: SparkSession, build: Callable[[], object], slot: str):
 
     Session-scoped only: the dict dies with the process, so every bench /
     oracle invocation still computes the fit from the parquet inputs.
-    Callers must treat the returned value as immutable (it is handed to
-    every consumer in the session)."""
+    Values are frozen (numpy write flag cleared) before caching, so an
+    accidental in-place edit by a consumer raises instead of corrupting
+    shared state. The slot freezes the first invocation's value for the
+    session: if the parquet under the slot's sf_dir is REWRITTEN mid-session
+    (the fixtures never are — they are deterministic per driver round),
+    later consumers would see the first fit; re-key by an input fingerprint
+    before supporting mutable inputs. A lock guards the check-then-set so a
+    multi-threaded driver (guide §2.6 overlapping jobs) cannot build twice
+    and hand out different object identities."""
     key = f"{slot}@{spark.sparkContext.applicationId}"
-    if key not in _VALUES:
-        _VALUES[key] = build()
-    return _VALUES[key]
+    v = _VALUES.get(key)
+    if v is None:
+        with _VALUES_LOCK:
+            v = _VALUES.get(key)
+            if v is None:
+                v = _freeze(build())
+                _VALUES[key] = v
+    return v

@@ -72,6 +72,51 @@ def test_probe_cells_kernel_matches_crossjoin_window(spark):
     assert new.exceptAll(old).count() == 0
 
 
+def test_ivf_fit_slot_consumers_build_identical_fits(spark):
+    """ADVICE (r16): ann_ivf_topk and neardup_cosine_ivf share the
+    shared_value slot `ivf_fit_sample:{sf_dir}` — correct only while both
+    call sites fit the SAME matrix. Pin the coupling: populate the slot
+    from each query in isolation and assert the cached fits are bit-equal,
+    so a drift at either call site (e.g. one moving to unit vectors) fails
+    here instead of silently serving wrong centroids to the other."""
+    import numpy as np
+
+    from mapreduce_infrastructure_spark.llm import cache
+    from mapreduce_infrastructure_spark.registry import all_queries
+
+    qs = all_queries()
+    key = f"ivf_fit_sample:{SF}@{spark.sparkContext.applicationId}"
+    fits = {}
+    for name in ("ann_ivf_topk", "neardup_cosine_ivf"):
+        cache._VALUES.pop(key, None)
+        cache._VALUES.pop(
+            f"ivf_fit_kind:{SF}@{spark.sparkContext.applicationId}", None
+        )
+        qs[name].fn(spark, SF).write.format("noop").mode("overwrite").save()
+        assert key in cache._VALUES, f"{name} no longer populates {key}"
+        fits[name] = np.asarray(cache._VALUES[key])
+    assert fits["ann_ivf_topk"].tobytes() == fits["neardup_cosine_ivf"].tobytes()
+
+
+def test_shared_value_freezes_numpy_results(spark):
+    """Cached shared_value ndarrays are non-writable: an in-place edit by
+    one consumer must raise, not corrupt every other query's fit."""
+    import numpy as np
+    import pytest
+
+    from mapreduce_infrastructure_spark.llm.cache import _VALUES, shared_value
+
+    key = "r17_freeze_probe"
+    _VALUES.pop(f"{key}@{spark.sparkContext.applicationId}", None)
+    v = shared_value(spark, lambda: np.ones((2, 2)), key)
+    with pytest.raises(ValueError):
+        v[0, 0] = 5.0
+    t = shared_value(spark, lambda: (np.ones(3), "sample"), key + "_t")
+    with pytest.raises(ValueError):
+        t[0][1] = 2.0
+    assert t[1] == "sample"
+
+
 def test_parquet_footer_rows_matches_spark_count(spark, tmp_path):
     """Footer-metadata row count equals the distributed count for both
     fixture layouts: a single parquet file and a directory of part files."""
