@@ -200,25 +200,74 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking key (lang). Deliberately exact — the ground truth the LSH tier
     is validated against. The `lang` block bounds the quadratic term; at
     100 TB the blocking key must be finer (LSH buckets — see
-    minhash_lsh_pairs) but the verify step is this same expression."""
-    t = _shingle_table(spark, sf_dir)
-    a, b = t.alias("a"), t.alias("b")
-    inter = F.array_intersect(F.col("a.sh"), F.col("b.sh"))
-    union = F.array_union(F.col("a.sh"), F.col("b.sh"))
-    jac = rnd(F.size(inter).cast("double") / F.size(union), 4)
+    minhash_lsh_pairs) but the verify step is this same expression.
+
+    Shape (round 17): intersection counts via the exploded INVERTED-INDEX
+    join (`_pair_intersections`) instead of the all-pairs self-join that
+    shipped both documents' full shingle arrays through the join and ran
+    array_intersect/array_union per pair — 172 s → ~2 s at sf0.1, same
+    rows bit-for-bit (set algebra on distinct arrays:
+    |A∪B| = |A| + |B| − |A∩B|; zero-intersection pairs have jaccard 0 and
+    can never pass the 0.05 floor, so dropping them is exact)."""
+    pairs = _pair_intersections(_shingle_table(spark, sf_dir))
+    jac = rnd(
+        F.col("inter").cast("double")
+        / (F.col("na") + F.col("nb") - F.col("inter")),
+        4,
+    )
+    return pairs.select(
+        "lang", "doc_a", "doc_b", jac.alias("jaccard")
+    ).filter(F.col("jaccard") >= 0.05)
+
+
+def _pair_intersections(t: DataFrame, directed: bool = False) -> DataFrame:
+    """Per-pair DISTINCT-shingle intersection counts via the inverted-index
+    join (guide §8: shuffle postings, not payloads): explode each document's
+    distinct shingles to (lang, doc, n, shingle) rows, self-join on
+    (lang, shingle), and count rows per pair — exactly
+    ``size(array_intersect(a.sh, b.sh))`` because the arrays are distinct,
+    so each shared shingle contributes exactly one joined row. Returns
+    (lang, doc_a, doc_b, na, nb, inter); pairs with an EMPTY intersection
+    do not appear (every caller's threshold excludes them anyway).
+
+    vs the previous all-pairs formulation (self-join on lang with
+    array_intersect/array_union per pair): the exchange carries one small
+    posting row per (doc, shingle) instead of two full shingle-array
+    payloads per PAIR, and total work is output-sensitive
+    (Σ_shingle cnt²) instead of unconditionally quadratic in the lang
+    block. The boilerplate-shingle skew class this introduces is the same
+    one the LSH band tier already handles; at 100 TB the candidate
+    generator is the LSH path, and this exact tier runs on sampled blocks.
+    ``directed=True`` emits both (a,b) and (b,a) for containment."""
+    ex = t.select(
+        "lang", "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s")
+    )
+    a = ex.select(
+        "lang",
+        F.col("doc_id").alias("doc_a"),
+        F.col("n").alias("na"),
+        "s",
+    )
+    b = ex.select(
+        F.col("lang").alias("lang_b"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("n").alias("nb"),
+        F.col("s").alias("s_b"),
+    )
+    pair_cond = (
+        (F.col("doc_a") != F.col("doc_b"))
+        if directed
+        else (F.col("doc_a") < F.col("doc_b"))
+    )
     return (
         a.join(
             b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            (F.col("lang") == F.col("lang_b"))
+            & (F.col("s") == F.col("s_b"))
+            & pair_cond,
         )
-        .select(
-            F.col("a.lang").alias("lang"),
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            jac.alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= 0.05)
+        .groupBy("lang", "doc_a", "doc_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("inter"))
     )
 
 
@@ -289,6 +338,24 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     — at 100 TB calibration runs on a sampled block, production
     candidates come from the xxhash64 LSH path)."""
     t = _shingle_table(spark, sf_dir)
+    # Round 17: the exact-Jaccard pair set comes from the inverted-index
+    # plan (see ngram_jaccard_pairs / _pair_intersections — this query
+    # previously paid the same all-pairs payload join, 194 s at sf0.1),
+    # and the 16-permutation signatures are computed ONLY for documents
+    # that survive the 0.05 floor (a semi-join on the tiny qualified-pair
+    # set) instead of for the whole corpus — the md5 bank and the
+    # zip_with match-count fold are the ORIGINAL expressions verbatim,
+    # evaluated on strictly fewer rows, so every emitted value is
+    # bit-identical.
+    pairs = _pair_intersections(t)
+    jac_val = rnd(
+        F.col("inter").cast("double")
+        / (F.col("na") + F.col("nb") - F.col("inter")),
+        4,
+    )
+    qualified = pairs.select(
+        "lang", "doc_a", "doc_b", jac_val.alias("jaccard")
+    ).filter(F.col("jaccard") >= 0.05)
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(_CAL_PERMS - 1)),
         lambda i: F.array_min(
@@ -310,36 +377,37 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
-    sigt = t.select("doc_id", "lang", "sh", sig.alias("sig"))
-    a, b = sigt.alias("a"), sigt.alias("b")
-    jac = rnd(
-        F.size(F.array_intersect("a.sh", "b.sh")).cast("double")
-        / F.size(F.array_union("a.sh", "b.sh")),
-        4,
+    members = qualified.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    ).distinct()
+    sigt = t.join(members, "doc_id").select(
+        "doc_id", sig.alias("sig")
+    )
+    sig_a = sigt.select(
+        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")
+    )
+    sig_b = sigt.select(
+        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")
     )
     matches = F.aggregate(
         F.zip_with(
-            "a.sig", "b.sig", lambda x, y: F.when(x == y, 1).otherwise(0)
+            "sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)
         ),
         F.lit(0),
         lambda acc, v: acc + v,
     )
     est = matches.cast("double") / F.lit(_CAL_PERMS)
     return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        qualified.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
         .select(
-            F.col("a.lang").alias("lang"),
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            jac.alias("jaccard"),
+            "lang",
+            "doc_a",
+            "doc_b",
+            "jaccard",
             est.alias("est_jaccard"),
-            rnd(F.abs(est - jac), 4).alias("abs_err"),
+            rnd(F.abs(est - F.col("jaccard")), 4).alias("abs_err"),
         )
-        .filter(F.col("jaccard") >= 0.05)
     )
 
 
@@ -698,27 +766,19 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same blocked-pair plan as ngram_jaccard_pairs (the candidate generator
     at 100 TB is the MinHash LSH bucketer; this is the verify expression).
     Directed pairs: (contained, container) with doc_a ≠ doc_b, both
-    directions evaluated."""
-    t = _shingle_table(spark, sf_dir)
-    a, b = t.alias("a"), t.alias("b")
-    containment = rnd(
-        F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).cast("double")
-        / F.size(F.col("a.sh")),
-        4,
-    )
-    return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("contained_doc"),
-            F.col("b.doc_id").alias("container_doc"),
-            containment.alias("containment"),
-        )
-        .filter(F.col("containment") >= 0.8)
-    )
+    directions evaluated.
+
+    Shape (round 17): intersection counts via the inverted-index join
+    (`_pair_intersections(directed=True)`) — 73 s → ~2 s at sf0.1, rows
+    bit-identical (containment ≥ 0.8 with |A| ≥ 1 implies at least one
+    shared shingle, so intersection-free pairs can never qualify)."""
+    pairs = _pair_intersections(_shingle_table(spark, sf_dir), directed=True)
+    containment = rnd(F.col("inter").cast("double") / F.col("na"), 4)
+    return pairs.select(
+        F.col("doc_a").alias("contained_doc"),
+        F.col("doc_b").alias("container_doc"),
+        containment.alias("containment"),
+    ).filter(F.col("containment") >= 0.8)
 
 
 def min_label_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:

@@ -117,6 +117,172 @@ def test_shared_value_freezes_numpy_results(spark):
     assert t[1] == "sample"
 
 
+def _old_jaccard_family(t):
+    """The pre-round-17 all-pairs formulations of the exact-Jaccard tier,
+    verbatim: ngram_jaccard_pairs, containment_pairs,
+    minhash_estimate_error."""
+    from mapreduce_infrastructure_spark.functions.exact import rnd
+    from mapreduce_infrastructure_spark.llm import dedup as D
+
+    a, b = t.alias("a"), t.alias("b")
+    jac = rnd(
+        F.size(F.array_intersect("a.sh", "b.sh")).cast("double")
+        / F.size(F.array_union("a.sh", "b.sh")),
+        4,
+    )
+    old_ngram = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.lang").alias("lang"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.05)
+    )
+    cont = rnd(
+        F.size(F.array_intersect("a.sh", "b.sh")).cast("double")
+        / F.size(F.col("a.sh")),
+        4,
+    )
+    old_cont = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("contained_doc"),
+            F.col("b.doc_id").alias("container_doc"),
+            cont.alias("containment"),
+        )
+        .filter(F.col("containment") >= 0.8)
+    )
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(D._CAL_PERMS - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                "sh",
+                lambda s: F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(i.cast("string"), F.lit(":"), s).cast(
+                                "binary"
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+            )
+        ),
+    )
+    sigt = t.select("doc_id", "lang", "sh", sig.alias("sig"))
+    aa, bb = sigt.alias("a"), sigt.alias("b")
+    jac2 = rnd(
+        F.size(F.array_intersect("a.sh", "b.sh")).cast("double")
+        / F.size(F.array_union("a.sh", "b.sh")),
+        4,
+    )
+    matches = F.aggregate(
+        F.zip_with(
+            "a.sig", "b.sig", lambda x, y: F.when(x == y, 1).otherwise(0)
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    est = matches.cast("double") / F.lit(D._CAL_PERMS)
+    old_est = (
+        aa.join(
+            bb,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.lang").alias("lang"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac2.alias("jaccard"),
+            est.alias("est_jaccard"),
+            rnd(F.abs(est - jac2), 4).alias("abs_err"),
+        )
+        .filter(F.col("jaccard") >= 0.05)
+    )
+    return old_ngram, old_cont, old_est
+
+
+def test_inverted_index_jaccard_family_matches_allpairs(spark):
+    """The round-17 inverted-index rewrite of the exact-Jaccard tier
+    (ngram_jaccard_pairs / containment_pairs / minhash_estimate_error via
+    `_pair_intersections`) is row-for-row identical to the all-pairs
+    array_intersect/array_union formulation it replaced, on the real
+    fixture corpus."""
+    from mapreduce_infrastructure_spark.llm import dedup as D
+
+    t = D._shingle_table(spark, SF)
+    old_ngram, old_cont, old_est = _old_jaccard_family(t)
+    for old, new in (
+        (old_ngram, D.ngram_jaccard_pairs(spark, SF)),
+        (old_cont, D.containment_pairs(spark, SF)),
+        (old_est, D.minhash_estimate_error(spark, SF)),
+    ):
+        assert old.exceptAll(new).count() == 0
+        assert new.exceptAll(old).count() == 0
+
+
+def test_inverted_index_jaccard_family_edge_corpus(spark, tmp_path):
+    """Edge corpus for the inverted-index rewrite: identical docs in the
+    same lang (jaccard 1), identical text in DIFFERENT langs (must NOT
+    pair — the lang block), a contained excerpt (directed containment),
+    a too-short doc (no shingles — absent everywhere), and an unrelated
+    doc (zero intersection — absent from output in both forms)."""
+    from mapreduce_infrastructure_spark.llm import dedup as D
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, base, "en"),
+        (1, base, "en"),                    # dup of 0, same lang
+        (2, base, "de"),                    # dup text, other lang: no pair
+        (3, "alpha beta gamma delta", "en"),  # contained in 0/1
+        (4, "xx yy", "en"),                 # < 3 tokens: no shingles
+        (5, "one two three four five six seven", "en"),  # unrelated
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(i, t_, lg, "s", len(t_)) for i, t_, lg in rows],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    t = D._doc_shingles(spark, sf)
+    old_ngram, old_cont, old_est = _old_jaccard_family(t)
+    new_ngram = D.ngram_jaccard_pairs(spark, sf)
+    new_cont = D.containment_pairs(spark, sf)
+    new_est = D.minhash_estimate_error(spark, sf)
+    for old, new in (
+        (old_ngram, new_ngram),
+        (old_cont, new_cont),
+        (old_est, new_est),
+    ):
+        assert old.exceptAll(new).count() == 0
+        assert new.exceptAll(old).count() == 0
+    ng = {(r.doc_a, r.doc_b): r.jaccard for r in new_ngram.collect()}
+    assert ng[(0, 1)] == 1.0
+    assert (0, 2) not in ng and (1, 2) not in ng
+    cont = {
+        (r.contained_doc, r.container_doc): r.containment
+        for r in new_cont.collect()
+    }
+    assert cont[(3, 0)] == 1.0 and cont[(3, 1)] == 1.0
+    assert (0, 3) not in cont  # containment is directed
+    assert not any(4 in p or 5 in p for p in list(ng) + list(cont))
+
+
 def test_parquet_footer_rows_matches_spark_count(spark, tmp_path):
     """Footer-metadata row count equals the distributed count for both
     fixture layouts: a single parquet file and a directory of part files."""
