@@ -32,6 +32,8 @@ Reference parity: the reference has no numeric-iteration surface at all
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..catalog import load_table
@@ -98,7 +100,11 @@ def _kmeans_oracle(iters: int = N_ITERS) -> str:
 
 # Grain-rounded squared-difference fold, summed in DECIMAL(28,9). The
 # accumulator is re-cast each step so the lambda's return type stays fixed
-# (decimal addition widens the type otherwise).
+# (decimal addition widens the type otherwise). Since round 17 this
+# expression is the SPECIFICATION and test reference; execution rides the
+# Arrow kernel below (higher-order functions run in the interpreted
+# expression evaluator — measured 2.1–3.8 s per 50k-pair distance pass at
+# sf0.1 vs ~0.3 s for the kernel).
 _DIST_EXPR = f"""
 aggregate(
   zip_with(x, c, (a, b) ->
@@ -106,6 +112,70 @@ aggregate(
   CAST(0 AS DECIMAL(28,9)),
   (acc, v) -> CAST(acc + v AS DECIMAL(28,9)))
 """
+
+
+def _make_grain_dist_udf():
+    """Arrow twin of `_DIST_EXPR`, exact to the bit.
+
+    Why exactness holds: per element the SQL computes
+    ``floor((a−b)·(a−b)·1e9 + 0.5)`` in pure float64 (the int literal
+    promotes to the exactly-representable double 1e9) — numpy performs the
+    identical IEEE ops — then divides by 1e9 (double) and casts to
+    DECIMAL(28,9) HALF_UP, which recovers exactly n·1e-9 because the
+    double quotient's absolute error (~|n|·2⁻⁵² /1e9) is far below the
+    5e-10 rounding boundary for any realistic coordinate magnitude. The
+    DECIMAL sum of such 9-dp values is exact integer arithmetic in units
+    of 1e-9, so summing the int64 terms and scaling once is the same
+    number. Degenerate rows replicate the expression's non-ANSI
+    semantics: a NULL array, a length mismatch (zip_with pads with NULL)
+    or a NULL/NaN element all yield a NULL distance. Pinned on the real
+    corpus and on hand-built degenerate rows by
+    tests/test_r17_kernels.py::test_grain_dist_udf_matches_expression."""
+    from decimal import Decimal
+
+    from pyspark.sql.types import DecimalType
+
+    def _row(a, b) -> Decimal | None:
+        if a is None or b is None:
+            return None
+        a = np.asarray(a, dtype=np.float64)
+        b = np.asarray(b, dtype=np.float64)
+        if a.shape != b.shape:
+            return None
+        t = np.floor((a - b) * (a - b) * 1.0e9 + 0.5)
+        if not np.isfinite(t).all():
+            return None
+        return Decimal(int(t.astype(np.int64).sum())).scaleb(-9)
+
+    @F.pandas_udf(DecimalType(28, 9))
+    def _dist(xs: pd.Series, cs: pd.Series) -> pd.Series:
+        try:
+            # Vectorized fast path: uniform-width, all-finite batch.
+            A = np.stack(xs.to_numpy())
+            B = np.stack(cs.to_numpy())
+            T = np.floor((A - B) * (A - B) * 1.0e9 + 0.5)
+            if np.isfinite(T).all():
+                sums = T.astype(np.int64).sum(axis=1)
+                return pd.Series(
+                    [Decimal(int(n)).scaleb(-9) for n in sums], dtype=object
+                )
+        except Exception:
+            pass
+        return pd.Series(
+            [_row(a, b) for a, b in zip(xs, cs)], dtype=object
+        )
+
+    return _dist
+
+
+_DIST_UDF = None
+
+
+def _dist_col() -> F.Column:
+    global _DIST_UDF
+    if _DIST_UDF is None:
+        _DIST_UDF = _make_grain_dist_udf()
+    return _DIST_UDF(F.col("x"), F.col("c"))
 
 
 @query(
@@ -149,7 +219,7 @@ def kmeans_embeddings(
     for it in range(1, iters + 1):
         dists = (
             pts.crossJoin(F.broadcast(centroids))
-            .withColumn("dist", F.expr(_DIST_EXPR))
+            .withColumn("dist", _dist_col())
             .select("vec_id", "x", "cid", "dist")
         )
         # struct-min = (smallest dist, then smallest cid): the deterministic
@@ -348,7 +418,7 @@ def kmeans_parallel_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.col("vec_id").alias("cid"), F.col("x").alias("c"))
         d2 = (
             pts.crossJoin(F.broadcast(cpts))
-            .withColumn("dist", F.expr(_DIST_EXPR))
+            .withColumn("dist", _dist_col())
             .groupBy("vec_id")
             .agg(F.min("dist").alias("d2"))
         )
@@ -379,7 +449,7 @@ def kmeans_parallel_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Weight pass: every point to its nearest candidate (min dist, min cid).
     wdd = (
         pts.crossJoin(F.broadcast(cpts))
-        .withColumn("dist", F.expr(_DIST_EXPR))
+        .withColumn("dist", _dist_col())
         .select("vec_id", "cid", "dist")
     )
     candw = (
@@ -392,27 +462,46 @@ def kmeans_parallel_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     cdist = (
         cpts.select(F.col("cid").alias("ca"), F.col("c").alias("x"))
         .crossJoin(F.broadcast(cpts.select(F.col("cid").alias("cb"), "c")))
-        .withColumn("dist", F.expr(_DIST_EXPR))
+        .withColumn("dist", _dist_col())
         .select("ca", "cb", "dist")
     )
     cdist = _tracked_persist(cdist, f"kmeans_seeds_cdist:{sf_dir}")
 
-    first = candw.orderBy(F.col("w").desc(), "cid").limit(1).collect()
-    chosen: list[tuple[int, int]] = [(int(first[0]["cid"]), 1)]
+    # Greedy weighted-farthest-first selection, driver-side (round 17):
+    # this ran as K Spark jobs (a limit(1).collect per step) over the two
+    # BOUNDED persisted frames; collecting both once (candw ≈ l·rounds + 1
+    # rows, cdist its square — the same by-construction bound that
+    # allowlists this function's materializations) and replaying the
+    # identical recurrence in python removes ~K job round-trips. Exactness:
+    # DECIMAL min has one total order; the sort key replication is
+    # float(Decimal) (the same round-to-nearest double as Spark's
+    # decimal→double cast) times an int weight — the identical double —
+    # with the same (desc, cid asc) tie-break. Pinned against the Spark
+    # formulation on the real corpus by
+    # tests/test_r17_kernels.py::test_kmeans_seeds_greedy_driver_matches_spark.
+    w_by_cid = {int(r["cid"]): int(r["w"]) for r in candw.collect()}
+    dist_ab = {
+        (int(r["ca"]), int(r["cb"])): r["dist"] for r in cdist.collect()
+    }
+    chosen: list[tuple[int, int]] = []
+    if w_by_cid:
+        first_cid = min(w_by_cid, key=lambda c: (-w_by_cid[c], c))
+        chosen.append((first_cid, 1))
     for k in range(2, K + 1):
         ids = [c for c, _ in chosen]
-        nxt = (
-            candw.filter(~F.col("cid").isin(ids))
-            .join(cdist.filter(F.col("cb").isin(ids)), F.col("cid") == F.col("ca"))
-            .groupBy("cid", "w")
-            .agg(F.min("dist").alias("md"))
-            .orderBy((F.col("md").cast("double") * F.col("w")).desc(), "cid")
-            .limit(1)
-            .collect()
-        )
-        if not nxt:
+        remaining = [c for c in w_by_cid if c not in ids]
+        best = None
+        for c in remaining:
+            mds = [dist_ab[(c, b)] for b in ids if (c, b) in dist_ab]
+            if not mds:
+                continue
+            md = min(mds)
+            key = (-(float(md) * w_by_cid[c]), c)
+            if best is None or key < best[0]:
+                best = (key, c)
+        if best is None:
             break
-        chosen.append((int(nxt[0]["cid"]), k))
+        chosen.append((best[1], k))
 
     chosen_df = spark.createDataFrame(
         [(cid, step) for cid, step in chosen], "cid bigint, step int"

@@ -283,6 +283,85 @@ def test_inverted_index_jaccard_family_edge_corpus(spark, tmp_path):
     assert not any(4 in p or 5 in p for p in list(ng) + list(cont))
 
 
+def test_grain_dist_udf_matches_expression(spark):
+    """The Arrow grain-distance kernel equals the DECIMAL(28,9) HOF fold
+    bit-for-bit on real corpus pairs and on degenerate rows (null array,
+    length mismatch, null element)."""
+    from mapreduce_infrastructure_spark.llm import kmeans as K
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    pts = emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(CAST(embedding AS ARRAY<DOUBLE>),"
+            f" e -> floor(e * {K._G} + 0.5) / {K._G})"
+        ).alias("x"),
+    )
+    cpts = pts.filter(F.col("vec_id") < 25).select(
+        F.col("vec_id").alias("cid"), F.col("x").alias("c")
+    )
+    pairs = pts.crossJoin(F.broadcast(cpts))
+    old = pairs.select("vec_id", "cid", F.expr(K._DIST_EXPR).alias("dist"))
+    new = pairs.select("vec_id", "cid", K._dist_col().alias("dist"))
+    assert old.exceptAll(new).count() == 0
+    assert new.exceptAll(old).count() == 0
+
+    deg = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0], [1.5, 0.5]),
+            (2, None, [1.0, 2.0]),
+            (3, [1.0, 2.0], None),
+            (4, [1.0, 2.0, 3.0], [1.0, 2.0]),   # length mismatch
+            (5, [1.0, None], [1.0, 2.0]),        # null element
+            (6, [], []),                          # empty arrays -> 0
+        ],
+        "vec_id int, x array<double>, c array<double>",
+    )
+    old_d = deg.select("vec_id", F.expr(K._DIST_EXPR).alias("dist"))
+    new_d = deg.select("vec_id", K._dist_col().alias("dist"))
+    assert old_d.exceptAll(new_d).count() == 0
+    assert new_d.exceptAll(old_d).count() == 0
+
+
+def test_kmeans_seeds_greedy_driver_matches_spark(spark):
+    """The round-17 driver-side greedy weighted-farthest-first selection in
+    kmeans_parallel_seeds must pick the exact seed sequence the Spark
+    limit(1)-per-step formulation picked. Re-derive the Spark sequence from
+    the same persisted candw/cdist frames and compare to the query output."""
+    from mapreduce_infrastructure_spark.llm import kmeans as K
+
+    out = {
+        int(r["step"]): (int(r["cid"]), int(r["weight"]))
+        for r in K.kmeans_parallel_seeds(spark, SF).collect()
+    }
+    # the tracked persists are still registered; rebuild the Spark-side
+    # greedy from them (the pre-round-17 formulation, verbatim)
+    from mapreduce_infrastructure_spark.llm.cache import _CACHE
+
+    candw = _CACHE[f"kmeans_seeds_candw:{SF}"]
+    cdist = _CACHE[f"kmeans_seeds_cdist:{SF}"]
+    first = candw.orderBy(F.col("w").desc(), "cid").limit(1).collect()
+    chosen = [(int(first[0]["cid"]), 1)]
+    for k in range(2, K.K + 1):
+        ids = [c for c, _ in chosen]
+        nxt = (
+            candw.filter(~F.col("cid").isin(ids))
+            .join(
+                cdist.filter(F.col("cb").isin(ids)),
+                F.col("cid") == F.col("ca"),
+            )
+            .groupBy("cid", "w")
+            .agg(F.min("dist").alias("md"))
+            .orderBy((F.col("md").cast("double") * F.col("w")).desc(), "cid")
+            .limit(1)
+            .collect()
+        )
+        if not nxt:
+            break
+        chosen.append((int(nxt[0]["cid"]), k))
+    assert {s: c for c, s in chosen} == {s: c for s, (c, _w) in out.items()}
+
+
 def test_parquet_footer_rows_matches_spark_count(spark, tmp_path):
     """Footer-metadata row count equals the distributed count for both
     fixture layouts: a single parquet file and a directory of part files."""
