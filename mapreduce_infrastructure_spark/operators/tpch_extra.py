@@ -1495,9 +1495,10 @@ def supplier_leadtime_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed form (`hist_cume_counts` — the stratum scales with SF but the
     lag-day domain is calendar-bounded, exactly the
     supplier_leadtime_percentiles form decision); the median split day
-    and the 4+4 quintile thresholds over the per-supplier medians use
-    the `kth_order_statistic` narrowing primitive (day/median-lag
-    domains are bounded, so each narrows in 1–3 ≤33-row-census rounds).
+    uses the `kth_order_statistic` narrowing primitive and the 4+4
+    quintile thresholds over the per-supplier medians ride ONE shared
+    `quintile_thresholds` census sequence (day/median-lag domains are
+    bounded, so each narrows in 1–3 ≤33-row-census rounds).
     After the thresholds are literals, the matrix is ONE pass over the
     supplier-count-sized half-medians table: a CASE ladder against eight
     literal thresholds, a ≤25-cell fold, and a broadcast ≤5-row total
@@ -1514,6 +1515,8 @@ def supplier_leadtime_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         hist_cume_counts,
         hist_disc_percentile,
         kth_order_statistic,
+        quintile_ladder,
+        quintile_thresholds,
     )
 
     li = load_table(spark, sf_dir, "lineitem").select(
@@ -1552,25 +1555,19 @@ def supplier_leadtime_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("v1").isNotNull() & F.col("v2").isNotNull()),
         f"supp_half_p50:{sf_dir}",
     )
-    n_sup = p.count()
-    th = {
-        col: [
-            kth_order_statistic(p, col, max(1, math.ceil(k / 5.0 * n_sup)))
-            for k in (1, 2, 3, 4)
-        ]
-        for col in ("v1", "v2")
-    }
-
-    def quintile(col: str) -> F.Column:
-        q = F.lit(1)
-        for t in th[col]:
-            q = q + F.when(F.col(col) > F.lit(t), 1).otherwise(0)
-        return q.cast("long")
+    # Both halves' eight quintile thresholds ride ONE shared unpivoted
+    # census sequence (quintile_thresholds — the stats.py migration family
+    # form; v1/v2 non-null via the both-halves filter, so each column's
+    # internal count equals the p.count() the per-k loops used, and the
+    # rank is the same max(1, ceil(k/5.0 * n)) IEEE multiply). Replaces
+    # eight sequential kth_order_statistic narrowing sequences (each 1-3
+    # census jobs) with one.
+    th = quintile_thresholds(p, ["v1", "v2"])
 
     g = (
         p.select(
-            quintile("v1").alias("quintile_h1"),
-            quintile("v2").alias("quintile_h2"),
+            quintile_ladder("v1", th["v1"]).alias("quintile_h1"),
+            quintile_ladder("v2", th["v2"]).alias("quintile_h2"),
         )
         .groupBy("quintile_h1", "quintile_h2")
         .agg(F.count(F.lit(1)).alias("n_suppliers"))
@@ -1712,15 +1709,20 @@ def supplier_return_rate_migration(spark: SparkSession, sf_dir: str) -> DataFram
     far inside int64), so the quintile thresholds are order statistics
     of exact INTEGERS and no FP rate ever enters a rank comparison (the
     supplier_concentration_hhi ppm discipline applied to a ratio
-    dimension). The split day and the 4+4 thresholds use
-    `kth_order_statistic` narrowing (day and ppm domains bounded); the
-    matrix is ONE pass over the supplier-count-sized half-rates table.
+    dimension). The split day uses `kth_order_statistic` narrowing and
+    the 4+4 thresholds ride ONE shared `quintile_thresholds` census
+    sequence (day and ppm domains bounded); the matrix is ONE pass over
+    the supplier-count-sized half-rates table.
     No orderkey join anywhere — the split is on the SHIP day, so the
     whole query is one lineitem scan plus bounded folds. Ranks are
     max(1, ⌈q·n⌉) with the same IEEE multiply the oracle states."""
     import math
 
-    from ..functions.ranks import kth_order_statistic
+    from ..functions.ranks import (
+        kth_order_statistic,
+        quintile_ladder,
+        quintile_thresholds,
+    )
 
     li = load_table(spark, sf_dir, "lineitem")
     l = li.select(
@@ -1755,25 +1757,15 @@ def supplier_return_rate_migration(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(F.col("v1").isNotNull() & F.col("v2").isNotNull()),
         f"supp_half_retppm:{sf_dir}",
     )
-    n_sup = p.count()
-    th = {
-        col: [
-            kth_order_statistic(p, col, max(1, math.ceil(k / 5.0 * n_sup)))
-            for k in (1, 2, 3, 4)
-        ]
-        for col in ("v1", "v2")
-    }
-
-    def quintile(col: str) -> F.Column:
-        q = F.lit(1)
-        for t in th[col]:
-            q = q + F.when(F.col(col) > F.lit(t), 1).otherwise(0)
-        return q.cast("long")
+    # One shared unpivoted census sequence for both halves' thresholds
+    # (same equivalence argument as supplier_leadtime_migration above:
+    # identical rank math, identical counts on the non-null-filtered p).
+    th = quintile_thresholds(p, ["v1", "v2"])
 
     g = (
         p.select(
-            quintile("v1").alias("quintile_h1"),
-            quintile("v2").alias("quintile_h2"),
+            quintile_ladder("v1", th["v1"]).alias("quintile_h1"),
+            quintile_ladder("v2", th["v2"]).alias("quintile_h2"),
         )
         .groupBy("quintile_h1", "quintile_h2")
         .agg(F.count(F.lit(1)).alias("n_suppliers"))

@@ -2029,9 +2029,7 @@ def stream_part_demand_concentration(
     not incrementally expressible (a new line can shift every rank), so
     they run POST-SINK via the same narrower + single fold as the batch
     twin, over the persisted |parts|-row sink table."""
-    import math
-
-    from ..functions.ranks import kth_order_statistic
+    from ..functions.ranks import kth_order_statistics
     from ..llm.cache import tracked_persist
 
     li = stream_table(spark, sf_dir, "lineitem").select("l_partkey")
@@ -2040,9 +2038,12 @@ def stream_part_demand_concentration(
         run_to_table(g_s, "stream_part_counts", mode="complete"),
         f"stream_part_line_counts:{sf_dir}",
     )
-    m = cm.count()
-    p50 = kth_order_statistic(cm, "n", max(1, math.ceil(0.5 * m)))
-    p90 = kth_order_statistic(cm, "n", max(1, math.ceil(0.9 * m)))
+    # Both quantiles ride ONE census sequence — the batch twin's exact
+    # form (multi-rank narrower; rank = max(1, ceil(q*n)) with the same
+    # Python multiply the two sequential calls used, and n = the per-part
+    # count column's non-null count = the cm.count() they used).
+    pr = kth_order_statistics(cm, "n", {"p50": 0.5, "p90": 0.9})
+    p50, p90 = pr["p50"], pr["p90"]
     top = F.col("n") >= F.lit(p90)
     return cm.agg(
         F.count(F.lit(1)).alias("n_parts"),
