@@ -42,6 +42,17 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 # each window group is stratum_rows / n_buckets.
 PREFIX_SUM_BUCKETS = 32
 
+# Driver-side row budget for one narrowing-census round (round 17). The
+# narrowers' per-round census is ≤ |active tasks| · (branching + 1) rows,
+# so when few tasks are active the branching factor can be thousands wide
+# instead of 32 at the same driver cost — and every extra unit of width
+# divides the number of rounds, where each round is a full pushed-filter
+# scan of the source at 100 TB (locally, a fixed job/broadcast overhead).
+# 64k rows of (stratum, label, bucket, count) is a few MB collected — far
+# inside any driver budget. The k-th value found is branching-invariant
+# (exact rank descent), so results are bit-identical at any width.
+_CENSUS_ROW_BUDGET = 65536
+
 
 def hist_cume_counts(
     df: DataFrame,
@@ -484,14 +495,17 @@ def kth_order_statistic(
     cardinality).
 
     Iterative range narrowing: each round buckets the surviving value
-    range [lo, hi] into ``n_buckets`` contiguous sub-ranges, folds ONE
-    partial-aggregatable count per bucket (a ≤n_buckets-row aggregate —
+    range [lo, hi] into contiguous sub-ranges, folds ONE
+    partial-aggregatable count per bucket (a driver-bounded aggregate —
     the only thing the driver ever sees), descends into the bucket
-    containing rank k, and rebases k. The range shrinks ≥n_buckets× per
-    round, so rounds ≤ ⌈log₃₂(range)⌉ ≤ 13 for the full int64 span —
-    each a filtered scan whose predicate pushes down to the source.
-    No sort, no single partition, no row-scale collect anywhere: the
-    100 TB cost is ~13 pushed-filter scans (cache the projected column
+    containing rank k, and rebases k. The branching factor is the larger
+    of ``n_buckets`` and the ``_CENSUS_ROW_BUDGET`` (a single task can
+    afford the whole budget), so the range shrinks ≥65536× per round and
+    rounds ≤ ⌈log₆₅₅₃₆(range)⌉ ≤ 4 for the full int64 span — each a
+    filtered scan whose predicate pushes down to the source. The found
+    value is branching-invariant, so widening the census changes no
+    result. No sort, no single partition, no row-scale collect anywhere:
+    the 100 TB cost is ≤4 pushed-filter scans (cache the projected column
     upstream if the source re-scan dominates).
 
     PRECONDITION: hi − lo must fit int64 (asserted) — true for any
@@ -517,8 +531,9 @@ def kth_order_statistic(
         raise ValueError(f"kth_order_statistic: k={k} out of range 1..{n}")
     assert hi - lo < 2**62, "value span too wide for integer bucket math"
     v = F.col(value_col).cast("long")
+    eff = max(n_buckets, _CENSUS_ROW_BUDGET)  # one task owns the budget
     while lo < hi:
-        width = (hi - lo) // n_buckets + 1  # python int: exact, no overflow
+        width = (hi - lo) // eff + 1  # python int: exact, no overflow
         counts = dict(
             df.filter((v >= lo) & (v <= hi))
             .select((v - F.lit(lo)).alias("_d"))
@@ -527,7 +542,7 @@ def kth_order_statistic(
             .collect()
         )
         cum = 0
-        for b in range(n_buckets + 1):
+        for b in range(eff + 1):
             m = counts.get(b, 0)
             if cum + m >= k:
                 k -= cum
@@ -658,9 +673,11 @@ def kth_order_statistics_by(
     """STRATIFIED exact k-th order statistics: for every stratum value,
     the k-th smallest of an int64 column with an UNBOUNDED domain —
     `kth_order_statistic` generalized so ALL strata narrow together, ONE
-    Spark job per round (a (stratum, bucket) census of
-    ≤|strata|·(n_buckets+1) rows — ≤|strata|·33 at the default 32-way
-    branching), not one loop per stratum. Pass either ``k_of`` (stratum →
+    Spark job per round (a (stratum, bucket) census bounded by
+    max(|tasks|·(n_buckets+1), _CENSUS_ROW_BUDGET + |tasks|) rows — the
+    row budget is split across live tasks, so few tasks get a wide
+    branching and few rounds while many tasks keep the 32-way floor),
+    not one loop per stratum. Pass either ``k_of`` (stratum →
     explicit rank) or ``q`` (each stratum's rank = max(1, ⌈q·n_s⌉) — the
     percentile_disc rank, computed with the same IEEE multiply an oracle
     states). Returns {stratum: value}.
@@ -732,9 +749,13 @@ def kth_order_statistics_by(
             done[key] = int(active.pop(key)[0])
         if not active:
             break
+        # Split the census row budget across the active tasks: fewer live
+        # tasks → wider branching → fewer rounds (each round is one full
+        # scan of the projection at scale). Value-identical at any width.
+        eff = max(n_buckets, _CENSUS_ROW_BUDGET // len(active))
         ranges = spark.createDataFrame(
             [
-                (st, lbl, lo, hi, (hi - lo) // n_buckets + 1)
+                (st, lbl, lo, hi, (hi - lo) // eff + 1)
                 for (st, lbl), (lo, hi, _k) in active.items()
             ],
             f"_s {df.schema[stratum_col].dataType.simpleString()}, "
@@ -753,9 +774,9 @@ def kth_order_statistics_by(
             counts[(r["_s"], r["_l"], r["_b"])] = r["_m"]
         nxt: dict = {}
         for (st, lbl), (lo, hi, k) in active.items():
-            width = (hi - lo) // n_buckets + 1
+            width = (hi - lo) // eff + 1
             cum = 0
-            for b in range(n_buckets + 1):
+            for b in range(eff + 1):
                 m = counts.get((st, lbl, b), 0)
                 if cum + m >= k:
                     nxt[(st, lbl)] = (
