@@ -1640,7 +1640,7 @@ def customer_value_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFra
     narrowing primitive over cached projections: the median split day
     (over the order-day column) and the 4+4 quintile thresholds (over
     each half's per-customer spend, both row-scale unbounded-domain
-    sums). After the thresholds are known (nine ≤33-row-census loops),
+    sums). After the thresholds are known (driver-bounded census loops),
     the matrix is ONE pass: per-customer CASE ladder against eight
     literal thresholds, a ≤25-cell fold, and a ≤5-row total join.
     Ranks are max(1, ⌈q·n⌉) with q = k/5.0 — the same IEEE multiply the
@@ -1844,8 +1844,8 @@ def part_demand_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     immediately), but this is a GLOBAL concentration, so both
     thresholds come from the unstratified `kth_order_statistic`
     narrower over the cached per-part count table — itself the output
-    of a row-volume reduction — which holds at any part count (≤33-row
-    census per round, no driver-side |parts| state anywhere). After the
+    of a row-volume reduction — which holds at any part count
+    (driver-budgeted census per round, no driver-side |parts| state anywhere). After the
     two thresholds are literals, ONE partial-aggregatable fold computes
     the report. Counts exact int64; the share is one IEEE division, the
     oracle casting its HUGEINT sums through BIGINT first (2^53 rule)."""
@@ -2003,7 +2003,7 @@ def customer_order_gap_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     SF, gap-day domain is calendar-bounded — the
     supplier_leadtime_migration form decision verbatim); the split day
     and the 4+4 quintile thresholds over the per-customer medians use
-    `kth_order_statistic` narrowing (bounded domains, 1–3 ≤33-row-census
+    `kth_order_statistic` narrowing (bounded domains, 1–2 driver-bounded-census
     rounds each). The matrix is then ONE pass over the
     customer-count-sized half-medians table: CASE ladder against eight
     literal thresholds, ≤25-cell fold, broadcast ≤5-row total join.

@@ -1467,8 +1467,8 @@ def session_duration_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     interval query shares (`_gap_sessions`; the oracle restates its CTE
     with the same gap constant). The cached (dur_us) projection is
     session-count-sized — already the output of a row-volume reduction —
-    and each of the ≤⌈log₃₂(max_dur)⌉ ≈ 9 narrowing rounds is one
-    pushed-filter pass over it with a ≤33-row census. Ranks are
+    and each of the ≤2 budget-branched narrowing rounds is one
+    pushed-filter pass over it with a driver-bounded census. Ranks are
     percentile_disc's max(1, ⌈q·n⌉), the same IEEE multiply the oracle
     states; single-event sessions legitimately contribute duration 0.
     The oracle's global row_number window is fine at oracle scale — the

@@ -1498,7 +1498,7 @@ def supplier_leadtime_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     uses the `kth_order_statistic` narrowing primitive and the 4+4
     quintile thresholds over the per-supplier medians ride ONE shared
     `quintile_thresholds` census sequence (day/median-lag domains are
-    bounded, so each narrows in 1–3 ≤33-row-census rounds).
+    bounded, so each narrows in 1–2 driver-bounded-census rounds).
     After the thresholds are literals, the matrix is ONE pass over the
     supplier-count-sized half-medians table: a CASE ladder against eight
     literal thresholds, a ≤25-cell fold, and a broadcast ≤5-row total
