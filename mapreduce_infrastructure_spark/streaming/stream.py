@@ -173,6 +173,42 @@ def run_to_table(stream_df: DataFrame, name: str, mode: str = "complete") -> Dat
     return spark.table(name)
 
 
+def run_to_tables(
+    named_streams: "list[tuple[DataFrame, str]]", mode: str = "complete"
+) -> "list[DataFrame]":
+    """Run several INDEPENDENT streaming frames to completion CONCURRENTLY
+    (start all, then await all) and return their materialized tables in
+    input order.
+
+    Same bridge contract as `run_to_table` per query — fresh checkpoint,
+    its own memory sink, availableNow to end-of-input, and the sink table
+    is only read after that query's awaitTermination returns — so each
+    result is identical to the serial form. Overlapping the queries lets
+    the second stream's micro-batch tasks back-fill executor slots freed
+    by the first's tail (guide §2.6, overlap independent jobs) instead of
+    paying two full start→commit→teardown latencies end to end. Callers
+    must pass queries with DISJOINT sink names and no data dependency on
+    each other's sink (the two call sites aggregate different inputs)."""
+    import shutil
+
+    spark = named_streams[0][0].sparkSession
+    queries = []
+    for stream_df, name in named_streams:
+        ckpt = os.path.join(_CHECKPOINTS, name)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        queries.append(
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+    for q in queries:
+        q.awaitTermination()
+    return [spark.table(name) for _, name in named_streams]
+
+
 @query(
     "stream_tumbling_hourly",
     oracle=TUMBLING_ORACLE,
@@ -556,8 +592,16 @@ def stream_hourly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_active_users"))
     )
     totals = ev.groupBy("h").agg(F.count(F.lit(1)).alias("n_events"))
-    left = run_to_table(dd, "stream_hourly_active_users_dd", mode="complete")
-    right = run_to_table(totals, "stream_hourly_active_users_tot", mode="complete")
+    # Independent streams (deduped vs raw counts) run concurrently — one
+    # combined wall-clock instead of two serial bridge latencies; each
+    # sink is fully materialized before the join reads it.
+    left, right = run_to_tables(
+        [
+            (dd, "stream_hourly_active_users_dd"),
+            (totals, "stream_hourly_active_users_tot"),
+        ],
+        mode="complete",
+    )
     return (
         left.join(right, "h")
         .select(
@@ -1541,7 +1585,6 @@ def stream_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey")
         .agg(F.min("d").alias("dopen"))
     )
-    od = run_to_table(od_s, "stream_backlog_opens", mode="complete")
     cd_s = (
         stream_table(spark, sf_dir, "lineitem")
         .select(
@@ -1553,7 +1596,16 @@ def stream_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey")
         .agg(F.max("d").alias("dclose"))
     )
-    cd = run_to_table(cd_s, "stream_backlog_closes", mode="complete")
+    # The opens and closes streams aggregate different inputs and only
+    # meet at the post-sink join — run them concurrently (one combined
+    # bridge latency; each sink fully materialized before the join).
+    od, cd = run_to_tables(
+        [
+            (od_s, "stream_backlog_opens"),
+            (cd_s, "stream_backlog_closes"),
+        ],
+        mode="complete",
+    )
     oc = od.join(cd, od.o_orderkey == cd.l_orderkey).select("dopen", "dclose")
     ev = oc.select(
         F.col("dopen").alias("day"),
